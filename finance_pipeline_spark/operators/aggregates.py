@@ -1,0 +1,446 @@
+"""Grouped / windowed / multidimensional aggregation — SURVEY.md §2.7 gap.
+
+The reference computes no grouped aggregates (its only aggregations are
+row counts, §2.7 A1-A3); these queries fill the surface a real engine
+needs. Determinism discipline for the DuckDB value-hash:
+
+- double SUMs go through ``decimal(38,6)`` — decimal addition is exact
+  and order-free, so Spark's partial/final aggregation and DuckDB's
+  single-threaded sum produce bitwise-identical results;
+- AVG / VAR are derived from exact decimal sums with a fixed arithmetic
+  shape (cast-to-double then divide), identical on both engines;
+- rank-family window functions are cast to bigint (DuckDB's type);
+- every window ORDER BY ends in a unique key.
+
+All aggregation plans are partial+final hash aggregates: map-side
+combine shrinks the shuffle to |groups|×partitions rows, and AQE
+coalesces post-shuffle partitions — the shape that survives 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from finance_pipeline_spark.registry import load, query
+
+
+def _dec(col: str | F.Column) -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("decimal(38,6)")
+
+
+@query(
+    "agg_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)                        AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)                   AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / count(*)      AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) / count(*)      AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "flagship"),
+    bench=True,
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship pricing summary (TPC-H Q1 shape): filter → 2-key groupBy
+    → 8 aggregates. The scan reads only 7 columns (pruning), the
+    shipdate filter pushes down, partial aggregation reduces ~600k rows
+    to |flag×status| per partition before the shuffle."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    n = F.count(F.lit(1))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(_dec(disc_price)).cast("double").alias("sum_disc_price"),
+            F.sum(_dec(charge)).cast("double").alias("sum_charge"),
+            (F.sum(_dec("l_quantity")).cast("double") / n).alias("avg_qty"),
+            (F.sum(_dec("l_extendedprice")).cast("double") / n).alias("avg_price"),
+            (F.sum(_dec("l_discount")).cast("double") / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+    )
+
+
+@query(
+    "agg_minmax_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           min(o_totalprice)            AS min_price,
+           max(o_totalprice)            AS max_price,
+           count(DISTINCT o_custkey)    AS n_customers,
+           count(*)                     AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("agg",),
+)
+def agg_minmax_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min/max/count-distinct per group. min/max on doubles are exact
+    and order-free; countDistinct plans as a two-phase expand+aggregate
+    (keys deduped map-side before the shuffle)."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query(
+    "agg_approx_distinct",
+    oracle=None,  # HLL sketches differ across engines — rows-only check;
+    # tests/test_aggregates.py bounds the estimate against the exact count.
+    tags=("agg", "approx"),
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — the scale path for
+    distinct cardinality: fixed-size sketch, no expand, mergeable
+    map-side. At 100 TB this is the only viable distinct-count."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "agg_variance_exact",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_q,
+           CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_q2
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg",),
+)
+def agg_variance_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance building blocks via exact decimal moments (sum, sum of
+    squares). Streaming variance (Welford) is order-dependent across
+    engines, so the comparable form ships the exact moments; stddev =
+    sqrt((sum_q2 - sum_q²/n)/(n-1)) derived identically on either side."""
+    li = load(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec(q)).cast("double").alias("sum_q"),
+        F.sum(_dec(q * q)).cast("double").alias("sum_q2"),
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "rollup"),
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals — (flag, status), (flag), () levels in
+    one pass via Expand; NULL group markers match ANSI."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price,
+           count(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg", "cube"),
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE — all 2^k grouping sets in one Expand pass."""
+    o = load(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "agg_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(38,6)) END) AS DOUBLE) AS qty_open,
+           CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(38,6)) END) AS DOUBLE) AS qty_filled
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "pivot"),
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide) with an explicit value list — without the list
+    Spark must run an extra distinct job to discover columns; with it
+    the pivot is a single aggregate pass."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(_dec("l_quantity")).cast("double"))
+        .withColumnsRenamed({"O": "qty_open", "F": "qty_filled"})
+    )
+
+
+@query(
+    "agg_unpivot",
+    oracle="""
+    SELECT o_orderkey, u.metric, u.amount
+    FROM orders o,
+    LATERAL (
+        SELECT 'totalprice' AS metric, o.o_totalprice AS amount
+        UNION ALL
+        SELECT 'custkey', CAST(o.o_custkey AS DOUBLE)
+    ) u
+    """,
+    tags=("unpivot",),
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long) via the native melt/unpivot operator —
+    pipelined Expand, no shuffle."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.col("o_custkey").cast("double").alias("o_custkey_d"),
+    ).unpivot(
+        ids=["o_orderkey"],
+        values=["o_totalprice", "o_custkey_d"],
+        variableColumnName="metric",
+        valueColumnName="amount",
+    ).withColumn(
+        "metric",
+        F.when(F.col("metric") == "o_totalprice", "totalprice").otherwise("custkey"),
+    )
+
+
+@query(
+    "win_rank_family",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,
+           CAST(row_number() OVER w AS BIGINT) AS rn,
+           CAST(rank()       OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           lag(o_totalprice)  OVER w AS prev_price,
+           lead(o_totalprice) OVER w AS next_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    tags=("window",),
+    bench=True,
+)
+def win_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking + offset window functions — row_number/rank/dense_rank/
+    lag/lead over a per-customer event sequence. One shuffle on the
+    partition key, one local sort; all five functions share the frame."""
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        "o_totalprice",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+    )
+
+
+@query(
+    "win_running_sum",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) /
+           count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_avg_3
+    FROM orders
+    """,
+    tags=("window",),
+)
+def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total + 3-row moving average with explicit ROWS frames —
+    exact decimal accumulation keeps the running values engine-agnostic."""
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    mov = w.rowsBetween(-2, W.currentRow)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.sum(_dec("o_totalprice")).over(run).cast("double").alias("running_spend"),
+        (
+            F.sum(_dec("o_totalprice")).over(mov).cast("double")
+            / F.count(F.lit(1)).over(mov)
+        ).alias("moving_avg_3"),
+    )
+
+
+@query(
+    "win_topk_per_group",
+    oracle="""
+    SELECT * FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               CAST(row_number() OVER (PARTITION BY o_custkey
+                     ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        FROM orders
+    ) WHERE rn <= 3
+    """,
+    tags=("window", "topk"),
+)
+def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group — the distributed replacement for the reference's
+    global LIMIT inspect. AQE/codegen evaluate row_number with an early
+    group-limit optimization (WindowGroupLimit) so each partition keeps
+    only k rows per key before the filter."""
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("bigint").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "dedup_keyed_pick",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity
+    FROM (
+        SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+               row_number() OVER (PARTITION BY l_orderkey, l_partkey
+                                  ORDER BY l_linenumber, l_suppkey) AS rn
+        FROM lineitem
+    ) WHERE rn = 1
+    """,
+    tags=("dedup",),
+)
+def dedup_keyed_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 keyed dedup with a deterministic survivor — first row per
+    (orderkey, partkey) under a total order. This is the distributed
+    form of the reference's INSERT OR IGNORE "first writer wins"
+    (etl/csv_loader.py:196): survivor choice is explicit, not
+    scheduler-dependent."""
+    li = load(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_orderkey", "l_partkey").orderBy("l_linenumber", "l_suppkey")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_partkey",
+            "l_suppkey",
+            "l_linenumber",
+            "l_quantity",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@query(
+    "join_agg_revenue",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+           count(*) AS n_lines
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY c.c_mktsegment
+    """,
+    tags=("join", "agg"),
+    bench=True,
+)
+def join_agg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by market segment (TPC-H Q3 shape): dimension → fact →
+    fact join chain + grouped aggregate. customer and the filtered
+    orders broadcast (both far under the 64 MB threshold at bench SF);
+    lineitem never shuffles before the final 5-group aggregate."""
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum(_dec(revenue)).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "join_multiway_region",
+    oracle="""
+    SELECT r.r_name AS region, n.n_name AS nation,
+           CAST(SUM(CAST(s.s_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS total_bal,
+           count(*) AS n_suppliers
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+    tags=("join", "agg"),
+)
+def join_multiway_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake dimension chain (supplier→nation→region) — both dims
+    broadcast; zero shuffles before the final aggregate."""
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(_dec("s_acctbal")).cast("double").alias("total_bal"),
+            F.count(F.lit(1)).alias("n_suppliers"),
+        )
+    )

@@ -1,0 +1,209 @@
+"""Event-time windowed aggregation — SURVEY.md §2.10 generalized.
+
+The reference's nearest streaming semantics is a 20-minute ingest-time
+lookback sync (services/supabase.py:57-61). Here: proper event-time
+tumbling / sliding / session windows over the ``events`` table. The
+same ``F.window``/``F.session_window`` expressions run identically in
+batch and in Structured Streaming (streaming/windows.py wires the
+streaming variant with watermarks); batch mode makes them
+oracle-checkable.
+
+Windows are epoch-aligned in Spark and DuckDB's ``time_bucket`` default
+origin (2000-01-03 is 10-minute aligned with the epoch), so bucket
+boundaries agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from finance_pipeline_spark.registry import load, query
+
+
+def _dec(c):
+    return (F.col(c) if isinstance(c, str) else c).cast("decimal(38,6)")
+
+
+@query(
+    "win_tumbling",
+    oracle="""
+    SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS w_start,
+           time_bucket(INTERVAL 10 MINUTE, ts) + INTERVAL 10 MINUTE AS w_end,
+           event_type,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+    tags=("streaming", "window"),
+    bench=True,
+)
+def win_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 10-minute event-time windows per event type — one
+    hash-aggregate shuffle keyed on (bucket, type); the window
+    expression is computed map-side so partial aggregation applies."""
+    e = load(spark, sf_dir, "events")
+    w = F.window("ts", "10 minutes")
+    return (
+        e.groupBy(w, "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("w_start"),
+            F.col("window.end").alias("w_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "win_sliding",
+    oracle="""
+    SELECT w.w_start,
+           w.w_start + INTERVAL 10 MINUTE AS w_end,
+           count(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+    FROM events e,
+    LATERAL (
+        SELECT time_bucket(INTERVAL 5 MINUTE, e.ts) AS w_start
+        UNION ALL
+        SELECT time_bucket(INTERVAL 5 MINUTE, e.ts) - INTERVAL 5 MINUTE
+    ) w
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "window"),
+)
+def win_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (10-minute length, 5-minute slide): each event
+    lands in exactly length/slide = 2 windows; Spark expands via the
+    window generator before the aggregate."""
+    e = load(spark, sf_dir, "events")
+    w = F.window("ts", "10 minutes", "5 minutes")
+    return (
+        e.groupBy(w)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("w_start"),
+            F.col("window.end").alias("w_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "win_session",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL 5 MINUTE OR
+                         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ), sessioned AS (
+        SELECT user_id, ts, value,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 5 MINUTE AS session_end,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+    FROM sessioned
+    GROUP BY user_id, session_id
+    """,
+    tags=("streaming", "window", "session"),
+)
+def win_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (5-minute inactivity gap) per user —
+    ``session_window`` merges overlapping [ts, ts+gap) intervals; the
+    oracle is the classic gaps-and-islands formulation. Session end =
+    last event + gap (Spark's definition)."""
+    e = load(spark, sf_dir, "events")
+    sw = F.session_window("ts", "5 minutes")
+    return (
+        e.groupBy(sw, "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "stream_tumbling_counts",
+    oracle="""
+    SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS w_start,
+           event_type,
+           count(*) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("streaming",),
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True Structured Streaming execution of the tumbling count: the
+    events parquet replayed through ``readStream`` with a 10-minute
+    watermark, complete-mode memory sink, drained synchronously with
+    ``processAllAvailable``. Complete mode emits every window, so the
+    drained result equals the batch aggregate — making an end-to-end
+    *streaming* run oracle-checkable against plain SQL."""
+    load(spark, sf_dir, "events")  # pins session confs (nanos-as-long)
+    # FileStreamSource needs a directory; stage the (read-only) events
+    # parquet into a repo-local cache dir once per sf.
+    import shutil
+    from pathlib import Path
+
+    stage = Path(__file__).resolve().parents[2] / ".cache" / "stream" / Path(sf_dir).name
+    stage.mkdir(parents=True, exist_ok=True)
+    dst = stage / "events.parquet"
+    if not dst.exists():
+        shutil.copyfile(f"{sf_dir}/events.parquet", dst)
+    raw_schema = (
+        "event_id bigint, ts bigint, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .parquet(str(stage))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").alias("w_start"), "event_type", "n_events"
+        )
+    )
+    name = "stream_tumbling_counts_sink"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # Materialize: the memory table is driver-local; re-create a stable DF.
+    return spark.table(name)

@@ -1,0 +1,221 @@
+"""Text analysis over the ``documents`` table — training-data-pipeline
+operators (language ID, quality scoring, token counting, document
+fingerprinting). All four stay entirely JVM-side: built-in string/array
+functions inside whole-stage codegen, no Python UDFs, so they scale to
+100 TB as embarrassingly-parallel map work (no shuffle at all).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from finance_pipeline_spark.registry import load, query
+
+# Tiny per-language marker lexicons for the n-gram/stopword language-ID
+# heuristic. Deterministic and shared verbatim with the SQL oracle.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "es": ("el", "los", "las", "y", "es"),
+    "zh": ("de5", "shi4", "le5", "zai4", "he2"),
+}
+
+
+def _tokens(col: str = "text") -> Column:
+    return F.split(F.trim(F.lower(F.col(col))), " ", -1)
+
+
+def _sql_tokens(col: str = "text") -> str:
+    return f"string_split(trim(lower({col})), ' ')"
+
+
+@query(
+    "text_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_sql_tokens()}) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct({_sql_tokens()})) AS BIGINT) AS n_unique_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_actual
+    FROM documents
+    """,
+    tags=("text",),
+    bench=True,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting + unique-token cardinality — the
+    cheap-and-cacheable size statistics every corpus pipeline needs."""
+    d = load(spark, sf_dir, "documents")
+    toks = _tokens()
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_unique_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_actual"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(length(text) AS DOUBLE) AS n_chars_actual,
+               CAST(len({_sql_tokens()}) AS DOUBLE) AS n_tokens,
+               CAST(len(list_distinct({_sql_tokens()})) AS DOUBLE) AS n_unique
+        FROM documents
+    )
+    SELECT doc_id,
+           round(n_chars_actual / n_tokens, 4) AS avg_token_len,
+           round(n_unique / n_tokens, 4) AS ttr,
+           round(least(n_tokens / 100.0, 1.0) * (n_unique / n_tokens), 4) AS quality
+    FROM t
+    """,
+    tags=("text",),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring — length-normalized type/token ratio,
+    the C4/Gopher-style cheap filter family: avg token length, TTR, and
+    a combined [0,1] score (short docs down-weighted)."""
+    d = load(spark, sf_dir, "documents")
+    toks = _tokens()
+    n_tokens = F.size(toks).cast("double")
+    n_unique = F.size(F.array_distinct(toks)).cast("double")
+    n_chars = F.length("text").cast("double")
+    ttr = n_unique / n_tokens
+    return d.select(
+        "doc_id",
+        F.round(n_chars / n_tokens, 4).alias("avg_token_len"),
+        F.round(ttr, 4).alias("ttr"),
+        F.round(F.least(n_tokens / 100.0, F.lit(1.0)) * ttr, 4).alias("quality"),
+    )
+
+
+def _marker_hits_spark(lang: str) -> Column:
+    markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+    return F.size(F.array_intersect(F.array_distinct(_tokens()), markers))
+
+
+def _marker_hits_sql(lang: str) -> str:
+    arr = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+    return f"len(list_intersect(list_distinct({_sql_tokens('text')}), [{arr}]))"
+
+
+@query(
+    "text_langid",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id, lang,
+               {_marker_hits_sql('en')} AS h_en,
+               {_marker_hits_sql('de')} AS h_de,
+               {_marker_hits_sql('fr')} AS h_fr,
+               {_marker_hits_sql('es')} AS h_es,
+               {_marker_hits_sql('zh')} AS h_zh
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE
+             WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es AND h_en >= h_zh THEN 'en'
+             WHEN h_de >= h_fr AND h_de >= h_es AND h_de >= h_zh THEN 'de'
+             WHEN h_fr >= h_es AND h_fr >= h_zh THEN 'fr'
+             WHEN h_es >= h_zh THEN 'es'
+             ELSE 'zh'
+           END AS detected_lang
+    FROM h
+    """,
+    tags=("text", "langid"),
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language identification by marker-token voting — the classic
+    stopword-hit heuristic (a stand-in for char-n-gram models like
+    CLD/fastText, which aren't in this container). Ties break by a
+    fixed language priority so the result is deterministic."""
+    d = load(spark, sf_dir, "documents")
+    hits = {lang: _marker_hits_spark(lang) for lang in LANG_MARKERS}
+    detected = (
+        F.when(
+            (hits["en"] >= hits["de"])
+            & (hits["en"] >= hits["fr"])
+            & (hits["en"] >= hits["es"])
+            & (hits["en"] >= hits["zh"]),
+            "en",
+        )
+        .when(
+            (hits["de"] >= hits["fr"]) & (hits["de"] >= hits["es"]) & (hits["de"] >= hits["zh"]),
+            "de",
+        )
+        .when((hits["fr"] >= hits["es"]) & (hits["fr"] >= hits["zh"]), "fr")
+        .when(hits["es"] >= hits["zh"], "es")
+        .otherwise("zh")
+    )
+    return d.select("doc_id", "lang", detected.alias("detected_lang"))
+
+
+# Rolling-hash fingerprint parameters (shared with the SQL oracle).
+_FP_MOD = 1_000_000_007
+_FP_MULT = 131
+
+
+@query(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform({_sql_tokens()},
+                 t -> CAST(length(t) * {_FP_MULT} + ascii(t) AS BIGINT))),
+             (acc, x) -> (acc * {_FP_MULT} + x) % {_FP_MOD}
+           ) AS fingerprint
+    FROM documents
+    """,
+    tags=("text", "fingerprint"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting — polynomial rolling hash over the token
+    stream (Rabin-Karp family), folded with ``F.aggregate``: order-
+    sensitive (unlike a bag-of-words hash) yet engine-portable because
+    it uses only length/ascii/mod arithmetic."""
+    d = load(spark, sf_dir, "documents")
+    tok_vals = F.transform(
+        _tokens(),
+        lambda t: (F.length(t) * _FP_MULT + F.ascii(t)).cast("bigint"),
+    )
+    fp = F.aggregate(
+        tok_vals,
+        F.lit(0).cast("bigint"),
+        lambda acc, x: (acc * _FP_MULT + x) % _FP_MOD,
+    )
+    return d.select("doc_id", fp.alias("fingerprint"))
+
+
+@query(
+    "text_ngram_profile",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(greatest(len(t) - 2, 0) AS BIGINT) AS n_trigrams,
+           CAST(len(list_distinct(
+             [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+              FOR i IN range(1, greatest(len(t) - 1, 1))]
+           )) AS BIGINT) AS n_unique_trigrams
+    FROM (SELECT doc_id, {_sql_tokens()} AS t FROM documents)
+    """,
+    tags=("text", "ngram"),
+)
+def text_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-trigram shingle profile — the shingling primitive under
+    MinHash/Jaccard dedup, as its own cardinality query."""
+    d = load(spark, sf_dir, "documents")
+    toks = _tokens()
+    tri_at = lambda i: F.concat_ws(  # noqa: E731
+        " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2), F.element_at(toks, i + 3)
+    )
+    tris = F.when(
+        F.size(toks) >= 3,
+        F.transform(F.sequence(F.lit(0), F.size(toks) - 3), tri_at),
+    ).otherwise(F.array().cast("array<string>"))
+    return d.select(
+        "doc_id",
+        F.greatest(F.size(toks) - 2, F.lit(0)).cast("bigint").alias("n_trigrams"),
+        F.size(F.array_distinct(tris)).cast("bigint").alias("n_unique_trigrams"),
+    )

@@ -1,0 +1,126 @@
+"""Query registry — the contract between operator modules and the
+driver harness (``__spark_entry__.py``) / ``bench.py``.
+
+Every implemented operator from SURVEY.md §2 registers itself here with
+a PySpark implementation and (where SQL-expressible) an equivalent
+ANSI-SQL oracle string that DuckDB runs over the same parquet tables.
+The driver compares row-count + schema + order-insensitive value-hash,
+so implementations must be **deterministic**:
+
+- no bare ``dropDuplicates(subset)`` in a compared result (arbitrary
+  survivor) — use a windowed deterministic pick instead;
+- every ORDER BY ... LIMIT has a unique final tie-break key;
+- double aggregations go through ``decimal(38,6)`` (exact, order-free)
+  or a coarse ROUND — float summation order differs between Spark
+  partial aggregation and DuckDB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None
+    description: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+    bench: bool = False  # include in bench.py headline set
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def query(
+    name: str,
+    oracle: str | None = None,
+    tags: tuple[str, ...] = (),
+    bench: bool = False,
+) -> Callable[[QueryFn], QueryFn]:
+    """Register an operator query. ``oracle`` is DuckDB-runnable ANSI SQL
+    over the pre-registered table views; ``None`` means the driver falls
+    back to a rows-only check (non-SQL-expressible ops)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name: {name}")
+        QUERIES[name] = QuerySpec(
+            name=name,
+            fn=fn,
+            oracle=oracle,
+            description=(fn.__doc__ or "").strip().splitlines()[0] if fn.__doc__ else "",
+            tags=tuple(tags),
+            bench=bench,
+        )
+        return fn
+
+    return deco
+
+
+def ensure_conf(spark: SparkSession) -> None:
+    """Pin the runtime confs our semantics depend on. Called from
+    ``load`` so queries behave identically under the driver's own
+    SparkSession (which we don't construct): UTC session tz (oracle
+    timestamp parity), ANSI off (null-on-parse-failure, matching the
+    reference's ``errors="coerce"``), and nanos-as-long so Spark 4 can
+    read the driver's TIMESTAMP(NANOS) events parquet."""
+    for k, v in (
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.ansi.enabled", "false"),
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # noqa: BLE001 — non-settable on some builds; best effort
+            pass
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver testdata table. Parquet scan → Catalyst gets full
+    pushdown/pruning; at 100 TB this is a partitioned columnar scan.
+
+    The events table carries nanosecond timestamps, which Spark's
+    vectorized reader surfaces as long (see ``ensure_conf``); convert to
+    microsecond TimestampType here (truncation — same as DuckDB's
+    ns→µs view cast) so downstream operators see a uniform type."""
+    from pyspark.sql import functions as F
+
+    ensure_conf(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_all() -> None:
+    """Import every operator module for its registration side effects."""
+    from finance_pipeline_spark.operators import (  # noqa: F401
+        aggregates,
+        dedup,
+        derivations,
+        multimodal,
+        relational,
+        similarity,
+        streaming_batch,
+        textops,
+    )
