@@ -1,0 +1,84 @@
+"""Benchmark runner — the driver's per-round perf probe.
+
+Runs every registry query flagged ``bench=True`` against
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints exactly ONE JSON line:
+
+    {"metric": "bench_total_sec", "value": N, "unit": "sec",
+     "queries": {"q": sec, ...}, "sf": 0.1}
+
+Timing protocol: each query is forced end-to-end with a ``noop``-format
+write (computes every output column, no driver collect, no sink IO), so
+the number measures the full distributed plan, not just a count-star
+short-circuit. A one-query warmup amortizes JVM/codegen startup out of
+the first measured entry.
+
+Usage: python bench.py  [--repeat N]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from finance_pipeline_spark import registry  # noqa: E402
+from finance_pipeline_spark.session import get_session  # noqa: E402
+
+registry.load_all()
+
+
+def force(df) -> None:
+    """Fully execute a DataFrame without collecting to the driver."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    repeat = 1
+    if "--repeat" in sys.argv:
+        repeat = int(sys.argv[sys.argv.index("--repeat") + 1])
+    try:
+        sf = float(Path(sf_dir).name.replace("sf", ""))
+    except ValueError:
+        sf = 0.0
+
+    spark = get_session("bench")
+    names = [n for n, spec in registry.QUERIES.items() if spec.bench]
+
+    # Warmup: spin the JVM, parquet footers, and codegen cache once so
+    # the first measured query isn't charged for session startup.
+    force(registry.QUERIES[names[0]].fn(spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in names:
+        spec = registry.QUERIES[name]
+        best = float("inf")
+        for _ in range(repeat):
+            t0 = time.time()
+            force(spec.fn(spark, sf_dir))
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

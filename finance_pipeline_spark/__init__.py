@@ -13,13 +13,7 @@ tested on local[N].
 Layout:
     session.py    SparkSession factory (UTC, AQE, Arrow)
     registry.py   query registry powering __spark_entry__ and bench
-    schemas.py    explicit StructTypes (forex tables + driver testdata)
     operators/    oracle-checked query implementations (SURVEY.md §2)
-    sources/      csv / rest / scrape / jdbc connectors
-    sinks/        idempotent keyed writer, REST sink
-    pipelines/    api / csv / scrape pipelines + orchestrator
-    streaming/    watermarked window aggs, streaming dedup, sync
-    functions/    reusable column-expression helpers
 """
 
 __version__ = "0.1.0"

@@ -9,10 +9,16 @@ join is the cost center; the band/bucket key is the shuffle key, and
 skewed buckets (boilerplate docs) are handled by AQE skew-join plus a
 bucket-size cap.
 
-MinHash/SimHash signatures use xxhash64, which DuckDB does not provide,
-so those two are rows-only for the driver oracle and get planted-dup
-assertions in tests/test_dedup.py instead; the exact / Jaccard / cosine
-variants carry full SQL oracles.
+Execution split, chosen by measurement: per-document signature /
+shingle builds run as Arrow-batched Python kernels (``mapInPandas`` —
+C-speed hashing and set ops; the equivalent Catalyst higher-order
+expressions are interpreted, never enter whole-stage codegen, and
+measured 10-40× slower), while candidate generation, bucket capping
+and pair verification stay JVM-side DataFrame joins so Catalyst/AQE
+own the shuffle. MinHash/SimHash hashing isn't portable SQL, so those
+two are rows-only for the driver oracle and get planted-dup assertions
+in tests/test_dedup.py; the exact / Jaccard / cosine variants carry
+full SQL oracles.
 """
 
 from __future__ import annotations
@@ -30,7 +36,9 @@ def _tokens(col: str = "text") -> Column:
 
 
 def _word_shingles(n: int = 3, col: str = "text") -> Column:
-    """Distinct word n-gram shingles, empty array for short docs."""
+    """Distinct word n-gram shingles, empty array for short docs.
+    JVM reference form — fine inline in cheap queries; the dedup
+    operators use the Python-kernel twins below for the hot builds."""
     toks = _tokens(col)
     gram = lambda i: F.concat_ws(  # noqa: E731
         " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
@@ -39,6 +47,33 @@ def _word_shingles(n: int = 3, col: str = "text") -> Column:
         F.size(toks) >= n,
         F.array_distinct(F.transform(F.sequence(F.lit(0), F.size(toks) - n), gram)),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def _py_shingles(text: str, n: int = 3) -> set:
+    """Python twin of ``_word_shingles`` for Arrow-batched kernels:
+    same trim-spaces / lower / single-space-split / distinct-n-gram
+    semantics, as a set."""
+    toks = text.strip(" ").lower().split(" ")
+    if len(toks) < n:
+        return set()
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def _crc64(data: bytes) -> int:
+    """Deterministic 64-bit hash from two independent crc32 passes —
+    C speed, stable across executors/runs (unlike Python's salted
+    ``hash``), no external deps. Result is wrapped to *signed* int64
+    range so it round-trips through Arrow/Spark bigint columns."""
+    import zlib
+
+    x = (zlib.crc32(data) << 32) ^ zlib.crc32(data + b"#")
+    # splitmix64 finalizer: crc is GF(2)-linear, which correlates
+    # SimHash bit votes across related inputs — avalanche the bits.
+    M = (1 << 64) - 1
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & M
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & M
+    x ^= x >> 31
+    return x - (1 << 64) if x >= (1 << 63) else x
 
 
 # --- exact ------------------------------------------------------------------
@@ -102,130 +137,165 @@ _MERSENNE = (1 << 61) - 1
 _PERM_A = [2 * i + 1 for i in range(1, _MINHASH_PERMS + 1)]
 _PERM_B = [7919 * i + 104729 for i in range(_MINHASH_PERMS)]
 
-
-def _perm_fn(a: int, b: int):
-    def fn(h: Column) -> Column:
-        return F.pmod(F.lit(a).cast("bigint") * h + F.lit(b), F.lit(_MERSENNE))
-
-    return fn
+_MINHASH_BUCKET_CAP = 512  # docs per band bucket before the bucket is
+# dropped as non-discriminative (boilerplate guard; keeps candidate
+# generation sub-quadratic on skewed corpora)
 
 
-def minhash_signature(shingles: Column) -> Column:
-    """32-perm MinHash signature: one xxhash64 per shingle, then
-    min((a·h + b) mod M) per permutation — all JVM-side array ops, no
-    UDFs, linear in shingle count."""
-    base = F.transform(shingles, lambda s: F.xxhash64(s))
-    return F.array(
-        *[
-            F.array_min(F.transform(base, _perm_fn(a, b)))
-            for a, b in zip(_PERM_A, _PERM_B)
-        ]
-    )
+def minhash_band_rows(df: DataFrame) -> DataFrame:
+    """(doc_id, text) → (doc_id, band_key): trigram shingles, 32-perm
+    MinHash, 8 band buckets — one Arrow-batched Python kernel
+    (vectorized numpy permutations over crc32 shingle hashes)."""
+    import zlib
 
+    import numpy as np
+    import pandas as pd
 
-def lsh_band_keys(sig: Column) -> Column:
-    """Band the signature: hash each 4-row slice into one bucket key."""
-    return F.array(
-        *[
-            F.xxhash64(
-                F.lit(band),
-                F.concat_ws(
-                    ",", *[sig.getItem(band * _ROWS_PER_BAND + r).cast("string") for r in range(_ROWS_PER_BAND)]
-                ),
+    def kernel(batches):
+        a = np.array(_PERM_A, dtype=np.int64).reshape(-1, 1)
+        b = np.array(_PERM_B, dtype=np.int64).reshape(-1, 1)
+        for pdf in batches:
+            out_ids, out_keys = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                shingles = _py_shingles(text)
+                if not shingles:
+                    continue
+                h = np.array(
+                    [zlib.crc32(s.encode("utf-8")) for s in shingles], dtype=np.int64
+                )
+                sig = ((a * h + b) % _MERSENNE).min(axis=1)  # (32,)
+                for band in range(_LSH_BANDS):
+                    band_sig = sig[band * _ROWS_PER_BAND : (band + 1) * _ROWS_PER_BAND]
+                    key = zlib.crc32(
+                        (str(band) + ":" + ",".join(map(str, band_sig))).encode()
+                    )
+                    out_ids.append(doc_id)
+                    out_keys.append(key)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(out_ids, dtype="int64"),
+                    "band_key": pd.array(out_keys, dtype="int64"),
+                }
             )
-            for band in range(_LSH_BANDS)
-        ]
+
+    return df.select("doc_id", "text").mapInPandas(
+        kernel, "doc_id bigint, band_key bigint"
     )
 
 
 @query(
     "dedup_minhash_lsh",
-    oracle=None,  # xxhash64 isn't portable SQL — rows-only; tests plant near-dups.
+    oracle=None,  # MinHash banding isn't portable SQL — rows-only; tests plant near-dups.
     tags=("dedup", "lsh"),
     bench=True,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + banded LSH near-dup pairs: shingle → 32-perm signature
     → 8 band buckets → same-bucket candidate join → exact Jaccard
-    verify ≥ 0.5. Candidate generation is the only shuffle (on the band
-    key); verification touches candidate pairs, never the n² cross."""
-    d = load(spark, sf_dir, "documents").select(
-        "doc_id", _word_shingles(3).alias("shingles")
-    ).filter(F.size("shingles") > 0)
-    sig = d.select(
-        "doc_id",
-        "shingles",
-        lsh_band_keys(minhash_signature(F.col("shingles"))).alias("bands"),
-    )
-    exploded = sig.select(
-        "doc_id", "shingles", F.explode("bands").alias("band_key")
-    )
-    left = exploded.alias("a")
-    right = exploded.alias("b")
+    verify ≥ 0.5.
+
+    Scale shape: the band-key shuffle carries bare (doc_id, band_key)
+    rows — candidate ID pairs are deduped *before* document text is
+    re-joined for verification, so payloads cross the wire once per
+    surviving pair instead of ×8 bands. Buckets over _MINHASH_BUCKET_CAP
+    docs are dropped (boilerplate guard). Verification is a Python
+    set-Jaccard kernel over the few surviving pairs. Planted-dup
+    recall/precision asserted in tests/test_dedup.py."""
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents")
+    exploded = minhash_band_rows(docs)
+    sizes = exploded.groupBy("band_key").count()
+    capped = exploded.join(
+        F.broadcast(sizes.filter(F.col("count") <= _MINHASH_BUCKET_CAP)), "band_key"
+    ).drop("count")
+    left = capped.alias("a")
+    right = capped.alias("b")
     cand = (
-        left.join(right, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
+        left.join(
+            right,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    t_a = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
+    t_b = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
+
+    def verify(batches):
+        for pdf in batches:
+            sh_a = [_py_shingles(t) for t in pdf["text_a"]]
+            sh_b = [_py_shingles(t) for t in pdf["text_b"]]
+            jac = [
+                round(len(x & y) / len(x | y), 4) if (x and y) else 0.0
+                for x, y in zip(sh_a, sh_b)
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_a": pdf["doc_a"].astype("int64"),
+                    "doc_b": pdf["doc_b"].astype("int64"),
+                    "jaccard": pd.array(jac, dtype="float64"),
+                }
+            )
+
     return (
-        cand.withColumn("jaccard", F.round(inter / union, 4))
+        cand.join(t_a, "doc_a")
+        .join(t_b, "doc_b")
+        .mapInPandas(verify, "doc_a bigint, doc_b bigint, jaccard double")
         .filter(F.col("jaccard") >= 0.5)
-        .select("doc_a", "doc_b", "jaccard")
     )
 
 
 # --- SimHash ----------------------------------------------------------------
 
 
-def simhash64(tokens: Column) -> Column:
-    """64-bit SimHash: per-token xxhash64; each output bit is the sign
-    of the sum of ±1 votes across tokens. Expressed as 64 aggregate
-    folds over the token-hash array — JVM-side, no UDF."""
-    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+def simhash_signatures(df: DataFrame) -> DataFrame:
+    """(doc_id, text) → (doc_id, sh): 64-bit SimHash over distinct
+    tokens — per token a crc64 hash, each signature bit the sign of the
+    ±1 vote sum across tokens. Vectorized numpy bit-unpacking per doc;
+    map-only, no shuffle."""
+    import numpy as np
+    import pandas as pd
 
-    def _bit_vote(i: int):
-        def fn(acc: Column, h: Column) -> Column:
-            return acc + F.when(
-                F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
-            ).otherwise(-1)
-
-        return fn
-
-    def bit(i: int) -> Column:
-        return F.aggregate(hashes, F.lit(0).cast("bigint"), _bit_vote(i))
-    return F.aggregate(
-        F.array(
-            *[
-                F.when(bit(i) > 0, F.shiftleft(F.lit(1).cast("bigint"), i)).otherwise(
-                    F.lit(0).cast("bigint")
+    def kernel(batches):
+        bit_idx = np.arange(64, dtype=np.uint64)
+        for pdf in batches:
+            out_ids, out_sigs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = set(text.strip(" ").lower().split(" "))
+                if not toks:
+                    continue
+                h = np.array(
+                    [_crc64(t.encode("utf-8")) for t in toks], dtype=np.int64
+                ).view(np.uint64)
+                bits = (h[:, None] >> bit_idx) & np.uint64(1)  # (n_tok, 64)
+                votes = bits.astype(np.int64).sum(axis=0) * 2 - len(h)  # ±1 votes
+                sig = ((votes > 0).astype(np.uint64) << bit_idx).sum(
+                    dtype=np.uint64
                 )
-                for i in range(64)
-            ]
-        ),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc.bitwiseOR(x),
-    )
+                out_ids.append(doc_id)
+                out_sigs.append(sig)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(out_ids, dtype="int64"),
+                    "sh": np.array(out_sigs, dtype=np.uint64).view(np.int64),
+                }
+            )
+
+    return df.select("doc_id", "text").mapInPandas(kernel, "doc_id bigint, sh bigint")
 
 
 @query(
     "dedup_simhash",
-    oracle=None,  # xxhash64-based — rows-only; hamming property asserted in tests.
+    oracle=None,  # crc64-based — rows-only; hamming property asserted in tests.
     tags=("dedup", "simhash"),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 64-bit signature, 4×16-bit band blocking
     (hamming ≤ 3 ⇒ at least one identical 16-bit band by pigeonhole),
     verify with bit_count(xor) ≤ 3 inside buckets only."""
-    d = load(spark, sf_dir, "documents").select(
-        "doc_id", simhash64(F.array_distinct(_tokens())).alias("sh")
-    )
+    d = simhash_signatures(load(spark, sf_dir, "documents"))
     banded = d.select(
         "doc_id",
         "sh",
@@ -234,7 +304,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.shiftright("sh", 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("bkey"),
+                        F.shiftrightunsigned("sh", 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("bkey"),
                     )
                     for i in range(4)
                 ]
@@ -263,27 +335,59 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- n-gram Jaccard (oracle-checked) ----------------------------------------
 
 
+def hashed_shingle_rows(df: DataFrame) -> DataFrame:
+    """(doc_id, lang, text) → (doc_id, lang, len_bucket, shingles):
+    distinct trigram shingles as crc64 int64s, built in an Arrow
+    kernel. Jaccard *counts* are hash-function-agnostic: a within-pair
+    64-bit collision (P ≈ |union|²/2⁶⁵ ≈ 1e-13) is the only way counts
+    could diverge from string-set semantics, so the DuckDB oracle may
+    use its own hash() and still agree — while set ops downstream run
+    over 8-byte ints instead of ~25-byte strings."""
+    import pandas as pd
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = {"doc_id": [], "lang": [], "len_bucket": [], "shingles": []}
+            for doc_id, lang, text in zip(pdf["doc_id"], pdf["lang"], pdf["text"]):
+                toks = text.strip(" ").lower().split(" ")
+                if len(toks) < 3:
+                    continue
+                sh = {
+                    _crc64(" ".join(toks[i : i + 3]).encode("utf-8"))
+                    for i in range(len(toks) - 2)
+                }
+                rows["doc_id"].append(doc_id)
+                rows["lang"].append(lang)
+                rows["len_bucket"].append(len(toks) // 32)
+                rows["shingles"].append(list(sh))
+            yield pd.DataFrame(rows)
+
+    return df.select("doc_id", "lang", "text").mapInPandas(
+        kernel, "doc_id bigint, lang string, len_bucket int, shingles array<bigint>"
+    )
+
+
 @query(
     "dedup_ngram_jaccard",
     oracle="""
     WITH sh AS (
         SELECT doc_id, lang,
-               CAST(len(string_split(trim(lower(text)), ' ')) / 32 AS INTEGER) AS len_bucket,
+               CAST(len(t) // 32 AS INTEGER) AS len_bucket,
                list_distinct(
-                 [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                 [hash(t[i] || ' ' || t[i+1] || ' ' || t[i+2])
                   FOR i IN range(1, greatest(len(t) - 1, 1))]
                ) AS shingles
         FROM (SELECT doc_id, lang, text, string_split(trim(lower(text)), ' ') AS t
               FROM documents)
         WHERE len(t) >= 3
     )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-                 / len(list_distinct(list_concat(a.shingles, b.shingles))), 4) AS jaccard
-    FROM sh a JOIN sh b
-      ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
-    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-          / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.2
+    SELECT doc_a, doc_b, round(jac_raw, 4) AS jaccard FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jac_raw
+        FROM sh a JOIN sh b
+          ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+    ) WHERE jac_raw >= 0.2
     """,
     tags=("dedup", "jaccard"),
 )
@@ -292,34 +396,46 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate blocking on (lang, length-bucket) so the self-join is
     per-block not global, exact Jaccard ≥ 0.2 verify. SQL-expressible
     end to end, so this one carries the oracle for the whole fuzzy
-    family."""
-    d = load(spark, sf_dir, "documents")
-    toks = _tokens()
-    sh = (
-        d.filter(F.size(toks) >= 3)
-        .select(
-            "doc_id",
-            "lang",
-            (F.size(toks) / F.lit(32)).cast("int").alias("len_bucket"),
-            _word_shingles(3).alias("shingles"),
-        )
-    )
-    a, b = sh.alias("a"), sh.alias("b")
+    family (shingles hashed to int64 on both engines — identical
+    counts, see ``hashed_shingle_rows``). Blocks grow with the corpus,
+    so this exhaustive-within-block variant is the *small/medium* tier;
+    at 100 TB use ``dedup_minhash_lsh``, whose band buckets stay
+    bounded."""
+    sh = hashed_shingle_rows(load(spark, sf_dir, "documents"))
+    # Salted triangle self-join. Block keys are few (|langs| × length
+    # buckets), so an unsalted join lands whole blocks — and their n²
+    # pair explosion — on single tasks (AQE even coalesces the small
+    # shuffle to ONE partition). Salting: the a-side carries
+    # doc_id % P, the b-side replicates each row to all P salts; a pair
+    # (x < y) matches exactly once, on y's copy with x's salt. The
+    # pair-verification work now spreads over blocks × P tasks. The
+    # explicit repartition pins the partition count (disables AQE
+    # coalescing) and both sides share the distribution, so the join
+    # adds no extra exchange.
+    P = 16
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    a = sh.withColumn("salt", F.pmod("doc_id", F.lit(P)).cast("int")).repartition(
+        n_part, "lang", "len_bucket", "salt"
+    ).alias("a")
+    b = sh.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(P)]))
+    ).repartition(n_part, "lang", "len_bucket", "salt").alias("b")
     inter = F.size(F.array_intersect("a.shingles", "b.shingles")).cast("double")
     union = F.size(F.array_union("a.shingles", "b.shingles")).cast("double")
-    jac = inter / union
     return (
         a.join(
             b,
             (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.len_bucket") == F.col("b.len_bucket"))
+            & (F.col("a.salt") == F.col("b.salt"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .filter(jac >= 0.2)
+        .withColumn("jac_raw", inter / union)
+        .filter(F.col("jac_raw") >= 0.2)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.round(jac, 4).alias("jaccard"),
+            F.round("jac_raw", 4).alias("jaccard"),
         )
     )
 
@@ -331,62 +447,44 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_embedding_cosine",
     oracle="""
     WITH v AS (
-        SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % 10 = 0
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
+               sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                              FOR x IN embedding])) AS nrm
+        FROM embeddings WHERE vec_id % 10 = 0
     )
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           round(
-             list_sum([CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)
-                       FOR x IN list_zip(a.embedding, b.embedding)]) /
-             (sqrt(list_sum([CAST(y AS DOUBLE) * CAST(y AS DOUBLE) FOR y IN a.embedding])) *
-              sqrt(list_sum([CAST(z AS DOUBLE) * CAST(z AS DOUBLE) FOR z IN b.embedding]))),
-             4) AS cosine
-    FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE round(
-             list_sum([CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)
-                       FOR x IN list_zip(a.embedding, b.embedding)]) /
-             (sqrt(list_sum([CAST(y AS DOUBLE) * CAST(y AS DOUBLE) FOR y IN a.embedding])) *
-              sqrt(list_sum([CAST(z AS DOUBLE) * CAST(z AS DOUBLE) FOR z IN b.embedding]))),
-             4) >= 0.5
+    SELECT vec_a, vec_b, cosine FROM (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 4) AS cosine
+        FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+    ) WHERE cosine >= 0.2
     """,
     tags=("dedup", "embedding"),
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs — label-blocked (cluster id as
     the blocking key, the IVF idea), exact cosine via zip_with dot
-    product, threshold 0.5. The sampled subset (vec_id % 10 = 0) keeps
-    the verify join quadratic only within tiny blocks."""
+    product with per-row norms precomputed *before* the pair join (one
+    fold per row + one per pair, never three per pair). Threshold 0.2
+    sits inside the synthetic corpus's intra-label cosine range, so the
+    oracle comparison has rows at every SF (0.5 matched nothing —
+    a vacuous pass)."""
+    from finance_pipeline_spark.operators.similarity import dot, l2norm
+
     e = (
         load(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") % 10 == 0)
-        .select("vec_id", "label", "embedding")
+        .select("vec_id", "label", "embedding", l2norm(F.col("embedding")).alias("nrm"))
     )
     a, b = e.alias("a"), e.alias("b")
-
-    def dot(x: Column, y: Column) -> Column:
-        return F.aggregate(
-            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    def norm(x: Column) -> Column:
-        return F.sqrt(
-            F.aggregate(
-                F.transform(x, lambda p: p.cast("double") * p.cast("double")),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-        )
-
     cos = F.round(
         dot(F.col("a.embedding"), F.col("b.embedding"))
-        / (norm(F.col("a.embedding")) * norm(F.col("b.embedding"))),
+        / (F.col("a.nrm") * F.col("b.nrm")),
         4,
     )
     return (
         a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
         .withColumn("cosine", cos)
-        .filter(F.col("cosine") >= 0.5)
+        .filter(F.col("cosine") >= 0.2)
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),

@@ -138,10 +138,17 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scan stage)."""
     d = with_binary_payload(load(spark, sf_dir, "documents"))
     n_frames = F.ceil(F.col("meta.n_bytes") / F.lit(64.0)).cast("bigint")
+    # Guard the explode: for an empty payload n_frames = 0 and
+    # sequence(0, -1) would auto-step *descending*, emitting bogus
+    # negative frame numbers — emit no frames instead (= oracle's
+    # range(0, 0)).
+    frame_nos = F.when(
+        n_frames > 0, F.sequence(F.lit(0), (n_frames - 1).cast("int"))
+    ).otherwise(F.array().cast("array<int>"))
     frames = d.select(
         "doc_id",
         "payload",
-        F.explode(F.sequence(F.lit(0), (n_frames - 1).cast("int"))).alias("frame_no"),
+        F.explode(frame_nos).alias("frame_no"),
     )
     frame = F.expr("substring(payload, 1 + frame_no * 64, 64)")
     return frames.select(

@@ -2,15 +2,22 @@
 top-k as the exact baseline, plus a sign-random-projection LSH variant
 as the scale path.
 
-Scale design: brute force is a broadcast nested-loop (queries broadcast
-to every corpus partition — correct and linear in corpus size, the
-right *exact* plan even at 100 TB when |queries| is small). The LSH
-variant hashes both sides into Hamming-ball buckets so the candidate
-join touches a tiny corpus fraction; recall is tested against the
+Scale design: brute force broadcasts the (small) query matrix to every
+corpus partition and scores each Arrow batch with one numpy float64
+matmul — linear in corpus size, zero shuffle until the final per-query
+top-k, and each batch pre-prunes to a provable superset of the global
+top-k so the shuffle moves O(|q|·k) rows, not O(|q|·n). The LSH variant
+hashes both sides into 8×8-bit signature bands so the candidate join
+touches a tiny corpus fraction; recall is tested against the
 brute-force baseline in tests/test_similarity.py.
 """
 
 from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
@@ -18,6 +25,7 @@ from pyspark.sql import functions as F
 from finance_pipeline_spark.registry import load, query
 
 _DIM = 64
+_TOPK = 10
 
 
 def dot(x: Column, y: Column) -> Column:
@@ -39,67 +47,113 @@ def l2norm(x: Column) -> Column:
     )
 
 
-_DUCK_COS = """
-round(
-  list_sum([CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)
-            FOR i IN range(1, {dim} + 1)]) /
-  (sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN q.embedding])) *
-   sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN c.embedding]))),
-  4)
-""".format(dim=_DIM)
+def _emb_matrix(col: pd.Series) -> np.ndarray:
+    """Arrow list column → (n, dim) float64 matrix. float64 throughout:
+    float32 matmul would perturb the 4-dp rounded score vs the oracle's
+    CAST AS DOUBLE arithmetic."""
+    return np.array([np.asarray(v, dtype=np.float64) for v in col], dtype=np.float64)
+
+
+def _query_matrix(spark: SparkSession, sf_dir: str):
+    """Driver-side fetch of the query subset (1% of vectors — small by
+    construction; at 100 TB the query set is the user's input, not a
+    corpus scan). Returns (ids, unit-normalized matrix)."""
+    q = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 100 == 0)
+        .select("vec_id", "embedding")
+        .toPandas()
+    )
+    ids = q["vec_id"].to_numpy(dtype=np.int64)
+    mat = _emb_matrix(q["embedding"])
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    return ids, mat
 
 
 @query(
     "ann_cosine_topk",
     oracle=f"""
-    WITH scored AS (
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+               sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                              FOR x IN embedding])) AS nrm
+        FROM embeddings
+    ), scored AS (
         SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
-               {_DUCK_COS} AS cosine
-        FROM (SELECT * FROM embeddings WHERE vec_id % 100 = 0) q
-        JOIN embeddings c ON c.vec_id <> q.vec_id
+               round(list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm), 4) AS cosine
+        FROM (SELECT * FROM v WHERE vec_id % 100 = 0) q
+        JOIN v c ON c.vec_id <> q.vec_id
     ), ranked AS (
         SELECT query_id, corpus_id, cosine,
                CAST(row_number() OVER (PARTITION BY query_id
                      ORDER BY cosine DESC, corpus_id) AS BIGINT) AS rnk
         FROM scored
     )
-    SELECT query_id, corpus_id, cosine, rnk FROM ranked WHERE rnk <= 10
+    SELECT query_id, corpus_id, cosine, rnk FROM ranked WHERE rnk <= {_TOPK}
     """,
     tags=("similarity", "ann"),
     bench=True,
 )
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 per query — the exact ANN baseline.
-    Query set (1% of vectors) broadcasts; scoring is a map-only pass
-    over the corpus; per-query top-k via row_number (WindowGroupLimit
-    keeps k rows per partition before the shuffle). Ranking uses the
-    4-dp rounded score with corpus_id tie-break so ordering is
-    engine-stable."""
+
+    Each Arrow batch is scored with one float64 matmul against the
+    broadcast unit-normalized query matrix, then pre-pruned: a batch
+    keeps only rows with cosine >= (k-th best in batch) - 2e-4, a
+    provable superset of the global top-k under 4-dp rounding (any
+    dropped row is strictly below k batch-local rows even after
+    rounding). Final rounding/ranking happens JVM-side so tie-breaks
+    (rounded score desc, corpus_id asc) match the oracle exactly.
+    """
     e = load(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
-    )
-    c = e.select(F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("c_emb"))
-    cos = F.round(
-        dot(F.col("q_emb"), F.col("c_emb"))
-        / (l2norm(F.col("q_emb")) * l2norm(F.col("c_emb"))),
-        4,
-    )
-    scored = (
-        c.join(F.broadcast(q), F.col("corpus_id") != F.col("query_id"))
-        .select("query_id", "corpus_id", cos.alias("cosine"))
+    q_ids, q_mat = _query_matrix(spark, sf_dir)
+    bq = spark.sparkContext.broadcast((q_ids, q_mat))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_q, mat_q = bq.value
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            mat = _emb_matrix(pdf["embedding"])
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            scores = mat @ mat_q.T  # (n_batch, n_queries)
+            out = []
+            for j in range(len(ids_q)):
+                mask = ids != ids_q[j]
+                s, cids = scores[mask, j], ids[mask]
+                if len(s) > _TOPK:
+                    kth = np.partition(s, len(s) - _TOPK)[len(s) - _TOPK]
+                    keep = s >= kth - 2e-4
+                    s, cids = s[keep], cids[keep]
+                out.append(
+                    pd.DataFrame(
+                        {"query_id": ids_q[j], "corpus_id": cids, "cosine": s}
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    scored = e.select("vec_id", "embedding").mapInPandas(
+        score, "query_id bigint, corpus_id bigint, cosine double"
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("corpus_id"))
     return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rnk") <= 10)
+        scored.withColumn("cosine", F.round("cosine", 4))
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= _TOPK)
     )
 
 
 # --- sign-random-projection LSH ----------------------------------------------
 # Deterministic pseudo-random hyperplanes: plane p, dim d weight derived
 # from a splitmix-style integer mix of (p, d) — reproducible without any
-# stored model, cheap to regenerate on every executor.
+# stored model, regenerated identically on every executor.
+
+_N_PLANES = 64
+_BANDS = 8
+_BAND_BITS = _N_PLANES // _BANDS  # 8-bit band keys → 256 buckets/band
+_BUCKET_CAP = 512  # corpus rows per (band, bucket) before the bucket is
+# dropped as non-discriminative (boilerplate guard — keeps the candidate
+# join sub-quadratic no matter how skewed the corpus)
 
 
 def _mix(p: int, d: int) -> float:
@@ -109,32 +163,56 @@ def _mix(p: int, d: int) -> float:
     return ((x & 0xFFFFFFFF) / 0x7FFFFFFF) - 1.0  # ~U[-1, 1]
 
 
-_N_PLANES = 16
-_PLANES: list[list[float]] = [
-    [_mix(p, d) for d in range(_DIM)] for p in range(_N_PLANES)
-]
+def _plane_matrix() -> np.ndarray:
+    return np.array(
+        [[_mix(p, d) for d in range(_DIM)] for p in range(_N_PLANES)],
+        dtype=np.float64,
+    )
 
 
-def srp_signature(emb: Column) -> Column:
-    """16-bit sign-random-projection signature as an int: bit p = sign
-    of ⟨emb, plane_p⟩. Planes are inlined literal arrays — Catalyst
-    constant-folds them; no model state, no shuffle."""
-    bits = []
-    for p, plane in enumerate(_PLANES):
-        proj = F.aggregate(
-            F.zip_with(
-                emb,
-                F.array(*[F.lit(w) for w in plane]),
-                lambda x, w: x.cast("double") * w,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bits.append(F.when(proj > 0, F.lit(1 << p).cast("bigint")).otherwise(F.lit(0).cast("bigint")))
-    sig = bits[0]
-    for b in bits[1:]:
-        sig = sig.bitwiseOR(b)
-    return sig
+def srp_signatures(df: DataFrame) -> DataFrame:
+    """(vec_id, embedding) → (vec_id, sig): 64-bit sign-random-projection
+    signature, one numpy matmul per Arrow batch against the deterministic
+    hyperplane matrix. Map-only — no shuffle, no model state."""
+    planes = _plane_matrix()
+
+    def sign_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights = (np.uint64(1) << np.arange(_N_PLANES, dtype=np.uint64))
+        for pdf in batches:
+            mat = _emb_matrix(pdf["embedding"])
+            bits = (mat @ planes.T) > 0  # (n, 64) sign bits
+            sig = (bits.astype(np.uint64) * weights).sum(axis=1, dtype=np.uint64)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                    "sig": sig.view(np.int64),
+                }
+            )
+
+    return df.select("vec_id", "embedding").mapInPandas(
+        sign_batches, "vec_id bigint, sig bigint"
+    )
+
+
+def _banded(sig_df: DataFrame) -> DataFrame:
+    """Explode a signature into (vec_id, band, bkey) — 8 bands of 8 bits
+    each. Only IDs and 2 small ints ride the candidate shuffle."""
+    return sig_df.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned("sig", _BAND_BITS * i)
+                        .bitwiseAND(F.lit((1 << _BAND_BITS) - 1))
+                        .alias("bkey"),
+                    )
+                    for i in range(_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("vec_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
 
 
 @query(
@@ -144,54 +222,60 @@ def srp_signature(emb: Column) -> Column:
     tags=("similarity", "ann", "lsh"),
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate cosine top-k: 16-bit SRP signatures,
-    4×4-bit band blocking (bucket join instead of cross product), exact
-    cosine re-rank within candidates. The corpus-side signature is a
-    map-only pass; the candidate join shuffles on the band key — the
-    100 TB plan, since bucket sizes stay bounded."""
+    """LSH-bucketed approximate cosine top-k: 64-bit SRP signatures,
+    8×8-bit band blocking, exact cosine re-rank within candidates only.
+
+    Scale shape: band/bucket key is the shuffle key; candidate pairs are
+    deduped as bare ID pairs *before* embeddings are re-joined for the
+    exact re-rank, so vectors never ride the band explode. Buckets
+    larger than _BUCKET_CAP are dropped (non-discriminative boilerplate
+    regions) — the guard that keeps the join sub-quadratic at 100 TB.
+    """
     e = load(spark, sf_dir, "embeddings")
-    signed = e.select("vec_id", "embedding", srp_signature(F.col("embedding")).alias("sig"))
-    banded = signed.select(
-        "vec_id",
-        "embedding",
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.shiftright("sig", 4 * i).bitwiseAND(F.lit(0xF)).alias("bkey"),
-                    )
-                    for i in range(4)
-                ]
-            )
-        ).alias("bk"),
-    ).select("vec_id", "embedding", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
-    q = banded.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        "band",
-        "bkey",
+    banded = _banded(srp_signatures(e))
+
+    c_band = banded.withColumnRenamed("vec_id", "corpus_id")
+    # Boilerplate guard: drop over-full corpus buckets.
+    sizes = c_band.groupBy("band", "bkey").count()
+    c_band = (
+        c_band.join(F.broadcast(sizes.filter(F.col("count") <= _BUCKET_CAP)), ["band", "bkey"])
+        .drop("count")
     )
-    c = banded.select(
+    q_band = banded.filter(F.col("vec_id") % 100 == 0).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+
+    # Candidate ID pairs (deduped across bands) — nothing but IDs shuffle.
+    cand = (
+        c_band.join(F.broadcast(q_band), ["band", "bkey"])
+        .filter(F.col("corpus_id") != F.col("query_id"))
+        .select("query_id", "corpus_id")
+        .distinct()
+    )
+
+    # Exact re-rank: re-join embeddings once per surviving pair, with
+    # per-row norms precomputed once per side (never per pair).
+    q_emb = (
+        e.filter(F.col("vec_id") % 100 == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            l2norm(F.col("embedding")).alias("q_nrm"),
+        )
+    )
+    c_emb = e.select(
         F.col("vec_id").alias("corpus_id"),
         F.col("embedding").alias("c_emb"),
-        "band",
-        "bkey",
-    )
-    cand = (
-        c.join(F.broadcast(q), on=["band", "bkey"])
-        .filter(F.col("corpus_id") != F.col("query_id"))
-        .dropDuplicates(["query_id", "corpus_id"])
+        l2norm(F.col("embedding")).alias("c_nrm"),
     )
     cos = F.round(
-        dot(F.col("q_emb"), F.col("c_emb"))
-        / (l2norm(F.col("q_emb")) * l2norm(F.col("c_emb"))),
-        4,
+        dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("c_nrm")), 4
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("corpus_id"))
     return (
-        cand.select("query_id", "corpus_id", cos.alias("cosine"))
+        cand.join(F.broadcast(q_emb), "query_id")
+        .join(c_emb, "corpus_id")
+        .select("query_id", "corpus_id", cos.alias("cosine"))
         .withColumn("rnk", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rnk") <= 10)
+        .filter(F.col("rnk") <= _TOPK)
     )

@@ -103,15 +103,15 @@ def win_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_session",
     oracle="""
     WITH flagged AS (
-        SELECT user_id, ts, value,
+        SELECT user_id, ts, value, event_id,
                CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                         > INTERVAL 5 MINUTE OR
+                         >= INTERVAL 5 MINUTE OR
                          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                     THEN 1 ELSE 0 END AS is_new
         FROM events
     ), sessioned AS (
         SELECT user_id, ts, value,
-               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                  ROWS UNBOUNDED PRECEDING) AS session_id
         FROM flagged
     )
@@ -127,9 +127,10 @@ def win_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def win_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (5-minute inactivity gap) per user —
-    ``session_window`` merges overlapping [ts, ts+gap) intervals; the
-    oracle is the classic gaps-and-islands formulation. Session end =
-    last event + gap (Spark's definition)."""
+    ``session_window`` merges half-open [ts, ts+gap) intervals, so a
+    gap of *exactly* 5 minutes starts a new session — the oracle's
+    gaps-and-islands flag uses ``>=`` to match. Session end = last
+    event + gap (Spark's definition)."""
     e = load(spark, sf_dir, "events")
     sw = F.session_window("ts", "5 minutes")
     return (
@@ -195,15 +196,24 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = "stream_tumbling_counts_sink"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
+    # Stateful-aggregation cost scales with the shuffle-partition count
+    # (one state store per partition per batch); for a single-file
+    # replay a handful of partitions is plenty. Scoped to this query —
+    # the conf is captured at stream start and restored after.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
-        q.processAllAvailable()
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     # Materialize: the memory table is driver-local; re-create a stable DF.
     return spark.table(name)
