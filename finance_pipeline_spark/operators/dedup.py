@@ -132,10 +132,23 @@ def dedup_exact_by_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MINHASH_PERMS = 32
 _LSH_BANDS = 8  # 8 bands × 4 rows
 _ROWS_PER_BAND = _MINHASH_PERMS // _LSH_BANDS
-_MERSENNE = (1 << 61) - 1
-# Fixed affine permutation parameters (deterministic, engine-local).
-_PERM_A = [2 * i + 1 for i in range(1, _MINHASH_PERMS + 1)]
-_PERM_B = [7919 * i + 104729 for i in range(_MINHASH_PERMS)]
+
+
+def _splitmix64(x: int) -> int:
+    M = (1 << 64) - 1
+    x = (x + 0x9E3779B97F4A7C15) & M
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & M
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & M
+    return x ^ (x >> 31)
+
+
+# Multiply-shift permutations over the full 2⁶⁴ ring: h ↦ a·h + b
+# (uint64 wraparound), a odd ⇒ bijective. The multipliers MUST be
+# large: small a with 32-bit h never wraps, making every "permutation"
+# monotone in h — the signature then degenerates to a function of the
+# single min-hash shingle (caught by tests/test_dedup.py planted dups).
+_PERM_A = [_splitmix64(i) | 1 for i in range(_MINHASH_PERMS)]
+_PERM_B = [_splitmix64(1000 + i) for i in range(_MINHASH_PERMS)]
 
 _MINHASH_BUCKET_CAP = 512  # docs per band bucket before the bucket is
 # dropped as non-discriminative (boilerplate guard; keeps candidate
@@ -152,8 +165,8 @@ def minhash_band_rows(df: DataFrame) -> DataFrame:
     import pandas as pd
 
     def kernel(batches):
-        a = np.array(_PERM_A, dtype=np.int64).reshape(-1, 1)
-        b = np.array(_PERM_B, dtype=np.int64).reshape(-1, 1)
+        a = np.array(_PERM_A, dtype=np.uint64).reshape(-1, 1)
+        b = np.array(_PERM_B, dtype=np.uint64).reshape(-1, 1)
         for pdf in batches:
             out_ids, out_keys = [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
@@ -161,9 +174,9 @@ def minhash_band_rows(df: DataFrame) -> DataFrame:
                 if not shingles:
                     continue
                 h = np.array(
-                    [zlib.crc32(s.encode("utf-8")) for s in shingles], dtype=np.int64
+                    [zlib.crc32(s.encode("utf-8")) for s in shingles], dtype=np.uint64
                 )
-                sig = ((a * h + b) % _MERSENNE).min(axis=1)  # (32,)
+                sig = (a * h + b).min(axis=1)  # (32,) — uint64 wraparound
                 for band in range(_LSH_BANDS):
                     band_sig = sig[band * _ROWS_PER_BAND : (band + 1) * _ROWS_PER_BAND]
                     key = zlib.crc32(

@@ -1,0 +1,46 @@
+"""Aggregate checks that the SQL oracle can't express: HLL estimate
+error bound, and window/topk internal consistency."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from finance_pipeline_spark import registry
+
+registry.load_all()
+
+
+def test_approx_distinct_within_error_bound(spark, sf_dir):
+    """approx_count_distinct(rsd=0.02) must land within a conservative
+    3×rsd of the exact per-group cardinality."""
+    approx = {
+        r.l_returnflag: r.approx_parts
+        for r in registry.QUERIES["agg_approx_distinct"].fn(spark, sf_dir).collect()
+    }
+    exact = {
+        r.l_returnflag: r.exact
+        for r in registry.load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("exact"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for flag, est in approx.items():
+        rel_err = abs(est - exact[flag]) / exact[flag]
+        assert rel_err <= 0.06, (flag, est, exact[flag], rel_err)
+
+
+def test_topk_per_group_respects_k(spark, sf_dir):
+    rows = registry.QUERIES["win_topk_per_group"].fn(spark, sf_dir).collect()
+    per_group = {}
+    for r in rows:
+        per_group[r.o_custkey] = per_group.get(r.o_custkey, 0) + 1
+    assert per_group and max(per_group.values()) <= 3
+
+
+def test_pricing_summary_internal_consistency(spark, sf_dir):
+    """avg columns must equal sum/count within fp tolerance — catches
+    aliasing/ordering mistakes the hash compare can't localize."""
+    for r in registry.QUERIES["agg_pricing_summary"].fn(spark, sf_dir).collect():
+        assert abs(r.avg_qty - r.sum_qty / r.count_order) < 1e-6
+        assert abs(r.avg_price - r.sum_base_price / r.count_order) < 1e-6

@@ -1,0 +1,121 @@
+"""Planted-duplicate assertions for the fuzzy dedup family — the
+verification layer for the rows-only queries (dedup_minhash_lsh,
+dedup_simhash) plus value checks for the oracle-backed variants."""
+
+from __future__ import annotations
+
+import random
+
+from finance_pipeline_spark import registry
+from finance_pipeline_spark.operators.dedup import _py_shingles
+
+from tests.conftest import perturb_doc, random_doc, write_documents
+
+registry.load_all()
+
+
+def _planted_corpus(tmp_path, n_base=30, n_dups=5):
+    """n_base distinct random docs + near-dup copies of the first
+    n_dups. Returns (sf_dir, expected near-dup id pairs)."""
+    rng = random.Random(7)
+    rows = [(i, random_doc(rng)) for i in range(n_base)]
+    planted = []
+    for k in range(n_dups):
+        dup_id = 1000 + k
+        # One token edit keeps Jaccard ~0.9: per-band collision 0.9⁴,
+        # miss probability over 8 bands ≈ 2e-4 — and the whole pipeline
+        # is deterministic (seeded corpus, seed-free crc hashing), so
+        # this either always passes or always fails.
+        rows.append((dup_id, perturb_doc(rng, rows[k][1], n_edits=1)))
+        planted.append((k, dup_id))
+    return write_documents(tmp_path, rows), planted
+
+
+def test_minhash_lsh_finds_planted_dups(spark, tmp_path):
+    sf, planted = _planted_corpus(tmp_path)
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in registry.QUERIES["dedup_minhash_lsh"].fn(spark, sf).collect()
+    }
+    # Recall: every planted near-dup pair (true Jaccard ~0.9) surfaces.
+    assert set(planted) <= got, f"missed planted pairs: {set(planted) - got}"
+
+
+def test_minhash_lsh_reported_pairs_are_real(spark, tmp_path):
+    """Precision: every reported pair genuinely meets the Jaccard
+    threshold (recomputed independently in Python)."""
+    sf, _ = _planted_corpus(tmp_path)
+    rows = registry.QUERIES["dedup_minhash_lsh"].fn(spark, sf).collect()
+    texts = dict(
+        (r.doc_id, r.text)
+        for r in spark.read.parquet(f"{sf}/documents.parquet").collect()
+    )
+    assert rows, "planted corpus should produce pairs"
+    for r in rows:
+        a, b = _py_shingles(texts[r.doc_a]), _py_shingles(texts[r.doc_b])
+        true_jac = len(a & b) / len(a | b)
+        assert true_jac >= 0.5, (r.doc_a, r.doc_b, true_jac)
+        assert abs(true_jac - r.jaccard) < 1e-3
+
+
+def test_simhash_finds_planted_dups_and_skips_disjoint(spark, tmp_path):
+    """SimHash over *distinct* tokens is order/multiplicity-invariant:
+    a shuffled, partially-repeated rewrite of a doc has hamming 0 and
+    must pair; a disjoint-vocabulary doc must not. (A 1-token edit on a
+    short doc flips ~√n-scaled vote margins — more than 3 bits — so
+    hamming ≤ 3 is genuinely a same-vocabulary detector.)"""
+    rng = random.Random(11)
+    base_tokens = [f"w{i}" for i in range(300)]
+    rng.shuffle(base_tokens)
+    shuffled = base_tokens[150:] + base_tokens[:150] + base_tokens[:20]  # reorder + repeats
+    rows = [
+        (0, " ".join(base_tokens)),
+        (100, " ".join(shuffled)),
+        # disjoint vocabulary — must not pair with doc 0
+        (200, " ".join(f"zz{i}" for i in range(300))),
+    ]
+    sf = write_documents(tmp_path, rows)
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in registry.QUERIES["dedup_simhash"].fn(spark, sf).collect()
+    }
+    assert (0, 100) in got, f"same-vocabulary pair missed: {got}"
+    assert got[(0, 100)] == 0
+    assert (0, 200) not in got and (100, 200) not in got
+
+
+def test_exact_dedup_picks_min_doc_id(spark, tmp_path):
+    rows = [(5, "same text here"), (2, "same text here"), (9, "other text x")]
+    sf = write_documents(tmp_path, rows)
+    got = {
+        r.canonical_id: r.n_copies
+        for r in registry.QUERIES["dedup_exact"].fn(spark, sf).collect()
+    }
+    assert got == {2: 2, 9: 1}
+
+
+def test_ngram_jaccard_matches_python_sets(spark, tmp_path):
+    sf, planted = _planted_corpus(tmp_path)
+    rows = registry.QUERIES["dedup_ngram_jaccard"].fn(spark, sf).collect()
+    texts = dict(
+        (r.doc_id, r.text)
+        for r in spark.read.parquet(f"{sf}/documents.parquet").collect()
+    )
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in rows}
+    # Planted pairs share length bucket and language → must be found.
+    for pair in planted:
+        assert pair in got, f"missing planted pair {pair}"
+    for (a_id, b_id), jac in got.items():
+        a, b = _py_shingles(texts[a_id]), _py_shingles(texts[b_id])
+        assert abs(len(a & b) / len(a | b) - jac) < 1e-3
+
+
+def test_minhash_is_deterministic(spark, tmp_path):
+    """Same corpus, two runs → identical pair sets (crc-based hashing
+    is seed-free; a PYTHONHASHSEED-dependent hash would flake here)."""
+    sf, _ = _planted_corpus(tmp_path)
+    run = lambda: sorted(  # noqa: E731
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in registry.QUERIES["dedup_minhash_lsh"].fn(spark, sf).collect()
+    )
+    assert run() == run()

