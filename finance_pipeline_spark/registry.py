@@ -77,6 +77,37 @@ def query(
     return deco
 
 
+_PKG_SHIPPED = False
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make ``finance_pipeline_spark`` importable on executor Python
+    workers. Driver-side ``sys.path`` edits don't propagate to the
+    worker processes that run mapInPandas/foreachPartition closures
+    (their pickled globals reference this package by module path), so
+    ship a zip of the package via ``addPyFile`` — the same mechanism a
+    real cluster submit would use (``--py-files``). Idempotent per
+    process; rebuilt each process so code edits are picked up."""
+    global _PKG_SHIPPED
+    if _PKG_SHIPPED:
+        return
+    import zipfile
+    from pathlib import Path
+
+    pkg_root = Path(__file__).resolve().parent
+    cache = pkg_root.parent / ".cache"
+    cache.mkdir(parents=True, exist_ok=True)
+    zpath = cache / "finance_pipeline_spark.zip"
+    with zipfile.ZipFile(zpath, "w") as z:
+        for p in pkg_root.rglob("*.py"):
+            z.write(p, p.relative_to(pkg_root.parent))
+    try:
+        spark.sparkContext.addPyFile(str(zpath))
+    except Exception:  # noqa: BLE001 — already registered in this context
+        pass
+    _PKG_SHIPPED = True
+
+
 def ensure_conf(spark: SparkSession) -> None:
     """Pin the runtime confs our semantics depend on. Called from
     ``load`` so queries behave identically under the driver's own
@@ -84,6 +115,7 @@ def ensure_conf(spark: SparkSession) -> None:
     timestamp parity), ANSI off (null-on-parse-failure, matching the
     reference's ``errors="coerce"``), and nanos-as-long so Spark 4 can
     read the driver's TIMESTAMP(NANOS) events parquet."""
+    ship_package(spark)
     for k, v in (
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.ansi.enabled", "false"),

@@ -1,0 +1,126 @@
+"""Idempotent keyed writes (SURVEY.md §2.2 K4/K5/K6/K8) — the single
+most important semantic in the reference: ``UNIQUE(currency,
+timestamptz)`` + ``INSERT OR IGNORE`` with inserted/skipped accounting
+(/root/reference/etl/csv_loader.py:148-218, etl/api_fetcher.py:155-195,
+etl/web_scraper.py:152-178). Re-runs are no-ops; duplicate keys are
+skipped, not errors.
+
+Spark has no UNIQUE constraint, so uniqueness is the writer's job:
+
+    new_rows = incoming.dropDuplicates(keys)          # in-batch dedup
+                      .join(existing, keys, "left_anti")  # vs the table
+    new_rows.write.mode("append").parquet(table)
+
+The anti-join broadcasts whichever side AQE finds small (a day's
+increment vs years of history → the increment); at 100 TB the table
+side would be bucketed/partitioned by key so the anti-join prunes to
+matching partitions. The read-modify-write is non-atomic across
+concurrent writers — acceptable and documented: the reference is a
+single-writer daily batch (GitHub Actions cron), and a multi-writer
+deployment would swap this module for Delta ``MERGE WHEN NOT MATCHED``
+with no pipeline changes.
+
+K6's bulk-then-row-loop fallback collapses away: the anti-join gives
+the intended "insert new, skip dupes, count both" uniformly (the
+reference's bulk path actually *throws* on duplicates and punts to a
+row loop — a wart SURVEY.md §3.2 says not to reproduce).
+"""
+
+from __future__ import annotations
+
+import shutil
+from dataclasses import dataclass
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from finance_pipeline_spark.logging_utils import get_logger
+
+log = get_logger(__name__)
+
+
+@dataclass(frozen=True)
+class WriteStats:
+    inserted: int
+    skipped: int
+
+
+def table_exists(path: str) -> bool:
+    p = Path(path)
+    return p.exists() and any(p.glob("*.parquet"))
+
+
+def ensure_table_dir(path: str) -> None:
+    """K4 create-if-not-exists, M4 directory bootstrap
+    (etl/csv_loader.py:21-33): the parquet dataset directory is the
+    'table'; creating it is idempotent."""
+    Path(path).mkdir(parents=True, exist_ok=True)
+
+
+def drop_table(path: str) -> bool:
+    """K8 DROP TABLE IF EXISTS (scripts/drop_table_db.py:17)."""
+    p = Path(path)
+    if p.exists():
+        shutil.rmtree(p)
+        log.info("dropped table at %s", path)
+        return True
+    return False
+
+
+def read_table(spark: SparkSession, path: str) -> DataFrame | None:
+    if not table_exists(path):
+        return None
+    return spark.read.parquet(path)
+
+
+def idempotent_append(
+    spark: SparkSession,
+    incoming: DataFrame,
+    path: str,
+    keys: list[str],
+) -> WriteStats:
+    """K5+K6: first-writer-wins keyed append with accounting.
+
+    Returns (inserted, skipped) where skipped counts both in-batch
+    duplicates and rows whose key already exists in the table —
+    exactly the numbers the reference logs per load
+    (etl/csv_loader.py:215-217).
+    """
+    ensure_table_dir(path)
+    total = incoming.count()
+    deduped = incoming.dropDuplicates(keys)
+    existing = read_table(spark, path)
+    if existing is not None:
+        new_rows = deduped.join(
+            existing.select(*keys).dropDuplicates(keys), on=keys, how="left_anti"
+        )
+    else:
+        new_rows = deduped
+    # created_at ingest-audit column (DEFAULT CURRENT_TIMESTAMP in the
+    # reference DDLs) — the incremental-sync watermark.
+    stamped = new_rows.withColumn("created_at", F.current_timestamp())
+    # Two consumers (count + write) → persist so the anti-join runs
+    # once and both see the same rows.
+    stamped.persist()
+    try:
+        inserted = stamped.count()
+        if inserted:
+            stamped.write.mode("append").parquet(path)
+    finally:
+        stamped.unpersist()
+    stats = WriteStats(inserted=inserted, skipped=total - inserted)
+    log.info(
+        "keyed append to %s: %d inserted, %d skipped", path, stats.inserted, stats.skipped
+    )
+    return stats
+
+
+def top_rows(spark: SparkSession, path: str, order_cols, n: int = 10) -> DataFrame:
+    """The reference's post-load inspection query (P1+O1,
+    etl/csv_loader.py:228-233): ORDER BY ... LIMIT n — Spark plans
+    TakeOrderedAndProject (true top-k, no full sort)."""
+    df = read_table(spark, path)
+    if df is None:
+        raise FileNotFoundError(path)
+    return df.orderBy(*order_cols).limit(n)

@@ -1,0 +1,172 @@
+"""HTML scrape source (SURVEY.md §2.1 S5) — the x-rates-shaped
+rates-table parser.
+
+The reference fetches one page and parses it with BeautifulSoup
+(etl/web_scraper.py:36-104). Here parsing is stdlib ``html.parser``
+(no bs4 in this container) and comes in two shapes:
+
+- ``parse_page`` — driver-side, for the single-page daily pipeline
+  (scalar work; no reason to ship one page through the cluster);
+- ``parse_pages`` — a ``mapInPandas`` kernel over a DataFrame of
+  (url, html) rows: the 100 TB shape, where a crawl's pages are
+  parsed partition-parallel with the same parser code.
+
+Structural failures (missing table / rows / timestamp) degrade to an
+empty result + alert, mirroring etl/web_scraper.py:69-84.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
+from html.parser import HTMLParser
+
+from pyspark.sql import DataFrame, SparkSession
+
+from finance_pipeline_spark.logging_utils import get_logger
+
+log = get_logger(__name__)
+
+_TS_FORMAT = "%b %d, %Y %H:%M"  # "Apr 12, 2025 18:28" (+ trailing " UTC")
+
+
+@dataclass
+class ParsedPage:
+    timestamp: datetime | None = None
+    rows: list[tuple[str, float]] = field(default_factory=list)
+    table_found: bool = False
+
+
+class _XRatesParser(HTMLParser):
+    """Extracts span.ratesTimestamp text and the first two <td> cells
+    of each <tr> inside table.ratesTable."""
+
+    def __init__(self) -> None:
+        super().__init__()
+        self.page = ParsedPage()
+        self._in_ts_span = False
+        self._in_table = False
+        self._in_td = False
+        self._cells: list[str] = []
+        self._ts_raw = ""
+
+    def handle_starttag(self, tag, attrs):
+        a = dict(attrs)
+        classes = (a.get("class") or "").split()
+        if tag == "span" and "ratesTimestamp" in classes:
+            self._in_ts_span = True
+        elif tag == "table" and "ratesTable" in classes:
+            self._in_table = True
+            self.page.table_found = True
+        elif tag == "tr" and self._in_table:
+            self._cells = []
+        elif tag == "td" and self._in_table:
+            self._in_td = True
+            self._cells.append("")
+
+    def handle_endtag(self, tag):
+        if tag == "span":
+            self._in_ts_span = False
+        elif tag == "td":
+            self._in_td = False
+        elif tag == "table":
+            self._in_table = False
+        elif tag == "tr" and self._in_table and len(self._cells) >= 2:
+            # P9 min-arity guard (etl/web_scraper.py:88-90) + D7/D8
+            # text→float with strip; unparseable rate rows are skipped.
+            name = self._cells[0].strip()
+            try:
+                rate = float(self._cells[1].strip())
+            except ValueError:
+                return
+            if name:
+                self.page.rows.append((name, rate))
+
+    def handle_data(self, data):
+        if self._in_ts_span:
+            self._ts_raw += data
+        elif self._in_td and self._cells:
+            self._cells[-1] += data
+
+    def result(self) -> ParsedPage:
+        raw = self._ts_raw.strip()
+        if raw.endswith(" UTC"):
+            try:
+                self.page.timestamp = datetime.strptime(
+                    raw[: -len(" UTC")], _TS_FORMAT
+                ).replace(tzinfo=timezone.utc)
+            except ValueError:
+                self.page.timestamp = None
+        return self.page
+
+
+def parse_html(html: str) -> ParsedPage:
+    p = _XRatesParser()
+    p.feed(html)
+    return p.result()
+
+
+def parse_page(
+    spark: SparkSession,
+    html: str,
+    base_currency: str = "EUR",
+    alert=None,
+) -> DataFrame | None:
+    """Driver-side single-page parse → SCRAPED_ROW DataFrame.
+    Returns None when the page timestamp is unparseable (pipeline
+    abort, etl/web_scraper.py:219-221); returns an *empty* frame when
+    the table/rows are missing (alert + continue, :69-84)."""
+    from finance_pipeline_spark.schemas import SCRAPED_ROW
+
+    page = parse_html(html)
+    if page.timestamp is None:
+        log.error("scrape: timestamp not found/unparseable")
+        if alert:
+            alert("Timestamp not found in page.", "Scraping Error")
+        return None
+    if not page.table_found or not page.rows:
+        log.error("scrape: rates table missing or empty")
+        if alert:
+            alert("Exchange rates table not found.", "Scraping Error")
+        return spark.createDataFrame([], SCRAPED_ROW)
+    ts = page.timestamp.astimezone(timezone.utc).replace(tzinfo=None)
+    rows = [
+        (name, base_currency, rate, ts.date(), ts) for name, rate in page.rows
+    ]
+    return spark.createDataFrame(rows, SCRAPED_ROW)
+
+
+def parse_pages(pages: DataFrame, base_currency: str = "EUR") -> DataFrame:
+    """Batch shape: (url string, html string) → scraped rows, parsed
+    partition-parallel via mapInPandas — same parser, cluster-wide."""
+    import pandas as pd
+
+    from finance_pipeline_spark.registry import ship_package
+
+    ship_package(pages.sparkSession)  # parser must import on workers
+
+    def kernel(batches):
+        for pdf in batches:
+            out = {
+                "url": [], "currency_name": [], "base_currency": [],
+                "exchange_rate": [], "date": [], "timestamptz": [],
+            }
+            for url, html in zip(pdf["url"], pdf["html"]):
+                page = parse_html(html)
+                if page.timestamp is None:
+                    continue
+                ts = page.timestamp.astimezone(timezone.utc).replace(tzinfo=None)
+                for name, rate in page.rows:
+                    out["url"].append(url)
+                    out["currency_name"].append(name)
+                    out["base_currency"].append(base_currency)
+                    out["exchange_rate"].append(rate)
+                    out["date"].append(ts.date())
+                    out["timestamptz"].append(ts)
+            yield pd.DataFrame(out)
+
+    return pages.mapInPandas(
+        kernel,
+        "url string, currency_name string, base_currency string, "
+        "exchange_rate double, date date, timestamptz timestamp",
+    )

@@ -1,0 +1,257 @@
+"""Golden + idempotence tests for the three reference pipelines and
+the idempotent keyed writer (SURVEY.md §5.2-5.3): run twice → second
+run inserts nothing and the table is unchanged."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import random
+from pathlib import Path
+
+import pytest
+
+from finance_pipeline_spark.pipelines import run_etl
+from finance_pipeline_spark.pipelines.config import (
+    API_TABLE,
+    HISTORY_TABLE,
+    SCRAPED_TABLE,
+    PipelineConfig,
+)
+from finance_pipeline_spark.sinks.keyed_writer import (
+    idempotent_append,
+    read_table,
+    table_exists,
+    drop_table,
+)
+from finance_pipeline_spark.sinks.rest_sink import SpoolTransport
+from finance_pipeline_spark.sources.rest_source import file_fetcher
+
+FIXTURES = Path(__file__).parent / "fixtures"
+
+
+def _conf(tmp_path, **kw) -> PipelineConfig:
+    return PipelineConfig(
+        warehouse_dir=str(tmp_path / "warehouse"),
+        processed_dir=str(tmp_path / "processed"),
+        **kw,
+    )
+
+
+def _write_history_csv(tmp_path) -> str:
+    """Kaggle-shaped history CSV with dates inside the 1-month window
+    (the window filter uses current_date), plus dirty rows the
+    transform must drop: an exact duplicate, a null rate, a negative
+    rate, and an out-of-window date."""
+    today = dt.date.today()
+    lines = ["currency,base_currency,currency_name,exchange_rate,date"]
+    for off in range(5):
+        d = (today - dt.timedelta(days=off + 1)).isoformat()
+        lines.append(f"USD,EUR,US Dollar,1.12,{d}")
+        lines.append(f"GBP,EUR,British Pound,0.84,{d}")
+    lines.append(lines[1])  # exact duplicate (P6)
+    lines.append(f"XXX,EUR,Broken,,{(today - dt.timedelta(days=2)).isoformat()}")  # P5
+    lines.append(f"NEG,EUR,Negative,-1.0,{(today - dt.timedelta(days=2)).isoformat()}")  # P4
+    lines.append("OLD,EUR,Ancient,1.0,1999-01-01")  # P3 out of window
+    p = tmp_path / "daily_forex_rates.csv"
+    p.write_text("\n".join(lines) + "\n")
+    return str(p)
+
+
+def test_api_pipeline_end_to_end_and_idempotent(spark, tmp_path):
+    conf = _conf(tmp_path, fetch_json=file_fetcher(FIXTURES / "frankfurter.json"))
+    first = run_api_process_stats = __import__(
+        "finance_pipeline_spark.pipelines.api_pipeline", fromlist=["run_api_process"]
+    ).run_api_process(spark, conf)
+    n_rates = len(json.loads((FIXTURES / "frankfurter.json").read_text())["rates"])
+    assert first.inserted == n_rates and first.skipped == 0
+    second = __import__(
+        "finance_pipeline_spark.pipelines.api_pipeline", fromlist=["run_api_process"]
+    ).run_api_process(spark, conf)
+    assert second.inserted == 0 and second.skipped == n_rates
+    table = read_table(spark, conf.table(API_TABLE))
+    assert table.count() == n_rates
+
+
+def test_api_timestamptz_is_16h_cet_in_utc(spark, tmp_path):
+    conf = _conf(tmp_path, fetch_json=file_fetcher(FIXTURES / "frankfurter.json"))
+    from finance_pipeline_spark.pipelines.api_pipeline import run_api_process
+
+    run_api_process(spark, conf)
+    row = (
+        read_table(spark, conf.table(API_TABLE))
+        .filter("currency = 'USD'")
+        .select("date", "timestamptz")
+        .first()
+    )
+    # 2025-05-08 is CEST (UTC+2): 16:00 CET-zone wall time → 14:00 UTC.
+    assert row.date.isoformat() == "2025-05-08"
+    assert row.timestamptz == dt.datetime(2025, 5, 8, 14, 0, 0)
+
+
+def test_csv_pipeline_cleans_windows_and_is_idempotent(spark, tmp_path):
+    from finance_pipeline_spark.pipelines.csv_pipeline import run_csv_loading_process
+
+    conf = _conf(tmp_path, raw_csv_path=_write_history_csv(tmp_path), months=1)
+    first = run_csv_loading_process(spark, conf)
+    # 10 clean in-window rows (5 days × 2 currencies); dupes/null/neg/old dropped.
+    assert first.inserted == 10
+    table = read_table(spark, conf.table(HISTORY_TABLE))
+    assert table.count() == 10
+    assert table.filter("exchange_rate <= 0").count() == 0
+    assert table.filter("currency = 'OLD'").count() == 0
+    # timestamptz = date 10:00 UTC (D2)
+    hours = {r[0] for r in table.selectExpr("hour(timestamptz)").collect()}
+    assert hours == {10}
+    second = run_csv_loading_process(spark, conf)
+    assert second.inserted == 0 and second.skipped == 10
+
+
+def test_scrape_pipeline_parses_guards_and_merges(spark, tmp_path):
+    from finance_pipeline_spark.pipelines.scrape_pipeline import run_web_scrapping_process
+
+    conf = _conf(tmp_path, fetch_html=lambda: (FIXTURES / "xrates.html").read_text())
+    first = run_web_scrapping_process(spark, conf)
+    # 6 parseable rows; the <2-td row and the float-cast failure are skipped.
+    assert first.inserted == 6
+    table = read_table(spark, conf.table(SCRAPED_TABLE))
+    got = {r.currency_name: r.exchange_rate for r in table.collect()}
+    assert got["US Dollar"] == pytest.approx(1.1296)
+    assert "broken row" not in got and "Unparseable Rate" not in got
+    assert {r.timestamptz for r in table.collect()} == {dt.datetime(2025, 5, 8, 14, 30)}
+    # Re-scrape: zero inserts is still success (reference parity) and
+    # the per-day merge CSV stays deduplicated.
+    second = run_web_scrapping_process(spark, conf)
+    assert second is not None and second.inserted == 0
+    merged = spark.read.option("header", True).csv(
+        str(tmp_path / "processed" / "forex_scraped_2025-05-08.csv")
+    )
+    assert merged.count() == 6
+
+
+def test_scrape_aborts_on_missing_timestamp_and_alerts_on_no_table(spark, tmp_path):
+    from finance_pipeline_spark.pipelines.scrape_pipeline import run_web_scrapping_process
+
+    alerts = []
+    conf = _conf(
+        tmp_path,
+        fetch_html=lambda: "<html><body>no timestamp here</body></html>",
+        alert=lambda msg, subj: alerts.append((subj, msg)) or True,
+    )
+    assert run_web_scrapping_process(spark, conf) is None
+    assert not table_exists(conf.table(SCRAPED_TABLE))
+
+    html = '<span class="ratesTimestamp">May 08, 2025 14:30 UTC</span><p>no table</p>'
+    conf2 = _conf(
+        tmp_path / "b",
+        fetch_html=lambda: html,
+        alert=lambda msg, subj: alerts.append((subj, msg)) or True,
+    )
+    assert run_web_scrapping_process(spark, conf2) is None
+    assert any("Scraping Error" in subj for subj, _ in alerts)
+
+
+def test_orchestrator_runs_all_three_independently(spark, tmp_path):
+    conf = _conf(
+        tmp_path,
+        raw_csv_path=_write_history_csv(tmp_path),
+        fetch_json=file_fetcher(FIXTURES / "frankfurter.json"),
+        fetch_html=lambda: (FIXTURES / "xrates.html").read_text(),
+    )
+    result = run_etl(spark, conf)
+    assert result["api"].inserted == 13
+    assert result["csv"].inserted == 10
+    assert result["scrape"].inserted == 6
+    # One failing source must not take down the others.
+    (tmp_path / "broken").mkdir()
+    conf_broken = _conf(
+        tmp_path / "broken",
+        raw_csv_path=_write_history_csv(tmp_path / "broken"),
+        fetch_json=lambda: (_ for _ in ()).throw(IOError("net down")),
+        fetch_html=lambda: (FIXTURES / "xrates.html").read_text(),
+    )
+    result2 = run_etl(spark, conf_broken)
+    assert result2["api"] is None
+    assert result2["csv"].inserted == 10
+    assert result2["scrape"].inserted == 6
+
+
+def test_keyed_writer_first_wins_property(spark, tmp_path):
+    """Property: for random overlapping batches, the table always holds
+    exactly one row per distinct key ever written, and replaying any
+    batch is a no-op (accounting consistent throughout)."""
+    rng = random.Random(13)
+    path = str(tmp_path / "t")
+    seen_keys: set[tuple] = set()
+    batches = []
+    for _ in range(5):
+        batch = [
+            (
+                rng.choice(["USD", "GBP", "JPY", "CHF"]),
+                dt.datetime(2025, 5, rng.randint(1, 4), 10, 0, 0),
+                round(rng.uniform(0.5, 2.0), 4),
+            )
+            for _ in range(rng.randint(3, 8))
+        ]
+        batches.append(batch)
+    for batch in batches:
+        df = spark.createDataFrame(
+            batch, "currency string, timestamptz timestamp, exchange_rate double"
+        )
+        stats = idempotent_append(spark, df, path, ["currency", "timestamptz"])
+        new_keys = {(c, t) for c, t, _ in batch} - seen_keys
+        assert stats.inserted == len(new_keys)
+        assert stats.skipped == len(batch) - len(new_keys)
+        seen_keys |= new_keys
+        table_keys = {
+            (r.currency, r.timestamptz)
+            for r in read_table(spark, path).select("currency", "timestamptz").collect()
+        }
+        assert table_keys == seen_keys
+    # Full replay of everything: no-op.
+    all_rows = [r for b in batches for r in b]
+    df = spark.createDataFrame(
+        all_rows, "currency string, timestamptz timestamp, exchange_rate double"
+    )
+    stats = idempotent_append(spark, df, path, ["currency", "timestamptz"])
+    assert stats.inserted == 0 and stats.skipped == len(all_rows)
+    assert drop_table(path) and not table_exists(path)
+
+
+def test_sync_ships_recent_rows_to_spool(spark, tmp_path):
+    from finance_pipeline_spark.pipelines.api_pipeline import run_api_process
+
+    spool = str(tmp_path / "spool")
+    conf = _conf(
+        tmp_path,
+        fetch_json=file_fetcher(FIXTURES / "frankfurter.json"),
+        sync_transport=SpoolTransport(spool),
+    )
+    run_api_process(spark, conf)
+    records = []
+    for f in Path(spool).glob("*.jsonl"):
+        records += [json.loads(line) for line in f.read_text().splitlines()]
+    assert len(records) == 13
+    assert all(r["source"] == "api" for r in records)
+    assert all("id" not in r for r in records)
+
+
+def test_alerter_gates_on_config_and_uses_transport():
+    from finance_pipeline_spark.alerting import alert_admin
+
+    sent = []
+    env = {
+        "EMAIL_ADDRESS": "ops@example.test",
+        "EMAIL_PASSWORD": "pw",
+        "RECIPIENT_EMAIL": "admin@example.test",
+        "SMTP_SERVER": "smtp.example.test",
+        "SMTP_PORT": "587",
+    }
+    ok = alert_admin(
+        "table missing", "Scraping Error",
+        send=lambda *a: sent.append(a), env=env,
+    )
+    assert ok and len(sent) == 1
+    assert sent[0][4]["Subject"] == "Scraping Error"
+    # Missing config → logged skip, False, no raise.
+    assert alert_admin("x", env={}) is False
