@@ -373,3 +373,51 @@ def a3_affected_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     new_rows = o.join(neg, o.o_custkey == neg.c_custkey, "left_anti")
     return new_rows.agg(F.count(F.lit(1)).alias("would_insert"))
+
+
+@query(
+    "a2_empty_probe",
+    oracle="""
+    SELECT
+      (SELECT count(*) FROM orders WHERE o_totalprice < 0) = 0 AS filtered_is_empty,
+      (SELECT count(*) FROM orders) = 0 AS table_is_empty
+    """,
+    tags=("agg", "guard"),
+)
+def a2_empty_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 empty test — the reference's ``df.empty`` input guard
+    (etl/csv_loader.py:91-93, etl/web_scraper.py:224). ``isEmpty`` is
+    the Spark form: it evaluates only until the first non-empty
+    partition (no full count), the right guard at 100 TB."""
+    o = load(spark, sf_dir, "orders")
+    probe = [(o.filter(F.col("o_totalprice") < 0).isEmpty(), o.isEmpty())]
+    return spark.createDataFrame(
+        probe, "filtered_is_empty boolean, table_is_empty boolean"
+    )
+
+
+@query(
+    "s6_sql_table_scan",
+    oracle="""
+    SELECT n.n_name, count(*) AS n_suppliers,
+           CAST(SUM(CAST(s.s_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS total_acctbal
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    tags=("scan", "sql"),
+)
+def s6_sql_table_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 SQL-over-registered-tables — the reference's
+    ``pd.read_sql_query`` surface (etl/csv_loader.py:234 et al.) as
+    ``spark.sql`` over temp views: same Catalyst plan as the DataFrame
+    API, so the textual-SQL entry point costs nothing."""
+    load(spark, sf_dir, "supplier").createOrReplaceTempView("supplier_v")
+    load(spark, sf_dir, "nation").createOrReplaceTempView("nation_v")
+    return spark.sql(
+        """
+        SELECT n.n_name, count(*) AS n_suppliers,
+               CAST(SUM(CAST(s.s_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS total_acctbal
+        FROM supplier_v s JOIN nation_v n ON s.s_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        """
+    )

@@ -217,3 +217,78 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     # Materialize: the memory table is driver-local; re-create a stable DF.
     return spark.table(name)
+
+
+@query(
+    "stream_dedup",
+    oracle="""
+    SELECT event_type, count(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("streaming", "dedup"),
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication (SURVEY.md §2.10): the events replay is
+    polluted with exact duplicate rows (every 50th event re-appended as
+    a second file — simulating at-least-once re-delivery), then
+    ``withWatermark + dropDuplicates(event_id)`` removes them in-stream;
+    the drained append-mode output must equal the clean batch counts.
+    The watermark bounds the dedup state: keys older than the watermark
+    are evicted, which is what makes streaming dedup viable at 100 TB
+    (unbounded-state dedup would OOM)."""
+    import shutil
+    from pathlib import Path
+
+    load(spark, sf_dir, "events")  # pins session confs (nanos-as-long)
+    stage = (
+        Path(__file__).resolve().parents[2] / ".cache" / "stream_dedup" / Path(sf_dir).name
+    )
+    raw_schema = (
+        "event_id bigint, ts bigint, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    if not (stage / "events.parquet").exists():
+        stage.mkdir(parents=True, exist_ok=True)
+        shutil.copyfile(f"{sf_dir}/events.parquet", stage / "events.parquet")
+        # Plant at-least-once duplicates as a second file.
+        (
+            spark.read.schema(raw_schema)
+            .parquet(f"{sf_dir}/events.parquet")
+            .filter(F.col("event_id") % 50 == 0)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(str(stage / "dups.parquet"))
+        )
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(stage))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    deduped = (
+        stream.withWatermark("ts", "10 minutes")
+        .dropDuplicates(["event_id"])
+        .select("event_id", "event_type")
+    )
+    name = "stream_dedup_sink"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )

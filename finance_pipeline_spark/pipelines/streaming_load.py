@@ -1,0 +1,63 @@
+"""Streaming incremental load (SURVEY.md §2.10): a file-source stream
+drained through ``foreachBatch`` into the idempotent keyed writer —
+the generalization of the reference's 20-minute lookback sync
+(services/supabase.py:57-61) with the at-least-once lookback replaced
+by exactly-once-per-key: replays and late re-deliveries land in the
+anti-join and are skipped, so the sink table converges no matter how
+often batches repeat.
+
+``Trigger.AvailableNow`` processes the backlog and stops — the batch/
+streaming hybrid a daily-cron deployment of this pipeline would use;
+leaving the trigger default turns the same code into a continuous
+loader.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from finance_pipeline_spark.logging_utils import get_logger
+from finance_pipeline_spark.sinks.keyed_writer import WriteStats, idempotent_append
+
+log = get_logger(__name__)
+
+
+def stream_into_table(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType | str,
+    table_path: str,
+    keys: list[str],
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> list[WriteStats]:
+    """Drain all available files from ``source_dir`` into the keyed
+    table; returns per-microbatch write stats.
+
+    ``max_files_per_trigger`` bounds each microbatch (availableNow
+    honors read limits): smaller batches give deterministic
+    first-file-wins ordering across replayed keys and bound the
+    anti-join's incoming side; None lets one batch take the whole
+    backlog."""
+    stats: list[WriteStats] = []
+
+    def load_batch(batch_df: DataFrame, batch_id: int) -> None:
+        s = idempotent_append(spark, batch_df, table_path, keys)
+        log.info(
+            "microbatch %d: %d inserted, %d skipped", batch_id, s.inserted, s.skipped
+        )
+        stats.append(s)
+
+    reader = spark.readStream.schema(schema).option("header", True)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    q = (
+        reader.csv(source_dir)
+        .writeStream.foreachBatch(load_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stats

@@ -31,3 +31,69 @@ def test_session_windows_non_overlapping_per_user(spark, sf_dir):
         spans.sort()
         for (s1, e1), (s2, _) in zip(spans, spans[1:]):
             assert e1 <= s2, (user, (s1, e1), s2)
+
+
+def test_stream_dedup_removes_planted_duplicates(spark, sf_dir):
+    clean = {
+        (r.event_type,): r.n_events
+        for r in registry.QUERIES["stream_dedup"].fn(spark, sf_dir).collect()
+    }
+    from pyspark.sql import functions as F
+
+    batch = {
+        (r.event_type,): r.n
+        for r in registry.load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert clean == batch
+
+
+def test_foreachbatch_streaming_load_is_idempotent(spark, tmp_path):
+    """foreachBatch → keyed writer: drain a CSV directory stream twice
+    (fresh checkpoint the second time, simulating full re-delivery) —
+    the table must converge to one row per key."""
+    from finance_pipeline_spark.pipelines.streaming_load import stream_into_table
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    (src / "day1.csv").write_text(
+        "currency,timestamptz,exchange_rate\n"
+        "USD,2025-05-01T10:00:00,1.10\n"
+        "GBP,2025-05-01T10:00:00,0.85\n"
+    )
+    (src / "day2.csv").write_text(
+        "currency,timestamptz,exchange_rate\n"
+        "USD,2025-05-02T10:00:00,1.11\n"
+        "USD,2025-05-01T10:00:00,1.99\n"  # replayed key — must be skipped
+    )
+    schema = "currency string, timestamptz timestamp, exchange_rate double"
+    table = str(tmp_path / "rates")
+    stats1 = stream_into_table(
+        spark, str(src), schema, table, ["currency", "timestamptz"],
+        str(tmp_path / "ckpt1"), max_files_per_trigger=1,
+    )
+    assert sum(s.inserted for s in stats1) == 3
+    assert sum(s.skipped for s in stats1) == 1
+    # Re-deliver everything (new checkpoint → all files reprocessed).
+    stats2 = stream_into_table(
+        spark, str(src), schema, table, ["currency", "timestamptz"],
+        str(tmp_path / "ckpt2"),
+    )
+    assert sum(s.inserted for s in stats2) == 0
+    from finance_pipeline_spark.sinks.keyed_writer import read_table
+
+    t = read_table(spark, table)
+    assert t.count() == 3
+    assert t.filter("exchange_rate = 1.99").count() == 0  # first writer won
+
+
+def test_display_grid_and_records(spark):
+    from finance_pipeline_spark.display import grid, to_records
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, name string")
+    g = grid(df.orderBy("id"))
+    assert "╒" in g and "│ id" in g and "│ 1" in g and g.count("\n") >= 5
+    recs = to_records(df.orderBy("id"), limit=1)
+    assert recs == [{"id": 1, "name": "a"}]
