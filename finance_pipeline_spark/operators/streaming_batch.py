@@ -4,9 +4,9 @@ The reference's nearest streaming semantics is a 20-minute ingest-time
 lookback sync (services/supabase.py:57-61). Here: proper event-time
 tumbling / sliding / session windows over the ``events`` table. The
 same ``F.window``/``F.session_window`` expressions run identically in
-batch and in Structured Streaming (streaming/windows.py wires the
-streaming variant with watermarks); batch mode makes them
-oracle-checkable.
+batch and in Structured Streaming (``stream_tumbling_counts`` and
+``stream_dedup`` below run real watermarked streams); batch mode makes
+them oracle-checkable.
 
 Windows are epoch-aligned in Spark and DuckDB's ``time_bucket`` default
 origin (2000-01-03 is 10-minute aligned with the epoch), so bucket

@@ -1,0 +1,173 @@
+"""User-function surface (SURVEY.md §2.9-2.10): the three extension
+mechanisms the engine supports beyond built-in expressions, each shown
+on a real operator —
+
+- scalar ``@pandas_udf``: Arrow-vectorized per-column kernels
+  (``udf_embedding_norm``);
+- ``applyInPandasWithState``: custom stateful streaming operators
+  (``stateful_user_totals`` — a real watermarked stream drained
+  through per-group state);
+- ``mapInPandas``: whole-batch kernels (multimodal.py, dedup.py).
+
+Everything here is Arrow-batched; no row-at-a-time Python UDFs exist
+anywhere in the engine (the ~10-100× slow path).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from finance_pipeline_spark.registry import load, query
+
+
+def l2_norm_udf():
+    """Scalar pandas UDF: per-row L2 norm of the embedding array.
+    Arrow hands the whole column batch to numpy — one vectorized pass,
+    versus a Python call per row with classic UDFs. Constructed lazily
+    (the decorator parses its DDL return type against the active
+    session, so module-level registration would require a SparkContext
+    at import time)."""
+
+    @pandas_udf("double")
+    def _norm(emb: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return emb.map(
+            lambda v: float(
+                np.sqrt(
+                    np.dot(
+                        np.asarray(v, dtype=np.float64),
+                        np.asarray(v, dtype=np.float64),
+                    )
+                )
+            )
+        )
+
+    return _norm
+
+
+@query(
+    "udf_embedding_norm",
+    oracle="""
+    SELECT vec_id,
+           round(sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                                FOR x IN embedding])), 4) AS l2_norm
+    FROM embeddings
+    """,
+    tags=("udf", "similarity"),
+)
+def udf_embedding_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 scalar-pandas_udf surface, oracle-checked: the same norm
+    the similarity operators fold JVM-side, computed through the Arrow
+    UDF path — demonstrating both paths agree to 4 dp."""
+    e = load(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id", F.round(l2_norm_udf()("embedding"), 4).alias("l2_norm")
+    )
+
+
+@query(
+    "stateful_user_totals",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("streaming", "stateful", "udf"),
+)
+def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 custom stateful operator: per-user running totals via
+    ``applyInPandasWithState`` over a real file-replay stream. State is
+    one (count, decimal-sum-as-string) pair per user, updated per
+    micro-batch; the drain emits each group's totals which must equal
+    the batch aggregate. The decimal accumulation (over per-batch
+    pandas sums) keeps the total order-insensitive so the value
+    hash-matches the SQL oracle."""
+    import shutil
+    from decimal import Decimal
+    from pathlib import Path
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    load(spark, sf_dir, "events")  # pins session confs
+    stage = (
+        Path(__file__).resolve().parents[2] / ".cache" / "stream" / Path(sf_dir).name
+    )
+    stage.mkdir(parents=True, exist_ok=True)
+    if not (stage / "events.parquet").exists():
+        shutil.copyfile(f"{sf_dir}/events.parquet", stage / "events.parquet")
+    raw_schema = (
+        "event_id bigint, ts bigint, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .parquet(str(stage))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+
+    from decimal import ROUND_HALF_UP
+
+    six_dp = Decimal("0.000001")
+
+    def update_totals(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, "0")
+        acc = Decimal(total)
+        for pdf in pdfs:
+            n += len(pdf)
+            # Per-value quantize to 6 dp over the EXACT binary double
+            # (Decimal(float) is exact; HALF_UP matches both engines'
+            # double→DECIMAL(38,6) cast), then order-free decimal sum.
+            acc += sum(
+                Decimal(float(v)).quantize(six_dp, rounding=ROUND_HALF_UP)
+                for v in pdf["value"]
+            )
+        state.update((n, str(acc)))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [float(acc)]}
+        )
+
+    drained = (
+        stream.groupBy("user_id")
+        .applyInPandasWithState(
+            update_totals,
+            outputStructType="user_id bigint, n_events bigint, total_value double",
+            stateStructType="n bigint, total string",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    name = "stateful_user_totals_sink"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            drained.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    # Update mode re-emits a user on every batch it appears in; the
+    # final totals are the emission with the highest (monotonically
+    # nondecreasing) running count.
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        spark.table(name)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "total_value")
+    )

@@ -155,4 +155,5 @@ def load_all() -> None:
         similarity,
         streaming_batch,
         textops,
+        udfs,
     )

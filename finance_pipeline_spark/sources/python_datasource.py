@@ -1,0 +1,91 @@
+"""Custom Python Data Source (SURVEY.md §2.9) — the Spark 4
+``DataSource`` API form of the REST connector: after
+``spark.dataSource.register(FrankfurterRatesDataSource)``, a
+Frankfurter-shaped JSON payload file reads as
+
+    spark.read.format("frankfurter_rates").load(path)
+
+with the map→rows flatten and CET→UTC stamping happening inside the
+reader. Versus the driver-side ``rest_source`` path, this makes the
+connector a first-class scan: schema declared to Catalyst, partition-
+able (one partition per payload file → a backfill over thousands of
+daily payload files fans out across executors), and usable from pure
+SQL via ``CREATE TABLE ... USING frankfurter_rates``.
+"""
+
+from __future__ import annotations
+
+import json
+from datetime import date, datetime, timedelta, timezone
+from pathlib import Path
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import StructType
+
+
+def _cet_16h_to_utc(date_str: str) -> datetime:
+    """16:00 on the quote date in CET-zone wall time → naive-UTC.
+    Mirrors rest_source's to_utc_timestamp(.., 'CET'): CET observes
+    DST (CEST, UTC+2) from the last Sunday of March to the last
+    Sunday of October."""
+    d = date.fromisoformat(date_str)
+
+    def last_sunday(year: int, month: int) -> date:
+        day = date(year, month + 1, 1) - timedelta(days=1) if month < 12 else date(year, 12, 31)
+        return day - timedelta(days=(day.weekday() + 1) % 7)
+
+    dst = last_sunday(d.year, 3) <= d < last_sunday(d.year, 10)
+    offset = 2 if dst else 1
+    return datetime(d.year, d.month, d.day, 16, 0, tzinfo=timezone.utc) - timedelta(
+        hours=offset
+    )
+
+
+class _PayloadPartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class FrankfurterRatesReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        self.base = options.get("base", "EUR")
+
+    def partitions(self):
+        p = Path(self.path)
+        files = sorted(p.glob("*.json")) if p.is_dir() else [p]
+        # One partition per payload file: a multi-file backfill scans
+        # partition-parallel with no extra plumbing.
+        return [_PayloadPartition(str(f)) for f in files]
+
+    def read(self, partition: _PayloadPartition):
+        payload = json.loads(Path(partition.path).read_text())
+        ts = _cet_16h_to_utc(payload["date"]).replace(tzinfo=None)
+        d = date.fromisoformat(payload["date"])
+        for currency, rate in payload["rates"].items():
+            yield (currency, self.base, float(rate), d, ts)
+
+
+def register(spark) -> None:
+    """Register the format with the session. Ships the package to
+    executor Python workers first — the reader instances deserialize
+    there and must import this module."""
+    from finance_pipeline_spark.registry import ship_package
+
+    ship_package(spark)
+    spark.dataSource.register(FrankfurterRatesDataSource)
+
+
+class FrankfurterRatesDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "frankfurter_rates"
+
+    def schema(self) -> str:
+        return (
+            "currency string, base_currency string, exchange_rate double, "
+            "date date, timestamptz timestamp"
+        )
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return FrankfurterRatesReader(self.options)

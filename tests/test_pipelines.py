@@ -255,3 +255,43 @@ def test_alerter_gates_on_config_and_uses_transport():
     assert sent[0][4]["Subject"] == "Scraping Error"
     # Missing config → logged skip, False, no raise.
     assert alert_admin("x", env={}) is False
+
+
+def test_python_datasource_matches_rest_source(spark, tmp_path):
+    """§2.9 Python DataSource API: the registered frankfurter_rates
+    format must produce exactly the rows the driver-side REST source
+    builds from the same payload (schema, flatten, CET→UTC stamp)."""
+    from finance_pipeline_spark.sources import python_datasource
+    from finance_pipeline_spark.sources.rest_source import rates_from_json
+
+    python_datasource.register(spark)
+    payload = (FIXTURES / "frankfurter.json").read_text()
+    via_ds = spark.read.format("frankfurter_rates").load(
+        str(FIXTURES / "frankfurter.json")
+    )
+    via_rest = rates_from_json(spark, payload)
+    assert via_ds.schema.simpleString() == via_rest.schema.simpleString()
+    assert sorted(map(tuple, via_ds.collect())) == sorted(
+        map(tuple, via_rest.collect())
+    )
+
+
+def test_python_datasource_partitions_per_file(spark, tmp_path):
+    """Backfill shape: a directory of daily payloads reads as one
+    partition per file."""
+    from finance_pipeline_spark.sources import python_datasource
+
+    python_datasource.register(spark)
+    days = tmp_path / "days"
+    days.mkdir()
+    for d in ("2025-01-10", "2025-07-10"):  # one CET day, one CEST day
+        days.joinpath(f"{d}.json").write_text(
+            json.dumps({"base": "EUR", "date": d, "rates": {"USD": 1.1, "GBP": 0.9}})
+        )
+    df = spark.read.format("frankfurter_rates").load(str(days))
+    assert df.rdd.getNumPartitions() == 2
+    hours = {
+        (r.date.isoformat(), r.timestamptz.hour) for r in df.select("date", "timestamptz").collect()
+    }
+    # 16:00 CET = 15:00 UTC in winter, 14:00 UTC in summer (CEST).
+    assert hours == {("2025-01-10", 15), ("2025-07-10", 14)}
