@@ -216,12 +216,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall/precision asserted in tests/test_dedup.py."""
     import pandas as pd
 
+    from pyspark.sql import Window as W
+
     docs = load(spark, sf_dir, "documents")
     exploded = minhash_band_rows(docs)
-    sizes = exploded.groupBy("band_key").count()
-    capped = exploded.join(
-        F.broadcast(sizes.filter(F.col("count") <= _MINHASH_BUCKET_CAP)), "band_key"
-    ).drop("count")
+    # Bucket-size cap as a windowed count: one shuffle on band_key
+    # produces both the sizes and the capped rows (vs a separate
+    # groupBy+join, which re-runs the signature kernel), and the
+    # self-join below joins on the same key, so Spark reuses the
+    # exchange for both sides.
+    capped = (
+        exploded.withColumn(
+            "bucket_n", F.count(F.lit(1)).over(W.partitionBy("band_key"))
+        )
+        .filter(F.col("bucket_n") <= _MINHASH_BUCKET_CAP)
+        .drop("bucket_n")
+    )
     left = capped.alias("a")
     right = capped.alias("b")
     cand = (
