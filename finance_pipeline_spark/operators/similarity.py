@@ -231,15 +231,21 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     larger than _BUCKET_CAP are dropped (non-discriminative boilerplate
     regions) — the guard that keeps the join sub-quadratic at 100 TB.
     """
+    from pyspark.sql import Window as Win
+
     e = load(spark, sf_dir, "embeddings")
     banded = _banded(srp_signatures(e))
 
-    c_band = banded.withColumnRenamed("vec_id", "corpus_id")
-    # Boilerplate guard: drop over-full corpus buckets.
-    sizes = c_band.groupBy("band", "bkey").count()
+    # Boilerplate guard: drop over-full corpus buckets. Windowed count
+    # over the band key — one shuffle yields sizes + capped rows (a
+    # groupBy+join would re-run the signature kernel subtree).
     c_band = (
-        c_band.join(F.broadcast(sizes.filter(F.col("count") <= _BUCKET_CAP)), ["band", "bkey"])
-        .drop("count")
+        banded.withColumnRenamed("vec_id", "corpus_id")
+        .withColumn(
+            "bucket_n", F.count(F.lit(1)).over(Win.partitionBy("band", "bkey"))
+        )
+        .filter(F.col("bucket_n") <= _BUCKET_CAP)
+        .drop("bucket_n")
     )
     q_band = banded.filter(F.col("vec_id") % 100 == 0).withColumnRenamed(
         "vec_id", "query_id"

@@ -1,0 +1,167 @@
+"""Temporal join/rollup operators Spark lacks as built-ins — as-of
+join, range-band join, multi-granularity time rollup — each expressed
+as a composition of DataFrame primitives whose physical plan stays
+shuffle-minimal at 100 TB (SURVEY.md §7 extension tier; these are the
+time-series shapes a finance pipeline grows into once data outgrows
+one node).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from finance_pipeline_spark.registry import load, query
+
+
+@query(
+    "join_asof",
+    oracle="""
+    SELECT a.event_id, a.user_id, a.ts,
+           b.event_id AS prior_purchase_id,
+           b.value AS prior_purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') a
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+      ON a.user_id = b.user_id AND b.ts < a.ts
+    """,
+    tags=("temporal", "asof"),
+    bench=True,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every click, the most recent strictly-prior
+    purchase by the same user (DuckDB expresses this natively as ASOF
+    JOIN — the oracle).
+
+    Spark-first formulation: union the two tagged event streams, then
+    one window pass per user ordered by time where ``last(purchase_*,
+    ignorenulls)`` over ``rowsBetween(unboundedPreceding, -1)`` carries
+    the latest prior purchase onto each click row. ONE shuffle (by
+    user) + ONE sort — no per-pair probing, no range explosion; this
+    is the plan that survives 100 TB, unlike a windowed-bucket
+    nested-loop. The ``-1`` upper bound gives the strict ``<`` (and
+    (user_id, ts) is unique in this data, so ordering is total)."""
+    e = load(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts",
+        F.lit(None).cast("bigint").alias("p_id"),
+        F.lit(None).cast("double").alias("p_value"),
+        F.lit(1).alias("is_probe"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts",
+        F.col("event_id").alias("p_id"),
+        F.col("value").alias("p_value"),
+        F.lit(0).alias("is_probe"),
+    )
+    merged = clicks.unionByName(purchases)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    return (
+        merged.withColumn("prior_purchase_id", F.last("p_id", ignorenulls=True).over(w))
+        .withColumn("prior_purchase_value", F.last("p_value", ignorenulls=True).over(w))
+        .filter(F.col("is_probe") == 1)
+        .select("event_id", "user_id", "ts", "prior_purchase_id", "prior_purchase_value")
+    )
+
+
+_BANDS = [
+    # (band, lo, hi) — deliberately irregular so the join is a genuine
+    # range lookup, not a derivable equi-bucket.
+    ("micro", 0.0, 5000.0),
+    ("small", 5000.0, 20000.0),
+    ("mid", 20000.0, 60000.0),
+    ("large", 60000.0, 1e12),
+]
+
+
+@query(
+    "join_range_bands",
+    oracle="""
+    SELECT band,
+           count(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price
+    FROM orders
+    JOIN (VALUES ('micro', 0.0, 5000.0),
+                 ('small', 5000.0, 20000.0),
+                 ('mid', 20000.0, 60000.0),
+                 ('large', 60000.0, 1e12)) AS bands(band, lo, hi)
+      ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY band
+    """,
+    tags=("temporal", "range-join"),
+)
+def join_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join against an irregular band table: every order lands in
+    the band whose [lo, hi) interval contains its price.
+
+    The band side is tiny and explicitly broadcast, so the non-equi
+    condition runs as a broadcast nested-loop — |bands| comparisons
+    per row, map-side, no shuffle: the correct physical plan for a
+    small-dimension range join at any scale. (A big-big range join
+    would instead chop intervals into aligned buckets to recover an
+    equi-join; out of scope for a 4-row dimension.)"""
+    o = load(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(_BANDS, "band string, lo double, hi double")
+    return (
+        o.join(
+            F.broadcast(bands),
+            (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
+
+
+@query(
+    "rollup_time_multi",
+    oracle="""
+    SELECT time_bucket(INTERVAL 1 DAY, ts) AS day_start,
+           CASE WHEN GROUPING(time_bucket(INTERVAL 1 HOUR, ts)) = 0
+                THEN time_bucket(INTERVAL 1 HOUR, ts) END AS hour_start,
+           CAST(GROUPING(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS is_day_total,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY GROUPING SETS (
+        (time_bucket(INTERVAL 1 DAY, ts)),
+        (time_bucket(INTERVAL 1 DAY, ts), time_bucket(INTERVAL 1 HOUR, ts))
+    )
+    """,
+    tags=("temporal", "rollup"),
+)
+def rollup_time_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity time rollup (the hypertable continuous-
+    aggregate shape): per-hour rows AND per-day totals from ONE scan
+    via grouping sets — Spark's Expand operator duplicates each input
+    row per grouping set before a single hash aggregate, so adding a
+    granularity costs a map-side expansion, not another scan."""
+    e = load(spark, sf_dir, "events")
+    # date_trunc, not two window() calls (Spark rejects multiple time
+    # windows in one projection); day/hour truncation is epoch-aligned
+    # exactly like time_bucket.
+    g = e.select(
+        F.date_trunc("day", "ts").alias("day_start"),
+        F.date_trunc("hour", "ts").alias("hour_start"),
+        "value",
+    )
+    return (
+        g.groupingSets(
+            [[F.col("day_start")], [F.col("day_start"), F.col("hour_start")]],
+            "day_start",
+            "hour_start",
+        )
+        .agg(
+            F.grouping("hour_start").cast("bigint").alias("is_day_total"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("total_value"),
+        )
+        .select("day_start", "hour_start", "is_day_total", "n_events", "total_value")
+    )

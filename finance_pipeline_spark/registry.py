@@ -154,6 +154,7 @@ def load_all() -> None:
         relational,
         similarity,
         streaming_batch,
+        temporal,
         textops,
         udfs,
     )

@@ -1,0 +1,56 @@
+"""Planted-value semantics for the temporal operators (the oracle
+checks equivalence with DuckDB; these check the *intent*)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+
+from finance_pipeline_spark import registry
+
+registry.load_all()
+
+
+def _plant_events(tmp_path, rows):
+    pdf = pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": [r[1] for r in rows],
+            "user_id": [r[2] for r in rows],
+            "event_type": [r[3] for r in rows],
+            "value": [float(r[4]) for r in rows],
+            "props": ["{}"] * len(rows),
+        }
+    )
+    pdf.to_parquet(str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def test_join_asof_picks_most_recent_strictly_prior_purchase(spark, tmp_path):
+    t = lambda m: dt.datetime(2024, 1, 1, 10, m)  # noqa: E731
+    sf = _plant_events(
+        tmp_path,
+        [
+            (1, t(0), 7, "purchase", 5.0),
+            (2, t(3), 7, "purchase", 9.0),
+            (3, t(5), 7, "click", 0.0),   # → purchase 2 (latest prior)
+            (4, t(1), 8, "click", 0.0),   # user 8 has no purchase → null
+            (5, t(7), 7, "click", 0.0),   # → still purchase 2
+        ],
+    )
+    got = {
+        r.event_id: (r.prior_purchase_id, r.prior_purchase_value)
+        for r in registry.QUERIES["join_asof"].fn(spark, sf).collect()
+    }
+    assert got == {3: (2, 9.0), 4: (None, None), 5: (2, 9.0)}
+
+
+def test_rollup_time_multi_day_totals_equal_hour_sums(spark, sf_dir):
+    rows = registry.QUERIES["rollup_time_multi"].fn(spark, sf_dir).collect()
+    day_totals = {r.day_start: r.n_events for r in rows if r.is_day_total == 1}
+    hour_sums: dict = {}
+    for r in rows:
+        if r.is_day_total == 0:
+            hour_sums[r.day_start] = hour_sums.get(r.day_start, 0) + r.n_events
+    assert day_totals and day_totals == hour_sums
