@@ -285,3 +285,64 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= _TOPK)
     )
+
+
+@query(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
+               sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                              FOR x IN embedding])) AS nrm
+        FROM embeddings
+    ), scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+               round(list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm), 4) AS cosine
+        FROM (SELECT * FROM v WHERE vec_id % 100 = 0) q
+        JOIN v c ON c.label = q.label AND c.vec_id <> q.vec_id
+    ), ranked AS (
+        SELECT query_id, corpus_id, cosine,
+               CAST(row_number() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, corpus_id) AS BIGINT) AS rnk
+        FROM scored
+    )
+    SELECT query_id, corpus_id, cosine, rnk FROM ranked WHERE rnk <= {_TOPK}
+    """,
+    tags=("similarity", "ann", "ivf"),
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: the label column is the coarse-quantizer cell
+    assignment (in a full IVF build, k-means centroids produce it);
+    each query searches only its own cell (nprobe=1), so the scored
+    candidate set shrinks by ~|cells|×. Exactly SQL-expressible —
+    unlike hash-based LSH — so this is the oracle-checked approximate
+    variant. Scoring re-uses the precomputed-norm JVM fold: one fold
+    per row for norms, one per surviving candidate pair."""
+    e = load(spark, sf_dir, "embeddings")
+    with_norm = e.select(
+        "vec_id", "label", "embedding", l2norm(F.col("embedding")).alias("nrm")
+    )
+    q = (
+        with_norm.filter(F.col("vec_id") % 100 == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("q_label"),
+            F.col("embedding").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+        )
+    )
+    cos = F.round(
+        dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_nrm") * F.col("nrm")), 4
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("corpus_id"))
+    return (
+        with_norm.join(
+            F.broadcast(q),
+            (F.col("label") == F.col("q_label")) & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id", F.col("vec_id").alias("corpus_id"), cos.alias("cosine")
+        )
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= _TOPK)
+    )

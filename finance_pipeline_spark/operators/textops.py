@@ -219,3 +219,84 @@ def text_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(F.size(toks) - 2, F.lit(0)).cast("bigint").alias("n_trigrams"),
         F.size(F.array_distinct(tris)).cast("bigint").alias("n_unique_trigrams"),
     )
+
+
+# BPE-ish pre-tokenization pattern — letter runs, digit runs, single
+# other-symbols (the shape GPT-2-style pre-tokenizers split on),
+# restricted to constructs RE2 (DuckDB) and Java regex share.
+_BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+@query(
+    "text_bpe_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_sql_tokens()}) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS BIGINT)
+             AS n_bpe_tokens
+    FROM documents
+    """,
+    tags=("text", "tokens"),
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs BPE-style pre-tokenization counts side by side —
+    the training-budget estimator (BPE token count tracks model cost;
+    whitespace count tracks corpus stats). Pure regex map work, no
+    shuffle, identical pattern semantics on both engines."""
+    d = load(spark, sf_dir, "documents")
+    toks = _tokens()
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_PATTERN), F.lit(0)))
+        .cast("bigint")
+        .alias("n_bpe_tokens"),
+    )
+
+
+@query(
+    "text_gopher_rules",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len({_sql_tokens()}) AS DOUBLE) AS n_words,
+               CAST(length(text) AS DOUBLE) AS n_chars,
+               CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+                 AS n_symbols
+        FROM documents
+    )
+    SELECT doc_id,
+           round(n_chars / n_words, 4) AS mean_word_len,
+           round(n_symbols / n_chars, 4) AS symbol_ratio,
+           CAST(n_words >= 50 AND n_words <= 100000
+                AND n_chars / n_words >= 3 AND n_chars / n_words <= 10
+                AND n_symbols / n_chars <= 0.1 AS BOOLEAN) AS keep
+    FROM t
+    """,
+    tags=("text", "quality"),
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style corpus filter rules: word-count bounds, mean-word-
+    length band, symbol-to-char ratio cap → one boolean keep flag per
+    document. The C4/Gopher cheap-filter family as an embarrassingly
+    parallel scan (filter pushdown-friendly: downstream pipelines
+    filter on `keep` before any expensive stage)."""
+    d = load(spark, sf_dir, "documents")
+    n_words = F.size(_tokens()).cast("double")
+    n_chars = F.length("text").cast("double")
+    n_symbols = F.length(
+        F.regexp_replace("text", "[A-Za-z0-9 ]", "")
+    ).cast("double")
+    mean_wl = n_chars / n_words
+    sym_ratio = n_symbols / n_chars
+    keep = (
+        (n_words >= 50) & (n_words <= 100000)
+        & (mean_wl >= 3) & (mean_wl <= 10)
+        & (sym_ratio <= 0.1)
+    )
+    return d.select(
+        "doc_id",
+        F.round(mean_wl, 4).alias("mean_word_len"),
+        F.round(sym_ratio, 4).alias("symbol_ratio"),
+        keep.alias("keep"),
+    )
