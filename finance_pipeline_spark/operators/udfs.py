@@ -171,3 +171,64 @@ def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "n_events", "total_value")
     )
+
+
+@query(
+    "grouped_user_gaps",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id,
+               epoch(ts - lag(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id)) AS gap
+        FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           round(quantile_cont(gap, 0.5), 3) AS median_gap_s,
+           round(max(gap), 3) AS max_gap_s
+    FROM gaps WHERE gap IS NOT NULL
+    GROUP BY user_id
+    """,
+    tags=("udf", "grouped-map", "temporal"),
+)
+def grouped_user_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 grouped-map surface: per-user inter-event gap statistics
+    via ``applyInPandas`` — each user's full event history arrives as
+    one pandas frame (the shape for order-statistics/sessionization
+    kernels that window functions can't express cheaply). Median via
+    numpy interpolation == SQL ``quantile_cont(0.5)``. One shuffle on
+    the group key; group sizes are bounded by per-user activity, not
+    corpus size, so the pattern holds at 100 TB (a single whale user
+    would need pre-aggregation — same caveat as any grouped map)."""
+    import math
+
+    import numpy as np
+
+    e = load(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+
+    def round3(x: float) -> float:
+        # Half-UP (like SQL round); Python's round() is banker's and
+        # diverges on exact .0005 boundaries (µs-precision gaps hit
+        # them). Gaps are non-negative, so no sign handling.
+        return math.floor(x * 1000.0 + 0.5) / 1000.0
+
+    def gap_stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        gaps = pdf["ts"].diff().dropna().dt.total_seconds().to_numpy()
+        if len(gaps) == 0:
+            return pd.DataFrame(
+                columns=["user_id", "n_gaps", "median_gap_s", "max_gap_s"]
+            )
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_gaps": [len(gaps)],
+                "median_gap_s": [round3(float(np.median(gaps)))],
+                "max_gap_s": [round3(float(np.max(gaps)))],
+            }
+        )
+
+    return e.groupBy("user_id").applyInPandas(
+        gap_stats,
+        "user_id bigint, n_gaps bigint, median_gap_s double, max_gap_s double",
+    )
