@@ -39,7 +39,7 @@ def force(df) -> None:
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    repeat = 1
+    repeat = 2  # min-of-2 damps JIT/GC/python-worker-startup variance
     if "--repeat" in sys.argv:
         repeat = int(sys.argv[sys.argv.index("--repeat") + 1])
     try:

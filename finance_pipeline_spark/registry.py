@@ -115,16 +115,32 @@ def ensure_conf(spark: SparkSession) -> None:
     timestamp parity), ANSI off (null-on-parse-failure, matching the
     reference's ``errors="coerce"``), and nanos-as-long so Spark 4 can
     read the driver's TIMESTAMP(NANOS) events parquet."""
+    import os
+
     ship_package(spark)
     for k, v in (
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.ansi.enabled", "false"),
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        # The driver may hand us a default-conf session — AQE (skew
+        # join + partition coalescing) is runtime-settable.
+        ("spark.sql.adaptive.enabled", "true"),
     ):
         try:
             spark.conf.set(k, v)
         except Exception:  # noqa: BLE001 — non-settable on some builds; best effort
             pass
+    try:
+        # Core-proportional shuffle partitions, but only when sitting
+        # at the 200 default (never clobber a deliberate setting —
+        # tests pin small values).
+        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8)),
+            )
+    except Exception:  # noqa: BLE001
+        pass
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
