@@ -514,3 +514,88 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cosine",
         )
     )
+
+
+# --- near-dup group assembly (connected components) --------------------------
+
+
+@query(
+    "dedup_connected_groups",
+    oracle="""
+    WITH RECURSIVE v AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
+               sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                              FOR x IN embedding])) AS nrm
+        FROM embeddings WHERE vec_id % 10 = 0
+    ), pairs AS (
+        SELECT vec_a, vec_b FROM (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 4) AS cosine
+            FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+        ) WHERE cosine >= 0.2
+    ), edges AS (
+        SELECT vec_a AS u, vec_b AS w FROM pairs
+        UNION SELECT vec_b, vec_a FROM pairs
+    ), verts AS (SELECT DISTINCT u FROM edges),
+    labels(u, comp) AS (
+        SELECT u, u FROM verts
+        UNION
+        SELECT e.u, l.comp FROM edges e JOIN labels l ON l.u = e.w
+    )
+    SELECT u AS vec_id, CAST(min(comp) AS BIGINT) AS component_id
+    FROM labels GROUP BY u
+    """,
+    tags=("dedup", "components"),
+)
+def dedup_connected_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup *group* assembly: pairwise matches (here the
+    embedding-cosine edges) unioned into connected components — the
+    step that turns a pair list into the canonical-set decision a
+    dedup pipeline actually consumes (keep min-id per component).
+
+    Spark-first: Pregel-style iterative min-label propagation — each
+    round, every vertex takes the min of its own and its neighbors'
+    labels (one join + one aggregate per round); converged when no
+    label changes. Rounds ≈ component diameter (near-dup clusters are
+    shallow). The oracle is the same fixpoint as a recursive CTE.
+    At 100 TB: identical loop plus periodic ``localCheckpoint`` to
+    truncate lineage — noted, unnecessary at test scale/diameters."""
+    pairs = dedup_embedding_cosine(spark, sf_dir).select("vec_a", "vec_b")
+    edges = pairs.union(
+        pairs.select(F.col("vec_b").alias("vec_a"), F.col("vec_a").alias("vec_b"))
+    ).toDF("u", "w")
+    labels = edges.select("u").distinct().withColumn("comp", F.col("u"))
+    edges.persist()
+    labels.persist()
+    try:
+        for _ in range(20):  # diameter cap; converges long before
+            neighbor_min = (
+                edges.join(labels.withColumnRenamed("u", "w"), "w")
+                .groupBy("u")
+                .agg(F.min("comp").alias("n_comp"))
+            )
+            new_labels = (
+                labels.join(neighbor_min, "u", "left")
+                .select(
+                    "u",
+                    F.least(
+                        F.col("comp"), F.coalesce(F.col("n_comp"), F.col("comp"))
+                    ).alias("comp"),
+                )
+            )
+            new_labels.persist()
+            changed = (
+                labels.join(new_labels.withColumnRenamed("comp", "nc"), "u")
+                .filter(F.col("comp") != F.col("nc"))
+                .limit(1)
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels.select(
+            F.col("u").alias("vec_id"), F.col("comp").cast("bigint").alias("component_id")
+        )
+    finally:
+        edges.unpersist()

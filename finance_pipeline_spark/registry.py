@@ -94,13 +94,19 @@ def ship_package(spark: SparkSession) -> None:
     import zipfile
     from pathlib import Path
 
+    import os
+
     pkg_root = Path(__file__).resolve().parent
     cache = pkg_root.parent / ".cache"
     cache.mkdir(parents=True, exist_ok=True)
     zpath = cache / "finance_pipeline_spark.zip"
-    with zipfile.ZipFile(zpath, "w") as z:
-        for p in pkg_root.rglob("*.py"):
+    # Stage + atomic rename: concurrent processes (tests + tools) share
+    # this path; a half-written zip must never be visible to addPyFile.
+    tmp = cache / f".finance_pipeline_spark.{os.getpid()}.zip.tmp"
+    with zipfile.ZipFile(tmp, "w") as z:
+        for p in sorted(pkg_root.rglob("*.py")):
             z.write(p, p.relative_to(pkg_root.parent))
+    tmp.replace(zpath)
     try:
         spark.sparkContext.addPyFile(str(zpath))
     except Exception:  # noqa: BLE001 — already registered in this context
