@@ -59,20 +59,17 @@ def _py_shingles(text: str, n: int = 3) -> set:
     return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
 
 
-def _crc64(data: bytes) -> int:
-    """Deterministic 64-bit hash from two independent crc32 passes —
-    C speed, stable across executors/runs (unlike Python's salted
-    ``hash``), no external deps. Result is wrapped to *signed* int64
-    range so it round-trips through Arrow/Spark bigint columns."""
-    import zlib
+def _hash64(data: bytes) -> int:
+    """Deterministic 64-bit hash (md5 truncation) — stable across
+    executors/runs (unlike Python's salted ``hash``), genuinely 64-bit.
+    NOT two crc32 passes: crc32 is a streaming checksum, so
+    ``crc32(data + suffix)`` is a function of ``crc32(data)`` and a
+    composite would collide whenever plain crc32 does (32-bit
+    entropy). Result wrapped to *signed* int64 range so it round-trips
+    through Arrow/Spark bigint columns."""
+    import hashlib
 
-    x = (zlib.crc32(data) << 32) ^ zlib.crc32(data + b"#")
-    # splitmix64 finalizer: crc is GF(2)-linear, which correlates
-    # SimHash bit votes across related inputs — avalanche the bits.
-    M = (1 << 64) - 1
-    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & M
-    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & M
-    x ^= x >> 31
+    x = int.from_bytes(hashlib.md5(data).digest()[:8], "little")
     return x - (1 << 64) if x >= (1 << 63) else x
 
 
@@ -275,7 +272,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def simhash_signatures(df: DataFrame) -> DataFrame:
     """(doc_id, text) → (doc_id, sh): 64-bit SimHash over distinct
-    tokens — per token a crc64 hash, each signature bit the sign of the
+    tokens — per token a 64-bit md5-truncation hash, each signature bit the sign of the
     ±1 vote sum across tokens. Vectorized numpy bit-unpacking per doc;
     map-only, no shuffle."""
     import numpy as np
@@ -290,7 +287,7 @@ def simhash_signatures(df: DataFrame) -> DataFrame:
                 if not toks:
                     continue
                 h = np.array(
-                    [_crc64(t.encode("utf-8")) for t in toks], dtype=np.int64
+                    [_hash64(t.encode("utf-8")) for t in toks], dtype=np.int64
                 ).view(np.uint64)
                 bits = (h[:, None] >> bit_idx) & np.uint64(1)  # (n_tok, 64)
                 votes = bits.astype(np.int64).sum(axis=0) * 2 - len(h)  # ±1 votes
@@ -311,7 +308,7 @@ def simhash_signatures(df: DataFrame) -> DataFrame:
 
 @query(
     "dedup_simhash",
-    oracle=None,  # crc64-based — rows-only; hamming property asserted in tests.
+    oracle=None,  # md5-64-based — rows-only; hamming property asserted in tests.
     tags=("dedup", "simhash"),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -360,7 +357,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def hashed_shingle_rows(df: DataFrame) -> DataFrame:
     """(doc_id, lang, text) → (doc_id, lang, len_bucket, shingles):
-    distinct trigram shingles as crc64 int64s, built in an Arrow
+    distinct trigram shingles as md5-64 int64s, built in an Arrow
     kernel. Jaccard *counts* are hash-function-agnostic: a within-pair
     64-bit collision (P ≈ |union|²/2⁶⁵ ≈ 1e-13) is the only way counts
     could diverge from string-set semantics, so the DuckDB oracle may
@@ -376,7 +373,7 @@ def hashed_shingle_rows(df: DataFrame) -> DataFrame:
                 if len(toks) < 3:
                     continue
                 sh = {
-                    _crc64(" ".join(toks[i : i + 3]).encode("utf-8"))
+                    _hash64(" ".join(toks[i : i + 3]).encode("utf-8"))
                     for i in range(len(toks) - 2)
                 }
                 rows["doc_id"].append(doc_id)
@@ -568,7 +565,8 @@ def dedup_connected_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges.persist()
     labels.persist()
     try:
-        for _ in range(20):  # diameter cap; converges long before
+        converged = False
+        for _ in range(20):  # diameter cap — see non-convergence check
             neighbor_min = (
                 edges.join(labels.withColumnRenamed("u", "w"), "w")
                 .groupBy("u")
@@ -593,8 +591,22 @@ def dedup_connected_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
             labels.unpersist()
             labels = new_labels
             if changed == 0:
+                converged = True
                 break
-        return labels.select(
+        if not converged:
+            # Silently returning partial labels would diverge from the
+            # oracle's exact fixpoint — fail loudly instead.
+            raise RuntimeError(
+                "dedup_connected_groups: min-label propagation did not "
+                "converge within 20 rounds (component diameter > 20); "
+                "raise the cap for this graph"
+            )
+        # localCheckpoint materializes the converged labels and
+        # truncates the 20-join lineage, so the cached iteration chain
+        # can be released instead of leaking for the session lifetime.
+        final = labels.localCheckpoint(eager=True)
+        labels.unpersist()
+        return final.select(
             F.col("u").alias("vec_id"), F.col("comp").cast("bigint").alias("component_id")
         )
     finally:

@@ -66,8 +66,7 @@ def _query_matrix(spark: SparkSession, sf_dir: str):
     )
     ids = q["vec_id"].to_numpy(dtype=np.int64)
     mat = _emb_matrix(q["embedding"])
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    return ids, mat
+    return ids, mat, np.linalg.norm(mat, axis=1)
 
 
 @query(
@@ -106,16 +105,18 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rounded score desc, corpus_id asc) match the oracle exactly.
     """
     e = load(spark, sf_dir, "embeddings")
-    q_ids, q_mat = _query_matrix(spark, sf_dir)
-    bq = spark.sparkContext.broadcast((q_ids, q_mat))
+    q_ids, q_mat, q_nrm = _query_matrix(spark, sf_dir)
+    bq = spark.sparkContext.broadcast((q_ids, q_mat, q_nrm))
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ids_q, mat_q = bq.value
+        ids_q, mat_q, nrm_q = bq.value
         for pdf in batches:
             ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             mat = _emb_matrix(pdf["embedding"])
-            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-            scores = mat @ mat_q.T  # (n_batch, n_queries)
+            nrm = np.linalg.norm(mat, axis=1)
+            # dot / (na*nb), same association as the oracle (normalize-
+            # then-matmul would shift the fp rounding a few ulps).
+            scores = (mat @ mat_q.T) / np.outer(nrm, nrm_q)
             out = []
             for j in range(len(ids_q)):
                 mask = ids != ids_q[j]

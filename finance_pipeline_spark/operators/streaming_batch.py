@@ -25,6 +25,23 @@ def _dec(c):
     return (F.col(c) if isinstance(c, str) else c).cast("decimal(38,6)")
 
 
+def _stage_file(src: str, dst) -> bool:
+    """Copy ``src`` into the stream staging dir if missing or if the
+    source changed size (testdata regenerated under the same name) —
+    via tmp + atomic rename, so a killed copy never leaves a truncated
+    parquet for later runs to replay. Returns True when (re)staged."""
+    import os
+    import shutil
+
+    src_size = os.stat(src).st_size
+    if dst.exists() and dst.stat().st_size == src_size:
+        return False
+    tmp = dst.parent / f".{dst.name}.{os.getpid()}.tmp"
+    shutil.copyfile(src, tmp)
+    tmp.replace(dst)
+    return True
+
+
 @query(
     "win_tumbling",
     oracle="""
@@ -170,14 +187,11 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "events")  # pins session confs (nanos-as-long)
     # FileStreamSource needs a directory; stage the (read-only) events
     # parquet into a repo-local cache dir once per sf.
-    import shutil
     from pathlib import Path
 
     stage = Path(__file__).resolve().parents[2] / ".cache" / "stream" / Path(sf_dir).name
     stage.mkdir(parents=True, exist_ok=True)
-    dst = stage / "events.parquet"
-    if not dst.exists():
-        shutil.copyfile(f"{sf_dir}/events.parquet", dst)
+    _stage_file(f"{sf_dir}/events.parquet", stage / "events.parquet")
     raw_schema = (
         "event_id bigint, ts bigint, user_id bigint, "
         "event_type string, value double, props string"
@@ -237,21 +251,22 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     The watermark bounds the dedup state: keys older than the watermark
     are evicted, which is what makes streaming dedup viable at 100 TB
     (unbounded-state dedup would OOM)."""
-    import shutil
     from pathlib import Path
 
     load(spark, sf_dir, "events")  # pins session confs (nanos-as-long)
     stage = (
         Path(__file__).resolve().parents[2] / ".cache" / "stream_dedup" / Path(sf_dir).name
     )
+    stage.mkdir(parents=True, exist_ok=True)
     raw_schema = (
         "event_id bigint, ts bigint, user_id bigint, "
         "event_type string, value double, props string"
     )
-    if not (stage / "events.parquet").exists():
-        stage.mkdir(parents=True, exist_ok=True)
-        shutil.copyfile(f"{sf_dir}/events.parquet", stage / "events.parquet")
-        # Plant at-least-once duplicates as a second file.
+    restaged = _stage_file(f"{sf_dir}/events.parquet", stage / "events.parquet")
+    if restaged or not (stage / "dups.parquet").exists():
+        # Plant at-least-once duplicates as a second file — rebuilt
+        # whenever the source re-stages, so the planted set always
+        # matches the replayed events.
         (
             spark.read.schema(raw_schema)
             .parquet(f"{sf_dir}/events.parquet")

@@ -38,8 +38,10 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     the latest prior purchase onto each click row. ONE shuffle (by
     user) + ONE sort — no per-pair probing, no range explosion; this
     is the plan that survives 100 TB, unlike a windowed-bucket
-    nested-loop. The ``-1`` upper bound gives the strict ``<`` (and
-    (user_id, ts) is unique in this data, so ordering is total)."""
+    nested-loop. Strictness (``b.ts < a.ts``) is encoded in the sort:
+    at equal timestamps clicks order BEFORE purchases, so a same-ts
+    purchase is never in a click's preceding frame — no reliance on
+    (user_id, ts) uniqueness."""
     e = load(spark, sf_dir, "events")
     clicks = e.filter(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts",
@@ -56,7 +58,7 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = clicks.unionByName(purchases)
     w = (
         W.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy("ts", F.col("is_probe").desc(), "event_id")
         .rowsBetween(W.unboundedPreceding, -1)
     )
     return (

@@ -89,19 +89,19 @@ def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     the batch aggregate. The decimal accumulation (over per-batch
     pandas sums) keeps the total order-insensitive so the value
     hash-matches the SQL oracle."""
-    import shutil
     from decimal import Decimal
     from pathlib import Path
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from finance_pipeline_spark.operators.streaming_batch import _stage_file
 
     load(spark, sf_dir, "events")  # pins session confs
     stage = (
         Path(__file__).resolve().parents[2] / ".cache" / "stream" / Path(sf_dir).name
     )
     stage.mkdir(parents=True, exist_ok=True)
-    if not (stage / "events.parquet").exists():
-        shutil.copyfile(f"{sf_dir}/events.parquet", stage / "events.parquet")
+    _stage_file(f"{sf_dir}/events.parquet", stage / "events.parquet")
     raw_schema = (
         "event_id bigint, ts bigint, user_id bigint, "
         "event_type string, value double, props string"

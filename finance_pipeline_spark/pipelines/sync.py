@@ -28,13 +28,18 @@ def sync_data(
 ) -> int:
     """Returns the number of rows shipped; 0 on missing table. Alert +
     swallow on transport failure (services/supabase.py:68-73)."""
+    import datetime as dt
+
     df = read_table(spark, table_path)
     if df is None:
         return 0
-    recent = df.filter(
-        F.col("created_at")
-        >= F.current_timestamp() - F.expr(f"INTERVAL {int(lookback_minutes)} MINUTES")
+    # Fixed driver-side cutoff: current_timestamp() re-evaluates per
+    # action, so the count and the send would otherwise see different
+    # watermark windows (rows aging out between the two scans).
+    cutoff = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None) - dt.timedelta(
+        minutes=lookback_minutes
     )
+    recent = df.filter(F.col("created_at") >= F.lit(cutoff))
     try:
         n = recent.count()
         if n:

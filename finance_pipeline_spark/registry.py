@@ -77,7 +77,7 @@ def query(
     return deco
 
 
-_PKG_SHIPPED = False
+_SHIPPED_APPS: set[str] = set()
 
 
 def ship_package(spark: SparkSession) -> None:
@@ -87,9 +87,11 @@ def ship_package(spark: SparkSession) -> None:
     (their pickled globals reference this package by module path), so
     ship a zip of the package via ``addPyFile`` — the same mechanism a
     real cluster submit would use (``--py-files``). Idempotent per
-    process; rebuilt each process so code edits are picked up."""
-    global _PKG_SHIPPED
-    if _PKG_SHIPPED:
+    SparkContext (keyed on applicationId — a fresh context in the same
+    process needs its own addPyFile; addPyFile state dies with the
+    context)."""
+    app_id = spark.sparkContext.applicationId
+    if app_id in _SHIPPED_APPS:
         return
     import zipfile
     from pathlib import Path
@@ -111,7 +113,7 @@ def ship_package(spark: SparkSession) -> None:
         spark.sparkContext.addPyFile(str(zpath))
     except Exception:  # noqa: BLE001 — already registered in this context
         pass
-    _PKG_SHIPPED = True
+    _SHIPPED_APPS.add(app_id)
 
 
 def ensure_conf(spark: SparkSession) -> None:

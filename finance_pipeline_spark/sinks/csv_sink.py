@@ -43,14 +43,28 @@ def write_merge_dedup(
     schema: T.StructType,
 ) -> None:
     """K3 (etl/web_scraper.py:111-126): existing ∪ incoming, one row
-    per key, overwrite. Staged write → swap, since the source of the
-    union is the target path."""
+    per key, overwrite — with the reference's *existing-wins* survivor
+    (pandas concat + drop_duplicates keeps the first occurrence, i.e.
+    the existing row; a bare dropDuplicates here would pick an
+    arbitrary one). Staged write → swap, since the source of the union
+    is the target path."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    cols = schema.fieldNames()
     target = Path(path)
     if target.exists():
-        existing = read_csv(spark, path, schema)
-        combined = existing.unionByName(df.select(*schema.fieldNames())).dropDuplicates(keys)
+        existing = read_csv(spark, path, schema).withColumn("_prio", F.lit(0))
+        incoming = df.select(*cols).withColumn("_prio", F.lit(1))
+        w = W.partitionBy(*keys).orderBy("_prio")
+        combined = (
+            existing.unionByName(incoming)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(*cols)
+        )
     else:
-        combined = df.select(*schema.fieldNames()).dropDuplicates(keys)
+        combined = df.select(*cols).dropDuplicates(keys)
     tmp = str(target) + ".__staging__"
     combined.write.mode("overwrite").option("header", True).csv(tmp)
     if target.exists():

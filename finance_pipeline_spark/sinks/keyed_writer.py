@@ -89,7 +89,23 @@ def idempotent_append(
     """
     ensure_table_dir(path)
     total = incoming.count()
-    deduped = incoming.dropDuplicates(keys)
+    # In-batch survivor: deterministic pick (min over the non-key
+    # columns) rather than bare dropDuplicates — a conflicting batch
+    # must produce the same table on every run/partitioning. (The
+    # reference's row loop keeps "first in insert order"; a DataFrame
+    # has no row order, so value-order is the stable analogue.)
+    value_cols = [c for c in incoming.columns if c not in keys]
+    if value_cols:
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy(*keys).orderBy(*value_cols)
+        deduped = (
+            incoming.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    else:
+        deduped = incoming.dropDuplicates(keys)
     existing = read_table(spark, path)
     if existing is not None:
         new_rows = deduped.join(
