@@ -555,59 +555,62 @@ def dedup_connected_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels (one join + one aggregate per round); converged when no
     label changes. Rounds ≈ component diameter (near-dup clusters are
     shallow). The oracle is the same fixpoint as a recursive CTE.
-    At 100 TB: identical loop plus periodic ``localCheckpoint`` to
-    truncate lineage — noted, unnecessary at test scale/diameters."""
+
+    Every round's labels are eagerly ``localCheckpoint``-ed — NOT an
+    optional nicety: each round references the previous labels twice
+    (neighbor-min join + convergence check), so without lineage
+    truncation the logical plan doubles per round and Catalyst
+    analysis time grows exponentially (measured: 20 min at sf0.1 where
+    the diameter forces ~10+ rounds, vs seconds with truncation)."""
     pairs = dedup_embedding_cosine(spark, sf_dir).select("vec_a", "vec_b")
-    edges = pairs.union(
-        pairs.select(F.col("vec_b").alias("vec_a"), F.col("vec_a").alias("vec_b"))
-    ).toDF("u", "w")
-    labels = edges.select("u").distinct().withColumn("comp", F.col("u"))
-    edges.persist()
-    labels.persist()
-    try:
-        converged = False
-        for _ in range(20):  # diameter cap — see non-convergence check
-            neighbor_min = (
-                edges.join(labels.withColumnRenamed("u", "w"), "w")
-                .groupBy("u")
-                .agg(F.min("comp").alias("n_comp"))
-            )
-            new_labels = (
-                labels.join(neighbor_min, "u", "left")
-                .select(
-                    "u",
-                    F.least(
-                        F.col("comp"), F.coalesce(F.col("n_comp"), F.col("comp"))
-                    ).alias("comp"),
-                )
-            )
-            new_labels.persist()
-            changed = (
-                labels.join(new_labels.withColumnRenamed("comp", "nc"), "u")
-                .filter(F.col("comp") != F.col("nc"))
-                .limit(1)
-                .count()
-            )
-            labels.unpersist()
-            labels = new_labels
-            if changed == 0:
-                converged = True
-                break
-        if not converged:
-            # Silently returning partial labels would diverge from the
-            # oracle's exact fixpoint — fail loudly instead.
-            raise RuntimeError(
-                "dedup_connected_groups: min-label propagation did not "
-                "converge within 20 rounds (component diameter > 20); "
-                "raise the cap for this graph"
-            )
-        # localCheckpoint materializes the converged labels and
-        # truncates the 20-join lineage, so the cached iteration chain
-        # can be released instead of leaking for the session lifetime.
-        final = labels.localCheckpoint(eager=True)
-        labels.unpersist()
-        return final.select(
-            F.col("u").alias("vec_id"), F.col("comp").cast("bigint").alias("component_id")
+    edges = (
+        pairs.union(
+            pairs.select(F.col("vec_b").alias("vec_a"), F.col("vec_a").alias("vec_b"))
         )
-    finally:
-        edges.unpersist()
+        .toDF("u", "w")
+        .localCheckpoint(eager=True)  # materialize once; tiny (edge list)
+    )
+    labels = (
+        edges.select("u")
+        .distinct()
+        .withColumn("comp", F.col("u"))
+        .localCheckpoint(eager=True)
+    )
+    converged = False
+    for _ in range(60):  # diameter cap — per-round cost is flat now
+        neighbor_min = (
+            edges.join(labels.withColumnRenamed("u", "w"), "w")
+            .groupBy("u")
+            .agg(F.min("comp").alias("n_comp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "u", "left")
+            .select(
+                "u",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("n_comp"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            labels.join(new_labels.withColumnRenamed("comp", "nc"), "u")
+            .filter(F.col("comp") != F.col("nc"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            converged = True
+            break
+    if not converged:
+        # Silently returning partial labels would diverge from the
+        # oracle's exact fixpoint — fail loudly instead.
+        raise RuntimeError(
+            "dedup_connected_groups: min-label propagation did not "
+            "converge within 60 rounds (component diameter > 60); "
+            "raise the cap for this graph"
+        )
+    return labels.select(
+        F.col("u").alias("vec_id"), F.col("comp").cast("bigint").alias("component_id")
+    )
