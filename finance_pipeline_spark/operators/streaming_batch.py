@@ -229,8 +229,11 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    # Materialize: the memory table is driver-local; re-create a stable DF.
-    return spark.table(name)
+    # Materialize the drained result and drop the sink view — memory
+    # sinks otherwise accumulate driver heap across a long query run.
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out
 
 
 @query(
@@ -302,8 +305,6 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return (
-        spark.table(name)
-        .groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("n_events"))
-    )
+    drained = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return drained.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))

@@ -164,10 +164,11 @@ def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     # nondecreasing) running count.
     from pyspark.sql import Window as W
 
+    drained = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
     w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
     return (
-        spark.table(name)
-        .withColumn("rn", F.row_number().over(w))
+        drained.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("user_id", "n_events", "total_value")
     )
