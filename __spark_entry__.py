@@ -34,14 +34,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return {name: spec.fn for name, spec in registry.QUERIES.items()}
+    """One entry per implemented operator from SURVEY.md §2, in curated
+    ``registry.PRIORITY`` order: the driver evaluates the first 50, so
+    every operator family keeps a representative inside that window and
+    positions 51+ hold only r1/r2-proven shape-duplicates."""
+    return {name: spec.fn for name, spec in registry.ordered_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL oracle per query (omitted → rows-only)."""
     return {
         name: spec.oracle
-        for name, spec in registry.QUERIES.items()
+        for name, spec in registry.ordered_queries().items()
         if spec.oracle is not None
     }

@@ -55,3 +55,53 @@ def test_entry_module_exposes_registry():
     oracles = entry.oracle_sql()
     assert set(oracles) <= set(qs)
     assert len(qs) == len(registry.QUERIES)
+    assert list(qs) == list(registry.PRIORITY)
+
+
+def test_driver_window_covers_every_family():
+    """The driver evaluates only the first DRIVER_WINDOW queries(); the
+    curated PRIORITY order must keep one-plus representative of every
+    operator family — and the whole beyond-reference tier — inside it."""
+    ordered = registry.ordered_queries()  # raises on PRIORITY drift
+    window = list(ordered)[: registry.DRIVER_WINDOW]
+
+    must_be_in_window = {
+        # beyond-reference tier, driver-dark for two rounds (VERDICT r2 #1)
+        "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
+        "join_asof", "join_range_bands", "rollup_time_multi",
+        "text_token_count", "text_quality_score", "text_langid",
+        "text_fingerprint", "text_ngram_profile", "text_bpe_token_count",
+        "text_gopher_rules",
+        "win_tumbling", "stream_tumbling_counts", "stream_dedup",
+        "stateful_user_totals", "grouped_user_gaps", "udf_embedding_norm",
+        "a2_empty_probe", "a3_affected_rows", "s6_sql_table_scan",
+        # dedup families
+        "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+        "dedup_ngram_jaccard", "dedup_embedding_cosine",
+        "dedup_connected_groups",
+        # core relational representatives
+        "agg_pricing_summary", "win_rank_family", "join_agg_revenue",
+        "u1_union_dedup", "u2_anti_join", "o1_topk_multikey",
+        "p1_projection", "p4_comparison_filter",
+        "d1_parse_coerce", "d9_map_explode",
+        "mm_binary_meta", "mm_decode_features", "mm_frame_sample",
+    }
+    missing = must_be_in_window - set(window)
+    assert not missing, f"fell out of the driver window: {sorted(missing)}"
+
+    # every past-fold query is a duplicate with a green r1/r2 driver row
+    past_fold = set(ordered) - set(window)
+    import json
+    from pathlib import Path
+
+    proven = set()
+    for f in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json"):
+        p = Path(__file__).resolve().parents[1] / f
+        if p.exists():
+            rows = json.loads(p.read_text())
+            proven |= {
+                n for n, r in rows.items()
+                if r.get("hash_match") or r.get("err") == "no_oracle"
+            }
+    unproven = past_fold - proven
+    assert not unproven, f"past-fold queries without prior driver row: {sorted(unproven)}"
