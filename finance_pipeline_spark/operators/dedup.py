@@ -466,11 +466,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_embedding_cosine",
     oracle="""
-    WITH v AS (
+    WITH v0 AS (
         SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
                sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
                               FOR x IN embedding])) AS nrm
         FROM embeddings WHERE vec_id % 10 = 0
+    ), v AS (
+        SELECT * FROM v0 WHERE nrm > 0
     )
     SELECT vec_a, vec_b, cosine FROM (
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -494,6 +496,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") % 10 == 0)
         .select("vec_id", "label", "embedding", l2norm(F.col("embedding")).alias("nrm"))
+        .filter(F.col("nrm") > 0)  # zero-norm: cosine undefined (0/0 → NaN)
     )
     a, b = e.alias("a"), e.alias("b")
     cos = F.round(
@@ -519,11 +522,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_connected_groups",
     oracle="""
-    WITH RECURSIVE v AS (
+    WITH RECURSIVE v0 AS (
         SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
                sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
                               FOR x IN embedding])) AS nrm
         FROM embeddings WHERE vec_id % 10 = 0
+    ), v AS (
+        SELECT * FROM v0 WHERE nrm > 0
     ), pairs AS (
         SELECT vec_a, vec_b FROM (
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

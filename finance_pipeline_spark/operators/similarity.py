@@ -57,7 +57,9 @@ def _emb_matrix(col: pd.Series) -> np.ndarray:
 def _query_matrix(spark: SparkSession, sf_dir: str):
     """Driver-side fetch of the query subset (1% of vectors — small by
     construction; at 100 TB the query set is the user's input, not a
-    corpus scan). Returns (ids, unit-normalized matrix)."""
+    corpus scan). Zero-norm queries are dropped (cosine undefined;
+    0/0 would score NaN, which Spark sorts above every real number).
+    Returns (ids, matrix, norms)."""
     q = (
         load(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") % 100 == 0)
@@ -66,17 +68,21 @@ def _query_matrix(spark: SparkSession, sf_dir: str):
     )
     ids = q["vec_id"].to_numpy(dtype=np.int64)
     mat = _emb_matrix(q["embedding"])
-    return ids, mat, np.linalg.norm(mat, axis=1)
+    nrm = np.linalg.norm(mat, axis=1)
+    keep = nrm > 0.0
+    return ids[keep], mat[keep], nrm[keep]
 
 
 @query(
     "ann_cosine_topk",
     oracle=f"""
-    WITH v AS (
+    WITH v0 AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
                sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
                               FOR x IN embedding])) AS nrm
         FROM embeddings
+    ), v AS (
+        SELECT * FROM v0 WHERE nrm > 0
     ), scored AS (
         SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
                round(list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm), 4) AS cosine
@@ -114,6 +120,13 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             mat = _emb_matrix(pdf["embedding"])
             nrm = np.linalg.norm(mat, axis=1)
+            # Zero-norm corpus rows: cosine undefined, and NaN would
+            # outrank every real score under Spark's NaN-greatest sort.
+            finite = nrm > 0.0
+            if not finite.all():
+                ids, mat, nrm = ids[finite], mat[finite], nrm[finite]
+            if len(ids) == 0:
+                continue
             # dot / (na*nb), same association as the oracle (normalize-
             # then-matmul would shift the fp rounding a few ulps).
             scores = (mat @ mat_q.T) / np.outer(nrm, nrm_q)
@@ -269,12 +282,13 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("embedding").alias("q_emb"),
             l2norm(F.col("embedding")).alias("q_nrm"),
         )
+        .filter(F.col("q_nrm") > 0)  # zero-norm: cosine undefined, NaN outranks all
     )
     c_emb = e.select(
         F.col("vec_id").alias("corpus_id"),
         F.col("embedding").alias("c_emb"),
         l2norm(F.col("embedding")).alias("c_nrm"),
-    )
+    ).filter(F.col("c_nrm") > 0)
     cos = F.round(
         dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("c_nrm")), 4
     )
@@ -291,11 +305,13 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ann_ivf_topk",
     oracle=f"""
-    WITH v AS (
+    WITH v0 AS (
         SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
                sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
                               FOR x IN embedding])) AS nrm
         FROM embeddings
+    ), v AS (
+        SELECT * FROM v0 WHERE nrm > 0
     ), scored AS (
         SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
                round(list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm), 4) AS cosine
@@ -322,7 +338,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     with_norm = e.select(
         "vec_id", "label", "embedding", l2norm(F.col("embedding")).alias("nrm")
-    )
+    ).filter(F.col("nrm") > 0)  # zero-norm: cosine undefined, NaN outranks all
     q = (
         with_norm.filter(F.col("vec_id") % 100 == 0)
         .select(

@@ -26,18 +26,24 @@ def _dec(c):
 
 
 def _stage_file(src: str, dst) -> bool:
-    """Copy ``src`` into the stream staging dir if missing or if the
-    source changed size (testdata regenerated under the same name) —
-    via tmp + atomic rename, so a killed copy never leaves a truncated
-    parquet for later runs to replay. Returns True when (re)staged."""
+    """Copy ``src`` into the stream staging dir unless an up-to-date
+    staged copy exists. Freshness = same size AND staged copy no older
+    than the source's mtime (``copystat`` preserves it), so regenerated
+    testdata with identical byte size but different content re-stages
+    instead of silently replaying a stale file. Copy goes through tmp +
+    atomic rename, so a killed copy never leaves a truncated parquet
+    for later runs to replay. Returns True when (re)staged."""
     import os
     import shutil
 
-    src_size = os.stat(src).st_size
-    if dst.exists() and dst.stat().st_size == src_size:
-        return False
+    st = os.stat(src)
+    if dst.exists():
+        dst_st = dst.stat()
+        if dst_st.st_size == st.st_size and dst_st.st_mtime >= st.st_mtime:
+            return False
     tmp = dst.parent / f".{dst.name}.{os.getpid()}.tmp"
     shutil.copyfile(src, tmp)
+    shutil.copystat(src, tmp)
     tmp.replace(dst)
     return True
 
@@ -122,7 +128,7 @@ def win_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH flagged AS (
         SELECT user_id, ts, value, event_id,
                CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                         >= INTERVAL 5 MINUTE OR
+                         > INTERVAL 5 MINUTE OR
                          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                     THEN 1 ELSE 0 END AS is_new
         FROM events
@@ -143,11 +149,13 @@ def win_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "window", "session"),
 )
 def win_session(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session windows (5-minute inactivity gap) per user —
-    ``session_window`` merges half-open [ts, ts+gap) intervals, so a
-    gap of *exactly* 5 minutes starts a new session — the oracle's
-    gaps-and-islands flag uses ``>=`` to match. Session end = last
-    event + gap (Spark's definition)."""
+    """Session windows (5-minute inactivity gap) per user. Spark's
+    ``session_window`` merges an event landing *exactly* at the prior
+    session's end (empirically verified on 4.1.2: events at t and
+    t+gap form ONE session; a split needs a gap strictly greater than
+    the gap duration), so the oracle's gaps-and-islands flag uses a
+    strict ``>``. Session end = last event + gap (Spark's
+    definition)."""
     e = load(spark, sf_dir, "events")
     sw = F.session_window("ts", "5 minutes")
     return (

@@ -21,7 +21,13 @@ from finance_pipeline_spark.registry import load, query
            b.event_id AS prior_purchase_id,
            b.value AS prior_purchase_value
     FROM (SELECT * FROM events WHERE event_type = 'click') a
-    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+    ASOF LEFT JOIN (
+        SELECT user_id, ts,
+               max(event_id) AS event_id,
+               max_by(value, event_id) AS value
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id, ts
+    ) b
       ON a.user_id = b.user_id AND b.ts < a.ts
     """,
     tags=("temporal", "asof"),
@@ -41,7 +47,15 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     nested-loop. Strictness (``b.ts < a.ts``) is encoded in the sort:
     at equal timestamps clicks order BEFORE purchases, so a same-ts
     purchase is never in a click's preceding frame — no reliance on
-    (user_id, ts) uniqueness."""
+    (user_id, ts) uniqueness.
+
+    Tie determinism: among purchases sharing the same max prior ts,
+    the sort's final ``event_id`` key makes ``last()`` pick the
+    highest event_id — deterministic with no extra shuffle. DuckDB's
+    ASOF JOIN pick among tied match rows is unspecified, so the
+    oracle pre-dedups its purchase side to one row per (user_id, ts)
+    keeping ``max(event_id)`` / ``max_by(value, event_id)`` — the
+    exact row the Spark sort selects."""
     e = load(spark, sf_dir, "events")
     clicks = e.filter(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts",
