@@ -410,6 +410,7 @@ def hashed_shingle_rows(df: DataFrame) -> DataFrame:
     ) WHERE jac_raw >= 0.2
     """,
     tags=("dedup", "jaccard"),
+    bench=True,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked n-gram Jaccard near-dup pairs — trigram shingle sets,
@@ -548,6 +549,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM labels GROUP BY u
     """,
     tags=("dedup", "components"),
+    bench=True,
 )
 def dedup_connected_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup *group* assembly: pairwise matches (here the

@@ -326,6 +326,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT query_id, corpus_id, cosine, rnk FROM ranked WHERE rnk <= {_TOPK}
     """,
     tags=("similarity", "ann", "ivf"),
+    bench=True,
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: the label column is the coarse-quantizer cell

@@ -252,6 +252,7 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY event_type
     """,
     tags=("streaming", "dedup"),
+    bench=True,
 )
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming deduplication (SURVEY.md §2.10): the events replay is

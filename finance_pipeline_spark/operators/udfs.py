@@ -191,6 +191,7 @@ def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY user_id
     """,
     tags=("udf", "grouped-map", "temporal"),
+    bench=True,
 )
 def grouped_user_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9 grouped-map surface: per-user inter-event gap statistics
