@@ -23,7 +23,7 @@ full SQL oracles.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from finance_pipeline_spark.registry import load, query
@@ -387,9 +387,15 @@ def hashed_shingle_rows(df: DataFrame) -> DataFrame:
     )
 
 
+_NGRAM_BLOCK_CAP = 512  # docs per (lang, len_bucket) block admitted to
+# pairing — the same boilerplate guard as _BUCKET_CAP in minhash/SRP-LSH:
+# candidate pairs are bounded by |blocks| × CAP²/2 no matter how the
+# corpus grows, instead of O(n²/|blocks|).
+
+
 @query(
     "dedup_ngram_jaccard",
-    oracle="""
+    oracle=f"""
     WITH sh AS (
         SELECT doc_id, lang,
                CAST(len(t) // 32 AS INTEGER) AS len_bucket,
@@ -400,12 +406,18 @@ def hashed_shingle_rows(df: DataFrame) -> DataFrame:
         FROM (SELECT doc_id, lang, text, string_split(trim(lower(text)), ' ') AS t
               FROM documents)
         WHERE len(t) >= 3
+    ), capped AS (
+        SELECT doc_id, lang, len_bucket, shingles FROM (
+            SELECT sh.*, row_number() OVER (PARTITION BY lang, len_bucket
+                                            ORDER BY doc_id) AS rn
+            FROM sh
+        ) WHERE rn <= {_NGRAM_BLOCK_CAP}
     )
     SELECT doc_a, doc_b, round(jac_raw, 4) AS jaccard FROM (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
                  / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jac_raw
-        FROM sh a JOIN sh b
+        FROM capped a JOIN capped b
           ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
     ) WHERE jac_raw >= 0.2
     """,
@@ -414,50 +426,75 @@ def hashed_shingle_rows(df: DataFrame) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked n-gram Jaccard near-dup pairs — trigram shingle sets,
-    candidate blocking on (lang, length-bucket) so the self-join is
-    per-block not global, exact Jaccard ≥ 0.2 verify. SQL-expressible
-    end to end, so this one carries the oracle for the whole fuzzy
-    family (shingles hashed to int64 on both engines — identical
-    counts, see ``hashed_shingle_rows``). Blocks grow with the corpus,
-    so this exhaustive-within-block variant is the *small/medium* tier;
-    at 100 TB use ``dedup_minhash_lsh``, whose band buckets stay
-    bounded."""
+    blocking on (lang, length-bucket), exact Jaccard ≥ 0.2. The one
+    SQL-expressible fuzzy variant, so it carries the oracle for the
+    family (shingles hashed to int64 independently on each engine —
+    Jaccard *counts* are hash-agnostic, see ``hashed_shingle_rows``).
+
+    Scale shape (replaces the r2 exhaustive-within-block self-join):
+
+    - **Inverted-index similarity join.** Shingles explode to postings
+      and pairs form per (block, shingle) posting list, so two docs
+      meet only if they *share* a shingle — J ≥ 0.2 implies ≥1 shared
+      shingle, making the prune lossless while the all-pairs space
+      (overwhelmingly zero-overlap pairs) never materializes.
+      |A∩B| = postings-join match count; |A∪B| = |A| + |B| − |A∩B|
+      from per-doc set sizes carried on the posting. Work scales with
+      Σ|posting list|², not Σ|block|², and the shuffle key
+      (lang, len_bucket, shingle) is high-cardinality — no salting
+      needed, skew spreads naturally.
+    - **Deterministic block cap.** Only the ``_NGRAM_BLOCK_CAP``
+      lowest doc_ids per block are admitted (mirrored exactly in the
+      oracle's row_number), bounding the worst case — a boilerplate
+      shingle shared by a whole block — at CAP²/2 pairs per block,
+      like the minhash/SRP bucket caps. The rank is a per-block sort
+      (linear straggler on a monster block, never quadratic).
+
+    The cap engages from sf0.1 up (largest block there is 745 docs;
+    sf0.01 tops out at 82, so the oracle row is cap-exercised at the
+    bench SF and cap-free at the gate SF — both mirrored exactly); the
+    full-recall scale path for over-full blocks remains
+    ``dedup_minhash_lsh``."""
     sh = hashed_shingle_rows(load(spark, sf_dir, "documents"))
-    # Salted triangle self-join. Block keys are few (|langs| × length
-    # buckets), so an unsalted join lands whole blocks — and their n²
-    # pair explosion — on single tasks (AQE even coalesces the small
-    # shuffle to ONE partition). Salting: the a-side carries
-    # doc_id % P, the b-side replicates each row to all P salts; a pair
-    # (x < y) matches exactly once, on y's copy with x's salt. The
-    # pair-verification work now spreads over blocks × P tasks. The
-    # explicit repartition pins the partition count (disables AQE
-    # coalescing) and both sides share the distribution, so the join
-    # adds no extra exchange.
-    P = 16
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    a = sh.withColumn("salt", F.pmod("doc_id", F.lit(P)).cast("int")).repartition(
-        n_part, "lang", "len_bucket", "salt"
-    ).alias("a")
-    b = sh.withColumn(
-        "salt", F.explode(F.array(*[F.lit(i) for i in range(P)]))
-    ).repartition(n_part, "lang", "len_bucket", "salt").alias("b")
-    inter = F.size(F.array_intersect("a.shingles", "b.shingles")).cast("double")
-    union = F.size(F.array_union("a.shingles", "b.shingles")).cast("double")
-    return (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.len_bucket") == F.col("b.len_bucket"))
-            & (F.col("a.salt") == F.col("b.salt"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .withColumn("jac_raw", inter / union)
-        .filter(F.col("jac_raw") >= 0.2)
+    w = W.partitionBy("lang", "len_bucket").orderBy("doc_id")
+    capped = (
+        sh.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _NGRAM_BLOCK_CAP)
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.round("jac_raw", 4).alias("jaccard"),
+            "doc_id", "lang", "len_bucket", "shingles",
+            F.size("shingles").alias("n_sh"),
         )
+    )
+    # Materialize the inverted index ONCE before the self-join.
+    # Catalyst's self-join disambiguation re-aliases one side, which
+    # defeats exchange/stage reuse (measured: the Arrow shingle kernel
+    # and the documents scan run twice without this) — and at scale
+    # you'd materialize the index anyway rather than recompute it per
+    # join side. localCheckpoint storage lives in the executor block
+    # manager and is freed with the DataFrame (same lifecycle as the
+    # label-propagation rounds below).
+    postings = capped.select(
+        "lang", "len_bucket", "doc_id", "n_sh", F.explode("shingles").alias("shingle")
+    ).localCheckpoint(eager=True)
+    a = postings.select(
+        "lang", "len_bucket", "shingle",
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("sa"),
+    )
+    b = postings.select(
+        "lang", "len_bucket", "shingle",
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("sb"),
+    )
+    common = (
+        a.join(b, ["lang", "len_bucket", "shingle"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "sa", "sb")
+        .agg(F.count(F.lit(1)).cast("double").alias("common"))
+    )
+    jac = F.col("common") / (F.col("sa") + F.col("sb") - F.col("common"))
+    return (
+        common.withColumn("jac_raw", jac)
+        .filter(F.col("jac_raw") >= 0.2)
+        .select("doc_a", "doc_b", F.round("jac_raw", 4).alias("jaccard"))
     )
 
 

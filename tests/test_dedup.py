@@ -110,6 +110,29 @@ def test_ngram_jaccard_matches_python_sets(spark, tmp_path):
         assert abs(len(a & b) / len(a | b) - jac) < 1e-3
 
 
+def test_ngram_jaccard_block_cap_bounds_skewed_block(spark, tmp_path, monkeypatch):
+    """A monster block (every doc same lang + length bucket, all
+    near-identical) must not go quadratic: only the CAP lowest doc_ids
+    are admitted to pairing, so candidate count is bounded at
+    CAP·(CAP−1)/2 per block no matter the corpus size."""
+    from finance_pipeline_spark.operators import dedup as D
+
+    rng = random.Random(11)
+    base = random_doc(rng, n_tokens=40)
+    # 30 near-copies of one doc → one block, all pairs above threshold.
+    sf = write_documents(
+        tmp_path, [(i, perturb_doc(rng, base, n_edits=1)) for i in range(30)]
+    )
+    monkeypatch.setattr(D, "_NGRAM_BLOCK_CAP", 10)
+    rows = registry.QUERIES["dedup_ngram_jaccard"].fn(spark, sf).collect()
+    ids = {r.doc_a for r in rows} | {r.doc_b for r in rows}
+    # deterministic admission: exactly the 10 smallest doc_ids pair up
+    assert ids <= set(range(10)), f"cap admitted unexpected ids: {sorted(ids)}"
+    assert len(rows) <= 10 * 9 // 2
+    # and with every pair a near-dup, the admitted block is fully paired
+    assert len(rows) == 10 * 9 // 2
+
+
 def test_minhash_is_deterministic(spark, tmp_path):
     """Same corpus, two runs → identical pair sets (crc-based hashing
     is seed-free; a PYTHONHASHSEED-dependent hash would flake here)."""
