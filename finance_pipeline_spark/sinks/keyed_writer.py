@@ -17,8 +17,9 @@ side would be bucketed/partitioned by key so the anti-join prunes to
 matching partitions. The read-modify-write is non-atomic across
 concurrent writers — acceptable and documented: the reference is a
 single-writer daily batch (GitHub Actions cron), and a multi-writer
-deployment would swap this module for Delta ``MERGE WHEN NOT MATCHED``
-with no pipeline changes.
+deployment swaps the ``KeyedTable`` class below for a transactional
+format (Delta ``MERGE WHEN NOT MATCHED``) behind the same ``merge``
+call.
 
 K6's bulk-then-row-loop fallback collapses away: the anti-join gives
 the intended "insert new, skip dupes, count both" uniformly (the
@@ -116,20 +117,83 @@ def idempotent_append(
     # created_at ingest-audit column (DEFAULT CURRENT_TIMESTAMP in the
     # reference DDLs) — the incremental-sync watermark.
     stamped = new_rows.withColumn("created_at", F.current_timestamp())
-    # Two consumers (count + write) → persist so the anti-join runs
-    # once and both see the same rows.
-    stamped.persist()
+    # Write-then-count: ONE job writes the increment to a staging dir
+    # under the table (underscore prefix → invisible to parquet
+    # FileIndex), `inserted` comes from the written footers (metadata
+    # read, no second plan execution — replaces the r2 full-increment
+    # persist()), and files move into the table only when non-empty:
+    # a no-op re-run leaves zero files behind, and readers never see a
+    # partially-written part file.
+    import uuid
+
+    staging = Path(path) / f"_staging_{uuid.uuid4().hex}"
     try:
-        inserted = stamped.count()
+        stamped.write.mode("overwrite").parquet(str(staging))
+        parts = sorted(staging.glob("*.parquet"))
+        inserted = _footer_row_count(parts)
         if inserted:
-            stamped.write.mode("append").parquet(path)
+            for part in parts:
+                part.rename(Path(path) / f"{staging.name[9:]}-{part.name}")
     finally:
-        stamped.unpersist()
+        shutil.rmtree(staging, ignore_errors=True)
     stats = WriteStats(inserted=inserted, skipped=total - inserted)
     log.info(
         "keyed append to %s: %d inserted, %d skipped", path, stats.inserted, stats.skipped
     )
     return stats
+
+
+def _footer_row_count(parts) -> int:
+    """Row count from parquet footers — pure metadata, no data scan.
+    (On an object store you'd list + read footers the same way; this
+    is what `spark.read.parquet(...).count()` compiles to for an
+    unfiltered parquet scan, minus the job-scheduling overhead.)"""
+    import pyarrow.parquet as pq
+
+    return sum(pq.ParquetFile(p).metadata.num_rows for p in parts)
+
+
+class KeyedTable:
+    """The merge seam for keyed idempotent writes.
+
+    ``merge(incoming)`` = insert rows whose key is absent, skip the
+    rest, report both counts — the reference's ``INSERT OR IGNORE``
+    semantic as a table-format-agnostic interface. This parquet
+    implementation does snapshot-read → anti-join → staged append,
+    which is correct for a SINGLE writer (the reference's deployment: a
+    daily cron). It is NOT atomic across concurrent writers: two
+    writers that snapshot before either publishes can both insert the
+    same key (documented + exercised in
+    tests/test_pipelines.py::test_concurrent_writers_can_double_insert).
+
+    A multi-writer deployment swaps this class for a transactional
+    table format with the same one-call surface, e.g. Delta Lake::
+
+        DeltaTable.forPath(spark, path).alias("t").merge(
+            incoming.alias("i"), "<keys equal>"
+        ).whenNotMatchedInsertAll().execute()
+
+    (delta-spark isn't in this container, so that variant stays
+    documentation; everything upstream of the writer is already
+    format-agnostic — pipelines depend only on ``merge``.)
+    """
+
+    def __init__(self, spark: SparkSession, path: str, keys: list[str]):
+        self.spark = spark
+        self.path = path
+        self.keys = list(keys)
+
+    def exists(self) -> bool:
+        return table_exists(self.path)
+
+    def read(self) -> DataFrame | None:
+        return read_table(self.spark, self.path)
+
+    def merge(self, incoming: DataFrame) -> WriteStats:
+        return idempotent_append(self.spark, incoming, self.path, self.keys)
+
+    def drop(self) -> bool:
+        return drop_table(self.path)
 
 
 def top_rows(spark: SparkSession, path: str, order_cols, n: int = 10) -> DataFrame:

@@ -11,6 +11,8 @@ from pathlib import Path
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from finance_pipeline_spark.pipelines import run_etl
 from finance_pipeline_spark.pipelines.config import (
     API_TABLE,
@@ -216,6 +218,58 @@ def test_keyed_writer_first_wins_property(spark, tmp_path):
     stats = idempotent_append(spark, df, path, ["currency", "timestamptz"])
     assert stats.inserted == 0 and stats.skipped == len(all_rows)
     assert drop_table(path) and not table_exists(path)
+
+
+def test_keyed_table_merge_seam(spark, tmp_path):
+    """KeyedTable.merge == idempotent_append behind a swappable
+    interface (the Delta-MERGE seam): insert-new, skip-dupe, account."""
+    from finance_pipeline_spark.sinks.keyed_writer import KeyedTable
+
+    t = KeyedTable(spark, str(tmp_path / "t"), ["currency", "timestamptz"])
+    df = spark.createDataFrame(
+        [("USD", dt.datetime(2025, 5, 1, 10), 1.1), ("USD", dt.datetime(2025, 5, 1, 10), 2.2)],
+        "currency string, timestamptz timestamp, exchange_rate double",
+    )
+    s1 = t.merge(df)
+    assert (s1.inserted, s1.skipped) == (1, 1)  # in-batch dup skipped
+    s2 = t.merge(df)
+    assert (s2.inserted, s2.skipped) == (0, 2)  # replay is a no-op
+    assert t.read().count() == 1
+    assert t.drop() and not t.exists()
+
+
+def test_concurrent_writers_can_double_insert(spark, tmp_path):
+    """Documents the non-atomicity boundary of the parquet KeyedTable:
+    two writers that SNAPSHOT the table before either PUBLISHES both
+    pass the anti-join and insert the same key — the race a
+    transactional format (Delta MERGE) closes. Sequential writers are
+    safe (asserted in test_keyed_table_merge_seam); this test pins the
+    interleaved behavior so the boundary stays documented, not
+    accidental."""
+    from finance_pipeline_spark.sinks.keyed_writer import read_table as rt
+
+    path = str(tmp_path / "t")
+    schema = "currency string, timestamptz timestamp, exchange_rate double"
+    base = spark.createDataFrame([("EUR", dt.datetime(2025, 5, 1, 10), 1.0)], schema)
+    idempotent_append(spark, base, path, ["currency", "timestamptz"])
+
+    key = ("USD", dt.datetime(2025, 5, 2, 10))
+    inc1 = spark.createDataFrame([(*key, 1.5)], schema)
+    inc2 = spark.createDataFrame([(*key, 1.6)], schema)
+    # Interleave: both snapshot (parquet file listing happens at read
+    # time) before either publishes, exactly the cron double-fire case.
+    snap1, snap2 = rt(spark, path), rt(spark, path)
+    new1 = inc1.join(snap1.select("currency", "timestamptz"), ["currency", "timestamptz"], "left_anti")
+    new2 = inc2.join(snap2.select("currency", "timestamptz"), ["currency", "timestamptz"], "left_anti")
+    new1.write.mode("append").parquet(path)
+    new2.write.mode("append").parquet(path)
+
+    dup_rows = (
+        read_table(spark, path)
+        .filter((F.col("currency") == "USD"))
+        .count()
+    )
+    assert dup_rows == 2  # the documented double-insert under interleaving
 
 
 def test_sync_ships_recent_rows_to_spool(spark, tmp_path):
