@@ -103,8 +103,28 @@ def decode_image_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 @query(
     "mm_decode_features",
-    oracle=None,  # decode runs through mapInPandas (stubbed codec) —
-    # rows-only; batch-shape & determinism asserted in tests/test_multimodal.py.
+    # The stub codec is pure arithmetic over the payload bytes, so it
+    # replicates exactly in SQL: byte values come from hex() pairs of
+    # the UTF-8 blob (no float divergence — the mean divides two exact
+    # small integers, bit-identical IEEE division on both engines).
+    oracle="""
+    WITH b AS (
+        SELECT doc_id,
+               octet_length(encode(text)) AS n,
+               hex(encode(text)) AS h
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(64 + (n % 191) AS INTEGER) AS width,
+           CAST(64 + ((n * 31) % 127) AS INTEGER) AS height,
+           CAST(n AS BIGINT) AS n_bytes,
+           CASE WHEN n = 0 THEN 0.0 ELSE
+             CAST(list_sum([('0x' || substr(h, 2*i-1, 2))::INT
+                            FOR i IN range(1, least(n, 256) + 1)]) AS DOUBLE)
+             / least(n, 256)
+           END AS mean_intensity
+    FROM b
+    """,
     tags=("multimodal", "udf"),
 )
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
