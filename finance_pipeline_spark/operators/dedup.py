@@ -627,24 +627,21 @@ def dedup_connected_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("u")
             .agg(F.min("comp").alias("n_comp"))
         )
-        new_labels = (
+        # The changed flag rides the label update itself, so the
+        # convergence probe is a filter over the round's checkpoint —
+        # no second join/shuffle per round (was ~40% of round cost).
+        new_comp = F.least(F.col("comp"), F.coalesce(F.col("n_comp"), F.col("comp")))
+        with_flag = (
             labels.join(neighbor_min, "u", "left")
             .select(
                 "u",
-                F.least(
-                    F.col("comp"), F.coalesce(F.col("n_comp"), F.col("comp"))
-                ).alias("comp"),
+                new_comp.alias("new_comp"),
+                (new_comp != F.col("comp")).alias("chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            labels.join(new_labels.withColumnRenamed("comp", "nc"), "u")
-            .filter(F.col("comp") != F.col("nc"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        labels = with_flag.select("u", F.col("new_comp").alias("comp"))
+        if with_flag.filter("chg").limit(1).isEmpty():
             converged = True
             break
     if not converged:
