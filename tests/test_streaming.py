@@ -33,6 +33,61 @@ def test_session_windows_non_overlapping_per_user(spark, sf_dir):
             assert e1 <= s2, (user, (s1, e1), s2)
 
 
+def test_session_window_exact_gap_boundary(spark, tmp_path):
+    """Pin the exact-gap semantics the oracle encodes (ADVICE r2): an
+    event landing exactly gap after the previous one MERGES into that
+    session; a split needs a strictly greater gap. The driver testdata
+    has no exact 5-minute gaps, so the oracle row can't exercise this —
+    plant one, and check Spark against the DuckDB oracle on it."""
+    import datetime as dt
+
+    import duckdb
+    import pandas as pd
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    events = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4],
+            "ts": [
+                t0,
+                t0 + dt.timedelta(minutes=5),          # exact gap → same session
+                t0 + dt.timedelta(minutes=10, seconds=1),  # gap 5:01 → new session
+                t0 + dt.timedelta(hours=2),            # far → third session
+            ],
+            "user_id": [7, 7, 7, 7],
+            "event_type": ["click"] * 4,
+            "value": [1.0, 2.0, 3.0, 4.0],
+        }
+    )
+    events["ts"] = events["ts"].astype("datetime64[us]")
+    sf = str(tmp_path)
+    events.to_parquet(f"{sf}/events.parquet", index=False)
+
+    spec = registry.QUERIES["win_session"]
+    got = sorted(
+        (r.session_start, r.session_end, r.n_events)
+        for r in spec.fn(spark, sf).collect()
+    )
+    assert got == [
+        (t0, t0 + dt.timedelta(minutes=10), 2),  # merged pair, end = last event + gap
+        (
+            t0 + dt.timedelta(minutes=10, seconds=1),
+            t0 + dt.timedelta(minutes=15, seconds=1),
+            1,
+        ),
+        (t0 + dt.timedelta(hours=2), t0 + dt.timedelta(hours=2, minutes=5), 1),
+    ]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    oracle = sorted(
+        (s, e, n)
+        for _, s, e, n, _ in con.execute(spec.oracle).fetchall()
+    )
+    assert oracle == got
+
+
 def test_stream_dedup_removes_planted_duplicates(spark, sf_dir):
     clean = {
         (r.event_type,): r.n_events
