@@ -39,7 +39,9 @@ def force(df) -> None:
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    repeat = 2  # min-of-2 damps JIT/GC/python-worker-startup variance
+    repeat = 3  # min-of-3: the host shows bursty CPU-steal windows
+    # (identical code measured 35s/64s/42s across runs); two repeats
+    # aren't enough for a stable minimum
     if "--repeat" in sys.argv:
         repeat = int(sys.argv[sys.argv.index("--repeat") + 1])
     try:
