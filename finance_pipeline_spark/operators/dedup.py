@@ -391,6 +391,12 @@ _NGRAM_BLOCK_CAP = 512  # docs per (lang, len_bucket) block admitted to
 # pairing — the same boilerplate guard as _BUCKET_CAP in minhash/SRP-LSH:
 # candidate pairs are bounded by |blocks| × CAP²/2 no matter how the
 # corpus grows, instead of O(n²/|blocks|).
+#
+# NOTE: the registered oracle SQL captures this value at import time,
+# while the Spark path reads the module global at call time. A runtime
+# override (tests monkeypatch it to exercise the cap cheaply) desyncs
+# the two — fine for oracle-free pytest, never do it under
+# tools/check_oracle.py. A permanent change here keeps them in sync.
 
 
 @query(

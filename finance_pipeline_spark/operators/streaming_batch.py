@@ -27,24 +27,26 @@ def _dec(c):
 
 def _stage_file(src: str, dst) -> bool:
     """Copy ``src`` into the stream staging dir unless an up-to-date
-    staged copy exists. Freshness = same size AND staged copy no older
-    than the source's mtime (``copystat`` preserves it), so regenerated
-    testdata with identical byte size but different content re-stages
-    instead of silently replaying a stale file. Copy goes through tmp +
-    atomic rename, so a killed copy never leaves a truncated parquet
-    for later runs to replay. Returns True when (re)staged."""
+    staged copy exists. Freshness is tracked in a sidecar marker
+    recording the source's exact (size, mtime_ns) at staging time and
+    compared by EQUALITY — ordering comparisons fail both ways
+    (archive-restored testdata carries *older* mtimes and would replay
+    stale; coarse filesystem timestamps re-stage every run). Copy goes
+    through tmp + atomic rename, so a killed copy never leaves a
+    truncated parquet for later runs to replay. Returns True when
+    (re)staged."""
     import os
     import shutil
 
     st = os.stat(src)
-    if dst.exists():
-        dst_st = dst.stat()
-        if dst_st.st_size == st.st_size and dst_st.st_mtime >= st.st_mtime:
-            return False
+    fingerprint = f"{st.st_size}:{st.st_mtime_ns}"
+    marker = dst.parent / f".{dst.name}.src"
+    if dst.exists() and marker.exists() and marker.read_text() == fingerprint:
+        return False
     tmp = dst.parent / f".{dst.name}.{os.getpid()}.tmp"
     shutil.copyfile(src, tmp)
-    shutil.copystat(src, tmp)
     tmp.replace(dst)
+    marker.write_text(fingerprint)
     return True
 
 

@@ -284,19 +284,29 @@ DRIVER_WINDOW = 50  # observed driver evaluation cap (r1 + r2)
 def ordered_queries() -> dict[str, QuerySpec]:
     """All registered queries in curated PRIORITY order.
 
-    Raises if PRIORITY and the registry ever drift apart (a new operator
-    must take an explicit position — silently appending would repeat the
-    round-2 mistake where adding a query evicted ``a3_affected_rows``
-    from the evaluated window)."""
+    Drift between PRIORITY and the registry degrades, never fails: a
+    query registered but missing from PRIORITY is appended AFTER every
+    curated position (past the evaluation window — it cannot evict
+    anything, which was the round-2 mistake), and a PRIORITY name with
+    no registration is skipped. Hard-failing here would zero out the
+    entire driver round over one forgotten list entry;
+    tests/test_registry.py asserts exact PRIORITY⇔registry equality,
+    so drift still fails CI loudly."""
     load_all()
     missing = [n for n in PRIORITY if n not in QUERIES]
     unlisted = [n for n in QUERIES if n not in PRIORITY]
     if missing or unlisted:
-        raise RuntimeError(
+        import warnings
+
+        warnings.warn(
             f"PRIORITY drift: missing from registry {missing}; "
-            f"registered but unlisted {unlisted}"
+            f"registered but unlisted {unlisted} (appended past the window)",
+            stacklevel=2,
         )
-    return {name: QUERIES[name] for name in PRIORITY}
+    ordered = {name: QUERIES[name] for name in PRIORITY if name in QUERIES}
+    for name in unlisted:
+        ordered[name] = QUERIES[name]
+    return ordered
 
 
 def load_all() -> None:

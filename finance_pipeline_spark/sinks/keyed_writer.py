@@ -132,8 +132,9 @@ def idempotent_append(
         parts = sorted(staging.glob("*.parquet"))
         inserted = _footer_row_count(parts)
         if inserted:
+            run_id = staging.name.removeprefix("_staging_")
             for part in parts:
-                part.rename(Path(path) / f"{staging.name[9:]}-{part.name}")
+                part.rename(Path(path) / f"{run_id}-{part.name}")
     finally:
         shutil.rmtree(staging, ignore_errors=True)
     stats = WriteStats(inserted=inserted, skipped=total - inserted)

@@ -99,9 +99,9 @@ def test_driver_window_covers_every_family():
         p = Path(__file__).resolve().parents[1] / f
         if p.exists():
             rows = json.loads(p.read_text())
-            proven |= {
-                n for n, r in rows.items()
-                if r.get("hash_match") or r.get("err") == "no_oracle"
-            }
+            # hash-green only: a rows-only ('no_oracle') driver row
+            # verified nothing about values and doesn't count as
+            # evidence for rotating a query out of the window.
+            proven |= {n for n, r in rows.items() if r.get("hash_match")}
     unproven = past_fold - proven
     assert not unproven, f"past-fold queries without prior driver row: {sorted(unproven)}"
