@@ -308,7 +308,39 @@ def simhash_signatures(df: DataFrame) -> DataFrame:
 
 @query(
     "dedup_simhash",
-    oracle=None,  # md5-64-based — rows-only; hamming property asserted in tests.
+    # Portable oracle: _hash64 is an md5 truncation and DuckDB's md5()
+    # produces the same digest, so the full signature pipeline
+    # replicates in SQL — token hash = first 8 digest bytes read
+    # little-endian (reversed hex pairs), per-bit majority vote, band
+    # keys and the hamming verify all in UBIGINT (sign never matters:
+    # only doc ids and the hamming count are output).
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, list_distinct(string_split(trim(lower(text)), ' ')) AS ts
+        FROM documents
+    ), hashed AS (
+        SELECT doc_id,
+               [('0x' || substr(h,15,2) || substr(h,13,2) || substr(h,11,2) || substr(h,9,2) ||
+                 substr(h,7,2) || substr(h,5,2) || substr(h,3,2) || substr(h,1,2))::UBIGINT
+                FOR h IN [md5(t) FOR t IN ts]] AS hs
+        FROM toks WHERE len(ts) > 0
+    ), sigs AS (
+        SELECT doc_id,
+               CAST(list_sum([
+                   CASE WHEN 2 * list_sum([CAST((h >> k) & 1 AS BIGINT) FOR h IN hs]) > len(hs)
+                        THEN (1::UBIGINT << k)::HUGEINT ELSE 0::HUGEINT END
+                   FOR k IN range(0, 64)]) AS UBIGINT) AS sig
+        FROM hashed
+    ), banded AS (
+        SELECT doc_id, sig, k AS band, (sig >> (16*k)) & 65535 AS bkey
+        FROM sigs, unnest(range(0,4)) AS t(k)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= 3
+    """,
     tags=("dedup", "simhash"),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
