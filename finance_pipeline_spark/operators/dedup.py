@@ -155,9 +155,14 @@ _MINHASH_BUCKET_CAP = 512  # docs per band bucket before the bucket is
 def minhash_band_rows(df: DataFrame) -> DataFrame:
     """(doc_id, text) → (doc_id, band_key): trigram shingles, 32-perm
     MinHash, 8 band buckets — one Arrow-batched Python kernel
-    (vectorized numpy permutations over crc32 shingle hashes)."""
-    import zlib
+    (vectorized numpy permutations over md5-64 shingle hashes).
 
+    Shingle and band-key hashing is ``_hash64`` (md5 truncation), not
+    crc32: 32-bit shingle hashes collide corpus-wide past ~2¹⁶ distinct
+    shingles (birthday bound), silently inflating similarity at scale —
+    and md5 is portable, so the whole candidate-generation pipeline is
+    replicated in the DuckDB oracle below (splitmix multiply emulated
+    with 32-bit half products in HUGEINT)."""
     import numpy as np
     import pandas as pd
 
@@ -171,12 +176,12 @@ def minhash_band_rows(df: DataFrame) -> DataFrame:
                 if not shingles:
                     continue
                 h = np.array(
-                    [zlib.crc32(s.encode("utf-8")) for s in shingles], dtype=np.uint64
-                )
+                    [_hash64(s.encode("utf-8")) for s in shingles], dtype=np.int64
+                ).view(np.uint64)
                 sig = (a * h + b).min(axis=1)  # (32,) — uint64 wraparound
                 for band in range(_LSH_BANDS):
                     band_sig = sig[band * _ROWS_PER_BAND : (band + 1) * _ROWS_PER_BAND]
-                    key = zlib.crc32(
+                    key = _hash64(
                         (str(band) + ":" + ",".join(map(str, band_sig))).encode()
                     )
                     out_ids.append(doc_id)
@@ -193,9 +198,82 @@ def minhash_band_rows(df: DataFrame) -> DataFrame:
     )
 
 
+def _minhash_oracle() -> str:
+    """DuckDB replica of the full MinHash-LSH pipeline. Portable because
+    every ingredient is: trigram shingles are strings, the shingle/band
+    hashes are md5 truncations (DuckDB md5() = same digest; first 8
+    bytes little-endian = reversed hex pairs), and the multiply-shift
+    permutation ``(a·h + b) mod 2⁶⁴`` is emulated exactly in HUGEINT by
+    splitting ``a`` into 32-bit halves (each partial product < 2⁹⁶,
+    inside signed-128 range; property-tested against Python in
+    tests/test_dedup.py). The verify stage intersects the shingle
+    string lists directly — hash-free, so it can't collide."""
+    m64, m32 = 1 << 64, 1 << 32
+
+    def h64(hex_expr: str) -> str:
+        parts = " || ".join(f"substr({hex_expr},{i},2)" for i in (15, 13, 11, 9, 7, 5, 3, 1))
+        return f"('0x' || {parts})::UBIGINT"
+
+    perms = []
+    for a, b in zip(_PERM_A, _PERM_B):
+        a_hi, a_lo = a >> 32, a & 0xFFFFFFFF
+        perms.append(
+            f"list_min([CAST((({a_lo}::HUGEINT * hh"
+            f" + (({a_hi}::HUGEINT * hh) % {m32}) * {m32}"
+            f" + {b}::HUGEINT) % {m64}) AS UBIGINT) FOR hh IN hs])"
+        )
+    sig_list = ",\n               ".join(perms)
+    band_keys = []
+    for i in range(_LSH_BANDS):
+        base = i * _ROWS_PER_BAND
+        csv = ", ',', ".join(
+            f"CAST(sig[{base + j + 1}] AS VARCHAR)" for j in range(_ROWS_PER_BAND)
+        )
+        band_keys.append(h64(f"md5(concat('{i}:', {csv}))"))
+    bands_list = ",\n               ".join(band_keys)
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(trim(lower(text)), ' ') AS t FROM documents
+    ), strs AS (
+        SELECT doc_id,
+               list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                              FOR i IN range(1, greatest(len(t) - 1, 1))]) AS ss
+        FROM toks WHERE len(t) >= 3
+    ), hashed AS (
+        SELECT doc_id, [{h64('hx')} FOR hx IN [md5(s) FOR s IN ss]] AS hs
+        FROM strs
+    ), sigs AS (
+        SELECT doc_id,
+               [{sig_list}] AS sig
+        FROM hashed
+    ), bands AS (
+        SELECT doc_id, band_key
+        FROM sigs, unnest([{bands_list}]) AS u(band_key)
+    ), capped AS (
+        SELECT doc_id, band_key FROM (
+            SELECT doc_id, band_key,
+                   count(*) OVER (PARTITION BY band_key) AS n
+            FROM bands
+        ) WHERE n <= {_MINHASH_BUCKET_CAP}
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM capped a JOIN capped b
+          ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, jaccard FROM (
+        SELECT c.doc_a, c.doc_b,
+               round(CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)
+                     / len(list_distinct(list_concat(sa.ss, sb.ss))), 4) AS jaccard
+        FROM cand c
+        JOIN strs sa ON sa.doc_id = c.doc_a
+        JOIN strs sb ON sb.doc_id = c.doc_b
+    ) WHERE jaccard >= 0.5
+    """
+
+
 @query(
     "dedup_minhash_lsh",
-    oracle=None,  # MinHash banding isn't portable SQL — rows-only; tests plant near-dups.
+    oracle=_minhash_oracle(),
     tags=("dedup", "lsh"),
     bench=True,
 )
@@ -210,7 +288,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     surviving pair instead of ×8 bands. Buckets over _MINHASH_BUCKET_CAP
     docs are dropped (boilerplate guard). Verification is a Python
     set-Jaccard kernel over the few surviving pairs. Planted-dup
-    recall/precision asserted in tests/test_dedup.py."""
+    recall/precision asserted in tests/test_dedup.py; the full pipeline
+    (md5-64 shingles, splitmix permutations, band keys, cap, verify) is
+    additionally hash-checked against the DuckDB replica built by
+    ``_minhash_oracle``."""
     import pandas as pd
 
     from pyspark.sql import Window as W
@@ -244,11 +325,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     t_b = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
 
     def verify(batches):
+        import math
+
+        def round4(x: float) -> float:
+            # Half-up like SQL round(); Python's round() is banker's
+            # and would diverge from the oracle on exact .00005 ties.
+            return math.floor(x * 10000.0 + 0.5) / 10000.0
+
         for pdf in batches:
             sh_a = [_py_shingles(t) for t in pdf["text_a"]]
             sh_b = [_py_shingles(t) for t in pdf["text_b"]]
             jac = [
-                round(len(x & y) / len(x | y), 4) if (x and y) else 0.0
+                round4(len(x & y) / len(x | y)) if (x and y) else 0.0
                 for x, y in zip(sh_a, sh_b)
             ]
             yield pd.DataFrame(

@@ -231,7 +231,11 @@ def _banded(sig_df: DataFrame) -> DataFrame:
 
 @query(
     "ann_lsh_topk",
-    oracle=None,  # hyperplane hashing isn't portable SQL — recall vs the
+    oracle=None,  # genuinely non-portable: signature bits are signs of
+    # FLOAT dot products, and numpy's pairwise/SIMD summation order has
+    # no bit-exact SQL replica — near-zero projections would flip sign
+    # and change the candidate set (unlike the integer-exact minhash /
+    # simhash pipelines, which are oracle-checked). Recall vs the
     # brute-force baseline is asserted in tests/test_similarity.py.
     tags=("similarity", "ann", "lsh"),
 )

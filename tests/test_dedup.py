@@ -133,6 +133,34 @@ def test_ngram_jaccard_block_cap_bounds_skewed_block(spark, tmp_path, monkeypatc
     assert len(rows) == 10 * 9 // 2
 
 
+def test_minhash_oracle_mulmod_emulation_matches_python():
+    """The DuckDB oracle emulates the uint64-wraparound permutation
+    (a·h + b) mod 2⁶⁴ with 32-bit half products in HUGEINT; property-
+    check the emulation against Python integer arithmetic for every
+    registered permutation over random + boundary hash values."""
+    import duckdb
+
+    from finance_pipeline_spark.operators.dedup import _PERM_A, _PERM_B
+
+    con = duckdb.connect()
+    m64, m32 = 1 << 64, 1 << 32
+    rng = random.Random(99)
+    hashes = [0, 1, m64 - 1, (1 << 63), (1 << 32) - 1] + [
+        rng.getrandbits(64) for _ in range(20)
+    ]
+    for a, b in zip(_PERM_A, _PERM_B):
+        a_hi, a_lo = a >> 32, a & 0xFFFFFFFF
+        for h in hashes:
+            want = (a * h + b) % m64
+            got = con.execute(
+                f"SELECT CAST((({a_lo}::HUGEINT * hh"
+                f" + (({a_hi}::HUGEINT * hh) % {m32}) * {m32}"
+                f" + {b}::HUGEINT) % {m64}) AS UBIGINT)"
+                f" FROM (SELECT {h}::HUGEINT AS hh)"
+            ).fetchone()[0]
+            assert got == want, (a, b, h)
+
+
 def test_minhash_is_deterministic(spark, tmp_path):
     """Same corpus, two runs → identical pair sets (crc-based hashing
     is seed-free; a PYTHONHASHSEED-dependent hash would flake here)."""
