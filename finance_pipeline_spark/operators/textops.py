@@ -300,3 +300,77 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(sym_ratio, 4).alias("symbol_ratio"),
         keep.alias("keep"),
     )
+
+
+_PACK_CTX = 4096  # tokens per packed training context window
+_PACK_SHARDS = 8  # packing parallelism: streams are packed per
+# (lang, shard) so the cumulative-sum window scan never serializes a
+# whole language onto one task; pack identity stays globally unique as
+# (lang, shard, pack_no). Sharding by doc_id % N is deterministic and
+# engine-portable (no hash function involved).
+
+
+@query(
+    "text_pack_sequences",
+    oracle=f"""
+    WITH sized AS (
+        SELECT doc_id, lang,
+               CAST(doc_id % {_PACK_SHARDS} AS INTEGER) AS shard,
+               CAST(len({_sql_tokens()}) AS BIGINT) AS n_tokens
+        FROM documents
+    ), packed AS (
+        SELECT doc_id, lang, shard, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+        FROM sized
+    )
+    SELECT doc_id, lang, shard, n_tokens,
+           CAST((cum - n_tokens) // {_PACK_CTX} AS BIGINT) AS pack_no,
+           CAST((cum - n_tokens) % {_PACK_CTX} AS BIGINT) AS pack_offset
+    FROM packed
+    """,
+    tags=("text", "packing"),
+)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — assign every document a position in a stream
+    of fixed-size training context windows (the document-splitting
+    packing model GPT-style pretraining uses: documents are
+    concatenated per stream and windows cut every ``_PACK_CTX``
+    tokens, so a document starting at offset ``cum - n_tokens`` lands
+    in pack ``start // ctx`` at ``start % ctx``).
+
+    Spark-first shape: ONE shuffle on the (lang, shard) stream key,
+    then a running-sum window — no iteration, no UDF. Packing is
+    order-dependent by nature, so the stream order (doc_id) is part of
+    the spec and both engines implement it identically; sharding by
+    ``doc_id % shards`` keeps the sequential window scan parallel at
+    corpus scale while leaving pack identity (lang, shard, pack_no)
+    deterministic. A downstream batch assembler groups by that triple
+    and slices text by pack_offset."""
+    d = load(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    toks = _tokens()
+    sized = d.select(
+        "doc_id",
+        "lang",
+        F.pmod("doc_id", F.lit(_PACK_SHARDS)).cast("int").alias("shard"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        W.partitionBy("lang", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    start = F.col("cum") - F.col("n_tokens")
+    return (
+        sized.withColumn("cum", F.sum("n_tokens").over(w))
+        .select(
+            "doc_id",
+            "lang",
+            "shard",
+            "n_tokens",
+            F.floor(start / _PACK_CTX).cast("bigint").alias("pack_no"),
+            (start % _PACK_CTX).cast("bigint").alias("pack_offset"),
+        )
+    )

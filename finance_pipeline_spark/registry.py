@@ -193,7 +193,6 @@ PRIORITY: tuple[str, ...] = (
     # flagship + one per agg shape
     "agg_pricing_summary",
     "agg_approx_distinct",
-    "agg_variance_exact",
     "agg_rollup",
     "win_rank_family",
     # dedup family (all five fuzzy variants + components)
@@ -239,7 +238,8 @@ PRIORITY: tuple[str, ...] = (
     "join_asof",
     "join_range_bands",
     "rollup_time_multi",
-    # text analysis (all seven)
+    # text analysis (all seven + sequence packing)
+    "text_pack_sequences",
     "text_token_count",
     "text_quality_score",
     "text_langid",
@@ -252,6 +252,7 @@ PRIORITY: tuple[str, ...] = (
     "stateful_user_totals",
     "grouped_user_gaps",
     # ---- fold: position 51+ — r1/r2-proven shape-duplicates ----
+    "agg_variance_exact",
     "agg_minmax_distinct",
     "agg_cube",
     "agg_pivot",
