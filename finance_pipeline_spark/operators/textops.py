@@ -374,3 +374,50 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             (start % _PACK_CTX).cast("bigint").alias("pack_offset"),
         )
     )
+
+
+@query(
+    "text_split_assign",
+    oracle="""
+    SELECT doc_id, lang, bucket_permille,
+           CASE WHEN bucket_permille < 980 THEN 'train'
+                WHEN bucket_permille < 990 THEN 'val'
+                ELSE 'test' END AS split,
+           bucket_permille < 100 AS in_10pct_sample
+    FROM (
+        SELECT doc_id, lang,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 1000
+                 AS bucket_permille
+        FROM documents
+    )
+    """,
+    tags=("text", "sampling"),
+)
+def text_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic split + sample assignment — every document hashes
+    to a stable permille bucket (first 24 bits of md5 over the decimal
+    doc_id, identical in both engines via hex→int), which drives a
+    98/1/1 train/val/test split and a reproducible 10% sample flag.
+
+    This is the reproducibility primitive a training pipeline needs:
+    membership depends only on the id, so re-runs, backfills, and
+    incremental loads land every document in the same split without
+    coordination or stored state. Pure JVM expressions (md5 + conv),
+    zero shuffle, embarrassingly parallel at any scale — and never
+    Spark's ``sample()``, whose membership changes with partitioning."""
+    d = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("bigint")
+        % 1000
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        bucket.alias("bucket_permille"),
+        F.when(bucket < 980, "train")
+        .when(bucket < 990, "val")
+        .otherwise("test")
+        .alias("split"),
+        (bucket < 100).alias("in_10pct_sample"),
+    )

@@ -210,7 +210,6 @@ PRIORITY: tuple[str, ...] = (
     "u2_anti_join",
     # derivations (parse / custom-format / cast / unnest representatives)
     "d1_parse_coerce",
-    "d4_custom_format_parse",
     "d9_map_explode",
     # multimodal
     "mm_binary_meta",
@@ -238,8 +237,9 @@ PRIORITY: tuple[str, ...] = (
     "join_asof",
     "join_range_bands",
     "rollup_time_multi",
-    # text analysis (all seven + sequence packing)
+    # text analysis (all seven + packing + split assignment)
     "text_pack_sequences",
+    "text_split_assign",
     "text_token_count",
     "text_quality_score",
     "text_langid",
@@ -254,6 +254,7 @@ PRIORITY: tuple[str, ...] = (
     # ---- fold: position 51+ — r1/r2-proven shape-duplicates ----
     "agg_variance_exact",
     "agg_minmax_distinct",
+    "d4_custom_format_parse",
     "agg_cube",
     "agg_pivot",
     "agg_unpivot",
