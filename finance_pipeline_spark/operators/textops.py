@@ -421,3 +421,71 @@ def text_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("split"),
         (bucket < 100).alias("in_10pct_sample"),
     )
+
+
+_DECON_MIN_SHARED = 3  # distinct shared trigrams before a train doc is
+# flagged against an eval doc (1 shared trigram is noise — common
+# phrases; measured at sf0.01: threshold 1 → 170 pairs, 3 → 4 pairs)
+
+
+@query(
+    "text_decontaminate",
+    # Shared-shingle COUNTS are hash-agnostic (same argument as the
+    # ngram-Jaccard oracle), so the oracle intersects raw trigram
+    # strings while Spark ships md5-64 ints.
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id, lang, text,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 1000 AS pm
+        FROM documents
+    ), sh AS (
+        SELECT doc_id, lang, pm,
+               list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                              FOR i IN range(1, greatest(len(t)-1, 1))]) AS ss
+        FROM (SELECT doc_id, lang, pm, string_split(trim(lower(text)), ' ') AS t FROM b)
+        WHERE len(t) >= 3
+    ), post AS (SELECT doc_id, lang, pm, unnest(ss) AS s FROM sh)
+    SELECT tr.doc_id AS doc_id, ev.doc_id AS contaminant_id,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM (SELECT * FROM post WHERE pm < 980) tr
+    JOIN (SELECT * FROM post WHERE pm >= 980) ev
+      ON tr.lang = ev.lang AND tr.s = ev.s
+    GROUP BY 1, 2 HAVING count(*) >= {_DECON_MIN_SHARED}
+    """,
+    tags=("text", "decontamination"),
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination check — flag train-split documents
+    sharing ≥ ``_DECON_MIN_SHARED`` distinct trigram shingles with any
+    val/test document (the decontamination pass every pretraining
+    pipeline runs before the benchmark split is trusted).
+
+    Composes two engine primitives: the deterministic md5 permille
+    bucket from ``text_split_assign`` partitions the corpus, and the
+    md5-64 shingle kernel from the dedup family builds the postings.
+    Scale shape: the eval side is 2% of the corpus BY CONSTRUCTION, so
+    its postings broadcast and the train corpus joins map-side — the
+    big side never shuffles; the only exchange is the final per-pair
+    count aggregation over matches."""
+    from finance_pipeline_spark.operators.dedup import hashed_shingle_rows
+
+    d = load(spark, sf_dir, "documents")
+    sh = hashed_shingle_rows(d)
+    pm = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("bigint")
+        % 1000
+    )
+    postings = sh.withColumn("pm", pm).select(
+        "lang", "doc_id", "pm", F.explode("shingles").alias("s")
+    )
+    train = postings.filter(F.col("pm") < 980).select("lang", "doc_id", "s")
+    ev = postings.filter(F.col("pm") >= 980).select(
+        "lang", F.col("doc_id").alias("contaminant_id"), "s"
+    )
+    return (
+        train.join(F.broadcast(ev), ["lang", "s"])
+        .groupBy("doc_id", "contaminant_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= _DECON_MIN_SHARED)
+    )

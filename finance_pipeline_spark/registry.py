@@ -205,7 +205,6 @@ PRIORITY: tuple[str, ...] = (
     "dedup_connected_groups",
     # joins / set ops
     "join_agg_revenue",
-    "join_multiway_region",
     "u1_union_dedup",
     "u2_anti_join",
     # derivations (parse / custom-format / cast / unnest representatives)
@@ -237,9 +236,10 @@ PRIORITY: tuple[str, ...] = (
     "join_asof",
     "join_range_bands",
     "rollup_time_multi",
-    # text analysis (all seven + packing + split assignment)
+    # text analysis (all seven + packing, split assignment, decontamination)
     "text_pack_sequences",
     "text_split_assign",
+    "text_decontaminate",
     "text_token_count",
     "text_quality_score",
     "text_langid",
@@ -254,6 +254,7 @@ PRIORITY: tuple[str, ...] = (
     # ---- fold: position 51+ — r1/r2-proven shape-duplicates ----
     "agg_variance_exact",
     "agg_minmax_distinct",
+    "join_multiway_region",
     "d4_custom_format_parse",
     "agg_cube",
     "agg_pivot",

@@ -72,6 +72,7 @@ def test_driver_window_covers_every_family():
         "text_token_count", "text_quality_score", "text_langid",
         "text_fingerprint", "text_ngram_profile", "text_bpe_token_count",
         "text_gopher_rules", "text_pack_sequences", "text_split_assign",
+        "text_decontaminate",
         "win_tumbling", "stream_tumbling_counts", "stream_dedup",
         "stateful_user_totals", "grouped_user_gaps", "udf_embedding_norm",
         "a2_empty_probe", "a3_affected_rows", "s6_sql_table_scan",
