@@ -51,23 +51,37 @@ def main() -> int:
 
     spark = get_session("bench")
     names = [n for n, spec in registry.QUERIES.items() if spec.bench]
+    # Streaming queries run LAST: a stopped streaming query leaves
+    # ~5-10s of decaying background cleanup (temp-checkpoint deletion,
+    # context cleaner, state-map GC) that measurably pollutes whatever
+    # runs next (join_asof directly after stream_dedup: 3.37s first
+    # run vs 1.2s after a 5s settle, vs 0.76s isolated — the r3
+    # "6.5x join_asof regression" was exactly this order effect, not
+    # a plan change).
+    names.sort(key=lambda n: "streaming" in registry.QUERIES[n].tags)
 
     # Warmup: spin the JVM, parquet footers, and codegen cache once so
     # the first measured query isn't charged for session startup.
     force(registry.QUERIES[names[0]].fn(spark, sf_dir))
 
     timings: dict[str, float] = {}
+    repeats: dict[str, list[float]] = {}
     for name in names:
         spec = registry.QUERIES[name]
-        best = float("inf")
+        runs: list[float] = []
         for _ in range(repeat):
             t0 = time.time()
             force(spec.fn(spark, sf_dir))
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+            runs.append(round(time.time() - t0, 3))
+        repeats[name] = runs
+        timings[name] = min(runs)
+        print(f"# {name}: {timings[name]:.3f}s {runs}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    # Per-repeat raw times ride along so a round-over-round diff can
+    # tell CPU-steal noise (one wild repeat, stable min) from a real
+    # plan regression (all repeats shifted) — this host shows bursty
+    # steal windows (identical code: 35s/64s/42s across runs).
     print(
         json.dumps(
             {
@@ -75,6 +89,10 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "repeats": repeats,
+                "shuffle_partitions": int(
+                    spark.conf.get("spark.sql.shuffle.partitions")
+                ),
                 "sf": sf,
             }
         )

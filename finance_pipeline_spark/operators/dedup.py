@@ -627,9 +627,23 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- embedding cosine near-dup (oracle-checked) ------------------------------
 
 
+_COSINE_BLOCK_CAP = 16  # docs per label block admitted to pairing — the
+# same sub-quadratic guard as _NGRAM_BLOCK_CAP/_BUCKET_CAP: the
+# within-label all-pairs space is bounded at |labels| × CAP²/2 no matter
+# how the corpus grows (labels are FIXED cardinality, so uncapped pairs
+# grow O(n²/|labels|) — the one member of the fuzzy-dedup family that
+# wasn't uniformly bounded before r4). 16 (not the family's 512) because
+# the testdata's label blocks top out at 26 (sf0.1) / 9 (sf0.01): the
+# cap is exercised at the bench SF and cap-free at the gate SF, both
+# mirrored exactly in the oracles below (same f-string capture caveat
+# as _NGRAM_BLOCK_CAP — never monkeypatch under check_oracle). Docs past
+# the cap fall through to SRP-LSH (ann_lsh_topk), the family's
+# full-recall scale path.
+
+
 @query(
     "dedup_embedding_cosine",
-    oracle="""
+    oracle=f"""
     WITH v0 AS (
         SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
                sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
@@ -637,11 +651,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings WHERE vec_id % 10 = 0
     ), v AS (
         SELECT * FROM v0 WHERE nrm > 0
+    ), capped AS (
+        SELECT vec_id, label, emb, nrm FROM (
+            SELECT v.*, row_number() OVER (PARTITION BY label
+                                           ORDER BY vec_id) AS rn
+            FROM v
+        ) WHERE rn <= {_COSINE_BLOCK_CAP}
     )
     SELECT vec_a, vec_b, cosine FROM (
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 4) AS cosine
-        FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+        FROM capped a JOIN capped b ON a.label = b.label AND a.vec_id < b.vec_id
     ) WHERE cosine >= 0.2
     """,
     tags=("dedup", "embedding"),
@@ -653,14 +673,27 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold per row + one per pair, never three per pair). Threshold 0.2
     sits inside the synthetic corpus's intra-label cosine range, so the
     oracle comparison has rows at every SF (0.5 matched nothing —
-    a vacuous pass)."""
+    a vacuous pass).
+
+    Blocks are capped at ``_COSINE_BLOCK_CAP`` lowest vec_ids (the
+    row_number mirrored exactly in the oracle), so the within-label
+    self-join is bounded like every other member of the fuzzy-dedup
+    family. The capped input is localCheckpoint-ed before the
+    self-join: Catalyst's self-join disambiguation defeats exchange
+    reuse, so without it the scan + norm fold + rank window run twice
+    (and at scale you'd materialize the capped block table anyway)."""
     from finance_pipeline_spark.operators.similarity import dot, l2norm
 
+    w = W.partitionBy("label").orderBy("vec_id")
     e = (
         load(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") % 10 == 0)
         .select("vec_id", "label", "embedding", l2norm(F.col("embedding")).alias("nrm"))
         .filter(F.col("nrm") > 0)  # zero-norm: cosine undefined (0/0 → NaN)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _COSINE_BLOCK_CAP)
+        .drop("rn")
+        .localCheckpoint(eager=True)
     )
     a, b = e.alias("a"), e.alias("b")
     cos = F.round(
@@ -685,7 +718,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_connected_groups",
-    oracle="""
+    oracle=f"""
     WITH RECURSIVE v0 AS (
         SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
                sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
@@ -693,11 +726,17 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings WHERE vec_id % 10 = 0
     ), v AS (
         SELECT * FROM v0 WHERE nrm > 0
+    ), capped AS (
+        SELECT vec_id, label, emb, nrm FROM (
+            SELECT v.*, row_number() OVER (PARTITION BY label
+                                           ORDER BY vec_id) AS rn
+            FROM v
+        ) WHERE rn <= {_COSINE_BLOCK_CAP}
     ), pairs AS (
         SELECT vec_a, vec_b FROM (
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                    round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 4) AS cosine
-            FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+            FROM capped a JOIN capped b ON a.label = b.label AND a.vec_id < b.vec_id
         ) WHERE cosine >= 0.2
     ), edges AS (
         SELECT vec_a AS u, vec_b AS w FROM pairs

@@ -54,18 +54,36 @@ def _emb_matrix(col: pd.Series) -> np.ndarray:
     return np.array([np.asarray(v, dtype=np.float64) for v in col], dtype=np.float64)
 
 
+_QUERY_FETCH_CAP = 100_000  # max query vectors fetched driver-side; at
+# 384-dim float64 that is ~300 MB — roomy for a real query workload,
+# loud failure before a mis-scoped "query set" (e.g. the whole corpus)
+# silently OOMs the driver.
+
+
 def _query_matrix(spark: SparkSession, sf_dir: str):
     """Driver-side fetch of the query subset (1% of vectors — small by
     construction; at 100 TB the query set is the user's input, not a
     corpus scan). Zero-norm queries are dropped (cosine undefined;
     0/0 would score NaN, which Spark sorts above every real number).
-    Returns (ids, matrix, norms)."""
-    q = (
+    Returns (ids, matrix, norms).
+
+    Guarded by ``_QUERY_FETCH_CAP``: the broadcast-queries design only
+    makes sense while the query side is driver-sized, so a query set
+    past the cap fails loudly instead of OOMing the driver mid-fetch
+    (the fix then is batching the query set, not raising the cap)."""
+    qdf = (
         load(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") % 100 == 0)
         .select("vec_id", "embedding")
-        .toPandas()
     )
+    n = qdf.limit(_QUERY_FETCH_CAP + 1).count()
+    if n > _QUERY_FETCH_CAP:
+        raise ValueError(
+            f"ANN query set exceeds the driver-side fetch cap "
+            f"({n} > {_QUERY_FETCH_CAP} vectors): batch the query set "
+            f"instead of broadcasting it in one piece"
+        )
+    q = qdf.toPandas()
     ids = q["vec_id"].to_numpy(dtype=np.int64)
     mat = _emb_matrix(q["embedding"])
     nrm = np.linalg.norm(mat, axis=1)

@@ -55,7 +55,16 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     ASOF JOIN pick among tied match rows is unspecified, so the
     oracle pre-dedups its purchase side to one row per (user_id, ts)
     keeping ``max(event_id)`` / ``max_by(value, event_id)`` — the
-    exact row the Spark sort selects."""
+    exact row the Spark sort selects.
+
+    Bench note (r3 "6.5× regression" root cause): this plan is
+    unchanged since r2 and runs 0.76-1.0s isolated at sf0.1. The r3
+    number (3.46s) was an ordering artifact: the bench ran it
+    immediately after stream_dedup, whose stopped streaming query
+    leaves ~5-10s of decaying background cleanup (measured: 3.37s
+    first-run-after-stream, 1.2s after a 5s settle, 0.76s isolated).
+    bench.py now runs streaming-tagged queries last and records
+    per-repeat raw times so this class of interference is visible."""
     e = load(spark, sf_dir, "events")
     clicks = e.filter(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts",
@@ -80,6 +89,61 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("prior_purchase_value", F.last("p_value", ignorenulls=True).over(w))
         .filter(F.col("is_probe") == 1)
         .select("event_id", "user_id", "ts", "prior_purchase_id", "prior_purchase_value")
+    )
+
+
+@query(
+    "user_gap_stats",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id,
+               epoch(ts - lag(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id)) AS gap
+        FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           round(quantile_cont(gap, 0.5), 3) AS median_gap_s,
+           round(max(gap), 3) AS max_gap_s
+    FROM gaps WHERE gap IS NOT NULL
+    GROUP BY user_id
+    """,
+    tags=("temporal", "window"),
+    bench=True,
+)
+def user_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event gap statistics (count / exact median /
+    max), all JVM-side: ``gap = us - lag(us) over (partition by user
+    order by ts, event_id)`` then one hash aggregate with Spark's
+    exact ``percentile`` — the same linear interpolation as DuckDB's
+    ``quantile_cont(0.5)``, so the two engines agree bit-for-bit
+    before the 3-dp round.
+
+    This is the production plan for the statistics that
+    ``grouped_user_gaps`` (operators/udfs.py) computes through a
+    Python grouped map: ONE shuffle on user_id that the window and
+    the groupBy share (the aggregate reuses the window's hash
+    partitioning — no second exchange), zero Python workers, full
+    whole-stage codegen except the percentile buffer. At 100 TB the
+    window partition is bounded by per-user activity, and a whale
+    user costs a straggler task, not a Python round-trip per group.
+
+    Gap seconds are derived from integer microseconds divided by
+    1e6 — one IEEE double division, identical on both engines —
+    rather than casting timestamps to double (which would round to
+    relative precision before subtraction)."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("us"), "event_id"
+    )
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    gaps = e.select(
+        "user_id",
+        ((F.col("us") - F.lag("us").over(w)) / F.lit(1000000.0)).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    return gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.round(F.percentile("gap", F.lit(0.5)), 3).alias("median_gap_s"),
+        F.round(F.max("gap"), 3).alias("max_gap_s"),
     )
 
 

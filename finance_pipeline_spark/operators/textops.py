@@ -370,7 +370,11 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             "shard",
             "n_tokens",
-            F.floor(start / _PACK_CTX).cast("bigint").alias("pack_no"),
+            # integer `div`, not floor(a/b): bigint/int division in
+            # Spark is DOUBLE, which loses exactness past 2^53 tokens
+            # per stream — `div` matches the oracle's `//` at any
+            # magnitude (r3 advisory).
+            F.expr(f"(cum - n_tokens) div {_PACK_CTX}").cast("bigint").alias("pack_no"),
             (start % _PACK_CTX).cast("bigint").alias("pack_offset"),
         )
     )
@@ -463,10 +467,19 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Composes two engine primitives: the deterministic md5 permille
     bucket from ``text_split_assign`` partitions the corpus, and the
     md5-64 shingle kernel from the dedup family builds the postings.
-    Scale shape: the eval side is 2% of the corpus BY CONSTRUCTION, so
-    its postings broadcast and the train corpus joins map-side — the
-    big side never shuffles; the only exchange is the final per-pair
-    count aggregation over matches."""
+
+    Scale shape: a SHUFFLE HASH join on (lang, shingle). The eval side
+    is 2% of the corpus by construction — small relative to train, but
+    2% of postings still grows linearly with corpus size, so an
+    unconditional broadcast (the r3 plan) would blow past Spark's
+    broadcast limits (8 GB hard cap, driver memory long before) at
+    large scale. Shuffle hash beats sort-merge here: the smaller eval
+    side builds the hash map per partition with no sort of the huge
+    train side, and the join key is high-cardinality so skew spreads
+    naturally (same argument as dedup_ngram_jaccard's postings join).
+    At small SFs AQE is free to locally pick a broadcast exchange if
+    the eval side measures tiny at runtime — the *static* plan no
+    longer bakes in a claim that stops being true at 100 TB."""
     from finance_pipeline_spark.operators.dedup import hashed_shingle_rows
 
     d = load(spark, sf_dir, "documents")
@@ -484,7 +497,7 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", F.col("doc_id").alias("contaminant_id"), "s"
     )
     return (
-        train.join(F.broadcast(ev), ["lang", "s"])
+        train.join(ev.hint("shuffle_hash"), ["lang", "s"])
         .groupBy("doc_id", "contaminant_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= _DECON_MIN_SHARED)

@@ -191,24 +191,30 @@ def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY user_id
     """,
     tags=("udf", "grouped-map", "temporal"),
-    bench=True,
 )
 def grouped_user_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.9 grouped-map surface: per-user inter-event gap statistics
-    via ``applyInPandas`` — each user's full event history arrives as
-    one pandas frame (the shape for order-statistics/sessionization
-    kernels that window functions can't express cheaply). Median via
-    numpy interpolation == SQL ``quantile_cont(0.5)``. One shuffle on
-    the group key; group sizes are bounded by per-user activity, not
-    corpus size, so the pattern holds at 100 TB (a single whale user
-    would need pre-aggregation — same caveat as any grouped map).
+    """§2.9 grouped-map surface DEMO: per-user inter-event gap
+    statistics via ``applyInPandas`` — each user's full event history
+    arrives as one pandas frame (the shape for kernels that genuinely
+    need imperative per-group logic). Median via numpy interpolation
+    == SQL ``quantile_cont(0.5)``.
+
+    This registration exists to keep the grouped-map extension surface
+    oracle-checked; it is NOT the plan you'd run for these statistics.
+    ``user_gap_stats`` (operators/temporal.py) computes the identical
+    result JVM-side with ``lag`` + exact ``percentile`` — no Python in
+    the hot path — and carries the bench slot (r3 verdict: this
+    grouped map cost 13.1s at sf0.1 = 42% of the whole bench, vs
+    ~0.5s for the window plan). Keep grouped maps for logic window
+    functions can't express; gap stats aren't that.
 
     The explicit ``repartition(n, user_id)`` pins the shuffle width:
     grouped-map output stats look tiny to AQE, which otherwise
     coalesces the exchange to ONE partition and serializes every
-    per-group Python call through a single task (measured 7s → 1.1s
-    at sf0.1 for 1,500 groups). The groupBy reuses this hash
-    partitioning, so no second exchange appears."""
+    per-group Python call through a single task. (The r2 docstring
+    claimed 7s → 1.1s from this; r3 driver numbers show the Python
+    fan-out still costs ~13s at sf0.1 — the repartition helps, but
+    the grouped map is inherently the slow path here.)"""
     import math
     import os
 

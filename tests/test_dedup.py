@@ -162,8 +162,9 @@ def test_minhash_oracle_mulmod_emulation_matches_python():
 
 
 def test_minhash_is_deterministic(spark, tmp_path):
-    """Same corpus, two runs → identical pair sets (crc-based hashing
-    is seed-free; a PYTHONHASHSEED-dependent hash would flake here)."""
+    """Same corpus, two runs → identical pair sets (md5-truncation
+    hashing is seed-free; a PYTHONHASHSEED-dependent hash would flake
+    here)."""
     sf, _ = _planted_corpus(tmp_path)
     run = lambda: sorted(  # noqa: E731
         (r.doc_a, r.doc_b, r.jaccard)

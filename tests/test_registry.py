@@ -66,37 +66,40 @@ def test_driver_window_covers_every_family():
     window = list(ordered)[: registry.DRIVER_WINDOW]
 
     must_be_in_window = {
-        # beyond-reference tier, driver-dark for two rounds (VERDICT r2 #1)
+        # beyond-reference tier (one-plus per family)
         "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
         "join_asof", "join_range_bands", "rollup_time_multi",
+        "user_gap_stats",
         "text_token_count", "text_quality_score", "text_langid",
         "text_fingerprint", "text_ngram_profile", "text_bpe_token_count",
         "text_gopher_rules", "text_pack_sequences", "text_split_assign",
         "text_decontaminate",
         "win_tumbling", "stream_tumbling_counts", "stream_dedup",
-        "stateful_user_totals", "grouped_user_gaps", "udf_embedding_norm",
+        "stateful_user_totals",
         "a2_empty_probe", "a3_affected_rows", "s6_sql_table_scan",
         # dedup families
         "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
         "dedup_ngram_jaccard", "dedup_embedding_cosine",
         "dedup_connected_groups",
-        # core relational representatives
+        # core relational representatives (r4 rotation: p2/p3/o2/d2/d4/u3
+        # re-entered the window; their r3-green duplicates moved past the
+        # fold — see registry.ROTATION_LOG)
         "agg_pricing_summary", "win_rank_family", "join_agg_revenue",
-        "u1_union_dedup", "u2_anti_join", "o1_topk_multikey",
-        "p1_projection", "p4_comparison_filter",
-        "d1_parse_coerce", "d9_map_explode",
+        "u2_anti_join", "u3_semi_join", "o1_topk_multikey",
+        "p2_drop_column", "p3_date_window",
+        "d2_interval_shift", "d4_custom_format_parse",
         "mm_binary_meta", "mm_decode_features", "mm_frame_sample",
     }
     missing = must_be_in_window - set(window)
     assert not missing, f"fell out of the driver window: {sorted(missing)}"
 
-    # every past-fold query is a duplicate with a green r1/r2 driver row
+    # every past-fold query carries a hash-green driver row from a prior round
     past_fold = set(ordered) - set(window)
     import json
     from pathlib import Path
 
     proven = set()
-    for f in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json"):
+    for f in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json", "CORRECTNESS_r03.json"):
         p = Path(__file__).resolve().parents[1] / f
         if p.exists():
             rows = json.loads(p.read_text())
@@ -106,3 +109,9 @@ def test_driver_window_covers_every_family():
             proven |= {n for n, r in rows.items() if r.get("hash_match")}
     unproven = past_fold - proven
     assert not unproven, f"past-fold queries without prior driver row: {sorted(unproven)}"
+
+    # rotation hygiene (round-3 advisory): every ROTATION_LOG "out" entry
+    # must be proven, every "in" entry must actually be in the window.
+    for rnd, swap in registry.ROTATION_LOG.items():
+        assert set(swap["in"]) <= set(window), (rnd, "in entries not in window")
+        assert set(swap["out"]) <= proven, (rnd, "out entries lack prior evidence")

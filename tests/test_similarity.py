@@ -80,3 +80,17 @@ def test_lsh_candidates_much_smaller_than_cross_product(spark, tmp_path):
     for r in lsh_rows:
         per_q[r.query_id] = per_q.get(r.query_id, 0) + 1
     assert per_q and max(per_q.values()) <= 10
+
+
+def test_query_fetch_cap_fails_loudly(spark, tmp_path, monkeypatch):
+    """A query set past _QUERY_FETCH_CAP must raise, not OOM the driver
+    mid-toPandas (the broadcast-queries design is only valid while the
+    query side is driver-sized)."""
+    import pytest
+
+    from finance_pipeline_spark.operators import similarity
+
+    sf, _ = _planted(tmp_path)
+    monkeypatch.setattr(similarity, "_QUERY_FETCH_CAP", 3)
+    with pytest.raises(ValueError, match="driver-side fetch cap"):
+        similarity._query_matrix(spark, sf)
