@@ -15,11 +15,13 @@ The anti-join broadcasts whichever side AQE finds small (a day's
 increment vs years of history → the increment); at 100 TB the table
 side would be bucketed/partitioned by key so the anti-join prunes to
 matching partitions. The read-modify-write is non-atomic across
-concurrent writers — acceptable and documented: the reference is a
-single-writer daily batch (GitHub Actions cron), and a multi-writer
-deployment swaps the ``KeyedTable`` class below for a transactional
-format (Delta ``MERGE WHEN NOT MATCHED``) behind the same ``merge``
-call.
+concurrent writers, so a ``writer_lock`` (O_EXCL lockfile) makes a
+second concurrent writer fail LOUDLY (``ConcurrentWriteError``)
+instead of silently double-inserting; the reference itself is a
+single-writer daily batch (GitHub Actions cron), and a true
+multi-writer deployment swaps the ``KeyedTable`` class below for a
+transactional format (Delta ``MERGE WHEN NOT MATCHED``) behind the
+same ``merge`` call.
 
 K6's bulk-then-row-loop fallback collapses away: the anti-join gives
 the intended "insert new, skip dupes, count both" uniformly (the
@@ -30,6 +32,7 @@ row loop — a wart SURVEY.md §3.2 says not to reproduce).
 from __future__ import annotations
 
 import shutil
+from contextlib import contextmanager
 from dataclasses import dataclass
 from pathlib import Path
 
@@ -75,6 +78,54 @@ def read_table(spark: SparkSession, path: str) -> DataFrame | None:
     return spark.read.parquet(path)
 
 
+class ConcurrentWriteError(RuntimeError):
+    """A second writer attempted a keyed append while another held the
+    table's writer lock. The parquet KeyedTable is single-writer by
+    design (see class docstring); this error is the loud alternative to
+    the silent double-insert two interleaved writers would otherwise
+    produce."""
+
+
+@contextmanager
+def writer_lock(path: str, owner: str = ""):
+    """Single-writer mutual exclusion for a parquet keyed table: an
+    ``O_CREAT|O_EXCL`` lockfile (atomic on POSIX local/NFSv3+ file
+    systems) held across the snapshot-read → anti-join → publish
+    critical section. A concurrent acquirer gets ``ConcurrentWriteError``
+    immediately — fail-fast, no queueing, which is the right behavior
+    for the double-fired-cron case this guards against.
+
+    The underscore-prefixed filename keeps it invisible to parquet's
+    FileIndex, like the staging dirs. A crashed writer leaves the lock
+    behind and every later write fails LOUDLY naming the file — that is
+    deliberate (auto-takeover would reintroduce the race); an operator
+    confirms the dead writer and removes the file. Object stores
+    without atomic create-if-absent need the transactional-format
+    upgrade path instead (Delta MERGE, class docstring below)."""
+    import os
+    import time
+
+    ensure_table_dir(path)
+    lock = Path(path) / "_writer.lock"
+    try:
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        try:
+            holder = lock.read_text().strip()
+        except OSError:
+            holder = "<unreadable>"
+        raise ConcurrentWriteError(
+            f"keyed table {path} is locked by another writer ({holder}); "
+            f"if that writer is dead, remove {lock} to recover"
+        ) from None
+    try:
+        os.write(fd, f"pid={os.getpid()} ts={time.time():.0f} owner={owner}\n".encode())
+        os.close(fd)
+        yield
+    finally:
+        lock.unlink(missing_ok=True)
+
+
 def idempotent_append(
     spark: SparkSession,
     incoming: DataFrame,
@@ -88,7 +139,16 @@ def idempotent_append(
     exactly the numbers the reference logs per load
     (etl/csv_loader.py:215-217).
     """
-    ensure_table_dir(path)
+    with writer_lock(path, owner="idempotent_append"):
+        return _locked_append(spark, incoming, path, keys)
+
+
+def _locked_append(
+    spark: SparkSession,
+    incoming: DataFrame,
+    path: str,
+    keys: list[str],
+) -> WriteStats:
     total = incoming.count()
     # In-batch survivor: deterministic pick (min over the non-key
     # columns) rather than bare dropDuplicates — a conflicting batch
@@ -162,10 +222,11 @@ class KeyedTable:
     semantic as a table-format-agnostic interface. This parquet
     implementation does snapshot-read → anti-join → staged append,
     which is correct for a SINGLE writer (the reference's deployment: a
-    daily cron). It is NOT atomic across concurrent writers: two
-    writers that snapshot before either publishes can both insert the
-    same key (documented + exercised in
-    tests/test_pipelines.py::test_concurrent_writers_can_double_insert).
+    daily cron). It is NOT atomic across concurrent writers, so the
+    whole critical section runs under ``writer_lock``: a second
+    concurrent ``merge`` raises ``ConcurrentWriteError`` instead of
+    silently inserting the same key twice (exercised in
+    tests/test_pipelines.py::test_concurrent_writers_fail_loudly).
 
     A multi-writer deployment swaps this class for a transactional
     table format with the same one-call surface, e.g. Delta Lake::

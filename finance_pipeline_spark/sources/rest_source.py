@@ -37,6 +37,66 @@ def file_fetcher(path: str | Path) -> Fetcher:
     return fetch
 
 
+def http_fetcher(
+    url: str,
+    *,
+    timeout: float = 10.0,
+    retries: int = 3,
+    backoff: float = 0.5,
+    opener: Callable[[str, float], str] | None = None,
+    sleep: Callable[[float], None] | None = None,
+) -> Fetcher:
+    """Production HTTP fetcher: stdlib urllib GET with a hard timeout
+    and bounded exponential-backoff retry — the thin client the
+    reference ships as ``requests.get(timeout=10)`` + error handling
+    (etl/api_fetcher.py:40-56, etl/web_scraper.py:36-45), completed
+    with the retry loop a scheduled pipeline needs against transient
+    network faults.
+
+    Retry policy: transient failures (socket/URL errors, HTTP 5xx,
+    timeouts) retry up to ``retries`` times with doubling backoff;
+    HTTP 4xx fails immediately (the request is wrong — retrying can't
+    fix it). This runs DRIVER-side only, for the one-payload S4/S5
+    edges; a bulk HTTP backfill would instead map URL partitions
+    through ``mapInPandas`` with per-executor clients.
+
+    ``opener``/``sleep`` are injectable so tests exercise the full
+    failure matrix offline (this container has no network)."""
+    import time
+    import urllib.error
+    import urllib.request
+
+    def default_opener(u: str, t: float) -> str:
+        with urllib.request.urlopen(u, timeout=t) as resp:  # noqa: S310
+            return resp.read().decode("utf-8")
+
+    get = opener or default_opener
+    wait = sleep or time.sleep
+
+    def fetch() -> str:
+        last: Exception | None = None
+        for attempt in range(retries + 1):
+            try:
+                return get(url, timeout)
+            except urllib.error.HTTPError as e:
+                if 400 <= e.code < 500:
+                    raise  # client error: retrying cannot help
+                last = e
+            except (urllib.error.URLError, TimeoutError, OSError) as e:
+                last = e
+            if attempt < retries:
+                pause = backoff * (2**attempt)
+                log.warning(
+                    "HTTP fetch %s failed (attempt %d/%d): %s — retrying in %.1fs",
+                    url, attempt + 1, retries + 1, last, pause,
+                )
+                wait(pause)
+        assert last is not None
+        raise last
+
+    return fetch
+
+
 def rates_from_json(
     spark: SparkSession,
     raw_json: str,

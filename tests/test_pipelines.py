@@ -238,38 +238,40 @@ def test_keyed_table_merge_seam(spark, tmp_path):
     assert t.drop() and not t.exists()
 
 
-def test_concurrent_writers_can_double_insert(spark, tmp_path):
-    """Documents the non-atomicity boundary of the parquet KeyedTable:
-    two writers that SNAPSHOT the table before either PUBLISHES both
-    pass the anti-join and insert the same key — the race a
-    transactional format (Delta MERGE) closes. Sequential writers are
-    safe (asserted in test_keyed_table_merge_seam); this test pins the
-    interleaved behavior so the boundary stays documented, not
-    accidental."""
-    from finance_pipeline_spark.sinks.keyed_writer import read_table as rt
+def test_concurrent_writers_fail_loudly(spark, tmp_path):
+    """The single-writer boundary of the parquet KeyedTable is now
+    ENFORCED, not just documented: a second writer attempting a keyed
+    append while the lock is held gets ConcurrentWriteError (the
+    double-fired-cron case), instead of the silent double-insert the
+    unlocked interleaving used to produce. A transactional format
+    (Delta MERGE) remains the true multi-writer upgrade path."""
+    import pytest
+
+    from finance_pipeline_spark.sinks.keyed_writer import (
+        ConcurrentWriteError,
+        writer_lock,
+    )
 
     path = str(tmp_path / "t")
     schema = "currency string, timestamptz timestamp, exchange_rate double"
     base = spark.createDataFrame([("EUR", dt.datetime(2025, 5, 1, 10), 1.0)], schema)
     idempotent_append(spark, base, path, ["currency", "timestamptz"])
 
-    key = ("USD", dt.datetime(2025, 5, 2, 10))
-    inc1 = spark.createDataFrame([(*key, 1.5)], schema)
-    inc2 = spark.createDataFrame([(*key, 1.6)], schema)
-    # Interleave: both snapshot (parquet file listing happens at read
-    # time) before either publishes, exactly the cron double-fire case.
-    snap1, snap2 = rt(spark, path), rt(spark, path)
-    new1 = inc1.join(snap1.select("currency", "timestamptz"), ["currency", "timestamptz"], "left_anti")
-    new2 = inc2.join(snap2.select("currency", "timestamptz"), ["currency", "timestamptz"], "left_anti")
-    new1.write.mode("append").parquet(path)
-    new2.write.mode("append").parquet(path)
-
-    dup_rows = (
-        read_table(spark, path)
-        .filter((F.col("currency") == "USD"))
-        .count()
-    )
-    assert dup_rows == 2  # the documented double-insert under interleaving
+    inc = spark.createDataFrame([("USD", dt.datetime(2025, 5, 2, 10), 1.5)], schema)
+    # Writer 1 is mid-merge (holds the lock); writer 2 must fail loudly.
+    with writer_lock(path, owner="writer-1"):
+        with pytest.raises(ConcurrentWriteError, match="locked by another writer"):
+            idempotent_append(spark, inc, path, ["currency", "timestamptz"])
+    # Lock released → the same write now succeeds, exactly once.
+    stats = idempotent_append(spark, inc, path, ["currency", "timestamptz"])
+    assert stats.inserted == 1
+    assert read_table(spark, path).filter(F.col("currency") == "USD").count() == 1
+    # A crashed writer's leftover lock fails loudly too (no takeover),
+    # and recovery is removing the file.
+    (Path(path) / "_writer.lock").write_text("pid=0 ts=0 owner=crashed\n")
+    with pytest.raises(ConcurrentWriteError):
+        idempotent_append(spark, inc, path, ["currency", "timestamptz"])
+    (Path(path) / "_writer.lock").unlink()
 
 
 def test_sync_ships_recent_rows_to_spool(spark, tmp_path):
@@ -349,3 +351,79 @@ def test_python_datasource_partitions_per_file(spark, tmp_path):
     }
     # 16:00 CET = 15:00 UTC in winter, 14:00 UTC in summer (CEST).
     assert hours == {("2025-01-10", 15), ("2025-07-10", 14)}
+
+
+def test_http_fetcher_retries_transient_then_succeeds():
+    """Socket-level failures retry with doubling backoff; the body
+    arrives on the third attempt without any real network or sleeping."""
+    import urllib.error
+
+    from finance_pipeline_spark.sources.rest_source import http_fetcher
+
+    attempts, pauses = [], []
+
+    def opener(url, timeout):
+        attempts.append((url, timeout))
+        if len(attempts) < 3:
+            raise urllib.error.URLError(OSError(104, "connection reset"))
+        return '{"ok": true}'
+
+    fetch = http_fetcher(
+        "http://example.invalid/rates", timeout=2.5,
+        retries=3, backoff=0.5, opener=opener, sleep=pauses.append,
+    )
+    assert fetch() == '{"ok": true}'
+    assert attempts == [("http://example.invalid/rates", 2.5)] * 3
+    assert pauses == [0.5, 1.0]  # exponential backoff between failures
+
+
+def test_http_fetcher_gives_up_after_retries_and_4xx_is_immediate():
+    """Exhausted retries surface the last transient error; HTTP 4xx
+    short-circuits with no retry (the request itself is wrong)."""
+    import io
+    import urllib.error
+
+    import pytest
+
+    from finance_pipeline_spark.sources.rest_source import http_fetcher
+
+    calls, pauses = [], []
+
+    def always_down(url, timeout):
+        calls.append(url)
+        raise TimeoutError("timed out")
+
+    fetch = http_fetcher(
+        "http://example.invalid/x", retries=2, backoff=0.1,
+        opener=always_down, sleep=pauses.append,
+    )
+    with pytest.raises(TimeoutError):
+        fetch()
+    assert len(calls) == 3 and pauses == [0.1, 0.2]
+
+    def not_found(url, timeout):
+        calls.append(url)
+        raise urllib.error.HTTPError(url, 404, "nope", {}, io.BytesIO())
+
+    fetch404 = http_fetcher(
+        "http://example.invalid/y", retries=5, opener=not_found, sleep=pauses.append,
+    )
+    n_before = len(calls)
+    with pytest.raises(urllib.error.HTTPError):
+        fetch404()
+    assert len(calls) == n_before + 1  # exactly one attempt, no backoff
+
+
+def test_http_fetcher_feeds_fetch_rates_degradation(spark):
+    """The retrying client plugs into the existing Fetcher seam: total
+    failure degrades to None (the reference's early-exit contract),
+    it does not raise through the pipeline."""
+    from finance_pipeline_spark.sources.rest_source import fetch_rates, http_fetcher
+
+    def always_down(url, timeout):
+        raise OSError(101, "network unreachable")
+
+    fetch = http_fetcher(
+        "http://example.invalid/z", retries=1, opener=always_down, sleep=lambda s: None,
+    )
+    assert fetch_rates(spark, fetch) is None
