@@ -427,6 +427,56 @@ def text_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_VOCAB_TOPK = 10  # tokens reported per language
+
+
+@query(
+    "text_vocab_topk",
+    oracle=f"""
+    WITH toks AS (
+        SELECT lang, unnest({_sql_tokens()}) AS token FROM documents
+    ), counts AS (
+        SELECT lang, token, count(*) AS n
+        FROM toks WHERE token <> '' GROUP BY 1, 2
+    )
+    SELECT lang, token, n, rnk FROM (
+        SELECT lang, token, n,
+               CAST(row_number() OVER (PARTITION BY lang
+                     ORDER BY n DESC, token) AS BIGINT) AS rnk
+        FROM counts
+    ) WHERE rnk <= {_VOCAB_TOPK}
+    """,
+    tags=("text", "vocab"),
+    bench=True,
+)
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language top-k vocabulary frequencies — the corpus-level
+    token histogram a tokenizer-training / vocab-audit step consumes
+    (and the canonical map-side-combine demonstration).
+
+    Scale shape: explode fans the corpus out to one row per token, but
+    the ``groupBy(lang, token).count`` runs PARTIAL aggregation before
+    the exchange — each task ships one row per distinct (lang, token)
+    it saw, bounded by vocabulary size, not corpus size. The top-k
+    window then runs over the aggregated table (|langs| × |vocab|
+    rows — tiny), never the raw token stream. Ties broken by token
+    text so both engines pick identical rows."""
+    d = load(spark, sf_dir, "documents")
+    counts = (
+        d.select("lang", F.explode(_tokens()).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("lang").orderBy(F.col("n").desc(), "token")
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= _VOCAB_TOPK)
+    )
+
+
 _DECON_MIN_SHARED = 3  # distinct shared trigrams before a train doc is
 # flagged against an eval doc (1 shared trigram is noise — common
 # phrases; measured at sf0.01: threshold 1 → 170 pairs, 3 → 4 pairs)

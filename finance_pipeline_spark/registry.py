@@ -199,6 +199,7 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
     "r4": {
         "in": (
             "user_gap_stats",  # new this round (JVM re-plan of grouped_user_gaps)
+            "text_vocab_topk",  # new this round (per-lang vocab histogram)
             "p2_drop_column",
             "p3_date_window",
             "o2_topk_single",
@@ -210,6 +211,7 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
             "agg_variance_exact",
         ),
         "out": (  # all hash-green in CORRECTNESS_r03.json
+            "a2_empty_probe",
             "p1_projection",
             "p4_comparison_filter",
             "o3_dynamic_sort",
@@ -257,7 +259,6 @@ PRIORITY: tuple[str, ...] = (
     "p3_date_window",
     "o1_topk_multikey",
     "o2_topk_single",
-    "a2_empty_probe",
     "a3_affected_rows",
     "s6_sql_table_scan",
     # similarity (ANN ×3)
@@ -284,9 +285,11 @@ PRIORITY: tuple[str, ...] = (
     "text_ngram_profile",
     "text_bpe_token_count",
     "text_gopher_rules",
+    "text_vocab_topk",
     # UDF surface / stateful
     "stateful_user_totals",
     # ---- fold: position 51+ — prior-round hash-green driver evidence ----
+    "a2_empty_probe",
     "p1_projection",
     "p4_comparison_filter",
     "o3_dynamic_sort",

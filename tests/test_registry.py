@@ -73,10 +73,10 @@ def test_driver_window_covers_every_family():
         "text_token_count", "text_quality_score", "text_langid",
         "text_fingerprint", "text_ngram_profile", "text_bpe_token_count",
         "text_gopher_rules", "text_pack_sequences", "text_split_assign",
-        "text_decontaminate",
+        "text_decontaminate", "text_vocab_topk",
         "win_tumbling", "stream_tumbling_counts", "stream_dedup",
         "stateful_user_totals",
-        "a2_empty_probe", "a3_affected_rows", "s6_sql_table_scan",
+        "a3_affected_rows", "s6_sql_table_scan",
         # dedup families
         "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
         "dedup_ngram_jaccard", "dedup_embedding_cosine",
