@@ -228,16 +228,19 @@ class KeyedTable:
     silently inserting the same key twice (exercised in
     tests/test_pipelines.py::test_concurrent_writers_fail_loudly).
 
-    A multi-writer deployment swaps this class for a transactional
-    table format with the same one-call surface, e.g. Delta Lake::
+    A multi-writer deployment swaps this class for
+    ``sinks.txn_table.TxnKeyedTable`` — the same one-call ``merge``
+    surface over a Delta-protocol commit log (versioned atomic
+    commits, optimistic concurrency with conflict re-validation,
+    snapshot-isolated reads) — or, where delta-spark is available,
+    Delta Lake itself::
 
         DeltaTable.forPath(spark, path).alias("t").merge(
             incoming.alias("i"), "<keys equal>"
         ).whenNotMatchedInsertAll().execute()
 
-    (delta-spark isn't in this container, so that variant stays
-    documentation; everything upstream of the writer is already
-    format-agnostic — pipelines depend only on ``merge``.)
+    Everything upstream of the writer is format-agnostic — pipelines
+    depend only on ``merge``.
     """
 
     def __init__(self, spark: SparkSession, path: str, keys: list[str]):

@@ -1,0 +1,311 @@
+"""Transactional keyed table — a minimal Delta-style commit log over
+parquet, giving the reference's ``UNIQUE`` + ``INSERT OR IGNORE``
+semantic (etl/csv_loader.py:133,148-218) ENGINE-enforced atomicity
+under CONCURRENT writers, not writer-discipline (the plain
+``KeyedTable``) or fail-fast locking (``writer_lock``).
+
+Design (from the public Delta Lake protocol / paper — "Delta Lake:
+High-Performance ACID Table Storage over Cloud Object Stores",
+VLDB 2020):
+
+- Data files are immutable parquet parts under ``<path>/data/``,
+  written with UUID names so writers never collide on a filename.
+- The table state is defined ONLY by the commit log: ``<path>/_txnlog/
+  00000000.json, 00000001.json, ...`` — each commit lists the data
+  files it adds. A data file not referenced by a committed version is
+  invisible garbage; readers can never observe a torn write.
+- Commit N+1 is claimed by creating ``_txnlog/%08d.json`` with
+  ``O_CREAT|O_EXCL`` — atomic on POSIX. On an object store the same
+  slot-claim is a conditional PUT (S3 ``If-None-Match: *``, GCS
+  ``ifGenerationMatch=0``); the protocol is unchanged.
+- Optimistic concurrency: a writer snapshots version V, anti-joins its
+  batch against the snapshot, stages new data files, then tries to
+  claim V+1. If another writer got there first, it does NOT restart
+  from scratch: it reads only the files added by commits V+1..V'
+  (the conflict delta), drops any of its staged rows whose key now
+  exists, rewrites only if needed, and claims V'+1. Insert-only
+  uniqueness commutes, so this re-validation is sufficient — exactly
+  Delta's conflict-detection rule specialized to blind inserts.
+- Every ``CHECKPOINT_EVERY`` commits the winner also writes
+  ``%08d.checkpoint.json`` holding the full file list, so a reader
+  lists the log tail from the latest checkpoint instead of replaying
+  the whole history — the log-compaction half of the Delta protocol,
+  which is what keeps a years-old 100 TB table's open cost O(1).
+
+Snapshot isolation falls out for free: ``read(version=K)`` pins any
+historical version (time travel), and a long query holds its file list
+while later commits land.
+
+At 100 TB the anti-join side is the only scale question, and it is the
+same one the plain writer answers: key-partition/bucket the data
+layout so the probe prunes; the log itself stays tiny (file names, not
+data).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from finance_pipeline_spark.logging_utils import get_logger
+from finance_pipeline_spark.sinks.keyed_writer import WriteStats, _footer_row_count
+
+log = get_logger(__name__)
+
+CHECKPOINT_EVERY = 10
+_MAX_COMMIT_RETRIES = 20
+
+
+class CommitConflictError(RuntimeError):
+    """Raised only when a writer loses the commit race more than
+    ``_MAX_COMMIT_RETRIES`` times in a row — livelock, not a logic
+    error; the batch was never partially applied."""
+
+
+@dataclass(frozen=True)
+class Snapshot:
+    version: int  # -1 = empty table
+    files: tuple[str, ...]  # data-file names relative to <path>/data/
+
+
+def _log_dir(path: str) -> Path:
+    return Path(path) / "_txnlog"
+
+
+def _data_dir(path: str) -> Path:
+    return Path(path) / "data"
+
+
+def _commit_file(path: str, version: int) -> Path:
+    return _log_dir(path) / f"{version:08d}.json"
+
+
+def _checkpoint_file(path: str, version: int) -> Path:
+    return _log_dir(path) / f"{version:08d}.checkpoint.json"
+
+
+def current_snapshot(path: str, version: int | None = None) -> Snapshot:
+    """Replay the log (from the newest checkpoint at or below the
+    requested version) into the set of live data files."""
+    ld = _log_dir(path)
+    if not ld.exists():
+        return Snapshot(version=-1, files=())
+    commits = sorted(int(p.name[:8]) for p in ld.glob("[0-9]*.json") if ".checkpoint" not in p.name)
+    if version is not None:
+        commits = [v for v in commits if v <= version]
+        if version > -1 and (not commits or commits[-1] != version):
+            raise ValueError(f"version {version} does not exist in {ld}")
+    if not commits:
+        return Snapshot(version=-1, files=())
+    ckpts = sorted(
+        int(p.name[:8])
+        for p in ld.glob("[0-9]*.checkpoint.json")
+        if int(p.name[:8]) <= commits[-1]
+    )
+    files: list[str] = []
+    start = 0
+    if ckpts:
+        ck = json.loads(_checkpoint_file(path, ckpts[-1]).read_text())
+        files.extend(ck["files"])
+        start = ckpts[-1] + 1
+    for v in commits:
+        if v < start:
+            continue
+        entry = json.loads(_commit_file(path, v).read_text())
+        files.extend(entry["adds"])
+    return Snapshot(version=commits[-1], files=tuple(files))
+
+
+class TxnKeyedTable:
+    """``merge(incoming)`` = atomically insert rows whose key is absent,
+    skip the rest, report both counts — safe under concurrent writers.
+
+    Same one-call surface as ``KeyedTable.merge`` so pipelines swap
+    between the single-writer parquet table and this transactional one
+    without touching anything upstream.
+    """
+
+    def __init__(self, spark: SparkSession, path: str, keys: list[str]):
+        self.spark = spark
+        self.path = path
+        self.keys = list(keys)
+
+    # -- read side ---------------------------------------------------
+
+    def exists(self) -> bool:
+        return current_snapshot(self.path).version >= 0
+
+    def snapshot(self, version: int | None = None) -> Snapshot:
+        return current_snapshot(self.path, version)
+
+    def read(self, version: int | None = None) -> DataFrame | None:
+        """A consistent snapshot: only files referenced by committed
+        versions ≤ ``version`` (default: latest). Files from in-flight
+        or abandoned writes are never listed, so readers need no lock."""
+        snap = current_snapshot(self.path, version)
+        if snap.version < 0:
+            return None
+        paths = [str(_data_dir(self.path) / f) for f in snap.files]
+        return self.spark.read.parquet(*paths)
+
+    # -- write side --------------------------------------------------
+
+    def merge(
+        self,
+        incoming: DataFrame,
+        _before_commit: Callable[[int], None] | None = None,
+    ) -> WriteStats:
+        """Insert-if-absent with optimistic concurrency.
+
+        ``_before_commit(version_about_to_claim)`` is a test seam: it
+        runs after staging but before the commit-claim, which is the
+        window a concurrent writer can win — tests use it to force the
+        conflict re-validation path deterministically.
+        """
+        total = incoming.count()
+        deduped = self._dedup_batch(incoming)
+        snap = current_snapshot(self.path)
+        new_rows = self._against(deduped, snap)
+        staged, inserted = self._stage(new_rows)
+
+        for _ in range(_MAX_COMMIT_RETRIES):
+            if _before_commit is not None:
+                _before_commit(snap.version + 1)
+                _before_commit = None  # fire once
+            if inserted == 0:
+                self._discard(staged)
+                return WriteStats(inserted=0, skipped=total)
+            if self._try_commit(snap.version + 1, staged, inserted):
+                log.info(
+                    "txn commit v%d to %s: %d inserted, %d skipped",
+                    snap.version + 1, self.path, inserted, total - inserted,
+                )
+                return WriteStats(inserted=inserted, skipped=total - inserted)
+            # Lost the race: validate only against the conflict delta
+            # (files added since our snapshot), not the whole table.
+            newer = current_snapshot(self.path)
+            delta_files = [f for f in newer.files if f not in set(snap.files)]
+            staged, inserted = self._revalidate(staged, inserted, delta_files)
+            snap = newer
+        self._discard(staged)
+        raise CommitConflictError(
+            f"lost the commit race {_MAX_COMMIT_RETRIES} times on {self.path}"
+        )
+
+    def drop(self) -> bool:
+        p = Path(self.path)
+        if p.exists():
+            shutil.rmtree(p)
+            return True
+        return False
+
+    # -- internals ---------------------------------------------------
+
+    def _dedup_batch(self, incoming: DataFrame) -> DataFrame:
+        """Deterministic in-batch survivor — same rule as the plain
+        writer (min over value columns) so the two table kinds agree."""
+        value_cols = [c for c in incoming.columns if c not in self.keys]
+        if not value_cols:
+            return incoming.dropDuplicates(self.keys)
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy(*self.keys).orderBy(*value_cols)
+        return (
+            incoming.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    def _against(self, batch: DataFrame, snap: Snapshot) -> DataFrame:
+        if snap.version < 0:
+            return batch
+        paths = [str(_data_dir(self.path) / f) for f in snap.files]
+        existing = self.spark.read.parquet(*paths).select(*self.keys).dropDuplicates(self.keys)
+        return batch.join(existing, on=self.keys, how="left_anti")
+
+    def _stage(self, new_rows: DataFrame) -> tuple[list[str], int]:
+        """Write the increment as immutable UUID-named parts directly in
+        data/ — unreferenced files are invisible, so no rename step is
+        needed (this is the object-store-friendly property: parquet
+        parts upload once and are published by the tiny commit PUT)."""
+        _data_dir(self.path).mkdir(parents=True, exist_ok=True)
+        staging = Path(self.path) / f"_staging_{uuid.uuid4().hex}"
+        stamped = new_rows.withColumn("created_at", F.current_timestamp())
+        stamped.write.mode("overwrite").parquet(str(staging))
+        parts = sorted(staging.glob("*.parquet"))
+        inserted = _footer_row_count(parts)
+        names: list[str] = []
+        run_id = staging.name.removeprefix("_staging_")
+        for part in parts:
+            name = f"{run_id}-{part.name}"
+            part.rename(_data_dir(self.path) / name)
+            names.append(name)
+        shutil.rmtree(staging, ignore_errors=True)
+        return names, inserted
+
+    def _discard(self, staged: list[str]) -> None:
+        for name in staged:
+            (_data_dir(self.path) / name).unlink(missing_ok=True)
+
+    def _try_commit(self, version: int, adds: list[str], inserted: int) -> bool:
+        _log_dir(self.path).mkdir(parents=True, exist_ok=True)
+        target = _commit_file(self.path, version)
+        try:
+            fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        entry = {
+            "version": version,
+            "adds": adds,
+            "inserted": inserted,
+            "ts": time.time(),
+        }
+        os.write(fd, json.dumps(entry).encode())
+        os.close(fd)
+        if version % CHECKPOINT_EVERY == 0 and version > 0:
+            snap = current_snapshot(self.path, version)
+            _checkpoint_file(self.path, version).write_text(
+                json.dumps({"version": version, "files": list(snap.files)})
+            )
+        return True
+
+    def _revalidate(
+        self, staged: list[str], inserted: int, delta_files: list[str]
+    ) -> tuple[list[str], int]:
+        """Drop staged rows whose key was inserted by the commits we
+        lost to. If nothing overlaps (the common case — writers usually
+        touch disjoint keys), the staged files are reused as-is."""
+        if not delta_files or inserted == 0:
+            return staged, inserted
+        mine = self.spark.read.parquet(
+            *[str(_data_dir(self.path) / f) for f in staged]
+        )
+        theirs = (
+            self.spark.read.parquet(
+                *[str(_data_dir(self.path) / f) for f in delta_files]
+            )
+            .select(*self.keys)
+            .dropDuplicates(self.keys)
+        )
+        survivors = mine.join(theirs, on=self.keys, how="left_anti")
+        n_surv = survivors.count()
+        if n_surv == inserted:
+            return staged, inserted
+        old = list(staged)
+        if n_surv == 0:
+            self._discard(old)
+            return [], 0
+        # survivors references the staged files, so materialize the
+        # rewrite before discarding them.
+        restaged, n = self._stage(survivors.drop("created_at"))
+        self._discard(old)
+        return restaged, n

@@ -1,0 +1,152 @@
+"""TxnKeyedTable: Delta-style commit-log semantics — atomic insert-if-
+absent under concurrent writers, snapshot-isolated reads, time travel,
+checkpoint compaction, and torn-write invisibility."""
+
+from __future__ import annotations
+
+import json
+import threading
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from finance_pipeline_spark.sinks.txn_table import (
+    CHECKPOINT_EVERY,
+    TxnKeyedTable,
+    current_snapshot,
+)
+
+
+def _batch(spark, keys, tag="x"):
+    return spark.createDataFrame(
+        [(int(k), f"{tag}{k}") for k in keys], "k bigint, v string"
+    )
+
+
+def test_merge_is_idempotent(spark, tmp_path):
+    t = TxnKeyedTable(spark, str(tmp_path / "t"), ["k"])
+    s1 = t.merge(_batch(spark, range(10)))
+    assert (s1.inserted, s1.skipped) == (10, 0)
+    s2 = t.merge(_batch(spark, range(10)))
+    assert (s2.inserted, s2.skipped) == (0, 10)
+    df = t.read()
+    assert df.count() == 10
+    assert df.select("k").distinct().count() == 10
+
+
+def test_lost_race_revalidates_against_conflict_delta(spark, tmp_path):
+    """Writer A stages keys 0-9, then (via the test seam) writer B
+    commits keys 5-15 first. A must detect the conflict, keep only
+    0-4, and commit them — no duplicates, no lost rows, accurate
+    accounting on BOTH writers."""
+    path = str(tmp_path / "t")
+    a = TxnKeyedTable(spark, path, ["k"])
+    b = TxnKeyedTable(spark, path, ["k"])
+
+    b_stats = {}
+
+    def interleave(_version):
+        b_stats["s"] = b.merge(_batch(spark, range(5, 16), tag="b"))
+
+    a_stats = a.merge(_batch(spark, range(10), tag="a"), _before_commit=interleave)
+    assert (b_stats["s"].inserted, b_stats["s"].skipped) == (11, 0)
+    assert (a_stats.inserted, a_stats.skipped) == (5, 5)
+
+    df = a.read()
+    assert df.count() == 16
+    assert df.select("k").distinct().count() == 16
+    # B won the race, so contested keys 5-9 carry B's values.
+    vals = {r.k: r.v for r in df.collect()}
+    assert vals[7] == "b7" and vals[2] == "a2"
+
+
+def test_lost_race_full_overlap_commits_nothing(spark, tmp_path):
+    path = str(tmp_path / "t")
+    a = TxnKeyedTable(spark, path, ["k"])
+    b = TxnKeyedTable(spark, path, ["k"])
+
+    def interleave(_version):
+        b.merge(_batch(spark, range(10), tag="b"))
+
+    a_stats = a.merge(_batch(spark, range(10), tag="a"), _before_commit=interleave)
+    assert (a_stats.inserted, a_stats.skipped) == (0, 10)
+    df = a.read()
+    assert df.count() == 10
+    assert {r.v for r in df.collect()} == {f"b{k}" for k in range(10)}
+    # A committed nothing: the log holds only B's commit 0, and A's
+    # abandoned staged files were deleted (no unreferenced garbage).
+    snap = current_snapshot(path)
+    assert snap.version == 0
+    import pathlib
+
+    data_files = {p.name for p in pathlib.Path(path, "data").glob("*.parquet")}
+    assert data_files == set(snap.files)
+
+
+def test_time_travel_reads_pinned_versions(spark, tmp_path):
+    t = TxnKeyedTable(spark, str(tmp_path / "t"), ["k"])
+    t.merge(_batch(spark, range(3)))
+    t.merge(_batch(spark, range(3, 6)))
+    t.merge(_batch(spark, range(6, 9)))
+    assert t.read(version=0).count() == 3
+    assert t.read(version=1).count() == 6
+    assert t.read().count() == 9
+    with pytest.raises(ValueError):
+        t.read(version=99)
+
+
+def test_checkpoint_compacts_log_replay(spark, tmp_path):
+    t = TxnKeyedTable(spark, str(tmp_path / "t"), ["k"])
+    n = CHECKPOINT_EVERY + 2
+    for i in range(n):
+        t.merge(_batch(spark, [i]))
+    ck = tmp_path / "t" / "_txnlog" / f"{CHECKPOINT_EVERY:08d}.checkpoint.json"
+    assert ck.exists()
+    listed = json.loads(ck.read_text())
+    assert len(listed["files"]) >= 1
+    assert t.read().count() == n
+    assert current_snapshot(str(tmp_path / "t")).version == n - 1
+
+
+def test_uncommitted_files_are_invisible(spark, tmp_path):
+    t = TxnKeyedTable(spark, str(tmp_path / "t"), ["k"])
+    t.merge(_batch(spark, range(5)))
+    # A torn/abandoned write: a parquet part in data/ with no commit.
+    stray = _batch(spark, range(100, 200)).withColumn(
+        "created_at", F.current_timestamp()
+    )
+    stray.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "stray"))
+    part = next((tmp_path / "stray").glob("*.parquet"))
+    part.rename(tmp_path / "t" / "data" / "deadbeef-orphan.parquet")
+    assert t.read().count() == 5
+
+
+def test_threaded_writers_preserve_uniqueness(spark, tmp_path):
+    """True racing threads (no seam): N writers, overlapping key
+    ranges, all succeed; the table ends with every key exactly once
+    and inserted-counts sum to the distinct-key total."""
+    path = str(tmp_path / "t")
+    ranges = [range(0, 40), range(20, 60), range(40, 80), range(0, 80, 2)]
+    stats, errs = [None] * len(ranges), []
+    barrier = threading.Barrier(len(ranges))
+
+    def work(i, r):
+        try:
+            barrier.wait()
+            t = TxnKeyedTable(spark, path, ["k"])
+            stats[i] = t.merge(_batch(spark, r, tag=f"w{i}_"))
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=work, args=(i, r)) for i, r in enumerate(ranges)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs, errs
+    t = TxnKeyedTable(spark, path, ["k"])
+    df = t.read()
+    assert df.count() == 80
+    assert df.select("k").distinct().count() == 80
+    assert sum(s.inserted for s in stats) == 80
