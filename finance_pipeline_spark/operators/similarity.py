@@ -386,3 +386,66 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= _TOPK)
     )
+
+
+@query(
+    "emb_quantize_int8",
+    oracle="""
+    WITH ex AS (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings
+    ), scl AS (
+        SELECT vec_id, pos, x,
+               max(abs(x)) OVER (PARTITION BY vec_id) / 127.0 AS scale
+        FROM ex
+    )
+    SELECT vec_id,
+           CAST(pos AS BIGINT) AS pos,
+           CASE WHEN scale = 0 THEN CAST(0 AS INTEGER)
+                ELSE CAST(floor(x / scale + 0.5) AS INTEGER) END AS q,
+           scale
+    FROM scl
+    """,
+    tags=("similarity", "quantize"),
+    bench=True,
+)
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the 4× storage /
+    bandwidth reduction step an embedding store applies before ANN
+    serving (FAISS ``SQ8`` / scalar quantization). scale = max|x|/127,
+    q = round-half-up(x/scale); dequantization is ``q * scale``.
+
+    Exactness across engines: every arithmetic step (float→double
+    cast, abs, max, the two divisions, +0.5, floor) is a correctly-
+    rounded IEEE-754 double op applied in the same order on both
+    sides, so q and scale are bit-identical in Spark and DuckDB — no
+    rounding fudge needed.
+
+    Scale shape: posexplode fans each vector into (vec_id, pos, x)
+    rows; the per-vector max runs as a window over vec_id — ONE
+    shuffle keyed by the maximally-high-cardinality vec_id, then pure
+    codegen arithmetic. Output is one row per element: columnar,
+    splittable, and re-assembled lazily by whoever consumes it (a
+    collect_list per vec_id if a vector shape is needed — deliberately
+    not done here, where it would only bloat the shuffled row)."""
+    e = load(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id", F.posexplode("embedding").alias("pos0", "xf")
+    ).select(
+        "vec_id",
+        (F.col("pos0") + 1).cast("bigint").alias("pos"),
+        F.col("xf").cast("double").alias("x"),
+    )
+    w = W.partitionBy("vec_id")
+    scl = ex.withColumn("scale", F.max(F.abs("x")).over(w) / F.lit(127.0))
+    return scl.select(
+        "vec_id",
+        "pos",
+        F.when(F.col("scale") == 0, F.lit(0))
+        .otherwise(F.floor(F.col("x") / F.col("scale") + 0.5))
+        .cast("int")
+        .alias("q"),
+        "scale",
+    )

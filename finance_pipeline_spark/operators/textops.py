@@ -552,3 +552,184 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= _DECON_MIN_SHARED)
     )
+
+
+# PII patterns shared verbatim between the Spark plan and the DuckDB
+# oracle. Both engines' regex dialects (java.util.regex / RE2) agree on
+# this subset: char classes, bounded repeats, \b, \d. Redaction order
+# (email → ipv4 → phone) is part of the spec: it is applied identically
+# on both sides, so overlapping matches resolve the same way.
+_PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+)
+
+
+def _pii_oracle() -> str:
+    counts = ",\n           ".join(
+        "CAST(len(regexp_extract_all(text, '%s')) AS BIGINT) AS n_%s"
+        % (pat.replace("'", "''"), name)
+        for name, pat, _ in _PII_PATTERNS
+    )
+    clean = "text"
+    for _, pat, repl in _PII_PATTERNS:
+        clean = "regexp_replace(%s, '%s', '%s', 'g')" % (clean, pat.replace("'", "''"), repl)
+    return (
+        "SELECT doc_id,\n           "
+        + counts
+        + ",\n           "
+        + clean
+        + " AS text_clean\n    FROM documents"
+    )
+
+
+@query(
+    "text_pii_scrub",
+    oracle=_pii_oracle(),
+    tags=("text", "pii"),
+    bench=True,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction — the scrub pass a training-data
+    pipeline runs before anything else touches the text. Counts and
+    replaces emails, IPv4 addresses, and phone numbers with typed
+    placeholder tags.
+
+    Scale shape: pure JVM ``regexp_count``/``regexp_replace`` inside
+    whole-stage codegen — zero shuffle, embarrassingly parallel, and
+    the regex subset is chosen to behave identically under Java regex
+    and RE2 so the scrub is engine-portable (the same patterns drive
+    the DuckDB oracle verbatim). The driver corpus contains no planted
+    PII, so the oracle here proves the no-false-positive direction;
+    the planted-document tests in tests/test_textops_extra.py prove
+    detection and redaction."""
+    d = load(spark, sf_dir, "documents")
+    cols = [F.col("doc_id")]
+    for name, pat, _ in _PII_PATTERNS:
+        cols.append(F.regexp_count("text", F.lit(pat)).cast("bigint").alias(f"n_{name}"))
+    clean = F.col("text")
+    for _, pat, repl in _PII_PATTERNS:
+        clean = F.regexp_replace(clean, pat, repl)
+    cols.append(clean.alias("text_clean"))
+    return d.select(*cols)
+
+
+@query(
+    "text_repetition_stats",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, tok, pos FROM (
+            SELECT doc_id, unnest({_sql_tokens()}) AS tok,
+                   generate_subscripts({_sql_tokens()}, 1) AS pos
+            FROM documents
+        ) WHERE tok <> ''
+    ), seq AS (
+        SELECT doc_id, pos, tok,
+               lead(tok, 1) OVER w AS t1, lead(tok, 2) OVER w AS t2,
+               lead(tok, 3) OVER w AS t3, lead(tok, 4) OVER w AS t4
+        FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ), bigr AS (
+        SELECT doc_id, max(n) AS top_bigram_n FROM (
+            SELECT doc_id, tok || ' ' || t1 AS big, count(*) AS n
+            FROM seq WHERE t1 IS NOT NULL GROUP BY 1, 2
+        ) GROUP BY doc_id
+    ), five AS (
+        SELECT doc_id,
+               count(*) AS n_five,
+               count(DISTINCT tok || ' ' || t1 || ' ' || t2 || ' ' || t3 || ' ' || t4)
+                   AS n_five_distinct
+        FROM seq WHERE t4 IS NOT NULL GROUP BY doc_id
+    ), base AS (
+        SELECT doc_id,
+               CAST(len(list_filter({_sql_tokens()}, t -> t <> '')) AS BIGINT)
+                   AS n_tokens
+        FROM documents
+    )
+    SELECT b.doc_id, b.n_tokens,
+           CASE WHEN b.n_tokens >= 2
+                THEN round(2.0 * bigr.top_bigram_n / b.n_tokens, 6)
+                ELSE 0.0 END AS top_bigram_frac,
+           CASE WHEN b.n_tokens >= 5
+                THEN round(1.0 - 1.0 * five.n_five_distinct / five.n_five, 6)
+                ELSE 0.0 END AS dup_fivegram_frac
+    FROM base b
+    LEFT JOIN bigr ON b.doc_id = bigr.doc_id
+    LEFT JOIN five ON b.doc_id = five.doc_id
+    """,
+    tags=("text", "repetition"),
+    bench=True,
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals: fraction of tokens covered by
+    the single most frequent bigram, and the duplicate fraction of
+    5-gram occurrences. High values flag boilerplate / spam / looped
+    generations — the repetition half of the quality-filter family
+    (text_gopher_rules covers the length/symbol half).
+
+    Scale shape: one shuffle to window the token stream per document
+    (lead() builds the n-grams — no self-join, no Python), then two
+    partial aggregations whose output is bounded by |docs|, not
+    |tokens|. At 100 TB the window key (doc_id) is maximally
+    high-cardinality, so the shuffle spreads evenly; everything stays
+    in whole-stage codegen."""
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", F.posexplode(_tokens()).alias("pos", "tok"))
+        .filter(F.col("tok") != "")
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    seq = toks.select(
+        "doc_id", "tok",
+        F.lead("tok", 1).over(w).alias("t1"),
+        F.lead("tok", 2).over(w).alias("t2"),
+        F.lead("tok", 3).over(w).alias("t3"),
+        F.lead("tok", 4).over(w).alias("t4"),
+    )
+    bigr = (
+        seq.filter(F.col("t1").isNotNull())
+        .groupBy("doc_id", F.concat_ws(" ", "tok", "t1").alias("big"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("doc_id")
+        .agg(F.max("n").alias("top_bigram_n"))
+    )
+    five = (
+        seq.filter(F.col("t4").isNotNull())
+        .select(
+            "doc_id",
+            F.concat_ws(" ", "tok", "t1", "t2", "t3", "t4").alias("fg"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_five"),
+            F.countDistinct("fg").alias("n_five_distinct"),
+        )
+    )
+    # Non-empty token count from the same exploded stream the window
+    # consumes: groupBy(doc_id) after the doc_id-partitioned window
+    # needs no new exchange, and it avoids a per-doc interpreted
+    # higher-order `filter` lambda (measured 10-40× slower than
+    # codegen in this repo — see spark-local-perf notes). Documents
+    # whose every token is empty fall out of `toks`; the left join
+    # from `d` + coalesce(0) puts them back.
+    cnt = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens"))
+    base = d.select("doc_id").join(cnt, "doc_id", "left").select(
+        "doc_id", F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens")
+    )
+    return (
+        base.join(bigr, "doc_id", "left")
+        .join(five, "doc_id", "left")
+        .select(
+            "doc_id", "n_tokens",
+            F.when(
+                F.col("n_tokens") >= 2,
+                F.round(2.0 * F.col("top_bigram_n") / F.col("n_tokens"), 6),
+            ).otherwise(0.0).alias("top_bigram_frac"),
+            F.when(
+                F.col("n_tokens") >= 5,
+                F.round(1.0 - F.col("n_five_distinct") / F.col("n_five"), 6),
+            ).otherwise(0.0).alias("dup_fivegram_frac"),
+        )
+    )

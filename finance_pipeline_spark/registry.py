@@ -200,6 +200,9 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
         "in": (
             "user_gap_stats",  # new this round (JVM re-plan of grouped_user_gaps)
             "text_vocab_topk",  # new this round (per-lang vocab histogram)
+            "text_pii_scrub",  # new this round (PII detect + redact)
+            "text_repetition_stats",  # new this round (Gopher repetition signals)
+            "emb_quantize_int8",  # new this round (int8 scalar quantization)
             "p2_drop_column",
             "p3_date_window",
             "o2_topk_single",
@@ -212,6 +215,9 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
         ),
         "out": (  # all hash-green in CORRECTNESS_r03.json
             "a2_empty_probe",
+            "text_fingerprint",
+            "text_ngram_profile",
+            "dedup_simhash",
             "p1_projection",
             "p4_comparison_filter",
             "o3_dynamic_sort",
@@ -239,7 +245,6 @@ PRIORITY: tuple[str, ...] = (
     "dedup_keyed_pick",
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
     "dedup_connected_groups",
@@ -261,10 +266,11 @@ PRIORITY: tuple[str, ...] = (
     "o2_topk_single",
     "a3_affected_rows",
     "s6_sql_table_scan",
-    # similarity (ANN ×3)
+    # similarity (ANN ×3 + quantization)
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "emb_quantize_int8",
     # streaming (batch tumbling + two real readStream runs)
     "win_tumbling",
     "stream_tumbling_counts",
@@ -281,15 +287,18 @@ PRIORITY: tuple[str, ...] = (
     "text_token_count",
     "text_quality_score",
     "text_langid",
-    "text_fingerprint",
-    "text_ngram_profile",
     "text_bpe_token_count",
     "text_gopher_rules",
     "text_vocab_topk",
+    "text_pii_scrub",
+    "text_repetition_stats",
     # UDF surface / stateful
     "stateful_user_totals",
     # ---- fold: position 51+ — prior-round hash-green driver evidence ----
     "a2_empty_probe",
+    "text_fingerprint",
+    "text_ngram_profile",
+    "dedup_simhash",
     "p1_projection",
     "p4_comparison_filter",
     "o3_dynamic_sort",

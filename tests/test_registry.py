@@ -68,17 +68,20 @@ def test_driver_window_covers_every_family():
     must_be_in_window = {
         # beyond-reference tier (one-plus per family)
         "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
+        "emb_quantize_int8",
         "join_asof", "join_range_bands", "rollup_time_multi",
         "user_gap_stats",
         "text_token_count", "text_quality_score", "text_langid",
-        "text_fingerprint", "text_ngram_profile", "text_bpe_token_count",
+        "text_bpe_token_count",
         "text_gopher_rules", "text_pack_sequences", "text_split_assign",
         "text_decontaminate", "text_vocab_topk",
+        "text_pii_scrub", "text_repetition_stats",
         "win_tumbling", "stream_tumbling_counts", "stream_dedup",
         "stateful_user_totals",
         "a3_affected_rows", "s6_sql_table_scan",
-        # dedup families
-        "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+        # dedup families (simhash folded r4 on r3-green evidence; minhash +
+        # ngram + cosine + exact + components keep the family in-window)
+        "dedup_exact", "dedup_minhash_lsh",
         "dedup_ngram_jaccard", "dedup_embedding_cosine",
         "dedup_connected_groups",
         # core relational representatives (r4 rotation: p2/p3/o2/d2/d4/u3

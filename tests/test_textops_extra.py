@@ -1,0 +1,78 @@
+"""Planted-data tests for the scrub/repetition/quantization operators:
+the driver corpus contains no PII and little repetition, so detection
+behavior is proven here on synthetic documents."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from tests.conftest import write_documents, write_embeddings
+
+from finance_pipeline_spark.operators.textops import (
+    text_pii_scrub,
+    text_repetition_stats,
+)
+from finance_pipeline_spark.operators.similarity import emb_quantize_int8
+
+
+def test_pii_scrub_detects_and_redacts(spark, tmp_path):
+    docs = [
+        (1, "contact me at alice.smith+work@example-mail.co for details"),
+        (2, "server at 192.168.1.250 answered then 10.0.0.7 timed out"),
+        (3, "call 555-867-5309 or 555.123.4567 tomorrow"),
+        (4, "nothing sensitive here just words and 42 numbers"),
+        (5, "mixed: bob@x.io from 8.8.8.8 phone 123-456-7890"),
+    ]
+    sf = write_documents(tmp_path, docs)
+    out = {r.doc_id: r for r in text_pii_scrub(spark, sf).collect()}
+
+    assert (out[1].n_email, out[1].n_ipv4, out[1].n_phone) == (1, 0, 0)
+    assert "<EMAIL>" in out[1].text_clean and "alice" not in out[1].text_clean
+    assert out[2].n_ipv4 == 2 and out[2].text_clean.count("<IP>") == 2
+    assert out[3].n_phone == 2 and "<PHONE>" in out[3].text_clean
+    assert (out[4].n_email, out[4].n_ipv4, out[4].n_phone) == (0, 0, 0)
+    assert out[4].text_clean == docs[3][1]  # untouched
+    assert (out[5].n_email, out[5].n_ipv4, out[5].n_phone) == (1, 1, 1)
+
+
+def test_repetition_stats_flags_loops(spark, tmp_path):
+    looped = " ".join(["buy now"] * 30)  # 60 tokens, one bigram dominates
+    clean = " ".join(f"w{i}" for i in range(60))  # all tokens distinct
+    short = "only three tokens"
+    sf = write_documents(tmp_path, [(1, looped), (2, clean), (3, short)])
+    out = {r.doc_id: r for r in text_repetition_stats(spark, sf).collect()}
+
+    assert out[1].n_tokens == 60
+    # "now buy" appears 29 times, "buy now" 30 → top covers 60/60 tokens
+    assert out[1].top_bigram_frac == 1.0
+    assert out[1].dup_fivegram_frac > 0.9
+    assert out[2].top_bigram_frac < 0.05
+    assert out[2].dup_fivegram_frac == 0.0
+    assert out[3].n_tokens == 3
+    assert out[3].dup_fivegram_frac == 0.0  # < 5 tokens → defined as 0
+
+
+def test_quantize_int8_roundtrip_error_bounded(spark, tmp_path):
+    rng = np.random.default_rng(7)
+    mat = rng.normal(size=(20, 16)).astype(np.float32)
+    mat[5] = 0.0  # zero vector: scale 0, all q = 0, no div-by-zero
+    sf = write_embeddings(tmp_path, list(range(20)), mat)
+    rows = emb_quantize_int8(spark, sf).collect()
+    assert len(rows) == 20 * 16
+
+    by_vec: dict[int, list] = {}
+    for r in rows:
+        by_vec.setdefault(r.vec_id, []).append(r)
+    for vid, elems in by_vec.items():
+        elems.sort(key=lambda r: r.pos)
+        orig = mat[vid].astype(np.float64)
+        q = np.array([r.q for r in elems])
+        scale = elems[0].scale
+        assert int(np.abs(q).max()) <= 127
+        if vid == 5:
+            assert scale == 0.0 and not q.any()
+            continue
+        # dequantization error is bounded by half a quantization step
+        assert np.abs(q * scale - orig).max() <= scale / 2 + 1e-12
+        # the largest-magnitude element maps to ±127 exactly
+        assert int(np.abs(q[np.argmax(np.abs(orig))])) == 127
