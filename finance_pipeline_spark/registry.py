@@ -203,6 +203,7 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
             "text_pii_scrub",  # new this round (PII detect + redact)
             "text_repetition_stats",  # new this round (Gopher repetition signals)
             "emb_quantize_int8",  # new this round (int8 scalar quantization)
+            "join_skew_enrich",  # new this round (salted skew join)
             "p2_drop_column",
             "p3_date_window",
             "o2_topk_single",
@@ -218,6 +219,7 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
             "text_fingerprint",
             "text_ngram_profile",
             "dedup_simhash",
+            "agg_rollup",
             "p1_projection",
             "p4_comparison_filter",
             "o3_dynamic_sort",
@@ -236,7 +238,6 @@ PRIORITY: tuple[str, ...] = (
     # flagship + one per agg shape
     "agg_pricing_summary",
     "agg_approx_distinct",
-    "agg_rollup",
     "agg_variance_exact",
     "win_rank_family",
     "win_running_sum",
@@ -250,6 +251,7 @@ PRIORITY: tuple[str, ...] = (
     "dedup_connected_groups",
     # joins / set ops
     "join_agg_revenue",
+    "join_skew_enrich",
     "u2_anti_join",
     "u3_semi_join",
     # derivations (parse / custom-format / interval representatives)
@@ -299,6 +301,7 @@ PRIORITY: tuple[str, ...] = (
     "text_fingerprint",
     "text_ngram_profile",
     "dedup_simhash",
+    "agg_rollup",
     "p1_projection",
     "p4_comparison_filter",
     "o3_dynamic_sort",
@@ -369,6 +372,7 @@ def load_all() -> None:
         multimodal,
         relational,
         similarity,
+        skew,
         streaming_batch,
         temporal,
         textops,

@@ -88,6 +88,7 @@ def test_driver_window_covers_every_family():
         # re-entered the window; their r3-green duplicates moved past the
         # fold — see registry.ROTATION_LOG)
         "agg_pricing_summary", "win_rank_family", "join_agg_revenue",
+        "join_skew_enrich",
         "u2_anti_join", "u3_semi_join", "o1_topk_multikey",
         "p2_drop_column", "p3_date_window",
         "d2_interval_shift", "d4_custom_format_parse",
