@@ -449,3 +449,105 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("q"),
         "scale",
     )
+
+
+@query(
+    "ann_quantized_topk",
+    oracle="""
+    WITH sc AS (
+        SELECT vec_id, label, embedding,
+               list_max([abs(CAST(x AS DOUBLE)) FOR x IN embedding]) / 127.0
+                   AS scale
+        FROM embeddings
+    ), qz AS (
+        SELECT vec_id, label,
+               [CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT)
+                FOR x IN embedding] AS qvec
+        FROM sc WHERE scale > 0
+    ), nm AS (
+        SELECT vec_id, label, qvec,
+               sqrt(CAST(list_sum([x * x FOR x IN qvec]) AS DOUBLE)) AS nq
+        FROM qz
+    )
+    SELECT query_id, corpus_id, cosine, rnk FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+               round(CAST(list_sum(list_zip(q.qvec, c.qvec)
+                          .list_transform(p -> p[1] * p[2])) AS DOUBLE)
+                     / (q.nq * c.nq), 4) AS cosine,
+               CAST(row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY round(CAST(list_sum(list_zip(q.qvec, c.qvec)
+                              .list_transform(p -> p[1] * p[2])) AS DOUBLE)
+                            / (q.nq * c.nq), 4) DESC, c.vec_id
+               ) AS BIGINT) AS rnk
+        FROM nm q JOIN nm c
+          ON q.label = c.label AND q.vec_id <> c.vec_id
+        WHERE q.vec_id % 100 = 0
+    ) WHERE rnk <= 10
+    """,
+    tags=("similarity", "ann", "quantize"),
+    bench=True,
+)
+def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN serving over int8-quantized vectors — the read path that
+    pairs with ``emb_quantize_int8``'s write path (FAISS ``IVF,SQ8``):
+    coarse cell restriction (label, as in ``ann_ivf_topk``) + cosine
+    on the QUANTIZED vectors, never touching the float embeddings at
+    query time. 4× less candidate bandwidth; scales cancel in the
+    cosine ratio, so no dequantization either.
+
+    Fully hash-checkable — unlike SRP-LSH — because every step is
+    exact: the quantization arithmetic is the bit-identical IEEE chain
+    from emb_quantize_int8, and the scoring is INTEGER dot products
+    and norms (≤ dim·127² ≪ 2^53, exact in doubles on both engines).
+    Recall vs the float brute-force baseline is covered in
+    tests/test_similarity.py.
+
+    Scale shape: identical to ann_ivf_topk (broadcast query side,
+    cell-pruned candidates, per-query top-k window) with the candidate
+    rows 4× narrower."""
+    e = load(spark, sf_dir, "embeddings")
+    absd = F.transform("embedding", lambda x: F.abs(x.cast("double")))
+    sc = e.select(
+        "vec_id", "label", "embedding",
+        (F.array_max(absd) / F.lit(127.0)).alias("scale"),
+    ).filter(F.col("scale") > 0)
+    qvec = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") / F.col("scale") + F.lit(0.5)).cast(
+            "bigint"
+        ),
+    )
+    qz = sc.select("vec_id", "label", qvec.alias("qvec"))
+    intdot = F.aggregate(
+        F.zip_with("qvec", "qvec", lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    nm = qz.select(
+        "vec_id", "label", "qvec",
+        F.sqrt(intdot.cast("double")).alias("nq"),
+    )
+    q = nm.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("qvec").alias("q_qvec"),
+        F.col("nq").alias("q_nq"),
+    )
+    pair_dot = F.aggregate(
+        F.zip_with("q_qvec", "qvec", lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    cos = F.round(pair_dot.cast("double") / (F.col("q_nq") * F.col("nq")), 4)
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("corpus_id"))
+    return (
+        nm.join(
+            F.broadcast(q),
+            (F.col("label") == F.col("q_label"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", F.col("vec_id").alias("corpus_id"), cos.alias("cosine"))
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= _TOPK)
+    )

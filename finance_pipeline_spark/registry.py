@@ -204,6 +204,7 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
             "text_repetition_stats",  # new this round (Gopher repetition signals)
             "emb_quantize_int8",  # new this round (int8 scalar quantization)
             "join_skew_enrich",  # new this round (salted skew join)
+            "ann_quantized_topk",  # new this round (SQ8 ANN serving path)
             "p2_drop_column",
             "p3_date_window",
             "o2_topk_single",
@@ -220,6 +221,7 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
             "text_ngram_profile",
             "dedup_simhash",
             "agg_rollup",
+            "text_langid",
             "p1_projection",
             "p4_comparison_filter",
             "o3_dynamic_sort",
@@ -273,6 +275,7 @@ PRIORITY: tuple[str, ...] = (
     "ann_lsh_topk",
     "ann_ivf_topk",
     "emb_quantize_int8",
+    "ann_quantized_topk",
     # streaming (batch tumbling + two real readStream runs)
     "win_tumbling",
     "stream_tumbling_counts",
@@ -288,7 +291,6 @@ PRIORITY: tuple[str, ...] = (
     "text_decontaminate",
     "text_token_count",
     "text_quality_score",
-    "text_langid",
     "text_bpe_token_count",
     "text_gopher_rules",
     "text_vocab_topk",
@@ -302,6 +304,7 @@ PRIORITY: tuple[str, ...] = (
     "text_ngram_profile",
     "dedup_simhash",
     "agg_rollup",
+    "text_langid",
     "p1_projection",
     "p4_comparison_filter",
     "o3_dynamic_sort",

@@ -94,3 +94,29 @@ def test_query_fetch_cap_fails_loudly(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(similarity, "_QUERY_FETCH_CAP", 3)
     with pytest.raises(ValueError, match="driver-side fetch cap"):
         similarity._query_matrix(spark, sf)
+
+
+def test_quantized_ann_recall_vs_float_baseline(spark, tmp_path):
+    """int8 quantization perturbs each cosine by <~1%, so the planted
+    near-duplicate (cosine ≳ 0.95, next-best well below) must stay
+    rank-1 for every query — and quantized scores must track the float
+    scores closely."""
+    from finance_pipeline_spark.operators.similarity import (
+        ann_cosine_topk,
+        ann_quantized_topk,
+    )
+
+    sf, truth = _planted(tmp_path)
+    qrows = ann_quantized_topk(spark, sf).collect()
+    top1 = {r.query_id: r.corpus_id for r in qrows if r.rnk == 1}
+    hits = sum(1 for q, c in truth.items() if top1.get(q) == c)
+    assert hits >= int(0.9 * len(truth)), (hits, len(truth))
+
+    fl = {
+        (r.query_id, r.corpus_id): r.cosine
+        for r in ann_cosine_topk(spark, sf).collect()
+    }
+    for r in qrows:
+        f = fl.get((r.query_id, r.corpus_id))
+        if f is not None:
+            assert abs(r.cosine - f) < 0.02, (r.query_id, r.corpus_id, r.cosine, f)
