@@ -733,3 +733,155 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0.0).alias("dup_fivegram_frac"),
         )
     )
+
+
+_TFIDF_TOPK = 5
+
+
+@query(
+    "text_tfidf_topk",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_sql_tokens()}) AS term FROM documents
+    ), tf AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM toks WHERE term <> '' GROUP BY 1, 2
+    ), df AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ), n AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+    )
+    SELECT doc_id, term, tf, df, score_num, rnk FROM (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df,
+               tf.tf * n.n_docs AS score_num,
+               CAST(row_number() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY 1.0 * tf.tf * n.n_docs / df.df DESC, tf.term
+               ) AS BIGINT) AS rnk
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    ) WHERE rnk <= {_TFIDF_TOPK}
+    """,
+    tags=("text", "tfidf"),
+    bench=True,
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-k distinctive terms by TF-IDF — the keyword /
+    topic-signal extraction step of corpus analytics. Log-free scoring
+    variant: rank by tf · N / df, which orders identically to
+    tf · (N/df) under any monotone damping for a FIXED doc and keeps
+    every compared quantity an exact integer ratio — no libm ``ln``
+    whose last bit differs between engines (the reason this query is
+    hash-checkable; score_num = tf·N and df are returned instead of a
+    float score).
+
+    Scale shape: tf is a map-side-combined (doc, term) count; df
+    aggregates tf's output (bounded by vocab × docs sharing a term,
+    not corpus tokens); N is a 1-row broadcast-of-scalar. The df join
+    keys on term — high cardinality, skew-resistant — and the final
+    top-k window partitions by doc_id. No floats anywhere except the
+    rank ORDER BY, whose operands are exact small-integer products."""
+    d = load(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(_tokens()).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.groupBy().agg(F.count(F.lit(1)).alias("n_docs"))
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy(
+        (1.0 * F.col("tf") * F.col("n_docs") / F.col("df")).desc(), "term"
+    )
+    return (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score_num", F.col("tf") * F.col("n_docs"))
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= _TFIDF_TOPK)
+        .select("doc_id", "term", "tf", "df", "score_num", "rnk")
+    )
+
+
+@query(
+    "text_mixture_sample",
+    oracle="""
+    WITH rated AS (
+        SELECT doc_id, source,
+               250 + (CAST(substr(source, 4) AS INTEGER) % 8) * 350
+                   AS rate_permille
+        FROM documents
+    ), sized AS (
+        SELECT doc_id, source, rate_permille,
+               rate_permille // 1000 AS full_epochs,
+               rate_permille % 1000 AS frac_permille
+        FROM rated
+    ), fanned AS (
+        SELECT doc_id, source, rate_permille, full_epochs, frac_permille,
+               unnest(generate_series(0, full_epochs)) AS epoch
+        FROM sized
+    )
+    SELECT doc_id, source, CAST(rate_permille AS BIGINT) AS rate_permille,
+           CAST(epoch AS BIGINT) AS epoch
+    FROM fanned
+    WHERE epoch < full_epochs
+       OR ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                          CAST(epoch AS VARCHAR)), 1, 6))::BIGINT % 1000
+          < frac_permille
+    """,
+    tags=("text", "sampling", "mixture"),
+)
+def text_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture sampling — the per-source weighting step of a
+    pretraining pipeline (sample source A at 2.35 epochs, source B at
+    0.25). Rates are permille INTEGERS end to end (rate = 250 +
+    (src_num % 8)·350, standing in for the mixture config), so both
+    engines agree with zero floating-point involvement:
+
+    - ``rate // 1000`` full epochs are always emitted (upsampling =
+      row repetition with a distinguishing ``epoch`` column, the way a
+      weighted sampler actually materializes a mixture);
+    - the fractional epoch keeps a doc iff md5(doc_id:epoch) permille
+      < rate % 1000 — the same stable-hash idiom as
+      ``text_split_assign``, so membership is reproducible across
+      runs, engines, and backfills, and disjoint sources can be
+      re-weighted without reshuffling previous epochs.
+
+    Scale shape: zero-shuffle map work — the epoch fan-out is an
+    in-scan ``explode(sequence(...))`` bounded by ceil(max rate), and
+    the hash filter cuts rows before anything downstream. The output
+    IS the training corpus stream, so no collect, no window, no join."""
+    d = load(spark, sf_dir, "documents")
+    rate_pm = (
+        250 + (F.substring("source", 4, 10).cast("int") % 8) * 350
+    ).alias("rate_permille")
+    sized = d.select("doc_id", "source", rate_pm).select(
+        "doc_id", "source", "rate_permille",
+        F.expr("rate_permille div 1000").alias("full_epochs"),
+        (F.col("rate_permille") % 1000).alias("frac_permille"),
+    )
+    fanned = sized.select(
+        "doc_id", "source", "rate_permille", "full_epochs", "frac_permille",
+        F.explode(F.sequence(F.lit(0), F.col("full_epochs"))).alias("epoch"),
+    )
+    md5_pm = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("doc_id"), F.col("epoch"))), 1, 6
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000
+    )
+    return (
+        fanned.filter(
+            (F.col("epoch") < F.col("full_epochs")) | (md5_pm < F.col("frac_permille"))
+        )
+        .select(
+            "doc_id", "source",
+            F.col("rate_permille").cast("bigint").alias("rate_permille"),
+            F.col("epoch").cast("bigint").alias("epoch"),
+        )
+    )

@@ -205,6 +205,8 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
             "emb_quantize_int8",  # new this round (int8 scalar quantization)
             "join_skew_enrich",  # new this round (salted skew join)
             "ann_quantized_topk",  # new this round (SQ8 ANN serving path)
+            "text_tfidf_topk",  # new this round (exact-integer TF-IDF terms)
+            "text_mixture_sample",  # new this round (data-mixture weighting)
             "p2_drop_column",
             "p3_date_window",
             "o2_topk_single",
@@ -222,6 +224,8 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
             "dedup_simhash",
             "agg_rollup",
             "text_langid",
+            "text_bpe_token_count",
+            "text_quality_score",
             "p1_projection",
             "p4_comparison_filter",
             "o3_dynamic_sort",
@@ -290,12 +294,12 @@ PRIORITY: tuple[str, ...] = (
     "text_split_assign",
     "text_decontaminate",
     "text_token_count",
-    "text_quality_score",
-    "text_bpe_token_count",
     "text_gopher_rules",
     "text_vocab_topk",
     "text_pii_scrub",
     "text_repetition_stats",
+    "text_tfidf_topk",
+    "text_mixture_sample",
     # UDF surface / stateful
     "stateful_user_totals",
     # ---- fold: position 51+ — prior-round hash-green driver evidence ----
@@ -305,6 +309,8 @@ PRIORITY: tuple[str, ...] = (
     "dedup_simhash",
     "agg_rollup",
     "text_langid",
+    "text_bpe_token_count",
+    "text_quality_score",
     "p1_projection",
     "p4_comparison_filter",
     "o3_dynamic_sort",

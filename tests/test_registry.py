@@ -71,11 +71,11 @@ def test_driver_window_covers_every_family():
         "emb_quantize_int8", "ann_quantized_topk",
         "join_asof", "join_range_bands", "rollup_time_multi",
         "user_gap_stats",
-        "text_token_count", "text_quality_score",
-        "text_bpe_token_count",
+        "text_token_count",
         "text_gopher_rules", "text_pack_sequences", "text_split_assign",
         "text_decontaminate", "text_vocab_topk",
         "text_pii_scrub", "text_repetition_stats",
+        "text_tfidf_topk", "text_mixture_sample",
         "win_tumbling", "stream_tumbling_counts", "stream_dedup",
         "stateful_user_totals",
         "a3_affected_rows", "s6_sql_table_scan",

@@ -76,3 +76,29 @@ def test_quantize_int8_roundtrip_error_bounded(spark, tmp_path):
         assert np.abs(q * scale - orig).max() <= scale / 2 + 1e-12
         # the largest-magnitude element maps to ±127 exactly
         assert int(np.abs(q[np.argmax(np.abs(orig))])) == 127
+
+
+def test_mixture_sample_epoch_semantics(spark):
+    """Full epochs always present; fractional epoch hash-gated; row
+    multiplicity equals the configured per-source rate in expectation."""
+    from finance_pipeline_spark.operators.textops import text_mixture_sample
+
+    out = text_mixture_sample(spark, "/root/testdata/sf0.001").collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert by_doc
+    for doc, rows in by_doc.items():
+        rate = rows[0].rate_permille
+        full = rate // 1000
+        epochs = sorted(r.epoch for r in rows)
+        # full epochs 0..full-1 are all present, exactly once
+        assert epochs[: full] == list(range(full))
+        # at most one fractional epoch beyond that
+        assert len(epochs) in (full, full + 1)
+        if len(epochs) == full + 1:
+            assert epochs[-1] == full
+    # deterministic: a second run yields the identical multiset
+    again = text_mixture_sample(spark, "/root/testdata/sf0.001").collect()
+    key = lambda r: (r.doc_id, r.epoch)  # noqa: E731
+    assert sorted(map(key, out)) == sorted(map(key, again))
