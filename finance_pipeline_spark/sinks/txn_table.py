@@ -309,3 +309,38 @@ class TxnKeyedTable:
         restaged, n = self._stage(survivors.drop("created_at"))
         self._discard(old)
         return restaged, n
+
+
+def vacuum(path: str, retain_seconds: float = 7 * 24 * 3600.0) -> list[str]:
+    """Delete data files not referenced by ANY committed version —
+    the garbage left by crashed writers (staged but never committed)
+    — once they are older than ``retain_seconds``.
+
+    The retention window is the same safety rule as Delta's VACUUM
+    default (7 days): a file younger than the window might belong to
+    a writer that is mid-merge RIGHT NOW (staged, about to claim a
+    commit), so deleting it would corrupt that writer's commit. Past
+    the window, an uncommitted file can only be a crash leftover —
+    every live merge stages and commits in one call.
+
+    Committed files are NEVER candidates regardless of age: the log,
+    not mtime, is the source of truth. Returns the deleted names.
+    """
+    import time as _time
+
+    snap = current_snapshot(path)
+    live = set(snap.files)
+    dd = _data_dir(path)
+    if not dd.exists():
+        return []
+    cutoff = _time.time() - retain_seconds
+    deleted = []
+    for f in dd.glob("*.parquet"):
+        if f.name in live:
+            continue
+        if f.stat().st_mtime < cutoff:
+            f.unlink()
+            deleted.append(f.name)
+    if deleted:
+        log.info("vacuumed %d orphan files from %s", len(deleted), path)
+    return sorted(deleted)

@@ -150,3 +150,32 @@ def test_threaded_writers_preserve_uniqueness(spark, tmp_path):
     assert df.count() == 80
     assert df.select("k").distinct().count() == 80
     assert sum(s.inserted for s in stats) == 80
+
+
+def test_vacuum_removes_only_aged_orphans(spark, tmp_path):
+    import os
+    import time
+
+    from finance_pipeline_spark.sinks.txn_table import vacuum
+
+    path = str(tmp_path / "t")
+    t = TxnKeyedTable(spark, path, ["k"])
+    t.merge(_batch(spark, range(5)))
+    data = tmp_path / "t" / "data"
+
+    # plant two orphans: one "old" (crash leftover), one fresh
+    # (a concurrent writer could be mid-merge)
+    old = data / "deadbeef-old-orphan.parquet"
+    fresh = data / "deadbeef-fresh-orphan.parquet"
+    committed = next(data.glob("*.parquet"))
+    for p in (old, fresh):
+        p.write_bytes(committed.read_bytes())
+    past = time.time() - 8 * 24 * 3600
+    os.utime(old, (past, past))
+    os.utime(committed, (past, past))  # committed + old: must SURVIVE
+
+    gone = vacuum(path)
+    assert gone == [old.name]
+    assert fresh.exists()  # inside retention window
+    assert committed.exists()  # referenced by the log — age-proof
+    assert t.read().count() == 5  # table unharmed
