@@ -119,6 +119,31 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_approx_quantile",
+    oracle=None,  # sketch internals differ across engines — rows-only;
+    # tests/test_aggregates.py bounds every estimate against the exact
+    # percentile at the declared accuracy.
+    tags=("agg", "approx"),
+)
+def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna sketch) — the quantile
+    counterpart of the HLL entry: fixed-memory, single-pass, mergeable
+    map-side, so p50/p95/p99 latency-style rollups stay one partial-agg
+    shuffle at any scale. The exact ``percentile`` (used by
+    user_gap_stats, where exactness is the point) buffers every value
+    per group; at 100 TB per-group value sets can exceed executor
+    memory, and the sketch is the only viable plan. Accuracy 1/10000
+    relative rank error, bounded in tests against the exact result."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), 10000)"
+        ).alias("price_q"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
     "agg_variance_exact",
     oracle="""
     SELECT l_returnflag,

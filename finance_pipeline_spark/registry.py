@@ -207,6 +207,7 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
             "ann_quantized_topk",  # new this round (SQ8 ANN serving path)
             "text_tfidf_topk",  # new this round (exact-integer TF-IDF terms)
             "text_mixture_sample",  # new this round (data-mixture weighting)
+            "agg_approx_quantile",  # new this round (GK quantile sketch, rows-only)
             "p2_drop_column",
             "p3_date_window",
             "o2_topk_single",
@@ -226,6 +227,7 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
             "text_langid",
             "text_bpe_token_count",
             "text_quality_score",
+            "stream_tumbling_counts",
             "p1_projection",
             "p4_comparison_filter",
             "o3_dynamic_sort",
@@ -244,6 +246,7 @@ PRIORITY: tuple[str, ...] = (
     # flagship + one per agg shape
     "agg_pricing_summary",
     "agg_approx_distinct",
+    "agg_approx_quantile",
     "agg_variance_exact",
     "win_rank_family",
     "win_running_sum",
@@ -282,7 +285,6 @@ PRIORITY: tuple[str, ...] = (
     "ann_quantized_topk",
     # streaming (batch tumbling + two real readStream runs)
     "win_tumbling",
-    "stream_tumbling_counts",
     "stream_dedup",
     # temporal joins / rollup / gap stats
     "join_asof",
@@ -311,6 +313,7 @@ PRIORITY: tuple[str, ...] = (
     "text_langid",
     "text_bpe_token_count",
     "text_quality_score",
+    "stream_tumbling_counts",
     "p1_projection",
     "p4_comparison_filter",
     "o3_dynamic_sort",

@@ -44,3 +44,31 @@ def test_pricing_summary_internal_consistency(spark, sf_dir):
     for r in registry.QUERIES["agg_pricing_summary"].fn(spark, sf_dir).collect():
         assert abs(r.avg_qty - r.sum_qty / r.count_order) < 1e-6
         assert abs(r.avg_price - r.sum_base_price / r.count_order) < 1e-6
+
+
+def test_approx_quantile_tracks_exact_percentiles(spark):
+    """Rows-only query: its correctness evidence. At accuracy 10000
+    the rank error is ≤ 1/10000 of the group size; on sf0.01 groups
+    (~20k rows) that is ~2 ranks, so value error is bounded by the
+    local density — assert against the exact percentile with a
+    generous relative band."""
+    from pyspark.sql import functions as F
+
+    from finance_pipeline_spark.operators.aggregates import agg_approx_quantile
+    from finance_pipeline_spark.registry import load
+
+    sf = "/root/testdata/sf0.01"
+    approx = {
+        r.l_returnflag: r.price_q for r in agg_approx_quantile(spark, sf).collect()
+    }
+    exact = {
+        r.l_returnflag: r.q
+        for r in load(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.expr("percentile(l_extendedprice, array(0.5, 0.95, 0.99))").alias("q"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for flag, qs in approx.items():
+        for got, want in zip(qs, exact[flag]):
+            assert abs(got - want) / want < 0.01, (flag, got, want)
