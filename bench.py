@@ -73,6 +73,13 @@ def main() -> int:
             t0 = time.time()
             force(spec.fn(spark, sf_dir))
             runs.append(round(time.time() - t0, 3))
+            # A stopped readStream leaves several seconds of decaying
+            # background cleanup (temp-checkpoint deletion, state GC);
+            # settle OUTSIDE the timer so the next repeat measures the
+            # query, not the previous repeat's teardown (r4: back-to-back
+            # stream_dedup repeats read 5.2s vs ~1.5s settled).
+            if "readstream" in spec.tags:
+                time.sleep(4.0)
         repeats[name] = runs
         timings[name] = min(runs)
         print(f"# {name}: {timings[name]:.3f}s {runs}", file=sys.stderr)

@@ -185,7 +185,7 @@ def win_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     GROUP BY 1, 2
     """,
-    tags=("streaming",),
+    tags=("streaming", "readstream"),
 )
 def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """True Structured Streaming execution of the tumbling count: the
@@ -253,7 +253,7 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     GROUP BY event_type
     """,
-    tags=("streaming", "dedup"),
+    tags=("streaming", "dedup", "readstream"),
     bench=True,
 )
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

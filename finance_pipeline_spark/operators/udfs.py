@@ -79,7 +79,7 @@ def udf_embedding_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     GROUP BY user_id
     """,
-    tags=("streaming", "stateful", "udf"),
+    tags=("streaming", "stateful", "udf", "readstream"),
 )
 def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 custom stateful operator: per-user running totals via
