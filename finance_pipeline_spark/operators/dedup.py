@@ -198,16 +198,16 @@ def minhash_band_rows(df: DataFrame) -> DataFrame:
     )
 
 
-def _minhash_oracle() -> str:
-    """DuckDB replica of the full MinHash-LSH pipeline. Portable because
-    every ingredient is: trigram shingles are strings, the shingle/band
-    hashes are md5 truncations (DuckDB md5() = same digest; first 8
-    bytes little-endian = reversed hex pairs), and the multiply-shift
-    permutation ``(a·h + b) mod 2⁶⁴`` is emulated exactly in HUGEINT by
-    splitting ``a`` into 32-bit halves (each partial product < 2⁹⁶,
-    inside signed-128 range; property-tested against Python in
-    tests/test_dedup.py). The verify stage intersects the shingle
-    string lists directly — hash-free, so it can't collide."""
+def _bands_cte() -> str:
+    """Shared DuckDB CTE chain ``toks → strs → hashed → sigs → bands``
+    replicating ``minhash_band_rows`` exactly: trigram shingles are
+    strings, the shingle/band hashes are md5 truncations (DuckDB md5()
+    = same digest; first 8 bytes little-endian = reversed hex pairs),
+    and the multiply-shift permutation ``(a·h + b) mod 2⁶⁴`` is
+    emulated exactly in HUGEINT by splitting ``a`` into 32-bit halves
+    (each partial product < 2⁹⁶, inside signed-128 range;
+    property-tested against Python in tests/test_dedup.py). Used by
+    both the full-corpus LSH oracle and the incremental-index one."""
     m64, m32 = 1 << 64, 1 << 32
 
     def h64(hex_expr: str) -> str:
@@ -231,8 +231,7 @@ def _minhash_oracle() -> str:
         )
         band_keys.append(h64(f"md5(concat('{i}:', {csv}))"))
     bands_list = ",\n               ".join(band_keys)
-    return f"""
-    WITH toks AS (
+    return f"""toks AS (
         SELECT doc_id, string_split(trim(lower(text)), ' ') AS t FROM documents
     ), strs AS (
         SELECT doc_id,
@@ -249,7 +248,15 @@ def _minhash_oracle() -> str:
     ), bands AS (
         SELECT doc_id, band_key
         FROM sigs, unnest([{bands_list}]) AS u(band_key)
-    ), capped AS (
+    )"""
+
+
+def _minhash_oracle() -> str:
+    """DuckDB replica of the full MinHash-LSH pipeline (band CTEs from
+    ``_bands_cte``). The verify stage intersects the shingle string
+    lists directly — hash-free, so it can't collide."""
+    return f"""
+    WITH {_bands_cte()}, capped AS (
         SELECT doc_id, band_key FROM (
             SELECT doc_id, band_key,
                    count(*) OVER (PARTITION BY band_key) AS n
@@ -352,6 +359,153 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(t_b, "doc_b")
         .mapInPandas(verify, "doc_a bigint, doc_b bigint, jaccard double")
         .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+# --- incremental (batch-vs-corpus) dedup ------------------------------------
+
+_INCR_SPLIT_PM = 900  # md5-permille split: < 900 = existing corpus,
+# >= 900 = the incoming 10% delta being screened against it
+
+
+def _incremental_oracle() -> str:
+    """DuckDB replica of the incremental screen: same band CTEs as the
+    full LSH oracle (``_bands_cte``), same md5-permille split recipe as
+    ``text_split_assign``, sha256 digests for the exact tier."""
+    return f"""
+    WITH {_bands_cte()}, split AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 1000
+                 AS pm
+        FROM documents
+    ), digests AS (
+        SELECT d.doc_id, s.pm, sha256(d.text) AS dg
+        FROM documents d JOIN split s ON s.doc_id = d.doc_id
+    ), corpus_dg AS (
+        SELECT DISTINCT dg FROM digests WHERE pm < {_INCR_SPLIT_PM}
+    ), incoming AS (
+        SELECT doc_id, dg FROM digests WHERE pm >= {_INCR_SPLIT_PM}
+    ), exact_ids AS (
+        SELECT DISTINCT i.doc_id FROM incoming i
+        JOIN corpus_dg c ON i.dg = c.dg
+    ), corpus_bands AS (
+        SELECT b.doc_id, b.band_key
+        FROM bands b JOIN split s ON s.doc_id = b.doc_id
+        WHERE s.pm < {_INCR_SPLIT_PM}
+    ), capped_corpus AS (
+        SELECT doc_id, band_key FROM (
+            SELECT doc_id, band_key,
+                   count(*) OVER (PARTITION BY band_key) AS n
+            FROM corpus_bands
+        ) WHERE n <= {_MINHASH_BUCKET_CAP}
+    ), inc_bands AS (
+        SELECT b.doc_id, b.band_key
+        FROM bands b JOIN split s ON s.doc_id = b.doc_id
+        WHERE s.pm >= {_INCR_SPLIT_PM}
+    ), near_ids AS (
+        SELECT DISTINCT ib.doc_id
+        FROM inc_bands ib
+        JOIN capped_corpus cb ON ib.band_key = cb.band_key
+    )
+    SELECT i.doc_id,
+           e.doc_id IS NOT NULL AS exact_dup,
+           n.doc_id IS NOT NULL AS near_dup,
+           CASE WHEN e.doc_id IS NOT NULL THEN 'drop_exact'
+                WHEN n.doc_id IS NOT NULL THEN 'review_near'
+                ELSE 'keep' END AS verdict
+    FROM incoming i
+    LEFT JOIN exact_ids e ON e.doc_id = i.doc_id
+    LEFT JOIN near_ids n ON n.doc_id = i.doc_id
+    """
+
+
+@query(
+    "dedup_incremental",
+    oracle=_incremental_oracle(),
+    tags=("dedup", "lsh", "incremental"),
+    bench=True,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: screen an incoming batch against the existing
+    corpus WITHOUT re-deduping the corpus — the operation a continuously
+    updated training corpus actually runs (a daily delta arrives; the
+    100 TB history is never re-paired). Two tiers per incoming doc:
+
+    - **exact**: sha256 content digest matches any corpus digest
+      (semi-join on 32-byte keys — bodies never shuffle);
+    - **near**: any of the doc's 8 MinHash band keys hits the corpus
+      band index (semi-join on the high-cardinality band_key; corpus
+      buckets over ``_MINHASH_BUCKET_CAP`` are dropped from the index
+      as non-discriminative, same boilerplate guard as the full LSH).
+
+    Scale shape: at 100 TB the corpus digest set and band index are
+    STORED tables maintained by appending each screened batch's rows —
+    the per-run cost is hashing the delta plus two semi-join probes
+    whose shuffle carries only the delta's keys. Here both sides are
+    derived from the same ``documents`` table via the md5-permille
+    split (recipe shared with ``text_split_assign``), and the band
+    rows are materialized once (``localCheckpoint``) because Catalyst
+    re-runs Python kernels for each branch of a shared subtree — the
+    checkpoint stands in for the stored index.
+
+    Verdict is deliberately two-stage (``drop_exact`` / ``review_near``
+    / ``keep``): band collision is a candidate signal, not proof, so
+    near hits are routed to verification rather than silently dropped.
+    Parity: reference dedup semantics (etl/csv_loader.py:124-133 —
+    UNIQUE-key skip of already-loaded rows) generalized to content
+    identity + similarity against an accumulated corpus."""
+    docs = load(spark, sf_dir, "documents")
+    pm = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("bigint")
+        % 1000
+    )
+    dg = F.sha2(F.encode("text", "UTF-8"), 256)
+
+    with_pm = docs.withColumn("pm", pm)
+    corpus = with_pm.filter(F.col("pm") < _INCR_SPLIT_PM)
+    incoming = with_pm.filter(F.col("pm") >= _INCR_SPLIT_PM)
+
+    corpus_dg = corpus.select(dg.alias("dg")).distinct()
+    exact_ids = (
+        incoming.select("doc_id", dg.alias("dg"))
+        .join(corpus_dg, "dg", "left_semi")
+        .select("doc_id")
+    )
+
+    # One kernel pass builds band rows for BOTH sides; the eager
+    # checkpoint materializes it so the two filtered branches below
+    # don't each re-run the Python signature kernel (measured pitfall:
+    # identical subtrees never share work across branches).
+    bands = minhash_band_rows(docs).withColumn("pm", pm).localCheckpoint(eager=True)
+    from pyspark.sql import Window as W
+
+    capped_corpus = (
+        bands.filter(F.col("pm") < _INCR_SPLIT_PM)
+        .withColumn("bucket_n", F.count(F.lit(1)).over(W.partitionBy("band_key")))
+        .filter(F.col("bucket_n") <= _MINHASH_BUCKET_CAP)
+        .select("band_key")
+    )
+    near_ids = (
+        bands.filter(F.col("pm") >= _INCR_SPLIT_PM)
+        .join(capped_corpus, "band_key", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+
+    return (
+        incoming.select("doc_id")
+        .join(exact_ids.withColumn("exact_hit", F.lit(True)), "doc_id", "left")
+        .join(near_ids.withColumn("near_hit", F.lit(True)), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("exact_hit", F.lit(False)).alias("exact_dup"),
+            F.coalesce("near_hit", F.lit(False)).alias("near_dup"),
+            F.when(F.col("exact_hit"), F.lit("drop_exact"))
+            .when(F.col("near_hit"), F.lit("review_near"))
+            .otherwise(F.lit("keep"))
+            .alias("verdict"),
+        )
     )
 
 

@@ -208,6 +208,7 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
             "text_tfidf_topk",  # new this round (exact-integer TF-IDF terms)
             "text_mixture_sample",  # new this round (data-mixture weighting)
             "agg_approx_quantile",  # new this round (GK quantile sketch, rows-only)
+            "dedup_incremental",  # new this round (batch-vs-corpus screen)
             "p2_drop_column",
             "p3_date_window",
             "o2_topk_single",
@@ -219,6 +220,7 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
             "agg_variance_exact",
         ),
         "out": (  # all hash-green in CORRECTNESS_r03.json
+            "mm_frame_sample",
             "a2_empty_probe",
             "text_fingerprint",
             "text_ngram_profile",
@@ -258,6 +260,7 @@ PRIORITY: tuple[str, ...] = (
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
     "dedup_connected_groups",
+    "dedup_incremental",
     # joins / set ops
     "join_agg_revenue",
     "join_skew_enrich",
@@ -269,7 +272,6 @@ PRIORITY: tuple[str, ...] = (
     # multimodal
     "mm_binary_meta",
     "mm_decode_features",
-    "mm_frame_sample",
     # projection / filter / sort / aggregates-misc / scan
     "p2_drop_column",
     "p3_date_window",
@@ -305,6 +307,7 @@ PRIORITY: tuple[str, ...] = (
     # UDF surface / stateful
     "stateful_user_totals",
     # ---- fold: position 51+ — prior-round hash-green driver evidence ----
+    "mm_frame_sample",
     "a2_empty_probe",
     "text_fingerprint",
     "text_ngram_profile",

@@ -24,7 +24,7 @@ def _planted_corpus(tmp_path, n_base=30, n_dups=5):
         dup_id = 1000 + k
         # One token edit keeps Jaccard ~0.9: per-band collision 0.9⁴,
         # miss probability over 8 bands ≈ 2e-4 — and the whole pipeline
-        # is deterministic (seeded corpus, seed-free crc hashing), so
+        # is deterministic (seeded corpus, seed-free md5 hashing), so
         # this either always passes or always fails.
         rows.append((dup_id, perturb_doc(rng, rows[k][1], n_edits=1)))
         planted.append((k, dup_id))
@@ -159,6 +159,44 @@ def test_minhash_oracle_mulmod_emulation_matches_python():
                 f" FROM (SELECT {h}::HUGEINT AS hh)"
             ).fetchone()[0]
             assert got == want, (a, b, h)
+
+
+def _pm(doc_id: int) -> int:
+    """Python twin of the md5-permille split used by dedup_incremental
+    (and text_split_assign)."""
+    import hashlib
+
+    return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:6], 16) % 1000
+
+
+def test_incremental_screen_tiers(spark, tmp_path):
+    """Planted three-tier scenario: an incoming exact copy of a corpus
+    doc → drop_exact; a 1-token-edit near copy → review_near; a
+    disjoint-vocabulary doc → keep. Split membership is forced by
+    picking doc_ids on the right side of the md5-permille boundary."""
+    from finance_pipeline_spark.operators.dedup import _INCR_SPLIT_PM
+
+    rng = random.Random(5)
+    corpus_ids = [i for i in range(2000) if _pm(i) < _INCR_SPLIT_PM]
+    inc_ids = [i for i in range(2000) if _pm(i) >= _INCR_SPLIT_PM]
+    base, other = random_doc(rng), random_doc(rng)
+    rows = [
+        (corpus_ids[0], base),
+        (corpus_ids[1], other),
+        (inc_ids[0], base),  # exact copy of a corpus doc
+        (inc_ids[1], perturb_doc(rng, other, n_edits=1)),  # near copy
+        (inc_ids[2], " ".join(f"qq{i}" for i in range(60))),  # novel
+    ]
+    sf = write_documents(tmp_path, rows)
+    got = {
+        r.doc_id: r
+        for r in registry.QUERIES["dedup_incremental"].fn(spark, sf).collect()
+    }
+    assert set(got) == set(inc_ids[:3])  # exactly the incoming side
+    assert got[inc_ids[0]].exact_dup and got[inc_ids[0]].verdict == "drop_exact"
+    assert not got[inc_ids[1]].exact_dup
+    assert got[inc_ids[1]].near_dup and got[inc_ids[1]].verdict == "review_near"
+    assert not got[inc_ids[2]].near_dup and got[inc_ids[2]].verdict == "keep"
 
 
 def test_minhash_is_deterministic(spark, tmp_path):

@@ -92,7 +92,10 @@ def test_driver_window_covers_every_family():
         "u2_anti_join", "u3_semi_join", "o1_topk_multikey",
         "p2_drop_column", "p3_date_window",
         "d2_interval_shift", "d4_custom_format_parse",
-        "mm_binary_meta", "mm_decode_features", "mm_frame_sample",
+        # mm_frame_sample folded r4 on r3-green evidence (made room for
+        # dedup_incremental); these two keep multimodal in-window
+        "mm_binary_meta", "mm_decode_features",
+        "dedup_incremental",
     }
     missing = must_be_in_window - set(window)
     assert not missing, f"fell out of the driver window: {sorted(missing)}"
