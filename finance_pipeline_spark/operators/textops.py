@@ -885,3 +885,58 @@ def text_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("epoch").cast("bigint").alias("epoch"),
         )
     )
+
+
+# --- per-source quota curation ----------------------------------------------
+
+_QUOTA_PER_SOURCE = 10
+
+
+@query(
+    "text_source_quota",
+    oracle=f"""
+    WITH q AS (
+        SELECT source, doc_id,
+               round(least(CAST(len({_sql_tokens()}) AS DOUBLE) / 100.0, 1.0)
+                     * (CAST(len(list_distinct({_sql_tokens()})) AS DOUBLE)
+                        / CAST(len({_sql_tokens()}) AS DOUBLE)), 4) AS quality
+        FROM documents
+    )
+    SELECT source, doc_id, quality, rk FROM (
+        SELECT source, doc_id, quality,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY quality DESC, doc_id) AS rk
+        FROM q
+    ) WHERE rk <= {_QUOTA_PER_SOURCE}
+    """,
+    tags=("text", "curation", "window"),
+)
+def text_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota capping — keep the top-K docs per source by
+    quality score (the web-corpus curation move that stops one crawl
+    domain from dominating the training mix; quality expression shared
+    with ``text_quality_score``, tie-broken by doc_id so the cut is
+    deterministic).
+
+    Scale shape: ``row_number() ≤ K`` compiles to Spark's
+    WindowGroupLimit — each map task keeps only its local top-K per
+    source BEFORE the shuffle (asserted on the physical plan in
+    tests/test_plans.py), so the exchange carries at most
+    K·sources·tasks rows instead of the whole corpus. Skewed sources
+    (one domain = half the crawl) therefore cost map-side heap for K
+    rows, not a hot reduce partition holding the domain's every doc."""
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    toks = _tokens()
+    n_tokens = F.size(toks).cast("double")
+    n_unique = F.size(F.array_distinct(toks)).cast("double")
+    quality = F.round(
+        F.least(n_tokens / 100.0, F.lit(1.0)) * (n_unique / n_tokens), 4
+    )
+    w = W.partitionBy("source").orderBy(F.col("quality").desc(), "doc_id")
+    return (
+        d.select("source", "doc_id", quality.alias("quality"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _QUOTA_PER_SOURCE)
+    )

@@ -209,6 +209,7 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
             "text_mixture_sample",  # new this round (data-mixture weighting)
             "agg_approx_quantile",  # new this round (GK quantile sketch, rows-only)
             "dedup_incremental",  # new this round (batch-vs-corpus screen)
+            "text_source_quota",  # new this round (per-source quota curation)
             "p2_drop_column",
             "p3_date_window",
             "o2_topk_single",
@@ -221,6 +222,7 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
         ),
         "out": (  # all hash-green in CORRECTNESS_r03.json
             "mm_frame_sample",
+            "dedup_keyed_pick",
             "a2_empty_probe",
             "text_fingerprint",
             "text_ngram_profile",
@@ -254,7 +256,6 @@ PRIORITY: tuple[str, ...] = (
     "win_running_sum",
     "win_topk_per_group",
     # dedup family (all five fuzzy variants + components)
-    "dedup_keyed_pick",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
@@ -304,10 +305,12 @@ PRIORITY: tuple[str, ...] = (
     "text_repetition_stats",
     "text_tfidf_topk",
     "text_mixture_sample",
+    "text_source_quota",
     # UDF surface / stateful
     "stateful_user_totals",
     # ---- fold: position 51+ — prior-round hash-green driver evidence ----
     "mm_frame_sample",
+    "dedup_keyed_pick",
     "a2_empty_probe",
     "text_fingerprint",
     "text_ngram_profile",

@@ -92,6 +92,17 @@ def test_text_scan_prunes_to_referenced_columns(spark):
     assert cols == {"doc_id", "text"}  # not lang/source/n_chars
 
 
+def test_source_quota_pushes_group_limit_map_side(spark):
+    """row_number ≤ K per source must plan as WindowGroupLimit with a
+    Partial mode BEFORE the exchange — each map task keeps only its
+    local top-K per source, so the shuffle carries ≤ K·sources·tasks
+    rows. Without it, a skewed source funnels its every doc into one
+    reduce partition."""
+    plan = plan_of(spark, "text_source_quota")
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan
+
+
 @pytest.mark.parametrize(
     "name",
     ["agg_pricing_summary", "join_agg_revenue", "text_token_count",

@@ -95,7 +95,7 @@ def test_driver_window_covers_every_family():
         # mm_frame_sample folded r4 on r3-green evidence (made room for
         # dedup_incremental); these two keep multimodal in-window
         "mm_binary_meta", "mm_decode_features",
-        "dedup_incremental",
+        "dedup_incremental", "text_source_quota",
     }
     missing = must_be_in_window - set(window)
     assert not missing, f"fell out of the driver window: {sorted(missing)}"
