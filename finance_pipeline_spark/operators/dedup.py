@@ -781,6 +781,26 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- embedding cosine near-dup (oracle-checked) ------------------------------
 
 
+def _cosine_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capped candidate universe shared by the cosine pair query
+    and the keep/drop decision table: %10 sample, zero-norm rows
+    dropped (cosine undefined), per-label block cap. Checkpointed —
+    both consumers self-join or branch over it."""
+    from finance_pipeline_spark.operators.similarity import l2norm
+
+    w = W.partitionBy("label").orderBy("vec_id")
+    return (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 10 == 0)
+        .select("vec_id", "label", "embedding", l2norm(F.col("embedding")).alias("nrm"))
+        .filter(F.col("nrm") > 0)  # zero-norm: cosine undefined (0/0 → NaN)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _COSINE_BLOCK_CAP)
+        .drop("rn")
+        .localCheckpoint(eager=True)
+    )
+
+
 _COSINE_BLOCK_CAP = 16  # docs per label block admitted to pairing — the
 # same sub-quadratic guard as _NGRAM_BLOCK_CAP/_BUCKET_CAP: the
 # within-label all-pairs space is bounded at |labels| × CAP²/2 no matter
@@ -836,19 +856,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join: Catalyst's self-join disambiguation defeats exchange
     reuse, so without it the scan + norm fold + rank window run twice
     (and at scale you'd materialize the capped block table anyway)."""
-    from finance_pipeline_spark.operators.similarity import dot, l2norm
+    from finance_pipeline_spark.operators.similarity import dot
 
-    w = W.partitionBy("label").orderBy("vec_id")
-    e = (
-        load(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") % 10 == 0)
-        .select("vec_id", "label", "embedding", l2norm(F.col("embedding")).alias("nrm"))
-        .filter(F.col("nrm") > 0)  # zero-norm: cosine undefined (0/0 → NaN)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _COSINE_BLOCK_CAP)
-        .drop("rn")
-        .localCheckpoint(eager=True)
-    )
+    e = _cosine_capped(spark, sf_dir)
     a, b = e.alias("a"), e.alias("b")
     cos = F.round(
         dot(F.col("a.embedding"), F.col("b.embedding"))
@@ -973,4 +983,80 @@ def dedup_connected_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return labels.select(
         F.col("u").alias("vec_id"), F.col("comp").cast("bigint").alias("component_id")
+    )
+
+
+@query(
+    "dedup_group_decisions",
+    oracle=f"""
+    WITH RECURSIVE v0 AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
+               sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                              FOR x IN embedding])) AS nrm
+        FROM embeddings WHERE vec_id % 10 = 0
+    ), v AS (
+        SELECT * FROM v0 WHERE nrm > 0
+    ), capped AS (
+        SELECT vec_id, label, emb, nrm FROM (
+            SELECT v.*, row_number() OVER (PARTITION BY label
+                                           ORDER BY vec_id) AS rn
+            FROM v
+        ) WHERE rn <= {_COSINE_BLOCK_CAP}
+    ), pairs AS (
+        SELECT vec_a, vec_b FROM (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 4) AS cosine
+            FROM capped a JOIN capped b ON a.label = b.label AND a.vec_id < b.vec_id
+        ) WHERE cosine >= 0.2
+    ), edges AS (
+        SELECT vec_a AS u, vec_b AS w FROM pairs
+        UNION SELECT vec_b, vec_a FROM pairs
+    ), verts AS (SELECT DISTINCT u FROM edges),
+    labels(u, comp) AS (
+        SELECT u, u FROM verts
+        UNION
+        SELECT e.u, l.comp FROM edges e JOIN labels l ON l.u = e.w
+    ), comp AS (
+        SELECT u AS vec_id, CAST(min(comp) AS BIGINT) AS component_id
+        FROM labels GROUP BY u
+    )
+    SELECT c.vec_id,
+           CAST(COALESCE(k.component_id, c.vec_id) AS BIGINT) AS component_id,
+           CASE WHEN k.component_id IS NULL OR k.component_id = c.vec_id
+                THEN 'keep' ELSE 'drop' END AS action
+    FROM capped c
+    LEFT JOIN comp k ON k.vec_id = c.vec_id
+    """,
+    tags=("dedup", "components", "decisions"),
+)
+def dedup_group_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actionable end of the fuzzy-dedup chain: one row per
+    candidate-universe vector with its component id and a keep/drop
+    action — canonical = the component's min vec_id (which IS the
+    component_id under min-label propagation), singletons keep. This
+    is the table a curation pipeline joins back to the corpus to
+    materialize the deduplicated set; it transitively exercises the
+    whole pairs → components chain (``dedup_embedding_cosine`` →
+    ``dedup_connected_groups``) under one oracle.
+
+    Scale shape: the component-label table holds only vertices that
+    had at least one near-dup edge — a small fraction of the corpus —
+    so the decision join broadcasts it against the universe; every
+    upstream bound (label block cap, per-round checkpoint) is
+    inherited."""
+    universe = _cosine_capped(spark, sf_dir).select("vec_id")
+    comp = dedup_connected_groups(spark, sf_dir)
+    return (
+        universe.join(F.broadcast(comp), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("component_id", "vec_id").cast("bigint").alias("component_id"),
+            F.when(
+                F.col("component_id").isNull()
+                | (F.col("component_id") == F.col("vec_id")),
+                F.lit("keep"),
+            )
+            .otherwise(F.lit("drop"))
+            .alias("action"),
+        )
     )

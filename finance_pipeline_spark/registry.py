@@ -210,6 +210,7 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
             "agg_approx_quantile",  # new this round (GK quantile sketch, rows-only)
             "dedup_incremental",  # new this round (batch-vs-corpus screen)
             "text_source_quota",  # new this round (per-source quota curation)
+            "dedup_group_decisions",  # new this round (keep/drop decision table)
             "p2_drop_column",
             "p3_date_window",
             "o2_topk_single",
@@ -223,6 +224,8 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
         "out": (  # all hash-green in CORRECTNESS_r03.json
             "mm_frame_sample",
             "dedup_keyed_pick",
+            "dedup_embedding_cosine",  # still exercised transitively by
+            # dedup_group_decisions + dedup_connected_groups every round
             "a2_empty_probe",
             "text_fingerprint",
             "text_ngram_profile",
@@ -259,8 +262,8 @@ PRIORITY: tuple[str, ...] = (
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
     "dedup_connected_groups",
+    "dedup_group_decisions",
     "dedup_incremental",
     # joins / set ops
     "join_agg_revenue",
@@ -311,6 +314,7 @@ PRIORITY: tuple[str, ...] = (
     # ---- fold: position 51+ — prior-round hash-green driver evidence ----
     "mm_frame_sample",
     "dedup_keyed_pick",
+    "dedup_embedding_cosine",
     "a2_empty_probe",
     "text_fingerprint",
     "text_ngram_profile",

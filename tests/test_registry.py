@@ -82,8 +82,10 @@ def test_driver_window_covers_every_family():
         # dedup families (simhash folded r4 on r3-green evidence; minhash +
         # ngram + cosine + exact + components keep the family in-window)
         "dedup_exact", "dedup_minhash_lsh",
-        "dedup_ngram_jaccard", "dedup_embedding_cosine",
-        "dedup_connected_groups",
+        "dedup_ngram_jaccard",
+        # dedup_embedding_cosine folded r4 on r3-green evidence — still
+        # transitively exercised by both of these every round
+        "dedup_connected_groups", "dedup_group_decisions",
         # core relational representatives (r4 rotation: p2/p3/o2/d2/d4/u3
         # re-entered the window; their r3-green duplicates moved past the
         # fold — see registry.ROTATION_LOG)
