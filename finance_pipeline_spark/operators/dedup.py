@@ -856,9 +856,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join: Catalyst's self-join disambiguation defeats exchange
     reuse, so without it the scan + norm fold + rank window run twice
     (and at scale you'd materialize the capped block table anyway)."""
+    return _cosine_pairs(_cosine_capped(spark, sf_dir))
+
+
+def _cosine_pairs(e: DataFrame) -> DataFrame:
+    """Within-label all-pairs cosine over an already-capped universe."""
     from finance_pipeline_spark.operators.similarity import dot
 
-    e = _cosine_capped(spark, sf_dir)
     a, b = e.alias("a"), e.alias("b")
     cos = F.round(
         dot(F.col("a.embedding"), F.col("b.embedding"))
@@ -936,6 +940,12 @@ def dedup_connected_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     analysis time grows exponentially (measured: 20 min at sf0.1 where
     the diameter forces ~10+ rounds, vs seconds with truncation)."""
     pairs = dedup_embedding_cosine(spark, sf_dir).select("vec_a", "vec_b")
+    return _min_label_components(pairs)
+
+
+def _min_label_components(pairs: DataFrame) -> DataFrame:
+    """Min-label propagation over an undirected pair list → one
+    (vec_id, component_id) row per edge-bearing vertex."""
     edges = (
         pairs.union(
             pairs.select(F.col("vec_b").alias("vec_a"), F.col("vec_a").alias("vec_b"))
@@ -1043,9 +1053,12 @@ def dedup_group_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     had at least one near-dup edge — a small fraction of the corpus —
     so the decision join broadcasts it against the universe; every
     upstream bound (label block cap, per-round checkpoint) is
-    inherited."""
-    universe = _cosine_capped(spark, sf_dir).select("vec_id")
-    comp = dedup_connected_groups(spark, sf_dir)
+    inherited. The capped universe is built ONCE and feeds both the
+    pair generation and the final decision join (the naive composition
+    would re-run the scan + norm fold + cap for each)."""
+    e = _cosine_capped(spark, sf_dir)
+    universe = e.select("vec_id")
+    comp = _min_label_components(_cosine_pairs(e).select("vec_a", "vec_b"))
     return (
         universe.join(F.broadcast(comp), "vec_id", "left")
         .select(
