@@ -92,6 +92,33 @@ def test_text_scan_prunes_to_referenced_columns(spark):
     assert cols == {"doc_id", "text"}  # not lang/source/n_chars
 
 
+def test_incremental_screen_plans_semi_joins(spark):
+    """Both tiers of the batch-vs-corpus screen must plan as semi
+    joins (probe the corpus digest set / band index; never materialize
+    a pair list), and the permille split must reach the scans as a
+    pushed data filter."""
+    plan = plan_of(spark, "dedup_incremental")
+    assert plan.count("LeftSemi") >= 2
+    assert "CartesianProduct" not in plan
+
+
+_BENCH_NAMES = sorted(
+    n for n, s in registry.QUERIES.items()
+    if s.bench and "readstream" not in s.tags  # real streams: covered in
+    # tests/test_streaming.py; running them here just re-pays micro-batch
+    # machinery for a plan string
+)
+
+
+@pytest.mark.parametrize("name", _BENCH_NAMES)
+def test_no_cartesian_product_in_any_bench_plan(spark, name):
+    """Fleet-wide guard: no headline query may degrade to a Cartesian
+    product. (1-row scalar crossJoins plan as BroadcastNestedLoopJoin
+    over a single row — acceptable; an unkeyed join of two real tables
+    plans as CartesianProduct and fails here.)"""
+    assert "CartesianProduct" not in plan_of(spark, name)
+
+
 def test_source_quota_pushes_group_limit_map_side(spark):
     """row_number ≤ K per source must plan as WindowGroupLimit with a
     Partial mode BEFORE the exchange — each map task keeps only its
