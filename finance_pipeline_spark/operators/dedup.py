@@ -1,5 +1,7 @@
 """Deduplication family over ``documents`` / ``embeddings`` — exact,
-MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup, the
+incremental batch-vs-corpus screen, connected-component grouping, and
+the final keep/drop decision table.
 
 Scale design (the whole point of these): never go O(n²) on the corpus.
 Every fuzzy variant blocks candidates first — LSH band buckets
@@ -15,10 +17,10 @@ C-speed hashing and set ops; the equivalent Catalyst higher-order
 expressions are interpreted, never enter whole-stage codegen, and
 measured 10-40× slower), while candidate generation, bucket capping
 and pair verification stay JVM-side DataFrame joins so Catalyst/AQE
-own the shuffle. MinHash/SimHash hashing isn't portable SQL, so those
-two are rows-only for the driver oracle and get planted-dup assertions
-in tests/test_dedup.py; the exact / Jaccard / cosine variants carry
-full SQL oracles.
+own the shuffle. Every variant carries a full DuckDB oracle — the
+MinHash/SimHash md5 pipelines are replicated in SQL (splitmix
+permutations emulated in HUGEINT, see ``_bands_cte``) — plus
+planted-dup recall/precision assertions in tests/test_dedup.py.
 """
 
 from __future__ import annotations
