@@ -1,0 +1,78 @@
+"""Continuous corpus ingestion — the streaming deployment shape of the
+incremental dedup screen (operators/dedup.py::dedup_incremental): a
+document stream drained through ``foreachBatch``, each micro-batch
+screened against the ACCUMULATED corpus by content identity (sha256
+digest) before appending. Replays, re-crawls, and cross-batch copies
+all land in the digest anti-join and are skipped, so the corpus table
+converges to one row per distinct content no matter how often the
+source re-delivers.
+
+This composes two pieces the repo already trusts: the exact tier of
+the incremental screen (digest as the identity key — bodies never
+join, 32-byte keys do) and the idempotent keyed writer (in-batch
+dedup + anti-join vs the table + append). At 100 TB the accumulated
+table is bucketed by digest so each batch's anti-join prunes to
+matching buckets; the near-dup tier runs the same way off the stored
+band index (see ``dedup_incremental``'s docstring).
+
+Parity: the reference's incremental sync loads "rows newer than a
+20-minute lookback" at-least-once and relies on the DB UNIQUE key to
+drop replays (services/supabase.py:57-61, etl/csv_loader.py:133);
+here the lookback is the stream checkpoint and the UNIQUE key is the
+content digest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from finance_pipeline_spark.logging_utils import get_logger
+from finance_pipeline_spark.sinks.keyed_writer import WriteStats, idempotent_append
+
+log = get_logger(__name__)
+
+DOC_SCHEMA = (
+    "doc_id bigint, text string, lang string, source string, n_chars bigint"
+)
+
+
+def ingest_corpus_stream(
+    spark: SparkSession,
+    source_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> list[WriteStats]:
+    """Drain all available document parquet files from ``source_dir``
+    into the content-deduplicated corpus at ``table_path``; returns
+    per-microbatch write stats (inserted = novel content, skipped =
+    duplicate content). ``Trigger.AvailableNow`` + the checkpoint make
+    re-runs pick up only new files; duplicate CONTENT inside new files
+    is still screened — the two layers answer different failure modes
+    (source re-delivery vs actual duplicate documents)."""
+    stats: list[WriteStats] = []
+
+    def screen_batch(batch_df: DataFrame, batch_id: int) -> None:
+        with_digest = batch_df.withColumn(
+            "digest", F.sha2(F.encode("text", "UTF-8"), 256)
+        )
+        s = idempotent_append(spark, with_digest, table_path, ["digest"])
+        log.info(
+            "corpus batch %d: %d novel, %d duplicate-content",
+            batch_id, s.inserted, s.skipped,
+        )
+        stats.append(s)
+
+    reader = spark.readStream.schema(DOC_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    q = (
+        reader.parquet(source_dir)
+        .writeStream.foreachBatch(screen_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stats

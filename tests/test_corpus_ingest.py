@@ -1,0 +1,60 @@
+"""Streaming corpus ingestion: cross-batch content dedup, checkpoint
+resume, and convergence of the accumulated table."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from finance_pipeline_spark.pipelines.corpus_ingest import ingest_corpus_stream
+
+
+def _write_docs(path, rows):
+    pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in rows],
+            "text": [r[1] for r in rows],
+            "lang": ["en"] * len(rows),
+            "source": ["crawl"] * len(rows),
+            "n_chars": [len(r[1]) for r in rows],
+        }
+    ).to_parquet(path)
+
+
+def test_ingest_screens_duplicate_content_across_batches(spark, tmp_path):
+    src = tmp_path / "incoming"
+    src.mkdir()
+    table = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    # file 1: three distinct docs; file 2: one re-crawl (same text, new
+    # doc_id), one in-file duplicate pair, one novel doc
+    _write_docs(src / "f1.parquet", [(1, "alpha text"), (2, "beta text"), (3, "gamma text")])
+    _write_docs(
+        src / "f2.parquet",
+        [(10, "alpha text"), (11, "delta text"), (12, "delta text")],
+    )
+    stats = ingest_corpus_stream(
+        spark, str(src), table, ckpt, max_files_per_trigger=1
+    )
+    assert len(stats) == 2  # one micro-batch per file
+    assert (stats[0].inserted, stats[0].skipped) == (3, 0)
+    assert (stats[1].inserted, stats[1].skipped) == (1, 2)  # delta novel;
+    # re-crawled alpha + the in-file duplicate both screened
+    corpus = spark.read.parquet(table)
+    assert corpus.count() == 4
+    assert corpus.select("digest").distinct().count() == 4
+
+
+def test_rerun_resumes_from_checkpoint_and_takes_only_new_files(spark, tmp_path):
+    src = tmp_path / "incoming"
+    src.mkdir()
+    table = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    _write_docs(src / "f1.parquet", [(1, "alpha text"), (2, "beta text")])
+    ingest_corpus_stream(spark, str(src), table, ckpt)
+    # second run: old file untouched (checkpoint skips it), new file has
+    # one replayed content + one novel
+    _write_docs(src / "f2.parquet", [(20, "alpha text"), (21, "epsilon text")])
+    stats = ingest_corpus_stream(spark, str(src), table, ckpt)
+    assert sum(s.inserted for s in stats) == 1
+    assert sum(s.skipped for s in stats) == 1
+    assert spark.read.parquet(table).count() == 3
