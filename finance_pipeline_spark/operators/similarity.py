@@ -551,3 +551,131 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= _TOPK)
     )
+
+
+_KMEANS_K = 8  # coarse-quantizer cells; seeds = the K smallest vec_ids
+
+
+@query(
+    "kmeans_train_assign",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ), seeds AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+                   AS cluster, emb
+        FROM v ORDER BY vec_id LIMIT {_KMEANS_K}
+    ), s1 AS (
+        SELECT v.vec_id, s.cluster,
+               round(list_sum(list_transform(
+                   v.emb, (x, i) -> (x - s.emb[i]) * (x - s.emb[i]))), 4) AS d
+        FROM v CROSS JOIN seeds s
+    ), a1 AS (
+        SELECT vec_id, cluster FROM (
+            SELECT vec_id, cluster,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d, cluster) AS rnk
+            FROM s1
+        ) WHERE rnk = 1
+    ), upd AS (
+        SELECT a1.cluster, generate_subscripts(v.emb, 1) AS pos,
+               unnest(v.emb) AS x
+        FROM a1 JOIN v USING (vec_id)
+    ), c1m AS (
+        SELECT cluster, pos, round(avg(x), 6) AS c
+        FROM upd GROUP BY cluster, pos
+    ), c1g AS (
+        SELECT cluster, list(c ORDER BY pos) AS emb FROM c1m GROUP BY cluster
+    ), c1 AS (
+        SELECT s.cluster, COALESCE(g.emb, s.emb) AS emb
+        FROM seeds s LEFT JOIN c1g g USING (cluster)
+    ), s2 AS (
+        SELECT v.vec_id, c.cluster,
+               round(list_sum(list_transform(
+                   v.emb, (x, i) -> (x - c.emb[i]) * (x - c.emb[i]))), 4) AS d
+        FROM v CROSS JOIN c1 c
+    )
+    SELECT vec_id, cluster, d AS dist FROM (
+        SELECT vec_id, cluster, d,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d, cluster) AS rnk
+        FROM s2
+    ) WHERE rnk = 1
+    """,
+    tags=("similarity", "kmeans", "ann"),
+    bench=True,
+)
+def kmeans_train_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means (one full Lloyd round, k=8) — the training
+    step that produces the coarse-quantizer cells ``ann_ivf_topk`` and
+    ``ann_quantized_topk`` serve from (FAISS ``IVF`` training; the
+    testdata's ``label`` column stands in for its output elsewhere).
+
+    Deterministic and oracle-checked end to end: seeds are the
+    embeddings of the K smallest vec_ids; assignment ranks
+    ``round(||x-c||², 4)`` with cluster-id tie-break (rounding and
+    ranking JVM-side, so the tie semantics match DuckDB exactly — the
+    ann_cosine_topk recipe); the centroid update rounds each avg to
+    6 dp, bridging cross-engine summation-order ulps the same way the
+    fuzzy-dedup family does. Empty clusters keep their seed.
+
+    Scale shape (MLlib KMeans' own): centroids live driver-side
+    (k×dim ≈ KBs, broadcast each round); scoring is one vectorized
+    float64 op per Arrow batch emitting n×k narrow rows — never the
+    n×k×dim posexplode blow-up; the update is ONE shuffle keyed by
+    (cluster, pos). Each extra Lloyd round is the same two jobs —
+    linear in corpus size, constant in driver memory."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    seeds = e.orderBy("vec_id").limit(_KMEANS_K).collect()
+    cents = np.array(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in seeds],
+        dtype=np.float64,
+    )
+
+    def scores(cents_np: np.ndarray) -> DataFrame:
+        bc = spark.sparkContext.broadcast(cents_np)
+
+        def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            c_mat = bc.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+                x_mat = _emb_matrix(pdf["embedding"])
+                d = ((x_mat[:, None, :] - c_mat[None, :, :]) ** 2).sum(axis=2)
+                n, k = d.shape
+                yield pd.DataFrame(
+                    {
+                        "vec_id": np.repeat(ids, k),
+                        "cluster": np.tile(np.arange(k, dtype=np.int64), n),
+                        "d": d.ravel(),
+                    }
+                )
+
+        return e.mapInPandas(kern, "vec_id bigint, cluster bigint, d double")
+
+    def assign(cents_np: np.ndarray) -> DataFrame:
+        w = W.partitionBy("vec_id").orderBy(
+            F.col("dist").asc(), F.col("cluster").asc()
+        )
+        return (
+            scores(cents_np)
+            .withColumn("dist", F.round("d", 4))
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") == 1)
+            .select("vec_id", "cluster", "dist")
+        )
+
+    upd = (
+        assign(cents)
+        .select("vec_id", "cluster")
+        .join(e, "vec_id")
+        .select("cluster", F.posexplode("embedding").alias("pos", "xf"))
+        .groupBy("cluster", "pos")
+        .agg(F.round(F.avg(F.col("xf").cast("double")), 6).alias("c"))
+        .collect()
+    )
+    cents1 = cents.copy()  # empty clusters keep their seed (oracle COALESCE)
+    for r in upd:
+        cents1[r["cluster"], r["pos"]] = r["c"]
+    return assign(cents1)

@@ -211,6 +211,7 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
             "dedup_incremental",  # new this round (batch-vs-corpus screen)
             "text_source_quota",  # new this round (per-source quota curation)
             "dedup_group_decisions",  # new this round (keep/drop decision table)
+            "kmeans_train_assign",  # new this round (IVF coarse-quantizer training)
             "p2_drop_column",
             "p3_date_window",
             "o2_topk_single",
@@ -222,6 +223,7 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
             "agg_variance_exact",
         ),
         "out": (  # all hash-green in CORRECTNESS_r03.json
+            "o1_topk_multikey",  # sort family stays covered by o2_topk_single
             "mm_frame_sample",
             "dedup_keyed_pick",
             "dedup_embedding_cosine",  # still exercised transitively by
@@ -279,16 +281,16 @@ PRIORITY: tuple[str, ...] = (
     # projection / filter / sort / aggregates-misc / scan
     "p2_drop_column",
     "p3_date_window",
-    "o1_topk_multikey",
     "o2_topk_single",
     "a3_affected_rows",
     "s6_sql_table_scan",
-    # similarity (ANN ×3 + quantization)
+    # similarity (ANN ×3 + quantization + coarse-quantizer training)
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
     "emb_quantize_int8",
     "ann_quantized_topk",
+    "kmeans_train_assign",
     # streaming (batch tumbling + two real readStream runs)
     "win_tumbling",
     "stream_dedup",
@@ -312,6 +314,7 @@ PRIORITY: tuple[str, ...] = (
     # UDF surface / stateful
     "stateful_user_totals",
     # ---- fold: position 51+ — prior-round hash-green driver evidence ----
+    "o1_topk_multikey",
     "mm_frame_sample",
     "dedup_keyed_pick",
     "dedup_embedding_cosine",

@@ -91,8 +91,11 @@ def test_driver_window_covers_every_family():
         # fold — see registry.ROTATION_LOG)
         "agg_pricing_summary", "win_rank_family", "join_agg_revenue",
         "join_skew_enrich",
-        "u2_anti_join", "u3_semi_join", "o1_topk_multikey",
+        # o1_topk_multikey folded r4 on r3-green evidence; o2_topk_single
+        # keeps the sort family in-window (made room for kmeans_train_assign)
+        "u2_anti_join", "u3_semi_join", "o2_topk_single",
         "p2_drop_column", "p3_date_window",
+        "kmeans_train_assign",
         "d2_interval_shift", "d4_custom_format_parse",
         # mm_frame_sample folded r4 on r3-green evidence (made room for
         # dedup_incremental); these two keep multimodal in-window

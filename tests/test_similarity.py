@@ -120,3 +120,31 @@ def test_quantized_ann_recall_vs_float_baseline(spark, tmp_path):
         f = fl.get((r.query_id, r.corpus_id))
         if f is not None:
             assert abs(r.cosine - f) < 0.02, (r.query_id, r.corpus_id, r.cosine, f)
+
+
+def test_kmeans_lloyd_objective_decreases(spark, tmp_path):
+    """One Lloyd round must not increase the clustering objective: the
+    summed squared distance under the updated centroids (the query's
+    output) is <= the objective under the seed centroids. Also: every
+    vector is assigned exactly once to a cluster in [0, K)."""
+    from finance_pipeline_spark.operators import similarity
+    from finance_pipeline_spark.operators.similarity import kmeans_train_assign
+
+    rng = np.random.default_rng(11)
+    n = 120
+    mat = rng.standard_normal((n, _DIM))
+    ids = list(range(1, n + 1))
+    sf = write_embeddings(tmp_path, ids, mat)
+
+    rows = kmeans_train_assign(spark, sf).collect()
+    assert sorted(r.vec_id for r in rows) == ids  # exactly once each
+    assert all(0 <= r.cluster < similarity._KMEANS_K for r in rows)
+    assert all(r.dist >= 0.0 for r in rows)
+
+    # seed-centroid objective, recomputed in numpy with the same seeds
+    m64 = mat.astype(np.float32).astype(np.float64)  # parquet float32 round-trip
+    seeds = m64[np.argsort(ids)[: similarity._KMEANS_K]]
+    d_seed = ((m64[:, None, :] - seeds[None, :, :]) ** 2).sum(axis=2).min(axis=1)
+    obj_seed = d_seed.sum()
+    obj_final = sum(r.dist for r in rows)
+    assert obj_final <= obj_seed + 1e-6, (obj_final, obj_seed)
