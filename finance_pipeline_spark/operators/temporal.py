@@ -245,3 +245,80 @@ def rollup_time_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("day_start", "hour_start", "is_day_total", "n_events", "total_value")
     )
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH act AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+        FROM events
+    ), coh AS (
+        SELECT user_id, wk,
+               min(wk) OVER (PARTITION BY user_id) AS cohort_week
+        FROM act
+    ), ret AS (
+        SELECT cohort_week,
+               CAST((wk - cohort_week) // 7 AS BIGINT) AS week_no,
+               CAST(count(*) AS BIGINT) AS n_users
+        FROM coh GROUP BY 1, 2
+    )
+    SELECT CAST(cohort_week AS TIMESTAMP) AS cohort_week, week_no, n_users,
+           CAST((n_users * 1000) // max(CASE WHEN week_no = 0 THEN n_users END)
+                    OVER (PARTITION BY cohort_week) AS BIGINT) AS permille
+    FROM ret
+    """,
+    tags=("temporal", "cohort"),
+    bench=True,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix — the classic product-analytics
+    rollup: users are cohorted by the ISO week of their first event,
+    and each later active week counts them toward (cohort_week,
+    week_no) with a permille rate against the cohort's week-0 size.
+
+    Cross-engine exact by construction: week buckets are Monday-
+    aligned date_trunc on both engines, week_no is integer ``div 7``
+    of a day difference that is a multiple of 7 by construction, and
+    the rate is integer permille (``n*1000 div base``) — no floating
+    point anywhere.
+
+    Scale shape: ONE scan; the per-user first-week comes from a window
+    over the distinct (user, week) pairs rather than a groupBy + self-
+    join back (a self-join would rescan and recompute the distinct —
+    exchanges are never reused across self-join branches). Three
+    narrow shuffles — distinct, user window, final groupBy — each
+    keyed by high-cardinality columns, no skew, no broadcast needed.
+    At 100 TB the distinct pre-shrinks the stream to |users|×|weeks|
+    rows before anything wide happens."""
+    e = load(spark, sf_dir, "events")
+    act = e.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("wk")
+    ).distinct()
+    w = W.partitionBy("user_id")
+    coh = act.withColumn("cohort_week", F.min("wk").over(w))
+    ret = (
+        coh.groupBy(
+            "cohort_week",
+            F.expr("datediff(wk, cohort_week) div 7").cast("bigint").alias("week_no"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    base = F.max(F.when(F.col("week_no") == 0, F.col("n_users"))).over(
+        W.partitionBy("cohort_week")
+    )
+    return ret.select(
+        "cohort_week",
+        "week_no",
+        "n_users",
+        F.expr("n_users * 1000").cast("bigint").alias("_nk"),
+        base.alias("_base"),
+    ).select(
+        # DATE internally (exact integer day arithmetic); TIMESTAMP on the
+        # wire — pandas flattens engine DATEs to midnight Timestamps
+        # asymmetrically, so timestamp-out is the repo's date convention.
+        F.col("cohort_week").cast("timestamp").alias("cohort_week"),
+        "week_no",
+        "n_users",
+        F.expr("_nk div _base").cast("bigint").alias("permille"),
+    )

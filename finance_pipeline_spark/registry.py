@@ -212,18 +212,20 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
             "text_source_quota",  # new this round (per-source quota curation)
             "dedup_group_decisions",  # new this round (keep/drop decision table)
             "kmeans_train_assign",  # new this round (IVF coarse-quantizer training)
+            "cohort_retention",  # new this round (weekly cohort retention matrix)
             "p2_drop_column",
             "p3_date_window",
             "o2_topk_single",
             "d2_interval_shift",
             "d4_custom_format_parse",
             "u3_semi_join",
-            "win_running_sum",
             "win_topk_per_group",
             "agg_variance_exact",
         ),
-        "out": (  # all hash-green in CORRECTNESS_r03.json
+        "out": (  # all hash-green in CORRECTNESS_r03.json (win_running_sum:
+            # r1+r2; window family stays covered by rank/topk/tumbling)
             "o1_topk_multikey",  # sort family stays covered by o2_topk_single
+            "win_running_sum",
             "mm_frame_sample",
             "dedup_keyed_pick",
             "dedup_embedding_cosine",  # still exercised transitively by
@@ -258,7 +260,6 @@ PRIORITY: tuple[str, ...] = (
     "agg_approx_quantile",
     "agg_variance_exact",
     "win_rank_family",
-    "win_running_sum",
     "win_topk_per_group",
     # dedup family (all five fuzzy variants + components)
     "dedup_exact",
@@ -299,6 +300,7 @@ PRIORITY: tuple[str, ...] = (
     "join_range_bands",
     "rollup_time_multi",
     "user_gap_stats",
+    "cohort_retention",
     # text analysis (all seven + packing, split assignment, decontamination)
     "text_pack_sequences",
     "text_split_assign",
@@ -315,6 +317,7 @@ PRIORITY: tuple[str, ...] = (
     "stateful_user_totals",
     # ---- fold: position 51+ — prior-round hash-green driver evidence ----
     "o1_topk_multikey",
+    "win_running_sum",
     "mm_frame_sample",
     "dedup_keyed_pick",
     "dedup_embedding_cosine",

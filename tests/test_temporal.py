@@ -54,3 +54,33 @@ def test_rollup_time_multi_day_totals_equal_hour_sums(spark, sf_dir):
         if r.is_day_total == 0:
             hour_sums[r.day_start] = hour_sums.get(r.day_start, 0) + r.n_events
     assert day_totals and day_totals == hour_sums
+
+
+def test_cohort_retention_planted_matrix(spark, tmp_path):
+    """Two cohorts with known retention: cohort A (users 1,2) starts
+    week of Jan 1 2024 (Mon); user 1 returns in weeks 1 and 2, user 2
+    never returns. Cohort B (user 3) starts week of Jan 8 and returns
+    week 1. Permille is integer n*1000 div week0-size."""
+    W0 = dt.datetime(2024, 1, 1, 10, 0)   # Monday
+    W1 = dt.datetime(2024, 1, 8, 10, 0)
+    W2 = dt.datetime(2024, 1, 15, 10, 0)
+    rows = [
+        (1, W0, 1, "visit", 1.0),
+        (2, W0 + dt.timedelta(days=2), 2, "visit", 1.0),
+        (3, W1, 1, "visit", 1.0),
+        (4, W2 + dt.timedelta(hours=5), 1, "visit", 1.0),
+        (5, W1 + dt.timedelta(days=1), 3, "visit", 1.0),
+        (6, W2, 3, "visit", 1.0),
+    ]
+    sf = _plant_events(tmp_path, rows)
+    got = {
+        (r.cohort_week.date().isoformat(), r.week_no): (r.n_users, r.permille)
+        for r in registry.QUERIES["cohort_retention"].fn(spark, sf).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): (2, 1000),
+        ("2024-01-01", 1): (1, 500),
+        ("2024-01-01", 2): (1, 500),
+        ("2024-01-08", 0): (1, 1000),
+        ("2024-01-08", 1): (1, 1000),
+    }
