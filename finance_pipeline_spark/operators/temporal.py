@@ -322,3 +322,93 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_users",
         F.expr("_nk div _base").cast("bigint").alias("permille"),
     )
+
+
+@query(
+    "funnel_conversion",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click' AND e.ts > s1.t1
+        GROUP BY e.user_id
+    ), s3 AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        GROUP BY e.user_id
+    ), counts AS (
+        SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
+               CAST(count(*) AS BIGINT) AS n_users FROM s1
+        UNION ALL
+        SELECT 2, 'click', count(*) FROM s2
+        UNION ALL
+        SELECT 3, 'purchase', count(*) FROM s3
+    )
+    SELECT step, step_name, n_users,
+           CAST((n_users * 1000) //
+                first_value(n_users) OVER (ORDER BY step) AS BIGINT) AS permille
+    FROM counts
+    """,
+    tags=("temporal", "funnel"),
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion (view → click → purchase): a user
+    advances to step N only via an event STRICTLY AFTER their step-N-1
+    time — the sequencing constraint that separates a funnel from
+    three independent counts (a click before the first view does not
+    convert). Counts per step plus integer-permille conversion vs
+    step 1 — no floating point, exact on both engines.
+
+    Scale shape: each step is a pushed-down ``event_type`` predicate
+    scan aggregated to one row per user, then a user-keyed join with
+    the previous step's (user, ts) frontier — rows shrink monotonically
+    step over step, and every shuffle is keyed by the high-cardinality
+    user_id. The final 3-row union + window is driver-trivial."""
+    ev = load(spark, sf_dir, "events")
+
+    def first_after(step_type: str, prev: DataFrame, tcol: str, out: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == step_type)
+            .join(prev, "user_id")
+            .filter(F.col("ts") > F.col(tcol))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out))
+        )
+
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = first_after("click", s1.select("user_id", "t1"), "t1", "t2")
+    s3 = first_after("purchase", s2, "t2", "t3")
+
+    def count_row(df: DataFrame, step: int, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(step).cast("bigint").alias("step"),
+            F.lit(name).alias("step_name"),
+            F.col("n_users").cast("bigint"),
+        )
+
+    counts = (
+        count_row(s1, 1, "view")
+        .unionAll(count_row(s2, 2, "click"))
+        .unionAll(count_row(s3, 3, "purchase"))
+    )
+    base = F.first("n_users").over(
+        W.orderBy("step").rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return counts.select(
+        "step",
+        "step_name",
+        "n_users",
+        (F.col("n_users") * 1000).alias("_nk"),
+        base.alias("_base"),
+    ).select(
+        "step", "step_name", "n_users",
+        F.expr("_nk div _base").cast("bigint").alias("permille"),
+    )

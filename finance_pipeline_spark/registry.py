@@ -220,12 +220,14 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
             "d4_custom_format_parse",
             "u3_semi_join",
             "win_topk_per_group",
-            "agg_variance_exact",
+            "funnel_conversion",  # new this round (ordered-step funnel)
         ),
-        "out": (  # all hash-green in CORRECTNESS_r03.json (win_running_sum:
-            # r1+r2; window family stays covered by rank/topk/tumbling)
+        "out": (  # all hash-green in CORRECTNESS_r03.json (win_running_sum +
+            # agg_variance_exact: r1+r2; their families stay in-window via
+            # rank/topk/tumbling and pricing_summary/approx sketches)
             "o1_topk_multikey",  # sort family stays covered by o2_topk_single
             "win_running_sum",
+            "agg_variance_exact",
             "mm_frame_sample",
             "dedup_keyed_pick",
             "dedup_embedding_cosine",  # still exercised transitively by
@@ -258,7 +260,6 @@ PRIORITY: tuple[str, ...] = (
     "agg_pricing_summary",
     "agg_approx_distinct",
     "agg_approx_quantile",
-    "agg_variance_exact",
     "win_rank_family",
     "win_topk_per_group",
     # dedup family (all five fuzzy variants + components)
@@ -301,6 +302,7 @@ PRIORITY: tuple[str, ...] = (
     "rollup_time_multi",
     "user_gap_stats",
     "cohort_retention",
+    "funnel_conversion",
     # text analysis (all seven + packing, split assignment, decontamination)
     "text_pack_sequences",
     "text_split_assign",
@@ -318,6 +320,7 @@ PRIORITY: tuple[str, ...] = (
     # ---- fold: position 51+ — prior-round hash-green driver evidence ----
     "o1_topk_multikey",
     "win_running_sum",
+    "agg_variance_exact",
     "mm_frame_sample",
     "dedup_keyed_pick",
     "dedup_embedding_cosine",

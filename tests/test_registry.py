@@ -70,7 +70,7 @@ def test_driver_window_covers_every_family():
         "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
         "emb_quantize_int8", "ann_quantized_topk",
         "join_asof", "join_range_bands", "rollup_time_multi",
-        "user_gap_stats",
+        "user_gap_stats", "cohort_retention", "funnel_conversion",
         "text_token_count",
         "text_gopher_rules", "text_pack_sequences", "text_split_assign",
         "text_decontaminate", "text_vocab_topk",

@@ -84,3 +84,30 @@ def test_cohort_retention_planted_matrix(spark, tmp_path):
         ("2024-01-08", 0): (1, 1000),
         ("2024-01-08", 1): (1, 1000),
     }
+
+
+def test_funnel_requires_strict_step_ordering(spark, tmp_path):
+    """User 1 converts fully in order. User 2 clicked BEFORE their
+    first view — no step-2 credit (and their later purchase without an
+    ordered click gives no step-3 credit). User 3 views only."""
+    T = dt.datetime(2024, 1, 1, 9, 0)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        (1, T, 1, "view", 1.0),
+        (2, T + m, 1, "click", 1.0),
+        (3, T + 2 * m, 1, "purchase", 9.0),
+        (4, T, 2, "click", 1.0),       # click precedes the view
+        (5, T + m, 2, "view", 1.0),
+        (6, T + 2 * m, 2, "purchase", 5.0),
+        (7, T, 3, "view", 1.0),
+    ]
+    sf = _plant_events(tmp_path, rows)
+    got = {
+        r.step: (r.step_name, r.n_users, r.permille)
+        for r in registry.QUERIES["funnel_conversion"].fn(spark, sf).collect()
+    }
+    assert got == {
+        1: ("view", 3, 1000),
+        2: ("click", 1, 333),
+        3: ("purchase", 1, 333),
+    }
