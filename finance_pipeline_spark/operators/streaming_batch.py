@@ -319,3 +319,70 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     drained = spark.table(name).localCheckpoint(eager=True)
     spark.catalog.dropTempView(name)
     return drained.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+
+
+@query(
+    "stream_static_join",
+    oracle="""
+    SELECT c_mktsegment, event_type, count(*) AS n_events
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "readstream", "join"),
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join — the canonical Structured
+    Streaming dimension-lookup shape: the events replay joins the
+    STATIC customer table on user_id = c_custkey, then counts per
+    (market segment, event_type) in complete mode. The static side is
+    explicitly broadcast, so each micro-batch enriches map-side with
+    no stream-side shuffle and NO join state (stream-static inner
+    joins are stateless by definition — the property that makes this
+    the scale-safe enrichment pattern; a stream-stream join would
+    buffer state on both sides).
+
+    The drained complete-mode result equals the batch join+aggregate,
+    so a true end-to-end streaming run stays oracle-checkable."""
+    from pathlib import Path
+
+    load(spark, sf_dir, "events")  # pins session confs (nanos-as-long)
+    dim = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    stage = (
+        Path(__file__).resolve().parents[2]
+        / ".cache" / "stream_join" / Path(sf_dir).name
+    )
+    stage.mkdir(parents=True, exist_ok=True)
+    _stage_file(f"{sf_dir}/events.parquet", stage / "events.parquet")
+    raw_schema = (
+        "event_id bigint, ts bigint, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .parquet(str(stage))
+        .select("user_id", "event_type")
+    )
+    enriched = (
+        stream.join(F.broadcast(dim), stream.user_id == dim.c_custkey)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    name = "stream_static_join_sink"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            enriched.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out

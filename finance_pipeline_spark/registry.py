@@ -219,14 +219,15 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
             "d2_interval_shift",
             "d4_custom_format_parse",
             "u3_semi_join",
-            "win_topk_per_group",
             "funnel_conversion",  # new this round (ordered-step funnel)
+            "stream_static_join",  # new this round (stream-static broadcast join)
         ),
         "out": (  # all hash-green in CORRECTNESS_r03.json (win_running_sum +
             # agg_variance_exact: r1+r2; their families stay in-window via
             # rank/topk/tumbling and pricing_summary/approx sketches)
             "o1_topk_multikey",  # sort family stays covered by o2_topk_single
             "win_running_sum",
+            "win_topk_per_group",
             "agg_variance_exact",
             "mm_frame_sample",
             "dedup_keyed_pick",
@@ -261,7 +262,6 @@ PRIORITY: tuple[str, ...] = (
     "agg_approx_distinct",
     "agg_approx_quantile",
     "win_rank_family",
-    "win_topk_per_group",
     # dedup family (all five fuzzy variants + components)
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -293,9 +293,10 @@ PRIORITY: tuple[str, ...] = (
     "emb_quantize_int8",
     "ann_quantized_topk",
     "kmeans_train_assign",
-    # streaming (batch tumbling + two real readStream runs)
+    # streaming (batch tumbling + real readStream runs incl. stream-static)
     "win_tumbling",
     "stream_dedup",
+    "stream_static_join",
     # temporal joins / rollup / gap stats
     "join_asof",
     "join_range_bands",
@@ -320,6 +321,7 @@ PRIORITY: tuple[str, ...] = (
     # ---- fold: position 51+ — prior-round hash-green driver evidence ----
     "o1_topk_multikey",
     "win_running_sum",
+    "win_topk_per_group",
     "agg_variance_exact",
     "mm_frame_sample",
     "dedup_keyed_pick",

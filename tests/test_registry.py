@@ -76,7 +76,7 @@ def test_driver_window_covers_every_family():
         "text_decontaminate", "text_vocab_topk",
         "text_pii_scrub", "text_repetition_stats",
         "text_tfidf_topk", "text_mixture_sample",
-        "win_tumbling", "stream_dedup",
+        "win_tumbling", "stream_dedup", "stream_static_join",
         "stateful_user_totals",
         "a3_affected_rows", "s6_sql_table_scan",
         # dedup families (simhash folded r4 on r3-green evidence; minhash +
