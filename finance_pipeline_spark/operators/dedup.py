@@ -301,11 +301,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (md5-64 shingles, splitmix permutations, band keys, cap, verify) is
     additionally hash-checked against the DuckDB replica built by
     ``_minhash_oracle``."""
+    return minhash_pairs(load(spark, sf_dir, "documents"))
+
+
+def minhash_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """(doc_id, text)+ → verified near-dup pairs (doc_a, doc_b,
+    jaccard ≥ threshold). The reusable body of ``dedup_minhash_lsh``
+    — same plan whether the input is a raw table scan or an already-
+    screened universe (pipelines/curation.py composes it that way)."""
     import pandas as pd
 
     from pyspark.sql import Window as W
 
-    docs = load(spark, sf_dir, "documents")
     exploded = minhash_band_rows(docs)
     # Bucket-size cap as a windowed count: one shuffle on band_key
     # produces both the sizes and the capped rows (vs a separate
@@ -360,7 +367,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(t_a, "doc_a")
         .join(t_b, "doc_b")
         .mapInPandas(verify, "doc_a bigint, doc_b bigint, jaccard double")
-        .filter(F.col("jaccard") >= 0.5)
+        .filter(F.col("jaccard") >= threshold)
     )
 
 

@@ -1,0 +1,158 @@
+"""Batch corpus curation — the end-to-end pass a pretraining dataset
+actually runs, composed from the engine's own primitives:
+
+    quality screen → exact dedup → near-dup groups → decontaminate
+    → split assignment → sharded export with integrity manifest
+
+Every stage reuses the exact operator the per-query registry ships
+(``minhash_pairs``, ``_min_label_components``, ``hashed_shingle_rows``,
+``write_training_shards``), so the pipeline's semantics are the ones the
+DuckDB oracles already verified — this module only owns the composition.
+
+Composition rule (measured in round 4): all stages consume ONE eagerly
+checkpointed universe. Composing via the public per-query functions
+would re-run the scan + Python shingle kernels once per stage; the
+checkpoint truncates lineage so each kernel runs exactly once.
+
+Scale notes: the screen is pure JVM codegen on the scan; exact dedup
+ships 32-byte digests (never text) through its shuffle; near-dup pairs
+come from the banded-LSH path (bucket-capped, ID-pairs-before-payload);
+decontamination is a shuffle-hash join on high-cardinality
+(lang, shingle); the export re-partitions by md5-mod shard so the write
+is one exchange. No stage collects rows to the driver — the returned
+stats are single-row aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from finance_pipeline_spark.logging_utils import get_logger
+from finance_pipeline_spark.operators.dedup import (
+    _min_label_components,
+    hashed_shingle_rows,
+    minhash_pairs,
+)
+from finance_pipeline_spark.registry import load
+from finance_pipeline_spark.sinks.shard_writer import write_training_shards
+
+_MIN_TOKENS = 10
+_MIN_QUALITY = 0.15
+_DECON_MIN_SHARED = 5  # same bar as text_decontaminate
+_TRAIN_PM, _VAL_PM = 980, 990  # same permille bounds as text_split_assign
+
+
+def _permille(col: str = "doc_id"):
+    return (
+        F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 6), 16, 10)
+        .cast("bigint")
+        % 1000
+    )
+
+
+def curate_corpus(
+    spark: SparkSession, sf_dir: str, out_dir: str, n_shards: int = 4
+) -> dict:
+    """Run the full curation pass over ``sf_dir``'s documents table and
+    export train-ready shards under ``out_dir``. Returns a stats dict
+    with per-stage row accounting plus the shard manifest."""
+    logger = get_logger()
+
+    def log(stage: str, **kv) -> None:
+        logger.info("curate_corpus %s %s", stage, kv)
+
+    d = load(spark, sf_dir, "documents")
+
+    # 1. Quality screen — pure JVM expressions on the scan (the same
+    # score text_quality_score ships), nothing shuffles yet.
+    toks = F.split(F.trim(F.col("text")), " ")
+    n_tokens = F.size(toks).cast("double")
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    quality = F.least(n_tokens / 100.0, F.lit(1.0)) * ttr
+    screened = d.filter(
+        (F.size(toks) >= _MIN_TOKENS) & (quality >= _MIN_QUALITY)
+    ).select("doc_id", "lang", "source", "text", F.sha2("text", 256).alias("digest"))
+    # ONE materialized universe shared by every stage below.
+    u = screened.localCheckpoint(eager=True)
+    n_input, n_screened = d.count(), u.count()
+    log("screen", kept=n_screened, dropped=n_input - n_screened)
+
+    # 2. Exact dedup — first-wins per content digest; the shuffle key
+    # is the 32-byte digest, text never moves.
+    rn = F.row_number().over(W.partitionBy("digest").orderBy("doc_id"))
+    uniq = (
+        u.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .drop("rn", "digest")
+        .localCheckpoint(eager=True)
+    )
+    n_uniq = uniq.count()
+    log("exact_dedup", kept=n_uniq, dropped=n_screened - n_uniq)
+
+    # 3. Near-dup groups — banded-LSH verified pairs over the unique
+    # universe, connected components, keep the min-id canonical doc.
+    pairs = minhash_pairs(uniq.select("doc_id", "text")).select(
+        F.col("doc_a").alias("vec_a"), F.col("doc_b").alias("vec_b")
+    )
+    comps = _min_label_components(pairs)
+    non_canonical = comps.filter(F.col("vec_id") != F.col("component_id")).select(
+        F.col("vec_id").alias("doc_id")
+    )
+    kept = uniq.join(non_canonical, "doc_id", "left_anti").localCheckpoint(eager=True)
+    n_kept = kept.count()
+    log("near_dedup", kept=n_kept, dropped=n_uniq - n_kept)
+
+    # 4. Split assignment + decontamination: train docs sharing
+    # >= _DECON_MIN_SHARED shingles with any val/test doc are dropped
+    # FROM TRAIN (the eval split is the trusted side).
+    with_split = kept.withColumn("pm", _permille())
+    sh = hashed_shingle_rows(with_split).join(
+        with_split.select("doc_id", "pm"), "doc_id"
+    )
+    postings = sh.select("lang", "doc_id", "pm", F.explode("shingles").alias("s"))
+    train_post = postings.filter(F.col("pm") < _TRAIN_PM).select(
+        "lang", "doc_id", "s"
+    )
+    eval_post = postings.filter(F.col("pm") >= _TRAIN_PM).select(
+        "lang", F.col("doc_id").alias("contaminant_id"), "s"
+    )
+    contaminated = (
+        train_post.join(eval_post.hint("shuffle_hash"), ["lang", "s"])
+        .groupBy("doc_id", "contaminant_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= _DECON_MIN_SHARED)
+        .select("doc_id")
+        .distinct()
+    )
+    final = (
+        with_split.join(contaminated, "doc_id", "left_anti")
+        .select(
+            "doc_id", "lang", "source", "text",
+            F.when(F.col("pm") < _TRAIN_PM, "train")
+            .when(F.col("pm") < _VAL_PM, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    n_final = final.count()
+    log("decontaminate", kept=n_final, dropped=n_kept - n_final)
+
+    # 5. Sharded export — md5-mod shard assignment + integrity manifest
+    # (write_training_shards re-verifies per-shard digests on read).
+    manifest = write_training_shards(final, out_dir, n_shards, key_col="doc_id")
+    splits = {
+        r["split"]: r["n"]
+        for r in final.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    log("export", shards=n_shards, rows=manifest["n_rows"])
+    return {
+        "n_input": n_input,
+        "n_screened": n_screened,
+        "n_exact_unique": n_uniq,
+        "n_after_near_dedup": n_kept,
+        "n_exported": n_final,
+        "splits": splits,
+        "manifest": manifest,
+    }

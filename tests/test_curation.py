@@ -1,0 +1,75 @@
+"""End-to-end batch curation pipeline: stage accounting, dedup
+guarantees on planted inputs, and a verifiable shard export."""
+
+from __future__ import annotations
+
+import random
+
+import pandas as pd
+
+from conftest import SF_DIR, perturb_doc, random_doc
+
+from finance_pipeline_spark.pipelines.curation import curate_corpus
+from finance_pipeline_spark.sinks.shard_writer import verify_training_shards
+
+
+def test_curate_corpus_on_driver_testdata(spark, tmp_path):
+    out = str(tmp_path / "curated")
+    stats = curate_corpus(spark, SF_DIR, out, n_shards=2)
+
+    # Monotone stage accounting
+    assert (
+        stats["n_input"]
+        >= stats["n_screened"]
+        >= stats["n_exact_unique"]
+        >= stats["n_after_near_dedup"]
+        >= stats["n_exported"]
+        > 0
+    )
+    assert sum(stats["splits"].values()) == stats["n_exported"]
+    assert stats["manifest"]["n_rows"] == stats["n_exported"]
+
+    # Export round-trips and every per-shard digest re-verifies
+    assert verify_training_shards(spark, out) == []
+    df = spark.read.parquet(f"{out}/data")
+    assert df.count() == stats["n_exported"]
+    assert set(df.select("split").distinct().toPandas()["split"]) <= {
+        "train", "val", "test",
+    }
+    # Exact-dedup guarantee: no two exported rows share text
+    assert df.select("text").distinct().count() == stats["n_exported"]
+
+
+def test_curate_corpus_collapses_planted_duplicates(spark, tmp_path):
+    rng = random.Random(7)
+    base = [random_doc(rng, 80) for _ in range(20)]
+    rows = []
+    doc_id = 1
+    for t in base:
+        rows.append((doc_id, t)); doc_id += 1
+    # exact copies of the first five, near-copies of the next five
+    for t in base[:5]:
+        rows.append((doc_id, t)); doc_id += 1
+    for t in base[5:10]:
+        rows.append((doc_id, perturb_doc(rng, t, n_edits=2))); doc_id += 1
+    pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in rows],
+            "text": [r[1] for r in rows],
+            "lang": ["en"] * len(rows),
+            "source": ["t"] * len(rows),
+            "n_chars": [len(r[1]) for r in rows],
+        }
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+
+    out = str(tmp_path / "curated")
+    stats = curate_corpus(spark, str(tmp_path), out, n_shards=1)
+    # The 5 exact copies must go at exact-dedup; the near-copies at
+    # the LSH stage (high-Jaccard 2-edit perturbations of 80 tokens).
+    assert stats["n_screened"] - stats["n_exact_unique"] == 5
+    assert stats["n_exact_unique"] - stats["n_after_near_dedup"] == 5
+    # Canonical (min doc_id) survivors: every original base doc kept
+    kept = set(
+        spark.read.parquet(f"{out}/data").select("doc_id").toPandas()["doc_id"]
+    )
+    assert set(range(1, 21)) <= kept
