@@ -66,20 +66,29 @@ def main() -> int:
 
     timings: dict[str, float] = {}
     repeats: dict[str, list[float]] = {}
+    errors: dict[str, str] = {}
     for name in names:
         spec = registry.QUERIES[name]
         runs: list[float] = []
-        for _ in range(repeat):
-            t0 = time.time()
-            force(spec.fn(spark, sf_dir))
-            runs.append(round(time.time() - t0, 3))
-            # A stopped readStream leaves several seconds of decaying
-            # background cleanup (temp-checkpoint deletion, state GC);
-            # settle OUTSIDE the timer so the next repeat measures the
-            # query, not the previous repeat's teardown (r4: back-to-back
-            # stream_dedup repeats read 5.2s vs ~1.5s settled).
-            if "readstream" in spec.tags:
-                time.sleep(4.0)
+        # Per-query fault isolation: one raising query must cost ONE
+        # entry, not the round's entire perf signal (round 4: a single
+        # AnalysisException produced rc=1 and an empty BENCH_r04.json).
+        try:
+            for _ in range(repeat):
+                t0 = time.time()
+                force(spec.fn(spark, sf_dir))
+                runs.append(round(time.time() - t0, 3))
+                # A stopped readStream leaves several seconds of decaying
+                # background cleanup (temp-checkpoint deletion, state GC);
+                # settle OUTSIDE the timer so the next repeat measures the
+                # query, not the previous repeat's teardown (r4: back-to-back
+                # stream_dedup repeats read 5.2s vs ~1.5s settled).
+                if "readstream" in spec.tags:
+                    time.sleep(4.0)
+        except Exception as exc:  # noqa: BLE001 — record and keep benching
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+            continue
         repeats[name] = runs
         timings[name] = min(runs)
         print(f"# {name}: {timings[name]:.3f}s {runs}", file=sys.stderr)
@@ -96,6 +105,7 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "errors": errors,
                 "repeats": repeats,
                 "shuffle_partitions": int(
                     spark.conf.get("spark.sql.shuffle.partitions")

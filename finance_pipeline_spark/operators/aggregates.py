@@ -133,13 +133,26 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_gap_stats, where exactness is the point) buffers every value
     per group; at 100 TB per-group value sets can exceed executor
     memory, and the sketch is the only viable plan. Accuracy 1/10000
-    relative rank error, bounded in tests against the exact result."""
+    relative rank error, bounded in tests against the exact result.
+
+    Output is three SCALAR double columns (one sketch evaluated at
+    three ranks — still a single aggregation buffer), not an
+    array<double>: the driver's rows-only canonicalizer sorts rows
+    with pandas and array cells are unhashable/unsortable there
+    (round-4 ERR)."""
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    q = li.groupBy("l_returnflag").agg(
         F.expr(
             "approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), 10000)"
         ).alias("price_q"),
         F.count(F.lit(1)).alias("n_rows"),
+    )
+    return q.select(
+        "l_returnflag",
+        F.col("price_q")[0].alias("p50"),
+        F.col("price_q")[1].alias("p95"),
+        F.col("price_q")[2].alias("p99"),
+        "n_rows",
     )
 
 

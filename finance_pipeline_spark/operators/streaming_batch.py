@@ -50,6 +50,52 @@ def _stage_file(src: str, dst) -> bool:
     return True
 
 
+def _events_stream_source(spark: SparkSession, sf_dir: str, stage_dir) -> DataFrame:
+    """Build a ``readStream`` DataFrame over a staged events directory
+    with ``ts`` normalized to TimestampType — the streaming counterpart
+    of ``registry.load``'s batch normalization.
+
+    FileStreamSource needs an explicit schema, so we sniff the SOURCE
+    parquet's physical ``ts`` encoding once (pyarrow footer read, no
+    Spark job) and branch: int64-nanos testdata (rounds 1-3) is read as
+    ``bigint`` then ns→µs converted; ``timestamp[us]`` testdata (round
+    4+) is read directly as ``timestamp`` (session zone is pinned UTC,
+    so the no-tz parquet annotation reads identically). A third
+    encoding fails loudly — round 4's silent drift turned this exact
+    ``div 1000`` into 1970-era windows."""
+    import pyarrow.parquet as pq
+
+    ts_phys = str(pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type)
+    if ts_phys == "int64":
+        raw_schema = (
+            "event_id bigint, ts bigint, user_id bigint, "
+            "event_type string, value double, props string"
+        )
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(str(stage_dir))
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+    elif ts_phys.startswith("timestamp[us"):
+        raw_schema = (
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, props string"
+        )
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(str(stage_dir))
+        )
+    else:
+        raise ValueError(
+            f"events.ts has unrecognized parquet type {ts_phys!r} — add a "
+            "branch in _events_stream_source (known: int64 nanos, "
+            "timestamp[us])"
+        )
+    return stream
+
+
 @query(
     "win_tumbling",
     oracle="""
@@ -202,15 +248,7 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = Path(__file__).resolve().parents[2] / ".cache" / "stream" / Path(sf_dir).name
     stage.mkdir(parents=True, exist_ok=True)
     _stage_file(f"{sf_dir}/events.parquet", stage / "events.parquet")
-    raw_schema = (
-        "event_id bigint, ts bigint, user_id bigint, "
-        "event_type string, value double, props string"
-    )
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .parquet(str(stage))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = _events_stream_source(spark, sf_dir, stage)
     agg = (
         stream.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "10 minutes"), "event_type")
@@ -272,29 +310,21 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         Path(__file__).resolve().parents[2] / ".cache" / "stream_dedup" / Path(sf_dir).name
     )
     stage.mkdir(parents=True, exist_ok=True)
-    raw_schema = (
-        "event_id bigint, ts bigint, user_id bigint, "
-        "event_type string, value double, props string"
-    )
     restaged = _stage_file(f"{sf_dir}/events.parquet", stage / "events.parquet")
     if restaged or not (stage / "dups.parquet").exists():
         # Plant at-least-once duplicates as a second file — rebuilt
         # whenever the source re-stages, so the planted set always
-        # matches the replayed events.
+        # matches the replayed events. Schema-free read: the written
+        # dups keep the source's physical ``ts`` encoding, so the
+        # staged dir stays encoding-uniform for the stream sniffer.
         (
-            spark.read.schema(raw_schema)
-            .parquet(f"{sf_dir}/events.parquet")
+            spark.read.parquet(f"{sf_dir}/events.parquet")
             .filter(F.col("event_id") % 50 == 0)
             .coalesce(1)
             .write.mode("overwrite")
             .parquet(str(stage / "dups.parquet"))
         )
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("recursiveFileLookup", "true")
-        .parquet(str(stage))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = _events_stream_source(spark, sf_dir, stage)
     deduped = (
         stream.withWatermark("ts", "10 minutes")
         .dropDuplicates(["event_id"])
@@ -353,14 +383,8 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stage.mkdir(parents=True, exist_ok=True)
     _stage_file(f"{sf_dir}/events.parquet", stage / "events.parquet")
-    raw_schema = (
-        "event_id bigint, ts bigint, user_id bigint, "
-        "event_type string, value double, props string"
-    )
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .parquet(str(stage))
-        .select("user_id", "event_type")
+    stream = _events_stream_source(spark, sf_dir, stage).select(
+        "user_id", "event_type"
     )
     enriched = (
         stream.join(F.broadcast(dim), stream.user_id == dim.c_custkey)

@@ -94,7 +94,10 @@ def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    from finance_pipeline_spark.operators.streaming_batch import _stage_file
+    from finance_pipeline_spark.operators.streaming_batch import (
+        _events_stream_source,
+        _stage_file,
+    )
 
     load(spark, sf_dir, "events")  # pins session confs
     stage = (
@@ -102,15 +105,7 @@ def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stage.mkdir(parents=True, exist_ok=True)
     _stage_file(f"{sf_dir}/events.parquet", stage / "events.parquet")
-    raw_schema = (
-        "event_id bigint, ts bigint, user_id bigint, "
-        "event_type string, value double, props string"
-    )
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .parquet(str(stage))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = _events_stream_source(spark, sf_dir, stage)
 
     from decimal import ROUND_HALF_UP
 

@@ -155,16 +155,33 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver testdata table. Parquet scan → Catalyst gets full
     pushdown/pruning; at 100 TB this is a partitioned columnar scan.
 
-    The events table carries nanosecond timestamps, which Spark's
-    vectorized reader surfaces as long (see ``ensure_conf``); convert to
-    microsecond TimestampType here (truncation — same as DuckDB's
-    ns→µs view cast) so downstream operators see a uniform type."""
+    The events table's ``ts`` encoding has drifted across testdata
+    generations — int64 nanoseconds (surfaced as ``bigint`` via
+    ``nanosAsLong``, rounds 1-3) and plain ``timestamp[us]`` without a
+    timezone (``timestamp_ntz``, round 4+). Normalize BOTH to
+    session-zone TimestampType here, so every downstream consumer
+    (windows, unix_micros, watermarks) sees one uniform type. The NTZ
+    cast is a semantic no-op because the session zone is pinned UTC in
+    ``ensure_conf``. Any third encoding fails loudly with the observed
+    type rather than silently producing wrong timestamps (the round-4
+    failure mode was exactly silent drift)."""
     from pyspark.sql import functions as F
 
     ensure_conf(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":  # int64 nanos via nanosAsLong
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        elif ts_type != "timestamp":
+            raise ValueError(
+                f"events.ts has unrecognized type {ts_type!r} — testdata "
+                "schema drifted again; add a normalization branch in "
+                "registry.load() (known: bigint-nanos, timestamp_ntz, "
+                "timestamp)"
+            )
     return df
 
 

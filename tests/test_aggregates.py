@@ -59,7 +59,8 @@ def test_approx_quantile_tracks_exact_percentiles(spark):
 
     sf = "/root/testdata/sf0.01"
     approx = {
-        r.l_returnflag: r.price_q for r in agg_approx_quantile(spark, sf).collect()
+        r.l_returnflag: (r.p50, r.p95, r.p99)
+        for r in agg_approx_quantile(spark, sf).collect()
     }
     exact = {
         r.l_returnflag: r.q
