@@ -164,6 +164,69 @@ def d7_text_to_double(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "d8_trim",
+    oracle="""
+    SELECT o_orderkey,
+           trim('  ' || o_orderpriority || ' ') AS priority_trim,
+           ltrim('  ' || o_orderpriority) AS priority_ltrim,
+           rtrim(o_orderpriority || ' ') AS priority_rtrim
+    FROM orders
+    """,
+    tags=("string",),
+)
+def d8_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 whitespace strip as its own oracle row — the scraper strips
+    header and cell text before use (etl/web_scraper.py:54,91). The
+    padding is planted here (testdata strings arrive clean), so all
+    three variants demonstrably remove it: trim both sides, ltrim
+    leading, rtrim trailing. Pure map-side string ops — narrow, no
+    shuffle, codegen'd."""
+    o = load(spark, sf_dir, "orders")
+    p = F.col("o_orderpriority")
+    both = F.concat(F.lit("  "), p, F.lit(" "))
+    return o.select(
+        "o_orderkey",
+        F.trim(both).alias("priority_trim"),
+        F.ltrim(F.concat(F.lit("  "), p)).alias("priority_ltrim"),
+        F.rtrim(F.concat(p, F.lit(" "))).alias("priority_rtrim"),
+    )
+
+
+@query(
+    "d10_current_date",
+    oracle="""
+    SELECT o_orderkey,
+           (CAST(o_orderdate AS DATE) <= current_date) AS is_past,
+           LEAST(date_diff('day', CAST(o_orderdate AS DATE), current_date),
+                 8000) AS days_ago_capped
+    FROM orders
+    """,
+    tags=("temporal", "now"),
+)
+def d10_current_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D10 current-date anchor — the reference stamps rows with
+    ``datetime.now()`` / ``pd.Timestamp.now()`` (etl/api_fetcher.py:70,
+    etl/csv_loader.py:54). A raw ``current_date()`` column can't be
+    hash-compared (the two engines evaluate at different instants), so
+    the query derives values that are invariant for ANY evaluation
+    date later than the data: the synthetic order dates all predate
+    2002, making ``is_past`` uniformly true and the day-distance
+    always above the 8000-day cap (binding from 2023 on, forever).
+    ``current_date()`` is still
+    genuinely evaluated (constant-folded once per query, not per
+    row — exactly how a 100 TB scan wants it)."""
+    o = load(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        (d <= F.current_date()).alias("is_past"),
+        F.least(
+            F.datediff(F.current_date(), d), F.lit(8000)
+        ).cast("bigint").alias("days_ago_capped"),
+    )
+
+
+@query(
     "d9_map_explode",
     oracle="""
     SELECT e.event_id, u.key AS metric, u.value AS metric_value

@@ -213,6 +213,32 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # re-enter the evaluated window this round; "out" entries move past the
 # fold carrying the named prior round's hash-green driver evidence.
 ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
+    "r5": {
+        "in": (
+            # The driver regenerated events.parquet between r3 and r4
+            # (ts: int64-nanos → timestamp[us]); every events-reading
+            # query whose green evidence predates that regeneration
+            # rotates back through the window to re-earn it on the NEW
+            # data (round-4 verdict item 8), alongside the repaired
+            # streaming query and two new §2.4 closers.
+            "stream_tumbling_counts",  # repaired this round (µs staging)
+            "win_sliding",  # r1/r2-green, evidence predates ts drift
+            "win_session",  # r1/r2-green, evidence predates ts drift
+            "grouped_user_gaps",  # r3-green, evidence predates ts drift
+            "p8_watermark_filter",  # r1/r2-green, evidence predates ts drift
+            "d8_trim",  # new this round (dedicated D8 oracle row)
+            "d10_current_date",  # new this round (dedicated D10 oracle row)
+        ),
+        "out": (  # all hash-green in CORRECTNESS_r04.json
+            "p2_drop_column",
+            "p3_date_window",
+            "d2_interval_shift",
+            "d4_custom_format_parse",
+            "u3_semi_join",  # set-op family stays in-window via u2_anti_join
+            "mm_decode_features",  # multimodal stays via mm_binary_meta
+            "kmeans_train_assign",  # similarity family keeps 5 in-window reps
+        ),
+    },
     "r4": {
         "in": (
             "user_gap_stats",  # new this round (JVM re-plan of grouped_user_gaps)
@@ -290,28 +316,28 @@ PRIORITY: tuple[str, ...] = (
     "join_agg_revenue",
     "join_skew_enrich",
     "u2_anti_join",
-    "u3_semi_join",
-    # derivations (parse / custom-format / interval representatives)
-    "d2_interval_shift",
-    "d4_custom_format_parse",
+    # derivations (string-strip + current-date representatives this round)
+    "d8_trim",
+    "d10_current_date",
     # multimodal
     "mm_binary_meta",
-    "mm_decode_features",
     # projection / filter / sort / aggregates-misc / scan
-    "p2_drop_column",
-    "p3_date_window",
+    "p8_watermark_filter",
     "o2_topk_single",
     "a3_affected_rows",
     "s6_sql_table_scan",
-    # similarity (ANN ×3 + quantization + coarse-quantizer training)
+    # similarity (ANN ×3 + quantization; kmeans folded r5 on r4-green)
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
     "emb_quantize_int8",
     "ann_quantized_topk",
-    "kmeans_train_assign",
-    # streaming (batch tumbling + real readStream runs incl. stream-static)
+    # streaming (batch windows + real readStream runs; the events-ts
+    # re-proof cohort rides here — see ROTATION_LOG r5)
     "win_tumbling",
+    "win_sliding",
+    "win_session",
+    "stream_tumbling_counts",
     "stream_dedup",
     "stream_static_join",
     # temporal joins / rollup / gap stats
@@ -333,9 +359,18 @@ PRIORITY: tuple[str, ...] = (
     "text_tfidf_topk",
     "text_mixture_sample",
     "text_source_quota",
-    # UDF surface / stateful
+    # UDF surface / stateful (grouped_user_gaps re-proves the Python
+    # grouped-map path on the regenerated events data)
+    "grouped_user_gaps",
     "stateful_user_totals",
     # ---- fold: position 51+ — prior-round hash-green driver evidence ----
+    "p2_drop_column",
+    "p3_date_window",
+    "d2_interval_shift",
+    "d4_custom_format_parse",
+    "u3_semi_join",
+    "mm_decode_features",
+    "kmeans_train_assign",
     "o1_topk_multikey",
     "win_running_sum",
     "win_topk_per_group",
@@ -351,17 +386,13 @@ PRIORITY: tuple[str, ...] = (
     "text_langid",
     "text_bpe_token_count",
     "text_quality_score",
-    "stream_tumbling_counts",
     "p1_projection",
     "p4_comparison_filter",
     "o3_dynamic_sort",
     "d1_parse_coerce",
     "d9_map_explode",
     "u1_union_dedup",
-    "win_sliding",
-    "win_session",
     "udf_embedding_norm",
-    "grouped_user_gaps",
     "agg_minmax_distinct",
     "join_multiway_region",
     "agg_cube",
@@ -377,7 +408,6 @@ PRIORITY: tuple[str, ...] = (
     "p5_null_drop",
     "p6_exact_dedup",
     "p7_keyed_dedup",
-    "p8_watermark_filter",
     "p9_arity_guard",
     "a1_count",
 )

@@ -86,20 +86,17 @@ def test_driver_window_covers_every_family():
         # dedup_embedding_cosine folded r4 on r3-green evidence — still
         # transitively exercised by both of these every round
         "dedup_connected_groups", "dedup_group_decisions",
-        # core relational representatives (r4 rotation: p2/p3/o2/d2/d4/u3
-        # re-entered the window; their r3-green duplicates moved past the
-        # fold — see registry.ROTATION_LOG)
+        # core relational representatives (r5 rotation: the events-ts
+        # re-proof cohort re-entered the window and seven r4-green rows
+        # moved past the fold — see registry.ROTATION_LOG["r5"])
         "agg_pricing_summary", "win_rank_family", "join_agg_revenue",
         "join_skew_enrich",
-        # o1_topk_multikey folded r4 on r3-green evidence; o2_topk_single
-        # keeps the sort family in-window (made room for kmeans_train_assign)
-        "u2_anti_join", "u3_semi_join", "o2_topk_single",
-        "p2_drop_column", "p3_date_window",
-        "kmeans_train_assign",
-        "d2_interval_shift", "d4_custom_format_parse",
-        # mm_frame_sample folded r4 on r3-green evidence (made room for
-        # dedup_incremental); these two keep multimodal in-window
-        "mm_binary_meta", "mm_decode_features",
+        "u2_anti_join", "o2_topk_single",
+        "d8_trim", "d10_current_date",
+        "p8_watermark_filter",
+        "win_sliding", "win_session", "stream_tumbling_counts",
+        "grouped_user_gaps",
+        "mm_binary_meta",
         "dedup_incremental", "text_source_quota",
     }
     missing = must_be_in_window - set(window)
@@ -111,7 +108,12 @@ def test_driver_window_covers_every_family():
     from pathlib import Path
 
     proven = set()
-    for f in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json", "CORRECTNESS_r03.json"):
+    for f in (
+        "CORRECTNESS_r01.json",
+        "CORRECTNESS_r02.json",
+        "CORRECTNESS_r03.json",
+        "CORRECTNESS_r04.json",
+    ):
         p = Path(__file__).resolve().parents[1] / f
         if p.exists():
             rows = json.loads(p.read_text())
@@ -123,7 +125,11 @@ def test_driver_window_covers_every_family():
     assert not unproven, f"past-fold queries without prior driver row: {sorted(unproven)}"
 
     # rotation hygiene (round-3 advisory): every ROTATION_LOG "out" entry
-    # must be proven, every "in" entry must actually be in the window.
+    # must be proven; the LATEST round's "in" entries must actually be in
+    # the window (older rounds' in-entries legitimately rotate out again).
+    latest = max(registry.ROTATION_LOG)
+    assert set(registry.ROTATION_LOG[latest]["in"]) <= set(window), (
+        latest, "in entries not in window",
+    )
     for rnd, swap in registry.ROTATION_LOG.items():
-        assert set(swap["in"]) <= set(window), (rnd, "in entries not in window")
         assert set(swap["out"]) <= proven, (rnd, "out entries lack prior evidence")
