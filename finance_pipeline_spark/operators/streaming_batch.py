@@ -410,3 +410,90 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = spark.table(name).localCheckpoint(eager=True)
     spark.catalog.dropTempView(name)
     return out
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+    SELECT c.user_id, count(*) AS n_pairs
+    FROM events c
+    JOIN events p
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 6 HOUR
+    GROUP BY c.user_id
+    """,
+    tags=("streaming", "readstream", "join"),
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join — the hardest Structured
+    Streaming join shape: clicks matched to same-user purchases that
+    occur within 6 hours AFTER the click, both sides live streams.
+
+    Both inputs carry a watermark and the join condition carries an
+    explicit event-time bound, which is what lets Spark EVICT buffered
+    state: a click older than (watermark - 6 h) can never match a
+    future purchase, so its buffer entry is dropped. Without the time
+    bound the join state grows without limit — the difference between
+    a 100 TB-viable plan and an OOM. (Stream-STATIC joins, by
+    contrast, are stateless — see stream_static_join.)
+
+    The replay arrives in one micro-batch, so every pair is matched
+    before any eviction; the drained append-mode pairs aggregate to
+    the exact batch interval-join counts, keeping a real end-to-end
+    streaming run oracle-checkable."""
+    from pathlib import Path
+
+    load(spark, sf_dir, "events")  # pins session confs
+    stage = Path(__file__).resolve().parents[2] / ".cache" / "stream" / Path(sf_dir).name
+    stage.mkdir(parents=True, exist_ok=True)
+    _stage_file(f"{sf_dir}/events.parquet", stage / "events.parquet")
+
+    clicks = (
+        _events_stream_source(spark, sf_dir, stage)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("c_id"),
+        )
+        .withWatermark("c_ts", "10 minutes")
+    )
+    purchases = (
+        _events_stream_source(spark, sf_dir, stage)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_id"),
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    pairs = clicks.join(
+        purchases,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("interval 6 hours")),
+    )
+    name = "stream_stream_join_sink"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            pairs.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    drained = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return (
+        drained.groupBy(F.col("c_user").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

@@ -1,0 +1,403 @@
+"""Warehouse & time-series feature operators — the shapes a pipeline
+grows into once it feeds BI models and feature stores at 100 TB:
+SCD2 dimension builds, CDC changelog compaction, touch attribution,
+histogram profiling, column profiling, windowed feature extraction,
+and resample-with-forward-fill (SURVEY.md §7 extension tier; no
+reference counterpart — the reference stops at flat loads, these are
+the downstream consumers' table shapes).
+
+Every operator is a composition of DataFrame primitives: one shuffle
+on the natural key, window functions ride that same partitioning, and
+nothing touches the driver. Determinism contract (registry docstring):
+every window order carries an ``event_id``/``o_orderkey`` tiebreak and
+double sums go through decimal(38,6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from finance_pipeline_spark.registry import load, query
+
+
+def _dec(c):
+    return (F.col(c) if isinstance(c, str) else c).cast("decimal(38,6)")
+
+
+@query(
+    "scd2_order_status",
+    oracle="""
+    WITH ordered AS (
+        SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+               CASE WHEN lag(o_orderstatus) OVER w IS NULL
+                         OR lag(o_orderstatus) OVER w <> o_orderstatus
+                    THEN 1 ELSE 0 END AS is_new_run
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ), runs AS (
+        SELECT *, SUM(is_new_run) OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate, o_orderkey
+                                        ROWS UNBOUNDED PRECEDING) AS run_id
+        FROM ordered
+    ), collapsed AS (
+        SELECT o_custkey, o_orderstatus, run_id,
+               min(o_orderdate) AS valid_from,
+               count(*) AS n_orders
+        FROM runs GROUP BY o_custkey, o_orderstatus, run_id
+    )
+    SELECT o_custkey, o_orderstatus AS status, valid_from,
+           lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY run_id)
+               AS valid_to,
+           n_orders,
+           (lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY run_id)
+               IS NULL) AS is_current
+    FROM collapsed
+    """,
+    tags=("warehouse", "scd2", "window"),
+    bench=True,
+)
+def scd2_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build: treat each customer's
+    order stream as a changelog of their order status and collapse
+    consecutive equal-status runs into effective-dated rows
+    ``[valid_from, valid_to)`` with an open (null) ``valid_to`` on the
+    current run — the classic gaps-and-islands SCD2 derivation.
+
+    Physical shape: ONE shuffle on ``o_custkey``; both window passes
+    and the run-collapse aggregate reuse that hash partitioning (the
+    aggregate keys are a superset of the partition key), so at 100 TB
+    this is a single exchange followed by per-partition sorts —
+    exactly how a dimension rebuild should scale. A real warehouse
+    would additionally MERGE this over the previous dimension state
+    (see sinks/txn_table.py for the commit-log primitive)."""
+    o = load(spark, sf_dir, "orders")
+    wo = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    flagged = o.select(
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderdate",
+        "o_orderkey",
+        F.when(
+            F.lag("o_orderstatus").over(wo).isNull()
+            | (F.lag("o_orderstatus").over(wo) != F.col("o_orderstatus")),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new_run"),
+    )
+    runs = flagged.withColumn(
+        "run_id",
+        F.sum("is_new_run").over(wo.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    collapsed = runs.groupBy("o_custkey", "o_orderstatus", "run_id").agg(
+        F.min("o_orderdate").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    wr = W.partitionBy("o_custkey").orderBy("run_id")
+    return collapsed.select(
+        "o_custkey",
+        F.col("o_orderstatus").alias("status"),
+        "valid_from",
+        F.lead("valid_from").over(wr).alias("valid_to"),
+        "n_orders",
+        F.lead("valid_from").over(wr).isNull().alias("is_current"),
+    )
+
+
+@query(
+    "cdc_latest_state",
+    oracle="""
+    SELECT user_id,
+           ts AS last_ts,
+           event_type AS last_type,
+           value AS last_value
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+    tags=("warehouse", "cdc", "dedup"),
+)
+def cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog compaction — collapse an event/changelog stream to
+    the CURRENT state per key (latest row by event time, event_id
+    tiebreak). This is the materialized-view half of every CDC
+    pipeline (Debezium topic → current table) and the batch analogue
+    of sinks/txn_table.py's upsert.
+
+    row_number over (key, ts desc) then rn=1: one shuffle on the key;
+    at 100 TB this is the standard log-compaction plan and AQE handles
+    hot keys. The filter is a ``WindowGroupLimit`` candidate — Spark
+    pushes rank<=1 into a per-partition top-1, so no full sort of
+    cold history is materialized."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_type"),
+            F.col("value").alias("last_value"),
+        )
+    )
+
+
+@query(
+    "attribution_first_last",
+    oracle="""
+    WITH touched AS (
+        SELECT user_id, value, event_type,
+               first_value(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS first_touch,
+               first_value(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts DESC, event_id DESC)
+                   AS last_touch
+        FROM events
+    )
+    SELECT user_id, first_touch, last_touch,
+           count(*) AS n_events,
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                                  THEN CAST(value AS DECIMAL(38,6)) END),
+                         0) AS DOUBLE) AS purchase_value
+    FROM touched
+    GROUP BY user_id, first_touch, last_touch
+    """,
+    tags=("warehouse", "attribution", "window"),
+)
+def attribution_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch / last-touch attribution: per user, the event type
+    that opened and closed their journey plus total purchase value —
+    the marketing-attribution shape (first/last click models share
+    this plan; fractional models add a weight column on top).
+
+    One shuffle on user_id: both first_value windows and the final
+    aggregate share the hash partitioning. The window orders carry
+    the event_id tiebreak so equal timestamps resolve identically in
+    both engines."""
+    e = load(spark, sf_dir, "events")
+    asc = W.partitionBy("user_id").orderBy("ts", "event_id")
+    desc = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    touched = e.select(
+        "user_id",
+        "value",
+        "event_type",
+        F.first("event_type").over(asc).alias("first_touch"),
+        F.first("event_type").over(desc).alias("last_touch"),
+    )
+    return touched.groupBy("user_id", "first_touch", "last_touch").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase", _dec("value"))),
+            F.lit(0).cast("decimal(38,6)"),
+        )
+        .cast("double")
+        .alias("purchase_value"),
+    )
+
+
+@query(
+    "hist_value_buckets",
+    oracle="""
+    SELECT CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) AS bucket,
+           CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) * 25000.0 AS bucket_lo,
+           count(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY 1, 2
+    """,
+    tags=("warehouse", "histogram"),
+)
+def hist_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order value — the data-profiling /
+    distribution-drift primitive. The bucket expression is plain
+    arithmetic (identical IEEE semantics on both engines), computed
+    map-side, so partial aggregation collapses each partition to at
+    most ~25 bucket rows before the exchange: the shuffle is O(buckets
+    × partitions) regardless of input size — the ideal 100 TB profile
+    plan."""
+    o = load(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / F.lit(25000.0))
+    return o.groupBy(
+        bucket.cast("bigint").alias("bucket"),
+        (bucket.cast("bigint") * F.lit(25000.0)).alias("bucket_lo"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
+    )
+
+
+_PROFILE_COLS = ("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+
+
+@query(
+    "profile_columns",
+    oracle="""
+    SELECT 'o_orderkey' AS column_name, count(*) AS n_rows,
+           count(*) - count(o_orderkey) AS n_nulls,
+           count(DISTINCT o_orderkey) AS n_distinct,
+           CAST(min(o_orderkey) AS VARCHAR) AS min_s,
+           CAST(max(o_orderkey) AS VARCHAR) AS max_s
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+           count(DISTINCT o_custkey),
+           CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+           count(DISTINCT o_orderstatus),
+           CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+           count(DISTINCT o_orderpriority),
+           CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR)
+    FROM orders
+    """,
+    tags=("warehouse", "profiling"),
+)
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiler — per-column row/null/distinct counts and
+    min/max, emitted long-form (one row per column): the
+    data-quality report every ingestion pipeline runs before
+    accepting a batch.
+
+    ONE scan, one aggregate: all per-column metrics are computed in a
+    single agg (multiple DISTINCT aggregates → Catalyst's Expand,
+    still one pass over the data), then pivoted to long form with
+    ``stack`` — vs the oracle's four scans. min/max are computed on
+    the NATIVE type and cast to string afterwards (string-typed min
+    would order "10" < "9"). At 100 TB you'd swap count(DISTINCT) for
+    approx_count_distinct and keep the identical plan shape."""
+    o = load(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    wide = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c in _PROFILE_COLS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+            "(column_name, n_nulls, n_distinct, min_s, max_s)"
+        ),
+        "n_rows",
+    ).select("column_name", "n_rows", "n_nulls", "n_distinct", "min_s", "max_s")
+
+
+@query(
+    "ts_moving_features",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(38,6)))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS mov_sum3,
+           count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS run_cnt,
+           CAST(CAST(value AS DECIMAL(38,6)) -
+                lag(CAST(value AS DECIMAL(38,6)))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                AS DOUBLE) AS delta
+    FROM events
+    """,
+    tags=("warehouse", "timeseries", "window"),
+)
+def ts_moving_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed feature extraction over an event stream: 3-row moving
+    sum, running event count, and first difference per user — the
+    feature-store shape for sequence models (aggregating behavior
+    into fixed-width model inputs).
+
+    All three features ride ONE window partitioning (user_id, ordered
+    by ts with event_id tiebreak): one shuffle, one per-partition
+    sort, three frame evaluations — adding more features to the same
+    key is free of additional exchanges. Moving sums go through
+    decimal so partial order never shows in the hash."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    v = _dec("value")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.sum(v).over(w.rowsBetween(-2, 0)).cast("double").alias("mov_sum3"),
+        F.count(F.lit(1)).over(w.rowsBetween(W.unboundedPreceding, 0)).alias("run_cnt"),
+        (v - F.lag(v).over(w)).cast("double").alias("delta"),
+    )
+
+
+@query(
+    "ts_resample_ffill",
+    oracle="""
+    WITH bounds AS (
+        SELECT user_id, CAST(min(ts) AS DATE) AS lo, CAST(max(ts) AS DATE) AS hi
+        FROM events GROUP BY user_id
+    ), grid AS (
+        SELECT user_id, CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+        FROM bounds
+    ), daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               max_by(value, event_id) AS day_close
+        FROM events GROUP BY 1, 2
+    )
+    SELECT g.user_id,
+           CAST(g.day AS TIMESTAMP) AS day,
+           last_value(d.day_close IGNORE NULLS)
+               OVER (PARTITION BY g.user_id ORDER BY g.day) AS value_ffill
+    FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+    """,
+    tags=("warehouse", "timeseries", "resample"),
+    bench=True,
+)
+def ts_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample to a regular 1-day grid with forward-fill — pandas'
+    ``resample('1D').last().ffill()`` re-expressed distributively:
+    (1) per-user day bounds, (2) an exploded ``sequence`` builds the
+    dense calendar grid (no driver loop, no cross join against a
+    global calendar — each user only generates their own span),
+    (3) daily close = max_by(value, event_id), (4) a left join snaps
+    closes onto the grid and ``last(..., ignorenulls)`` carries the
+    previous close across empty days.
+
+    Every step keys on user_id, so the grid build, the join, and the
+    forward-fill window share one hash partitioning; the join's grid
+    side is generated in place (never shuffled separately). This is
+    the gap-filling shape telemetry and market-data pipelines need at
+    100 TB, where per-key spans differ wildly and a global calendar
+    cross-join would explode."""
+    e = load(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    bounds = e.groupBy("user_id").agg(
+        F.min(day).alias("lo"), F.max(day).alias("hi")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day"),
+    )
+    daily = e.groupBy("user_id", day.alias("day")).agg(
+        F.max_by("value", "event_id").alias("day_close")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    # day rendered as midnight TIMESTAMP: Spark DateType and DuckDB DATE
+    # canonicalize differently through pandas (date object vs
+    # datetime64), so the comparable shape is the common timestamp.
+    return grid.join(daily, ["user_id", "day"], "left").select(
+        "user_id",
+        F.col("day").cast("timestamp").alias("day"),
+        F.last("day_close", ignorenulls=True).over(w).alias("value_ffill"),
+    )

@@ -228,6 +228,16 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
             "p8_watermark_filter",  # r1/r2-green, evidence predates ts drift
             "d8_trim",  # new this round (dedicated D8 oracle row)
             "d10_current_date",  # new this round (dedicated D10 oracle row)
+            # new warehouse/time-series tier (operators/warehouse.py)
+            "scd2_order_status",
+            "cdc_latest_state",
+            "attribution_first_last",
+            "hist_value_buckets",
+            "profile_columns",
+            "ts_moving_features",
+            "ts_resample_ffill",
+            # new streaming shape: watermarked stream-stream interval join
+            "stream_stream_join",
         ),
         "out": (  # all hash-green in CORRECTNESS_r04.json
             "p2_drop_column",
@@ -236,7 +246,15 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
             "d4_custom_format_parse",
             "u3_semi_join",  # set-op family stays in-window via u2_anti_join
             "mm_decode_features",  # multimodal stays via mm_binary_meta
-            "kmeans_train_assign",  # similarity family keeps 5 in-window reps
+            "kmeans_train_assign",  # similarity family keeps 4 in-window reps
+            "dedup_group_decisions",  # dedup family keeps 5 in-window reps
+            "ann_ivf_topk",  # ANN family keeps cosine/lsh/quantized in-window
+            "emb_quantize_int8",  # quantization covered via ann_quantized_topk
+            "text_token_count",  # text family keeps 9 in-window reps
+            "text_gopher_rules",
+            "text_pack_sequences",
+            "rollup_time_multi",  # temporal keeps asof/range/gap/cohort
+            "funnel_conversion",  # cohort_retention keeps the family in-window
         ),
     },
     "r4": {
@@ -305,12 +323,11 @@ PRIORITY: tuple[str, ...] = (
     "agg_approx_distinct",
     "agg_approx_quantile",
     "win_rank_family",
-    # dedup family (all five fuzzy variants + components)
+    # dedup family (group_decisions folded r5 on r4-green)
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_connected_groups",
-    "dedup_group_decisions",
     "dedup_incremental",
     # joins / set ops
     "join_agg_revenue",
@@ -326,11 +343,10 @@ PRIORITY: tuple[str, ...] = (
     "o2_topk_single",
     "a3_affected_rows",
     "s6_sql_table_scan",
-    # similarity (ANN ×3 + quantization; kmeans folded r5 on r4-green)
+    # similarity (ivf/int8/kmeans folded r5 on r4-green; cosine + lsh +
+    # quantized-serving keep the family in-window)
     "ann_cosine_topk",
     "ann_lsh_topk",
-    "ann_ivf_topk",
-    "emb_quantize_int8",
     "ann_quantized_topk",
     # streaming (batch windows + real readStream runs; the events-ts
     # re-proof cohort rides here — see ROTATION_LOG r5)
@@ -340,19 +356,23 @@ PRIORITY: tuple[str, ...] = (
     "stream_tumbling_counts",
     "stream_dedup",
     "stream_static_join",
-    # temporal joins / rollup / gap stats
+    "stream_stream_join",
+    # temporal joins / gap stats (rollup + funnel folded r5 on r4-green)
     "join_asof",
     "join_range_bands",
-    "rollup_time_multi",
     "user_gap_stats",
     "cohort_retention",
-    "funnel_conversion",
-    # text analysis (all seven + packing, split assignment, decontamination)
-    "text_pack_sequences",
+    # warehouse & time-series tier (new r5 — operators/warehouse.py)
+    "scd2_order_status",
+    "cdc_latest_state",
+    "attribution_first_last",
+    "hist_value_buckets",
+    "profile_columns",
+    "ts_moving_features",
+    "ts_resample_ffill",
+    # text analysis (token_count/gopher/pack folded r5 on r4-green)
     "text_split_assign",
     "text_decontaminate",
-    "text_token_count",
-    "text_gopher_rules",
     "text_vocab_topk",
     "text_pii_scrub",
     "text_repetition_stats",
@@ -371,6 +391,14 @@ PRIORITY: tuple[str, ...] = (
     "u3_semi_join",
     "mm_decode_features",
     "kmeans_train_assign",
+    "dedup_group_decisions",
+    "ann_ivf_topk",
+    "emb_quantize_int8",
+    "text_token_count",
+    "text_gopher_rules",
+    "text_pack_sequences",
+    "rollup_time_multi",
+    "funnel_conversion",
     "o1_topk_multikey",
     "win_running_sum",
     "win_topk_per_group",
@@ -457,4 +485,5 @@ def load_all() -> None:
         temporal,
         textops,
         udfs,
+        warehouse,
     )

@@ -66,26 +66,28 @@ def test_driver_window_covers_every_family():
     window = list(ordered)[: registry.DRIVER_WINDOW]
 
     must_be_in_window = {
-        # beyond-reference tier (one-plus per family)
-        "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
-        "emb_quantize_int8", "ann_quantized_topk",
-        "join_asof", "join_range_bands", "rollup_time_multi",
-        "user_gap_stats", "cohort_retention", "funnel_conversion",
-        "text_token_count",
-        "text_gopher_rules", "text_pack_sequences", "text_split_assign",
+        # beyond-reference tier (one-plus per family; ivf/int8/kmeans,
+        # rollup/funnel, token_count/gopher/pack folded r5 on r4-green)
+        "ann_cosine_topk", "ann_lsh_topk", "ann_quantized_topk",
+        "join_asof", "join_range_bands",
+        "user_gap_stats", "cohort_retention",
+        "text_split_assign",
         "text_decontaminate", "text_vocab_topk",
         "text_pii_scrub", "text_repetition_stats",
         "text_tfidf_topk", "text_mixture_sample",
         "win_tumbling", "stream_dedup", "stream_static_join",
+        "stream_stream_join",
         "stateful_user_totals",
         "a3_affected_rows", "s6_sql_table_scan",
-        # dedup families (simhash folded r4 on r3-green evidence; minhash +
-        # ngram + cosine + exact + components keep the family in-window)
+        # warehouse & time-series tier (new r5)
+        "scd2_order_status", "cdc_latest_state", "attribution_first_last",
+        "hist_value_buckets", "profile_columns", "ts_moving_features",
+        "ts_resample_ffill",
+        # dedup families (simhash r3-green, group_decisions r4-green in
+        # the fold; these four keep the family in-window)
         "dedup_exact", "dedup_minhash_lsh",
         "dedup_ngram_jaccard",
-        # dedup_embedding_cosine folded r4 on r3-green evidence — still
-        # transitively exercised by both of these every round
-        "dedup_connected_groups", "dedup_group_decisions",
+        "dedup_connected_groups",
         # core relational representatives (r5 rotation: the events-ts
         # re-proof cohort re-entered the window and seven r4-green rows
         # moved past the fold — see registry.ROTATION_LOG["r5"])

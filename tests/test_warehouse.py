@@ -1,0 +1,178 @@
+"""Warehouse & time-series tier invariants (operators/warehouse.py):
+SCD2 range algebra, CDC compaction semantics, resample-ffill density,
+stream-stream join vs batch parity, and the single-shuffle plan
+contracts the 100 TB story depends on."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from finance_pipeline_spark import registry
+from finance_pipeline_spark.registry import load
+
+registry.load_all()
+
+
+def test_scd2_ranges_partition_each_customers_history(spark, sf_dir):
+    rows = registry.QUERIES["scd2_order_status"].fn(spark, sf_dir).collect()
+    orders_per_cust = {
+        r.o_custkey: r.n
+        for r in load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    by_cust = defaultdict(list)
+    for r in rows:
+        by_cust[r.o_custkey].append(r)
+    assert set(by_cust) == set(orders_per_cust)
+    for cust, spans in by_cust.items():
+        spans.sort(key=lambda r: r.valid_from)
+        # exactly one open (current) range, and it is the last one
+        assert [s.is_current for s in spans].count(True) == 1
+        assert spans[-1].is_current and spans[-1].valid_to is None
+        # contiguous, non-overlapping: each valid_to == next valid_from
+        for a, b in zip(spans, spans[1:]):
+            assert a.valid_to == b.valid_from
+        # consecutive runs actually changed status (collapse worked)
+        for a, b in zip(spans, spans[1:]):
+            assert a.status != b.status
+        # run sizes account for every order
+        assert sum(s.n_orders for s in spans) == orders_per_cust[cust]
+
+
+def test_cdc_latest_state_is_the_max_ts_row_per_user(spark, sf_dir):
+    got = {
+        r.user_id: (r.last_ts, r.last_type)
+        for r in registry.QUERIES["cdc_latest_state"].fn(spark, sf_dir).collect()
+    }
+    e = load(spark, sf_dir, "events")
+    want = {
+        r.user_id: (r.last_ts, r.last_type)
+        for r in e.groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.max_by("event_type", F.struct("ts", "event_id")).alias("last_type"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_resample_ffill_grid_is_dense_and_nonnull(spark, sf_dir):
+    rows = registry.QUERIES["ts_resample_ffill"].fn(spark, sf_dir).collect()
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append(r)
+    assert by_user
+    for user, days in by_user.items():
+        days.sort(key=lambda r: r.day)
+        # dense daily grid: consecutive rows exactly 1 day apart
+        for a, b in zip(days, days[1:]):
+            assert (b.day - a.day).days == 1, (user, a.day, b.day)
+        # first grid day is the user's first event day, so ffill never
+        # starts from a hole — every cell is populated
+        assert all(r.value_ffill is not None for r in days)
+
+
+def test_stream_stream_join_equals_batch_interval_join(spark, sf_dir):
+    got = {
+        r.user_id: r.n_pairs
+        for r in registry.QUERIES["stream_stream_join"].fn(spark, sf_dir).collect()
+    }
+    e = load(spark, sf_dir, "events")
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    want = {
+        r.cu: r.n
+        for r in c.join(
+            p,
+            (F.col("pu") == F.col("cu"))
+            & (F.col("pts") >= F.col("cts"))
+            & (F.col("pts") <= F.col("cts") + F.expr("interval 6 hours")),
+        )
+        .groupBy("cu")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+    assert got  # non-degenerate: the testdata produces matches
+
+
+def test_profile_columns_matches_known_domains(spark, sf_dir):
+    rows = {
+        r.column_name: r
+        for r in registry.QUERIES["profile_columns"].fn(spark, sf_dir).collect()
+    }
+    n = load(spark, sf_dir, "orders").count()
+    assert set(rows) == {
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"
+    }
+    for r in rows.values():
+        assert r.n_rows == n and r.n_nulls == 0
+    assert rows["o_orderkey"].n_distinct == n  # primary key
+    assert rows["o_orderstatus"].n_distinct == 3  # P/O/F domain
+    assert rows["o_orderstatus"].min_s == "F"
+    assert rows["o_orderstatus"].max_s == "P"
+
+
+# ---- plan contracts -------------------------------------------------------
+
+
+def _plan(spark, name: str) -> str:
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    return (
+        registry.QUERIES[name]
+        .fn(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+
+
+def test_scd2_plans_one_exchange(spark):
+    """Both window passes and the run-collapse aggregate key on (a
+    superset of) o_custkey, so the whole SCD2 build must reuse ONE
+    hash exchange — the property that keeps a dimension rebuild a
+    single-shuffle job at 100 TB."""
+    plan = _plan(spark, "scd2_order_status")
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_moving_features_plan_one_exchange_no_python(spark):
+    plan = _plan(spark, "ts_moving_features")
+    assert plan.count("Exchange") == 1, plan
+    assert "EvalPython" not in plan
+
+
+def test_cdc_latest_state_plans_partial_group_limit(spark):
+    """rn=1 over (user_id, ts desc) must plan as WindowGroupLimit with
+    a Partial mode before the exchange: each map task keeps only its
+    local latest row per key, so compacting a 100 TB changelog
+    shuffles ~|keys| rows, not the log."""
+    plan = _plan(spark, "cdc_latest_state")
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan
+
+
+def test_histogram_aggregates_map_side(spark):
+    """The bucket expression must sit under a partial_count /
+    partial_sum pair (map-side combine): the exchange then carries
+    O(buckets) rows per task."""
+    plan = _plan(spark, "hist_value_buckets")
+    assert "partial_count" in plan or "partial" in plan.lower()
+    assert "CartesianProduct" not in plan
+
+
+def test_profile_is_single_scan(spark):
+    """One pass: the profiler must read the orders parquet ONCE (the
+    Expand for multi-DISTINCT reuses the scan), vs the oracle's four
+    scans."""
+    plan = _plan(spark, "profile_columns")
+    assert plan.count("FileScan parquet") == 1, plan
