@@ -50,7 +50,12 @@ def _stage_file(src: str, dst) -> bool:
     return True
 
 
-def _events_stream_source(spark: SparkSession, sf_dir: str, stage_dir) -> DataFrame:
+def _events_stream_source(
+    spark: SparkSession,
+    sf_dir: str,
+    stage_dir,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """Build a ``readStream`` DataFrame over a staged events directory
     with ``ts`` normalized to TimestampType — the streaming counterpart
     of ``registry.load``'s batch normalization.
@@ -66,27 +71,27 @@ def _events_stream_source(spark: SparkSession, sf_dir: str, stage_dir) -> DataFr
     import pyarrow.parquet as pq
 
     ts_phys = str(pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type)
+
+    def reader(schema: str):
+        r = spark.readStream.schema(schema).option("recursiveFileLookup", "true")
+        if max_files_per_trigger is not None:
+            r = r.option("maxFilesPerTrigger", str(max_files_per_trigger))
+        return r
+
     if ts_phys == "int64":
         raw_schema = (
             "event_id bigint, ts bigint, user_id bigint, "
             "event_type string, value double, props string"
         )
-        stream = (
-            spark.readStream.schema(raw_schema)
-            .option("recursiveFileLookup", "true")
-            .parquet(str(stage_dir))
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        stream = reader(raw_schema).parquet(str(stage_dir)).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
     elif ts_phys.startswith("timestamp[us"):
         raw_schema = (
             "event_id bigint, ts timestamp, user_id bigint, "
             "event_type string, value double, props string"
         )
-        stream = (
-            spark.readStream.schema(raw_schema)
-            .option("recursiveFileLookup", "true")
-            .parquet(str(stage_dir))
-        )
+        stream = reader(raw_schema).parquet(str(stage_dir))
     else:
         raise ValueError(
             f"events.ts has unrecognized parquet type {ts_phys!r} — add a "
@@ -497,3 +502,123 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         drained.groupBy(F.col("c_user").alias("user_id"))
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+@query(
+    "stream_session_counts",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, value, event_id,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL 5 MINUTE OR
+                         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ), sessioned AS (
+        SELECT user_id, ts, value,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 5 MINUTE AS session_end,
+           count(*) AS n_events
+    FROM sessioned
+    GROUP BY user_id, session_id
+    """,
+    tags=("streaming", "readstream", "session"),
+)
+def stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows on a REAL stream — the stateful aggregation whose
+    state is not a fixed window but a MERGING one: arriving events
+    extend or fuse open sessions, and only the watermark can declare a
+    session closed (append mode emits exactly then, which is also when
+    its state is freed — the eviction that keeps per-user session
+    state bounded at 100 TB).
+
+    Append mode only flushes a session once the WATERMARK passes its
+    end, and the watermark itself only advances between micro-batches
+    — so a single-batch replay would leave the tail sessions stuck in
+    state (their flush would happen in a no-data batch that
+    ``processAllAvailable`` does not wait for). The replay therefore
+    plants TWO far-future sentinel events (user_id = -1, at +1 day and
+    +2 days) in separate staged files and sets ``maxFilesPerTrigger=1``:
+    batch 1 ingests the real events, batch 2 (first sentinel) advances
+    the watermark to real-max − gap, and batch 3 (second sentinel) runs
+    with the watermark already past every real session end — flushing
+    the tail sessions inside a DATA batch the drain provably covers.
+    The drained output (sentinels filtered out) must equal the batch
+    gaps-and-islands oracle — the same SQL ``win_session`` hash-matches
+    in batch mode."""
+    from pathlib import Path
+
+    load(spark, sf_dir, "events")  # pins session confs
+    stage = (
+        Path(__file__).resolve().parents[2]
+        / ".cache" / "stream_session" / Path(sf_dir).name
+    )
+    stage.mkdir(parents=True, exist_ok=True)
+    restaged = _stage_file(f"{sf_dir}/events.parquet", stage / "events.parquet")
+    if restaged or not (stage / "sentinel2.parquet").exists():
+        raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+        # Sentinels keep the SOURCE file's physical ts encoding so the
+        # staged dir stays uniform for the stream sniffer. Files are
+        # written in replay order — FileStreamSource lists oldest-mtime
+        # first, so events → sentinel1 → sentinel2.
+        for n, offset in (("sentinel1", 1), ("sentinel2", 2)):
+            if dict(raw.dtypes)["ts"] == "bigint":  # int64 nanos
+                sent_ts = F.max("ts") + F.lit(offset * 86400 * 10**9)
+            else:
+                sent_ts = F.max("ts") + F.expr(f"interval {offset} day")
+            (
+                raw.agg(sent_ts.alias("ts"))
+                .select(
+                    F.lit(-1).cast("bigint").alias("event_id"),
+                    "ts",
+                    F.lit(-1).cast("bigint").alias("user_id"),
+                    F.lit("sentinel").alias("event_type"),
+                    F.lit(0.0).alias("value"),
+                    F.lit(None).cast("string").alias("props"),
+                )
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(str(stage / f"{n}.parquet"))
+            )
+    stream = _events_stream_source(spark, sf_dir, stage, max_files_per_trigger=1)
+    # NOTE: the sentinel filter must NOT appear in the streaming plan —
+    # a `user_id >= 0` predicate here gets pushed below the
+    # EventTimeWatermark node (it's a deterministic filter on a scan
+    # column), so the sentinel rows would never advance the watermark
+    # and the tail sessions would never flush. Filter after draining.
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "5 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    name = "stream_session_counts_sink"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    # Sentinel sessions drop here, AFTER the drain (see note above).
+    return out.filter(F.col("user_id") >= 0)

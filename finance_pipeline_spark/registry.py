@@ -236,8 +236,10 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
             "profile_columns",
             "ts_moving_features",
             "ts_resample_ffill",
-            # new streaming shape: watermarked stream-stream interval join
+            # new streaming shapes: watermarked stream-stream interval
+            # join + append-mode session windows on a real stream
             "stream_stream_join",
+            "stream_session_counts",
         ),
         "out": (  # all hash-green in CORRECTNESS_r04.json
             "p2_drop_column",
@@ -253,8 +255,10 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
             "text_token_count",  # text family keeps 9 in-window reps
             "text_gopher_rules",
             "text_pack_sequences",
-            "rollup_time_multi",  # temporal keeps asof/range/gap/cohort
-            "funnel_conversion",  # cohort_retention keeps the family in-window
+            "rollup_time_multi",  # temporal keeps asof/range/gap
+            "funnel_conversion",
+            "cohort_retention",  # temporal-analytics family stays via
+            # user_gap_stats + the new warehouse tier
         ),
     },
     "r4": {
@@ -357,11 +361,11 @@ PRIORITY: tuple[str, ...] = (
     "stream_dedup",
     "stream_static_join",
     "stream_stream_join",
-    # temporal joins / gap stats (rollup + funnel folded r5 on r4-green)
+    "stream_session_counts",
+    # temporal joins / gap stats (rollup/funnel/cohort folded r5 on r4-green)
     "join_asof",
     "join_range_bands",
     "user_gap_stats",
-    "cohort_retention",
     # warehouse & time-series tier (new r5 — operators/warehouse.py)
     "scd2_order_status",
     "cdc_latest_state",
@@ -399,6 +403,7 @@ PRIORITY: tuple[str, ...] = (
     "text_pack_sequences",
     "rollup_time_multi",
     "funnel_conversion",
+    "cohort_retention",
     "o1_topk_multikey",
     "win_running_sum",
     "win_topk_per_group",

@@ -70,13 +70,13 @@ def test_driver_window_covers_every_family():
         # rollup/funnel, token_count/gopher/pack folded r5 on r4-green)
         "ann_cosine_topk", "ann_lsh_topk", "ann_quantized_topk",
         "join_asof", "join_range_bands",
-        "user_gap_stats", "cohort_retention",
+        "user_gap_stats",
         "text_split_assign",
         "text_decontaminate", "text_vocab_topk",
         "text_pii_scrub", "text_repetition_stats",
         "text_tfidf_topk", "text_mixture_sample",
         "win_tumbling", "stream_dedup", "stream_static_join",
-        "stream_stream_join",
+        "stream_stream_join", "stream_session_counts",
         "stateful_user_totals",
         "a3_affected_rows", "s6_sql_table_scan",
         # warehouse & time-series tier (new r5)

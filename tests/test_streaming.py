@@ -152,3 +152,20 @@ def test_display_grid_and_records(spark):
     assert "╒" in g and "│ id" in g and "│ 1" in g and g.count("\n") >= 5
     recs = to_records(df.orderBy("id"), limit=1)
     assert recs == [{"id": 1, "name": "a"}]
+
+
+def test_stream_session_equals_batch(spark, sf_dir):
+    """Append-mode session windows on a real stream must flush EVERY
+    real session (the two staggered sentinels + maxFilesPerTrigger=1
+    guarantee the tail sessions flush inside a drained data batch —
+    a plain single-batch replay provably leaves them stuck in state)."""
+    stream_rows = {
+        (r.user_id, r.session_start, r.session_end): r.n_events
+        for r in registry.QUERIES["stream_session_counts"].fn(spark, sf_dir).collect()
+    }
+    batch_rows = {
+        (r.user_id, r.session_start, r.session_end): r.n_events
+        for r in registry.QUERIES["win_session"].fn(spark, sf_dir).collect()
+    }
+    assert stream_rows == batch_rows
+    assert all(u >= 0 for (u, _, _) in stream_rows)  # sentinels dropped
