@@ -401,3 +401,123 @@ def ts_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("day").cast("timestamp").alias("day"),
         F.last("day_close", ignorenulls=True).over(w).alias("value_ffill"),
     )
+
+
+@query(
+    "win_distribution_family",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderstatus,
+           ntile(4) OVER w AS price_quartile,
+           percent_rank() OVER w AS price_pct_rank,
+           cume_dist() OVER w AS price_cume_dist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    """,
+    tags=("warehouse", "window"),
+)
+def win_distribution_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions — ntile / percent_rank /
+    cume_dist per status partition: the quantile-bucketing and
+    relative-standing shapes BI layers lean on (decile reports,
+    percentile badges). Complements win_rank_family (rank/dense_rank/
+    row_number) to complete the SQL window-function surface.
+
+    One shuffle on o_orderstatus, one per-partition sort shared by all
+    three functions. The order carries the unique o_orderkey tiebreak,
+    so rank-derived ratios are identical rationals on both engines
+    (same integer operands → same IEEE division)."""
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.percent_rank().over(w).alias("price_pct_rank"),
+        F.cume_dist().over(w).alias("price_cume_dist"),
+    )
+
+
+@query(
+    "merge_upsert_orders",
+    oracle="""
+    WITH updates AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(CAST(o_totalprice AS DECIMAL(38,6)) *
+                    CAST(1.1 AS DECIMAL(3,1)) AS DOUBLE) AS o_totalprice,
+               'U' AS o_orderstatus
+        FROM orders WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderkey + 20000000, o_custkey,
+               o_totalprice, 'N'
+        FROM orders WHERE o_orderkey % 13 = 0
+    )
+    SELECT COALESCE(u.o_orderkey, t.o_orderkey) AS o_orderkey,
+           COALESCE(u.o_custkey, t.o_custkey) AS o_custkey,
+           COALESCE(u.o_totalprice, t.o_totalprice) AS o_totalprice,
+           COALESCE(u.o_orderstatus, t.o_orderstatus) AS o_orderstatus,
+           CASE WHEN t.o_orderkey IS NULL THEN 'inserted'
+                WHEN u.o_orderkey IS NULL THEN 'unchanged'
+                ELSE 'updated' END AS merge_action
+    FROM orders t
+    FULL OUTER JOIN updates u ON t.o_orderkey = u.o_orderkey
+    """,
+    tags=("warehouse", "merge"),
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics as a pure Spark plan — WHEN MATCHED THEN
+    UPDATE / WHEN NOT MATCHED THEN INSERT, expressed as a full outer
+    join on the key with coalesce-resolution and an explicit
+    merge_action audit column. This is the engine-level shape that
+    storage-backed MERGE (Delta/Iceberg) compiles to; the reference's
+    ``INSERT OR IGNORE`` load (etl/csv_loader.py:196) is the
+    insert-only special case, shipped as sinks/keyed_writer.py. Here
+    the full matched+not-matched matrix is exercised and
+    hash-checked; sinks/txn_table.py supplies the transactional
+    commit for the write side.
+
+    The updates batch is derived deterministically from the target
+    itself (every 7th key updated, every 13th re-keyed as an insert),
+    so both engines construct identical sources. One shuffle join on
+    the merge key; at 100 TB the storage layer would additionally
+    prune untouched files by key min/max (see sinks/maintenance.py
+    z-order) — the join itself stays the same."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    # Price bump via EXACT decimal arithmetic (2-dp price × 1.1 is exact
+    # at 7 dp): double round() is half-up in Spark but not in DuckDB,
+    # and a raw double multiply would hash-diverge on ties.
+    bumped = F.expr(
+        "CAST(CAST(o_totalprice AS DECIMAL(38,6)) * CAST(1.1 AS DECIMAL(3,1))"
+        " AS DOUBLE)"
+    )
+    updates = (
+        o.filter(F.col("o_orderkey") % 7 == 0)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            bumped.alias("o_totalprice"),
+            F.lit("U").alias("o_orderstatus"),
+        )
+        .unionAll(
+            o.filter(F.col("o_orderkey") % 13 == 0).select(
+                (F.col("o_orderkey") + 20000000).alias("o_orderkey"),
+                "o_custkey",
+                "o_totalprice",
+                F.lit("N").alias("o_orderstatus"),
+            )
+        )
+    )
+    t = o.alias("t")
+    u = updates.alias("u")
+    return t.join(u, F.col("t.o_orderkey") == F.col("u.o_orderkey"), "full_outer").select(
+        F.coalesce("u.o_orderkey", "t.o_orderkey").alias("o_orderkey"),
+        F.coalesce("u.o_custkey", "t.o_custkey").alias("o_custkey"),
+        F.coalesce("u.o_totalprice", "t.o_totalprice").alias("o_totalprice"),
+        F.coalesce("u.o_orderstatus", "t.o_orderstatus").alias("o_orderstatus"),
+        F.when(F.col("t.o_orderkey").isNull(), "inserted")
+        .when(F.col("u.o_orderkey").isNull(), "unchanged")
+        .otherwise("updated")
+        .alias("merge_action"),
+    )

@@ -240,6 +240,9 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
             # join + append-mode session windows on a real stream
             "stream_stream_join",
             "stream_session_counts",
+            # MERGE INTO semantics + distribution window functions
+            "merge_upsert_orders",
+            "win_distribution_family",
         ),
         "out": (  # all hash-green in CORRECTNESS_r04.json
             "p2_drop_column",
@@ -259,6 +262,8 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
             "funnel_conversion",
             "cohort_retention",  # temporal-analytics family stays via
             # user_gap_stats + the new warehouse tier
+            "text_split_assign",  # text family keeps 6 in-window reps
+            "join_range_bands",  # range/temporal joins stay via join_asof
         ),
     },
     "r4": {
@@ -362,9 +367,8 @@ PRIORITY: tuple[str, ...] = (
     "stream_static_join",
     "stream_stream_join",
     "stream_session_counts",
-    # temporal joins / gap stats (rollup/funnel/cohort folded r5 on r4-green)
+    # temporal joins / gap stats (rollup/funnel/cohort/range folded r5)
     "join_asof",
-    "join_range_bands",
     "user_gap_stats",
     # warehouse & time-series tier (new r5 — operators/warehouse.py)
     "scd2_order_status",
@@ -374,8 +378,9 @@ PRIORITY: tuple[str, ...] = (
     "profile_columns",
     "ts_moving_features",
     "ts_resample_ffill",
-    # text analysis (token_count/gopher/pack folded r5 on r4-green)
-    "text_split_assign",
+    "merge_upsert_orders",
+    "win_distribution_family",
+    # text analysis (token_count/gopher/pack/split folded r5 on r4-green)
     "text_decontaminate",
     "text_vocab_topk",
     "text_pii_scrub",
@@ -404,6 +409,8 @@ PRIORITY: tuple[str, ...] = (
     "rollup_time_multi",
     "funnel_conversion",
     "cohort_retention",
+    "text_split_assign",
+    "join_range_bands",
     "o1_topk_multikey",
     "win_running_sum",
     "win_topk_per_group",

@@ -69,9 +69,8 @@ def test_driver_window_covers_every_family():
         # beyond-reference tier (one-plus per family; ivf/int8/kmeans,
         # rollup/funnel, token_count/gopher/pack folded r5 on r4-green)
         "ann_cosine_topk", "ann_lsh_topk", "ann_quantized_topk",
-        "join_asof", "join_range_bands",
+        "join_asof",
         "user_gap_stats",
-        "text_split_assign",
         "text_decontaminate", "text_vocab_topk",
         "text_pii_scrub", "text_repetition_stats",
         "text_tfidf_topk", "text_mixture_sample",
@@ -82,7 +81,7 @@ def test_driver_window_covers_every_family():
         # warehouse & time-series tier (new r5)
         "scd2_order_status", "cdc_latest_state", "attribution_first_last",
         "hist_value_buckets", "profile_columns", "ts_moving_features",
-        "ts_resample_ffill",
+        "ts_resample_ffill", "merge_upsert_orders", "win_distribution_family",
         # dedup families (simhash r3-green, group_decisions r4-green in
         # the fold; these four keep the family in-window)
         "dedup_exact", "dedup_minhash_lsh",

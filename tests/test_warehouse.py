@@ -176,3 +176,56 @@ def test_profile_is_single_scan(spark):
     scans."""
     plan = _plan(spark, "profile_columns")
     assert plan.count("FileScan parquet") == 1, plan
+
+
+def test_merge_upsert_action_accounting(spark, sf_dir):
+    """MERGE matrix: inserted = re-keyed rows (key % 13 == 0), updated =
+    matched rows (key % 7 == 0), everything else unchanged; total =
+    |target| + |inserts|; updated rows carry the exact +10% decimal
+    price."""
+    o = load(spark, sf_dir, "orders")
+    n = o.count()
+    n_upd = o.filter(F.col("o_orderkey") % 7 == 0).count()
+    n_ins = o.filter(F.col("o_orderkey") % 13 == 0).count()
+    rows = registry.QUERIES["merge_upsert_orders"].fn(spark, sf_dir)
+    by_action = {
+        r.merge_action: r.n
+        for r in rows.groupBy("merge_action").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert by_action == {
+        "updated": n_upd,
+        "inserted": n_ins,
+        "unchanged": n - n_upd,
+    }
+    assert sum(by_action.values()) == n + n_ins
+    # updated price = exact decimal 1.1x of the original
+    orig = {
+        r.o_orderkey: r.o_totalprice
+        for r in o.filter(F.col("o_orderkey") % 7 == 0).collect()
+    }
+    from decimal import Decimal
+
+    for r in rows.filter("merge_action = 'updated'").limit(50).collect():
+        want = float(
+            Decimal(orig[r.o_orderkey]).quantize(Decimal("0.000001"))
+            * Decimal("1.1")
+        )
+        assert r.o_totalprice == want
+
+
+def test_distribution_windows_are_consistent(spark, sf_dir):
+    rows = registry.QUERIES["win_distribution_family"].fn(spark, sf_dir).collect()
+    by_status = defaultdict(list)
+    for r in rows:
+        by_status[r.o_orderstatus].append(r)
+    for status, grp in by_status.items():
+        n = len(grp)
+        # quartiles near-equal sized (ntile balances within 1)
+        sizes = defaultdict(int)
+        for r in grp:
+            sizes[r.price_quartile] += 1
+        assert set(sizes) == {1, 2, 3, 4}
+        assert max(sizes.values()) - min(sizes.values()) <= 1
+        # cume_dist ends at exactly 1.0; percent_rank starts at 0.0
+        assert max(r.price_cume_dist for r in grp) == 1.0
+        assert min(r.price_pct_rank for r in grp) == 0.0
