@@ -521,3 +521,97 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("updated")
         .alias("merge_action"),
     )
+
+
+@query(
+    "metric_rolling_active",
+    oracle="""
+    SELECT CAST(d.day AS TIMESTAMP) AS day,
+           count(DISTINCT e.user_id) AS active_7d
+    FROM (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events) d
+    JOIN (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events) e
+      ON e.day >= d.day - INTERVAL 6 DAY AND e.day <= d.day
+    GROUP BY d.day
+    """,
+    tags=("warehouse", "metric", "rolling"),
+)
+def metric_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per day — the canonical engagement
+    metric (WAU on a daily cadence), computed as: dedup to (user, day)
+    pairs first, then fan each pair into the ≤7 rolling windows it
+    participates in via a range join against the (tiny) distinct-day
+    grid, then exact distinct-count per window day.
+
+    The order of operations is the scale story: dedup BEFORE the
+    fan-out bounds the expensive side at |users|·|days| rows (not
+    |events|), and the day grid is broadcast (bounded by the calendar,
+    ~365·years rows), so the range join is map-side — the only real
+    shuffles are the pair dedup and the final per-day distinct. At
+    100 TB you'd swap the exact distinct for approx_count_distinct and
+    keep the identical plan."""
+    e = load(spark, sf_dir, "events")
+    pairs = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    days = pairs.select("day").distinct().select(F.col("day").alias("w_day"))
+    return (
+        pairs.join(
+            F.broadcast(days),
+            (F.col("day") >= F.date_sub(F.col("w_day"), 6))
+            & (F.col("day") <= F.col("w_day")),
+        )
+        .groupBy("w_day")
+        .agg(F.count_distinct("user_id").alias("active_7d"))
+        .select(F.col("w_day").cast("timestamp").alias("day"), "active_7d")
+    )
+
+
+@query(
+    "anomaly_zscore_flags",
+    oracle="""
+    WITH stats AS (
+        SELECT event_type,
+               count(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS s,
+               CAST(SUM(CAST(value AS DECIMAL(38,6)) *
+                        CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS s2
+        FROM events
+        GROUP BY event_type
+    )
+    SELECT e.event_id,
+           e.event_type,
+           e.value,
+           (abs(e.value - s / n) >
+            3.0 * sqrt((s2 - s * s / n) / (n - 1))) AS is_anomaly
+    FROM events e JOIN stats USING (event_type)
+    """,
+    tags=("warehouse", "anomaly"),
+)
+def anomaly_zscore_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score anomaly flagging — every event marked against its
+    type's 3-sigma band: the data-quality / monitoring primitive that
+    gates ingestion batches.
+
+    Two-pass shape: (1) one partial-combined aggregate produces a
+    per-type stats table of exact decimal moments (count, sum, sum of
+    squares — order-free, so both engines derive bit-identical
+    doubles); (2) the stats table (|event types| rows) broadcasts back
+    onto the fact scan and the flag is computed map-side — no second
+    shuffle of the events. Mean/σ are derived from the SAME moment
+    formula on both engines (same IEEE operand tree → identical
+    comparison results; streaming Welford would be order-dependent and
+    hash-diverge)."""
+    e = load(spark, sf_dir, "events")
+    v = _dec("value")
+    stats = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).cast("double").alias("s"),
+        F.sum(v * v).cast("double").alias("s2"),
+    )
+    j = e.join(F.broadcast(stats), "event_type")
+    mean = F.col("s") / F.col("n")
+    var = (F.col("s2") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)
+    return j.select(
+        "event_id",
+        "event_type",
+        "value",
+        (F.abs(F.col("value") - mean) > F.lit(3.0) * F.sqrt(var)).alias("is_anomaly"),
+    )

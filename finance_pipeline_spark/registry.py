@@ -243,6 +243,9 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
             # MERGE INTO semantics + distribution window functions
             "merge_upsert_orders",
             "win_distribution_family",
+            # engagement metric + monitoring primitives
+            "metric_rolling_active",
+            "anomaly_zscore_flags",
         ),
         "out": (  # all hash-green in CORRECTNESS_r04.json
             "p2_drop_column",
@@ -264,6 +267,8 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
             # user_gap_stats + the new warehouse tier
             "text_split_assign",  # text family keeps 6 in-window reps
             "join_range_bands",  # range/temporal joins stay via join_asof
+            "stream_static_join",  # streaming keeps 7 in-window reps
+            "text_mixture_sample",  # text family keeps 5 in-window reps
         ),
     },
     "r4": {
@@ -364,7 +369,6 @@ PRIORITY: tuple[str, ...] = (
     "win_session",
     "stream_tumbling_counts",
     "stream_dedup",
-    "stream_static_join",
     "stream_stream_join",
     "stream_session_counts",
     # temporal joins / gap stats (rollup/funnel/cohort/range folded r5)
@@ -380,13 +384,14 @@ PRIORITY: tuple[str, ...] = (
     "ts_resample_ffill",
     "merge_upsert_orders",
     "win_distribution_family",
-    # text analysis (token_count/gopher/pack/split folded r5 on r4-green)
+    "metric_rolling_active",
+    "anomaly_zscore_flags",
+    # text analysis (token_count/gopher/pack/split/mixture folded r5)
     "text_decontaminate",
     "text_vocab_topk",
     "text_pii_scrub",
     "text_repetition_stats",
     "text_tfidf_topk",
-    "text_mixture_sample",
     "text_source_quota",
     # UDF surface / stateful (grouped_user_gaps re-proves the Python
     # grouped-map path on the regenerated events data)
@@ -411,6 +416,8 @@ PRIORITY: tuple[str, ...] = (
     "cohort_retention",
     "text_split_assign",
     "join_range_bands",
+    "stream_static_join",
+    "text_mixture_sample",
     "o1_topk_multikey",
     "win_running_sum",
     "win_topk_per_group",

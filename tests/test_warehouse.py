@@ -229,3 +229,53 @@ def test_distribution_windows_are_consistent(spark, sf_dir):
         # cume_dist ends at exactly 1.0; percent_rank starts at 0.0
         assert max(r.price_cume_dist for r in grp) == 1.0
         assert min(r.price_pct_rank for r in grp) == 0.0
+
+
+def test_rolling_active_bounds(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    total_users = e.select("user_id").distinct().count()
+    daily = {
+        r.day: r.n
+        for r in e.select(F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    rows = registry.QUERIES["metric_rolling_active"].fn(spark, sf_dir).collect()
+    assert len(rows) == len(daily)
+    for r in rows:
+        day = r.day.date()
+        # 7-day active is bounded below by that day's actives and above
+        # by the whole population
+        assert daily[day] <= r.active_7d <= total_users
+
+
+def test_anomaly_flags_are_rare_and_extreme(spark, sf_dir):
+    rows = registry.QUERIES["anomaly_zscore_flags"].fn(spark, sf_dir)
+    n = rows.count()
+    flagged = rows.filter("is_anomaly").count()
+    # 3-sigma flags must be a small minority (any distribution:
+    # Chebyshev bounds P(|z|>3) <= 1/9; the synthetic data is benign)
+    assert flagged < n / 9
+    # every flagged value is more extreme than every unflagged value
+    # within its event_type
+    agg = (
+        rows.groupBy("event_type")
+        .agg(
+            F.min(F.when(F.col("is_anomaly"), F.abs("value"))).alias("min_flag"),
+            F.max(F.when(~F.col("is_anomaly"), F.abs("value"))).alias("max_ok"),
+        )
+        .collect()
+    )
+    for r in agg:
+        if r.min_flag is not None:
+            assert r.min_flag > r.max_ok
+
+
+def test_rolling_and_anomaly_broadcast_plans(spark):
+    plan = _plan(spark, "metric_rolling_active")
+    assert "Broadcast" in plan  # tiny day grid never shuffles the pairs
+    plan2 = _plan(spark, "anomaly_zscore_flags")
+    assert "BroadcastHashJoin" in plan2  # stats table broadcast back
+    assert plan2.count("FileScan parquet") <= 2  # events + stats pass
