@@ -463,6 +463,7 @@ def win_distribution_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     FULL OUTER JOIN updates u ON t.o_orderkey = u.o_orderkey
     """,
     tags=("warehouse", "merge"),
+    bench=True,  # the full-outer upsert join is a headline shuffle shape
 )
 def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO semantics as a pure Spark plan — WHEN MATCHED THEN

@@ -279,3 +279,65 @@ def test_rolling_and_anomaly_broadcast_plans(spark):
     plan2 = _plan(spark, "anomaly_zscore_flags")
     assert "BroadcastHashJoin" in plan2  # stats table broadcast back
     assert plan2.count("FileScan parquet") <= 2  # events + stats pass
+
+
+def test_scd2_matches_python_model_on_random_changelogs(spark, tmp_path):
+    """Property: for ANY changelog, SCD2 equals the obvious sequential
+    model — per key, sort by (date, orderkey), collapse consecutive
+    equal statuses, chain valid_from/valid_to. Randomized via
+    hypothesis-style seeds without per-example Spark jobs being
+    re-planned (one composite frame covers many keys/patterns)."""
+    import random
+
+    rng = random.Random(20260813)
+    rows = []
+    ok = 0
+    for cust in range(40):
+        n = rng.randint(1, 12)
+        base = rng.randint(0, 1000)
+        for i in range(n):
+            rows.append(
+                {
+                    "o_orderkey": ok,
+                    "o_custkey": cust,
+                    "o_orderstatus": rng.choice("POF"),
+                    "o_totalprice": 100.0,
+                    "o_orderdate": __import__("datetime").datetime(
+                        2024, 1, 1
+                    ) + __import__("datetime").timedelta(days=base + i * rng.randint(1, 3)),
+                    "o_orderpriority": "1-URGENT",
+                }
+            )
+            ok += 1
+    import pandas as pd
+
+    # µs precision like the real testdata — pandas' default ns parquet
+    # would surface as bigint under the session's nanosAsLong conf
+    pd.DataFrame(rows).to_parquet(
+        str(tmp_path / "orders.parquet"), coerce_timestamps="us"
+    )
+
+    got = {
+        (r.o_custkey, r.status, r.valid_from, r.valid_to, r.n_orders, r.is_current)
+        for r in registry.QUERIES["scd2_order_status"].fn(spark, str(tmp_path)).collect()
+    }
+
+    # sequential reference model
+    want = set()
+    from collections import defaultdict as dd
+
+    by_cust = dd(list)
+    for r in rows:
+        by_cust[r["o_custkey"]].append(r)
+    for cust, rs in by_cust.items():
+        rs.sort(key=lambda r: (r["o_orderdate"], r["o_orderkey"]))
+        runs = []
+        for r in rs:
+            if runs and runs[-1][0] == r["o_orderstatus"]:
+                runs[-1][2] += 1
+            else:
+                runs.append([r["o_orderstatus"], r["o_orderdate"], 1])
+        for i, (status, vf, n) in enumerate(runs):
+            vt = runs[i + 1][1] if i + 1 < len(runs) else None
+            want.add((cust, status, vf, vt, n, vt is None))
+    assert got == want
