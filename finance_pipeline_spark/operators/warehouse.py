@@ -616,3 +616,48 @@ def anomaly_zscore_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         (F.abs(F.col("value") - mean) > F.lit(3.0) * F.sqrt(var)).alias("is_anomaly"),
     )
+
+
+@query(
+    "affinity_part_pairs",
+    oracle="""
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           count(*) AS n_orders
+    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+    JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    ORDER BY n_orders DESC, part_a, part_b
+    LIMIT 20
+    """,
+    tags=("warehouse", "affinity", "join"),
+)
+def affinity_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the top part pairs that appear in
+    the same order — the affinity-analysis shape behind
+    "frequently bought together" and feature co-occurrence matrices.
+
+    The self-join is keyed on the ORDER (equi-join on l_orderkey with
+    an anti-symmetry predicate), so the blow-up is bounded by
+    sum(basket_size²) — baskets are small and bounded by business
+    reality, never by corpus size; dedup to distinct (order, part)
+    BEFORE the join removes line-item multiplicity first. The final
+    top-20 plans as TakeOrderedAndProject (no global sort), with
+    (part_a, part_b) tiebreaks making the cut deterministic."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("part_a"),
+        F.col("b.l_partkey").alias("part_b"),
+    )
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        .limit(20)
+    )

@@ -243,9 +243,10 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
             # MERGE INTO semantics + distribution window functions
             "merge_upsert_orders",
             "win_distribution_family",
-            # engagement metric + monitoring primitives
+            # engagement metric + monitoring + affinity primitives
             "metric_rolling_active",
             "anomaly_zscore_flags",
+            "affinity_part_pairs",
         ),
         "out": (  # all hash-green in CORRECTNESS_r04.json
             "p2_drop_column",
@@ -269,6 +270,9 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
             "join_range_bands",  # range/temporal joins stay via join_asof
             "stream_static_join",  # streaming keeps 7 in-window reps
             "text_mixture_sample",  # text family keeps 5 in-window reps
+            "win_tumbling",  # tumbling bucketing stays proven through
+            # stream_tumbling_counts (same window expr, streamed);
+            # win_sliding/win_session keep batch windows in-window
         ),
     },
     "r4": {
@@ -364,7 +368,6 @@ PRIORITY: tuple[str, ...] = (
     "ann_quantized_topk",
     # streaming (batch windows + real readStream runs; the events-ts
     # re-proof cohort rides here — see ROTATION_LOG r5)
-    "win_tumbling",
     "win_sliding",
     "win_session",
     "stream_tumbling_counts",
@@ -386,6 +389,7 @@ PRIORITY: tuple[str, ...] = (
     "win_distribution_family",
     "metric_rolling_active",
     "anomaly_zscore_flags",
+    "affinity_part_pairs",
     # text analysis (token_count/gopher/pack/split/mixture folded r5)
     "text_decontaminate",
     "text_vocab_topk",
@@ -418,6 +422,7 @@ PRIORITY: tuple[str, ...] = (
     "join_range_bands",
     "stream_static_join",
     "text_mixture_sample",
+    "win_tumbling",
     "o1_topk_multikey",
     "win_running_sum",
     "win_topk_per_group",

@@ -74,7 +74,7 @@ def test_driver_window_covers_every_family():
         "text_decontaminate", "text_vocab_topk",
         "text_pii_scrub", "text_repetition_stats",
         "text_tfidf_topk",
-        "win_tumbling", "stream_dedup",
+        "win_sliding", "win_session", "stream_dedup",
         "stream_stream_join", "stream_session_counts",
         "stateful_user_totals",
         "a3_affected_rows", "s6_sql_table_scan",
@@ -83,6 +83,7 @@ def test_driver_window_covers_every_family():
         "hist_value_buckets", "profile_columns", "ts_moving_features",
         "ts_resample_ffill", "merge_upsert_orders", "win_distribution_family",
         "metric_rolling_active", "anomaly_zscore_flags",
+        "affinity_part_pairs",
         # dedup families (simhash r3-green, group_decisions r4-green in
         # the fold; these four keep the family in-window)
         "dedup_exact", "dedup_minhash_lsh",

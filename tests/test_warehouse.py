@@ -341,3 +341,9 @@ def test_scd2_matches_python_model_on_random_changelogs(spark, tmp_path):
             vt = runs[i + 1][1] if i + 1 < len(runs) else None
             want.add((cust, status, vf, vt, n, vt is None))
     assert got == want
+
+
+def test_affinity_topk_avoids_full_sort(spark):
+    plan = _plan(spark, "affinity_part_pairs")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
