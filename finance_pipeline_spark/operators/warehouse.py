@@ -661,3 +661,54 @@ def affinity_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
         .limit(20)
     )
+
+
+@query(
+    "winsorize_values",
+    oracle="""
+    WITH bounds AS (
+        SELECT l_returnflag,
+               quantile_cont(l_extendedprice, 0.05) AS p05,
+               quantile_cont(l_extendedprice, 0.95) AS p95
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_orderkey, l_partkey, l.l_returnflag,
+           l_extendedprice,
+           LEAST(GREATEST(l_extendedprice, p05), p95) AS price_winsorized,
+           (l_extendedprice < p05 OR l_extendedprice > p95) AS was_clipped
+    FROM lineitem l JOIN bounds USING (l_returnflag)
+    """,
+    tags=("warehouse", "robust-stats"),
+)
+def winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization — clip each value into its group's [p05, p95]
+    band: the outlier-taming step feature pipelines apply before
+    scaling/training, with a was_clipped audit flag.
+
+    Same two-pass broadcast shape as anomaly_zscore_flags: one
+    aggregate computes per-group EXACT percentiles (Spark's
+    ``percentile`` is the same linear interpolation as DuckDB's
+    ``quantile_cont`` — bit-identical, the user_gap_stats precedent),
+    then the 3-row bounds table broadcasts back onto the fact scan and
+    clipping is map-side. At 100 TB swap the exact percentile for
+    ``approx_percentile`` (see agg_approx_quantile) and the plan is
+    unchanged — per-group value buffering is the only part that
+    doesn't scale."""
+    li = load(spark, sf_dir, "lineitem")
+    bounds = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.05)).alias("p05"),
+        F.percentile("l_extendedprice", F.lit(0.95)).alias("p95"),
+    )
+    j = li.join(F.broadcast(bounds), "l_returnflag")
+    clipped = F.least(F.greatest(F.col("l_extendedprice"), F.col("p05")), F.col("p95"))
+    return j.select(
+        "l_orderkey",
+        "l_partkey",
+        "l_returnflag",
+        "l_extendedprice",
+        clipped.alias("price_winsorized"),
+        (
+            (F.col("l_extendedprice") < F.col("p05"))
+            | (F.col("l_extendedprice") > F.col("p95"))
+        ).alias("was_clipped"),
+    )

@@ -247,6 +247,7 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
             "metric_rolling_active",
             "anomaly_zscore_flags",
             "affinity_part_pairs",
+            "winsorize_values",
         ),
         "out": (  # all hash-green in CORRECTNESS_r04.json
             "p2_drop_column",
@@ -273,6 +274,8 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
             "win_tumbling",  # tumbling bucketing stays proven through
             # stream_tumbling_counts (same window expr, streamed);
             # win_sliding/win_session keep batch windows in-window
+            "dedup_exact",  # family keeps minhash/ngram/components/
+            # incremental in-window; digest variant is fold-green
         ),
     },
     "r4": {
@@ -341,8 +344,7 @@ PRIORITY: tuple[str, ...] = (
     "agg_approx_distinct",
     "agg_approx_quantile",
     "win_rank_family",
-    # dedup family (group_decisions folded r5 on r4-green)
-    "dedup_exact",
+    # dedup family (exact + group_decisions folded r5 on r4-green)
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_connected_groups",
@@ -390,6 +392,7 @@ PRIORITY: tuple[str, ...] = (
     "metric_rolling_active",
     "anomaly_zscore_flags",
     "affinity_part_pairs",
+    "winsorize_values",
     # text analysis (token_count/gopher/pack/split/mixture folded r5)
     "text_decontaminate",
     "text_vocab_topk",
@@ -423,6 +426,7 @@ PRIORITY: tuple[str, ...] = (
     "stream_static_join",
     "text_mixture_sample",
     "win_tumbling",
+    "dedup_exact",
     "o1_topk_multikey",
     "win_running_sum",
     "win_topk_per_group",
