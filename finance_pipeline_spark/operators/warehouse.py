@@ -712,3 +712,58 @@ def winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("l_extendedprice") > F.col("p95"))
         ).alias("was_clipped"),
     )
+
+
+@query(
+    "fuzzy_match_blocked",
+    oracle="""
+    WITH parts AS (
+        SELECT p_partkey, p_name,
+               (string_split(p_name, ' '))[-1] AS block
+        FROM part
+    )
+    SELECT a.block,
+           count(*) AS n_candidate_pairs,
+           CAST(SUM(CASE WHEN levenshtein(a.p_name, b.p_name) = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dupes
+    FROM parts a
+    JOIN parts b ON a.block = b.block AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    GROUP BY a.block
+    """,
+    tags=("warehouse", "fuzzy-join", "entity-resolution"),
+)
+def fuzzy_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy join — record-linkage candidate generation by
+    edit distance: part names pair up when they share a blocking key
+    (their last word) AND sit within Levenshtein distance 2. This is
+    the entity-resolution shape (same principle as the MinHash/LSH
+    band join in operators/dedup.py, with an edit-distance re-rank
+    instead of Jaccard): never all-pairs — the equi-join on the block
+    bounds the quadratic term at sum(block_size²), and the distance
+    predicate is evaluated map-side inside the joined block.
+
+    Both engines implement plain Levenshtein identically (integer
+    edit distance — no float drift), so the aggregated candidate
+    counts hash-match exactly."""
+    p = load(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        F.element_at(F.split("p_name", " "), -1).alias("block"),
+    )
+    a = p.alias("a")
+    b = p.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .filter(dist <= 2)
+        .groupBy(F.col("a.block").alias("block"))
+        .agg(
+            F.count(F.lit(1)).alias("n_candidate_pairs"),
+            F.sum(F.when(dist == 0, 1).otherwise(0)).alias("n_exact_dupes"),
+        )
+    )

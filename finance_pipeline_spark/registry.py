@@ -248,6 +248,7 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
             "anomaly_zscore_flags",
             "affinity_part_pairs",
             "winsorize_values",
+            "fuzzy_match_blocked",
         ),
         "out": (  # all hash-green in CORRECTNESS_r04.json
             "p2_drop_column",
@@ -274,8 +275,10 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
             "win_tumbling",  # tumbling bucketing stays proven through
             # stream_tumbling_counts (same window expr, streamed);
             # win_sliding/win_session keep batch windows in-window
-            "dedup_exact",  # family keeps minhash/ngram/components/
+            "dedup_exact",  # family keeps minhash/components/
             # incremental in-window; digest variant is fold-green
+            "dedup_ngram_jaccard",  # fuzzy candidate-pair generation
+            # stays in-window via dedup_minhash_lsh + fuzzy_match_blocked
         ),
     },
     "r4": {
@@ -344,9 +347,8 @@ PRIORITY: tuple[str, ...] = (
     "agg_approx_distinct",
     "agg_approx_quantile",
     "win_rank_family",
-    # dedup family (exact + group_decisions folded r5 on r4-green)
+    # dedup family (exact/ngram/group_decisions folded r5 on r4-green)
     "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
     "dedup_connected_groups",
     "dedup_incremental",
     # joins / set ops
@@ -393,6 +395,7 @@ PRIORITY: tuple[str, ...] = (
     "anomaly_zscore_flags",
     "affinity_part_pairs",
     "winsorize_values",
+    "fuzzy_match_blocked",
     # text analysis (token_count/gopher/pack/split/mixture folded r5)
     "text_decontaminate",
     "text_vocab_topk",
@@ -427,6 +430,7 @@ PRIORITY: tuple[str, ...] = (
     "text_mixture_sample",
     "win_tumbling",
     "dedup_exact",
+    "dedup_ngram_jaccard",
     "o1_topk_multikey",
     "win_running_sum",
     "win_topk_per_group",

@@ -83,11 +83,10 @@ def test_driver_window_covers_every_family():
         "hist_value_buckets", "profile_columns", "ts_moving_features",
         "ts_resample_ffill", "merge_upsert_orders", "win_distribution_family",
         "metric_rolling_active", "anomaly_zscore_flags",
-        "affinity_part_pairs", "winsorize_values",
+        "affinity_part_pairs", "winsorize_values", "fuzzy_match_blocked",
         # dedup families (simhash r3-green, exact + group_decisions
         # r4-green in the fold; these three keep the family in-window)
         "dedup_minhash_lsh",
-        "dedup_ngram_jaccard",
         "dedup_connected_groups",
         # core relational representatives (r5 rotation: the events-ts
         # re-proof cohort re-entered the window and seven r4-green rows
