@@ -552,7 +552,12 @@ def metric_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep the identical plan."""
     e = load(spark, sf_dir, "events")
     pairs = e.select("user_id", F.to_date("ts").alias("day")).distinct()
-    days = pairs.select("day").distinct().select(F.col("day").alias("w_day"))
+    # Day grid from a day-ONLY distinct, not from the pairs: partial
+    # aggregation collapses each map task to its ≤|calendar| local
+    # days before the exchange, so this branch shuffles O(days×tasks)
+    # rows — deriving it from `pairs` would re-run the full user-day
+    # dedup (plan-audited: no ReusedExchange fires across the two).
+    days = e.select(F.to_date("ts").alias("w_day")).distinct()
     return (
         pairs.join(
             F.broadcast(days),
