@@ -169,3 +169,35 @@ def test_stream_session_equals_batch(spark, sf_dir):
     }
     assert stream_rows == batch_rows
     assert all(u >= 0 for (u, _, _) in stream_rows)  # sentinels dropped
+
+
+def test_stage_file_restages_only_on_source_change(tmp_path):
+    """The stream staging fingerprint must re-stage on ANY source
+    change — size or mtime, in either direction (archive-restored
+    testdata carries OLDER mtimes; this round's drift arrived as a
+    same-named regenerated file) — and must not re-stage when the
+    source is untouched."""
+    import os
+
+    from finance_pipeline_spark.operators.streaming_batch import _stage_file
+
+    src = tmp_path / "src.parquet"
+    dst_dir = tmp_path / "stage"
+    dst_dir.mkdir()
+    dst = dst_dir / "src.parquet"
+
+    src.write_bytes(b"v1-data")
+    assert _stage_file(str(src), dst) is True  # first contact stages
+    assert _stage_file(str(src), dst) is False  # unchanged → cached
+    assert dst.read_bytes() == b"v1-data"
+
+    # same size, OLDER mtime (archive restore) → must re-stage
+    st = os.stat(src)
+    os.utime(src, ns=(st.st_atime_ns, st.st_mtime_ns - 10**9))
+    assert _stage_file(str(src), dst) is True
+    assert _stage_file(str(src), dst) is False
+
+    # content change (size differs) → must re-stage and replace
+    src.write_bytes(b"v2-data-longer")
+    assert _stage_file(str(src), dst) is True
+    assert dst.read_bytes() == b"v2-data-longer"
