@@ -178,7 +178,13 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- sign-random-projection LSH ----------------------------------------------
 # Deterministic pseudo-random hyperplanes: plane p, dim d weight derived
 # from a splitmix-style integer mix of (p, d) — reproducible without any
-# stored model, regenerated identically on every executor.
+# stored model, regenerated identically on every executor. Weights are
+# INTEGERS (top 21 bits of the mix, centered) and the projected vector is
+# the int8-quantized embedding (emb_quantize_int8's exact chain), so each
+# signature bit is the sign of an INTEGER dot product — |Σ| ≤ 64·127·2²⁰
+# ≈ 2³³, exact in int64 and in DuckDB BIGINT, which is what lets the
+# whole candidate pipeline be hash-checked against a SQL oracle (float
+# projections would flip near-zero signs across engines).
 
 _N_PLANES = 64
 _BANDS = 8
@@ -188,41 +194,69 @@ _BUCKET_CAP = 512  # corpus rows per (band, bucket) before the bucket is
 # join sub-quadratic no matter how skewed the corpus)
 
 
-def _mix(p: int, d: int) -> float:
-    x = (p * 0x9E3779B97F4A7C15 + d * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
-    x = ((x ^ (x >> 30)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
-    x ^= x >> 31
-    return ((x & 0xFFFFFFFF) / 0x7FFFFFFF) - 1.0  # ~U[-1, 1]
+def _mix64(p: int, d: int) -> int:
+    m = 0xFFFFFFFFFFFFFFFF
+    x = (p * 0x9E3779B97F4A7C15 + d * 0xBF58476D1CE4E5B9) & m
+    x = ((x ^ (x >> 30)) * 0x94D049BB133111EB) & m
+    return x ^ (x >> 31)
 
 
-def _plane_matrix() -> np.ndarray:
+def _int_plane_matrix() -> np.ndarray:
+    """(64 planes × 64 dims) int64 weights in [-2²⁰, 2²⁰): top 21 bits
+    of the (p, d) mix, centered. Symmetric around 0 up to one ulp, so
+    sign bits stay ~balanced — same distributional role as the old
+    float ~U[-1,1] planes, now exactly replicable in SQL."""
     return np.array(
-        [[_mix(p, d) for d in range(_DIM)] for p in range(_N_PLANES)],
-        dtype=np.float64,
+        [
+            [(_mix64(p, d) >> 43) - (1 << 20) for d in range(_DIM)]
+            for p in range(_N_PLANES)
+        ],
+        dtype=np.int64,
     )
 
 
 def srp_signatures(df: DataFrame) -> DataFrame:
     """(vec_id, embedding) → (vec_id, sig): 64-bit sign-random-projection
-    signature, one numpy matmul per Arrow batch against the deterministic
-    hyperplane matrix. Map-only — no shuffle, no model state."""
-    planes = _plane_matrix()
+    signature over the int8-quantized embedding, one numpy int64 matmul
+    per Arrow batch against the deterministic integer hyperplane matrix.
+    Map-only — no shuffle, no model state. Zero vectors (quantization
+    scale 0) are dropped: no sign information, and cosine is undefined
+    for them anyway (the re-rank's nrm > 0 filter drops the same set).
+    """
+    planes = _int_plane_matrix()
 
     def sign_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         weights = (np.uint64(1) << np.arange(_N_PLANES, dtype=np.uint64))
         for pdf in batches:
             mat = _emb_matrix(pdf["embedding"])
-            bits = (mat @ planes.T) > 0  # (n, 64) sign bits
+            if not len(mat):
+                continue
+            # emb_quantize_int8's exact IEEE chain: scale = max|x|/127,
+            # q = floor(x/scale + 0.5) — bit-identical in numpy, the
+            # JVM, and DuckDB (every step correctly-rounded f64).
+            scale = np.abs(mat).max(axis=1) / 127.0
+            keep = scale > 0.0
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)[keep]
+            if not len(ids):
+                continue
+            q = np.floor(mat[keep] / scale[keep, None] + 0.5).astype(np.int64)
+            bits = (q @ planes.T) > 0  # (n, 64) integer-exact sign bits
             sig = (bits.astype(np.uint64) * weights).sum(axis=1, dtype=np.uint64)
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
-                    "sig": sig.view(np.int64),
-                }
-            )
+            yield pd.DataFrame({"vec_id": ids, "sig": sig.view(np.int64)})
 
     return df.select("vec_id", "embedding").mapInPandas(
         sign_batches, "vec_id bigint, sig bigint"
+    )
+
+
+def _plane_values_sql() -> str:
+    """The integer plane matrix as DuckDB VALUES rows ``(p, [w, ...])``
+    — generated from the same ``_int_plane_matrix`` the Spark kernel
+    uses, so both engines score sign bits against identical weights."""
+    mat = _int_plane_matrix()
+    return ",\n        ".join(
+        f"({p}, [{', '.join(str(int(w)) for w in mat[p])}])"
+        for p in range(_N_PLANES)
     )
 
 
@@ -247,19 +281,86 @@ def _banded(sig_df: DataFrame) -> DataFrame:
     ).select("vec_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
 
 
+def _lsh_oracle() -> str:
+    """DuckDB replica of the FULL LSH pipeline: int8 quantization →
+    integer sign bits against the literal plane matrix → 8×8-bit band
+    keys → bucket cap → distinct candidate pairs → float cosine
+    re-rank. Every signature step is integer arithmetic (exact in both
+    engines); the re-rank is the same rounded-double chain
+    ann_cosine_topk / ann_ivf_topk already hash-check."""
+    return f"""
+    WITH planes (p, pw) AS (
+        VALUES {_plane_values_sql()}
+    ), sc AS (
+        SELECT vec_id, embedding,
+               list_max([abs(CAST(x AS DOUBLE)) FOR x IN embedding]) / 127.0
+                   AS scale
+        FROM embeddings
+    ), qz AS (
+        SELECT vec_id,
+               [CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT)
+                FOR x IN embedding] AS qvec
+        FROM sc WHERE scale > 0
+    ), bits AS (
+        SELECT z.vec_id, pl.p,
+               CASE WHEN list_sum(list_transform(z.qvec, (x, i) -> x * pl.pw[i])) > 0
+                    THEN 1 ELSE 0 END AS bit
+        FROM qz z CROSS JOIN planes pl
+    ), bands AS (
+        SELECT vec_id, p // {_BAND_BITS} AS band,
+               SUM(bit * (1 << (p % {_BAND_BITS}))) AS bkey
+        FROM bits GROUP BY vec_id, band
+    ), capped AS (
+        SELECT band, bkey, corpus_id FROM (
+            SELECT band, bkey, vec_id AS corpus_id,
+                   COUNT(*) OVER (PARTITION BY band, bkey) AS bucket_n
+            FROM bands
+        ) WHERE bucket_n <= {_BUCKET_CAP}
+    ), qb AS (
+        SELECT band, bkey, vec_id AS query_id FROM bands WHERE vec_id % 100 = 0
+    ), cand AS (
+        SELECT DISTINCT q.query_id, c.corpus_id
+        FROM capped c JOIN qb q USING (band, bkey)
+        WHERE c.corpus_id <> q.query_id
+    ), v0 AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+               sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                              FOR x IN embedding])) AS nrm
+        FROM embeddings
+    ), v AS (
+        SELECT * FROM v0 WHERE nrm > 0
+    ), scored AS (
+        SELECT cand.query_id, cand.corpus_id,
+               round(list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm), 4) AS cosine
+        FROM cand
+        JOIN v q ON q.vec_id = cand.query_id
+        JOIN v c ON c.vec_id = cand.corpus_id
+    ), ranked AS (
+        SELECT query_id, corpus_id, cosine,
+               CAST(row_number() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, corpus_id) AS BIGINT) AS rnk
+        FROM scored
+    )
+    SELECT query_id, corpus_id, cosine, rnk FROM ranked WHERE rnk <= {_TOPK}
+    """
+
+
 @query(
     "ann_lsh_topk",
-    oracle=None,  # genuinely non-portable: signature bits are signs of
-    # FLOAT dot products, and numpy's pairwise/SIMD summation order has
-    # no bit-exact SQL replica — near-zero projections would flip sign
-    # and change the candidate set (unlike the integer-exact minhash /
-    # simhash pipelines, which are oracle-checked). Recall vs the
-    # brute-force baseline is asserted in tests/test_similarity.py.
+    oracle=_lsh_oracle(),
     tags=("similarity", "ann", "lsh"),
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate cosine top-k: 64-bit SRP signatures,
-    8×8-bit band blocking, exact cosine re-rank within candidates only.
+    """LSH-bucketed approximate cosine top-k: 64-bit integer-exact SRP
+    signatures, 8×8-bit band blocking, exact cosine re-rank within
+    candidates only.
+
+    Hash-checked end to end (unlike the float-plane SRP it replaces):
+    signature bits are signs of INTEGER dot products — int8-quantized
+    embeddings (emb_quantize_int8's bit-identical IEEE chain) against
+    integer hyperplane weights — so the DuckDB oracle reproduces the
+    exact candidate set, and the re-rank reuses the rounded-double
+    cosine chain ann_cosine_topk already proves portable.
 
     Scale shape: band/bucket key is the shuffle key; candidate pairs are
     deduped as bare ID pairs *before* embeddings are re-joined for the
