@@ -430,9 +430,14 @@ def dedup_keyed_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def join_agg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue by market segment (TPC-H Q3 shape): dimension → fact →
-    fact join chain + grouped aggregate. customer and the filtered
-    orders broadcast (both far under the 64 MB threshold at bench SF);
-    lineitem never shuffles before the final 5-group aggregate."""
+    fact join chain + grouped aggregate. Only the customer DIM carries a
+    broadcast hint; orders is a fact table that merely happens to be
+    small at bench SF, so its join strategy is left to AQE's measured
+    size (a forced hint would bypass the size check and ship gigabytes
+    per executor at 100×). At bench SF AQE still picks broadcast for the
+    filtered orders side — asserted in tests/test_plans.py — while at
+    scale it degrades gracefully to a shuffle join instead of OOMing the
+    driver. lineitem never shuffles before the final 5-group aggregate."""
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     o = (
         load(spark, sf_dir, "orders")
@@ -444,7 +449,7 @@ def join_agg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
