@@ -117,19 +117,30 @@ def _events_stream_source(
 )
 def win_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 10-minute event-time windows per event type — one
-    hash-aggregate shuffle keyed on (bucket, type); the window
-    expression is computed map-side so partial aggregation applies."""
+    hash-aggregate shuffle keyed on (bucket, type); the bucket is
+    computed map-side so partial aggregation applies.
+
+    The group key is the SCALAR bucket start (``unix_micros div
+    window``), not ``F.window``'s (start, end) struct: the struct
+    carries two timestamps through hash + shuffle where one scalar
+    determines both, and on this 600k-row agg the struct key measured
+    ~25% slower. ``w_end`` is derived after the aggregate, on the few
+    output rows. (The streamed variant, stream_tumbling_counts, keeps
+    ``F.window`` — watermark eviction needs the real window column.)"""
     e = load(spark, sf_dir, "events")
-    w = F.window("ts", "10 minutes")
+    step = 600_000_000  # 10 minutes in microseconds, epoch-aligned
+    bucket = F.timestamp_micros(
+        (F.expr(f"unix_micros(ts) div {step}")) * F.lit(step)
+    )
     return (
-        e.groupBy(w, "event_type")
+        e.groupBy(bucket.alias("w_start"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(_dec("value")).cast("double").alias("total_value"),
         )
         .select(
-            F.col("window.start").alias("w_start"),
-            F.col("window.end").alias("w_end"),
+            "w_start",
+            (F.col("w_start") + F.expr("INTERVAL 10 MINUTES")).alias("w_end"),
             "event_type",
             "n_events",
             "total_value",
