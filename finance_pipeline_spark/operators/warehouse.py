@@ -448,7 +448,7 @@ def win_distribution_family(spark: SparkSession, sf_dir: str) -> DataFrame:
                'U' AS o_orderstatus
         FROM orders WHERE o_orderkey % 7 = 0
         UNION ALL
-        SELECT o_orderkey + 20000000, o_custkey,
+        SELECT -o_orderkey - 1, o_custkey,
                o_totalprice, 'N'
         FROM orders WHERE o_orderkey % 13 = 0
     )
@@ -502,8 +502,13 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("U").alias("o_orderstatus"),
         )
         .unionAll(
+            # Insert keys are -key-1 — strictly negative, disjoint from
+            # TPC-H's non-negative orderkeys at ANY scale factor (an
+            # additive offset collides once max(o_orderkey) passes it,
+            # silently turning inserts into matches — round-5 advice;
+            # the -1 keeps key 0, present in the testdata, disjoint too).
             o.filter(F.col("o_orderkey") % 13 == 0).select(
-                (F.col("o_orderkey") + 20000000).alias("o_orderkey"),
+                (-F.col("o_orderkey") - 1).alias("o_orderkey"),
                 "o_custkey",
                 "o_totalprice",
                 F.lit("N").alias("o_orderstatus"),
@@ -577,8 +582,8 @@ def metric_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type,
                count(*) AS n,
                CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS s,
-               CAST(SUM(CAST(value AS DECIMAL(38,6)) *
-                        CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS s2
+               CAST(SUM(CAST(value AS DECIMAL(18,6)) *
+                        CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s2
         FROM events
         GROUP BY event_type
     )
@@ -604,13 +609,21 @@ def anomaly_zscore_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle of the events. Mean/σ are derived from the SAME moment
     formula on both engines (same IEEE operand tree → identical
     comparison results; streaming Welford would be order-dependent and
-    hash-diverge)."""
+    hash-diverge).
+
+    The squared term is decimal(18,6)² — NOT (38,6)²: Spark's multiply
+    rule (p₁+p₂+1 capped at 38) reduces (38,6)² back to 6-dp scale,
+    rounding each squared term, while DuckDB keeps 12 dp — a latent
+    hash divergence if testdata values ever carry >2 dp (round-5
+    advice). (18,6)² = decimal(37,12) in Spark, (36,12) in DuckDB:
+    both exact at the full 12-dp product scale."""
     e = load(spark, sf_dir, "events")
     v = _dec("value")
+    v18 = F.col("value").cast("decimal(18,6)")
     stats = e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(v).cast("double").alias("s"),
-        F.sum(v * v).cast("double").alias("s2"),
+        F.sum(v18 * v18).cast("double").alias("s2"),
     )
     j = e.join(F.broadcast(stats), "event_type")
     mean = F.col("s") / F.col("n")

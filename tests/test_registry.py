@@ -96,7 +96,7 @@ def test_driver_window_covers_every_family():
         "u2_anti_join", "o2_topk_single",
         "d8_trim", "d10_current_date",
         "p8_watermark_filter",
-        "win_sliding", "win_session", "stream_tumbling_counts",
+        "stream_tumbling_counts",
         "grouped_user_gaps",
         "mm_binary_meta",
         "dedup_incremental", "text_source_quota",
