@@ -26,6 +26,13 @@ VLDB 2020):
   exists, rewrites only if needed, and claims V'+1. Insert-only
   uniqueness commutes, so this re-validation is sufficient — exactly
   Delta's conflict-detection rule specialized to blind inserts.
+- ``upsert`` (MERGE: WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT)
+  extends a commit with ``removes``: the files holding matched rows
+  are logically removed and rewritten (survivor rows + the incoming
+  batch) as new adds — the copy-on-write file rewrite Delta's MERGE
+  compiles to. Upserts do NOT commute, so a lost race restarts from
+  the fresh snapshot instead of re-validating the delta (conservative
+  side of Delta's conflict matrix; blind inserts keep the cheap path).
 - Every ``CHECKPOINT_EVERY`` commits the winner also writes
   ``%08d.checkpoint.json`` holding the full file list, so a reader
   lists the log tail from the latest checkpoint instead of replaying
@@ -69,6 +76,12 @@ class CommitConflictError(RuntimeError):
     """Raised only when a writer loses the commit race more than
     ``_MAX_COMMIT_RETRIES`` times in a row — livelock, not a logic
     error; the batch was never partially applied."""
+
+
+@dataclass(frozen=True)
+class UpsertStats:
+    inserted: int  # keys absent from the snapshot — new rows
+    updated: int  # keys present — their rows replaced
 
 
 @dataclass(frozen=True)
@@ -121,6 +134,9 @@ def current_snapshot(path: str, version: int | None = None) -> Snapshot:
         if v < start:
             continue
         entry = json.loads(_commit_file(path, v).read_text())
+        removes = set(entry.get("removes", ()))
+        if removes:
+            files = [f for f in files if f not in removes]
         files.extend(entry["adds"])
     return Snapshot(version=commits[-1], files=tuple(files))
 
@@ -201,6 +217,50 @@ class TxnKeyedTable:
             f"lost the commit race {_MAX_COMMIT_RETRIES} times on {self.path}"
         )
 
+    def upsert(
+        self,
+        incoming: DataFrame,
+        _before_commit: Callable[[int], None] | None = None,
+    ) -> UpsertStats:
+        """MERGE: WHEN MATCHED THEN UPDATE (replace the row) / WHEN NOT
+        MATCHED THEN INSERT — atomic under concurrent writers.
+
+        Copy-on-write at file granularity, the shape storage-backed
+        MERGE engines use: only data files containing at least one
+        matched key are rewritten (their unmatched survivor rows +
+        the whole incoming batch become new adds; the touched files are
+        logical ``removes`` in the commit). Untouched files — the vast
+        majority on a key-clustered 100 TB table — are never read past
+        their key column or rewritten, and with a key-partitioned
+        layout the matched-file probe prunes to the touched partitions.
+
+        Concurrency: upserts don't commute (update-update and
+        insert-update on one key are order-dependent), so a lost commit
+        race discards the staged rewrite and RESTARTS from the fresh
+        snapshot — the conservative row of Delta's conflict matrix.
+        ``merge`` (blind insert) keeps its cheaper delta re-validation.
+
+        ``_before_commit(version_about_to_claim)`` is the same test
+        seam as ``merge``'s: runs once, after staging, before the
+        commit-claim — the window a concurrent writer can win."""
+        deduped = self._dedup_batch(incoming)
+        for _ in range(_MAX_COMMIT_RETRIES):
+            snap = current_snapshot(self.path)
+            adds, removes, inserted, updated = self._stage_upsert(deduped, snap)
+            if _before_commit is not None:
+                _before_commit(snap.version + 1)
+                _before_commit = None  # fire once
+            if self._try_commit(snap.version + 1, adds, inserted, removes=removes):
+                log.info(
+                    "txn upsert v%d to %s: %d inserted, %d updated, %d files rewritten",
+                    snap.version + 1, self.path, inserted, updated, len(removes),
+                )
+                return UpsertStats(inserted=inserted, updated=updated)
+            self._discard(adds)
+        raise CommitConflictError(
+            f"lost the commit race {_MAX_COMMIT_RETRIES} times on {self.path}"
+        )
+
     def drop(self) -> bool:
         p = Path(self.path)
         if p.exists():
@@ -256,7 +316,59 @@ class TxnKeyedTable:
         for name in staged:
             (_data_dir(self.path) / name).unlink(missing_ok=True)
 
-    def _try_commit(self, version: int, adds: list[str], inserted: int) -> bool:
+    def _stage_upsert(
+        self, batch: DataFrame, snap: Snapshot
+    ) -> tuple[list[str], list[str], int, int]:
+        """Stage the copy-on-write rewrite for ``upsert`` against one
+        pinned snapshot. Returns (adds, removes, inserted, updated).
+
+        The matched-file probe is a semi-join of the target's key
+        column (tagged with ``input_file_name``) against the batch
+        keys — it collects only distinct FILE NAMES, bounded by the
+        snapshot's file count, never rows."""
+        import os.path
+        from urllib.parse import unquote, urlparse
+
+        n_batch = batch.count()
+        if snap.version < 0:
+            adds, inserted = self._stage(batch)
+            return adds, [], inserted, 0
+        data = _data_dir(self.path)
+        target = self.spark.read.parquet(*[str(data / f) for f in snap.files])
+        keys_df = batch.select(*self.keys).dropDuplicates(self.keys)
+        touched = sorted(
+            os.path.basename(unquote(urlparse(r.f).path))
+            for r in target.withColumn("f", F.input_file_name())
+            .join(F.broadcast(keys_df), on=self.keys, how="left_semi")
+            .select("f")
+            .distinct()
+            .collect()
+        )
+        updated = (
+            target.select(*self.keys)
+            .dropDuplicates(self.keys)
+            .join(F.broadcast(keys_df), on=self.keys, how="left_semi")
+            .count()
+        )
+        if touched:
+            survivors = (
+                self.spark.read.parquet(*[str(data / f) for f in touched])
+                .drop("created_at")
+                .join(F.broadcast(keys_df), on=self.keys, how="left_anti")
+            )
+            staged_rows = survivors.unionByName(batch)
+        else:
+            staged_rows = batch
+        adds, _ = self._stage(staged_rows)
+        return adds, touched, n_batch - updated, updated
+
+    def _try_commit(
+        self,
+        version: int,
+        adds: list[str],
+        inserted: int,
+        removes: list[str] | None = None,
+    ) -> bool:
         _log_dir(self.path).mkdir(parents=True, exist_ok=True)
         target = _commit_file(self.path, version)
         try:
@@ -266,6 +378,7 @@ class TxnKeyedTable:
         entry = {
             "version": version,
             "adds": adds,
+            "removes": removes or [],
             "inserted": inserted,
             "ts": time.time(),
         }

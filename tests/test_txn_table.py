@@ -179,3 +179,113 @@ def test_vacuum_removes_only_aged_orphans(spark, tmp_path):
     assert fresh.exists()  # inside retention window
     assert committed.exists()  # referenced by the log — age-proof
     assert t.read().count() == 5  # table unharmed
+
+
+def test_upsert_updates_matched_inserts_new(spark, tmp_path):
+    from finance_pipeline_spark.sinks.txn_table import UpsertStats
+
+    t = TxnKeyedTable(spark, str(tmp_path / "t"), ["k"])
+    t.merge(_batch(spark, range(10), tag="a"))
+    s = t.upsert(_batch(spark, range(5, 15), tag="b"))
+    assert s == UpsertStats(inserted=5, updated=5)
+    df = t.read()
+    assert df.count() == 15
+    vals = {r.k: r.v for r in df.collect()}
+    assert vals[3] == "a3" and vals[7] == "b7" and vals[12] == "b12"
+    # keys stay unique after the rewrite
+    assert df.select("k").distinct().count() == 15
+
+
+def test_upsert_rewrites_only_touched_files(spark, tmp_path):
+    """Copy-on-write granularity: commits land each batch in separate
+    files; an upsert matching only batch-2 keys must remove/rewrite
+    batch-2's files and leave batch-1's untouched."""
+    path = str(tmp_path / "t")
+    t = TxnKeyedTable(spark, path, ["k"])
+    t.merge(_batch(spark, range(0, 5), tag="a"))
+    snap1 = current_snapshot(path)
+    t.merge(_batch(spark, range(100, 105), tag="a"))
+    t.upsert(_batch(spark, range(100, 105), tag="b"))
+    import json as _json
+    from pathlib import Path as _P
+
+    entry = _json.loads(
+        (_P(path) / "_txnlog" / f"{2:08d}.json").read_text()
+    )
+    assert entry["removes"]  # something was logically removed
+    assert not set(entry["removes"]) & set(snap1.files)  # batch-1 intact
+    final = current_snapshot(path)
+    assert set(snap1.files) <= set(final.files)
+    vals = {r.k: r.v for r in t.read().collect()}
+    assert vals[2] == "a2" and vals[102] == "b102"
+
+
+def test_upsert_lost_race_restarts_from_fresh_snapshot(spark, tmp_path):
+    """Writer A stages an upsert, then (via the seam) writer B commits
+    an overlapping upsert first. A must discard, restage against B's
+    state and win the next slot: serial order B -> A, so contested
+    keys carry A's values and nothing is lost or duplicated."""
+    path = str(tmp_path / "t")
+    a = TxnKeyedTable(spark, path, ["k"])
+    b = TxnKeyedTable(spark, path, ["k"])
+    a.merge(_batch(spark, range(10), tag="seed"))
+
+    b_stats = {}
+
+    def interleave(_version):
+        b_stats["s"] = b.upsert(_batch(spark, range(5, 12), tag="b"))
+
+    a_stats = a.upsert(_batch(spark, range(8, 14), tag="a"), _before_commit=interleave)
+    assert (b_stats["s"].inserted, b_stats["s"].updated) == (2, 5)
+    # A restarted against B's state: keys 8-11 already exist there
+    assert (a_stats.inserted, a_stats.updated) == (2, 4)
+    df = a.read()
+    assert df.count() == 14
+    assert df.select("k").distinct().count() == 14
+    vals = {r.k: r.v for r in df.collect()}
+    assert vals[3] == "seed3" and vals[6] == "b6" and vals[9] == "a9" and vals[13] == "a13"
+
+
+def test_threaded_upserts_keep_keys_unique(spark, tmp_path):
+    """True racing upserts: overlapping key ranges, all succeed, every
+    key exactly once, and each key's value comes from SOME writer's
+    batch (serializability smoke: no torn rows, no resurrection)."""
+    path = str(tmp_path / "t")
+    t0 = TxnKeyedTable(spark, path, ["k"])
+    t0.merge(_batch(spark, range(0, 30), tag="seed"))
+    ranges = [range(0, 20), range(10, 40), range(25, 50)]
+    stats, errs = [None] * len(ranges), []
+    barrier = threading.Barrier(len(ranges))
+
+    def work(i, r):
+        try:
+            barrier.wait()
+            t = TxnKeyedTable(spark, path, ["k"])
+            stats[i] = t.upsert(_batch(spark, r, tag=f"w{i}_"))
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=work, args=(i, r)) for i, r in enumerate(ranges)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs, errs
+    df = TxnKeyedTable(spark, path, ["k"]).read()
+    assert df.count() == 50
+    assert df.select("k").distinct().count() == 50
+    writers_of = {k: {f"w{i}_{k}" for i, r in enumerate(ranges) if k in r} for k in range(50)}
+    for r in df.collect():
+        allowed = writers_of[r.k] | ({f"seed{r.k}"} if r.k < 30 and not writers_of[r.k] else set())
+        assert r.v in allowed, (r.k, r.v, allowed)
+
+
+def test_upsert_time_travel_spans_removes(spark, tmp_path):
+    """Old versions still resolve after their files were logically
+    removed by a later upsert commit."""
+    t = TxnKeyedTable(spark, str(tmp_path / "t"), ["k"])
+    t.merge(_batch(spark, range(5), tag="a"))
+    t.upsert(_batch(spark, range(5), tag="b"))
+    assert {r.v for r in t.read(version=0).collect()} == {f"a{k}" for k in range(5)}
+    assert {r.v for r in t.read(version=1).collect()} == {f"b{k}" for k in range(5)}
+    assert t.read().count() == 5
