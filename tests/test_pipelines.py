@@ -427,3 +427,34 @@ def test_http_fetcher_feeds_fetch_rates_degradation(spark):
         "http://example.invalid/z", retries=1, opener=always_down, sleep=lambda s: None,
     )
     assert fetch_rates(spark, fetch) is None
+
+
+def test_main_cli_runs_etl_end_to_end(tmp_path):
+    """The repo-root CLI (the reference main.py's port) must run the
+    full three-stage ETL on offline fixtures in a fresh process and
+    report per-stage stats as one JSON line on stdout."""
+    import json as _json
+    import subprocess
+    import sys as _sys
+
+    csv = _write_history_csv(tmp_path)
+    repo = str(Path(__file__).resolve().parents[1])
+    out = subprocess.run(
+        [
+            _sys.executable,
+            "main.py",
+            "--warehouse", str(tmp_path / "wh"),
+            "--history-csv", csv,
+        ],
+        cwd=repo,
+        capture_output=True,
+        text=True,
+        timeout=600,
+        env={**__import__("os").environ, "SPARK_GRAFT_CPUS": "4"},
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    report = _json.loads(out.stdout.strip().splitlines()[-1])
+    assert report["failed"] == []
+    assert report["stages"]["api"]["inserted"] > 0
+    assert report["stages"]["csv"]["inserted"] > 0
+    assert report["stages"]["scrape"]["inserted"] > 0
