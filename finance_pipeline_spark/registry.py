@@ -213,6 +213,55 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # re-enter the evaluated window this round; "out" entries move past the
 # fold carrying the named prior round's hash-green driver evidence.
 ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
+    "r6": {
+        "in": (
+            # Oldest-evidence-first (the standing ledger rule): the
+            # entire r1/r2-evidence cohort (folded r3, never back
+            # since) and most of the r3-evidence cohort re-enter to
+            # re-earn driver rows, plus win_tumbling whose
+            # implementation changed this round (scalar bucket key).
+            "win_tumbling",  # re-implemented r6 — needs fresh evidence
+            # r1/r2-evidence cohort (17)
+            "agg_minmax_distinct", "join_multiway_region", "agg_cube",
+            "agg_pivot", "agg_unpivot", "dedup_exact_by_digest",
+            "d7_text_to_double", "d3_tz_convert", "d5_format_render",
+            "d6_literal_columns", "d9b_json_map_parse", "d11_month_offset",
+            "p5_null_drop", "p6_exact_dedup", "p7_keyed_dedup",
+            "p9_arity_guard", "a1_count",
+            # r3-evidence cohort (19 of 22; win_topk_per_group,
+            # dedup_embedding_cosine, text_ngram_profile wait one round —
+            # their shapes stay exercised via o1_topk_multikey,
+            # dedup_connected_groups (transitively), and the five
+            # re-entering text rows)
+            "o1_topk_multikey", "win_running_sum", "agg_variance_exact",
+            "agg_rollup", "mm_frame_sample", "dedup_keyed_pick",
+            "dedup_simhash", "a2_empty_probe", "text_fingerprint",
+            "text_langid", "text_bpe_token_count", "text_quality_score",
+            "p1_projection", "p4_comparison_filter", "o3_dynamic_sort",
+            "d1_parse_coerce", "d9_map_explode", "u1_union_dedup",
+            "udf_embedding_norm",
+        ),
+        "out": (  # all hash-green in CORRECTNESS_r05.json; the queries
+            # whose implementation/oracle changed in r6 (ann_lsh_topk,
+            # join_agg_revenue, fuzzy_match_blocked, anomaly_zscore_flags,
+            # merge_upsert_orders) stay IN-window to earn evidence on the
+            # new code instead
+            "win_rank_family", "dedup_minhash_lsh", "dedup_connected_groups",
+            "dedup_incremental", "join_skew_enrich", "u2_anti_join",
+            "d8_trim", "d10_current_date", "mm_binary_meta",
+            "p8_watermark_filter", "o2_topk_single", "a3_affected_rows",
+            "s6_sql_table_scan", "ann_cosine_topk", "ann_quantized_topk",
+            "win_sliding", "win_session", "stream_stream_join",
+            "stream_session_counts", "join_asof", "scd2_order_status",
+            "cdc_latest_state", "attribution_first_last",
+            "hist_value_buckets", "profile_columns", "ts_moving_features",
+            "ts_resample_ffill", "win_distribution_family",
+            "metric_rolling_active", "affinity_part_pairs",
+            "winsorize_values", "text_vocab_topk", "text_pii_scrub",
+            "text_repetition_stats", "text_tfidf_topk", "text_source_quota",
+            "grouped_user_gaps",
+        ),
+    },
     "r5": {
         "in": (
             # The driver regenerated events.parquet between r3 and r4
@@ -342,46 +391,99 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
 }
 
 PRIORITY: tuple[str, ...] = (
-    # flagship + one per agg shape
+    # flagship + the two sketch rows (rows-only by design, pytest-bound)
     "agg_pricing_summary",
     "agg_approx_distinct",
     "agg_approx_quantile",
+    # aggregate shapes — the r1/r2- and r3-evidence cohort re-earning
+    # driver rows this round (see ROTATION_LOG r6)
+    "agg_minmax_distinct",
+    "agg_variance_exact",
+    "agg_rollup",
+    "agg_cube",
+    "agg_pivot",
+    "agg_unpivot",
+    # batch event-time window (re-implemented r6: scalar bucket key)
+    # + running-sum window frames
+    "win_tumbling",
+    "win_running_sum",
+    # joins / set ops (join_agg_revenue changed r6: AQE-decided orders
+    # side — stays in-window to earn evidence on the new plan)
+    "join_agg_revenue",
+    "join_multiway_region",
+    "u1_union_dedup",
+    # sort / topk / aggregates-misc
+    "o1_topk_multikey",
+    "o3_dynamic_sort",
+    "a1_count",
+    "a2_empty_probe",
+    # projection / filter
+    "p1_projection",
+    "p4_comparison_filter",
+    "p5_null_drop",
+    "p6_exact_dedup",
+    "p7_keyed_dedup",
+    "p9_arity_guard",
+    # derivations
+    "d1_parse_coerce",
+    "d3_tz_convert",
+    "d5_format_render",
+    "d6_literal_columns",
+    "d7_text_to_double",
+    "d9_map_explode",
+    "d9b_json_map_parse",
+    "d11_month_offset",
+    # dedup family (digest/keyed/simhash reps this round; minhash/
+    # components/incremental fold on r5-green)
+    "dedup_exact_by_digest",
+    "dedup_keyed_pick",
+    "dedup_simhash",
+    # multimodal
+    "mm_frame_sample",
+    # similarity (ann_lsh_topk graduated to a full oracle r6 — in-window
+    # to earn its first hash-green row; cosine/quantized fold r5-green)
+    "ann_lsh_topk",
+    "udf_embedding_norm",
+    # streaming anchors (the rest of the family folds on r5-green)
+    "stream_tumbling_counts",
+    "stream_dedup",
+    # temporal / stateful anchors
+    "user_gap_stats",
+    "stateful_user_totals",
+    # text anchors (decontaminate stays; the r3-evidence text rows
+    # re-earn; vocab/pii/repetition/tfidf/quota fold r5-green)
+    "text_decontaminate",
+    "text_fingerprint",
+    "text_langid",
+    "text_bpe_token_count",
+    "text_quality_score",
+    # warehouse rows changed in r6 (disjoint merge keys, exact squared
+    # decimals, composed blocking key) — fresh evidence on the new code
+    "merge_upsert_orders",
+    "anomaly_zscore_flags",
+    "fuzzy_match_blocked",
+    # ---- fold: position 51+ — prior-round hash-green driver evidence ----
+    # r5-green, rotated out r6 (newest evidence first)
     "win_rank_family",
-    # dedup family (exact/ngram/group_decisions folded r5 on r4-green)
     "dedup_minhash_lsh",
     "dedup_connected_groups",
     "dedup_incremental",
-    # joins / set ops
-    "join_agg_revenue",
     "join_skew_enrich",
     "u2_anti_join",
-    # derivations (string-strip + current-date representatives this round)
     "d8_trim",
     "d10_current_date",
-    # multimodal
     "mm_binary_meta",
-    # projection / filter / sort / aggregates-misc / scan
     "p8_watermark_filter",
     "o2_topk_single",
     "a3_affected_rows",
     "s6_sql_table_scan",
-    # similarity (ivf/int8/kmeans folded r5 on r4-green; cosine + lsh +
-    # quantized-serving keep the family in-window)
     "ann_cosine_topk",
-    "ann_lsh_topk",
     "ann_quantized_topk",
-    # streaming (batch windows + real readStream runs; the events-ts
-    # re-proof cohort rides here — see ROTATION_LOG r5)
     "win_sliding",
     "win_session",
-    "stream_tumbling_counts",
-    "stream_dedup",
     "stream_stream_join",
     "stream_session_counts",
-    # temporal joins / gap stats (rollup/funnel/cohort/range folded r5)
     "join_asof",
-    "user_gap_stats",
-    # warehouse & time-series tier (new r5 — operators/warehouse.py)
     "scd2_order_status",
     "cdc_latest_state",
     "attribution_first_last",
@@ -389,25 +491,17 @@ PRIORITY: tuple[str, ...] = (
     "profile_columns",
     "ts_moving_features",
     "ts_resample_ffill",
-    "merge_upsert_orders",
     "win_distribution_family",
     "metric_rolling_active",
-    "anomaly_zscore_flags",
     "affinity_part_pairs",
     "winsorize_values",
-    "fuzzy_match_blocked",
-    # text analysis (token_count/gopher/pack/split/mixture folded r5)
-    "text_decontaminate",
     "text_vocab_topk",
     "text_pii_scrub",
     "text_repetition_stats",
     "text_tfidf_topk",
     "text_source_quota",
-    # UDF surface / stateful (grouped_user_gaps re-proves the Python
-    # grouped-map path on the regenerated events data)
     "grouped_user_gaps",
-    "stateful_user_totals",
-    # ---- fold: position 51+ — prior-round hash-green driver evidence ----
+    # r4-green cohort (folded r5; next oldest — first in line for r7)
     "p2_drop_column",
     "p3_date_window",
     "d2_interval_shift",
@@ -428,48 +522,12 @@ PRIORITY: tuple[str, ...] = (
     "join_range_bands",
     "stream_static_join",
     "text_mixture_sample",
-    "win_tumbling",
     "dedup_exact",
     "dedup_ngram_jaccard",
-    "o1_topk_multikey",
-    "win_running_sum",
+    # r3-evidence remainder (deferred one round — see ROTATION_LOG r6)
     "win_topk_per_group",
-    "agg_variance_exact",
-    "mm_frame_sample",
-    "dedup_keyed_pick",
     "dedup_embedding_cosine",
-    "a2_empty_probe",
-    "text_fingerprint",
     "text_ngram_profile",
-    "dedup_simhash",
-    "agg_rollup",
-    "text_langid",
-    "text_bpe_token_count",
-    "text_quality_score",
-    "p1_projection",
-    "p4_comparison_filter",
-    "o3_dynamic_sort",
-    "d1_parse_coerce",
-    "d9_map_explode",
-    "u1_union_dedup",
-    "udf_embedding_norm",
-    "agg_minmax_distinct",
-    "join_multiway_region",
-    "agg_cube",
-    "agg_pivot",
-    "agg_unpivot",
-    "dedup_exact_by_digest",
-    "d7_text_to_double",
-    "d3_tz_convert",
-    "d5_format_render",
-    "d6_literal_columns",
-    "d9b_json_map_parse",
-    "d11_month_offset",
-    "p5_null_drop",
-    "p6_exact_dedup",
-    "p7_keyed_dedup",
-    "p9_arity_guard",
-    "a1_count",
 )
 
 DRIVER_WINDOW = 50  # observed driver evaluation cap (r1 + r2)

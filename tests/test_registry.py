@@ -66,40 +66,28 @@ def test_driver_window_covers_every_family():
     window = list(ordered)[: registry.DRIVER_WINDOW]
 
     must_be_in_window = {
-        # beyond-reference tier (one-plus per family; ivf/int8/kmeans,
-        # rollup/funnel, token_count/gopher/pack folded r5 on r4-green)
-        "ann_cosine_topk", "ann_lsh_topk", "ann_quantized_topk",
-        "join_asof",
-        "user_gap_stats",
-        "text_decontaminate", "text_vocab_topk",
-        "text_pii_scrub", "text_repetition_stats",
-        "text_tfidf_topk",
-        "win_sliding", "win_session", "stream_dedup",
-        "stream_stream_join", "stream_session_counts",
-        "stateful_user_totals",
-        "a3_affected_rows", "s6_sql_table_scan",
-        # warehouse & time-series tier (new r5)
-        "scd2_order_status", "cdc_latest_state", "attribution_first_last",
-        "hist_value_buckets", "profile_columns", "ts_moving_features",
-        "ts_resample_ffill", "merge_upsert_orders", "win_distribution_family",
-        "metric_rolling_active", "anomaly_zscore_flags",
-        "affinity_part_pairs", "winsorize_values", "fuzzy_match_blocked",
-        # dedup families (simhash r3-green, exact + group_decisions
-        # r4-green in the fold; these three keep the family in-window)
-        "dedup_minhash_lsh",
-        "dedup_connected_groups",
-        # core relational representatives (r5 rotation: the events-ts
-        # re-proof cohort re-entered the window and seven r4-green rows
-        # moved past the fold — see registry.ROTATION_LOG["r5"])
-        "agg_pricing_summary", "win_rank_family", "join_agg_revenue",
-        "join_skew_enrich",
-        "u2_anti_join", "o2_topk_single",
-        "d8_trim", "d10_current_date",
-        "p8_watermark_filter",
-        "stream_tumbling_counts",
-        "grouped_user_gaps",
-        "mm_binary_meta",
-        "dedup_incremental", "text_source_quota",
+        # queries whose implementation/oracle CHANGED in r6 — they must
+        # earn driver evidence on the new code, not coast on stale rows
+        "ann_lsh_topk",  # graduated to a full oracle (integer SRP planes)
+        "join_agg_revenue",  # AQE-decided orders side
+        "fuzzy_match_blocked",  # composed blocking key
+        "anomaly_zscore_flags",  # exact decimal(18,6)^2 moments
+        "merge_upsert_orders",  # disjoint -key-1 insert space
+        "win_tumbling",  # scalar bucket group key
+        # flagship + the two sketch rows
+        "agg_pricing_summary", "agg_approx_distinct", "agg_approx_quantile",
+        # one-plus anchor per family while the old-evidence cohort
+        # re-earns its rows (ROTATION_LOG r6: 37-query swap, the whole
+        # r1/r2-evidence cohort + most of r3's back in-window)
+        "stream_tumbling_counts", "stream_dedup",  # streaming
+        "user_gap_stats", "stateful_user_totals",  # temporal / stateful
+        "text_decontaminate",  # text
+        "mm_frame_sample",  # multimodal
+        "udf_embedding_norm",  # pandas-UDF surface
+        "dedup_exact_by_digest", "dedup_keyed_pick", "dedup_simhash",  # dedup
+        "u1_union_dedup",  # set ops
+        "o1_topk_multikey", "a1_count",  # sort / aggregates-misc
+        "p1_projection", "d1_parse_coerce",  # projection / derivation
     }
     missing = must_be_in_window - set(window)
     assert not missing, f"fell out of the driver window: {sorted(missing)}"
@@ -115,6 +103,7 @@ def test_driver_window_covers_every_family():
         "CORRECTNESS_r02.json",
         "CORRECTNESS_r03.json",
         "CORRECTNESS_r04.json",
+        "CORRECTNESS_r05.json",
     ):
         p = Path(__file__).resolve().parents[1] / f
         if p.exists():
