@@ -940,3 +940,84 @@ def text_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= _QUOTA_PER_SOURCE)
     )
+
+
+_CHUNK_TOKENS = 32  # context-window size (tokens per training chunk)
+_CHUNK_OVERLAP = 8  # tokens shared between consecutive chunks
+_CHUNK_STRIDE = _CHUNK_TOKENS - _CHUNK_OVERLAP
+
+
+@query(
+    "text_chunk_overlap",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ts,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+    ), k AS (
+        SELECT doc_id, ts, n,
+               greatest(1, CAST(ceil((n - {_CHUNK_OVERLAP}) / {_CHUNK_STRIDE}.0)
+                                AS BIGINT)) AS n_chunks
+        FROM toks
+    ), chunks AS (
+        SELECT doc_id, n, CAST(c AS BIGINT) AS chunk_idx,
+               ts[c * {_CHUNK_STRIDE} + 1 :
+                  least(c * {_CHUNK_STRIDE} + {_CHUNK_TOKENS}, n)] AS chunk
+        FROM k, unnest(range(0, n_chunks)) AS r(c)
+    )
+    SELECT doc_id, chunk_idx,
+           CAST(chunk_idx * {_CHUNK_STRIDE} + 1 AS BIGINT) AS start_tok,
+           CAST(len(chunk) AS BIGINT) AS n_tokens,
+           list_aggregate(chunk, 'string_agg', ' ') AS chunk_text
+    FROM chunks
+    """,
+    tags=("text", "chunking", "training-prep"),
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token chunking — split each document into
+    fixed-size training chunks (32 tokens) with an 8-token overlap so
+    no context is lost at chunk boundaries: the tokenize-and-chunk
+    step between curation and sequence packing in an LLM data
+    pipeline (the packer, text_pack_sequences, consumes outputs like
+    these).
+
+    Chunk count is ``max(1, ceil((n - overlap) / stride))`` — every
+    token is covered, the tail chunk may run short, and a doc shorter
+    than one window still yields exactly one chunk. All integer
+    arithmetic + list slicing, identical in both engines.
+
+    Scale shape: pure map work — tokenize, one ``sequence`` explode,
+    one slice per chunk; zero shuffle, linear in corpus size, and the
+    explode fans out ~n/stride rows per doc (bounded amplification,
+    unlike a per-token explode). The chunker never crosses documents,
+    so it parallelizes embarrassingly at 100 TB."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((n - F.lit(_CHUNK_OVERLAP)) / F.lit(float(_CHUNK_STRIDE))).cast(
+            "bigint"
+        ),
+    )
+    with_k = d.select(
+        "doc_id", toks.alias("ts"), n.alias("n"), n_chunks.alias("n_chunks")
+    )
+    exploded = with_k.select(
+        "doc_id",
+        "ts",
+        "n",
+        F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("chunk_idx"),
+    )
+    start = F.col("chunk_idx") * _CHUNK_STRIDE  # 0-based token offset
+    chunk_len = F.least(
+        start + F.lit(_CHUNK_TOKENS), F.col("n")
+    ) - start
+    chunk = F.slice(F.col("ts"), start + 1, chunk_len)
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        (start + 1).cast("bigint").alias("start_tok"),
+        F.size(chunk).cast("bigint").alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )

@@ -799,3 +799,160 @@ def fuzzy_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(dist == 0, 1).otherwise(0)).alias("n_exact_dupes"),
         )
     )
+
+
+@query(
+    "agg_incremental_maintain",
+    oracle="""
+    WITH base AS (
+        SELECT o_custkey, count(*) AS n_orders,
+               SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS spent
+        FROM orders WHERE o_orderkey % 10 <> 0
+        GROUP BY o_custkey
+    ), delta AS (
+        SELECT o_custkey, count(*) AS n_orders,
+               SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS spent
+        FROM orders WHERE o_orderkey % 10 = 0
+        GROUP BY o_custkey
+    )
+    SELECT COALESCE(b.o_custkey, d.o_custkey) AS o_custkey,
+           COALESCE(b.n_orders, 0) + COALESCE(d.n_orders, 0) AS n_orders,
+           CAST(COALESCE(b.spent, 0) + COALESCE(d.spent, 0) AS DOUBLE)
+               AS total_spent,
+           (d.o_custkey IS NOT NULL) AS refreshed
+    FROM base b FULL OUTER JOIN delta d ON b.o_custkey = d.o_custkey
+    """,
+    tags=("warehouse", "materialized-view", "incremental"),
+)
+def agg_incremental_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance — merge a delta
+    batch's partial aggregates into a stored aggregate table without
+    rescanning the base: the self-maintainable-view algebra every
+    warehouse refresh loop runs (count and sum are abelian, so
+    merge = coalesce-add per group).
+
+    Here the split is derived deterministically from orders itself
+    (every 10th key is "the new batch", the rest is "the stored MV")
+    so both engines build identical inputs; tests additionally assert
+    the merged result equals a full recompute over the whole table —
+    the correctness property incremental maintenance must preserve.
+
+    Scale shape: the base agg is |groups| rows (in production read
+    from storage, never recomputed — the code path here aggregates it
+    only because the probe has no stored MV); the delta agg is
+    O(|delta|); the merge is one full-outer join on the group key
+    with the DELTA side small enough for AQE to broadcast. Work per
+    refresh is O(|delta| + |touched groups|), independent of the base
+    fact table's size — the property that makes hourly refresh of a
+    100 TB MV affordable. Exact decimal sums merge associatively
+    (order-free), so incremental and full recompute agree bit-for-bit."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+
+    def part_agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).alias("spent"),
+        )
+
+    base = part_agg(o.filter(F.col("o_orderkey") % 10 != 0)).alias("b")
+    delta = part_agg(o.filter(F.col("o_orderkey") % 10 == 0)).alias("d")
+    return base.join(
+        delta, F.col("b.o_custkey") == F.col("d.o_custkey"), "full_outer"
+    ).select(
+        F.coalesce("b.o_custkey", "d.o_custkey").alias("o_custkey"),
+        (
+            F.coalesce("b.n_orders", F.lit(0)) + F.coalesce("d.n_orders", F.lit(0))
+        ).alias("n_orders"),
+        (
+            F.coalesce("b.spent", F.lit(0).cast("decimal(38,6)"))
+            + F.coalesce("d.spent", F.lit(0).cast("decimal(38,6)"))
+        )
+        .cast("double")
+        .alias("total_spent"),
+        F.col("d.o_custkey").isNotNull().alias("refreshed"),
+    )
+
+
+@query(
+    "dq_referential_audit",
+    oracle="""
+    SELECT 'lineitem->orders' AS relationship,
+           count(*) AS n_child,
+           CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_orphans
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'lineitem->part', count(*),
+           CAST(SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+    UNION ALL
+    SELECT 'lineitem->supplier', count(*),
+           CAST(SUM(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    UNION ALL
+    SELECT 'orders->customer', count(*),
+           CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'customer->nation', count(*),
+           CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    UNION ALL
+    SELECT 'supplier->nation', count(*),
+           CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+    UNION ALL
+    SELECT 'nation->region', count(*),
+           CAST(SUM(CASE WHEN r.r_regionkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM nation n LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+    tags=("warehouse", "data-quality", "audit"),
+)
+def dq_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across every FK edge of the star
+    schema — the ingestion-gate data-quality check that catches a bad
+    upstream load (orphaned facts, dangling dimension keys) before it
+    poisons downstream joins.
+
+    One row per relationship: child row count + orphan count, computed
+    as a LEFT join + null-count aggregate per edge, all edges unioned
+    into a single plan (one action, Catalyst schedules the edges in
+    parallel). Scale shape: each edge aggregates map-side after its
+    join; dimension sides broadcast (nation/region/customer/supplier),
+    fact-fact edges (lineitem->orders) shuffle on the key once. At
+    100 TB the audit reads each table's KEY COLUMN only — column
+    pruning keeps IO at a tiny fraction of table width (asserted via
+    ReadSchema in tests/test_plans.py for the lineitem edges)."""
+    edges = [
+        ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    parts = []
+    for name, child_t, child_k, parent_t, parent_k in edges:
+        child = load(spark, sf_dir, child_t).select(child_k)
+        parent = (
+            load(spark, sf_dir, parent_t).select(parent_k).dropDuplicates([parent_k])
+        )
+        joined = child.join(
+            parent, child[child_k] == parent[parent_k], "left"
+        )
+        parts.append(
+            joined.agg(
+                F.lit(name).alias("relationship"),
+                F.count(F.lit(1)).alias("n_child"),
+                F.sum(
+                    F.when(parent[parent_k].isNull(), 1).otherwise(0)
+                ).alias("n_orphans"),
+            ).select("relationship", "n_child", "n_orphans")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

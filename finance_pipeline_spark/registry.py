@@ -240,6 +240,9 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
             "p1_projection", "p4_comparison_filter", "o3_dynamic_sort",
             "d1_parse_coerce", "d9_map_explode", "u1_union_dedup",
             "udf_embedding_norm",
+            # new r6 operators — first driver evidence
+            "agg_incremental_maintain", "dq_referential_audit",
+            "text_chunk_overlap",
         ),
         "out": (  # all hash-green in CORRECTNESS_r05.json; the queries
             # whose implementation/oracle changed in r6 (ann_lsh_topk,
@@ -260,6 +263,10 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
             "winsorize_values", "text_vocab_topk", "text_pii_scrub",
             "text_repetition_stats", "text_tfidf_topk", "text_source_quota",
             "grouped_user_gaps",
+            # displaced by the three new r6 operators; all r5-green,
+            # families keep in-window reps (stream_tumbling_counts;
+            # fingerprint/langid/bpe/quality; stateful_user_totals)
+            "stream_dedup", "text_decontaminate", "user_gap_stats",
         ),
     },
     "r5": {
@@ -444,19 +451,20 @@ PRIORITY: tuple[str, ...] = (
     # to earn its first hash-green row; cosine/quantized fold r5-green)
     "ann_lsh_topk",
     "udf_embedding_norm",
-    # streaming anchors (the rest of the family folds on r5-green)
+    # streaming anchor (the rest of the family folds on r5-green)
     "stream_tumbling_counts",
-    "stream_dedup",
-    # temporal / stateful anchors
-    "user_gap_stats",
+    # stateful anchor
     "stateful_user_totals",
-    # text anchors (decontaminate stays; the r3-evidence text rows
-    # re-earn; vocab/pii/repetition/tfidf/quota fold r5-green)
-    "text_decontaminate",
+    # text anchors (the r3-evidence text rows re-earn;
+    # decontaminate/vocab/pii/repetition/tfidf/quota fold r5-green)
     "text_fingerprint",
     "text_langid",
     "text_bpe_token_count",
     "text_quality_score",
+    # NEW r6 operators — first driver evidence
+    "agg_incremental_maintain",
+    "dq_referential_audit",
+    "text_chunk_overlap",
     # warehouse rows changed in r6 (disjoint merge keys, exact squared
     # decimals, composed blocking key) — fresh evidence on the new code
     "merge_upsert_orders",
@@ -464,6 +472,9 @@ PRIORITY: tuple[str, ...] = (
     "fuzzy_match_blocked",
     # ---- fold: position 51+ — prior-round hash-green driver evidence ----
     # r5-green, rotated out r6 (newest evidence first)
+    "stream_dedup",
+    "text_decontaminate",
+    "user_gap_stats",
     "win_rank_family",
     "dedup_minhash_lsh",
     "dedup_connected_groups",

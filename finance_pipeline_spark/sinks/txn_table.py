@@ -173,6 +173,53 @@ class TxnKeyedTable:
         paths = [str(_data_dir(self.path) / f) for f in snap.files]
         return self.spark.read.parquet(*paths)
 
+    def diff(self, v_from: int, v_to: int | None = None) -> DataFrame:
+        """Change data feed between two committed versions: one row per
+        key whose state differs, tagged ``_change`` in {'insert',
+        'update', 'delete'} with the v_to-side values (null value
+        columns on delete) — the read path downstream incremental
+        consumers poll instead of re-scanning the table (Delta's CDF
+        surface, derived here by diffing snapshots; a log-native CDF
+        would additionally persist per-commit change files).
+
+        Cost is a full-outer join of the two snapshots on the key —
+        bounded by the table, not the log; with a key-partitioned
+        layout both sides prune to the partitions the commits touched.
+
+        The ``created_at`` staging stamp is excluded from both the
+        comparison and the output: a copy-on-write rewrite re-stamps
+        survivor rows it merely relocated, which is not a user-visible
+        change."""
+        old = self.read(version=v_from)
+        new = self.read(version=v_to)
+        if old is None or new is None:
+            raise ValueError("diff endpoints must be committed versions")
+        value_cols = [
+            c for c in new.columns if c not in self.keys and c != "created_at"
+        ]
+        o = old.alias("o")
+        n = new.alias("n")
+        cond = [F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}")) for k in self.keys]
+        joined = o.join(n, cond, "full_outer")
+        o_key, n_key = F.col(f"o.{self.keys[0]}"), F.col(f"n.{self.keys[0]}")
+        changed = F.lit(False)
+        for c in value_cols:
+            changed = changed | ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+        return (
+            joined.select(
+                *[
+                    F.coalesce(F.col(f"n.{k}"), F.col(f"o.{k}")).alias(k)
+                    for k in self.keys
+                ],
+                *[F.col(f"n.{c}").alias(c) for c in value_cols],
+                F.when(o_key.isNull(), "insert")
+                .when(n_key.isNull(), "delete")
+                .when(changed, "update")
+                .alias("_change"),
+            )
+            .filter(F.col("_change").isNotNull())
+        )
+
     # -- write side --------------------------------------------------
 
     def merge(

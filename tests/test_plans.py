@@ -165,3 +165,17 @@ def test_no_python_in_hot_paths(spark, name):
     would flag too — these specific queries are pure codegen)."""
     plan = plan_of(spark, name)
     assert "EvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_referential_audit_prunes_to_key_columns(spark):
+    """The audit must read only the FK/PK key columns — at 100 TB the
+    whole check's IO is a key-column scan per edge, not table width."""
+    plan = plan_of(spark, "dq_referential_audit")
+    for schema in read_schemas(plan):
+        cols = {c.split(":")[0] for c in schema.split(",")}
+        assert cols <= {
+            "l_orderkey", "l_partkey", "l_suppkey", "o_orderkey",
+            "o_custkey", "c_custkey", "c_nationkey", "n_nationkey",
+            "n_regionkey", "p_partkey", "s_suppkey", "s_nationkey",
+            "r_regionkey",
+        }, cols

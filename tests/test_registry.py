@@ -76,12 +76,15 @@ def test_driver_window_covers_every_family():
         "win_tumbling",  # scalar bucket group key
         # flagship + the two sketch rows
         "agg_pricing_summary", "agg_approx_distinct", "agg_approx_quantile",
+        # new r6 operators earning their first driver evidence
+        "agg_incremental_maintain", "dq_referential_audit",
+        "text_chunk_overlap",
         # one-plus anchor per family while the old-evidence cohort
-        # re-earns its rows (ROTATION_LOG r6: 37-query swap, the whole
+        # re-earns its rows (ROTATION_LOG r6: 40-query swap, the whole
         # r1/r2-evidence cohort + most of r3's back in-window)
-        "stream_tumbling_counts", "stream_dedup",  # streaming
-        "user_gap_stats", "stateful_user_totals",  # temporal / stateful
-        "text_decontaminate",  # text
+        "stream_tumbling_counts",  # streaming
+        "stateful_user_totals",  # stateful
+        "text_fingerprint",  # text
         "mm_frame_sample",  # multimodal
         "udf_embedding_norm",  # pandas-UDF surface
         "dedup_exact_by_digest", "dedup_keyed_pick", "dedup_simhash",  # dedup

@@ -102,3 +102,40 @@ def test_mixture_sample_epoch_semantics(spark):
     again = text_mixture_sample(spark, "/root/testdata/sf0.001").collect()
     key = lambda r: (r.doc_id, r.epoch)  # noqa: E731
     assert sorted(map(key, out)) == sorted(map(key, again))
+
+
+def test_chunk_overlap_covers_every_token(spark):
+    """Chunking invariants on real testdata: chunks tile each doc with
+    the configured stride, consecutive chunks share exactly the
+    overlap, every token appears in some chunk, and a short doc yields
+    one chunk."""
+    from finance_pipeline_spark import registry
+    from finance_pipeline_spark.operators import textops as T
+
+    sf = "/root/testdata/sf0.001"
+    rows = registry.QUERIES["text_chunk_overlap"].fn(spark, sf).collect()
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in registry.load(spark, sf, "documents").collect()
+    }
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(docs)
+    for doc_id, chunks in by_doc.items():
+        toks = docs[doc_id]
+        chunks.sort(key=lambda r: r.chunk_idx)
+        assert [c.chunk_idx for c in chunks] == list(range(len(chunks)))
+        # stride / coverage / reconstruction
+        joined = []
+        for c in chunks:
+            ctoks = c.chunk_text.split(" ")
+            assert len(ctoks) == c.n_tokens <= T._CHUNK_TOKENS
+            assert c.start_tok == c.chunk_idx * T._CHUNK_STRIDE + 1
+            assert ctoks == toks[c.start_tok - 1 : c.start_tok - 1 + c.n_tokens]
+            joined.extend(ctoks if not joined else ctoks[T._CHUNK_OVERLAP:] if c.chunk_idx else ctoks)
+        # all tokens covered: last chunk reaches the end
+        last = chunks[-1]
+        assert last.start_tok - 1 + last.n_tokens == len(toks)
+        if len(toks) <= T._CHUNK_TOKENS:
+            assert len(chunks) == 1

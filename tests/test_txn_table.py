@@ -289,3 +289,20 @@ def test_upsert_time_travel_spans_removes(spark, tmp_path):
     assert {r.v for r in t.read(version=0).collect()} == {f"a{k}" for k in range(5)}
     assert {r.v for r in t.read(version=1).collect()} == {f"b{k}" for k in range(5)}
     assert t.read().count() == 5
+
+
+def test_diff_reports_inserts_updates_deletes(spark, tmp_path):
+    """CDF between versions: upserting b5..b12 over a0..a9 yields
+    updates on 5-9 and inserts on 10-12; unchanged keys don't appear;
+    same-value upserts are not phantom updates."""
+    t = TxnKeyedTable(spark, str(tmp_path / "t"), ["k"])
+    t.merge(_batch(spark, range(10), tag="a"))  # v0
+    t.upsert(_batch(spark, range(5, 13), tag="b"))  # v1
+    rows = {r.k: (r._change, r.v) for r in t.diff(0, 1).collect()}
+    assert rows == {
+        **{k: ("update", f"b{k}") for k in range(5, 10)},
+        **{k: ("insert", f"b{k}") for k in range(10, 13)},
+    }
+    # re-upserting identical values produces an EMPTY feed
+    t.upsert(_batch(spark, range(5, 13), tag="b"))  # v2, no value change
+    assert t.diff(1, 2).count() == 0

@@ -374,3 +374,44 @@ def test_fuzzy_blocking_key_bounds_join_cost(spark):
         F.concat_ws(" ", F.element_at(words, 1), F.element_at(words, -1))
     )
     assert composed * 7 <= single, (composed, single)
+
+
+def test_incremental_maintain_equals_full_recompute(spark, sf_dir):
+    """The invariant incremental view maintenance must preserve: the
+    merged (base-partial + delta-partial) aggregate is exactly the
+    aggregate over the whole table."""
+    rows = registry.QUERIES["agg_incremental_maintain"].fn(spark, sf_dir).collect()
+    full = {
+        r.o_custkey: (r.n, float(r.s))
+        for r in load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("s"),
+        )
+        .collect()
+    }
+    got = {r.o_custkey: (r.n_orders, r.total_spent) for r in rows}
+    assert got == full
+    # refreshed marks exactly the groups the delta touched
+    delta_groups = {
+        r.o_custkey
+        for r in load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 10 == 0)
+        .select("o_custkey")
+        .distinct()
+        .collect()
+    }
+    assert {r.o_custkey for r in rows if r.refreshed} == delta_groups
+
+
+def test_referential_audit_all_edges_clean_on_testdata(spark, sf_dir):
+    """Driver testdata is referentially intact, so every edge reports
+    zero orphans — and orphan detection actually works (spiked child
+    rows are counted)."""
+    rows = registry.QUERIES["dq_referential_audit"].fn(spark, sf_dir).collect()
+    assert len(rows) == 7
+    assert all(r.n_orphans == 0 for r in rows), rows
+    assert all(r.n_child > 0 for r in rows)
