@@ -61,3 +61,56 @@ def stream_into_table(
     )
     q.awaitTermination()
     return stats
+
+
+def stream_cdc_apply(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType | str,
+    table_path: str,
+    keys: list[str],
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> list:
+    """Streaming CDC apply: drain a changelog file stream through
+    ``foreachBatch`` into the TRANSACTIONAL table's MERGE
+    (``TxnKeyedTable.upsert``) — new keys insert, re-delivered keys
+    UPDATE to the latest state instead of being skipped. This is the
+    continuous half of the CDC pair: ``cdc_latest_state`` compacts a
+    historical changelog in batch; this applies one incrementally,
+    exactly the Debezium-topic → warehouse-table apply loop.
+
+    Semantics per microbatch: the upsert's deterministic in-batch
+    dedup picks one survivor per key, then the commit-log MERGE
+    applies it atomically — a crash between microbatches replays from
+    the checkpoint into an idempotent apply (same rows upsert to the
+    same state), giving effectively-once table state on at-least-once
+    delivery. Concurrent out-of-band writers are safe too: upsert's
+    optimistic concurrency restarts on commit conflicts.
+
+    Returns per-microbatch UpsertStats."""
+    from finance_pipeline_spark.sinks.txn_table import TxnKeyedTable
+
+    table = TxnKeyedTable(spark, table_path, keys)
+    stats: list = []
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        s = table.upsert(batch_df)
+        log.info(
+            "cdc microbatch %d: %d inserted, %d updated",
+            batch_id, s.inserted, s.updated,
+        )
+        stats.append(s)
+
+    reader = spark.readStream.schema(schema).option("header", True)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    q = (
+        reader.csv(source_dir)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stats

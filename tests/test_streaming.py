@@ -201,3 +201,34 @@ def test_stage_file_restages_only_on_source_change(tmp_path):
     src.write_bytes(b"v2-data-longer")
     assert _stage_file(str(src), dst) is True
     assert dst.read_bytes() == b"v2-data-longer"
+
+
+def test_stream_cdc_apply_upserts_latest_state(spark, tmp_path):
+    """Changelog files drained through foreachBatch + txn MERGE: later
+    files UPDATE keys earlier files inserted (not skip them), the table
+    converges to the newest state per key, and the commit log carries
+    one version per microbatch."""
+    from finance_pipeline_spark.pipelines.streaming_load import stream_cdc_apply
+    from finance_pipeline_spark.sinks.txn_table import TxnKeyedTable, current_snapshot
+
+    src = tmp_path / "changelog"
+    src.mkdir()
+    # two files => with maxFilesPerTrigger=1, two ordered microbatches
+    (src / "b0.csv").write_text("k,v\n1,old1\n2,old2\n3,old3\n")
+    (src / "b1.csv").write_text("k,v\n2,new2\n3,new3\n4,new4\n")
+    stats = stream_cdc_apply(
+        spark,
+        str(src),
+        "k bigint, v string",
+        str(tmp_path / "table"),
+        ["k"],
+        str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    assert len(stats) == 2
+    assert (stats[0].inserted, stats[0].updated) == (3, 0)
+    assert (stats[1].inserted, stats[1].updated) == (1, 2)
+    t = TxnKeyedTable(spark, str(tmp_path / "table"), ["k"])
+    vals = {r.k: r.v for r in t.read().collect()}
+    assert vals == {1: "old1", 2: "new2", 3: "new3", 4: "new4"}
+    assert current_snapshot(str(tmp_path / "table")).version == 1
