@@ -179,3 +179,12 @@ def test_referential_audit_prunes_to_key_columns(spark):
             "n_regionkey", "p_partkey", "s_suppkey", "s_nationkey",
             "r_regionkey",
         }, cols
+
+
+def test_incremental_maintain_merge_reuses_agg_partitioning(spark):
+    """Base-partial and delta-partial each shuffle ONCE on the group
+    key; the full-outer merge join must reuse that partitioning — a
+    third exchange would re-shuffle the whole MV on every refresh."""
+    plan = plan_of(spark, "agg_incremental_maintain")
+    assert plan.count("Exchange") == 2, plan
+    assert "partial_count" in plan  # map-side combine on both legs
