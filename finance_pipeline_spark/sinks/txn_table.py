@@ -166,12 +166,15 @@ class TxnKeyedTable:
     def read(self, version: int | None = None) -> DataFrame | None:
         """A consistent snapshot: only files referenced by committed
         versions ≤ ``version`` (default: latest). Files from in-flight
-        or abandoned writes are never listed, so readers need no lock."""
+        or abandoned writes are never listed, so readers need no lock.
+        ``mergeSchema`` unions file schemas, so a batch that added a
+        column reads alongside older files (absent values null) — the
+        additive half of schema evolution; type changes still fail."""
         snap = current_snapshot(self.path, version)
         if snap.version < 0:
             return None
         paths = [str(_data_dir(self.path) / f) for f in snap.files]
-        return self.spark.read.parquet(*paths)
+        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
 
     def diff(self, v_from: int, v_to: int | None = None) -> DataFrame:
         """Change data feed between two committed versions: one row per
@@ -308,6 +311,67 @@ class TxnKeyedTable:
             f"lost the commit race {_MAX_COMMIT_RETRIES} times on {self.path}"
         )
 
+    def delete(
+        self,
+        condition,
+        _before_commit: Callable[[int], None] | None = None,
+    ) -> int:
+        """DELETE WHERE — copy-on-write at file granularity, the
+        GDPR/right-to-be-forgotten path a compliant 100 TB table must
+        serve: only files containing at least one matching row are
+        rewritten (their surviving rows become adds, the touched files
+        become logical removes); untouched files are never read past
+        the predicate columns or rewritten. Returns the deleted count.
+
+        Same conservative concurrency as ``upsert``: deletes don't
+        commute with concurrent writes to the same keys, so a lost
+        commit race discards the staged rewrite and restarts from the
+        fresh snapshot."""
+        for _ in range(_MAX_COMMIT_RETRIES):
+            snap = current_snapshot(self.path)
+            if snap.version < 0:
+                return 0
+            data = _data_dir(self.path)
+            target = self.spark.read.option("mergeSchema", "true").parquet(
+                *[str(data / f) for f in snap.files]
+            )
+            import os.path
+            from urllib.parse import unquote, urlparse
+
+            hits = (
+                target.withColumn("_f", F.input_file_name())
+                .filter(condition)
+                .groupBy("_f")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            touched = sorted(
+                os.path.basename(unquote(urlparse(r._f).path)) for r in hits
+            )
+            n_deleted = sum(r.n for r in hits)
+            if not touched:
+                return 0
+            survivors = (
+                self.spark.read.option("mergeSchema", "true")
+                .parquet(*[str(data / f) for f in touched])
+                .filter(~condition)
+                .drop("created_at")
+            )
+            adds, _ = self._stage(survivors)
+            if _before_commit is not None:
+                _before_commit(snap.version + 1)
+                _before_commit = None  # fire once
+            if self._try_commit(snap.version + 1, adds, 0, removes=touched):
+                log.info(
+                    "txn delete v%d from %s: %d rows, %d files rewritten",
+                    snap.version + 1, self.path, n_deleted, len(touched),
+                )
+                return n_deleted
+            self._discard(adds)
+        raise CommitConflictError(
+            f"lost the commit race {_MAX_COMMIT_RETRIES} times on {self.path}"
+        )
+
     def drop(self) -> bool:
         p = Path(self.path)
         if p.exists():
@@ -399,11 +463,15 @@ class TxnKeyedTable:
         )
         if touched:
             survivors = (
-                self.spark.read.parquet(*[str(data / f) for f in touched])
+                self.spark.read.option("mergeSchema", "true")
+                .parquet(*[str(data / f) for f in touched])
                 .drop("created_at")
                 .join(F.broadcast(keys_df), on=self.keys, how="left_anti")
             )
-            staged_rows = survivors.unionByName(batch)
+            # allowMissingColumns: an incoming batch may carry a NEW
+            # column (additive schema evolution) — survivors read it
+            # as null; read() merges schemas on the way back out.
+            staged_rows = survivors.unionByName(batch, allowMissingColumns=True)
         else:
             staged_rows = batch
         adds, _ = self._stage(staged_rows)

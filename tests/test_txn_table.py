@@ -306,3 +306,60 @@ def test_diff_reports_inserts_updates_deletes(spark, tmp_path):
     # re-upserting identical values produces an EMPTY feed
     t.upsert(_batch(spark, range(5, 13), tag="b"))  # v2, no value change
     assert t.diff(1, 2).count() == 0
+
+
+def test_delete_where_rewrites_only_touched_files(spark, tmp_path):
+    """Copy-on-write DELETE: matching rows disappear, untouched files
+    survive as-is, old versions still read the deleted rows (time
+    travel), and a no-match predicate commits nothing."""
+    path = str(tmp_path / "t")
+    t = TxnKeyedTable(spark, path, ["k"])
+    t.merge(_batch(spark, range(0, 5), tag="a"))  # v0
+    snap0 = current_snapshot(path)
+    t.merge(_batch(spark, range(100, 105), tag="a"))  # v1
+
+    n = t.delete(F.col("k") >= 100)  # touches only batch-2 files
+    assert n == 5
+    assert {r.k for r in t.read().collect()} == set(range(5))
+    final = current_snapshot(path)
+    assert final.version == 2
+    assert set(snap0.files) <= set(final.files)  # batch-1 untouched
+    # time travel still sees the deleted rows
+    assert t.read(version=1).count() == 10
+    # no-match delete is a no-op commit-wise
+    assert t.delete(F.col("k") == 9999) == 0
+    assert current_snapshot(path).version == 2
+
+
+def test_delete_lost_race_restarts(spark, tmp_path):
+    """Writer A stages a delete, writer B commits an overlapping upsert
+    first (via the seam): A restarts against B's state, so B's updated
+    row for a contested key is deleted too — serial order B -> A."""
+    path = str(tmp_path / "t")
+    a = TxnKeyedTable(spark, path, ["k"])
+    b = TxnKeyedTable(spark, path, ["k"])
+    a.merge(_batch(spark, range(10), tag="seed"))
+
+    def interleave(_version):
+        b.upsert(_batch(spark, range(4, 7), tag="b"))
+
+    n = a.delete(F.col("k") < 6, _before_commit=interleave)
+    assert n == 6
+    vals = {r.k: r.v for r in a.read().collect()}
+    assert set(vals) == {6, 7, 8, 9}
+    assert vals[6] == "b6"  # B's upsert survived for the uncontested key
+
+
+def test_schema_evolution_additive_column(spark, tmp_path):
+    """A batch with a NEW column merges; old rows read it as null, and
+    the upsert path carries the widened schema through its rewrite."""
+    t = TxnKeyedTable(spark, str(tmp_path / "t"), ["k"])
+    t.merge(_batch(spark, range(3), tag="a"))
+    widened = spark.createDataFrame(
+        [(5, "b5", "extra5"), (1, "b1", "extra1")], "k bigint, v string, w string"
+    )
+    s = t.upsert(widened)
+    assert (s.inserted, s.updated) == (1, 1)
+    rows = {r.k: (r.v, r.w) for r in t.read().collect()}
+    assert rows[5] == ("b5", "extra5") and rows[1] == ("b1", "extra1")
+    assert rows[0] == ("a0", None) and rows[2] == ("a2", None)
