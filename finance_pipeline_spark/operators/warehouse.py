@@ -823,6 +823,7 @@ def fuzzy_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM base b FULL OUTER JOIN delta d ON b.o_custkey = d.o_custkey
     """,
     tags=("warehouse", "materialized-view", "incremental"),
+    bench=True,  # the MV-refresh merge is a headline warehouse shape
 )
 def agg_incremental_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized-view maintenance — merge a delta

@@ -232,3 +232,53 @@ def test_stream_cdc_apply_upserts_latest_state(spark, tmp_path):
     vals = {r.k: r.v for r in t.read().collect()}
     assert vals == {1: "old1", 2: "new2", 3: "new3", 4: "new4"}
     assert current_snapshot(str(tmp_path / "table")).version == 1
+
+
+def test_python_datasource_stream_reads_only_new_payloads(spark, tmp_path):
+    """The Spark-4 streaming DataSource: offsets index the sorted
+    payload file list, so a resumed stream (same checkpoint) processes
+    ONLY files that arrived since the committed offset."""
+    import json as _json
+
+    from finance_pipeline_spark.sources import python_datasource
+
+    python_datasource.register(spark)
+    feed = tmp_path / "feed"
+    feed.mkdir()
+
+    def payload(day, rates):
+        (feed / f"{day}.json").write_text(
+            _json.dumps({"date": day, "rates": rates, "base": "EUR"})
+        )
+
+    payload("2024-01-02", {"USD": 1.1, "GBP": 0.86})
+    payload("2024-01-03", {"USD": 1.12})
+
+    seen = []
+
+    def drain():
+        batch_rows = []
+        q = (
+            spark.readStream.format("frankfurter_rates")
+            .option("path", str(feed))
+            .load()
+            .writeStream.foreachBatch(
+                lambda df, _id: batch_rows.extend(df.collect())
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return batch_rows
+
+    first = drain()
+    assert {(r.currency, r.exchange_rate) for r in first} == {
+        ("USD", 1.1), ("GBP", 0.86), ("USD", 1.12),
+    }
+    # a new payload arrives; the resumed stream reads ONLY it
+    payload("2024-01-04", {"JPY": 157.2})
+    second = drain()
+    assert {(r.currency, r.exchange_rate) for r in second} == {("JPY", 157.2)}
+    # timestamps carry the CET->UTC stamping (winter: 16:00 CET = 15:00 UTC)
+    assert all(r.timestamptz.hour == 15 for r in first + second)
