@@ -412,3 +412,44 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "step", "step_name", "n_users",
         F.expr("_nk div _base").cast("bigint").alias("permille"),
     )
+
+
+@query(
+    "event_transition_counts",
+    oracle="""
+    WITH nxt AS (
+        SELECT event_type AS from_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS to_type
+        FROM events
+    )
+    SELECT from_type, to_type, count(*) AS n_transitions
+    FROM nxt WHERE to_type IS NOT NULL
+    GROUP BY from_type, to_type
+    """,
+    tags=("temporal", "sequence", "markov"),
+)
+def event_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence transition mining: count (event → next event)
+    pairs within each user's time-ordered stream — the first-order
+    Markov transition matrix behind user-journey analysis, next-action
+    models, and anomalous-flow detection (a sudden new hot transition
+    is a bot signature).
+
+    lead() over (user, ts) pairs consecutive events without a
+    self-join — the same one-shuffle discipline as user_gap_stats; the
+    final (from, to) aggregate is |event_types|² rows with map-side
+    combine riding the window's partitioning output. At 100 TB this is
+    one exchange on user_id plus a tiny rollup; the event_id tiebreak
+    makes equal-timestamp ordering identical in both engines."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )

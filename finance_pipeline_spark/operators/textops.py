@@ -1021,3 +1021,95 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).cast("bigint").alias("n_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"),
     )
+
+
+@query(
+    "text_chunk_dedup",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ts,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+    ), k AS (
+        SELECT doc_id, ts, n,
+               greatest(1, CAST(ceil((n - {_CHUNK_OVERLAP}) / {_CHUNK_STRIDE}.0)
+                                AS BIGINT)) AS n_chunks
+        FROM toks
+    ), chunks AS (
+        SELECT doc_id, CAST(c AS BIGINT) AS chunk_idx,
+               md5(list_aggregate(
+                   ts[c * {_CHUNK_STRIDE} + 1 :
+                      least(c * {_CHUNK_STRIDE} + {_CHUNK_TOKENS}, n)],
+                   'string_agg', ' ')) AS chunk_digest
+        FROM k, unnest(range(0, n_chunks)) AS r(c)
+    )
+    SELECT chunk_digest,
+           count(*) AS n_occurrences,
+           count(DISTINCT doc_id) AS n_docs,
+           min(doc_id) AS keep_doc_id,
+           CAST(min(chunk_idx) FILTER (WHERE doc_id = keep) AS BIGINT)
+               AS keep_chunk_idx
+    FROM (SELECT *, min(doc_id) OVER (PARTITION BY chunk_digest) AS keep
+          FROM chunks)
+    GROUP BY chunk_digest
+    HAVING count(*) > 1
+    """,
+    tags=("text", "chunking", "dedup", "training-prep"),
+)
+def text_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level exact dedup — the paragraph-granularity pass of a
+    web-corpus pipeline (RefinedWeb/C4-style: repeated boilerplate
+    paragraphs recur across unrelated pages and must dedup BELOW
+    document granularity): tile documents with text_chunk_overlap's
+    chunker, md5 each chunk, and report every digest occurring more
+    than once with its occurrence/document counts and the
+    deterministic keeper (min doc_id, then min chunk_idx within it).
+
+    Scale shape: the chunker is map-only; the only shuffle keys on
+    the md5 digest — maximal cardinality, uniformly distributed, the
+    same hash-shuffle discipline as dedup_exact's digest variant. The
+    keeper is derived with min/min-filter aggregates (no second
+    window pass), and the >1 filter rides HAVING so singleton digests
+    — the overwhelming majority — never leave the aggregate."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((n - F.lit(_CHUNK_OVERLAP)) / F.lit(float(_CHUNK_STRIDE))).cast(
+            "bigint"
+        ),
+    )
+    exploded = d.select(
+        "doc_id", toks.alias("ts"), n.alias("n"), n_chunks.alias("n_chunks")
+    ).select(
+        "doc_id",
+        "ts",
+        "n",
+        F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("chunk_idx"),
+    )
+    start = F.col("chunk_idx") * _CHUNK_STRIDE
+    chunk_len = F.least(start + F.lit(_CHUNK_TOKENS), F.col("n")) - start
+    chunks = exploded.select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.md5(F.array_join(F.slice(F.col("ts"), start + 1, chunk_len), " ")).alias(
+            "chunk_digest"
+        ),
+    )
+    from pyspark.sql import Window as W
+
+    keep = F.min("doc_id").over(W.partitionBy("chunk_digest"))
+    return (
+        chunks.withColumn("keep", keep)
+        .groupBy("chunk_digest")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+            F.min(F.when(F.col("doc_id") == F.col("keep"), F.col("chunk_idx")))
+            .cast("bigint")
+            .alias("keep_chunk_idx"),
+        )
+        .filter(F.col("n_occurrences") > 1)
+    )

@@ -221,28 +221,30 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
             # re-earn driver rows, plus win_tumbling whose
             # implementation changed this round (scalar bucket key).
             "win_tumbling",  # re-implemented r6 — needs fresh evidence
-            # r1/r2-evidence cohort (17)
+            # r1/r2-evidence cohort (16 of 17; d6_literal_columns waits
+            # one round — five other derivation reps re-enter)
             "agg_minmax_distinct", "join_multiway_region", "agg_cube",
             "agg_pivot", "agg_unpivot", "dedup_exact_by_digest",
             "d7_text_to_double", "d3_tz_convert", "d5_format_render",
-            "d6_literal_columns", "d9b_json_map_parse", "d11_month_offset",
+            "d9b_json_map_parse", "d11_month_offset",
             "p5_null_drop", "p6_exact_dedup", "p7_keyed_dedup",
             "p9_arity_guard", "a1_count",
-            # r3-evidence cohort (19 of 22; win_topk_per_group,
-            # dedup_embedding_cosine, text_ngram_profile wait one round —
-            # their shapes stay exercised via o1_topk_multikey,
-            # dedup_connected_groups (transitively), and the five
-            # re-entering text rows)
+            # r3-evidence cohort (18 of 22; win_topk_per_group,
+            # dedup_embedding_cosine, text_ngram_profile, a2_empty_probe
+            # wait one round — their shapes stay exercised via
+            # o1_topk_multikey, dedup_connected_groups (transitively),
+            # the five re-entering text rows, and a1_count)
             "o1_topk_multikey", "win_running_sum", "agg_variance_exact",
             "agg_rollup", "mm_frame_sample", "dedup_keyed_pick",
-            "dedup_simhash", "a2_empty_probe", "text_fingerprint",
+            "dedup_simhash", "text_fingerprint",
             "text_langid", "text_bpe_token_count", "text_quality_score",
             "p1_projection", "p4_comparison_filter", "o3_dynamic_sort",
             "d1_parse_coerce", "d9_map_explode", "u1_union_dedup",
             "udf_embedding_norm",
             # new r6 operators — first driver evidence
             "agg_incremental_maintain", "dq_referential_audit",
-            "text_chunk_overlap",
+            "text_chunk_overlap", "text_chunk_dedup",
+            "event_transition_counts",
         ),
         "out": (  # all hash-green in CORRECTNESS_r05.json; the queries
             # whose implementation/oracle changed in r6 (ann_lsh_topk,
@@ -423,7 +425,6 @@ PRIORITY: tuple[str, ...] = (
     "o1_topk_multikey",
     "o3_dynamic_sort",
     "a1_count",
-    "a2_empty_probe",
     # projection / filter
     "p1_projection",
     "p4_comparison_filter",
@@ -435,7 +436,6 @@ PRIORITY: tuple[str, ...] = (
     "d1_parse_coerce",
     "d3_tz_convert",
     "d5_format_render",
-    "d6_literal_columns",
     "d7_text_to_double",
     "d9_map_explode",
     "d9b_json_map_parse",
@@ -465,6 +465,8 @@ PRIORITY: tuple[str, ...] = (
     "agg_incremental_maintain",
     "dq_referential_audit",
     "text_chunk_overlap",
+    "text_chunk_dedup",
+    "event_transition_counts",
     # warehouse rows changed in r6 (disjoint merge keys, exact squared
     # decimals, composed blocking key) — fresh evidence on the new code
     "merge_upsert_orders",
@@ -535,10 +537,13 @@ PRIORITY: tuple[str, ...] = (
     "text_mixture_sample",
     "dedup_exact",
     "dedup_ngram_jaccard",
-    # r3-evidence remainder (deferred one round — see ROTATION_LOG r6)
+    # r1/r2- and r3-evidence remainder (deferred one round — see
+    # ROTATION_LOG r6; first in line with the r4 cohort for r7)
     "win_topk_per_group",
     "dedup_embedding_cosine",
     "text_ngram_profile",
+    "a2_empty_probe",
+    "d6_literal_columns",
 )
 
 DRIVER_WINDOW = 50  # observed driver evaluation cap (r1 + r2)
