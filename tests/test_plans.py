@@ -188,3 +188,16 @@ def test_incremental_maintain_merge_reuses_agg_partitioning(spark):
     plan = plan_of(spark, "agg_incremental_maintain")
     assert plan.count("Exchange") == 2, plan
     assert "partial_count" in plan  # map-side combine on both legs
+
+
+def test_chunker_is_map_only(spark):
+    """Tokenize → sequence-explode → slice must involve ZERO exchanges:
+    the chunker parallelizes embarrassingly at 100 TB."""
+    assert plan_of(spark, "text_chunk_overlap").count("Exchange") == 0
+
+
+def test_chunk_dedup_single_digest_shuffle(spark):
+    """The keeper window and the digest aggregate must share ONE
+    exchange on chunk_digest — a second shuffle would double the cost
+    of the corpus-wide digest pass."""
+    assert plan_of(spark, "text_chunk_dedup").count("Exchange") == 1
