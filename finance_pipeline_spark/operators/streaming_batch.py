@@ -120,18 +120,23 @@ def win_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-aggregate shuffle keyed on (bucket, type); the bucket is
     computed map-side so partial aggregation applies.
 
-    The group key is the SCALAR bucket start (``unix_micros div
-    window``), not ``F.window``'s (start, end) struct: the struct
-    carries two timestamps through hash + shuffle where one scalar
-    determines both, and on this 600k-row agg the struct key measured
-    ~25% slower. ``w_end`` is derived after the aggregate, on the few
-    output rows. (The streamed variant, stream_tumbling_counts, keeps
-    ``F.window`` — watermark eviction needs the real window column.)"""
+    The group key is the SCALAR bucket start, not ``F.window``'s
+    (start, end) struct: the struct carries two timestamps through
+    hash + shuffle where one scalar determines both, and on this
+    600k-row agg the struct key measured ~25% slower. ``w_end`` is
+    derived after the aggregate, on the few output rows. (The streamed
+    variant, stream_tumbling_counts, keeps ``F.window`` — watermark
+    eviction needs the real window column.)
+
+    The bucket floors via ``pmod`` (exact integer arithmetic), NOT
+    ``div``: div truncates toward zero, so a pre-1970 timestamp would
+    bucket UP while F.window / DuckDB's time_bucket floor DOWN — a
+    latent cross-engine hash divergence the moment testdata ever
+    carries a pre-epoch event."""
     e = load(spark, sf_dir, "events")
     step = 600_000_000  # 10 minutes in microseconds, epoch-aligned
-    bucket = F.timestamp_micros(
-        (F.expr(f"unix_micros(ts) div {step}")) * F.lit(step)
-    )
+    us = F.unix_micros(F.col("ts"))
+    bucket = F.timestamp_micros(us - F.pmod(us, F.lit(step)))
     return (
         e.groupBy(bucket.alias("w_start"), "event_type")
         .agg(

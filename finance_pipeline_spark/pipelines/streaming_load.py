@@ -70,6 +70,7 @@ def stream_cdc_apply(
     table_path: str,
     keys: list[str],
     checkpoint_dir: str,
+    seq_col: str | None = None,
     max_files_per_trigger: int | None = None,
 ) -> list:
     """Streaming CDC apply: drain a changelog file stream through
@@ -80,22 +81,45 @@ def stream_cdc_apply(
     historical changelog in batch; this applies one incrementally,
     exactly the Debezium-topic → warehouse-table apply loop.
 
-    Semantics per microbatch: the upsert's deterministic in-batch
-    dedup picks one survivor per key, then the commit-log MERGE
-    applies it atomically — a crash between microbatches replays from
-    the checkpoint into an idempotent apply (same rows upsert to the
-    same state), giving effectively-once table state on at-least-once
-    delivery. Concurrent out-of-band writers are safe too: upsert's
-    optimistic concurrency restarts on commit conflicts.
+    ``seq_col`` is the changelog's ordering column (LSN / commit ts /
+    Kafka offset — every real CDC feed has one). When a microbatch
+    carries SEVERAL changes for one key — the default, since one
+    availableNow batch can take the whole backlog — the max-seq row
+    wins (key tiebreak on the remaining columns), which is what
+    "latest state" means. Without ``seq_col`` the upsert falls back to
+    its deterministic min-by-value in-batch pick: convergent and
+    replay-safe, but NOT ordered — only acceptable when delivery
+    guarantees at most one change per key per batch.
+
+    Crash between microbatches replays from the checkpoint into an
+    idempotent apply (same rows upsert to the same state):
+    effectively-once table state on at-least-once delivery.
+    Concurrent out-of-band writers are safe too — upsert's optimistic
+    concurrency restarts on commit conflicts.
 
     Returns per-microbatch UpsertStats."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
     from finance_pipeline_spark.sinks.txn_table import TxnKeyedTable
 
     table = TxnKeyedTable(spark, table_path, keys)
     stats: list = []
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        s = table.upsert(batch_df)
+        df = batch_df
+        if seq_col is not None:
+            value_cols = [c for c in df.columns if c not in keys]
+            w = W.partitionBy(*keys).orderBy(
+                F.col(seq_col).desc(),
+                *[F.col(c) for c in value_cols if c != seq_col],
+            )
+            df = (
+                df.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        s = table.upsert(df)
         log.info(
             "cdc microbatch %d: %d inserted, %d updated",
             batch_id, s.inserted, s.updated,

@@ -351,10 +351,14 @@ class TxnKeyedTable:
             n_deleted = sum(r.n for r in hits)
             if not touched:
                 return 0
+            # Survivors are rows where the predicate is NOT TRUE —
+            # including NULL evaluations. A bare ~condition drops
+            # NULL-predicate rows from BOTH sides (they match neither
+            # filter), silently losing them in the rewrite.
             survivors = (
                 self.spark.read.option("mergeSchema", "true")
                 .parquet(*[str(data / f) for f in touched])
-                .filter(~condition)
+                .filter(~condition.eqNullSafe(True))
                 .drop("created_at")
             )
             adds, _ = self._stage(survivors)
@@ -455,12 +459,21 @@ class TxnKeyedTable:
             .distinct()
             .collect()
         )
-        updated = (
-            target.select(*self.keys)
-            .dropDuplicates(self.keys)
-            .join(F.broadcast(keys_df), on=self.keys, how="left_semi")
-            .count()
-        )
+        # Every matched key lives in a touched file by construction, so
+        # the updated-count probe reads ONLY the touched files — not a
+        # second full-snapshot key scan (the probe above is the one
+        # whole-table pass this merge pays).
+        if touched:
+            updated = (
+                self.spark.read.option("mergeSchema", "true")
+                .parquet(*[str(data / f) for f in touched])
+                .select(*self.keys)
+                .dropDuplicates(self.keys)
+                .join(F.broadcast(keys_df), on=self.keys, how="left_semi")
+                .count()
+            )
+        else:
+            updated = 0
         if touched:
             survivors = (
                 self.spark.read.option("mergeSchema", "true")
@@ -552,12 +565,25 @@ def vacuum(path: str, retain_seconds: float = 7 * 24 * 3600.0) -> list[str]:
     every live merge stages and commits in one call.
 
     Committed files are NEVER candidates regardless of age: the log,
-    not mtime, is the source of truth. Returns the deleted names.
+    not mtime, is the source of truth — and "committed" means added by
+    ANY version, not just referenced by the latest snapshot. Upsert /
+    delete commits logically REMOVE files from the current snapshot
+    while older versions still reference them; vacuuming those would
+    corrupt time travel and ``diff``. (Delta's VACUUM does reclaim
+    removed files past retention at the cost of old versions; this one
+    keeps full history — bounded because copy-on-write only rewrites
+    touched files. A history-truncating reclaim would belong in
+    ``maintenance.py`` alongside compaction.) Returns deleted names.
     """
     import time as _time
 
-    snap = current_snapshot(path)
-    live = set(snap.files)
+    live: set[str] = set()
+    ld = _log_dir(path)
+    if ld.exists():
+        for p in ld.glob("[0-9]*.json"):
+            entry = json.loads(p.read_text())
+            live.update(entry.get("adds", ()))
+            live.update(entry.get("files", ()))  # checkpoints
     dd = _data_dir(path)
     if not dd.exists():
         return []

@@ -64,11 +64,7 @@ class FrankfurterRatesReader(DataSourceReader):
         return [_PayloadPartition(str(f)) for f in files]
 
     def read(self, partition: _PayloadPartition):
-        payload = json.loads(Path(partition.path).read_text())
-        ts = _cet_16h_to_utc(payload["date"]).replace(tzinfo=None)
-        d = date.fromisoformat(payload["date"])
-        for currency, rate in payload["rates"].items():
-            yield (currency, self.base, float(rate), d, ts)
+        yield from _payload_rows(Path(partition.path), self.base)
 
 
 def _payload_rows(path: Path, base: str):
@@ -88,6 +84,14 @@ class FrankfurterRatesStreamReader(SimpleDataSourceStreamReader):
     REST poller becomes `readStream.format("frankfurter_rates")` with
     exactly-once file accounting for free from the checkpoint.
 
+    The committed offset is the NAME of the last processed file, not a
+    position: a count-index would shift when a file is backfilled with
+    an earlier-sorting name, re-emitting the previous tail file as
+    duplicates. With name offsets the feed contract is explicit —
+    files must arrive in ascending name order (true for date-named
+    API payloads); a file backfilled BEHIND the committed name is
+    skipped, never double-read.
+
     The Simple reader variant runs on the driver — right for this
     source (payloads are KB-sized API responses; the offset math, not
     the byte volume, is the point). A firehose-scale source would
@@ -104,23 +108,21 @@ class FrankfurterRatesStreamReader(SimpleDataSourceStreamReader):
         return sorted(p.glob("*.json")) if p.is_dir() else [p]
 
     def initialOffset(self) -> dict:
-        return {"index": 0}
+        return {"last": ""}
 
     def read(self, start: dict):
-        files = self._files()
-        i = int(start["index"])
-        rows = [r for f in files[i:] for r in _payload_rows(f, self.base)]
-        return iter(rows), {"index": len(files)}
+        new = [f for f in self._files() if f.name > start["last"]]
+        rows = [r for f in new for r in _payload_rows(f, self.base)]
+        end = {"last": new[-1].name if new else start["last"]}
+        return iter(rows), end
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        files = self._files()
-        return iter(
-            [
-                r
-                for f in files[int(start["index"]) : int(end["index"])]
-                for r in _payload_rows(f, self.base)
-            ]
-        )
+        files = [
+            f
+            for f in self._files()
+            if start["last"] < f.name <= end["last"]
+        ]
+        return iter([r for f in files for r in _payload_rows(f, self.base)])
 
 
 def register(spark) -> None:

@@ -282,3 +282,72 @@ def test_python_datasource_stream_reads_only_new_payloads(spark, tmp_path):
     assert {(r.currency, r.exchange_rate) for r in second} == {("JPY", 157.2)}
     # timestamps carry the CET->UTC stamping (winter: 16:00 CET = 15:00 UTC)
     assert all(r.timestamptz.hour == 15 for r in first + second)
+
+
+def test_stream_cdc_apply_seq_col_orders_within_batch(spark, tmp_path):
+    """Several changes for one key in ONE microbatch: with seq_col the
+    MAX-seq change wins (latest state), regardless of value ordering —
+    min-by-value dedup would keep 'apple' here."""
+    from finance_pipeline_spark.pipelines.streaming_load import stream_cdc_apply
+    from finance_pipeline_spark.sinks.txn_table import TxnKeyedTable
+
+    src = tmp_path / "changelog"
+    src.mkdir()
+    (src / "all.csv").write_text(
+        "k,v,seq\n1,zebra,1\n1,apple,2\n2,first,1\n"
+    )
+    stats = stream_cdc_apply(
+        spark,
+        str(src),
+        "k bigint, v string, seq bigint",
+        str(tmp_path / "table"),
+        ["k"],
+        str(tmp_path / "ckpt"),
+        seq_col="seq",
+    )
+    assert len(stats) == 1 and (stats[0].inserted, stats[0].updated) == (2, 0)
+    vals = {r.k: r.v for r in TxnKeyedTable(spark, str(tmp_path / "table"), ["k"]).read().collect()}
+    assert vals == {1: "apple", 2: "first"}  # seq 2 beats seq 1
+
+
+def test_python_datasource_stream_offsets_survive_backfill(spark, tmp_path):
+    """Name-based offsets: a file backfilled BEHIND the committed
+    offset must not shift positions and re-emit the tail file as
+    duplicates (round-6 review: count-index offsets did exactly that).
+    The late file is skipped — the documented in-order feed contract —
+    and genuinely new files still flow."""
+    import json as _json
+
+    from finance_pipeline_spark.sources import python_datasource
+
+    python_datasource.register(spark)
+    feed = tmp_path / "feed"
+    feed.mkdir()
+
+    def payload(day, rates):
+        (feed / f"{day}.json").write_text(
+            _json.dumps({"date": day, "rates": rates, "base": "EUR"})
+        )
+
+    def drain():
+        rows = []
+        q = (
+            spark.readStream.format("frankfurter_rates")
+            .option("path", str(feed))
+            .load()
+            .writeStream.foreachBatch(lambda df, _id: rows.extend(df.collect()))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return rows
+
+    payload("2024-01-02", {"USD": 1.1})
+    payload("2024-01-03", {"USD": 1.12})
+    assert len(drain()) == 2
+    # backfill an EARLIER-named file + add a genuinely new one
+    payload("2024-01-01", {"USD": 1.05})
+    payload("2024-01-04", {"JPY": 157.2})
+    second = drain()
+    assert {(r.currency, r.exchange_rate) for r in second} == {("JPY", 157.2)}

@@ -49,3 +49,27 @@ def test_load_normalized_ts_in_plausible_era(spark, sf_dir):
     ).collect()[0]
     assert row.lo >= 2000, f"events.ts decoded into {row.lo} — unit drift"
     assert row.hi <= 2100, f"events.ts decoded into {row.hi} — unit drift"
+
+
+def test_events_value_within_decimal18_bounds(spark):
+    """anomaly_zscore_flags squares value as decimal(18,6) — exact up
+    to |value| < 10^12, beyond which Spark's non-ANSI cast NULLs
+    (silently understating the moments) while DuckDB errors. Guard the
+    assumption so a testdata regeneration with huge values fails HERE
+    with a pointer, not as an asymmetric oracle mismatch."""
+    from pyspark.sql import functions as F
+
+    from finance_pipeline_spark.registry import load
+
+    mx = (
+        load(spark, "/root/testdata/sf0.01", "events")
+        .agg(F.max(F.abs("value")).alias("m"))
+        .collect()[0]
+        .m
+    )
+    assert mx < 1e10, (
+        f"events.value reaches {mx}: approaching decimal(18,6)'s 1e12 "
+        "bound — widen the squared-moment operand in "
+        "operators/warehouse.py::anomaly_zscore_flags (and its oracle) "
+        "before values overflow"
+    )

@@ -133,7 +133,10 @@ def test_chunk_overlap_covers_every_token(spark):
             assert len(ctoks) == c.n_tokens <= T._CHUNK_TOKENS
             assert c.start_tok == c.chunk_idx * T._CHUNK_STRIDE + 1
             assert ctoks == toks[c.start_tok - 1 : c.start_tok - 1 + c.n_tokens]
-            joined.extend(ctoks if not joined else ctoks[T._CHUNK_OVERLAP:] if c.chunk_idx else ctoks)
+            joined.extend(ctoks if c.chunk_idx == 0 else ctoks[T._CHUNK_OVERLAP:])
+        # dropping each chunk's overlap region reconstructs the doc
+        # exactly — interior overlaps are consistent, nothing missing
+        assert joined == toks
         # all tokens covered: last chunk reaches the end
         last = chunks[-1]
         assert last.start_tok - 1 + last.n_tokens == len(toks)

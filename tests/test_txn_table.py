@@ -363,3 +363,41 @@ def test_schema_evolution_additive_column(spark, tmp_path):
     rows = {r.k: (r.v, r.w) for r in t.read().collect()}
     assert rows[5] == ("b5", "extra5") and rows[1] == ("b1", "extra1")
     assert rows[0] == ("a0", None) and rows[2] == ("a2", None)
+
+
+def test_delete_preserves_null_predicate_rows(spark, tmp_path):
+    """Rows where the delete predicate evaluates to NULL are NOT
+    matches — they must survive the rewrite, not silently vanish
+    (round-6 review: bare ~condition drops them from both sides)."""
+    t = TxnKeyedTable(spark, str(tmp_path / "t"), ["k"])
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None), (3, "y")], "k bigint, v string"
+    )
+    t.merge(df)
+    n = t.delete(F.col("v") == "x")
+    assert n == 1
+    rows = {r.k: r.v for r in t.read().collect()}
+    assert rows == {2: None, 3: "y"}
+
+
+def test_vacuum_never_deletes_files_of_any_committed_version(spark, tmp_path):
+    """An upsert logically removes v0's files from the LATEST snapshot,
+    but v0 still references them: vacuum must not reclaim them even
+    past retention — time travel and diff() depend on it."""
+    import os
+    import time
+
+    from finance_pipeline_spark.sinks.txn_table import vacuum
+
+    path = str(tmp_path / "t")
+    t = TxnKeyedTable(spark, path, ["k"])
+    t.merge(_batch(spark, range(5), tag="a"))  # v0
+    t.upsert(_batch(spark, range(5), tag="b"))  # v1: removes v0's files
+    data = tmp_path / "t" / "data"
+    past = time.time() - 8 * 24 * 3600
+    for p in data.glob("*.parquet"):
+        os.utime(p, (past, past))
+    assert vacuum(path) == []  # every file belongs to SOME version
+    # v0 remains fully readable and the CDF still resolves
+    assert {r.v for r in t.read(version=0).collect()} == {f"a{k}" for k in range(5)}
+    assert t.diff(0, 1).count() == 5

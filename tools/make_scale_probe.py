@@ -15,6 +15,12 @@ Scaling rules (distribution-faithful, not naive copies):
   inflate every LSH bucket).
 - lineitem ×10: replica r offsets l_orderkey by r·10⁹ — order-group
   structure and value distributions unchanged, key cardinality ×10.
+- orders ×10 and customer ×10 with CONSISTENT key offsets (o_orderkey
+  r·10⁹ matching lineitem; o_custkey/c_custkey r·10⁷): join-shaped
+  probes keep their FK integrity, so the join output, the broadcast
+  side, and the shuffle all actually grow 10× — replicating only the
+  fact side would leave 90% orphans and a 1×-sized join that defeats
+  the probe's super-linear-plan detection (round-6 review finding).
 - embeddings ×10: replica r offsets vec_id by r·10⁸ and label by
   r·1000 — the label-blocked similarity/dedup operators see 10× the
   blocks at the original per-block density (vectors repeat across
@@ -79,6 +85,29 @@ def build(out_dir: Path) -> None:
     con.execute(
         f"""
     COPY (
+        SELECT o_orderkey + r * 1000000000 AS o_orderkey,
+               o_custkey + r * 10000000 AS o_custkey,
+               o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        FROM read_parquet('{SRC}/orders.parquet'),
+             unnest(range(0, {REPLICAS})) AS reps(r)
+    ) TO '{out_dir}/orders.parquet' (FORMAT PARQUET)
+    """
+    )
+
+    con.execute(
+        f"""
+    COPY (
+        SELECT c_custkey + r * 10000000 AS c_custkey,
+               c_name, c_nationkey, c_acctbal, c_mktsegment
+        FROM read_parquet('{SRC}/customer.parquet'),
+             unnest(range(0, {REPLICAS})) AS reps(r)
+    ) TO '{out_dir}/customer.parquet' (FORMAT PARQUET)
+    """
+    )
+
+    con.execute(
+        f"""
+    COPY (
         SELECT vec_id + r * 100000000 AS vec_id,
                embedding,
                label + r * 1000 AS label
@@ -88,10 +117,7 @@ def build(out_dir: Path) -> None:
     """
     )
 
-    for t in (
-        "region", "nation", "customer", "supplier", "part", "orders",
-        "events",
-    ):
+    for t in ("region", "nation", "supplier", "part", "events"):
         dst = out_dir / f"{t}.parquet"
         if not dst.exists():
             shutil.copyfile(SRC / f"{t}.parquet", dst)
