@@ -74,6 +74,17 @@ def main() -> int:
         # entry, not the round's entire perf signal (round 4: a single
         # AnalysisException produced rc=1 and an empty BENCH_r04.json).
         try:
+            # Streaming queries get ONE un-timed warm pass first: it
+            # pays the staging copy (stage_file + planted-dup rebuild
+            # when testdata changed between rounds) and the first
+            # state-store/codegen init, then settles — so every MEASURED
+            # repeat times the stream itself. Without this, repeat 1
+            # reads ~2× the warm number (r6: 2.35s vs 1.11s warm) and a
+            # host CPU-steal window on top of that can push the min past
+            # the regression gate (the r6 stream_dedup false alarm).
+            if "readstream" in spec.tags:
+                force(spec.fn(spark, sf_dir))
+                time.sleep(4.0)
             for _ in range(repeat):
                 t0 = time.time()
                 force(spec.fn(spark, sf_dir))
