@@ -38,6 +38,14 @@ VLDB 2020):
   lists the log tail from the latest checkpoint instead of replaying
   the whole history — the log-compaction half of the Delta protocol,
   which is what keeps a years-old 100 TB table's open cost O(1).
+- Each commit records per-file, per-column MIN/MAX stats (read from
+  the parquet footers at stage time — no extra data pass). Readers
+  prune the file list against predicates BEFORE Spark ever lists the
+  files (``read(bounds=...)``), and ``merge``/``upsert`` prune their
+  existing-key probes to the incoming batch's key range — Delta's
+  data-skipping half. On a key-clustered 100 TB table this turns a
+  point lookup or a date-window read from "open every file" into
+  "open the handful whose range overlaps".
 
 Snapshot isolation falls out for free: ``read(version=K)`` pins any
 historical version (time travel), and a long query holds its file list
@@ -56,7 +64,7 @@ import os
 import shutil
 import time
 import uuid
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Callable
 
@@ -88,6 +96,10 @@ class UpsertStats:
 class Snapshot:
     version: int  # -1 = empty table
     files: tuple[str, ...]  # data-file names relative to <path>/data/
+    # per-file → per-column → [type_tag, min, max] (JSON form); files
+    # committed before stats existed simply have no entry and are
+    # never pruned — old logs stay readable.
+    stats: dict[str, dict[str, list]] = field(default_factory=dict)
 
 
 def _log_dir(path: str) -> Path:
@@ -104,6 +116,119 @@ def _commit_file(path: str, version: int) -> Path:
 
 def _checkpoint_file(path: str, version: int) -> Path:
     return _log_dir(path) / f"{version:08d}.checkpoint.json"
+
+
+# -- file-level min/max stats (the data-skipping substrate) -------------
+
+
+def _stat_encode(v) -> list | None:
+    """JSON-encode one stats endpoint as [tag, value]; None = the type
+    has no safe total order across the JSON round-trip (binary, nested)
+    and the column is dropped from stats — never pruned, never wrong."""
+    import datetime
+    import decimal
+
+    if isinstance(v, bool):  # before int: bool is an int subclass
+        return ["bool", v]
+    if isinstance(v, int):
+        return ["int", v]
+    if isinstance(v, float):
+        return ["float", v]
+    if isinstance(v, str):
+        return ["str", v]
+    if isinstance(v, datetime.datetime):
+        return ["ts", v.isoformat()]
+    if isinstance(v, datetime.date):
+        return ["date", v.isoformat()]
+    if isinstance(v, decimal.Decimal):
+        return ["dec", str(v)]
+    return None
+
+
+def _stat_decode(tag: str, v):
+    import datetime
+    import decimal
+
+    if tag == "ts":
+        return datetime.datetime.fromisoformat(v)
+    if tag == "date":
+        return datetime.date.fromisoformat(v)
+    if tag == "dec":
+        return decimal.Decimal(v)
+    return v  # int/float/str/bool round-trip natively
+
+
+def _footer_stats(parts: list[Path]) -> dict[str, dict[str, list]]:
+    """Per-file [min, max] per top-level primitive column, read from the
+    parquet FOOTER row-group statistics — no data pages touched, so
+    staging cost stays O(files), not O(rows). A column qualifies only
+    when every row group carries min/max (a single stats-less chunk
+    makes the file range unknown — recording a partial range would
+    prune files that actually match, i.e. silent data loss). Truncated
+    string stats are still safe: parquet writers truncate min DOWN and
+    max UP, so the recorded interval always covers the true one."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict[str, list]] = {}
+    for part in parts:
+        md = pq.ParquetFile(part).metadata
+        mins: dict[str, object] = {}
+        maxs: dict[str, object] = {}
+        bad: set[str] = set()
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                cc = md.row_group(rg).column(ci)
+                name = cc.path_in_schema
+                if "." in name:  # nested leaf — no top-level order
+                    bad.add(name.split(".")[0])
+                    continue
+                st = cc.statistics
+                if st is None or not st.has_min_max:
+                    bad.add(name)
+                    continue
+                if name not in mins or st.min < mins[name]:
+                    mins[name] = st.min
+                if name not in maxs or st.max > maxs[name]:
+                    maxs[name] = st.max
+        cols: dict[str, list] = {}
+        for name in mins:
+            if name in bad:
+                continue
+            lo, hi = _stat_encode(mins[name]), _stat_encode(maxs[name])
+            if lo is None or hi is None or lo[0] != hi[0]:
+                continue
+            cols[name] = [lo[0], lo[1], hi[1]]
+        out[part.name] = cols
+    return out
+
+
+def _file_matches(col_stats: dict[str, list] | None, bounds: dict) -> bool:
+    """May this file contain a row inside ``bounds``? ``bounds`` maps
+    column → (lo, hi), either end None for open. Missing stats (old
+    commits, unsupported type, stats-less chunk) keep the file —
+    pruning is an optimization, never a filter."""
+    if not col_stats:
+        return True
+    for col, (lo, hi) in bounds.items():
+        tagged = col_stats.get(col)
+        if tagged is None:
+            continue
+        tag, mn, mx = tagged
+        mn, mx = _stat_decode(tag, mn), _stat_decode(tag, mx)
+        try:
+            if lo is not None and mx < lo:
+                return False
+            if hi is not None and mn > hi:
+                return False
+        except TypeError:  # incomparable caller type — keep (safe)
+            continue
+    return True
+
+
+def _prune_files(snap: Snapshot, bounds: dict | None) -> list[str]:
+    if not bounds:
+        return list(snap.files)
+    return [f for f in snap.files if _file_matches(snap.stats.get(f), bounds)]
 
 
 def current_snapshot(path: str, version: int | None = None) -> Snapshot:
@@ -125,10 +250,12 @@ def current_snapshot(path: str, version: int | None = None) -> Snapshot:
         if int(p.name[:8]) <= commits[-1]
     )
     files: list[str] = []
+    stats: dict[str, dict[str, list]] = {}
     start = 0
     if ckpts:
         ck = json.loads(_checkpoint_file(path, ckpts[-1]).read_text())
         files.extend(ck["files"])
+        stats.update(ck.get("stats", {}))
         start = ckpts[-1] + 1
     for v in commits:
         if v < start:
@@ -137,8 +264,11 @@ def current_snapshot(path: str, version: int | None = None) -> Snapshot:
         removes = set(entry.get("removes", ()))
         if removes:
             files = [f for f in files if f not in removes]
+            for f in removes:
+                stats.pop(f, None)
         files.extend(entry["adds"])
-    return Snapshot(version=commits[-1], files=tuple(files))
+        stats.update(entry.get("stats", {}))
+    return Snapshot(version=commits[-1], files=tuple(files), stats=stats)
 
 
 class TxnKeyedTable:
@@ -163,18 +293,44 @@ class TxnKeyedTable:
     def snapshot(self, version: int | None = None) -> Snapshot:
         return current_snapshot(self.path, version)
 
-    def read(self, version: int | None = None) -> DataFrame | None:
+    def read(
+        self,
+        version: int | None = None,
+        bounds: dict | None = None,
+    ) -> DataFrame | None:
         """A consistent snapshot: only files referenced by committed
         versions ≤ ``version`` (default: latest). Files from in-flight
         or abandoned writes are never listed, so readers need no lock.
         ``mergeSchema`` unions file schemas, so a batch that added a
         column reads alongside older files (absent values null) — the
-        additive half of schema evolution; type changes still fail."""
+        additive half of schema evolution; type changes still fail.
+
+        ``bounds`` — {column: (lo, hi)}, either end None for open —
+        prunes the file list against the commit-log min/max stats
+        BEFORE Spark lists anything: a point lookup or date-window read
+        on a key-clustered 100 TB table opens only the overlapping
+        files. Pruning is a superset guarantee, not a filter — callers
+        still apply their own predicate; files without stats are kept.
+        An empty pruned set returns an empty DataFrame with the full
+        snapshot schema (read from one file, filtered to nothing)."""
         snap = current_snapshot(self.path, version)
         if snap.version < 0:
             return None
-        paths = [str(_data_dir(self.path) / f) for f in snap.files]
+        keep = _prune_files(snap, bounds)
+        if not keep and snap.files:
+            one = self.spark.read.option("mergeSchema", "true").parquet(
+                str(_data_dir(self.path) / snap.files[0])
+            )
+            return one.filter(F.lit(False))
+        paths = [str(_data_dir(self.path) / f) for f in keep]
         return self.spark.read.option("mergeSchema", "true").parquet(*paths)
+
+    def files_for(
+        self, bounds: dict | None = None, version: int | None = None
+    ) -> list[str]:
+        """The data files a ``read(bounds=...)`` would open — the
+        observable contract file-skipping tests pin."""
+        return _prune_files(current_snapshot(self.path, version), bounds)
 
     def diff(self, v_from: int, v_to: int | None = None) -> DataFrame:
         """Change data feed between two committed versions: one row per
@@ -241,7 +397,7 @@ class TxnKeyedTable:
         deduped = self._dedup_batch(incoming)
         snap = current_snapshot(self.path)
         new_rows = self._against(deduped, snap)
-        staged, inserted = self._stage(new_rows)
+        staged, inserted, stats = self._stage(new_rows)
 
         for _ in range(_MAX_COMMIT_RETRIES):
             if _before_commit is not None:
@@ -250,7 +406,7 @@ class TxnKeyedTable:
             if inserted == 0:
                 self._discard(staged)
                 return WriteStats(inserted=0, skipped=total)
-            if self._try_commit(snap.version + 1, staged, inserted):
+            if self._try_commit(snap.version + 1, staged, inserted, stats=stats):
                 log.info(
                     "txn commit v%d to %s: %d inserted, %d skipped",
                     snap.version + 1, self.path, inserted, total - inserted,
@@ -260,7 +416,9 @@ class TxnKeyedTable:
             # (files added since our snapshot), not the whole table.
             newer = current_snapshot(self.path)
             delta_files = [f for f in newer.files if f not in set(snap.files)]
-            staged, inserted = self._revalidate(staged, inserted, delta_files)
+            staged, inserted, stats = self._revalidate(
+                staged, inserted, stats, delta_files
+            )
             snap = newer
         self._discard(staged)
         raise CommitConflictError(
@@ -294,13 +452,24 @@ class TxnKeyedTable:
         seam as ``merge``'s: runs once, after staging, before the
         commit-claim — the window a concurrent writer can win."""
         deduped = self._dedup_batch(incoming)
+        n_batch = deduped.count()
+        if n_batch == 0:
+            # An empty (or dedup-to-empty) batch must not claim a no-op
+            # commit version: it would pollute the log and shift the
+            # CHECKPOINT_EVERY cadence. merge's inserted==0 short-circuit
+            # is the same rule on the insert-only path.
+            return UpsertStats(inserted=0, updated=0)
         for _ in range(_MAX_COMMIT_RETRIES):
             snap = current_snapshot(self.path)
-            adds, removes, inserted, updated = self._stage_upsert(deduped, snap)
+            adds, removes, inserted, updated, stats = self._stage_upsert(
+                deduped, snap, n_batch
+            )
             if _before_commit is not None:
                 _before_commit(snap.version + 1)
                 _before_commit = None  # fire once
-            if self._try_commit(snap.version + 1, adds, inserted, removes=removes):
+            if self._try_commit(
+                snap.version + 1, adds, inserted, removes=removes, stats=stats
+            ):
                 log.info(
                     "txn upsert v%d to %s: %d inserted, %d updated, %d files rewritten",
                     snap.version + 1, self.path, inserted, updated, len(removes),
@@ -361,11 +530,13 @@ class TxnKeyedTable:
                 .filter(~condition.eqNullSafe(True))
                 .drop("created_at")
             )
-            adds, _ = self._stage(survivors)
+            adds, _, stats = self._stage(survivors)
             if _before_commit is not None:
                 _before_commit(snap.version + 1)
                 _before_commit = None  # fire once
-            if self._try_commit(snap.version + 1, adds, 0, removes=touched):
+            if self._try_commit(
+                snap.version + 1, adds, 0, removes=touched, stats=stats
+            ):
                 log.info(
                     "txn delete v%d from %s: %d rows, %d files rewritten",
                     snap.version + 1, self.path, n_deleted, len(touched),
@@ -400,56 +571,90 @@ class TxnKeyedTable:
             .drop("_rn")
         )
 
+    def _key_bounds(self, batch: DataFrame) -> dict:
+        """The incoming batch's (min, max) per key column — one tiny
+        aggregate job that lets every existing-key probe prune the
+        snapshot to the files whose key range overlaps the batch. A
+        key with a null extreme (all-null column) contributes no bound."""
+        aggs = []
+        for k in self.keys:
+            aggs.append(F.min(k).alias(f"__lo_{k}"))
+            aggs.append(F.max(k).alias(f"__hi_{k}"))
+        row = batch.agg(*aggs).collect()[0]
+        bounds = {}
+        for k in self.keys:
+            lo, hi = row[f"__lo_{k}"], row[f"__hi_{k}"]
+            if lo is not None and hi is not None:
+                bounds[k] = (lo, hi)
+        return bounds
+
     def _against(self, batch: DataFrame, snap: Snapshot) -> DataFrame:
         if snap.version < 0:
             return batch
-        paths = [str(_data_dir(self.path) / f) for f in snap.files]
+        # Files whose key range can't overlap the batch can't hold a
+        # colliding key — prune them from the probe (a batch touching
+        # one day of a key-clustered table probes that day's files).
+        keep = _prune_files(snap, self._key_bounds(batch))
+        if not keep:
+            return batch
+        paths = [str(_data_dir(self.path) / f) for f in keep]
         existing = self.spark.read.parquet(*paths).select(*self.keys).dropDuplicates(self.keys)
         return batch.join(existing, on=self.keys, how="left_anti")
 
-    def _stage(self, new_rows: DataFrame) -> tuple[list[str], int]:
+    def _stage(self, new_rows: DataFrame) -> tuple[list[str], int, dict]:
         """Write the increment as immutable UUID-named parts directly in
         data/ — unreferenced files are invisible, so no rename step is
         needed (this is the object-store-friendly property: parquet
-        parts upload once and are published by the tiny commit PUT)."""
+        parts upload once and are published by the tiny commit PUT).
+        Per-file min/max stats come from the freshly written footers —
+        the same footer pass that counts rows, no data read."""
         _data_dir(self.path).mkdir(parents=True, exist_ok=True)
         staging = Path(self.path) / f"_staging_{uuid.uuid4().hex}"
         stamped = new_rows.withColumn("created_at", F.current_timestamp())
         stamped.write.mode("overwrite").parquet(str(staging))
         parts = sorted(staging.glob("*.parquet"))
         inserted = _footer_row_count(parts)
+        part_stats = _footer_stats(parts)
         names: list[str] = []
+        stats: dict[str, dict[str, list]] = {}
         run_id = staging.name.removeprefix("_staging_")
         for part in parts:
             name = f"{run_id}-{part.name}"
             part.rename(_data_dir(self.path) / name)
             names.append(name)
+            stats[name] = part_stats[part.name]
         shutil.rmtree(staging, ignore_errors=True)
-        return names, inserted
+        return names, inserted, stats
 
     def _discard(self, staged: list[str]) -> None:
         for name in staged:
             (_data_dir(self.path) / name).unlink(missing_ok=True)
 
     def _stage_upsert(
-        self, batch: DataFrame, snap: Snapshot
-    ) -> tuple[list[str], list[str], int, int]:
+        self, batch: DataFrame, snap: Snapshot, n_batch: int
+    ) -> tuple[list[str], list[str], int, int, dict]:
         """Stage the copy-on-write rewrite for ``upsert`` against one
-        pinned snapshot. Returns (adds, removes, inserted, updated).
+        pinned snapshot. Returns (adds, removes, inserted, updated,
+        stats).
 
         The matched-file probe is a semi-join of the target's key
         column (tagged with ``input_file_name``) against the batch
         keys — it collects only distinct FILE NAMES, bounded by the
-        snapshot's file count, never rows."""
+        snapshot's file count, never rows; the commit-log min/max
+        stats prune it further to the files whose key range overlaps
+        the batch (a matched key can only live there)."""
         import os.path
         from urllib.parse import unquote, urlparse
 
-        n_batch = batch.count()
         if snap.version < 0:
-            adds, inserted = self._stage(batch)
-            return adds, [], inserted, 0
+            adds, inserted, stats = self._stage(batch)
+            return adds, [], inserted, 0, stats
         data = _data_dir(self.path)
-        target = self.spark.read.parquet(*[str(data / f) for f in snap.files])
+        probe_files = _prune_files(snap, self._key_bounds(batch))
+        if not probe_files:
+            adds, inserted, stats = self._stage(batch)
+            return adds, [], inserted, 0, stats
+        target = self.spark.read.parquet(*[str(data / f) for f in probe_files])
         keys_df = batch.select(*self.keys).dropDuplicates(self.keys)
         touched = sorted(
             os.path.basename(unquote(urlparse(r.f).path))
@@ -487,8 +692,8 @@ class TxnKeyedTable:
             staged_rows = survivors.unionByName(batch, allowMissingColumns=True)
         else:
             staged_rows = batch
-        adds, _ = self._stage(staged_rows)
-        return adds, touched, n_batch - updated, updated
+        adds, _, stats = self._stage(staged_rows)
+        return adds, touched, n_batch - updated, updated, stats
 
     def _try_commit(
         self,
@@ -496,6 +701,7 @@ class TxnKeyedTable:
         adds: list[str],
         inserted: int,
         removes: list[str] | None = None,
+        stats: dict[str, dict[str, list]] | None = None,
     ) -> bool:
         _log_dir(self.path).mkdir(parents=True, exist_ok=True)
         target = _commit_file(self.path, version)
@@ -508,6 +714,7 @@ class TxnKeyedTable:
             "adds": adds,
             "removes": removes or [],
             "inserted": inserted,
+            "stats": stats or {},
             "ts": time.time(),
         }
         os.write(fd, json.dumps(entry).encode())
@@ -515,18 +722,28 @@ class TxnKeyedTable:
         if version % CHECKPOINT_EVERY == 0 and version > 0:
             snap = current_snapshot(self.path, version)
             _checkpoint_file(self.path, version).write_text(
-                json.dumps({"version": version, "files": list(snap.files)})
+                json.dumps(
+                    {
+                        "version": version,
+                        "files": list(snap.files),
+                        "stats": snap.stats,
+                    }
+                )
             )
         return True
 
     def _revalidate(
-        self, staged: list[str], inserted: int, delta_files: list[str]
-    ) -> tuple[list[str], int]:
+        self,
+        staged: list[str],
+        inserted: int,
+        stats: dict,
+        delta_files: list[str],
+    ) -> tuple[list[str], int, dict]:
         """Drop staged rows whose key was inserted by the commits we
         lost to. If nothing overlaps (the common case — writers usually
         touch disjoint keys), the staged files are reused as-is."""
         if not delta_files or inserted == 0:
-            return staged, inserted
+            return staged, inserted, stats
         mine = self.spark.read.parquet(
             *[str(_data_dir(self.path) / f) for f in staged]
         )
@@ -540,16 +757,16 @@ class TxnKeyedTable:
         survivors = mine.join(theirs, on=self.keys, how="left_anti")
         n_surv = survivors.count()
         if n_surv == inserted:
-            return staged, inserted
+            return staged, inserted, stats
         old = list(staged)
         if n_surv == 0:
             self._discard(old)
-            return [], 0
+            return [], 0, {}
         # survivors references the staged files, so materialize the
         # rewrite before discarding them.
-        restaged, n = self._stage(survivors.drop("created_at"))
+        restaged, n, restats = self._stage(survivors.drop("created_at"))
         self._discard(old)
-        return restaged, n
+        return restaged, n, restats
 
 
 def vacuum(path: str, retain_seconds: float = 7 * 24 * 3600.0) -> list[str]:

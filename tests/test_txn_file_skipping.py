@@ -1,0 +1,152 @@
+"""TxnKeyedTable data skipping: per-file min/max stats recorded at
+commit time (parquet footers, no extra data pass) and used to prune
+(a) ``read(bounds=...)`` file lists and (b) the existing-key probes of
+``merge``/``upsert`` — the Delta-style feature a keyed 100 TB table
+needs so a point lookup opens a handful of files, not all of them."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from finance_pipeline_spark.sinks.txn_table import (
+    TxnKeyedTable,
+    _commit_file,
+    current_snapshot,
+)
+
+
+def _batch(spark, keys, tag="x"):
+    return spark.createDataFrame(
+        [(int(k), f"{tag}{k}") for k in keys], "k bigint, v string"
+    )
+
+
+@pytest.fixture()
+def banded(spark, tmp_path):
+    """Three commits with disjoint key bands: [0,100), [100,200),
+    [200,300) — each staged as a single file (coalesced input)."""
+    t = TxnKeyedTable(spark, str(tmp_path / "t"), ["k"])
+    for lo in (0, 100, 200):
+        t.merge(_batch(spark, range(lo, lo + 100)).coalesce(1))
+    return t
+
+
+def test_commit_records_minmax_stats(banded):
+    snap = current_snapshot(banded.path)
+    assert len(snap.files) == 3
+    ranges = set()
+    for f in snap.files:
+        tag, lo, hi = snap.stats[f]["k"]
+        assert tag == "int"
+        ranges.add((lo, hi))
+    assert ranges == {(0, 99), (100, 199), (200, 299)}
+    # value column stats ride along too (string min/max)
+    assert all(snap.stats[f]["v"][0] == "str" for f in snap.files)
+
+
+def test_read_bounds_prunes_to_overlapping_files(banded):
+    snap = current_snapshot(banded.path)
+    keep = banded.files_for(bounds={"k": (150, 160)})
+    assert len(keep) == 1
+    assert snap.stats[keep[0]]["k"][1:] == [100, 199]
+    # the pruned read still returns exactly the predicate's rows
+    got = banded.read(bounds={"k": (150, 160)}).filter(
+        F.col("k").between(150, 160)
+    )
+    assert sorted(r.k for r in got.collect()) == list(range(150, 161))
+    # open-ended bounds prune one side only
+    assert len(banded.files_for(bounds={"k": (None, 99)})) == 1
+    assert len(banded.files_for(bounds={"k": (100, None)})) == 2
+    # and a no-bounds call keeps everything
+    assert len(banded.files_for()) == 3
+
+
+def test_read_bounds_outside_every_file_is_empty_with_schema(banded):
+    out = banded.read(bounds={"k": (1000, 2000)})
+    assert out.count() == 0
+    assert set(out.columns) >= {"k", "v"}
+
+
+def test_merge_probe_prunes_but_still_dedups(banded, spark):
+    # overlaps only the middle band: 5 existing keys + 5 new
+    stats = banded.merge(_batch(spark, range(150, 160), tag="y"))
+    assert (stats.inserted, stats.skipped) == (0, 10)
+    stats = banded.merge(_batch(spark, [155, 156, 300, 301, 302]))
+    assert (stats.inserted, stats.skipped) == (3, 2)
+    # table still unique on k
+    total = banded.read().count()
+    assert total == 303
+    assert banded.read().select("k").distinct().count() == 303
+
+
+def test_merge_disjoint_batch_skips_probe_entirely(banded, spark):
+    stats = banded.merge(_batch(spark, range(500, 510)))
+    assert (stats.inserted, stats.skipped) == (10, 0)
+    assert banded.read().count() == 310
+
+
+def test_upsert_prunes_rewrite_to_overlapping_files(banded, spark):
+    snap_before = current_snapshot(banded.path)
+    up = banded.upsert(_batch(spark, [150, 151, 400], tag="new"))
+    assert (up.inserted, up.updated) == (1, 2)
+    entry = json.loads(
+        _commit_file(banded.path, current_snapshot(banded.path).version).read_text()
+    )
+    # only the middle-band file was rewritten; bands 1 and 3 untouched
+    removed = set(entry["removes"])
+    assert len(removed) == 1
+    (rm,) = removed
+    assert snap_before.stats[rm]["k"][1:] == [100, 199]
+    rows = {r.k: r.v for r in banded.read().filter(F.col("k").isin(150, 151, 400)).collect()}
+    assert rows == {150: "new150", 151: "new151", 400: "new400"}
+
+
+def test_upsert_empty_batch_claims_no_commit(banded, spark):
+    v_before = current_snapshot(banded.path).version
+    up = banded.upsert(_batch(spark, []))
+    assert (up.inserted, up.updated) == (0, 0)
+    assert current_snapshot(banded.path).version == v_before
+
+
+def test_statless_legacy_commit_is_never_pruned(banded):
+    """A commit written before stats existed (or by another writer)
+    must always survive pruning — skipping is an optimization, never a
+    filter."""
+    snap = current_snapshot(banded.path)
+    legacy = snap.files[0]
+    entry_path = _commit_file(banded.path, 0)
+    entry = json.loads(entry_path.read_text())
+    entry.pop("stats", None)
+    entry_path.write_text(json.dumps(entry))
+    keep = banded.files_for(bounds={"k": (1000, 2000)})
+    assert keep == [legacy]
+
+
+def test_stats_survive_checkpoint_compaction(spark, tmp_path):
+    from finance_pipeline_spark.sinks.txn_table import CHECKPOINT_EVERY
+
+    t = TxnKeyedTable(spark, str(tmp_path / "t"), ["k"])
+    for i in range(CHECKPOINT_EVERY + 1):
+        t.merge(_batch(spark, range(i * 10, i * 10 + 10)).coalesce(1))
+    snap = current_snapshot(t.path)
+    assert snap.version == CHECKPOINT_EVERY
+    # every live file still has its stats after checkpoint replay
+    assert set(snap.stats) == set(snap.files)
+    assert len(t.files_for(bounds={"k": (0, 5)})) == 1
+
+
+def test_delete_drops_removed_file_stats(banded, spark):
+    n = banded.delete(F.col("k").between(100, 149))
+    assert n == 50
+    snap = current_snapshot(banded.path)
+    # the removed file's stats are gone, every live file has an entry,
+    # and the survivor rewrite's stats reflect the narrowed range
+    assert set(snap.stats) == set(snap.files)
+    assert len(banded.files_for(bounds={"k": (100, 149)})) == 0
+    assert banded.read(bounds={"k": (150, 199)}).filter(
+        F.col("k").between(150, 199)
+    ).count() == 50
