@@ -75,6 +75,52 @@ def _hash64(data: bytes) -> int:
     return x - (1 << 64) if x >= (1 << 63) else x
 
 
+def _hash64_arr(strs: list):
+    """``_hash64`` over a whole Arrow batch of strings, hashing each
+    DISTINCT string once: ``np.unique`` collapses repeats (boilerplate
+    shingles/tokens recur heavily in exactly the corpora dedup runs
+    on), md5 runs per unique value, and the inverse index gathers the
+    results back into occurrence order. Returns int64."""
+    import numpy as np
+    from hashlib import md5
+
+    if not len(strs):
+        return np.empty(0, dtype=np.int64)
+    uniq, inv = np.unique(np.asarray(strs, dtype=object), return_inverse=True)
+    vals = np.fromiter(
+        (
+            int.from_bytes(md5(s.encode("utf-8")).digest()[:8], "little")
+            for s in uniq
+        ),
+        dtype=np.uint64,
+        count=len(uniq),
+    )
+    return vals[inv].view(np.int64)
+
+
+def _segment_starts(counts: list):
+    """Start offsets of per-doc segments in a flattened batch array —
+    the ``indices`` argument ``np.{minimum,add}.reduceat`` needs."""
+    import numpy as np
+
+    bounds = np.cumsum(np.asarray(counts, dtype=np.int64))
+    return np.concatenate((np.zeros(1, dtype=np.int64), bounds[:-1])), bounds
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Fan a narrow input out to the session parallelism before an
+    Arrow kernel. A small parquet table arrives as one or two scan
+    splits (``maxPartitionBytes``), which would run the per-doc kernel
+    on one or two cores; on a real cluster the scan already carries at
+    least as many partitions as cores and this is a no-op — the guard
+    makes it a local-small-input fix, not a blind extra shuffle."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() * 2 <= target:
+        return df.repartition(target)
+    return df
+
+
 # --- exact ------------------------------------------------------------------
 
 
@@ -169,33 +215,60 @@ def minhash_band_rows(df: DataFrame) -> DataFrame:
     import pandas as pd
 
     def kernel(batches):
-        a = np.array(_PERM_A, dtype=np.uint64).reshape(-1, 1)
-        b = np.array(_PERM_B, dtype=np.uint64).reshape(-1, 1)
+        a = np.array(_PERM_A, dtype=np.uint64)
+        b = np.array(_PERM_B, dtype=np.uint64)
+        empty = pd.DataFrame(
+            {
+                "doc_id": pd.array([], dtype="int64"),
+                "band_key": pd.array([], dtype="int64"),
+            }
+        )
         for pdf in batches:
-            out_ids, out_keys = [], []
+            # Flatten the batch: one hash pass over ALL shingles (each
+            # distinct string md5'd once — _hash64_arr), one
+            # min-reduceat per permutation over doc segments, instead
+            # of a per-document numpy round trip.
+            ids: list = []
+            counts: list = []
+            flat: list = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 shingles = _py_shingles(text)
                 if not shingles:
                     continue
-                h = np.array(
-                    [_hash64(s.encode("utf-8")) for s in shingles], dtype=np.int64
-                ).view(np.uint64)
-                sig = (a * h + b).min(axis=1)  # (32,) — uint64 wraparound
+                ids.append(doc_id)
+                counts.append(len(shingles))
+                flat.extend(shingles)
+            if not ids:
+                yield empty
+                continue
+            h = _hash64_arr(flat).view(np.uint64)
+            starts, _ = _segment_starts(counts)
+            n_docs = len(ids)
+            sig = np.empty((_MINHASH_PERMS, n_docs), dtype=np.uint64)
+            for i in range(_MINHASH_PERMS):
+                # uint64 wraparound multiply-shift, per-doc minimum
+                sig[i] = np.minimum.reduceat(a[i] * h + b[i], starts)
+            out_keys = np.empty(n_docs * _LSH_BANDS, dtype=np.int64)
+            k = 0
+            for d in range(n_docs):
                 for band in range(_LSH_BANDS):
-                    band_sig = sig[band * _ROWS_PER_BAND : (band + 1) * _ROWS_PER_BAND]
-                    key = _hash64(
+                    band_sig = sig[
+                        band * _ROWS_PER_BAND : (band + 1) * _ROWS_PER_BAND, d
+                    ]
+                    out_keys[k] = _hash64(
                         (str(band) + ":" + ",".join(map(str, band_sig))).encode()
                     )
-                    out_ids.append(doc_id)
-                    out_keys.append(key)
+                    k += 1
             yield pd.DataFrame(
                 {
-                    "doc_id": pd.array(out_ids, dtype="int64"),
-                    "band_key": pd.array(out_keys, dtype="int64"),
+                    "doc_id": np.repeat(
+                        np.asarray(ids, dtype=np.int64), _LSH_BANDS
+                    ),
+                    "band_key": out_keys,
                 }
             )
 
-    return df.select("doc_id", "text").mapInPandas(
+    return _spread(df.select("doc_id", "text")).mapInPandas(
         kernel, "doc_id bigint, band_key bigint"
     )
 
@@ -531,30 +604,51 @@ def simhash_signatures(df: DataFrame) -> DataFrame:
 
     def kernel(batches):
         bit_idx = np.arange(64, dtype=np.uint64)
+        empty = pd.DataFrame(
+            {
+                "doc_id": pd.array([], dtype="int64"),
+                "sh": pd.array([], dtype="int64"),
+            }
+        )
         for pdf in batches:
-            out_ids, out_sigs = [], []
+            # One hash pass over the flattened batch (distinct tokens
+            # md5'd once), then segment-summed per-bit votes: unpack
+            # the little-endian bytes to a (n_tok, 64) bit matrix and
+            # add-reduceat over doc segments — bit k of column k is
+            # (h >> k) & 1, matching the per-doc formulation exactly.
+            ids: list = []
+            counts: list = []
+            flat: list = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 toks = set(text.strip(" ").lower().split(" "))
                 if not toks:
                     continue
-                h = np.array(
-                    [_hash64(t.encode("utf-8")) for t in toks], dtype=np.int64
-                ).view(np.uint64)
-                bits = (h[:, None] >> bit_idx) & np.uint64(1)  # (n_tok, 64)
-                votes = bits.astype(np.int64).sum(axis=0) * 2 - len(h)  # ±1 votes
-                sig = ((votes > 0).astype(np.uint64) << bit_idx).sum(
-                    dtype=np.uint64
-                )
-                out_ids.append(doc_id)
-                out_sigs.append(sig)
+                ids.append(doc_id)
+                counts.append(len(toks))
+                flat.extend(toks)
+            if not ids:
+                yield empty
+                continue
+            h = _hash64_arr(flat).view(np.uint64).astype("<u8", copy=False)
+            bits = np.unpackbits(
+                h.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+            ).astype(np.int32)  # (n_tok, 64)
+            starts, _ = _segment_starts(counts)
+            ones = np.add.reduceat(bits, starts, axis=0)  # (n_docs, 64)
+            votes = 2 * ones - np.asarray(counts, dtype=np.int64)[:, None]
+            sig = ((votes > 0).astype(np.uint64) << bit_idx).sum(
+                axis=1, dtype=np.uint64
+            )
             yield pd.DataFrame(
                 {
-                    "doc_id": pd.array(out_ids, dtype="int64"),
-                    "sh": np.array(out_sigs, dtype=np.uint64).view(np.int64),
+                    "doc_id": pd.array(ids, dtype="int64"),
+                    "sh": sig.view(np.int64),
                 }
             )
 
-    return df.select("doc_id", "text").mapInPandas(kernel, "doc_id bigint, sh bigint")
+    return _spread(df.select("doc_id", "text")).mapInPandas(
+        kernel, "doc_id bigint, sh bigint"
+    )
 
 
 @query(
@@ -629,8 +723,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.doc_id").alias("doc_b"),
             F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("hamming"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
+        # filter BEFORE the dedup shuffle: hamming is a pure function
+        # of the pair, so the order is semantics-free, and the ≤3 cut
+        # drops the random single-band collisions (large hamming) that
+        # would otherwise ride the dropDuplicates exchange.
         .filter(F.col("hamming") <= 3)
+        .dropDuplicates(["doc_a", "doc_b"])
     )
     return pairs
 
@@ -646,26 +744,39 @@ def hashed_shingle_rows(df: DataFrame) -> DataFrame:
     could diverge from string-set semantics, so the DuckDB oracle may
     use its own hash() and still agree — while set ops downstream run
     over 8-byte ints instead of ~25-byte strings."""
+    import numpy as np
     import pandas as pd
 
     def kernel(batches):
         for pdf in batches:
+            # Flatten distinct shingle STRINGS per doc, hash the whole
+            # batch in one _hash64_arr pass, then slice back into
+            # per-doc lists. np.unique per segment preserves the
+            # original set-of-hashes semantics (a within-doc 64-bit
+            # collision dedups, exactly as the set() build did).
             rows = {"doc_id": [], "lang": [], "len_bucket": [], "shingles": []}
+            counts: list = []
+            flat: list = []
             for doc_id, lang, text in zip(pdf["doc_id"], pdf["lang"], pdf["text"]):
                 toks = text.strip(" ").lower().split(" ")
                 if len(toks) < 3:
                     continue
                 sh = {
-                    _hash64(" ".join(toks[i : i + 3]).encode("utf-8"))
-                    for i in range(len(toks) - 2)
+                    " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
                 }
                 rows["doc_id"].append(doc_id)
                 rows["lang"].append(lang)
                 rows["len_bucket"].append(len(toks) // 32)
-                rows["shingles"].append(list(sh))
+                counts.append(len(sh))
+                flat.extend(sh)
+            h = _hash64_arr(flat)
+            starts, bounds = _segment_starts(counts)
+            rows["shingles"] = [
+                np.unique(h[s:e]).tolist() for s, e in zip(starts, bounds)
+            ]
             yield pd.DataFrame(rows)
 
-    return df.select("doc_id", "lang", "text").mapInPandas(
+    return _spread(df.select("doc_id", "lang", "text")).mapInPandas(
         kernel, "doc_id bigint, lang string, len_bucket int, shingles array<bigint>"
     )
 
