@@ -273,7 +273,7 @@ def minhash_band_rows(df: DataFrame) -> DataFrame:
     )
 
 
-def _bands_cte() -> str:
+def _bands_cte(src: str = "documents") -> str:
     """Shared DuckDB CTE chain ``toks → strs → hashed → sigs → bands``
     replicating ``minhash_band_rows`` exactly: trigram shingles are
     strings, the shingle/band hashes are md5 truncations (DuckDB md5()
@@ -282,7 +282,9 @@ def _bands_cte() -> str:
     emulated exactly in HUGEINT by splitting ``a`` into 32-bit halves
     (each partial product < 2⁹⁶, inside signed-128 range;
     property-tested against Python in tests/test_dedup.py). Used by
-    both the full-corpus LSH oracle and the incremental-index one."""
+    the full-corpus LSH oracle, the incremental-index one, and — with
+    ``src`` pointing at a (doc_id, text) chunk CTE — the chunk-level
+    near-dup oracle."""
     m64, m32 = 1 << 64, 1 << 32
 
     def h64(hex_expr: str) -> str:
@@ -307,7 +309,7 @@ def _bands_cte() -> str:
         band_keys.append(h64(f"md5(concat('{i}:', {csv}))"))
     bands_list = ",\n               ".join(band_keys)
     return f"""toks AS (
-        SELECT doc_id, string_split(trim(lower(text)), ' ') AS t FROM documents
+        SELECT doc_id, string_split(trim(lower(text)), ' ') AS t FROM {src}
     ), strs AS (
         SELECT doc_id,
                list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
@@ -441,6 +443,140 @@ def minhash_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
         .join(t_b, "doc_b")
         .mapInPandas(verify, "doc_a bigint, doc_b bigint, jaccard double")
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# --- chunk-level fuzzy dedup ------------------------------------------------
+
+_CHUNK_UID_BASE = 1 << 32  # packed chunk id = doc_id * BASE + chunk_idx.
+# A kernel-schema convenience (the banded kernel keys on one bigint):
+# assumes doc_id < 2³¹ and chunk_idx < 2³²; a production corpus with
+# wider ids would thread a struct key through the kernel instead.
+
+
+def _chunk_minhash_oracle() -> str:
+    """DuckDB replica of the chunk-level near-dup pipeline: the
+    text_chunk_overlap tiler (same integer arithmetic) renamed to a
+    (doc_id, text) relation with packed chunk uids, then the exact
+    band CTE chain from ``_bands_cte`` and the same cap / candidate /
+    string-set Jaccard verify as the document-level LSH oracle."""
+    from finance_pipeline_spark.operators.textops import (
+        _CHUNK_OVERLAP,
+        _CHUNK_STRIDE,
+        _CHUNK_TOKENS,
+    )
+
+    return f"""
+    WITH dtoks AS (
+        SELECT doc_id, string_split(text, ' ') AS dts,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+    ), dk AS (
+        SELECT doc_id, dts, n,
+               greatest(1, CAST(ceil((n - {_CHUNK_OVERLAP}) / {_CHUNK_STRIDE}.0)
+                                AS BIGINT)) AS n_chunks
+        FROM dtoks
+    ), chunk_src AS (
+        SELECT doc_id * {_CHUNK_UID_BASE} + c AS doc_id,
+               list_aggregate(dts[c * {_CHUNK_STRIDE} + 1 :
+                                  least(c * {_CHUNK_STRIDE} + {_CHUNK_TOKENS}, n)],
+                              'string_agg', ' ') AS text
+        FROM dk, unnest(range(0, n_chunks)) AS r(c)
+    ), {_bands_cte(src="chunk_src")}, capped AS (
+        SELECT doc_id, band_key FROM (
+            SELECT doc_id, band_key,
+                   count(*) OVER (PARTITION BY band_key) AS n
+            FROM bands
+        ) WHERE n <= {_MINHASH_BUCKET_CAP}
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS uid_a, b.doc_id AS uid_b
+        FROM capped a JOIN capped b
+          ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ), verified AS (
+        SELECT c.uid_a, c.uid_b,
+               round(CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)
+                     / len(list_distinct(list_concat(sa.ss, sb.ss))), 4) AS jaccard
+        FROM cand c
+        JOIN strs sa ON sa.doc_id = c.uid_a
+        JOIN strs sb ON sb.doc_id = c.uid_b
+    )
+    SELECT uid_a // {_CHUNK_UID_BASE} AS doc_a,
+           uid_a % {_CHUNK_UID_BASE} AS chunk_a,
+           uid_b // {_CHUNK_UID_BASE} AS doc_b,
+           uid_b % {_CHUNK_UID_BASE} AS chunk_b,
+           jaccard
+    FROM verified WHERE jaccard >= {_CHUNK_MINHASH_THRESHOLD}
+    """
+
+
+_CHUNK_MINHASH_THRESHOLD = 0.5  # same verify bar as the document LSH
+
+
+@query(
+    "dedup_chunk_minhash",
+    oracle=_chunk_minhash_oracle(),
+    tags=("dedup", "lsh", "chunking", "training-prep"),
+    bench=True,
+)
+def dedup_chunk_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy CHUNK-level near-dup pairs — the pass exact chunk dedup
+    (``text_chunk_dedup``) misses: boilerplate paragraphs with minor
+    edits (tracker tails, templated headers) that recur across
+    unrelated pages. Documents are tiled with text_chunk_overlap's
+    chunker, then every chunk runs the full banded-MinHash pipeline
+    (``minhash_pairs`` — the same kernel, bucket cap and string-set
+    Jaccard verify as the document-level LSH) with packed
+    ``doc_id * 2³² + chunk_idx`` uids, decomposed back to
+    (doc, chunk) pairs on output.
+
+    Scale shape: inherits the document-LSH discipline wholesale — the
+    band shuffle carries (uid, band_key) rows only, buckets over
+    _MINHASH_BUCKET_CAP are dropped as boilerplate-degenerate, and
+    chunk text re-joins once per surviving candidate pair. Chunking
+    multiplies row count by ~n_tokens/stride but DIVIDES per-row
+    payload by the same factor, so the shuffled byte volume stays
+    O(corpus); adjacent chunks of one doc share only the 8-token
+    overlap (Jaccard ≈ 0.11, well under the 0.5 verify bar), so
+    self-matches don't pollute the output."""
+    from finance_pipeline_spark.operators.textops import (
+        _CHUNK_OVERLAP,
+        _CHUNK_STRIDE,
+        _CHUNK_TOKENS,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((n - F.lit(_CHUNK_OVERLAP)) / F.lit(float(_CHUNK_STRIDE))).cast(
+            "bigint"
+        ),
+    )
+    exploded = d.select(
+        "doc_id", toks.alias("ts"), n.alias("n"), n_chunks.alias("n_chunks")
+    ).select(
+        "doc_id",
+        "ts",
+        "n",
+        F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("chunk_idx"),
+    )
+    start = F.col("chunk_idx") * _CHUNK_STRIDE
+    chunk_len = F.least(start + F.lit(_CHUNK_TOKENS), F.col("n")) - start
+    chunks = exploded.select(
+        (F.col("doc_id") * _CHUNK_UID_BASE + F.col("chunk_idx")).alias("doc_id"),
+        F.array_join(F.slice(F.col("ts"), start + 1, chunk_len), " ").alias(
+            "text"
+        ),
+    )
+    pairs = minhash_pairs(chunks, threshold=_CHUNK_MINHASH_THRESHOLD)
+    base = F.lit(_CHUNK_UID_BASE)
+    return pairs.select(
+        F.expr(f"doc_a div {_CHUNK_UID_BASE}").alias("doc_a"),
+        F.pmod(F.col("doc_a"), base).alias("chunk_a"),
+        F.expr(f"doc_b div {_CHUNK_UID_BASE}").alias("doc_b"),
+        F.pmod(F.col("doc_b"), base).alias("chunk_b"),
+        "jaccard",
     )
 
 

@@ -213,6 +213,52 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # re-enter the evaluated window this round; "out" entries move past the
 # fold carrying the named prior round's hash-green driver evidence.
 ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
+    "r7": {
+        "in": (
+            # Oldest-evidence first (the standing ledger rule): the
+            # entire r4-evidence cohort (folded r5, never back since)
+            # plus the five entries deferred in r6.
+            "p2_drop_column", "p3_date_window", "d2_interval_shift",
+            "d4_custom_format_parse", "u3_semi_join", "mm_decode_features",
+            "kmeans_train_assign", "dedup_group_decisions", "ann_ivf_topk",
+            "emb_quantize_int8", "text_token_count", "text_gopher_rules",
+            "text_pack_sequences", "rollup_time_multi", "funnel_conversion",
+            "cohort_retention", "text_split_assign", "join_range_bands",
+            "stream_static_join", "text_mixture_sample", "dedup_exact",
+            "dedup_ngram_jaccard",
+            # deferred r1-r3-evidence remainder (r6 rotation note)
+            "win_topk_per_group", "dedup_embedding_cosine",
+            "text_ngram_profile", "a2_empty_probe", "d6_literal_columns",
+            # implementation changed in r7 (vectorized minhash/shingle
+            # kernels; batched ANN query fetch) — fresh evidence on the
+            # new code, not stale fold rows
+            "dedup_minhash_lsh", "dedup_incremental",
+            "ann_cosine_topk", "ann_quantized_topk",
+            # new r7 operator — first driver evidence
+            "dedup_chunk_minhash",
+        ),
+        "out": (  # all hash-green in CORRECTNESS_r06.json; the r6
+            # first-evidence / changed-code rows (agg_incremental_maintain,
+            # dq_referential_audit, text_chunk_overlap, text_chunk_dedup,
+            # event_transition_counts, merge_upsert_orders,
+            # anomaly_zscore_flags, fuzzy_match_blocked, win_tumbling,
+            # join_agg_revenue, ann_lsh_topk) stay in-window, as do
+            # dedup_simhash (kernel re-vectorized r7) and the family
+            # anchors stream_tumbling_counts / stateful_user_totals /
+            # o3_dynamic_sort
+            "agg_minmax_distinct", "agg_variance_exact", "agg_rollup",
+            "agg_cube", "agg_pivot", "agg_unpivot", "win_running_sum",
+            "join_multiway_region", "u1_union_dedup", "o1_topk_multikey",
+            "a1_count", "p1_projection", "p4_comparison_filter",
+            "p5_null_drop", "p6_exact_dedup", "p7_keyed_dedup",
+            "p9_arity_guard", "d1_parse_coerce", "d3_tz_convert",
+            "d5_format_render", "d7_text_to_double", "d9_map_explode",
+            "d9b_json_map_parse", "d11_month_offset", "dedup_exact_by_digest",
+            "dedup_keyed_pick", "mm_frame_sample", "text_fingerprint",
+            "text_langid", "text_bpe_token_count", "text_quality_score",
+            "udf_embedding_norm",
+        ),
+    },
     "r6": {
         "in": (
             # Oldest-evidence-first (the standing ledger rule): the
@@ -404,35 +450,96 @@ PRIORITY: tuple[str, ...] = (
     "agg_pricing_summary",
     "agg_approx_distinct",
     "agg_approx_quantile",
-    # aggregate shapes — the r1/r2- and r3-evidence cohort re-earning
-    # driver rows this round (see ROTATION_LOG r6)
+    # aggregates-misc (empty-probe re-earning after its r6 deferral)
+    "a2_empty_probe",
+    # event-time windows: win_tumbling holds its r6-reimplemented slot
+    # one more round; per-group top-k re-earns after its r4 fold
+    "win_tumbling",
+    "win_topk_per_group",
+    # joins / set ops (join_agg_revenue keeps its r6 AQE-decided plan
+    # in-window; range bands + semi-join re-earn from the r4 cohort)
+    "join_agg_revenue",
+    "join_range_bands",
+    "u3_semi_join",
+    # sort / catalog introspection anchor
+    "o3_dynamic_sort",
+    # projection / filter (r4 cohort re-entries)
+    "p2_drop_column",
+    "p3_date_window",
+    # derivations (r4 cohort + the deferred literal-columns row)
+    "d2_interval_shift",
+    "d4_custom_format_parse",
+    "d6_literal_columns",
+    # dedup family — the r7 kernel-vectorization cohort: every query
+    # whose signature/shingle kernel changed re-earns evidence on the
+    # NEW code (minhash_lsh, incremental, ngram_jaccard, simhash), the
+    # chunk-level MinHash pass lands its first row, and the r4-folded
+    # exact/group/embedding variants re-earn their rotation rows
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_incremental",
+    "dedup_simhash",
+    "dedup_chunk_minhash",
+    "dedup_group_decisions",
+    "dedup_embedding_cosine",
+    # multimodal (decode-features re-earning; frame_sample folds r6-green)
+    "mm_decode_features",
+    # similarity — the batched-query-fetch cohort: all four ANN serving
+    # paths re-earn on the changed _query_matrix, plus the r4-folded
+    # quantizer + k-means trainer
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "ann_quantized_topk",
+    "emb_quantize_int8",
+    "kmeans_train_assign",
+    # streaming anchors (stream_static_join re-earns from the r4 cohort)
+    "stream_tumbling_counts",
+    "stream_static_join",
+    # stateful anchor
+    "stateful_user_totals",
+    # text family — r4 cohort re-entries + the deferred ngram profile;
+    # chunking pair keeps its r6 first-evidence slots
+    "text_token_count",
+    "text_gopher_rules",
+    "text_pack_sequences",
+    "text_split_assign",
+    "text_mixture_sample",
+    "text_ngram_profile",
+    "text_chunk_overlap",
+    "text_chunk_dedup",
+    # temporal (r4 cohort re-entries + r6 first-evidence transitions)
+    "rollup_time_multi",
+    "funnel_conversion",
+    "cohort_retention",
+    "event_transition_counts",
+    # warehouse tier — r6 first-evidence / changed-code rows hold their
+    # slots one more round
+    "agg_incremental_maintain",
+    "dq_referential_audit",
+    "merge_upsert_orders",
+    "anomaly_zscore_flags",
+    "fuzzy_match_blocked",
+    # ---- fold: position 51+ — prior-round hash-green driver evidence ----
+    # r6-green, rotated out r7 (newest evidence first)
     "agg_minmax_distinct",
     "agg_variance_exact",
     "agg_rollup",
     "agg_cube",
     "agg_pivot",
     "agg_unpivot",
-    # batch event-time window (re-implemented r6: scalar bucket key)
-    # + running-sum window frames
-    "win_tumbling",
     "win_running_sum",
-    # joins / set ops (join_agg_revenue changed r6: AQE-decided orders
-    # side — stays in-window to earn evidence on the new plan)
-    "join_agg_revenue",
     "join_multiway_region",
     "u1_union_dedup",
-    # sort / topk / aggregates-misc
     "o1_topk_multikey",
-    "o3_dynamic_sort",
     "a1_count",
-    # projection / filter
     "p1_projection",
     "p4_comparison_filter",
     "p5_null_drop",
     "p6_exact_dedup",
     "p7_keyed_dedup",
     "p9_arity_guard",
-    # derivations
     "d1_parse_coerce",
     "d3_tz_convert",
     "d5_format_render",
@@ -440,47 +547,20 @@ PRIORITY: tuple[str, ...] = (
     "d9_map_explode",
     "d9b_json_map_parse",
     "d11_month_offset",
-    # dedup family (digest/keyed/simhash reps this round; minhash/
-    # components/incremental fold on r5-green)
     "dedup_exact_by_digest",
     "dedup_keyed_pick",
-    "dedup_simhash",
-    # multimodal
     "mm_frame_sample",
-    # similarity (ann_lsh_topk graduated to a full oracle r6 — in-window
-    # to earn its first hash-green row; cosine/quantized fold r5-green)
-    "ann_lsh_topk",
-    "udf_embedding_norm",
-    # streaming anchor (the rest of the family folds on r5-green)
-    "stream_tumbling_counts",
-    # stateful anchor
-    "stateful_user_totals",
-    # text anchors (the r3-evidence text rows re-earn;
-    # decontaminate/vocab/pii/repetition/tfidf/quota fold r5-green)
     "text_fingerprint",
     "text_langid",
     "text_bpe_token_count",
     "text_quality_score",
-    # NEW r6 operators — first driver evidence
-    "agg_incremental_maintain",
-    "dq_referential_audit",
-    "text_chunk_overlap",
-    "text_chunk_dedup",
-    "event_transition_counts",
-    # warehouse rows changed in r6 (disjoint merge keys, exact squared
-    # decimals, composed blocking key) — fresh evidence on the new code
-    "merge_upsert_orders",
-    "anomaly_zscore_flags",
-    "fuzzy_match_blocked",
-    # ---- fold: position 51+ — prior-round hash-green driver evidence ----
-    # r5-green, rotated out r6 (newest evidence first)
+    "udf_embedding_norm",
+    # r5-green cohort, folded r6 (minus the four re-entering above)
     "stream_dedup",
     "text_decontaminate",
     "user_gap_stats",
     "win_rank_family",
-    "dedup_minhash_lsh",
     "dedup_connected_groups",
-    "dedup_incremental",
     "join_skew_enrich",
     "u2_anti_join",
     "d8_trim",
@@ -490,8 +570,6 @@ PRIORITY: tuple[str, ...] = (
     "o2_topk_single",
     "a3_affected_rows",
     "s6_sql_table_scan",
-    "ann_cosine_topk",
-    "ann_quantized_topk",
     "win_sliding",
     "win_session",
     "stream_stream_join",
@@ -514,36 +592,6 @@ PRIORITY: tuple[str, ...] = (
     "text_tfidf_topk",
     "text_source_quota",
     "grouped_user_gaps",
-    # r4-green cohort (folded r5; next oldest — first in line for r7)
-    "p2_drop_column",
-    "p3_date_window",
-    "d2_interval_shift",
-    "d4_custom_format_parse",
-    "u3_semi_join",
-    "mm_decode_features",
-    "kmeans_train_assign",
-    "dedup_group_decisions",
-    "ann_ivf_topk",
-    "emb_quantize_int8",
-    "text_token_count",
-    "text_gopher_rules",
-    "text_pack_sequences",
-    "rollup_time_multi",
-    "funnel_conversion",
-    "cohort_retention",
-    "text_split_assign",
-    "join_range_bands",
-    "stream_static_join",
-    "text_mixture_sample",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    # r1/r2- and r3-evidence remainder (deferred one round — see
-    # ROTATION_LOG r6; first in line with the r4 cohort for r7)
-    "win_topk_per_group",
-    "dedup_embedding_cosine",
-    "text_ngram_profile",
-    "a2_empty_probe",
-    "d6_literal_columns",
 )
 
 DRIVER_WINDOW = 50  # observed driver evaluation cap (r1 + r2)

@@ -209,3 +209,40 @@ def test_minhash_is_deterministic(spark, tmp_path):
         for r in registry.QUERIES["dedup_minhash_lsh"].fn(spark, sf).collect()
     )
     assert run() == run()
+
+
+def test_chunk_minhash_finds_edited_boilerplate(spark, tmp_path):
+    """A ~32-token boilerplate paragraph embedded (chunk-aligned) in
+    two otherwise-unrelated docs, one copy carrying a single token
+    edit: exact chunk dedup misses it, the chunk-level MinHash pass
+    must pair the two chunks. Precision: every reported pair's Jaccard
+    recomputed from the chunk texts independently."""
+    from finance_pipeline_spark.operators.textops import (
+        _CHUNK_STRIDE,
+        _CHUNK_TOKENS,
+    )
+
+    rng = random.Random(11)
+    boiler = random_doc(rng, n_tokens=_CHUNK_TOKENS)
+    edited = perturb_doc(rng, boiler, n_edits=1)
+    rows = [
+        (1, boiler + " " + random_doc(rng, 48)),
+        (2, edited + " " + random_doc(rng, 48)),
+        (3, random_doc(rng, 80)),
+    ]
+    sf = write_documents(tmp_path, rows)
+    got = registry.QUERIES["dedup_chunk_minhash"].fn(spark, sf).collect()
+    pairs = {(r.doc_a, r.chunk_a, r.doc_b, r.chunk_b) for r in got}
+    assert (1, 0, 2, 0) in pairs, pairs
+
+    def chunk(text: str, idx: int) -> str:
+        toks = text.split(" ")
+        return " ".join(toks[idx * _CHUNK_STRIDE : idx * _CHUNK_STRIDE + _CHUNK_TOKENS])
+
+    texts = dict(rows)
+    for r in got:
+        a = _py_shingles(chunk(texts[r.doc_a], r.chunk_a))
+        b = _py_shingles(chunk(texts[r.doc_b], r.chunk_b))
+        true_jac = len(a & b) / len(a | b)
+        assert true_jac >= 0.5, (tuple(r), true_jac)
+        assert abs(true_jac - r.jaccard) < 1e-3

@@ -66,31 +66,31 @@ def test_driver_window_covers_every_family():
     window = list(ordered)[: registry.DRIVER_WINDOW]
 
     must_be_in_window = {
-        # queries whose implementation/oracle CHANGED in r6 — they must
-        # earn driver evidence on the new code, not coast on stale rows
-        "ann_lsh_topk",  # graduated to a full oracle (integer SRP planes)
-        "join_agg_revenue",  # AQE-decided orders side
-        "fuzzy_match_blocked",  # composed blocking key
-        "anomaly_zscore_flags",  # exact decimal(18,6)^2 moments
-        "merge_upsert_orders",  # disjoint -key-1 insert space
-        "win_tumbling",  # scalar bucket group key
+        # queries whose implementation CHANGED in r7 — they must earn
+        # driver evidence on the new code, not coast on stale rows
+        "dedup_minhash_lsh",  # vectorized band kernel
+        "dedup_incremental",  # vectorized band kernel (shared)
+        "dedup_ngram_jaccard",  # vectorized shingle kernel
+        "dedup_simhash",  # vectorized signature kernel + filter order
+        "ann_cosine_topk", "ann_lsh_topk",  # batched query fetch
+        "ann_ivf_topk", "ann_quantized_topk",  # batched query fetch
+        # new r7 operator earning its first driver evidence
+        "dedup_chunk_minhash",
         # flagship + the two sketch rows
         "agg_pricing_summary", "agg_approx_distinct", "agg_approx_quantile",
-        # new r6 operators earning their first driver evidence
-        "agg_incremental_maintain", "dq_referential_audit",
-        "text_chunk_overlap",
-        # one-plus anchor per family while the old-evidence cohort
-        # re-earns its rows (ROTATION_LOG r6: 40-query swap, the whole
-        # r1/r2-evidence cohort + most of r3's back in-window)
+        # one-plus anchor per family while the r4-evidence cohort
+        # re-earns its rows (ROTATION_LOG r7)
         "stream_tumbling_counts",  # streaming
         "stateful_user_totals",  # stateful
-        "text_fingerprint",  # text
-        "mm_frame_sample",  # multimodal
-        "udf_embedding_norm",  # pandas-UDF surface
-        "dedup_exact_by_digest", "dedup_keyed_pick", "dedup_simhash",  # dedup
-        "u1_union_dedup",  # set ops
-        "o1_topk_multikey", "a1_count",  # sort / aggregates-misc
-        "p1_projection", "d1_parse_coerce",  # projection / derivation
+        "text_chunk_overlap",  # text
+        "mm_decode_features",  # multimodal
+        "dedup_exact",  # dedup exact tier
+        "u3_semi_join",  # set ops
+        "o3_dynamic_sort",  # sort / catalog
+        "a2_empty_probe",  # aggregates-misc
+        "p2_drop_column", "d2_interval_shift",  # projection / derivation
+        "win_tumbling", "join_agg_revenue",  # windows / joins
+        "merge_upsert_orders", "event_transition_counts",  # warehouse/temporal
     }
     missing = must_be_in_window - set(window)
     assert not missing, f"fell out of the driver window: {sorted(missing)}"
@@ -107,6 +107,7 @@ def test_driver_window_covers_every_family():
         "CORRECTNESS_r03.json",
         "CORRECTNESS_r04.json",
         "CORRECTNESS_r05.json",
+        "CORRECTNESS_r06.json",
     ):
         p = Path(__file__).resolve().parents[1] / f
         if p.exists():
