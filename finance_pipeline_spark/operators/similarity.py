@@ -54,41 +54,45 @@ def _emb_matrix(col: pd.Series) -> np.ndarray:
     return np.array([np.asarray(v, dtype=np.float64) for v in col], dtype=np.float64)
 
 
-_QUERY_FETCH_CAP = 100_000  # max query vectors fetched driver-side; at
-# 384-dim float64 that is ~300 MB — roomy for a real query workload,
-# loud failure before a mis-scoped "query set" (e.g. the whole corpus)
-# silently OOMs the driver.
+_QUERY_FETCH_CAP = 100_000  # max query vectors held driver-side AT ONCE;
+# at 384-dim float64 that is ~300 MB. A larger query workload is
+# processed in cap-sized batches — one corpus pass per batch — instead
+# of the hard failure this replaces (or the OOM the failure prevented).
 
 
-def _query_matrix(spark: SparkSession, sf_dir: str):
+def _query_batches(spark: SparkSession, sf_dir: str):
     """Driver-side fetch of the query subset (1% of vectors — small by
     construction; at 100 TB the query set is the user's input, not a
-    corpus scan). Zero-norm queries are dropped (cosine undefined;
-    0/0 would score NaN, which Spark sorts above every real number).
-    Returns (ids, matrix, norms).
-
-    Guarded by ``_QUERY_FETCH_CAP``: the broadcast-queries design only
-    makes sense while the query side is driver-sized, so a query set
-    past the cap fails loudly instead of OOMing the driver mid-fetch
-    (the fix then is batching the query set, not raising the cap)."""
+    corpus scan), yielded as (ids, matrix, norms) batches of at most
+    ``_QUERY_FETCH_CAP`` rows. ``toLocalIterator`` streams the query
+    scan one partition at a time, so driver memory holds one batch
+    plus one in-flight partition — never the whole set — and a query
+    workload past the cap costs one extra corpus pass per batch, not
+    an OOM. Zero-norm queries are dropped (cosine undefined; 0/0
+    would score NaN, which Spark sorts above every real number)."""
     qdf = (
         load(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") % 100 == 0)
         .select("vec_id", "embedding")
     )
-    n = qdf.limit(_QUERY_FETCH_CAP + 1).count()
-    if n > _QUERY_FETCH_CAP:
-        raise ValueError(
-            f"ANN query set exceeds the driver-side fetch cap "
-            f"({n} > {_QUERY_FETCH_CAP} vectors): batch the query set "
-            f"instead of broadcasting it in one piece"
-        )
-    q = qdf.toPandas()
-    ids = q["vec_id"].to_numpy(dtype=np.int64)
-    mat = _emb_matrix(q["embedding"])
-    nrm = np.linalg.norm(mat, axis=1)
-    keep = nrm > 0.0
-    return ids[keep], mat[keep], nrm[keep]
+    ids_buf: list = []
+    emb_buf: list = []
+
+    def finish():
+        ids = np.asarray(ids_buf, dtype=np.int64)
+        mat = _emb_matrix(pd.Series(emb_buf))
+        nrm = np.linalg.norm(mat, axis=1)
+        keep = nrm > 0.0
+        return ids[keep], mat[keep], nrm[keep]
+
+    for row in qdf.toLocalIterator():
+        ids_buf.append(row.vec_id)
+        emb_buf.append(row.embedding)
+        if len(ids_buf) >= _QUERY_FETCH_CAP:
+            yield finish()
+            ids_buf, emb_buf = [], []
+    if ids_buf:
+        yield finish()
 
 
 @query(
@@ -127,46 +131,60 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped row is strictly below k batch-local rows even after
     rounding). Final rounding/ranking happens JVM-side so tie-breaks
     (rounded score desc, corpus_id asc) match the oracle exactly.
-    """
+
+    Query sets past ``_QUERY_FETCH_CAP`` run in batches: one broadcast
+    + one corpus pass each, unioned before the rank. The batches
+    partition the QUERY ids, so the union is disjoint by query_id and
+    the single JVM-side window rank is the global answer — no re-rank
+    or dedup needed."""
     e = load(spark, sf_dir, "embeddings")
-    q_ids, q_mat, q_nrm = _query_matrix(spark, sf_dir)
-    bq = spark.sparkContext.broadcast((q_ids, q_mat, q_nrm))
+    schema = "query_id bigint, corpus_id bigint, cosine double"
 
-    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ids_q, mat_q, nrm_q = bq.value
-        for pdf in batches:
-            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            mat = _emb_matrix(pdf["embedding"])
-            nrm = np.linalg.norm(mat, axis=1)
-            # Zero-norm corpus rows: cosine undefined, and NaN would
-            # outrank every real score under Spark's NaN-greatest sort.
-            finite = nrm > 0.0
-            if not finite.all():
-                ids, mat, nrm = ids[finite], mat[finite], nrm[finite]
-            if len(ids) == 0:
-                continue
-            # dot / (na*nb), same association as the oracle (normalize-
-            # then-matmul would shift the fp rounding a few ulps).
-            scores = (mat @ mat_q.T) / np.outer(nrm, nrm_q)
-            out = []
-            for j in range(len(ids_q)):
-                mask = ids != ids_q[j]
-                s, cids = scores[mask, j], ids[mask]
-                if len(s) > _TOPK:
-                    kth = np.partition(s, len(s) - _TOPK)[len(s) - _TOPK]
-                    keep = s >= kth - 2e-4
-                    s, cids = s[keep], cids[keep]
-                out.append(
-                    pd.DataFrame(
-                        {"query_id": ids_q[j], "corpus_id": cids, "cosine": s}
+    def scored_against(bq):
+        def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            ids_q, mat_q, nrm_q = bq.value
+            for pdf in batches:
+                ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+                mat = _emb_matrix(pdf["embedding"])
+                nrm = np.linalg.norm(mat, axis=1)
+                # Zero-norm corpus rows: cosine undefined, and NaN would
+                # outrank every real score under Spark's NaN-greatest sort.
+                finite = nrm > 0.0
+                if not finite.all():
+                    ids, mat, nrm = ids[finite], mat[finite], nrm[finite]
+                if len(ids) == 0:
+                    continue
+                # dot / (na*nb), same association as the oracle (normalize-
+                # then-matmul would shift the fp rounding a few ulps).
+                scores = (mat @ mat_q.T) / np.outer(nrm, nrm_q)
+                out = []
+                for j in range(len(ids_q)):
+                    mask = ids != ids_q[j]
+                    s, cids = scores[mask, j], ids[mask]
+                    if len(s) > _TOPK:
+                        kth = np.partition(s, len(s) - _TOPK)[len(s) - _TOPK]
+                        keep = s >= kth - 2e-4
+                        s, cids = s[keep], cids[keep]
+                    out.append(
+                        pd.DataFrame(
+                            {"query_id": ids_q[j], "corpus_id": cids, "cosine": s}
+                        )
                     )
-                )
-            if out:
-                yield pd.concat(out, ignore_index=True)
+                if out:
+                    yield pd.concat(out, ignore_index=True)
 
-    scored = e.select("vec_id", "embedding").mapInPandas(
-        score, "query_id bigint, corpus_id bigint, cosine double"
-    )
+        return e.select("vec_id", "embedding").mapInPandas(score, schema)
+
+    parts = [
+        scored_against(spark.sparkContext.broadcast(batch))
+        for batch in _query_batches(spark, sf_dir)
+    ]
+    if not parts:
+        scored = spark.createDataFrame([], schema)
+    else:
+        scored = parts[0]
+        for p in parts[1:]:
+            scored = scored.unionByName(p)
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("corpus_id"))
     return (
         scored.withColumn("cosine", F.round("cosine", 4))

@@ -485,9 +485,10 @@ PRIORITY: tuple[str, ...] = (
     "dedup_embedding_cosine",
     # multimodal (decode-features re-earning; frame_sample folds r6-green)
     "mm_decode_features",
-    # similarity — the batched-query-fetch cohort: all four ANN serving
-    # paths re-earn on the changed _query_matrix, plus the r4-folded
-    # quantizer + k-means trainer
+    # similarity — ann_cosine_topk re-earns on the r7 batched query
+    # fetch; the whole serving family rotates with it (lsh holds its
+    # r6 slot, ivf/quantized + quantizer + k-means re-earn their r4
+    # fold rows)
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",

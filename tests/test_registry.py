@@ -72,8 +72,8 @@ def test_driver_window_covers_every_family():
         "dedup_incremental",  # vectorized band kernel (shared)
         "dedup_ngram_jaccard",  # vectorized shingle kernel
         "dedup_simhash",  # vectorized signature kernel + filter order
-        "ann_cosine_topk", "ann_lsh_topk",  # batched query fetch
-        "ann_ivf_topk", "ann_quantized_topk",  # batched query fetch
+        "ann_cosine_topk",  # batched query fetch
+        "ann_lsh_topk", "ann_ivf_topk", "ann_quantized_topk",  # family rotation
         # new r7 operator earning its first driver evidence
         "dedup_chunk_minhash",
         # flagship + the two sketch rows

@@ -82,18 +82,26 @@ def test_lsh_candidates_much_smaller_than_cross_product(spark, tmp_path):
     assert per_q and max(per_q.values()) <= 10
 
 
-def test_query_fetch_cap_fails_loudly(spark, tmp_path, monkeypatch):
-    """A query set past _QUERY_FETCH_CAP must raise, not OOM the driver
-    mid-toPandas (the broadcast-queries design is only valid while the
-    query side is driver-sized)."""
-    import pytest
-
+def test_query_set_past_cap_batches_and_stays_exact(spark, tmp_path, monkeypatch):
+    """A query set past _QUERY_FETCH_CAP no longer raises (the old
+    contract): it is processed in cap-sized batches — one broadcast +
+    one corpus pass each, driver memory bounded by the cap — and the
+    unioned result is identical to the single-batch answer."""
     from finance_pipeline_spark.operators import similarity
 
     sf, _ = _planted(tmp_path)
+    want = sorted(
+        map(tuple, registry.QUERIES["ann_cosine_topk"].fn(spark, sf).collect())
+    )
+    assert want
     monkeypatch.setattr(similarity, "_QUERY_FETCH_CAP", 3)
-    with pytest.raises(ValueError, match="driver-side fetch cap"):
-        similarity._query_matrix(spark, sf)
+    batches = list(similarity._query_batches(spark, sf))
+    assert len(batches) > 1, "10 planted queries at cap 3 must batch"
+    assert all(len(b[0]) <= 3 for b in batches)
+    got = sorted(
+        map(tuple, registry.QUERIES["ann_cosine_topk"].fn(spark, sf).collect())
+    )
+    assert got == want
 
 
 def test_quantized_ann_recall_vs_float_baseline(spark, tmp_path):
