@@ -44,7 +44,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL oracle per query (omitted → rows-only)."""
     return {
-        name: spec.oracle
+        name: spec.oracle_text()
         for name, spec in registry.ordered_queries().items()
         if spec.oracle is not None
     }

@@ -357,7 +357,7 @@ def _minhash_oracle() -> str:
 
 @query(
     "dedup_minhash_lsh",
-    oracle=_minhash_oracle(),
+    oracle=_minhash_oracle,
     tags=("dedup", "lsh"),
     bench=True,
 )
@@ -514,7 +514,7 @@ _CHUNK_MINHASH_THRESHOLD = 0.5  # same verify bar as the document LSH
 
 @query(
     "dedup_chunk_minhash",
-    oracle=_chunk_minhash_oracle(),
+    oracle=_chunk_minhash_oracle,
     tags=("dedup", "lsh", "chunking", "training-prep"),
     bench=True,
 )
@@ -639,7 +639,7 @@ def _incremental_oracle() -> str:
 
 @query(
     "dedup_incremental",
-    oracle=_incremental_oracle(),
+    oracle=_incremental_oracle,
     tags=("dedup", "lsh", "incremental"),
     bench=True,
 )
@@ -922,16 +922,16 @@ _NGRAM_BLOCK_CAP = 512  # docs per (lang, len_bucket) block admitted to
 # candidate pairs are bounded by |blocks| × CAP²/2 no matter how the
 # corpus grows, instead of O(n²/|blocks|).
 #
-# NOTE: the registered oracle SQL captures this value at import time,
-# while the Spark path reads the module global at call time. A runtime
-# override (tests monkeypatch it to exercise the cap cheaply) desyncs
-# the two — fine for oracle-free pytest, never do it under
-# tools/check_oracle.py. A permanent change here keeps them in sync.
+# Single-sourced with the oracle: the oracle below is a lambda, so
+# QuerySpec.oracle_text() re-reads this global at ACCESS time — the
+# same moment the Spark path reads it. A runtime override (tests
+# monkeypatch it to exercise the cap cheaply) therefore changes BOTH
+# engines together (pinned by test_registry's oracle-sync test).
 
 
 @query(
     "dedup_ngram_jaccard",
-    oracle=f"""
+    oracle=lambda: f"""
     WITH sh AS (
         SELECT doc_id, lang,
                CAST(len(t) // 32 AS INTEGER) AS len_bucket,
@@ -1073,7 +1073,7 @@ _COSINE_BLOCK_CAP = 16  # docs per label block admitted to pairing — the
 
 @query(
     "dedup_embedding_cosine",
-    oracle=f"""
+    oracle=lambda: f"""
     WITH v0 AS (
         SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
                sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
@@ -1142,7 +1142,7 @@ def _cosine_pairs(e: DataFrame) -> DataFrame:
 
 @query(
     "dedup_connected_groups",
-    oracle=f"""
+    oracle=lambda: f"""
     WITH RECURSIVE v0 AS (
         SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
                sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
@@ -1254,7 +1254,7 @@ def _min_label_components(pairs: DataFrame) -> DataFrame:
 
 @query(
     "dedup_group_decisions",
-    oracle=f"""
+    oracle=lambda: f"""
     WITH RECURSIVE v0 AS (
         SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
                sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)

@@ -97,7 +97,7 @@ def _query_batches(spark: SparkSession, sf_dir: str):
 
 @query(
     "ann_cosine_topk",
-    oracle=f"""
+    oracle=lambda: f"""
     WITH v0 AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
                sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
@@ -365,7 +365,7 @@ def _lsh_oracle() -> str:
 
 @query(
     "ann_lsh_topk",
-    oracle=_lsh_oracle(),
+    oracle=_lsh_oracle,
     tags=("similarity", "ann", "lsh"),
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -445,7 +445,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ann_ivf_topk",
-    oracle=f"""
+    oracle=lambda: f"""
     WITH v0 AS (
         SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
                sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
@@ -677,7 +677,7 @@ _KMEANS_K = 8  # coarse-quantizer cells; seeds = the K smallest vec_ids
 
 @query(
     "kmeans_train_assign",
-    oracle=f"""
+    oracle=lambda: f"""
     WITH v AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
     ), seeds AS (

