@@ -14,6 +14,8 @@ loader.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
@@ -63,6 +65,13 @@ def stream_into_table(
     return stats
 
 
+@dataclass(frozen=True)
+class CdcApplyStats:
+    inserted: int
+    updated: int
+    deleted: int
+
+
 def stream_cdc_apply(
     spark: SparkSession,
     source_dir: str,
@@ -71,6 +80,8 @@ def stream_cdc_apply(
     keys: list[str],
     checkpoint_dir: str,
     seq_col: str | None = None,
+    op_col: str | None = None,
+    delete_op: str = "d",
     max_files_per_trigger: int | None = None,
 ) -> list:
     """Streaming CDC apply: drain a changelog file stream through
@@ -81,15 +92,26 @@ def stream_cdc_apply(
     historical changelog in batch; this applies one incrementally,
     exactly the Debezium-topic → warehouse-table apply loop.
 
+    ``op_col`` names the changelog's operation column (Debezium
+    ``op``): rows whose op equals ``delete_op`` are TOMBSTONES — their
+    keys are removed from the table (``TxnKeyedTable.delete_keys``,
+    the copy-on-write key-delete) instead of upserted as ghost rows;
+    every other op (insert/update/snapshot-read) upserts. The op
+    column is dropped before the upsert so it never lands in the
+    table. Without ``op_col`` the feed is treated as upsert-only —
+    fine for insert/update topics, wrong for feeds that carry
+    deletes.
+
     ``seq_col`` is the changelog's ordering column (LSN / commit ts /
     Kafka offset — every real CDC feed has one). When a microbatch
     carries SEVERAL changes for one key — the default, since one
     availableNow batch can take the whole backlog — the max-seq row
     wins (key tiebreak on the remaining columns), which is what
-    "latest state" means. Without ``seq_col`` the upsert falls back to
-    its deterministic min-by-value in-batch pick: convergent and
-    replay-safe, but NOT ordered — only acceptable when delivery
-    guarantees at most one change per key per batch.
+    "latest state" means: an update followed by a delete deletes, a
+    delete followed by a re-insert re-inserts. Without ``seq_col`` the
+    upsert falls back to its deterministic min-by-value in-batch pick:
+    convergent and replay-safe, but NOT ordered — only acceptable when
+    delivery guarantees at most one change per key per batch.
 
     Crash between microbatches replays from the checkpoint into an
     idempotent apply (same rows upsert to the same state):
@@ -97,7 +119,8 @@ def stream_cdc_apply(
     Concurrent out-of-band writers are safe too — upsert's optimistic
     concurrency restarts on commit conflicts.
 
-    Returns per-microbatch UpsertStats."""
+    Returns per-microbatch ``UpsertStats`` (no ``op_col``) or
+    ``CdcApplyStats`` (with one)."""
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
@@ -119,12 +142,31 @@ def stream_cdc_apply(
                 .filter(F.col("_rn") == 1)
                 .drop("_rn")
             )
-        s = table.upsert(df)
+        if op_col is None:
+            s = table.upsert(df)
+            log.info(
+                "cdc microbatch %d: %d inserted, %d updated",
+                batch_id, s.inserted, s.updated,
+            )
+            stats.append(s)
+            return
+        # Tombstone routing. The latest-per-key pick above already ran
+        # WITH the op column, so a key whose final change is a delete
+        # appears only on the tombstone side (and vice versa) — the
+        # two table commits below touch disjoint keys in either order.
+        # eqNullSafe: a null op is data, not a tombstone.
+        is_del = F.col(op_col).eqNullSafe(F.lit(delete_op))
+        upserts = df.filter(~is_del).drop(op_col)
+        tombstones = df.filter(is_del).select(*keys)
+        s = table.upsert(upserts)
+        n_del = table.delete_keys(tombstones)
         log.info(
-            "cdc microbatch %d: %d inserted, %d updated",
-            batch_id, s.inserted, s.updated,
+            "cdc microbatch %d: %d inserted, %d updated, %d deleted",
+            batch_id, s.inserted, s.updated, n_del,
         )
-        stats.append(s)
+        stats.append(
+            CdcApplyStats(inserted=s.inserted, updated=s.updated, deleted=n_del)
+        )
 
     reader = spark.readStream.schema(schema).option("header", True)
     if max_files_per_trigger is not None:

@@ -547,6 +547,75 @@ class TxnKeyedTable:
             f"lost the commit race {_MAX_COMMIT_RETRIES} times on {self.path}"
         )
 
+    def delete_keys(
+        self,
+        keys_df: DataFrame,
+        _before_commit: Callable[[int], None] | None = None,
+    ) -> int:
+        """DELETE by key set — the CDC tombstone apply path (a
+        changelog's ``op='d'`` rows carry keys, not predicates). Same
+        copy-on-write discipline as ``delete``: only files containing
+        at least one matching key are rewritten, and the matched-file
+        probe prunes to the files whose min/max key range overlaps the
+        tombstone batch — on a key-clustered 100 TB table a day's
+        deletes touch a day's files. Returns the number of rows
+        removed. Concurrency: conservative restart from a fresh
+        snapshot on a lost commit race, like ``delete``/``upsert``."""
+        import os.path
+        from urllib.parse import unquote, urlparse
+
+        kdf = keys_df.select(*self.keys).dropDuplicates(self.keys)
+        if kdf.count() == 0:
+            return 0
+        for _ in range(_MAX_COMMIT_RETRIES):
+            snap = current_snapshot(self.path)
+            if snap.version < 0:
+                return 0
+            data = _data_dir(self.path)
+            probe_files = _prune_files(snap, self._key_bounds(kdf))
+            if not probe_files:
+                return 0
+            target = self.spark.read.option("mergeSchema", "true").parquet(
+                *[str(data / f) for f in probe_files]
+            )
+            touched = sorted(
+                os.path.basename(unquote(urlparse(r.f).path))
+                for r in target.withColumn("f", F.input_file_name())
+                .join(F.broadcast(kdf), on=self.keys, how="left_semi")
+                .select("f")
+                .distinct()
+                .collect()
+            )
+            if not touched:
+                return 0
+            touched_df = self.spark.read.option("mergeSchema", "true").parquet(
+                *[str(data / f) for f in touched]
+            )
+            n_deleted = (
+                touched_df.join(F.broadcast(kdf), on=self.keys, how="left_semi")
+                .count()
+            )
+            survivors = (
+                touched_df.drop("created_at")
+                .join(F.broadcast(kdf), on=self.keys, how="left_anti")
+            )
+            adds, _, stats = self._stage(survivors)
+            if _before_commit is not None:
+                _before_commit(snap.version + 1)
+                _before_commit = None  # fire once
+            if self._try_commit(
+                snap.version + 1, adds, 0, removes=touched, stats=stats
+            ):
+                log.info(
+                    "txn delete_keys v%d from %s: %d rows, %d files rewritten",
+                    snap.version + 1, self.path, n_deleted, len(touched),
+                )
+                return n_deleted
+            self._discard(adds)
+        raise CommitConflictError(
+            f"lost the commit race {_MAX_COMMIT_RETRIES} times on {self.path}"
+        )
+
     def drop(self) -> bool:
         p = Path(self.path)
         if p.exists():

@@ -102,6 +102,12 @@ class FrankfurterRatesStreamReader(SimpleDataSourceStreamReader):
     def __init__(self, options: dict):
         self.path = options.get("path")
         self.base = options.get("base", "EUR")
+        # Offset-planning guard: read() materializes payload rows
+        # driver-side, so one call consumes at most this many files —
+        # a feed directory that grew large before the first drain
+        # becomes several bounded microbatches (the name-ordered
+        # offset makes the batching free) instead of one giant list.
+        self.max_files = int(options.get("maxFilesPerRead", 64))
 
     def _files(self):
         p = Path(self.path)
@@ -111,10 +117,34 @@ class FrankfurterRatesStreamReader(SimpleDataSourceStreamReader):
         return {"last": ""}
 
     def read(self, start: dict):
+        """Consume up to ``maxFilesPerRead`` new files in name order.
+        A file that fails to parse (half-written JSON mid-upload, or a
+        payload missing its fields) STOPS the batch at the last good
+        file instead of failing the whole microbatch: the offset never
+        advances past it, so the next trigger retries it — by then the
+        upload has usually completed. Files behind it wait too,
+        preserving the ascending-name feed contract. A permanently
+        corrupt file therefore stalls the feed loudly (warning each
+        trigger) rather than being silently dropped."""
         new = [f for f in self._files() if f.name > start["last"]]
-        rows = [r for f in new for r in _payload_rows(f, self.base)]
-        end = {"last": new[-1].name if new else start["last"]}
-        return iter(rows), end
+        new = new[: self.max_files]
+        rows: list = []
+        last = start["last"]
+        for f in new:
+            try:
+                rows.extend(_payload_rows(f, self.base))
+            except (ValueError, KeyError, OSError) as exc:
+                import warnings
+
+                warnings.warn(
+                    f"frankfurter_rates: payload {f.name} unreadable "
+                    f"({type(exc).__name__}: {exc}); batch stops before it "
+                    "and the next trigger retries",
+                    stacklevel=2,
+                )
+                break
+            last = f.name
+        return iter(rows), {"last": last}
 
     def readBetweenOffsets(self, start: dict, end: dict):
         files = [

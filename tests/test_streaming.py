@@ -284,6 +284,53 @@ def test_python_datasource_stream_reads_only_new_payloads(spark, tmp_path):
     assert all(r.timestamptz.hour == 15 for r in first + second)
 
 
+def test_python_datasource_bad_payload_stalls_then_recovers(spark, tmp_path):
+    """A half-written JSON payload must not fail the microbatch OR be
+    silently skipped: the batch stops at the last good file (offset
+    never passes the bad name), and once the file completes the next
+    trigger picks it up plus everything behind it."""
+    import json as _json
+
+    from finance_pipeline_spark.sources import python_datasource
+
+    python_datasource.register(spark)
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    (feed / "2024-01-02.json").write_text(
+        _json.dumps({"date": "2024-01-02", "rates": {"USD": 1.1}})
+    )
+    (feed / "2024-01-03.json").write_text('{"date": "2024-01-03", "ra')  # torn
+    (feed / "2024-01-04.json").write_text(
+        _json.dumps({"date": "2024-01-04", "rates": {"USD": 1.3}})
+    )
+
+    def drain():
+        rows = []
+        q = (
+            spark.readStream.format("frankfurter_rates")
+            .option("path", str(feed))
+            .load()
+            .writeStream.foreachBatch(lambda df, _id: rows.extend(df.collect()))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return rows
+
+    first = drain()
+    # only the file BEFORE the torn one came through
+    assert {(str(r.date), r.exchange_rate) for r in first} == {("2024-01-02", 1.1)}
+    # upload completes -> the retried trigger reads it AND the file behind it
+    (feed / "2024-01-03.json").write_text(
+        _json.dumps({"date": "2024-01-03", "rates": {"USD": 1.2}})
+    )
+    second = drain()
+    assert {(str(r.date), r.exchange_rate) for r in second} == {
+        ("2024-01-03", 1.2), ("2024-01-04", 1.3),
+    }
+
+
 def test_stream_cdc_apply_seq_col_orders_within_batch(spark, tmp_path):
     """Several changes for one key in ONE microbatch: with seq_col the
     MAX-seq change wins (latest state), regardless of value ordering —
@@ -308,6 +355,49 @@ def test_stream_cdc_apply_seq_col_orders_within_batch(spark, tmp_path):
     assert len(stats) == 1 and (stats[0].inserted, stats[0].updated) == (2, 0)
     vals = {r.k: r.v for r in TxnKeyedTable(spark, str(tmp_path / "table"), ["k"]).read().collect()}
     assert vals == {1: "apple", 2: "first"}  # seq 2 beats seq 1
+
+
+def test_stream_cdc_apply_routes_deletes(spark, tmp_path):
+    """A CDC feed with an op column: tombstones (op='d') REMOVE their
+    key via the txn table's copy-on-write key-delete instead of
+    upserting ghost rows; the op column never lands in the table; and
+    within one microbatch seq ordering decides update-then-delete
+    (deleted) exactly as it decides update-vs-update."""
+    from finance_pipeline_spark.pipelines.streaming_load import (
+        CdcApplyStats,
+        stream_cdc_apply,
+    )
+    from finance_pipeline_spark.sinks.txn_table import TxnKeyedTable
+
+    src = tmp_path / "changelog"
+    src.mkdir()
+    (src / "b0.csv").write_text(
+        "k,v,seq,op\n1,one,1,c\n2,two,1,c\n3,three,1,c\n"
+    )
+    # k=1: plain tombstone. k=2: update. k=3: update then delete in the
+    # SAME batch (seq 3 > 2 -> the delete wins). k=4: fresh insert.
+    (src / "b1.csv").write_text(
+        "k,v,seq,op\n1,,2,d\n2,two2,2,u\n3,three2,2,u\n3,,3,d\n4,four,2,c\n"
+    )
+    stats = stream_cdc_apply(
+        spark,
+        str(src),
+        "k bigint, v string, seq bigint, op string",
+        str(tmp_path / "table"),
+        ["k"],
+        str(tmp_path / "ckpt"),
+        seq_col="seq",
+        op_col="op",
+        max_files_per_trigger=1,
+    )
+    assert len(stats) == 2 and all(isinstance(s, CdcApplyStats) for s in stats)
+    assert (stats[0].inserted, stats[0].updated, stats[0].deleted) == (3, 0, 0)
+    assert (stats[1].inserted, stats[1].updated, stats[1].deleted) == (1, 1, 2)
+    t = TxnKeyedTable(spark, str(tmp_path / "table"), ["k"])
+    out = t.read()
+    assert "op" not in out.columns
+    vals = {r.k: r.v for r in out.collect()}
+    assert vals == {2: "two2", 4: "four"}
 
 
 def test_python_datasource_stream_offsets_survive_backfill(spark, tmp_path):

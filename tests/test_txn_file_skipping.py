@@ -150,3 +150,18 @@ def test_delete_drops_removed_file_stats(banded, spark):
     assert banded.read(bounds={"k": (150, 199)}).filter(
         F.col("k").between(150, 199)
     ).count() == 50
+
+
+def test_delete_keys_prunes_probe_and_removes_rows(banded, spark):
+    kdf = spark.createDataFrame([(150,), (151,), (9999,)], "k bigint")
+    n = banded.delete_keys(kdf)
+    assert n == 2
+    snap = current_snapshot(banded.path)
+    assert set(snap.stats) == set(snap.files)
+    got = banded.read()
+    assert got.count() == 298
+    assert got.filter(F.col("k").isin(150, 151)).count() == 0
+    # a key set entirely outside every file's range touches nothing
+    v = snap.version
+    assert banded.delete_keys(spark.createDataFrame([(7777,)], "k bigint")) == 0
+    assert current_snapshot(banded.path).version == v
