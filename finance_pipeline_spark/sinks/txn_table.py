@@ -616,6 +616,63 @@ class TxnKeyedTable:
             f"lost the commit race {_MAX_COMMIT_RETRIES} times on {self.path}"
         )
 
+    def compact(
+        self,
+        target_rows: int = 1_000_000,
+        _before_commit: Callable[[int], None] | None = None,
+    ) -> tuple[int, int]:
+        """OPTIMIZE — rewrite the live snapshot into ~``target_rows``-
+        sized, KEY-SORTED files in one commit (adds = the packed
+        files, removes = every old live file). Logically a no-op:
+        ``read()`` before equals ``read()`` after, and history/time
+        travel keep the old files. Physically it fixes the two things
+        months of small keyed commits break at 100 TB:
+
+        - per-file overhead (footer reads, task scheduling) — file
+          count drops to ceil(rows/target);
+        - stats quality — ``repartitionByRange`` on the key plus an
+          in-partition sort gives files DISJOINT key ranges, turning
+          the commit-log min/max skipping from best-effort (every
+          append spans the domain) into near-exact (a point lookup
+          opens one file).
+
+        Concurrency: conservative like ``upsert`` — a lost commit race
+        discards the staged rewrite and restarts from the fresh
+        snapshot; compaction is a background job and never wins races
+        against foreground writes. Returns (files_before,
+        files_after)."""
+        for _ in range(_MAX_COMMIT_RETRIES):
+            snap = current_snapshot(self.path)
+            if snap.version < 0 or not snap.files:
+                return (0, 0)
+            data = _data_dir(self.path)
+            live = self.spark.read.option("mergeSchema", "true").parquet(
+                *[str(data / f) for f in snap.files]
+            )
+            n_rows = live.count()
+            n_out = max(1, -(-n_rows // target_rows))
+            packed = (
+                live.drop("created_at")
+                .repartitionByRange(n_out, *self.keys)
+                .sortWithinPartitions(*self.keys)
+            )
+            adds, _, stats = self._stage(packed)
+            if _before_commit is not None:
+                _before_commit(snap.version + 1)
+                _before_commit = None  # fire once
+            if self._try_commit(
+                snap.version + 1, adds, 0, removes=list(snap.files), stats=stats
+            ):
+                log.info(
+                    "txn compact v%d of %s: %d files -> %d",
+                    snap.version + 1, self.path, len(snap.files), len(adds),
+                )
+                return (len(snap.files), len(adds))
+            self._discard(adds)
+        raise CommitConflictError(
+            f"lost the commit race {_MAX_COMMIT_RETRIES} times on {self.path}"
+        )
+
     def drop(self) -> bool:
         p = Path(self.path)
         if p.exists():

@@ -165,3 +165,34 @@ def test_delete_keys_prunes_probe_and_removes_rows(banded, spark):
     v = snap.version
     assert banded.delete_keys(spark.createDataFrame([(7777,)], "k bigint")) == 0
     assert current_snapshot(banded.path).version == v
+
+
+def test_compact_bin_packs_sorts_and_sharpens_skipping(spark, tmp_path):
+    """Interleaved-key commits leave every file spanning the whole key
+    domain — stats skipping prunes nothing. compact() bin-packs the
+    live snapshot into key-range-disjoint sorted files in ONE commit:
+    same logical table, point lookups open one file, history intact."""
+    t = TxnKeyedTable(spark, str(tmp_path / "t"), ["k"])
+    for i in range(6):
+        t.merge(_batch(spark, range(i, 600, 6)).coalesce(1))
+    before = current_snapshot(t.path)
+    assert len(before.files) == 6
+    # every append spans ~[0, 600) -> a point lookup prunes nothing
+    assert len(t.files_for(bounds={"k": (303, 303)})) == 6
+
+    fb, fa = t.compact(target_rows=200)
+    assert (fb, fa) == (6, 3)
+    after = current_snapshot(t.path)
+    assert set(after.stats) == set(after.files)
+    # logically unchanged
+    got = t.read()
+    assert got.count() == 600
+    assert got.select("k").distinct().count() == 600
+    assert {r.v for r in got.filter(F.col("k") == 303).collect()} == {"x303"}
+    # disjoint sorted ranges -> exactly one file owns any point
+    assert len(t.files_for(bounds={"k": (303, 303)})) == 1
+    # time travel still reads the pre-compaction version
+    assert t.read(version=before.version).count() == 600
+    # compacting an already-compacted table is a further no-op commit
+    fb2, fa2 = t.compact(target_rows=200)
+    assert (fb2, fa2) == (3, 3)
