@@ -727,6 +727,222 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Bloom-filter corpus screen ---------------------------------------------
+
+_BLOOM_BITS = 1 << 20  # 128 KiB bitmap; ~0.2% fp at 60k digests, k=4
+_BLOOM_K = 4  # sha256 hex = 64 chars = exactly 4 independent 64-bit slices
+
+
+def _bloom_indexes(dg_hex):
+    """(n,) array-like of 64-char sha256 hex strings → (n, k) uint64 bit
+    indexes. The digest's own entropy provides the k hash functions:
+    each 16-hex-char slice is an independent uniform 64-bit value, so
+    ``slice % BITS`` is the textbook partition-the-digest Bloom scheme
+    (Kirsch-Mitzenmetzer double hashing is unnecessary when the key IS
+    a cryptographic digest). Fully vectorized: one LUT gather turns the
+    hex bytes into nibbles, a power-of-16 dot product rebuilds each
+    64-bit word (uint64 wraparound keeps exactly the low 64 bits, and
+    BITS | 2**64 makes the final mod exact)."""
+    import numpy as np
+
+    n = len(dg_hex)
+    if n == 0:
+        return np.empty((0, _BLOOM_K), dtype=np.uint64)
+    lut = np.zeros(256, dtype=np.uint64)
+    for i, c in enumerate("0123456789abcdef"):
+        lut[ord(c)] = i
+    raw = np.frombuffer("".join(dg_hex).encode("ascii"), dtype=np.uint8)
+    nibbles = lut[raw].reshape(n, _BLOOM_K, 16)
+    powers = np.uint64(16) ** np.arange(15, -1, -1, dtype=np.uint64)
+    words = (nibbles * powers).sum(axis=2, dtype=np.uint64)
+    return words % np.uint64(_BLOOM_BITS)
+
+
+def build_digest_bloom(digests: DataFrame, col: str = "dg"):
+    """Distributed Bloom-filter build over a digest column → driver-side
+    ``np.uint64[BITS/64]`` word array, ready to broadcast.
+
+    Scale shape (the reason this exists): the corpus side of an
+    incremental dedup screen is the 100 TB table, and a digest
+    semi-join shuffles ITS keys every run. This build touches the
+    corpus exactly once, map-only: each partition ORs its digests into
+    a local bitmap (``mapInPandas``) and emits only its NONZERO words
+    as (word_idx, word) rows; a ``groupBy(word_idx).bit_or`` — tiny,
+    bounded by BITS/64 = {words} rows regardless of corpus size —
+    merges partials JVM-side, and the driver collects the merged words
+    (≤16384 rows / 128 KiB). Sizing at scale is arithmetic, not redesign: 10^10
+    digests at 1% fp is a ~1.5 GB bitmap — still one torrent-broadcast
+    per run; beyond that, split into per-key-range blooms and test
+    against the range a digest routes to."""
+    import numpy as np
+
+    n_words = _BLOOM_BITS >> 6
+
+    def partial(batches):
+        import pandas as pd
+
+        words = np.zeros(n_words, dtype=np.uint64)
+        for pdf in batches:
+            idx = _bloom_indexes(list(pdf[col])).ravel()
+            np.bitwise_or.at(
+                words, idx >> np.uint64(6), np.uint64(1) << (idx & np.uint64(63))
+            )
+        nz = np.nonzero(words)[0]
+        yield pd.DataFrame(
+            {
+                "word_idx": nz.astype(np.int64),
+                "word": words[nz].view(np.int64),
+            }
+        )
+
+    merged = (
+        digests.select(col)
+        .mapInPandas(partial, "word_idx bigint, word bigint")
+        .groupBy("word_idx")
+        .agg(F.bit_or("word").alias("word"))
+        .collect()
+    )
+    out = np.zeros(n_words, dtype=np.int64)
+    for row in merged:
+        out[row["word_idx"]] = row["word"]
+    return out.view(np.uint64)
+
+
+def bloom_maybe_contains(spark: SparkSession, words, col: Column) -> Column:
+    """Boolean Column: digest-hex ``col`` MAYBE in the bloom ``words``
+    array (no false negatives). Ships the bitmap once via a proper
+    ``sc.broadcast`` (torrent, not per-task closure pickle) and tests
+    membership in an Arrow-batched pandas UDF — one numpy gather per
+    batch, no per-row Python."""
+    from pyspark.sql.functions import pandas_udf
+
+    bc = spark.sparkContext.broadcast(words)
+
+    @pandas_udf("boolean")
+    def maybe(dg):
+        import numpy as np
+        import pandas as pd
+
+        w = bc.value
+        idx = _bloom_indexes(list(dg))
+        if idx.shape[0] == 0:
+            return pd.Series([], dtype=bool)
+        bits = (w[idx >> np.uint64(6)] >> (idx & np.uint64(63))) & np.uint64(1)
+        return pd.Series(bits.all(axis=1))
+
+    return maybe(col)
+
+
+def _bloom_screen_oracle() -> str:
+    """Oracle for the EXACT result only — the bloom is a no-false-
+    negative accelerator, so the output must equal the plain digest
+    semi-join the SQL expresses. Same md5-permille split as
+    ``dedup_incremental``."""
+    return f"""
+    WITH split AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 1000
+                 AS pm
+        FROM documents
+    ), digests AS (
+        SELECT d.doc_id, s.pm, sha256(d.text) AS dg
+        FROM documents d JOIN split s ON s.doc_id = d.doc_id
+    ), corpus_dg AS (
+        SELECT DISTINCT dg FROM digests WHERE pm < {_INCR_SPLIT_PM}
+    ), incoming AS (
+        SELECT doc_id, dg FROM digests WHERE pm >= {_INCR_SPLIT_PM}
+    )
+    SELECT i.doc_id,
+           c.dg IS NOT NULL AS exact_dup,
+           CASE WHEN c.dg IS NOT NULL THEN 'drop_exact' ELSE 'keep' END
+             AS verdict
+    FROM incoming i LEFT JOIN corpus_dg c ON i.dg = c.dg
+    """
+
+
+@query(
+    "dedup_bloom_screen",
+    oracle=_bloom_screen_oracle,
+    tags=("dedup", "bloom", "incremental"),
+    bench=True,
+)
+def dedup_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-accelerated exact screen of an incoming batch against the
+    corpus — the zero-corpus-shuffle form of ``dedup_incremental``'s
+    exact tier.
+
+    Why: the plain semi-join shuffles the CORPUS digest keys every
+    run; at 100 TB that dominates the daily screen. Here the corpus is
+    touched map-only, twice, and never shuffled on content:
+
+    1. ``build_digest_bloom`` — one map-only pass ORs corpus digests
+       into a bitmap (merge shuffle bounded by the bitmap size, not
+       the corpus);
+    2. the broadcast bitmap pre-filters the incoming delta to
+       maybe-hits (≥99% of genuinely-new docs drop here at the sized
+       fp rate, before ANY join);
+    3. the confirm pass — bloom hits are candidates, not proof — runs
+       two BROADCAST semi-joins seeded by the tiny maybe-hit digest
+       set: corpus rows are scanned and filtered map-side against it,
+       and the surviving (confirmed-duplicate) digests, a strict
+       subset of the maybe-hits, broadcast back. No shuffle in the
+       whole plan carries corpus rows.
+
+    Result is bit-identical to the plain semi-join (Bloom filters have
+    no false negatives; false positives die in the confirm pass) — the
+    oracle IS the plain semi-join. At a real deployment the bitmap is
+    maintained incrementally: OR each screened batch's word rows into
+    the stored words table, rebuilding only on resize.
+
+    Parity: same reference skip-already-loaded semantics as
+    ``dedup_incremental`` (etl/csv_loader.py:124-133), re-engineered
+    for a corpus too large to shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    pm = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("bigint")
+        % 1000
+    )
+    dg = F.sha2(F.encode("text", "UTF-8"), 256)
+
+    with_pm = docs.withColumn("pm", pm)
+    # NO .distinct() on the corpus digests: a distinct is a full shuffle
+    # of corpus keys — exactly the cost this operator exists to avoid.
+    # The bloom OR is idempotent and the confirm semi-join dedups
+    # after the corpus has already been filtered down to maybe-hits.
+    corpus_dg = with_pm.filter(F.col("pm") < _INCR_SPLIT_PM).select(dg.alias("dg"))
+    incoming = with_pm.filter(F.col("pm") >= _INCR_SPLIT_PM).select(
+        "doc_id", dg.alias("dg")
+    )
+
+    words = build_digest_bloom(corpus_dg)
+    maybe_hits = incoming.filter(
+        bloom_maybe_contains(spark, words, F.col("dg"))
+    )
+
+    # Confirm: corpus rows filter map-side against the broadcast
+    # maybe-hit digests; confirmed digests (⊆ maybe-hits, so also
+    # broadcast-sized) come back to tag the incoming rows.
+    confirmed_dg = corpus_dg.join(
+        F.broadcast(maybe_hits.select("dg").distinct()), "dg", "left_semi"
+    ).distinct()
+    exact_ids = maybe_hits.join(F.broadcast(confirmed_dg), "dg", "left_semi").select(
+        "doc_id"
+    )
+
+    return (
+        incoming.select("doc_id")
+        .join(F.broadcast(exact_ids.withColumn("hit", F.lit(True))), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("hit", F.lit(False)).alias("exact_dup"),
+            F.when(F.col("hit"), F.lit("drop_exact"))
+            .otherwise(F.lit("keep"))
+            .alias("verdict"),
+        )
+    )
+
+
 # --- SimHash ----------------------------------------------------------------
 
 

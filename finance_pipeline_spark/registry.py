@@ -240,6 +240,10 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
             # deferred r1-r3-evidence remainder (r6 rotation note)
             "win_topk_per_group", "dedup_embedding_cosine",
             "text_ngram_profile", "a2_empty_probe", "d6_literal_columns",
+            # new r7 operator earning first driver evidence (mid-round
+            # addition; fuzzy_match_blocked folds on its r6-green row
+            # to free the slot)
+            "dedup_bloom_screen",
             # implementation changed in r7 (vectorized minhash/shingle
             # kernels; batched ANN query fetch) — fresh evidence on the
             # new code, not stale fold rows
@@ -268,6 +272,9 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
             "dedup_keyed_pick", "mm_frame_sample", "text_fingerprint",
             "text_langid", "text_bpe_token_count", "text_quality_score",
             "udf_embedding_norm",
+            # mid-round fold on its r6-green row: slot freed for the
+            # new dedup_bloom_screen (warehouse keeps 4 in-window reps)
+            "fuzzy_match_blocked",
         ),
     },
     "r6": {
@@ -492,6 +499,7 @@ PRIORITY: tuple[str, ...] = (
     "dedup_incremental",
     "dedup_simhash",
     "dedup_chunk_minhash",
+    "dedup_bloom_screen",
     "dedup_group_decisions",
     "dedup_embedding_cosine",
     # multimodal (decode-features re-earning; frame_sample folds r6-green)
@@ -532,9 +540,10 @@ PRIORITY: tuple[str, ...] = (
     "dq_referential_audit",
     "merge_upsert_orders",
     "anomaly_zscore_flags",
-    "fuzzy_match_blocked",
     # ---- fold: position 51+ — prior-round hash-green driver evidence ----
-    # r6-green, rotated out r7 (newest evidence first)
+    # r6-green, rotated out r7 (newest evidence first; fuzzy_match_blocked
+    # folded mid-round to free a window slot for dedup_bloom_screen)
+    "fuzzy_match_blocked",
     "agg_minmax_distinct",
     "agg_variance_exact",
     "agg_rollup",

@@ -246,3 +246,61 @@ def test_chunk_minhash_finds_edited_boilerplate(spark, tmp_path):
         true_jac = len(a & b) / len(a | b)
         assert true_jac >= 0.5, (tuple(r), true_jac)
         assert abs(true_jac - r.jaccard) < 1e-3
+
+
+def test_bloom_screen_matches_plain_semi_join(spark, tmp_path):
+    """The bloom pre-filter is a no-false-negative accelerator: on a
+    planted corpus with cross-split exact dups, the screened verdicts
+    must be bit-identical to the plain digest semi-join the oracle
+    expresses."""
+    from pyspark.sql import functions as F
+
+    from finance_pipeline_spark.operators.dedup import _INCR_SPLIT_PM
+
+    rng = random.Random(11)
+    corpus_ids = [i for i in range(4000) if _pm(i) < _INCR_SPLIT_PM]
+    inc_ids = [i for i in range(4000) if _pm(i) >= _INCR_SPLIT_PM]
+    dup_a, dup_b = random_doc(rng), random_doc(rng)
+    rows = [(corpus_ids[k], random_doc(rng)) for k in range(40)]
+    rows += [(corpus_ids[40], dup_a), (corpus_ids[41], dup_b)]
+    rows += [(inc_ids[k], random_doc(rng)) for k in range(20)]
+    rows += [(inc_ids[20], dup_a), (inc_ids[21], dup_b)]
+    sf = write_documents(tmp_path, rows)
+
+    got = {
+        r.doc_id: (r.exact_dup, r.verdict)
+        for r in registry.QUERIES["dedup_bloom_screen"].fn(spark, sf).collect()
+    }
+    assert set(got) == {i for i, _ in rows if _pm(i) >= _INCR_SPLIT_PM}
+    for planted in (inc_ids[20], inc_ids[21]):
+        assert got[planted] == (True, "drop_exact")
+    n_dropped = sum(1 for v in got.values() if v[0])
+    assert n_dropped == 2  # nothing else collides at this fp sizing
+
+
+def test_bloom_build_and_membership_kernel(spark, tmp_path):
+    """build_digest_bloom over a digest frame: every inserted digest
+    tests positive (no false negatives, the correctness invariant) and
+    the measured fp rate on 2000 novel digests stays near the sized
+    bound (<2%)."""
+    import hashlib
+
+    import numpy as np
+
+    from finance_pipeline_spark.operators.dedup import (
+        _bloom_indexes,
+        build_digest_bloom,
+    )
+
+    inserted = [hashlib.sha256(f"in-{i}".encode()).hexdigest() for i in range(500)]
+    novel = [hashlib.sha256(f"out-{i}".encode()).hexdigest() for i in range(2000)]
+    df = spark.createDataFrame([(d,) for d in inserted], "dg string")
+    words = build_digest_bloom(df)
+
+    def member(dg_list):
+        idx = _bloom_indexes(dg_list)
+        bits = (words[idx >> np.uint64(6)] >> (idx & np.uint64(63))) & np.uint64(1)
+        return bits.all(axis=1)
+
+    assert member(inserted).all()
+    assert member(novel).mean() < 0.02

@@ -201,3 +201,14 @@ def test_chunk_dedup_single_digest_shuffle(spark):
     exchange on chunk_digest — a second shuffle would double the cost
     of the corpus-wide digest pass."""
     assert plan_of(spark, "text_chunk_dedup").count("Exchange") == 1
+
+
+def test_bloom_screen_never_shuffle_joins_the_corpus(spark):
+    """dedup_bloom_screen's whole point: the corpus digest column is
+    consumed map-only. Every join in the screen plan must be broadcast
+    (the corpus side filters against a broadcast maybe-hit set); a
+    SortMergeJoin / ShuffledHashJoin anywhere means corpus keys hit a
+    shuffle and the operator has regressed to the plain semi-join."""
+    plan = plan_of(spark, "dedup_bloom_screen")
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -74,8 +74,9 @@ def test_driver_window_covers_every_family():
         "dedup_simhash",  # vectorized signature kernel + filter order
         "ann_cosine_topk",  # batched query fetch
         "ann_lsh_topk", "ann_ivf_topk", "ann_quantized_topk",  # family rotation
-        # new r7 operator earning its first driver evidence
+        # new r7 operators earning their first driver evidence
         "dedup_chunk_minhash",
+        "dedup_bloom_screen",
         # flagship + the two sketch rows
         "agg_pricing_summary", "agg_approx_distinct", "agg_approx_quantile",
         # one-plus anchor per family while the r4-evidence cohort
