@@ -9,7 +9,7 @@ anti-join broadcasts its small side.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from finance_pipeline_spark.registry import load, query
@@ -256,6 +256,67 @@ def o3_dynamic_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys = [F.col(numeric[0]).desc()] if numeric else []
     keys.append(F.col(c.columns[0]).asc())
     return c.orderBy(*keys).limit(25).select("c_custkey", "c_name", "c_acctbal")
+
+
+@query(
+    "o4_global_index",
+    oracle="""
+    SELECT o_orderkey, o_orderdate,
+           row_number() OVER (ORDER BY o_orderdate, o_orderkey) - 1 AS row_idx
+    FROM orders
+    """,
+    tags=("sort", "index"),
+)
+def o4_global_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global row index in total (o_orderdate, o_orderkey) order — the
+    scalable form of ``row_number() OVER (ORDER BY ...)``.
+
+    The naive window with no PARTITION BY plans an Exchange
+    SinglePartition: every row of a 100 TB table funnels through ONE
+    reducer — the canonical scale killer. This plan never does that:
+
+    1. bucket each row by a KEY-DERIVED range (here the order month —
+       monotone in the leading sort key, so (bucket, keys) ordering ==
+       keys ordering, and it's deterministic: no sampled partitioner,
+       nothing to re-sample between jobs);
+    2. ``row_number() OVER (PARTITION BY bucket ORDER BY keys)`` —
+       ONE distributed hash shuffle, per-bucket sorts run in parallel,
+       skew bounded by the busiest month (salt the bucket finer — week,
+       day — if a month outgrows an executor);
+    3. per-bucket counts (map-side partial agg) → running-sum offsets
+       over the TINY bucket table (the only SinglePartition exchange
+       left touches ~tens of rows);
+    4. broadcast the offsets back: row_idx = offset + local - 1.
+
+    The index is dense, 0-based, and reproducible across runs and
+    cluster sizes — what a training-data pipeline needs to address
+    examples stably (shard = idx % n_shards, resume-from-idx)."""
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    bucket = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("_bucket")
+    b = orders.select("o_orderkey", "o_orderdate", bucket)
+
+    local = F.row_number().over(
+        W.partitionBy("_bucket").orderBy("o_orderdate", "o_orderkey")
+    )
+    counts = b.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_n"))
+    offsets = counts.select(
+        "_bucket",
+        F.coalesce(
+            F.sum("_n").over(
+                W.orderBy("_bucket").rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("_offset"),
+    )
+    return (
+        b.withColumn("_local", local)
+        .join(F.broadcast(offsets), "_bucket")
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            (F.col("_offset") + F.col("_local") - 1).alias("row_idx"),
+        )
+    )
 
 
 @query(

@@ -240,10 +240,10 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
             # deferred r1-r3-evidence remainder (r6 rotation note)
             "win_topk_per_group", "dedup_embedding_cosine",
             "text_ngram_profile", "a2_empty_probe", "d6_literal_columns",
-            # new r7 operator earning first driver evidence (mid-round
-            # addition; fuzzy_match_blocked folds on its r6-green row
-            # to free the slot)
-            "dedup_bloom_screen",
+            # new r7 operators earning first driver evidence (mid-round
+            # additions; fuzzy_match_blocked and anomaly_zscore_flags
+            # fold on their r6-green rows to free the slots)
+            "dedup_bloom_screen", "o4_global_index",
             # implementation changed in r7 (vectorized minhash/shingle
             # kernels; batched ANN query fetch) — fresh evidence on the
             # new code, not stale fold rows
@@ -272,9 +272,11 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
             "dedup_keyed_pick", "mm_frame_sample", "text_fingerprint",
             "text_langid", "text_bpe_token_count", "text_quality_score",
             "udf_embedding_norm",
-            # mid-round fold on its r6-green row: slot freed for the
-            # new dedup_bloom_screen (warehouse keeps 4 in-window reps)
+            # mid-round folds on their r6-green rows: slots freed for
+            # the new dedup_bloom_screen / o4_global_index (warehouse
+            # keeps 3 in-window reps)
             "fuzzy_match_blocked",
+            "anomaly_zscore_flags",
         ),
     },
     "r6": {
@@ -479,8 +481,10 @@ PRIORITY: tuple[str, ...] = (
     "join_agg_revenue",
     "join_range_bands",
     "u3_semi_join",
-    # sort / catalog introspection anchor
+    # sort / catalog introspection anchor + the new scalable global
+    # row index (first driver evidence)
     "o3_dynamic_sort",
+    "o4_global_index",
     # projection / filter (r4 cohort re-entries)
     "p2_drop_column",
     "p3_date_window",
@@ -539,11 +543,12 @@ PRIORITY: tuple[str, ...] = (
     "agg_incremental_maintain",
     "dq_referential_audit",
     "merge_upsert_orders",
-    "anomaly_zscore_flags",
     # ---- fold: position 51+ — prior-round hash-green driver evidence ----
     # r6-green, rotated out r7 (newest evidence first; fuzzy_match_blocked
-    # folded mid-round to free a window slot for dedup_bloom_screen)
+    # and anomaly_zscore_flags folded mid-round to free window slots for
+    # dedup_bloom_screen / o4_global_index)
     "fuzzy_match_blocked",
+    "anomaly_zscore_flags",
     "agg_minmax_distinct",
     "agg_variance_exact",
     "agg_rollup",

@@ -212,3 +212,16 @@ def test_bloom_screen_never_shuffle_joins_the_corpus(spark):
     plan = plan_of(spark, "dedup_bloom_screen")
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_global_index_has_no_full_data_single_partition_exchange(spark):
+    """o4_global_index exists because row_number() with no PARTITION BY
+    funnels the whole table through one reducer. Its plan must shuffle
+    the data ONCE, hash-partitioned on the derived bucket; the only
+    SinglePartition exchange allowed is the running-sum window over the
+    tiny per-bucket count table."""
+    plan = plan_of(spark, "o4_global_index")
+    assert "hashpartitioning(_bucket" in plan, plan
+    assert plan.count("Exchange SinglePartition") <= 1, plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

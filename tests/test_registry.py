@@ -77,6 +77,7 @@ def test_driver_window_covers_every_family():
         # new r7 operators earning their first driver evidence
         "dedup_chunk_minhash",
         "dedup_bloom_screen",
+        "o4_global_index",
         # flagship + the two sketch rows
         "agg_pricing_summary", "agg_approx_distinct", "agg_approx_quantile",
         # one-plus anchor per family while the r4-evidence cohort
