@@ -616,9 +616,49 @@ class TxnKeyedTable:
             f"lost the commit race {_MAX_COMMIT_RETRIES} times on {self.path}"
         )
 
+    @staticmethod
+    def _zorder_column(df: DataFrame, cols: list[str], bits: int = 6):
+        """Morton (Z-order) key over ``cols`` as a Column, built
+        scalably: per-column quantile boundaries from the distributed
+        ``approxQuantile`` sketch (driver receives 2^bits-1 values per
+        column, never rows), each value mapped to its rank bucket by a
+        broadcast-literal boundary array, and the bucket bits
+        interleaved. Quantile (not min/max-linear) bucketing makes the
+        curve skew-proof: each bucket holds ~1/2^bits of the data
+        whatever the value distribution. Numeric and date/timestamp
+        columns only — strings have no locality worth preserving."""
+        probs = [i / (1 << bits) for i in range(1, 1 << bits)]
+
+        def as_num(c: str):
+            t = df.schema[c].dataType.typeName()
+            if t == "date":
+                return F.datediff(F.col(c), F.lit("1970-01-01")).cast("double")
+            if t == "timestamp":
+                return F.unix_timestamp(F.col(c)).cast("double")
+            return F.col(c).cast("double")
+
+        num = df.select(*[as_num(c).alias(f"__z_{c}") for c in cols])
+        cuts = num.approxQuantile([f"__z_{c}" for c in cols], probs, 0.001)
+
+        z = F.lit(0).cast("long")
+        for dim, (c, bounds) in enumerate(zip(cols, cuts)):
+            # rank bucket = #boundaries ≤ value (0..2^bits-1); dedup
+            # keeps the when-chain short on low-cardinality columns
+            bucket = F.lit(0).cast("long")
+            for b in sorted(set(bounds)):
+                bucket = bucket + (as_num(c) >= F.lit(b)).cast("long")
+            bucket = F.least(bucket, F.lit((1 << bits) - 1))
+            for i in range(bits):
+                bit = F.shiftright(bucket, i).bitwiseAND(F.lit(1))
+                z = z.bitwiseOR(
+                    F.shiftleft(bit, i * len(cols) + dim).cast("long")
+                )
+        return z
+
     def compact(
         self,
         target_rows: int = 1_000_000,
+        zorder_by: list[str] | None = None,
         _before_commit: Callable[[int], None] | None = None,
     ) -> tuple[int, int]:
         """OPTIMIZE — rewrite the live snapshot into ~``target_rows``-
@@ -636,6 +676,17 @@ class TxnKeyedTable:
           append spans the domain) into near-exact (a point lookup
           opens one file).
 
+        ``zorder_by`` switches the layout from key-sorted to a Morton
+        (Z-order) curve over the named columns: files then cover
+        compact regions of the MULTI-dimensional space, so min/max
+        skipping prunes on EVERY listed column — including a predicate
+        on the second dimension alone, which a lexicographic key sort
+        cannot skip at all (every file spans the full second-key
+        domain). The curve key is ``repartitionByRange``'d and sorted
+        exactly like the key path, and dropped before staging; stats
+        come from the parquet footers as usual. Use for tables queried
+        by independent dimensions (key AND date, user AND region).
+
         Concurrency: conservative like ``upsert`` — a lost commit race
         discards the staged rewrite and restarts from the fresh
         snapshot; compaction is a background job and never wins races
@@ -651,11 +702,18 @@ class TxnKeyedTable:
             )
             n_rows = live.count()
             n_out = max(1, -(-n_rows // target_rows))
-            packed = (
-                live.drop("created_at")
-                .repartitionByRange(n_out, *self.keys)
-                .sortWithinPartitions(*self.keys)
-            )
+            body = live.drop("created_at")
+            if zorder_by:
+                packed = (
+                    body.withColumn("__z", self._zorder_column(body, zorder_by))
+                    .repartitionByRange(n_out, "__z")
+                    .sortWithinPartitions("__z")
+                    .drop("__z")
+                )
+            else:
+                packed = body.repartitionByRange(n_out, *self.keys).sortWithinPartitions(
+                    *self.keys
+                )
             adds, _, stats = self._stage(packed)
             if _before_commit is not None:
                 _before_commit(snap.version + 1)

@@ -196,3 +196,53 @@ def test_compact_bin_packs_sorts_and_sharpens_skipping(spark, tmp_path):
     # compacting an already-compacted table is a further no-op commit
     fb2, fa2 = t.compact(target_rows=200)
     assert (fb2, fa2) == (3, 3)
+
+
+def test_zorder_compact_prunes_on_both_dimensions(spark, tmp_path):
+    """A lexicographic (k-then-d) sort makes every file span the whole
+    d domain — a d-only predicate prunes nothing. Z-order compaction
+    interleaves both dimensions, so each file covers a compact (k, d)
+    region and min/max skipping works on EITHER column alone."""
+    t = TxnKeyedTable(spark, str(tmp_path / "t"), ["k"])
+    # 32x32 grid: k and d independent; random-ish commit interleave
+    rows = [(k, (k * 13 + 7) % 32, f"v{k}") for k in range(1024)]
+    df = spark.createDataFrame(rows, "k bigint, d bigint, v string")
+    t.merge(df.repartition(4))
+
+    fb, fa = t.compact(target_rows=64, zorder_by=["k", "d"])
+    assert fa == 16
+    n = len(t.files_for())
+
+    # logically unchanged
+    assert t.read().count() == 1024
+    assert t.read().select("k").distinct().count() == 1024
+
+    # both single-dimension predicates prune to a strict subset
+    k_files = len(t.files_for(bounds={"k": (100, 131)}))
+    d_files = len(t.files_for(bounds={"d": (3, 4)}))
+    assert k_files < n, (k_files, n)
+    assert d_files < n, (d_files, n)
+    # and the 2-D box predicate prunes hardest
+    box = len(t.files_for(bounds={"k": (100, 131), "d": (3, 4)}))
+    assert box <= min(k_files, d_files)
+    # pruned read still returns exactly the predicate's rows
+    got = t.read(bounds={"k": (100, 131), "d": (3, 4)}).filter(
+        F.col("k").between(100, 131) & F.col("d").between(3, 4)
+    )
+    assert got.count() == df.filter(
+        F.col("k").between(100, 131) & F.col("d").between(3, 4)
+    ).count()
+
+
+def test_zorder_compact_key_sorted_comparison(spark, tmp_path):
+    """The control for the z-order claim: the same grid compacted
+    key-sorted cannot prune a d-only predicate at all."""
+    t = TxnKeyedTable(spark, str(tmp_path / "t"), ["k", "d"])
+    rows = [(k, (k * 13 + 7) % 32, f"v{k}") for k in range(1024)]
+    t.merge(spark.createDataFrame(rows, "k bigint, d bigint, v string"))
+    t.compact(target_rows=64)
+    n = len(t.files_for())
+    assert n >= 8
+    # leading-key predicate prunes; trailing-dimension predicate can't
+    assert len(t.files_for(bounds={"k": (100, 131)})) <= 2
+    assert len(t.files_for(bounds={"d": (3, 4)})) == n
