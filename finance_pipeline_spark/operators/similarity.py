@@ -798,3 +798,222 @@ def kmeans_train_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in upd:
         cents1[r["cluster"], r["pos"]] = r["c"]
     return assign(cents1)
+
+
+# --- product quantization ----------------------------------------------------
+
+_PQ_M = 4  # subspaces (64-dim embedding → 4 × 16)
+_PQ_DSUB = 16
+_PQ_K = 8  # codes per subspace codebook
+
+
+def _pq_subspace_cte(s: int) -> str:
+    """One subspace's oracle chain — the ``kmeans_train_assign`` recipe
+    applied to ``emb[lo:hi]``: seed with the K smallest vec_ids' slices,
+    one Lloyd round (assign → 6-dp-rounded mean update, empty clusters
+    keep their seed), encode every vector with the refined codebook,
+    and emit the per-(query, code) ADC distance table."""
+    lo, hi = s * _PQ_DSUB + 1, (s + 1) * _PQ_DSUB
+    return f"""
+    seeds_{s} AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+                   AS cluster, emb[{lo}:{hi}] AS emb
+        FROM v ORDER BY vec_id LIMIT {_PQ_K}
+    ), a_{s} AS (
+        SELECT vec_id, cluster FROM (
+            SELECT v.vec_id, c.cluster,
+                   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                       round(list_sum(list_transform(v.emb[{lo}:{hi}],
+                           (x, i) -> (x - c.emb[i]) * (x - c.emb[i]))), 4),
+                       c.cluster) AS rnk
+            FROM v CROSS JOIN seeds_{s} c
+        ) WHERE rnk = 1
+    ), upd_{s} AS (
+        SELECT a.cluster, generate_subscripts(v.emb[{lo}:{hi}], 1) AS pos,
+               unnest(v.emb[{lo}:{hi}]) AS x
+        FROM a_{s} a JOIN v USING (vec_id)
+    ), cm_{s} AS (
+        SELECT cluster, pos, round(avg(x), 6) AS c
+        FROM upd_{s} GROUP BY cluster, pos
+    ), cg_{s} AS (
+        SELECT cluster, list(c ORDER BY pos) AS emb FROM cm_{s} GROUP BY cluster
+    ), cent_{s} AS (
+        SELECT sd.cluster, COALESCE(g.emb, sd.emb) AS emb
+        FROM seeds_{s} sd LEFT JOIN cg_{s} g USING (cluster)
+    ), enc_{s} AS (
+        SELECT vec_id, cluster AS code FROM (
+            SELECT v.vec_id, c.cluster,
+                   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                       round(list_sum(list_transform(v.emb[{lo}:{hi}],
+                           (x, i) -> (x - c.emb[i]) * (x - c.emb[i]))), 4),
+                       c.cluster) AS rnk
+            FROM v CROSS JOIN cent_{s} c
+        ) WHERE rnk = 1
+    ), qd_{s} AS (
+        SELECT q.vec_id AS query_id, c.cluster AS code,
+               round(list_sum(list_transform(q.emb[{lo}:{hi}],
+                   (x, i) -> (x - c.emb[i]) * (x - c.emb[i]))), 4) AS d
+        FROM (SELECT * FROM v WHERE vec_id % 100 = 0) q
+        CROSS JOIN cent_{s} c
+    )"""
+
+
+def _pq_oracle() -> str:
+    subs = ",".join(_pq_subspace_cte(s) for s in range(_PQ_M))
+    enc_joins = " ".join(
+        f"JOIN enc_{s} e{s} USING (vec_id)" for s in range(1, _PQ_M)
+    )
+    qd_joins = " ".join(
+        f"JOIN qd_{s} q{s} ON q{s}.code = e{s}.code"
+        f" AND q{s}.query_id = q0.query_id"
+        for s in range(1, _PQ_M)
+    )
+    adist = " + ".join(f"q{s}.d" for s in range(_PQ_M))
+    return f"""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ), {subs}, scored AS (
+        SELECT q0.query_id, e0.vec_id AS corpus_id,
+               round({adist}, 4) AS adist
+        FROM enc_0 e0 {enc_joins}
+        JOIN qd_0 q0 ON q0.code = e0.code {qd_joins}
+        WHERE e0.vec_id <> q0.query_id
+    )
+    SELECT query_id, corpus_id, adist, rnk FROM (
+        SELECT query_id, corpus_id, adist,
+               CAST(row_number() OVER (PARTITION BY query_id
+                     ORDER BY adist, corpus_id) AS BIGINT) AS rnk
+        FROM scored
+    ) WHERE rnk <= {_TOPK}
+    """
+
+
+@query(
+    "ann_pq_topk",
+    oracle=_pq_oracle,
+    tags=("similarity", "ann", "pq"),
+    bench=True,
+)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (FAISS ``PQ4x3``-style, flat ADC scan):
+    train per-subspace codebooks (4 subspaces × 16 dims, 8 codes, one
+    Lloyd round from deterministic seeds), encode the corpus to 4 small
+    codes, and serve L2 top-10 per query by asymmetric distance — the
+    query's per-subspace distance TABLE is looked up by corpus code and
+    summed, never touching the original vectors at query time.
+
+    Why PQ at 100 TB: a 64-dim float64 corpus is 512 B/vector; these
+    codes are 4 B — the whole index fits two orders of magnitude more
+    vectors per executor, and the scan is table lookups instead of
+    float multiplies. Compose with the IVF cells (``ann_ivf_topk``)
+    for cell-pruned PQ, FAISS's ``IVFPQ``.
+
+    Exact-parity recipe (the family standard): every kernel emits RAW
+    float64 distances; rounding (4 dp dists / 6 dp centroid means) and
+    argmin tie-breaks (rounded dist asc, code asc) happen JVM-side so
+    they match the DuckDB oracle bit-for-bit. Training mirrors
+    ``kmeans_train_assign`` per subspace: broadcast centroids, one
+    (vec, sub, code) distance pass, ONE (sub, code, pos) mean shuffle;
+    codebooks are driver-sized (4×8×16 doubles). Scoring broadcasts the
+    per-query distance tables as literal arrays — the corpus side is
+    one codes scan + element_at lookups, all codegen."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    seeds = e.orderBy("vec_id").limit(_PQ_K).collect()
+    seed_mat = np.array(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in seeds]
+    )
+    cents = (
+        seed_mat.reshape(_PQ_K, _PQ_M, _PQ_DSUB).transpose(1, 0, 2).copy()
+    )  # (m, k, dsub)
+
+    def sub_scores(c_now: np.ndarray) -> DataFrame:
+        bc = spark.sparkContext.broadcast(c_now)
+
+        def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            c_mat = bc.value  # (m, k, dsub)
+            m, k, _ = c_mat.shape
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+                x = _emb_matrix(pdf["embedding"]).reshape(len(pdf), m, _PQ_DSUB)
+                # (n, m, k): squared L2 per subspace against every code
+                d = ((x[:, :, None, :] - c_mat[None, :, :, :]) ** 2).sum(axis=3)
+                n = len(ids)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": np.repeat(ids, m * k),
+                        "sub": np.tile(np.repeat(np.arange(m, dtype=np.int64), k), n),
+                        "code": np.tile(np.arange(k, dtype=np.int64), n * m),
+                        "d": d.ravel(),
+                    }
+                )
+
+        return e.mapInPandas(kern, "vec_id bigint, sub bigint, code bigint, d double")
+
+    def assign(c_now: np.ndarray) -> DataFrame:
+        w = W.partitionBy("vec_id", "sub").orderBy(
+            F.col("dist").asc(), F.col("code").asc()
+        )
+        return (
+            sub_scores(c_now)
+            .withColumn("dist", F.round("d", 4))
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") == 1)
+            .select("vec_id", "sub", "code")
+        )
+
+    upd = (
+        assign(cents)
+        .join(e, "vec_id")
+        .select("sub", "code", F.posexplode("embedding").alias("pos", "xf"))
+        .filter(F.expr(f"pos div {_PQ_DSUB}") == F.col("sub"))
+        .groupBy("sub", "code", (F.col("pos") % _PQ_DSUB).alias("lpos"))
+        .agg(F.round(F.avg(F.col("xf").cast("double")), 6).alias("c"))
+        .collect()
+    )
+    cents1 = cents.copy()  # empty codes keep their seed (oracle COALESCE)
+    for r in upd:
+        cents1[r["sub"], r["code"], r["lpos"]] = r["c"]
+
+    codes = (
+        assign(cents1)
+        .groupBy("vec_id")
+        .agg(
+            *[
+                F.max(F.when(F.col("sub") == s, F.col("code"))).alias(f"c{s}")
+                for s in range(_PQ_M)
+            ]
+        )
+    )
+
+    qrows = e.filter(F.col("vec_id") % 100 == 0).collect()
+    if len(qrows) > _QUERY_FETCH_CAP:
+        raise ValueError(
+            f"PQ query set {len(qrows)} exceeds the driver fetch cap"
+        )
+    qdata = []
+    for r in qrows:
+        qv = np.asarray(r["embedding"], dtype=np.float64).reshape(_PQ_M, _PQ_DSUB)
+        tabs = ((qv[:, None, :] - cents1) ** 2).sum(axis=2)  # (m, k) RAW
+        qdata.append(
+            (int(r["vec_id"]), *[[float(x) for x in tabs[s]] for s in range(_PQ_M)])
+        )
+    tab_cols = ", ".join(f"t{s} array<double>" for s in range(_PQ_M))
+    qdf = spark.createDataFrame(qdata, f"query_id bigint, {tab_cols}")
+
+    term = lambda s: F.round(  # noqa: E731 — per-subspace 4-dp round, oracle parity
+        F.element_at(F.col(f"t{s}"), F.col(f"c{s}").cast("int") + 1), 4
+    )
+    adist = F.round(term(0) + term(1) + term(2) + term(3), 4)
+    w = W.partitionBy("query_id").orderBy(F.col("adist").asc(), F.col("corpus_id"))
+    return (
+        codes.join(F.broadcast(qdf), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("corpus_id"),
+            adist.alias("adist"),
+        )
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= _TOPK)
+    )

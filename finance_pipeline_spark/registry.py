@@ -243,7 +243,7 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
             # new r7 operators earning first driver evidence (mid-round
             # additions; fuzzy_match_blocked and anomaly_zscore_flags
             # fold on their r6-green rows to free the slots)
-            "dedup_bloom_screen", "o4_global_index",
+            "dedup_bloom_screen", "o4_global_index", "ann_pq_topk",
             # implementation changed in r7 (vectorized minhash/shingle
             # kernels; batched ANN query fetch) — fresh evidence on the
             # new code, not stale fold rows
@@ -273,10 +273,11 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
             "text_langid", "text_bpe_token_count", "text_quality_score",
             "udf_embedding_norm",
             # mid-round folds on their r6-green rows: slots freed for
-            # the new dedup_bloom_screen / o4_global_index (warehouse
-            # keeps 3 in-window reps)
+            # the new dedup_bloom_screen / o4_global_index / ann_pq_topk
+            # (warehouse keeps 2 in-window reps + merge_upsert_orders)
             "fuzzy_match_blocked",
             "anomaly_zscore_flags",
+            "dq_referential_audit",
         ),
     },
     "r6": {
@@ -516,6 +517,7 @@ PRIORITY: tuple[str, ...] = (
     "ann_lsh_topk",
     "ann_ivf_topk",
     "ann_quantized_topk",
+    "ann_pq_topk",
     "emb_quantize_int8",
     "kmeans_train_assign",
     # streaming anchors (stream_static_join re-earns from the r4 cohort)
@@ -541,14 +543,15 @@ PRIORITY: tuple[str, ...] = (
     # warehouse tier — r6 first-evidence / changed-code rows hold their
     # slots one more round
     "agg_incremental_maintain",
-    "dq_referential_audit",
     "merge_upsert_orders",
     # ---- fold: position 51+ — prior-round hash-green driver evidence ----
-    # r6-green, rotated out r7 (newest evidence first; fuzzy_match_blocked
-    # and anomaly_zscore_flags folded mid-round to free window slots for
-    # dedup_bloom_screen / o4_global_index)
+    # r6-green, rotated out r7 (newest evidence first; fuzzy_match_blocked,
+    # anomaly_zscore_flags and dq_referential_audit folded mid-round to
+    # free window slots for dedup_bloom_screen / o4_global_index /
+    # ann_pq_topk)
     "fuzzy_match_blocked",
     "anomaly_zscore_flags",
+    "dq_referential_audit",
     "agg_minmax_distinct",
     "agg_variance_exact",
     "agg_rollup",
