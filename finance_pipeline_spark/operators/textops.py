@@ -92,6 +92,85 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_quality_prune",
+    oracle=lambda: f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               round(least(CAST(len({_sql_tokens()}) AS DOUBLE) / 100.0, 1.0)
+                     * (CAST(len(list_distinct({_sql_tokens()})) AS DOUBLE)
+                        / CAST(len({_sql_tokens()}) AS DOUBLE)), 4) AS quality
+        FROM documents
+    ), counts AS (
+        SELECT lang, quality, count(*) AS n FROM scored GROUP BY lang, quality
+    ), cum AS (
+        SELECT lang, quality,
+               sum(n) OVER (PARTITION BY lang ORDER BY quality) AS cum_n,
+               sum(n) OVER (PARTITION BY lang) AS tot
+        FROM counts
+    ), thresh AS (
+        SELECT lang, min(quality) AS q_thresh
+        FROM cum WHERE cum_n >= (tot + 9) // 10
+        GROUP BY lang
+    )
+    SELECT s.doc_id, s.lang, s.quality, s.quality >= t.q_thresh AS kept
+    FROM scored s JOIN thresh t ON s.lang = t.lang
+    """,
+    tags=("text", "quality"),
+)
+def text_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language bottom-decile quality pruning — drop each
+    language's worst 10% by the ``text_quality_score`` heuristic, the
+    percentile-threshold curation step (CCNet/Gopher style) that keeps
+    per-language score scales comparable.
+
+    EXACT percentile, but never the obvious plan: ``percent_rank()
+    OVER (PARTITION BY lang ...)`` funnels each entire language through
+    one reducer — with ~10 languages on a 100 TB corpus that's 10
+    reducers doing all the work. The scores are discretized (4-dp
+    round), so the exact threshold comes from the score HISTOGRAM
+    instead: groupBy (lang, quality) counts — map-side combinable, one
+    shuffle bounded by langs × distinct scores (≤10⁴ rows/lang
+    regardless of corpus size) — then cumulative counts and the
+    ceil(10%)-rank cut on that tiny table, and a broadcast threshold
+    join back. The 10% rank uses integer arithmetic ((tot+9) div 10) —
+    no float-boundary drift between engines. Ties at the threshold
+    keep (>=): deterministic and side-free."""
+    d = load(spark, sf_dir, "documents")
+    toks = _tokens()
+    n_tokens = F.size(toks).cast("double")
+    n_unique = F.size(F.array_distinct(toks)).cast("double")
+    quality = F.round(
+        F.least(n_tokens / 100.0, F.lit(1.0)) * (n_unique / n_tokens), 4
+    )
+    scored = d.select("doc_id", "lang", quality.alias("quality"))
+
+    from pyspark.sql import Window as W
+
+    counts = scored.groupBy("lang", "quality").agg(F.count(F.lit(1)).alias("n"))
+    wcum = W.partitionBy("lang").orderBy("quality").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    wtot = W.partitionBy("lang")
+    cum = counts.select(
+        "lang",
+        "quality",
+        F.sum("n").over(wcum).alias("cum_n"),
+        F.sum("n").over(wtot).alias("tot"),
+    )
+    thresh = (
+        cum.filter(F.col("cum_n") >= F.expr("(tot + 9) div 10"))
+        .groupBy("lang")
+        .agg(F.min("quality").alias("q_thresh"))
+    )
+    return scored.join(F.broadcast(thresh), "lang").select(
+        "doc_id",
+        "lang",
+        "quality",
+        (F.col("quality") >= F.col("q_thresh")).alias("kept"),
+    )
+
+
 def _marker_hits_spark(lang: str) -> Column:
     markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
     return F.size(F.array_intersect(F.array_distinct(_tokens()), markers))

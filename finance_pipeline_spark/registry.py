@@ -244,6 +244,7 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
             # additions; fuzzy_match_blocked and anomaly_zscore_flags
             # fold on their r6-green rows to free the slots)
             "dedup_bloom_screen", "o4_global_index", "ann_pq_topk",
+            "text_quality_prune",
             # implementation changed in r7 (vectorized minhash/shingle
             # kernels; batched ANN query fetch) — fresh evidence on the
             # new code, not stale fold rows
@@ -278,6 +279,7 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
             "fuzzy_match_blocked",
             "anomaly_zscore_flags",
             "dq_referential_audit",
+            "text_chunk_dedup",
         ),
     },
     "r6": {
@@ -534,7 +536,7 @@ PRIORITY: tuple[str, ...] = (
     "text_mixture_sample",
     "text_ngram_profile",
     "text_chunk_overlap",
-    "text_chunk_dedup",
+    "text_quality_prune",
     # temporal (r4 cohort re-entries + r6 first-evidence transitions)
     "rollup_time_multi",
     "funnel_conversion",
@@ -552,6 +554,7 @@ PRIORITY: tuple[str, ...] = (
     "fuzzy_match_blocked",
     "anomaly_zscore_flags",
     "dq_referential_audit",
+    "text_chunk_dedup",
     "agg_minmax_distinct",
     "agg_variance_exact",
     "agg_rollup",
