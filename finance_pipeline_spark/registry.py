@@ -244,7 +244,7 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
             # additions; fuzzy_match_blocked and anomaly_zscore_flags
             # fold on their r6-green rows to free the slots)
             "dedup_bloom_screen", "o4_global_index", "ann_pq_topk",
-            "text_quality_prune",
+            "ann_ivfpq_topk", "text_quality_prune",
             # implementation changed in r7 (vectorized minhash/shingle
             # kernels; batched ANN query fetch) — fresh evidence on the
             # new code, not stale fold rows
@@ -280,6 +280,7 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
             "anomaly_zscore_flags",
             "dq_referential_audit",
             "text_chunk_dedup",
+            "agg_incremental_maintain",
         ),
     },
     "r6": {
@@ -520,6 +521,7 @@ PRIORITY: tuple[str, ...] = (
     "ann_ivf_topk",
     "ann_quantized_topk",
     "ann_pq_topk",
+    "ann_ivfpq_topk",
     "emb_quantize_int8",
     "kmeans_train_assign",
     # streaming anchors (stream_static_join re-earns from the r4 cohort)
@@ -544,7 +546,6 @@ PRIORITY: tuple[str, ...] = (
     "event_transition_counts",
     # warehouse tier — r6 first-evidence / changed-code rows hold their
     # slots one more round
-    "agg_incremental_maintain",
     "merge_upsert_orders",
     # ---- fold: position 51+ — prior-round hash-green driver evidence ----
     # r6-green, rotated out r7 (newest evidence first; fuzzy_match_blocked,
@@ -555,6 +556,7 @@ PRIORITY: tuple[str, ...] = (
     "anomaly_zscore_flags",
     "dq_referential_audit",
     "text_chunk_dedup",
+    "agg_incremental_maintain",
     "agg_minmax_distinct",
     "agg_variance_exact",
     "agg_rollup",

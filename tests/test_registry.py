@@ -79,6 +79,7 @@ def test_driver_window_covers_every_family():
         "dedup_bloom_screen",
         "o4_global_index",
         "ann_pq_topk",
+        "ann_ivfpq_topk",
         "text_quality_prune",
         # flagship + the two sketch rows
         "agg_pricing_summary", "agg_approx_distinct", "agg_approx_quantile",
