@@ -58,3 +58,55 @@ def test_rerun_resumes_from_checkpoint_and_takes_only_new_files(spark, tmp_path)
     assert sum(s.inserted for s in stats) == 1
     assert sum(s.skipped for s in stats) == 1
     assert spark.read.parquet(table).count() == 3
+
+
+def test_ingest_with_index_screens_exact_and_near(spark, tmp_path):
+    """Full-index streaming ingestion: exact re-crawls never land, near
+    copies land flagged, and a replayed batch converges (state after
+    re-delivery equals state after first delivery)."""
+    import random
+
+    from finance_pipeline_spark.pipelines.corpus_ingest import ingest_with_index
+    from tests.conftest import perturb_doc, random_doc
+
+    rng = random.Random(21)
+    base = random_doc(rng)
+    src = tmp_path / "incoming"
+    src.mkdir()
+    index_root = str(tmp_path / "index")
+    kept_path = str(tmp_path / "kept")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_docs(src / "f1.parquet", [(1, base), (2, random_doc(rng))])
+    _write_docs(
+        src / "f2.parquet",
+        [
+            (10, base),  # exact re-crawl of doc 1 -> dropped
+            (11, perturb_doc(rng, base, n_edits=1)),  # near copy -> flagged
+            (12, random_doc(rng)),  # novel -> kept clean
+        ],
+    )
+    stats = ingest_with_index(
+        spark, str(src), index_root, kept_path, ckpt, max_files_per_trigger=1
+    )
+    assert len(stats) == 2
+    assert (stats[0]["kept"], stats[0]["dropped_exact"]) == (2, 0)
+    assert (stats[1]["kept"], stats[1]["dropped_exact"]) == (2, 1)
+    assert stats[1]["near_flagged"] == 1
+
+    from finance_pipeline_spark.sinks.txn_table import TxnKeyedTable
+
+    kept = TxnKeyedTable(spark, kept_path, ["dg"]).read()
+    assert kept.count() == 4
+    by_id = {r.doc_id: r.verdict for r in kept.collect()}
+    assert 10 not in by_id
+    assert by_id[11] == "review_near"
+    assert by_id[12] == "keep"
+
+    # replay: fresh checkpoint re-delivers both files; all content is
+    # already indexed, so nothing new lands anywhere
+    stats2 = ingest_with_index(
+        spark, str(src), index_root, kept_path, str(tmp_path / "ckpt2")
+    )
+    assert all(s["kept"] == 0 for s in stats2)
+    assert TxnKeyedTable(spark, kept_path, ["dg"]).read().count() == 4
