@@ -202,6 +202,69 @@ def _footer_stats(parts: list[Path]) -> dict[str, dict[str, list]]:
     return out
 
 
+_FILE_BLOOM_BITS = 1 << 16  # 8 KiB per (file, key col) in the log
+_FILE_BLOOM_MAX_KEYS = 8192  # past this the bitmap saturates (>8 bits/key
+# needed) — skip the bloom, min/max still applies. That cap matches the
+# workload blooms exist for: small unsorted append/merge commits whose
+# every file spans the key domain (min/max prunes nothing there); big
+# compacted files are key-sorted and already prune to one file by range.
+# A production deployment past the cap spills bitmaps to sidecar files
+# instead of the JSON log (Delta's bloom index layout).
+
+
+def _file_bloom_indexes(value) -> list[int]:
+    """4 bit positions for one key value — md5 over the value's
+    canonical string, four 32-bit slices. Canonical form must agree
+    between stage-time (values read back from parquet) and probe-time
+    (caller-supplied bound), so only int and str key columns get
+    blooms — their str() round-trips exactly."""
+    import hashlib
+
+    h = hashlib.md5(str(value).encode("utf-8")).hexdigest()
+    return [
+        int(h[i * 8 : (i + 1) * 8], 16) % _FILE_BLOOM_BITS for i in range(4)
+    ]
+
+
+def _file_blooms(parts: list[Path], keys: list[str]) -> dict[str, dict[str, str]]:
+    """Per-file Bloom bitmap (base64) over each int/str KEY column —
+    the point-lookup complement to min/max: an unsorted append's every
+    file spans [min, max], but a key absent from a file misses its
+    bloom and the file is skipped. One column read per staged file —
+    O(batch just written), never O(table)."""
+    import base64
+
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict[str, str]] = {}
+    for part in parts:
+        tbl = pq.read_table(part, columns=[k for k in keys])
+        cols: dict[str, str] = {}
+        for k in keys:
+            vals = tbl.column(k).to_pylist()
+            uniq = {v for v in vals if v is not None}
+            if not uniq or len(uniq) > _FILE_BLOOM_MAX_KEYS:
+                continue
+            if not all(isinstance(v, (int, str)) for v in uniq):
+                continue
+            bits = bytearray(_FILE_BLOOM_BITS >> 3)
+            for v in uniq:
+                for i in _file_bloom_indexes(v):
+                    bits[i >> 3] |= 1 << (i & 7)
+            cols[k] = base64.b64encode(bytes(bits)).decode("ascii")
+        out[part.name] = cols
+    return out
+
+
+def _bloom_may_contain(b64: str, value) -> bool:
+    import base64
+
+    bits = base64.b64decode(b64)
+    return all(
+        bits[i >> 3] & (1 << (i & 7)) for i in _file_bloom_indexes(value)
+    )
+
+
 def _file_matches(col_stats: dict[str, list] | None, bounds: dict) -> bool:
     """May this file contain a row inside ``bounds``? ``bounds`` maps
     column → (lo, hi), either end None for open. Missing stats (old
@@ -211,17 +274,23 @@ def _file_matches(col_stats: dict[str, list] | None, bounds: dict) -> bool:
         return True
     for col, (lo, hi) in bounds.items():
         tagged = col_stats.get(col)
-        if tagged is None:
-            continue
-        tag, mn, mx = tagged
-        mn, mx = _stat_decode(tag, mn), _stat_decode(tag, mx)
-        try:
-            if lo is not None and mx < lo:
+        if tagged is not None:
+            tag, mn, mx = tagged
+            mn, mx = _stat_decode(tag, mn), _stat_decode(tag, mx)
+            try:
+                if lo is not None and mx < lo:
+                    return False
+                if hi is not None and mn > hi:
+                    return False
+            except TypeError:  # incomparable caller type — keep (safe)
+                pass
+        # point lookup (lo == hi): the per-file key bloom prunes files
+        # the range check can't — every file of an unsorted append
+        # spans [min, max], but an absent key misses the bitmap
+        if lo is not None and lo == hi:
+            b64 = col_stats.get(f"bloom:{col}")
+            if isinstance(b64, str) and not _bloom_may_contain(b64, lo):
                 return False
-            if hi is not None and mn > hi:
-                return False
-        except TypeError:  # incomparable caller type — keep (safe)
-            continue
     return True
 
 
@@ -799,6 +868,7 @@ class TxnKeyedTable:
         parts = sorted(staging.glob("*.parquet"))
         inserted = _footer_row_count(parts)
         part_stats = _footer_stats(parts)
+        part_blooms = _file_blooms(parts, self.keys)
         names: list[str] = []
         stats: dict[str, dict[str, list]] = {}
         run_id = staging.name.removeprefix("_staging_")
@@ -807,6 +877,8 @@ class TxnKeyedTable:
             part.rename(_data_dir(self.path) / name)
             names.append(name)
             stats[name] = part_stats[part.name]
+            for col, b64 in part_blooms.get(part.name, {}).items():
+                stats[name][f"bloom:{col}"] = b64
         shutil.rmtree(staging, ignore_errors=True)
         return names, inserted, stats
 

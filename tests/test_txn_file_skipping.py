@@ -177,8 +177,10 @@ def test_compact_bin_packs_sorts_and_sharpens_skipping(spark, tmp_path):
         t.merge(_batch(spark, range(i, 600, 6)).coalesce(1))
     before = current_snapshot(t.path)
     assert len(before.files) == 6
-    # every append spans ~[0, 600) -> a point lookup prunes nothing
-    assert len(t.files_for(bounds={"k": (303, 303)})) == 6
+    # every append spans ~[0, 600): the RANGE stats prune nothing (the
+    # per-file bloom still nails the point lookup — that's its test);
+    # compaction's win here is range disjointness + file count
+    assert len(t.files_for(bounds={"k": (100, 400)})) == 6
 
     fb, fa = t.compact(target_rows=200)
     assert (fb, fa) == (6, 3)
@@ -246,3 +248,57 @@ def test_zorder_compact_key_sorted_comparison(spark, tmp_path):
     # leading-key predicate prunes; trailing-dimension predicate can't
     assert len(t.files_for(bounds={"k": (100, 131)})) <= 2
     assert len(t.files_for(bounds={"d": (3, 4)})) == n
+
+
+def test_point_lookup_bloom_prunes_unsorted_appends(spark, tmp_path):
+    """Interleaved-key appends leave every file spanning the whole key
+    domain — min/max range stats prune NOTHING for a point lookup. The
+    per-file key bloom does: only files actually containing the key
+    survive. False-negative-free: the pruned read still returns the
+    row."""
+    t = TxnKeyedTable(spark, str(tmp_path / "t"), ["k"])
+    for i in range(6):
+        t.merge(_batch(spark, range(i, 600, 6)).coalesce(1))
+    snap = current_snapshot(t.path)
+    assert len(snap.files) == 6
+    assert all(f"bloom:k" in snap.stats[f] for f in snap.files)
+
+    # key 303 ≡ 3 (mod 6) lives only in commit 3's file; min/max keeps
+    # all 6, the bloom keeps ~1 (false positives may add a file or two)
+    keep = t.files_for(bounds={"k": (303, 303)})
+    assert 1 <= len(keep) <= 2, keep
+    got = t.read(bounds={"k": (303, 303)}).filter(F.col("k") == 303)
+    assert [r.v for r in got.collect()] == ["x303"]
+
+    # an absent key prunes everything and still reads empty-with-schema
+    assert t.files_for(bounds={"k": (9999, 9999)}) == []
+    assert t.read(bounds={"k": (9999, 9999)}).count() == 0
+
+    # range bounds ignore the bloom (point-only) — all files kept
+    assert len(t.files_for(bounds={"k": (100, 400)})) == 6
+
+
+def test_bloom_skipped_for_wide_files_and_string_keys_work(spark, tmp_path):
+    """Files past _FILE_BLOOM_MAX_KEYS distinct keys skip the bloom
+    (bitmap would saturate); string keys get blooms with exact-str
+    canonicalization."""
+    import finance_pipeline_spark.sinks.txn_table as tt
+
+    t = TxnKeyedTable(spark, str(tmp_path / "s"), ["name"])
+    rows = [(f"user-{i}", i) for i in range(50)]
+    t.merge(spark.createDataFrame(rows, "name string, x bigint").coalesce(1))
+    snap = current_snapshot(t.path)
+    (f,) = snap.files
+    assert "bloom:name" in snap.stats[f]
+    assert t.files_for(bounds={"name": ("user-7", "user-7")}) == [f]
+    assert t.files_for(bounds={"name": ("ghost", "ghost")}) == []
+
+    big = TxnKeyedTable(spark, str(tmp_path / "big"), ["k"])
+    n = tt._FILE_BLOOM_MAX_KEYS + 1
+    big.merge(
+        spark.range(n).select(F.col("id").alias("k"), F.lit("v").alias("v")).coalesce(1)
+    )
+    bsnap = current_snapshot(big.path)
+    (bf,) = bsnap.files
+    assert "bloom:k" not in bsnap.stats[bf]  # capped out — min/max only
+    assert len(big.files_for(bounds={"k": (5, 5)})) == 1  # range still prunes
