@@ -841,13 +841,69 @@ class TxnKeyedTable:
                 bounds[k] = (lo, hi)
         return bounds
 
+    _PROBE_KEY_CAP = 10_000  # batch-key collect bound for bloom probing
+
+    def probe_files_for(self, batch: DataFrame, snap: Snapshot | None = None) -> list[str]:
+        """The snapshot files an existing-key probe for ``batch`` must
+        read — range-pruned by the batch's key bounds, then (for
+        batches of ≤ _PROBE_KEY_CAP distinct keys) bloom-pruned per
+        file: a file survives only if, for EVERY key column carrying a
+        bitmap, at least one batch value maybe-hits it. Sound for
+        composite keys: a present composite key hits every column's
+        bloom, so a file failing any column test provably holds no
+        batch key. This is what makes a small CDC merge against a big
+        unsorted table open a handful of files instead of the key
+        range's worth."""
+        if snap is None:
+            snap = current_snapshot(self.path)
+        if snap.version < 0:
+            return []
+        keep = _prune_files(snap, self._key_bounds(batch))
+        if len(keep) <= 1:
+            return keep
+        rows = (
+            batch.select(*self.keys)
+            .dropDuplicates(self.keys)
+            .limit(self._PROBE_KEY_CAP + 1)
+            .collect()
+        )
+        if len(rows) > self._PROBE_KEY_CAP:
+            return keep  # bulk load — bloom testing cost exceeds its win
+        import base64
+
+        col_vals = {
+            k: {r[k] for r in rows if r[k] is not None} for k in self.keys
+        }
+        out = []
+        for f in keep:
+            st = snap.stats.get(f) or {}
+            survives = True
+            for k, vals in col_vals.items():
+                b64 = st.get(f"bloom:{k}")
+                if not isinstance(b64, str) or not vals:
+                    continue
+                bits = base64.b64decode(b64)
+                if not any(
+                    all(
+                        bits[i >> 3] & (1 << (i & 7))
+                        for i in _file_bloom_indexes(v)
+                    )
+                    for v in vals
+                ):
+                    survives = False
+                    break
+            if survives:
+                out.append(f)
+        return out
+
     def _against(self, batch: DataFrame, snap: Snapshot) -> DataFrame:
         if snap.version < 0:
             return batch
         # Files whose key range can't overlap the batch can't hold a
         # colliding key — prune them from the probe (a batch touching
-        # one day of a key-clustered table probes that day's files).
-        keep = _prune_files(snap, self._key_bounds(batch))
+        # one day of a key-clustered table probes that day's files);
+        # small batches prune further by the per-file key blooms.
+        keep = self.probe_files_for(batch, snap)
         if not keep:
             return batch
         paths = [str(_data_dir(self.path) / f) for f in keep]

@@ -302,3 +302,26 @@ def test_bloom_skipped_for_wide_files_and_string_keys_work(spark, tmp_path):
     (bf,) = bsnap.files
     assert "bloom:k" not in bsnap.stats[bf]  # capped out — min/max only
     assert len(big.files_for(bounds={"k": (5, 5)})) == 1  # range still prunes
+
+
+def test_merge_probe_bloom_prunes_interleaved_files(spark, tmp_path):
+    """A small batch probing an unsorted table: range stats keep every
+    file (all span the domain), the per-file blooms keep only files
+    actually holding a batch key — and merge stays correct."""
+    t = TxnKeyedTable(spark, str(tmp_path / "t"), ["k"])
+    for i in range(6):
+        t.merge(_batch(spark, range(i, 600, 6)).coalesce(1))
+    snap = current_snapshot(t.path)
+
+    # keys 3 and 9 both live in commit 3's file only
+    probe = t.probe_files_for(_batch(spark, [3, 9]), snap)
+    assert 1 <= len(probe) <= 2, probe
+    # a batch of only-novel keys prunes the whole probe
+    assert t.probe_files_for(_batch(spark, [10_000, 10_001]), snap) == []
+
+    # correctness through the pruned probe: existing keys skip, novel
+    # keys insert
+    stats = t.merge(_batch(spark, [3, 9, 10_000], tag="y"))
+    assert (stats.inserted, stats.skipped) == (1, 2)
+    got = t.read().filter(F.col("k").isin(3, 9, 10_000)).collect()
+    assert {r.k: r.v for r in got} == {3: "x3", 9: "x9", 10_000: "y10000"}
