@@ -183,6 +183,117 @@ def agg_variance_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_exact_median",
+    oracle="""
+    WITH counts AS (
+        SELECT l_returnflag, l_linestatus, l_quantity AS q, count(*) AS n
+        FROM lineitem GROUP BY 1, 2, 3
+    ), cum AS (
+        SELECT l_returnflag, l_linestatus, q,
+               sum(n) OVER (PARTITION BY l_returnflag, l_linestatus
+                            ORDER BY q) AS cum_n,
+               sum(n) OVER (PARTITION BY l_returnflag, l_linestatus) AS tot
+        FROM counts
+    )
+    SELECT l_returnflag, l_linestatus, min(q) AS median_qty
+    FROM cum WHERE cum_n >= (tot + 1) // 2
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "median"),
+)
+def agg_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group median (lower median, rank ceil(n/2)) — at scale,
+    via the histogram-rank trick, not a sort: exact medians normally
+    need a per-group global sort (single-reducer per group, the same
+    collapse ``o4_global_index`` exists to avoid), and engines ship
+    approx sketches instead (``agg_approx_quantile``). But a
+    DISCRETIZED value column (quantities, star ratings, bucketed
+    scores — here l_quantity's 50 values) admits the exact answer as
+    pure aggregation: groupBy (group, value) counts — map-side
+    combinable, shuffle bounded by groups × distinct values, NOT rows
+    — then the cumulative-rank cut on that tiny table. Same recipe as
+    ``text_quality_prune``'s percentile, surfaced as the reusable agg.
+    Integer (tot+1) div 2 rank arithmetic — no float boundary."""
+    li = load(spark, sf_dir, "lineitem")
+    from pyspark.sql import Window as W
+
+    counts = li.groupBy(
+        "l_returnflag", "l_linestatus", F.col("l_quantity").alias("q")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wcum = (
+        W.partitionBy("l_returnflag", "l_linestatus")
+        .orderBy("q")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    wtot = W.partitionBy("l_returnflag", "l_linestatus")
+    cum = counts.select(
+        "l_returnflag",
+        "l_linestatus",
+        "q",
+        F.sum("n").over(wcum).alias("cum_n"),
+        F.sum("n").over(wtot).alias("tot"),
+    )
+    return (
+        cum.filter(F.col("cum_n") >= F.expr("(tot + 1) div 2"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.min("q").alias("median_qty"))
+    )
+
+
+@query(
+    "agg_corr_exact",
+    oracle="""
+    WITH m AS (
+        SELECT l_returnflag,
+               CAST(count(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           round((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)),
+                 6) AS corr_qty_price
+    FROM m
+    """,
+    tags=("agg", "corr"),
+)
+def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation per group with ORDER-FREE exactness: the
+    five moments accumulate as decimal(38,6) (exact, associative — no
+    float summation-order drift between Spark's partial aggregation
+    and any other engine), each exact decimal converts to the same
+    double on every engine, and the final formula is one fixed
+    expression tree evaluated identically on both sides (round 6
+    bridges nothing — it's belt-and-suspenders). The built-in
+    ``corr()`` is a streaming co-moment whose result depends on
+    partition order; this form is reproducible across cluster sizes,
+    retries, and engines — what a feature-stats job feeding a model
+    actually needs."""
+    li = load(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(_dec(x)).cast("double").alias("sx"),
+        F.sum(_dec(y)).cast("double").alias("sy"),
+        F.sum(_dec(x * x)).cast("double").alias("sxx"),
+        F.sum(_dec(y * y)).cast("double").alias("syy"),
+        F.sum(_dec(x * y)).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    corr = F.round(
+        (n * sxy - sx * sy)
+        / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+        6,
+    )
+    return m.select("l_returnflag", corr.alias("corr_qty_price"))
+
+
+@query(
     "agg_rollup",
     oracle="""
     SELECT l_returnflag, l_linestatus,

@@ -230,10 +230,10 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
             # entire r4-evidence cohort (folded r5, never back since)
             # plus the five entries deferred in r6.
             "p2_drop_column", "p3_date_window", "d2_interval_shift",
-            "d4_custom_format_parse", "u3_semi_join", "mm_decode_features",
+            "u3_semi_join", "mm_decode_features",
             "kmeans_train_assign", "dedup_group_decisions", "ann_ivf_topk",
             "emb_quantize_int8", "text_token_count", "text_gopher_rules",
-            "text_pack_sequences", "rollup_time_multi", "funnel_conversion",
+            "text_pack_sequences", "funnel_conversion",
             "cohort_retention", "text_split_assign", "join_range_bands",
             "stream_static_join", "text_mixture_sample", "dedup_exact",
             "dedup_ngram_jaccard",
@@ -244,7 +244,8 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
             # additions; fuzzy_match_blocked and anomaly_zscore_flags
             # fold on their r6-green rows to free the slots)
             "dedup_bloom_screen", "o4_global_index", "ann_pq_topk",
-            "ann_ivfpq_topk", "text_quality_prune",
+            "ann_ivfpq_topk", "text_quality_prune", "agg_exact_median",
+            "agg_corr_exact",
             # implementation changed in r7 (vectorized minhash/shingle
             # kernels; batched ANN query fetch) — fresh evidence on the
             # new code, not stale fold rows
@@ -281,6 +282,11 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
             "dq_referential_audit",
             "text_chunk_dedup",
             "agg_incremental_maintain",
+            # r4-green re-entrants deferred to r8 (slots ceded to the
+            # new agg_exact_median / agg_corr_exact; both re-verified
+            # by every full-registry oracle run meanwhile)
+            "d4_custom_format_parse",
+            "rollup_time_multi",
         ),
     },
     "r6": {
@@ -474,6 +480,9 @@ PRIORITY: tuple[str, ...] = (
     "agg_pricing_summary",
     "agg_approx_distinct",
     "agg_approx_quantile",
+    # exact-at-scale aggregates landing first evidence (r7 additions)
+    "agg_exact_median",
+    "agg_corr_exact",
     # aggregates-misc (empty-probe re-earning after its r6 deferral)
     "a2_empty_probe",
     # event-time windows: win_tumbling holds its r6-reimplemented slot
@@ -494,7 +503,6 @@ PRIORITY: tuple[str, ...] = (
     "p3_date_window",
     # derivations (r4 cohort + the deferred literal-columns row)
     "d2_interval_shift",
-    "d4_custom_format_parse",
     "d6_literal_columns",
     # dedup family — the r7 kernel-vectorization cohort: every query
     # whose signature/shingle kernel changed re-earns evidence on the
@@ -540,7 +548,6 @@ PRIORITY: tuple[str, ...] = (
     "text_chunk_overlap",
     "text_quality_prune",
     # temporal (r4 cohort re-entries + r6 first-evidence transitions)
-    "rollup_time_multi",
     "funnel_conversion",
     "cohort_retention",
     "event_transition_counts",
@@ -557,6 +564,9 @@ PRIORITY: tuple[str, ...] = (
     "dq_referential_audit",
     "text_chunk_dedup",
     "agg_incremental_maintain",
+    # r4-green re-entrants deferred to r8 (see ROTATION_LOG r7 note)
+    "d4_custom_format_parse",
+    "rollup_time_multi",
     "agg_minmax_distinct",
     "agg_variance_exact",
     "agg_rollup",

@@ -81,6 +81,8 @@ def test_driver_window_covers_every_family():
         "ann_pq_topk",
         "ann_ivfpq_topk",
         "text_quality_prune",
+        "agg_exact_median",
+        "agg_corr_exact",
         # flagship + the two sketch rows
         "agg_pricing_summary", "agg_approx_distinct", "agg_approx_quantile",
         # one-plus anchor per family while the r4-evidence cohort
