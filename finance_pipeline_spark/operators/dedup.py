@@ -54,7 +54,10 @@ def _word_shingles(n: int = 3, col: str = "text") -> Column:
 def _py_shingles(text: str, n: int = 3) -> set:
     """Python twin of ``_word_shingles`` for Arrow-batched kernels:
     same trim-spaces / lower / single-space-split / distinct-n-gram
-    semantics, as a set."""
+    semantics, as a set. NULL text → no shingles (the SQL twin's list
+    functions propagate NULL into zero band/pair rows)."""
+    if text is None:
+        return set()
     toks = text.strip(" ").lower().split(" ")
     if len(toks) < n:
         return set()
@@ -783,7 +786,11 @@ def build_digest_bloom(digests: DataFrame, col: str = "dg"):
 
         words = np.zeros(n_words, dtype=np.uint64)
         for pdf in batches:
-            idx = _bloom_indexes(list(pdf[col])).ravel()
+            # null digests (sha2 of a NULL text is NULL) contribute no
+            # bits — same semantics as a semi-join never matching null
+            idx = _bloom_indexes(
+                [d for d in pdf[col] if isinstance(d, str)]
+            ).ravel()
             np.bitwise_or.at(
                 words, idx >> np.uint64(6), np.uint64(1) << (idx & np.uint64(63))
             )
@@ -824,11 +831,16 @@ def bloom_maybe_contains(spark: SparkSession, words, col: Column) -> Column:
         import pandas as pd
 
         w = bc.value
-        idx = _bloom_indexes(list(dg))
-        if idx.shape[0] == 0:
-            return pd.Series([], dtype=bool)
-        bits = (w[idx >> np.uint64(6)] >> (idx & np.uint64(63))) & np.uint64(1)
-        return pd.Series(bits.all(axis=1))
+        out = np.zeros(len(dg), dtype=bool)  # null digest → no match,
+        # the semi-join's null semantics
+        mask = np.array([isinstance(d, str) for d in dg], dtype=bool)
+        if mask.any():
+            idx = _bloom_indexes([d for d, m in zip(dg, mask) if m])
+            bits = (
+                (w[idx >> np.uint64(6)] >> (idx & np.uint64(63))) & np.uint64(1)
+            ).all(axis=1)
+            out[mask] = bits
+        return pd.Series(out)
 
     return maybe(col)
 
@@ -972,6 +984,8 @@ def simhash_signatures(df: DataFrame) -> DataFrame:
             counts: list = []
             flat: list = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:  # NULL text signs nothing
+                    continue
                 toks = set(text.strip(" ").lower().split(" "))
                 if not toks:
                     continue
@@ -1110,6 +1124,8 @@ def hashed_shingle_rows(df: DataFrame) -> DataFrame:
             counts: list = []
             flat: list = []
             for doc_id, lang, text in zip(pdf["doc_id"], pdf["lang"], pdf["text"]):
+                if text is None:  # NULL text shingles to nothing
+                    continue
                 toks = text.strip(" ").lower().split(" ")
                 if len(toks) < 3:
                     continue

@@ -988,21 +988,34 @@ def _pq_build(spark: SparkSession, sf_dir: str):
         )
     )
 
-    qrows = e.filter(F.col("vec_id") % 100 == 0).collect()
-    if len(qrows) > _QUERY_FETCH_CAP:
-        raise ValueError(
-            f"PQ query set {len(qrows)} exceeds the driver fetch cap"
-        )
-    qdata = []
-    for r in qrows:
+    # Query distance tables, built in driver-capped chunks: the query
+    # scan streams via toLocalIterator (one partition in flight) and
+    # each ≤_QUERY_FETCH_CAP slice becomes its own qdf — the serve
+    # side unions one scoring join per chunk, the same
+    # batches-partition-the-query-ids recipe as ann_cosine_topk, so a
+    # query set past the cap costs extra passes, never an OOM or a
+    # hard failure.
+    tab_cols = ", ".join(f"t{s} array<double>" for s in range(_PQ_M))
+    qdfs: list[DataFrame] = []
+    qdata: list = []
+
+    def flush():
+        if qdata:
+            qdfs.append(
+                spark.createDataFrame(qdata, f"query_id bigint, {tab_cols}")
+            )
+            qdata.clear()
+
+    for r in e.filter(F.col("vec_id") % 100 == 0).toLocalIterator():
         qv = np.asarray(r["embedding"], dtype=np.float64).reshape(_PQ_M, _PQ_DSUB)
         tabs = ((qv[:, None, :] - cents1) ** 2).sum(axis=2)  # (m, k) RAW
         qdata.append(
             (int(r["vec_id"]), *[[float(x) for x in tabs[s]] for s in range(_PQ_M)])
         )
-    tab_cols = ", ".join(f"t{s} array<double>" for s in range(_PQ_M))
-    qdf = spark.createDataFrame(qdata, f"query_id bigint, {tab_cols}")
-    return e, codes, qdf
+        if len(qdata) >= _QUERY_FETCH_CAP:
+            flush()
+    flush()
+    return e, codes, qdfs
 
 
 def _pq_serve(spark: SparkSession, sf_dir: str, cell_pruned: bool) -> DataFrame:
@@ -1010,7 +1023,7 @@ def _pq_serve(spark: SparkSession, sf_dir: str, cell_pruned: bool) -> DataFrame:
     query to its own coarse cell (label column), FAISS ``IVFPQ``
     nprobe=1 — the candidate set shrinks ~|cells|x BEFORE the lookup
     scan, on top of the 128x code compression."""
-    e, codes, qdf = _pq_build(spark, sf_dir)
+    e, codes, qdfs = _pq_build(spark, sf_dir)
 
     term = lambda s: F.round(  # noqa: E731 — per-subspace 4-dp round, oracle parity
         F.element_at(F.col(f"t{s}"), F.col(f"c{s}").cast("int") + 1), 4
@@ -1024,16 +1037,28 @@ def _pq_serve(spark: SparkSession, sf_dir: str, cell_pruned: bool) -> DataFrame:
         qlab = labels.select(
             F.col("vec_id").alias("query_id"), F.col("label").alias("q_label")
         )
-        qdf = qdf.join(qlab, "query_id")
+        qdfs = [q.join(qlab, "query_id") for q in qdfs]
         cond = cond & (F.col("label") == F.col("q_label"))
-    return (
-        codes.join(F.broadcast(qdf), cond)
-        .select(
+
+    out_schema = "query_id bigint, corpus_id bigint, adist double"
+    parts = [
+        codes.join(F.broadcast(q), cond).select(
             "query_id",
             F.col("vec_id").alias("corpus_id"),
             adist.alias("adist"),
         )
-        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        for q in qdfs
+    ]
+    if not parts:
+        scored = spark.createDataFrame([], out_schema)
+    else:
+        scored = parts[0]
+        for p in parts[1:]:
+            scored = scored.unionByName(p)
+    # chunks partition the QUERY ids, so the single global rank below
+    # is exact — no cross-chunk re-rank needed
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= _TOPK)
     )
 

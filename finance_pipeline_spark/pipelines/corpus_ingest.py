@@ -115,14 +115,18 @@ def ingest_with_index(
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.localCheckpoint(eager=True)  # stream source
-        # is single-pass; the screen + write below each traverse it
-        verdicts = idx.screen(batch_df)
+        # is single-pass; the screen + write below each traverse it.
+        # The screen and survivor sets also feed MULTIPLE downstream
+        # actions (merge, index add, two counts) — eager checkpoints
+        # run the Python screen kernels exactly once per batch instead
+        # of once per action.
+        verdicts = idx.screen(batch_df).localCheckpoint(eager=True)
         survivors = batch_df.join(
             verdicts.filter(F.col("verdict") != "drop_exact").select(
                 "doc_id", "verdict"
             ),
             "doc_id",
-        )
+        ).localCheckpoint(eager=True)
         w = kept.merge(
             survivors.withColumn(
                 "dg", F.sha2(F.encode("text", "UTF-8"), 256)

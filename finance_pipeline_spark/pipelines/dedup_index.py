@@ -122,7 +122,13 @@ class CorpusDedupIndex:
         if stored_bands is None:
             near_ids = dgs.select("doc_id").filter(F.lit(False))
         else:
-            probe = minhash_band_rows(batch.select("doc_id", "text"))
+            # band rows feed two branches of one plan (the semi-probe
+            # and the final near_ids join); materialize once so the
+            # Python signature kernel doesn't re-run per branch —
+            # dedup_incremental's measured pitfall
+            probe = minhash_band_rows(batch.select("doc_id", "text")).localCheckpoint(
+                eager=True
+            )
             matching = stored_bands.select("band_key", "doc_id").join(
                 probe.select("band_key").distinct(), "band_key", "left_semi"
             )
@@ -165,19 +171,19 @@ class CorpusDedupIndex:
         """Fold a (doc_id, text) batch into the stored index. Returns
         per-table insert counts. Safe to re-run on the same batch:
         digests merge first-wins, band rows are keyed on (band_key,
-        doc_id), and the bloom update ORs — all idempotent."""
-        dgs = batch.select(_digest().alias("dg"), F.col("doc_id").alias("first_doc_id"))
-        dg_stats = self.digests.merge(dgs)
+        doc_id), and the bloom update ORs — all idempotent.
 
-        band_stats = self.bands.merge(
-            minhash_band_rows(batch.select("doc_id", "text"))
-        )
+        Commit ORDER is load-bearing: the bloom words land FIRST.
+        ``screen`` trusts the bloom to have no false negatives against
+        the digests table, so a crash between the two commits must
+        only ever leave EXTRA bloom bits (harmless false positives the
+        confirm join kills), never digests the bloom doesn't know —
+        those would be admitted as duplicates forever."""
+        import numpy as np
 
         # bloom: OR the batch's words into the stored words. Both sides
         # are ≤16384 rows — driver arithmetic, then one keyed upsert of
         # the rows that actually changed.
-        import numpy as np
-
         batch_words = build_digest_bloom(
             batch.select(_digest().alias("dg")), "dg"
         ).view(np.int64)
@@ -190,6 +196,13 @@ class CorpusDedupIndex:
             df = self.spark.createDataFrame(rows, "word_idx bigint, word bigint")
             up = self.bloom.upsert(df)
             n_bloom = up.inserted + up.updated
+
+        dgs = batch.select(_digest().alias("dg"), F.col("doc_id").alias("first_doc_id"))
+        dg_stats = self.digests.merge(dgs)
+
+        band_stats = self.bands.merge(
+            minhash_band_rows(batch.select("doc_id", "text"))
+        )
         return {
             "digests_inserted": dg_stats.inserted,
             "bands_inserted": band_stats.inserted,

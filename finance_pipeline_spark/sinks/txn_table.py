@@ -238,6 +238,14 @@ def _file_blooms(parts: list[Path], keys: list[str]) -> dict[str, dict[str, str]
 
     out: dict[str, dict[str, str]] = {}
     for part in parts:
+        # footer row count first: a keyed file with more rows than the
+        # bitmap cap can't stay under it (staged batches are key-deduped),
+        # so skip its key-column read entirely — this is what keeps
+        # compact()'s ~1M-row rewrites from paying an O(table) scan for
+        # bitmaps that would be discarded anyway
+        if pq.ParquetFile(part).metadata.num_rows > _FILE_BLOOM_MAX_KEYS:
+            out[part.name] = {}
+            continue
         tbl = pq.read_table(part, columns=[k for k in keys])
         cols: dict[str, str] = {}
         for k in keys:
@@ -245,7 +253,9 @@ def _file_blooms(parts: list[Path], keys: list[str]) -> dict[str, dict[str, str]
             uniq = {v for v in vals if v is not None}
             if not uniq or len(uniq) > _FILE_BLOOM_MAX_KEYS:
                 continue
-            if not all(isinstance(v, (int, str)) for v in uniq):
+            # exact types only (no bool-as-int): the probe-side guard
+            # in _file_matches requires tag int↔int / str↔str
+            if not all(type(v) in (int, str) for v in uniq):
                 continue
             bits = bytearray(_FILE_BLOOM_BITS >> 3)
             for v in uniq:
@@ -286,10 +296,24 @@ def _file_matches(col_stats: dict[str, list] | None, bounds: dict) -> bool:
                 pass
         # point lookup (lo == hi): the per-file key bloom prunes files
         # the range check can't — every file of an unsorted append
-        # spans [min, max], but an absent key misses the bitmap
+        # spans [min, max], but an absent key misses the bitmap.
+        # TYPE guard: the bitmap hashes str(stored_value), so the probe
+        # value must canonicalize identically — require its Python type
+        # to match the recorded range tag (int↔int, str↔str). A probe
+        # of 303.0 against a bigint key would str() to "303.0" vs the
+        # stored "303" and false-negative; with the guard it just skips
+        # the bloom (range stats still apply) — pruning stays a
+        # superset guarantee for any caller type.
         if lo is not None and lo == hi:
+            tag_ok = (
+                tagged is not None
+                and (
+                    (tagged[0] == "int" and type(lo) is int)
+                    or (tagged[0] == "str" and type(lo) is str)
+                )
+            )
             b64 = col_stats.get(f"bloom:{col}")
-            if isinstance(b64, str) and not _bloom_may_contain(b64, lo):
+            if tag_ok and isinstance(b64, str) and not _bloom_may_contain(b64, lo):
                 return False
     return True
 
@@ -860,6 +884,15 @@ class TxnKeyedTable:
             return []
         keep = _prune_files(snap, self._key_bounds(batch))
         if len(keep) <= 1:
+            return keep
+        # no surviving file carries a bitmap (e.g. a fully compacted
+        # table, every file past the bloom cap) → collecting batch keys
+        # could never prune anything; skip the extra job
+        if not any(
+            f"bloom:{k}" in (snap.stats.get(f) or {})
+            for f in keep
+            for k in self.keys
+        ):
             return keep
         rows = (
             batch.select(*self.keys)

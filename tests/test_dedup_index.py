@@ -88,3 +88,26 @@ def test_bloom_words_match_full_rebuild(spark, tmp_path):
 
     rebuilt = build_digest_bloom(b1.unionByName(b2).select(_digest().alias("dg")))
     assert np.array_equal(idx._bloom_words(), rebuilt)
+
+
+def test_null_text_rows_survive_screen_and_add(spark, tmp_path):
+    """A NULL text (allowed by the doc schema) must not crash the bloom
+    kernels: null digests contribute no bits and never match — the
+    semi-join's null semantics."""
+    idx = CorpusDedupIndex(spark, str(tmp_path / "idx"))
+    rng = random.Random(17)
+    base = random_doc(rng)
+    with_null = spark.createDataFrame(
+        [(1, base), (2, None)], "doc_id bigint, text string"
+    )
+    idx.add(with_null)
+    got = {
+        r.doc_id: r.verdict
+        for r in idx.screen(
+            spark.createDataFrame(
+                [(10, base), (11, None)], "doc_id bigint, text string"
+            )
+        ).collect()
+    }
+    assert got[10] == "drop_exact"
+    assert got[11] == "keep"  # null text never matches anything

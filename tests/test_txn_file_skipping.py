@@ -325,3 +325,20 @@ def test_merge_probe_bloom_prunes_interleaved_files(spark, tmp_path):
     assert (stats.inserted, stats.skipped) == (1, 2)
     got = t.read().filter(F.col("k").isin(3, 9, 10_000)).collect()
     assert {r.k: r.v for r in got} == {3: "x3", 9: "x9", 10_000: "y10000"}
+
+
+def test_bloom_skips_probe_on_type_mismatched_point_bound(spark, tmp_path):
+    """A float probe value against a bigint key must NOT bloom-prune
+    (str(303.0) != str(303) would false-negative); the range stats
+    still apply and pruning stays a superset guarantee."""
+    t = TxnKeyedTable(spark, str(tmp_path / "t"), ["k"])
+    for i in range(3):
+        t.merge(_batch(spark, range(i, 300, 3)).coalesce(1))
+    # int probe: bloom prunes to the owning file
+    assert 1 <= len(t.files_for(bounds={"k": (33, 33)})) <= 2
+    # float probe of the same key: bloom skipped, range keeps all 3,
+    # and the read still finds the row under the caller's own filter
+    keep = t.files_for(bounds={"k": (33.0, 33.0)})
+    assert len(keep) == 3
+    got = t.read(bounds={"k": (33.0, 33.0)}).filter(F.col("k") == 33.0)
+    assert got.count() == 1
