@@ -134,3 +134,77 @@ def verify_training_shards(spark: SparkSession, out_dir: str) -> list[str]:
     for extra in sorted(actual):
         problems.append(f"shard {extra}: present in data but not in manifest")
     return problems
+
+
+def write_jsonl_shards(
+    df: DataFrame, out_dir: str, n_shards: int, key_col: str
+) -> dict:
+    """Export ``df`` as gzip JSONL shards — the interchange format LLM
+    training stacks actually consume — with the SAME md5-mod shard
+    assignment and integrity manifest as the parquet exporter: layout
+    ``out_dir/data/shard=K/*.json.gz`` + ``out_dir/manifest.json``.
+    The manifest additionally records the schema (DDL string) so
+    ``verify_jsonl_shards`` can re-read the text files type-faithfully
+    (bare ``read.json`` would re-infer and drift on empty/all-null
+    columns). One exchange (repartition by shard) → gzip text write;
+    compression is per-file, so shards stay splittable at the file
+    granularity the shard count sets."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    data_cols = df.columns
+    if key_col not in data_cols:
+        raise ValueError(f"key_col {key_col!r} not in {data_cols}")
+    shard = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 6), 16, 10)
+        .cast("bigint")
+        % n_shards
+    )
+    with_shard = df.withColumn("shard", shard)
+    (
+        with_shard.repartition(n_shards, F.col("shard"))
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .option("compression", "gzip")
+        .json(f"{out_dir}/data")
+    )
+    manifest = {
+        "format": "jsonl.gz",
+        "n_shards": n_shards,
+        "key_col": key_col,
+        "columns": sorted(data_cols),
+        "schema_ddl": ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+        ),
+        "shards": _shard_stats(with_shard, data_cols),
+    }
+    manifest["n_rows"] = sum(s["n_rows"] for s in manifest["shards"])
+    out = Path(out_dir) / "manifest.json"
+    tmp = out.with_suffix(".json.tmp")
+    tmp.write_text(json.dumps(manifest, indent=1))
+    tmp.replace(out)
+    return manifest
+
+
+def verify_jsonl_shards(spark: SparkSession, out_dir: str) -> list[str]:
+    """JSONL twin of ``verify_training_shards``: re-read the gzip text
+    shards with the manifest's recorded schema and diff per-shard row
+    counts + content digests. Empty list = intact."""
+    manifest = json.loads((Path(out_dir) / "manifest.json").read_text())
+    df = spark.read.schema(manifest["schema_ddl"]).json(f"{out_dir}/data")
+    problems: list[str] = []
+    data_cols = [c for c in df.columns if c != "shard"]
+    if sorted(data_cols) != manifest["columns"]:
+        problems.append(
+            f"columns drifted: manifest {manifest['columns']} vs data {sorted(data_cols)}"
+        )
+        return problems
+    actual = {s["shard"]: s for s in _shard_stats(df, data_cols)}
+    for want in manifest["shards"]:
+        got = actual.pop(want["shard"], None)
+        if got is None:
+            problems.append(f"shard {want['shard']}: missing from data")
+        elif got != want:
+            problems.append(f"shard {want['shard']}: manifest {want} vs data {got}")
+    for extra in sorted(actual):
+        problems.append(f"shard {extra}: present in data but not in manifest")
+    return problems

@@ -386,6 +386,30 @@ class TxnKeyedTable:
     def snapshot(self, version: int | None = None) -> Snapshot:
         return current_snapshot(self.path, version)
 
+    def history(self) -> list[dict]:
+        """One dict per commit, oldest first: version, adds/removes
+        counts, rows inserted, and the writer-recorded op stats — the
+        DESCRIBE HISTORY surface an operator debugging a table reads
+        first. Driver-side log scan, O(commits), no data files touched.
+        Commits whose entry predates a field report it as absent."""
+        out: list[dict] = []
+        v = 0
+        while True:
+            p = _commit_file(self.path, v)
+            if not p.exists():
+                break
+            entry = json.loads(p.read_text())
+            out.append(
+                {
+                    "version": v,
+                    "adds": len(entry.get("adds", [])),
+                    "removes": len(entry.get("removes", [])),
+                    "inserted": entry.get("inserted"),
+                }
+            )
+            v += 1
+        return out
+
     def read(
         self,
         version: int | None = None,

@@ -401,3 +401,17 @@ def test_vacuum_never_deletes_files_of_any_committed_version(spark, tmp_path):
     # v0 remains fully readable and the CDF still resolves
     assert {r.v for r in t.read(version=0).collect()} == {f"a{k}" for k in range(5)}
     assert t.diff(0, 1).count() == 5
+
+
+def test_history_lists_every_commit(spark, tmp_path):
+    from finance_pipeline_spark.sinks.txn_table import TxnKeyedTable
+
+    t = TxnKeyedTable(spark, str(tmp_path / "t"), ["k"])
+    t.merge(spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string"))
+    t.merge(spark.createDataFrame([(2, "x"), (3, "c")], "k bigint, v string"))
+    t.upsert(spark.createDataFrame([(3, "new")], "k bigint, v string"))
+    h = t.history()
+    assert [e["version"] for e in h] == [0, 1, 2]
+    assert h[0]["inserted"] == 2
+    assert h[1]["inserted"] == 1  # key 2 skipped
+    assert h[2]["removes"] >= 1  # upsert rewrote the file holding key 3
