@@ -165,6 +165,29 @@ class CorpusDedupIndex:
             )
         )
 
+    # -- maintenance -------------------------------------------------
+
+    def optimize(self, target_rows: int = 1_000_000) -> dict:
+        """Compact all three index tables (key-sorted bin-pack). After
+        months of per-batch appends the digests and bands tables are
+        thousands of domain-spanning small files; compaction restores
+        range-disjoint sorted files, so the per-file key blooms give
+        way to near-exact min/max pruning on the digest/band-key
+        probes and the file-open overhead drops to ceil(rows/target).
+        Run from the same background cadence as any OPTIMIZE job —
+        screens racing a compaction read the pre-compaction snapshot
+        (snapshot isolation) and lose nothing."""
+        out = {}
+        for name, table in (
+            ("digests", self.digests),
+            ("bands", self.bands),
+            ("bloom", self.bloom),
+        ):
+            if table.exists():
+                before, after = table.compact(target_rows=target_rows)
+                out[name] = {"files_before": before, "files_after": after}
+        return out
+
     # -- write side --------------------------------------------------
 
     def add(self, batch: DataFrame) -> dict:

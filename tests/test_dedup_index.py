@@ -111,3 +111,22 @@ def test_null_text_rows_survive_screen_and_add(spark, tmp_path):
     }
     assert got[10] == "drop_exact"
     assert got[11] == "keep"  # null text never matches anything
+
+
+def test_optimize_compacts_and_screen_unchanged(spark, tmp_path):
+    """Compaction is logically invisible: screens return identical
+    verdicts before and after, with fewer files underneath."""
+    idx = CorpusDedupIndex(spark, str(tmp_path / "idx"))
+    rng = random.Random(19)
+    base = random_doc(rng)
+    for b in range(3):
+        idx.add(_docs(spark, [(b * 10 + i, random_doc(rng)) for i in range(3)]))
+    idx.add(_docs(spark, [(99, base)]))
+
+    probe = _docs(spark, [(200, base), (201, random_doc(rng))])
+    before = sorted(map(tuple, idx.screen(probe).collect()))
+    stats = idx.optimize(target_rows=10_000)
+    assert stats["digests"]["files_after"] <= stats["digests"]["files_before"]
+    after = sorted(map(tuple, idx.screen(probe).collect()))
+    assert before == after
+    assert any(v == "drop_exact" for (_, _, _, v) in after)
