@@ -342,3 +342,48 @@ def test_bloom_skips_probe_on_type_mismatched_point_bound(spark, tmp_path):
     assert len(keep) == 3
     got = t.read(bounds={"k": (33.0, 33.0)}).filter(F.col("k") == 33.0)
     assert got.count() == 1
+
+
+def test_bloom_membership_property(tmp_path):
+    """Property (hypothesis): for any mix of int and str keys, every
+    inserted key is maybe-present in its file bloom (zero false
+    negatives — the invariant pruning soundness rests on), and the
+    int/str canonicalization never cross-matches (str '303' is not
+    int 303)."""
+    from hypothesis import given, settings, strategies as st
+
+    from finance_pipeline_spark.sinks.txn_table import (
+        _FILE_BLOOM_BITS,
+        _file_bloom_indexes,
+    )
+
+    keys = st.lists(
+        st.one_of(st.integers(-(2**62), 2**62), st.text(max_size=30)),
+        min_size=1,
+        max_size=200,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(keys)
+    def check(vals):
+        bits = bytearray(_FILE_BLOOM_BITS >> 3)
+        for v in vals:
+            for i in _file_bloom_indexes(v):
+                bits[i >> 3] |= 1 << (i & 7)
+        for v in vals:
+            assert all(
+                bits[i >> 3] & (1 << (i & 7)) for i in _file_bloom_indexes(v)
+            )
+
+    check()
+
+
+def test_int_str_bloom_indexes_are_str_canonical():
+    """str(303) and the string '303' hash identically by design (the
+    canonical form IS the string) — which is exactly why _file_matches
+    requires the probe TYPE to match the stats tag before bloom-pruning:
+    the tag (int vs str), not the hash, is the cross-type guard."""
+    from finance_pipeline_spark.sinks.txn_table import _file_bloom_indexes
+
+    assert _file_bloom_indexes(303) == _file_bloom_indexes("303")
+    assert _file_bloom_indexes(303) != _file_bloom_indexes("303.0")

@@ -415,3 +415,52 @@ def test_history_lists_every_commit(spark, tmp_path):
     assert h[0]["inserted"] == 2
     assert h[1]["inserted"] == 1  # key 2 skipped
     assert h[2]["removes"] >= 1  # upsert rewrote the file holding key 3
+
+
+def test_threaded_compact_racing_merge_loses_and_retries(spark, tmp_path):
+    """compact() racing a foreground merge: both eventually commit,
+    nothing is lost — the compaction's conservative restart-on-conflict
+    either re-stages against the post-merge snapshot or the merge
+    lands after the rewrite; the final table holds every key once."""
+    path = str(tmp_path / "t")
+    t0 = TxnKeyedTable(spark, path, ["k"])
+    for i in range(4):
+        t0.merge(_batch(spark, range(i * 25, i * 25 + 25)).coalesce(1))
+
+    errs = []
+    results = {}
+    barrier = threading.Barrier(2)
+
+    def compactor():
+        try:
+            barrier.wait()
+            results["compact"] = TxnKeyedTable(spark, path, ["k"]).compact(
+                target_rows=50
+            )
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    def merger():
+        try:
+            barrier.wait()
+            results["merge"] = TxnKeyedTable(spark, path, ["k"]).merge(
+                _batch(spark, range(90, 130), tag="m")
+            )
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    ths = [threading.Thread(target=compactor), threading.Thread(target=merger)]
+    for th in ths:
+        th.start()
+    for th in ths:
+        th.join()
+    assert not errs, errs
+    t = TxnKeyedTable(spark, path, ["k"])
+    df = t.read()
+    assert df.count() == 130
+    assert df.select("k").distinct().count() == 130
+    # merge semantics intact across the race: pre-existing keys kept
+    # their first value, novel keys carry the merger's tag
+    vals = {r.k: r.v for r in df.filter(F.col("k").isin(95, 129)).collect()}
+    assert vals[95] == "x95" and vals[129] == "m129"
+    assert results["merge"].inserted == 30  # 100..129 novel
