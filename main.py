@@ -51,7 +51,102 @@ def build_config(args: argparse.Namespace):
     )
 
 
+def corpus_main(argv: list[str]) -> int:
+    """``python main.py corpus <ingest|screen|optimize|export> ...`` —
+    the operational entrypoint for the LLM-data tier (stored dedup
+    index + curated corpus + training export), so the beyond-reference
+    pipeline is runnable without writing Python. Each subcommand
+    prints ONE JSON line for a scheduler to capture, mirroring the ETL
+    surface."""
+    ap = argparse.ArgumentParser(prog="main.py corpus")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("ingest", help="stream docs through the stored dedup index")
+    p.add_argument("--source-dir", required=True)
+    p.add_argument("--index", required=True, help="CorpusDedupIndex root")
+    p.add_argument("--kept", required=True, help="kept-docs TxnKeyedTable path")
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--max-files-per-trigger", type=int, default=None)
+
+    p = sub.add_parser("screen", help="screen a parquet batch, write verdicts")
+    p.add_argument("--index", required=True)
+    p.add_argument("--input", required=True, help="parquet of (doc_id, text, ...)")
+    p.add_argument("--out", default=None, help="verdicts parquet dir (optional)")
+
+    p = sub.add_parser("optimize", help="compact the index tables")
+    p.add_argument("--index", required=True)
+    p.add_argument("--target-rows", type=int, default=1_000_000)
+
+    p = sub.add_parser("export", help="shard the kept corpus for training")
+    p.add_argument("--kept", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--n-shards", type=int, required=True)
+    p.add_argument("--key-col", default="doc_id")
+    p.add_argument("--format", choices=("parquet", "jsonl"), default="jsonl")
+    args = ap.parse_args(argv)
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    from finance_pipeline_spark.session import get_session
+
+    spark = get_session(f"corpus_{args.cmd}")
+    if args.cmd == "ingest":
+        from finance_pipeline_spark.pipelines.corpus_ingest import ingest_with_index
+
+        stats = ingest_with_index(
+            spark, args.source_dir, args.index, args.kept, args.checkpoint,
+            max_files_per_trigger=args.max_files_per_trigger,
+        )
+        print(json.dumps({"batches": stats}))
+        return 0
+    if args.cmd == "screen":
+        from finance_pipeline_spark.pipelines.dedup_index import CorpusDedupIndex
+
+        verdicts = CorpusDedupIndex(spark, args.index).screen(
+            spark.read.parquet(args.input)
+        )
+        if args.out:
+            verdicts.write.mode("overwrite").parquet(args.out)
+            verdicts = spark.read.parquet(args.out)  # count what landed
+        from pyspark.sql import functions as F
+
+        counts = {
+            r["verdict"]: r["n"]
+            for r in verdicts.groupBy("verdict").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        print(json.dumps({"verdicts": counts, "out": args.out}))
+        return 0
+    if args.cmd == "optimize":
+        from finance_pipeline_spark.pipelines.dedup_index import CorpusDedupIndex
+
+        out = CorpusDedupIndex(spark, args.index).optimize(
+            target_rows=args.target_rows
+        )
+        print(json.dumps(out))
+        return 0
+    # export
+    from finance_pipeline_spark.sinks.txn_table import TxnKeyedTable
+    from finance_pipeline_spark.sinks.shard_writer import (
+        write_jsonl_shards,
+        write_training_shards,
+    )
+
+    kept = TxnKeyedTable(spark, args.kept, ["dg"]).read()
+    if kept is None:
+        print(json.dumps({"error": "kept table is empty"}))
+        return 1
+    writer = write_jsonl_shards if args.format == "jsonl" else write_training_shards
+    manifest = writer(kept.drop("created_at"), args.out, args.n_shards, args.key_col)
+    print(json.dumps({"n_rows": manifest["n_rows"], "n_shards": manifest["n_shards"]}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
+    if argv is None:
+        argv = sys.argv[1:]
+    # subcommand surface; bare flags keep the legacy ETL behavior so
+    # the scheduled workflow's invocation is unchanged
+    if argv and argv[0] == "corpus":
+        return corpus_main(argv[1:])
     ap = argparse.ArgumentParser(
         description="Run the finance ETL (API -> CSV -> scrape) end-to-end."
     )

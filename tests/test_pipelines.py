@@ -458,3 +458,69 @@ def test_main_cli_runs_etl_end_to_end(tmp_path):
     assert report["stages"]["api"]["inserted"] > 0
     assert report["stages"]["csv"]["inserted"] > 0
     assert report["stages"]["scrape"]["inserted"] > 0
+
+
+def test_corpus_cli_ingest_screen_optimize_export(spark, tmp_path, capsys):
+    """The corpus subcommand surface drives the whole LLM-data tier:
+    ingest (index-screened stream) → screen (batch verdicts) →
+    optimize (index compaction) → export (sharded JSONL). In-process
+    invocation reuses the test session via get_session's getOrCreate;
+    the shell path is covered by the existing subprocess ETL test."""
+    import json as _json
+
+    import pandas as pd
+
+    import main as cli
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["alpha beta gamma", "delta epsilon zeta", "eta theta iota"],
+            "lang": ["en"] * 3,
+            "source": ["crawl"] * 3,
+            "n_chars": [16, 18, 14],
+        }
+    ).to_parquet(src / "f1.parquet")
+
+    index = str(tmp_path / "index")
+    kept = str(tmp_path / "kept")
+    rc = cli.main(
+        [
+            "corpus", "ingest",
+            "--source-dir", str(src),
+            "--index", index,
+            "--kept", kept,
+            "--checkpoint", str(tmp_path / "ckpt"),
+        ]
+    )
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["batches"][0]["kept"] == 3
+
+    probe = tmp_path / "probe.parquet"
+    pd.DataFrame({"doc_id": [10, 11], "text": ["alpha beta gamma", "novel words here"]}).to_parquet(probe)
+    rc = cli.main(["corpus", "screen", "--index", index, "--input", str(probe)])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["verdicts"].get("drop_exact") == 1
+    assert out["verdicts"].get("keep") == 1
+
+    rc = cli.main(["corpus", "optimize", "--index", index])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "digests" in out
+
+    export = str(tmp_path / "export")
+    rc = cli.main(
+        ["corpus", "export", "--kept", kept, "--out", export,
+         "--n-shards", "2", "--format", "jsonl"]
+    )
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"n_rows": 3, "n_shards": 2}
+
+    from finance_pipeline_spark.sinks.shard_writer import verify_jsonl_shards
+
+    assert verify_jsonl_shards(spark, export) == []
