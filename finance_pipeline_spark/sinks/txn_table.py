@@ -410,6 +410,44 @@ class TxnKeyedTable:
             v += 1
         return out
 
+    def restore(self, version: int) -> int:
+        """RESTORE the table to committed ``version`` as a NEW commit
+        (Delta's RESTORE): the new snapshot's file set becomes exactly
+        the target version's. Nothing is copied — the old files are
+        still on disk because ``vacuum`` never reclaims committed
+        files of ANY version — so the commit is metadata-only: adds =
+        target files not currently live (with their original stats
+        resurrected, so data skipping keeps working), removes = live
+        files the target lacks. History keeps growing forward; a
+        restore of a restore round-trips. Returns the new version.
+
+        Concurrency: conservative restart like ``upsert`` — the file
+        set being restored is computed against one pinned snapshot, so
+        a lost race recomputes against the fresh one rather than
+        silently dropping the racer's commit."""
+        target = current_snapshot(self.path, version)
+        if target.version != version:
+            raise ValueError(
+                f"version {version} is not a committed version of {self.path}"
+            )
+        for _ in range(_MAX_COMMIT_RETRIES):
+            snap = current_snapshot(self.path)
+            live = set(snap.files)
+            adds = [f for f in target.files if f not in live]
+            removes = [f for f in snap.files if f not in set(target.files)]
+            stats = {f: target.stats[f] for f in adds if f in target.stats}
+            if self._try_commit(
+                snap.version + 1, adds, 0, removes=removes, stats=stats
+            ):
+                log.info(
+                    "txn restore v%d of %s to v%d: +%d files, -%d files",
+                    snap.version + 1, self.path, version, len(adds), len(removes),
+                )
+                return snap.version + 1
+        raise CommitConflictError(
+            f"lost the commit race {_MAX_COMMIT_RETRIES} times on {self.path}"
+        )
+
     def read(
         self,
         version: int | None = None,

@@ -464,3 +464,41 @@ def test_threaded_compact_racing_merge_loses_and_retries(spark, tmp_path):
     vals = {r.k: r.v for r in df.filter(F.col("k").isin(95, 129)).collect()}
     assert vals[95] == "x95" and vals[129] == "m129"
     assert results["merge"].inserted == 30  # 100..129 novel
+
+
+def test_restore_rolls_back_as_a_new_commit(spark, tmp_path):
+    """RESTORE semantics: metadata-only rollback, history grows
+    forward, stats resurrect for skipping, and restore of a restore
+    round-trips."""
+    from finance_pipeline_spark.sinks.txn_table import (
+        TxnKeyedTable,
+        current_snapshot,
+    )
+
+    t = TxnKeyedTable(spark, str(tmp_path / "t"), ["k"])
+    t.merge(_batch(spark, range(10)))  # v0
+    v_before = current_snapshot(t.path).version
+    t.upsert(_batch(spark, [3, 4], tag="new"))  # v1: rewrites a file
+    t.merge(_batch(spark, range(20, 25)))  # v2: appends
+    assert t.read().count() == 15
+
+    v_restored = t.restore(v_before)
+    assert v_restored == current_snapshot(t.path).version
+    got = t.read()
+    assert got.count() == 10
+    assert {r.v for r in got.filter(F.col("k").isin(3, 4)).collect()} == {
+        "x3", "x4",
+    }  # the upsert's rewrite is rolled back
+    # stats resurrected: bounds pruning still functions post-restore
+    assert t.files_for(bounds={"k": (0, 9)}) != []
+    # the rolled-back versions still time-travel
+    assert t.read(version=v_before + 2).count() == 15
+    # restore of a restore returns to the later state
+    t.restore(v_before + 2)
+    assert t.read().count() == 15
+
+    # bad version raises
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        t.restore(999)
