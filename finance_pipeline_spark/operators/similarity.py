@@ -745,7 +745,25 @@ def kmeans_train_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cluster, pos). Each extra Lloyd round is the same two jobs —
     linear in corpus size, constant in driver memory."""
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    seeds = e.orderBy("vec_id").limit(_KMEANS_K).collect()
+    _, assignments = kmeans_fit(spark, e, _KMEANS_K, rounds=1)
+    return assignments
+
+
+def kmeans_fit(
+    spark: SparkSession, e: DataFrame, k: int, rounds: int = 1
+):
+    """Lloyd's k-means over an (vec_id, embedding) frame — the
+    reusable multi-round trainer behind ``kmeans_train_assign`` (whose
+    oracle pins exactly rounds=1). Returns ``(centroids, assignments)``
+    with assignments = (vec_id, cluster, dist). Per round: one
+    broadcast-centroid scoring pass (vectorized kernel, n×k narrow
+    rows) + ONE (cluster, pos) mean shuffle; centroids stay
+    driver-side (k×dim). Deterministic end to end: min-vec_id seeds,
+    4-dp rounded distances with cluster-id tie-break, 6-dp rounded
+    means, empty clusters keep their previous centroid — so a re-run
+    (or another engine following the recipe) reproduces every round
+    bit-for-bit."""
+    seeds = e.orderBy("vec_id").limit(k).collect()
     cents = np.array(
         [np.asarray(r["embedding"], dtype=np.float64) for r in seeds],
         dtype=np.float64,
@@ -762,11 +780,11 @@ def kmeans_train_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ids = pdf["vec_id"].to_numpy(dtype=np.int64)
                 x_mat = _emb_matrix(pdf["embedding"])
                 d = ((x_mat[:, None, :] - c_mat[None, :, :]) ** 2).sum(axis=2)
-                n, k = d.shape
+                n, kk = d.shape
                 yield pd.DataFrame(
                     {
-                        "vec_id": np.repeat(ids, k),
-                        "cluster": np.tile(np.arange(k, dtype=np.int64), n),
+                        "vec_id": np.repeat(ids, kk),
+                        "cluster": np.tile(np.arange(kk, dtype=np.int64), n),
                         "d": d.ravel(),
                     }
                 )
@@ -785,19 +803,21 @@ def kmeans_train_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id", "cluster", "dist")
         )
 
-    upd = (
-        assign(cents)
-        .select("vec_id", "cluster")
-        .join(e, "vec_id")
-        .select("cluster", F.posexplode("embedding").alias("pos", "xf"))
-        .groupBy("cluster", "pos")
-        .agg(F.round(F.avg(F.col("xf").cast("double")), 6).alias("c"))
-        .collect()
-    )
-    cents1 = cents.copy()  # empty clusters keep their seed (oracle COALESCE)
-    for r in upd:
-        cents1[r["cluster"], r["pos"]] = r["c"]
-    return assign(cents1)
+    for _ in range(rounds):
+        upd = (
+            assign(cents)
+            .select("vec_id", "cluster")
+            .join(e, "vec_id")
+            .select("cluster", F.posexplode("embedding").alias("pos", "xf"))
+            .groupBy("cluster", "pos")
+            .agg(F.round(F.avg(F.col("xf").cast("double")), 6).alias("c"))
+            .collect()
+        )
+        nxt = cents.copy()  # empty clusters keep their centroid (oracle COALESCE)
+        for r in upd:
+            nxt[r["cluster"], r["pos"]] = r["c"]
+        cents = nxt
+    return cents, assign(cents)
 
 
 # --- product quantization ----------------------------------------------------

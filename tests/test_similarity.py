@@ -156,3 +156,27 @@ def test_kmeans_lloyd_objective_decreases(spark, tmp_path):
     obj_seed = d_seed.sum()
     obj_final = sum(r.dist for r in rows)
     assert obj_final <= obj_seed + 1e-6, (obj_final, obj_seed)
+
+
+def test_kmeans_fit_multi_round_converges(spark):
+    """The reusable trainer: more Lloyd rounds never increase total
+    within-cluster distance (inertia), assignments stay deterministic,
+    and rounds=1 reproduces the oracle-pinned query path exactly."""
+    from finance_pipeline_spark import registry
+    from finance_pipeline_spark.operators.similarity import _KMEANS_K, kmeans_fit
+
+    sf = "/root/testdata/sf0.001"
+    e = registry.load(spark, sf, "embeddings").select("vec_id", "embedding")
+
+    inertias = []
+    for rounds in (1, 3):
+        cents, assignments = kmeans_fit(spark, e, _KMEANS_K, rounds=rounds)
+        inertias.append(
+            assignments.agg({"dist": "sum"}).collect()[0][0]
+        )
+    assert inertias[1] <= inertias[0] + 1e-6
+
+    # rounds=1 == the registered query (same recipe, same rows)
+    q = registry.QUERIES["kmeans_train_assign"].fn(spark, sf)
+    _, one = kmeans_fit(spark, e, _KMEANS_K, rounds=1)
+    assert sorted(map(tuple, q.collect())) == sorted(map(tuple, one.collect()))
