@@ -1561,3 +1561,145 @@ def dedup_group_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("action"),
         )
     )
+
+
+# --- semantic dedup over learned clusters (SemDeDup) -------------------------
+
+_SEM_CLUSTER_CAP = 64  # vectors per k-means cluster admitted to pairing
+_SEM_COSINE_THRESH = 0.2  # inside the synthetic corpus's intra-cluster range
+
+
+def _semantic_oracle() -> str:
+    """Full-chain SQL: the ``kmeans_train_assign`` Lloyd-round CTEs
+    (verbatim recipe — seeds, one rounded update, re-assign) feed the
+    cluster ids, then the capped within-cluster cosine pairing and the
+    smallest-id-wins keep verdicts."""
+    from finance_pipeline_spark.operators.similarity import _KMEANS_K
+
+    return f"""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ), seeds AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+                   AS cluster, emb
+        FROM v ORDER BY vec_id LIMIT {_KMEANS_K}
+    ), s1 AS (
+        SELECT v.vec_id, s.cluster,
+               round(list_sum(list_transform(
+                   v.emb, (x, i) -> (x - s.emb[i]) * (x - s.emb[i]))), 4) AS d
+        FROM v CROSS JOIN seeds s
+    ), a1 AS (
+        SELECT vec_id, cluster FROM (
+            SELECT vec_id, cluster,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d, cluster) AS rnk
+            FROM s1
+        ) WHERE rnk = 1
+    ), upd AS (
+        SELECT a1.cluster, generate_subscripts(v.emb, 1) AS pos,
+               unnest(v.emb) AS x
+        FROM a1 JOIN v USING (vec_id)
+    ), c1m AS (
+        SELECT cluster, pos, round(avg(x), 6) AS c
+        FROM upd GROUP BY cluster, pos
+    ), c1g AS (
+        SELECT cluster, list(c ORDER BY pos) AS emb FROM c1m GROUP BY cluster
+    ), c1 AS (
+        SELECT s.cluster, COALESCE(g.emb, s.emb) AS emb
+        FROM seeds s LEFT JOIN c1g g USING (cluster)
+    ), s2 AS (
+        SELECT v.vec_id, c.cluster,
+               round(list_sum(list_transform(
+                   v.emb, (x, i) -> (x - c.emb[i]) * (x - c.emb[i]))), 4) AS d
+        FROM v CROSS JOIN c1 c
+    ), assign AS (
+        SELECT vec_id, cluster FROM (
+            SELECT vec_id, cluster,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d, cluster) AS rnk
+            FROM s2
+        ) WHERE rnk = 1
+    ), uv AS (
+        SELECT a.vec_id, a.cluster, v.emb,
+               sqrt(list_sum([x * x FOR x IN v.emb])) AS nrm
+        FROM assign a JOIN v USING (vec_id)
+    ), capped AS (
+        SELECT vec_id, cluster, emb, nrm FROM (
+            SELECT uv.*, row_number() OVER (PARTITION BY cluster
+                                            ORDER BY vec_id) AS rn
+            FROM uv WHERE nrm > 0
+        ) WHERE rn <= {_SEM_CLUSTER_CAP}
+    ), dups AS (
+        SELECT DISTINCT b.vec_id
+        FROM capped a JOIN capped b
+          ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        WHERE round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 4)
+              >= {_SEM_COSINE_THRESH}
+    )
+    SELECT c.vec_id, c.cluster, d.vec_id IS NULL AS keep
+    FROM capped c LEFT JOIN dups d ON d.vec_id = c.vec_id
+    """
+
+
+@query(
+    "dedup_semantic_clusters",
+    oracle=_semantic_oracle,
+    tags=("dedup", "embedding", "kmeans", "semdedup"),
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, public): cluster the embedding
+    space with k-means, then drop near-duplicates WITHIN each cluster
+    — the semantic tier of training-data dedup, catching paraphrases
+    and re-encodings the lexical tiers (MinHash/SimHash/shingles)
+    can't see.
+
+    The blocking key is LEARNED (``kmeans_fit``'s cells, rounds=1 —
+    the oracle replicates the Lloyd round verbatim), unlike
+    ``dedup_embedding_cosine``'s given label column: this is the form
+    that works when no label exists. Scale shape is the family
+    standard: per-cluster cap before the self-join (at 100 TB you run
+    k ∝ corpus/target-cluster-size so clusters stay small — SemDeDup's
+    own deployment recipe), pairs carry IDs not payloads, and the
+    verdict is deterministic smallest-id-wins. Output: one
+    (vec_id, cluster, keep) row per capped vector."""
+    from finance_pipeline_spark.operators.similarity import (
+        _KMEANS_K,
+        dot,
+        kmeans_fit,
+        l2norm,
+    )
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    _, assigns = kmeans_fit(spark, e, _KMEANS_K, rounds=1)
+
+    w = W.partitionBy("cluster").orderBy("vec_id")
+    capped = (
+        e.join(assigns.select("vec_id", "cluster"), "vec_id")
+        .withColumn("nrm", l2norm(F.col("embedding")))
+        .filter(F.col("nrm") > 0)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _SEM_CLUSTER_CAP)
+        .drop("rn")
+        .localCheckpoint(eager=True)  # self-join below; see _cosine_capped
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    cos = F.round(
+        dot(F.col("a.embedding"), F.col("b.embedding"))
+        / (F.col("a.nrm") * F.col("b.nrm")),
+        4,
+    )
+    dups = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos >= _SEM_COSINE_THRESH)
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return capped.select("vec_id", "cluster").join(
+        dups.withColumn("dup", F.lit(True)), "vec_id", "left"
+    ).select(
+        "vec_id", "cluster", F.col("dup").isNull().alias("keep")
+    )

@@ -233,7 +233,7 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
             "u3_semi_join", "mm_decode_features",
             "kmeans_train_assign", "dedup_group_decisions", "ann_ivf_topk",
             "emb_quantize_int8", "text_token_count", "text_gopher_rules",
-            "text_pack_sequences", "funnel_conversion",
+            "text_pack_sequences",
             "cohort_retention", "text_split_assign", "join_range_bands",
             "stream_static_join", "text_mixture_sample", "dedup_exact",
             "dedup_ngram_jaccard",
@@ -245,7 +245,7 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
             # fold on their r6-green rows to free the slots)
             "dedup_bloom_screen", "o4_global_index", "ann_pq_topk",
             "ann_ivfpq_topk", "text_quality_prune", "agg_exact_median",
-            "agg_corr_exact",
+            "agg_corr_exact", "dedup_semantic_clusters",
             # implementation changed in r7 (vectorized minhash/shingle
             # kernels; batched ANN query fetch) — fresh evidence on the
             # new code, not stale fold rows
@@ -283,10 +283,12 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
             "text_chunk_dedup",
             "agg_incremental_maintain",
             # r4-green re-entrants deferred to r8 (slots ceded to the
-            # new agg_exact_median / agg_corr_exact; both re-verified
-            # by every full-registry oracle run meanwhile)
+            # new agg_exact_median / agg_corr_exact /
+            # dedup_semantic_clusters; all re-verified by every
+            # full-registry oracle run meanwhile)
             "d4_custom_format_parse",
             "rollup_time_multi",
+            "funnel_conversion",
         ),
     },
     "r6": {
@@ -518,6 +520,7 @@ PRIORITY: tuple[str, ...] = (
     "dedup_bloom_screen",
     "dedup_group_decisions",
     "dedup_embedding_cosine",
+    "dedup_semantic_clusters",
     # multimodal (decode-features re-earning; frame_sample folds r6-green)
     "mm_decode_features",
     # similarity — ann_cosine_topk re-earns on the r7 batched query
@@ -548,7 +551,6 @@ PRIORITY: tuple[str, ...] = (
     "text_chunk_overlap",
     "text_quality_prune",
     # temporal (r4 cohort re-entries + r6 first-evidence transitions)
-    "funnel_conversion",
     "cohort_retention",
     "event_transition_counts",
     # warehouse tier — r6 first-evidence / changed-code rows hold their
@@ -567,6 +569,7 @@ PRIORITY: tuple[str, ...] = (
     # r4-green re-entrants deferred to r8 (see ROTATION_LOG r7 note)
     "d4_custom_format_parse",
     "rollup_time_multi",
+    "funnel_conversion",
     "agg_minmax_distinct",
     "agg_variance_exact",
     "agg_rollup",

@@ -83,6 +83,7 @@ def test_driver_window_covers_every_family():
         "text_quality_prune",
         "agg_exact_median",
         "agg_corr_exact",
+        "dedup_semantic_clusters",
         # flagship + the two sketch rows
         "agg_pricing_summary", "agg_approx_distinct", "agg_approx_quantile",
         # one-plus anchor per family while the r4-evidence cohort
