@@ -1574,45 +1574,12 @@ def _semantic_oracle() -> str:
     (verbatim recipe — seeds, one rounded update, re-assign) feed the
     cluster ids, then the capped within-cluster cosine pairing and the
     smallest-id-wins keep verdicts."""
-    from finance_pipeline_spark.operators.similarity import _KMEANS_K
+    from finance_pipeline_spark.operators.similarity import kmeans_lloyd_ctes
 
     return f"""
     WITH v AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
-    ), seeds AS (
-        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
-                   AS cluster, emb
-        FROM v ORDER BY vec_id LIMIT {_KMEANS_K}
-    ), s1 AS (
-        SELECT v.vec_id, s.cluster,
-               round(list_sum(list_transform(
-                   v.emb, (x, i) -> (x - s.emb[i]) * (x - s.emb[i]))), 4) AS d
-        FROM v CROSS JOIN seeds s
-    ), a1 AS (
-        SELECT vec_id, cluster FROM (
-            SELECT vec_id, cluster,
-                   row_number() OVER (PARTITION BY vec_id
-                                      ORDER BY d, cluster) AS rnk
-            FROM s1
-        ) WHERE rnk = 1
-    ), upd AS (
-        SELECT a1.cluster, generate_subscripts(v.emb, 1) AS pos,
-               unnest(v.emb) AS x
-        FROM a1 JOIN v USING (vec_id)
-    ), c1m AS (
-        SELECT cluster, pos, round(avg(x), 6) AS c
-        FROM upd GROUP BY cluster, pos
-    ), c1g AS (
-        SELECT cluster, list(c ORDER BY pos) AS emb FROM c1m GROUP BY cluster
-    ), c1 AS (
-        SELECT s.cluster, COALESCE(g.emb, s.emb) AS emb
-        FROM seeds s LEFT JOIN c1g g USING (cluster)
-    ), s2 AS (
-        SELECT v.vec_id, c.cluster,
-               round(list_sum(list_transform(
-                   v.emb, (x, i) -> (x - c.emb[i]) * (x - c.emb[i]))), 4) AS d
-        FROM v CROSS JOIN c1 c
-    ), assign AS (
+    ), {kmeans_lloyd_ctes()}, assign AS (
         SELECT vec_id, cluster FROM (
             SELECT vec_id, cluster,
                    row_number() OVER (PARTITION BY vec_id

@@ -675,12 +675,14 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KMEANS_K = 8  # coarse-quantizer cells; seeds = the K smallest vec_ids
 
 
-@query(
-    "kmeans_train_assign",
-    oracle=lambda: f"""
-    WITH v AS (
-        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
-    ), seeds AS (
+def kmeans_lloyd_ctes() -> str:
+    """The shared one-Lloyd-round SQL chain (seeds -> assign -> 6-dp
+    mean update -> re-score), referencing a caller-provided ``v``
+    (vec_id, emb) CTE. Single-sourced so the two oracles that must
+    mirror ``kmeans_fit`` — ``kmeans_train_assign`` and
+    ``dedup_semantic_clusters`` — can never drift apart on the recipe
+    or its rounding."""
+    return f"""seeds AS (
         SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
                    AS cluster, emb
         FROM v ORDER BY vec_id LIMIT {_KMEANS_K}
@@ -713,7 +715,15 @@ _KMEANS_K = 8  # coarse-quantizer cells; seeds = the K smallest vec_ids
                round(list_sum(list_transform(
                    v.emb, (x, i) -> (x - c.emb[i]) * (x - c.emb[i]))), 4) AS d
         FROM v CROSS JOIN c1 c
-    )
+    )"""
+
+
+@query(
+    "kmeans_train_assign",
+    oracle=lambda: f"""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ), {kmeans_lloyd_ctes()}
     SELECT vec_id, cluster, d AS dist FROM (
         SELECT vec_id, cluster, d,
                row_number() OVER (PARTITION BY vec_id

@@ -32,6 +32,8 @@ from pathlib import Path
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+_JSON_TS_FORMAT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"  # microsecond-exact round trip;
+# Spark timestamps are us precision, the JSON writer default (millis) is not
 _NULL_SENTINEL = "\x00null"  # concat_ws drops nulls; make them explicit
 _SEP = "\x1f"  # unit separator — cannot appear in the md5 hex digits
 
@@ -70,53 +72,38 @@ def _shard_stats(df: DataFrame, data_cols: list[str]) -> list[dict]:
     )
 
 
-def write_training_shards(
-    df: DataFrame, out_dir: str, n_shards: int, key_col: str
-) -> dict:
-    """Export ``df`` as ``out_dir/data/shard=K/*.parquet`` for K in
-    [0, n_shards) plus ``out_dir/manifest.json``. Shard assignment is
-    ``md5(key) mod n_shards`` — deterministic and engine-portable, so
-    the same key lands in the same shard on every export (stable
-    resume points for a trainer). Returns the manifest dict."""
+def _with_shard(df: DataFrame, n_shards: int, key_col: str) -> DataFrame:
+    """md5-mod shard assignment with the shared argument contract:
+    deterministic and engine-portable (same key -> same shard on every
+    export). Raises rather than silently overwriting a user column
+    named ``shard`` — losing a data column AND breaking verification's
+    column diff is the failure mode the check prevents."""
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
-    data_cols = df.columns
-    if key_col not in data_cols:
-        raise ValueError(f"key_col {key_col!r} not in {data_cols}")
+    if key_col not in df.columns:
+        raise ValueError(f"key_col {key_col!r} not in {df.columns}")
+    if "shard" in df.columns:
+        raise ValueError(
+            "input already has a 'shard' column — rename it before export"
+        )
     shard = (
         F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 6), 16, 10)
         .cast("bigint")
         % n_shards
     )
-    with_shard = df.withColumn("shard", shard)
-    (
-        with_shard.repartition(n_shards, F.col("shard"))
-        .write.mode("overwrite")
-        .partitionBy("shard")
-        .parquet(f"{out_dir}/data")
-    )
-    manifest = {
-        "n_shards": n_shards,
-        "key_col": key_col,
-        "columns": sorted(data_cols),
-        "shards": _shard_stats(with_shard, data_cols),
-    }
-    manifest["n_rows"] = sum(s["n_rows"] for s in manifest["shards"])
+    return df.withColumn("shard", shard)
+
+
+def _write_manifest(out_dir: str, manifest: dict) -> None:
     out = Path(out_dir) / "manifest.json"
     tmp = out.with_suffix(".json.tmp")
     tmp.write_text(json.dumps(manifest, indent=1))
     tmp.replace(out)  # atomic: readers never see a half-written manifest
-    return manifest
 
 
-def verify_training_shards(spark: SparkSession, out_dir: str) -> list[str]:
-    """Recompute every shard's row count and content digest from the
-    exported data and diff against the manifest. Returns a list of
-    human-readable mismatch strings — empty means the export is intact.
-    Runs as one distributed aggregation; nothing corpus-sized touches
-    the driver."""
-    manifest = json.loads((Path(out_dir) / "manifest.json").read_text())
-    df = spark.read.parquet(f"{out_dir}/data")
+def _diff_manifest(df: DataFrame, manifest: dict) -> list[str]:
+    """Shared verify core: recompute per-shard counts + digests from a
+    re-read frame and diff against the manifest."""
     data_cols = [c for c in df.columns if c != "shard"]
     problems: list[str] = []
     if sorted(data_cols) != manifest["columns"]:
@@ -134,6 +121,43 @@ def verify_training_shards(spark: SparkSession, out_dir: str) -> list[str]:
     for extra in sorted(actual):
         problems.append(f"shard {extra}: present in data but not in manifest")
     return problems
+
+
+def write_training_shards(
+    df: DataFrame, out_dir: str, n_shards: int, key_col: str
+) -> dict:
+    """Export ``df`` as ``out_dir/data/shard=K/*.parquet`` for K in
+    [0, n_shards) plus ``out_dir/manifest.json``. Shard assignment is
+    ``md5(key) mod n_shards`` — deterministic and engine-portable, so
+    the same key lands in the same shard on every export (stable
+    resume points for a trainer). Returns the manifest dict."""
+    data_cols = df.columns
+    with_shard = _with_shard(df, n_shards, key_col)
+    (
+        with_shard.repartition(n_shards, F.col("shard"))
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(f"{out_dir}/data")
+    )
+    manifest = {
+        "n_shards": n_shards,
+        "key_col": key_col,
+        "columns": sorted(data_cols),
+        "shards": _shard_stats(with_shard, data_cols),
+    }
+    manifest["n_rows"] = sum(s["n_rows"] for s in manifest["shards"])
+    _write_manifest(out_dir, manifest)
+    return manifest
+
+
+def verify_training_shards(spark: SparkSession, out_dir: str) -> list[str]:
+    """Recompute every shard's row count and content digest from the
+    exported data and diff against the manifest. Returns a list of
+    human-readable mismatch strings — empty means the export is intact.
+    Runs as one distributed aggregation; nothing corpus-sized touches
+    the driver."""
+    manifest = json.loads((Path(out_dir) / "manifest.json").read_text())
+    return _diff_manifest(spark.read.parquet(f"{out_dir}/data"), manifest)
 
 
 def write_jsonl_shards(
@@ -148,23 +172,18 @@ def write_jsonl_shards(
     (bare ``read.json`` would re-infer and drift on empty/all-null
     columns). One exchange (repartition by shard) → gzip text write;
     compression is per-file, so shards stay splittable at the file
-    granularity the shard count sets."""
-    if n_shards < 1:
-        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    granularity the shard count sets. Timestamps are written with an
+    explicit MICROSECOND format — Spark's JSON default is millisecond
+    precision, which would silently truncate sub-ms values and make
+    verification flag an intact export as corrupted."""
     data_cols = df.columns
-    if key_col not in data_cols:
-        raise ValueError(f"key_col {key_col!r} not in {data_cols}")
-    shard = (
-        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 6), 16, 10)
-        .cast("bigint")
-        % n_shards
-    )
-    with_shard = df.withColumn("shard", shard)
+    with_shard = _with_shard(df, n_shards, key_col)
     (
         with_shard.repartition(n_shards, F.col("shard"))
         .write.mode("overwrite")
         .partitionBy("shard")
         .option("compression", "gzip")
+        .option("timestampFormat", _JSON_TS_FORMAT)
         .json(f"{out_dir}/data")
     )
     manifest = {
@@ -175,13 +194,11 @@ def write_jsonl_shards(
         "schema_ddl": ", ".join(
             f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
         ),
+        "timestamp_format": _JSON_TS_FORMAT,
         "shards": _shard_stats(with_shard, data_cols),
     }
     manifest["n_rows"] = sum(s["n_rows"] for s in manifest["shards"])
-    out = Path(out_dir) / "manifest.json"
-    tmp = out.with_suffix(".json.tmp")
-    tmp.write_text(json.dumps(manifest, indent=1))
-    tmp.replace(out)
+    _write_manifest(out_dir, manifest)
     return manifest
 
 
@@ -190,21 +207,12 @@ def verify_jsonl_shards(spark: SparkSession, out_dir: str) -> list[str]:
     shards with the manifest's recorded schema and diff per-shard row
     counts + content digests. Empty list = intact."""
     manifest = json.loads((Path(out_dir) / "manifest.json").read_text())
-    df = spark.read.schema(manifest["schema_ddl"]).json(f"{out_dir}/data")
-    problems: list[str] = []
-    data_cols = [c for c in df.columns if c != "shard"]
-    if sorted(data_cols) != manifest["columns"]:
-        problems.append(
-            f"columns drifted: manifest {manifest['columns']} vs data {sorted(data_cols)}"
+    df = (
+        spark.read.schema(manifest["schema_ddl"])
+        .option(
+            "timestampFormat",
+            manifest.get("timestamp_format", _JSON_TS_FORMAT),
         )
-        return problems
-    actual = {s["shard"]: s for s in _shard_stats(df, data_cols)}
-    for want in manifest["shards"]:
-        got = actual.pop(want["shard"], None)
-        if got is None:
-            problems.append(f"shard {want['shard']}: missing from data")
-        elif got != want:
-            problems.append(f"shard {want['shard']}: manifest {want} vs data {got}")
-    for extra in sorted(actual):
-        problems.append(f"shard {extra}: present in data but not in manifest")
-    return problems
+        .json(f"{out_dir}/data")
+    )
+    return _diff_manifest(df, manifest)

@@ -426,15 +426,20 @@ class TxnKeyedTable:
         a lost race recomputes against the fresh one rather than
         silently dropping the racer's commit."""
         target = current_snapshot(self.path, version)
-        if target.version != version:
+        if version < 0 or target.version != version:
+            # version < 0 must be rejected explicitly: replaying "up to
+            # -1" yields the empty Snapshot(version=-1), which would
+            # sail through the equality check and commit a table-wide
+            # truncation for the Python "last element" idiom
             raise ValueError(
                 f"version {version} is not a committed version of {self.path}"
             )
         for _ in range(_MAX_COMMIT_RETRIES):
             snap = current_snapshot(self.path)
             live = set(snap.files)
+            wanted = set(target.files)
             adds = [f for f in target.files if f not in live]
-            removes = [f for f in snap.files if f not in set(target.files)]
+            removes = [f for f in snap.files if f not in wanted]
             stats = {f: target.stats[f] for f in adds if f in target.stats}
             if self._try_commit(
                 snap.version + 1, adds, 0, removes=removes, stats=stats

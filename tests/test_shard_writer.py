@@ -100,3 +100,38 @@ def test_jsonl_shards_roundtrip_and_verify(spark, tmp_path):
     shutil.rmtree(sorted(Path(out).glob("data/shard=*"))[0])
     problems = verify_jsonl_shards(spark, out)
     assert problems and "missing" in problems[0]
+
+
+def test_jsonl_timestamps_roundtrip_microseconds(spark, tmp_path):
+    """Sub-millisecond timestamps must survive the JSON round trip —
+    the writer pins a microsecond timestampFormat, so verification of
+    an intact export stays clean (the default millis format truncated
+    and flagged false corruption)."""
+    import datetime as dt
+
+    from finance_pipeline_spark.sinks.shard_writer import (
+        verify_jsonl_shards,
+        write_jsonl_shards,
+    )
+
+    rows = [
+        (i, dt.datetime(2026, 3, 1, 12, 0, 0, 123456 + i)) for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, ts timestamp")
+    out = str(tmp_path / "ts")
+    write_jsonl_shards(df, out, n_shards=2, key_col="doc_id")
+    assert verify_jsonl_shards(spark, out) == []
+
+
+def test_export_rejects_existing_shard_column(spark, tmp_path):
+    import pytest as _pytest
+
+    from finance_pipeline_spark.sinks.shard_writer import (
+        write_jsonl_shards,
+        write_training_shards,
+    )
+
+    df = spark.createDataFrame([(1, 0)], "doc_id bigint, shard bigint")
+    for writer in (write_training_shards, write_jsonl_shards):
+        with _pytest.raises(ValueError, match="shard"):
+            writer(df, str(tmp_path / "x"), 2, "doc_id")

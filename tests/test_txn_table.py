@@ -502,3 +502,18 @@ def test_restore_rolls_back_as_a_new_commit(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         t.restore(999)
+
+
+def test_restore_rejects_negative_version(spark, tmp_path):
+    """restore(-1) must raise, not truncate: the empty pre-table
+    snapshot also carries version -1, so without the explicit guard
+    the 'last element' idiom would silently empty the table."""
+    import pytest as _pytest
+
+    from finance_pipeline_spark.sinks.txn_table import TxnKeyedTable
+
+    t = TxnKeyedTable(spark, str(tmp_path / "t"), ["k"])
+    t.merge(_batch(spark, range(5)))
+    with _pytest.raises(ValueError):
+        t.restore(-1)
+    assert t.read().count() == 5
