@@ -130,3 +130,42 @@ def test_optimize_compacts_and_screen_unchanged(spark, tmp_path):
     after = sorted(map(tuple, idx.screen(probe).collect()))
     assert before == after
     assert any(v == "drop_exact" for (_, _, _, v) in after)
+
+
+def test_concurrent_adds_converge(spark, tmp_path):
+    """Two threads add overlapping batches at once: the transactional
+    tables absorb the race (first-wins digests, keyed bands, OR-bloom
+    upsert with restart-on-conflict), so the final index state equals
+    a serial add of the union — screen verdicts prove it."""
+    import threading
+
+    idx = CorpusDedupIndex(spark, str(tmp_path / "idx"))
+    rng = random.Random(23)
+    shared = random_doc(rng)
+    b1 = [(1, shared)] + [(10 + i, random_doc(rng)) for i in range(3)]
+    b2 = [(2, shared)] + [(20 + i, random_doc(rng)) for i in range(3)]
+
+    errs = []
+    barrier = threading.Barrier(2)
+
+    def add(rows):
+        try:
+            barrier.wait()
+            CorpusDedupIndex(spark, str(tmp_path / "idx")).add(_docs(spark, rows))
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    ts = [threading.Thread(target=add, args=(b,)) for b in (b1, b2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs, errs
+
+    # every added doc's content now screens as an exact duplicate
+    probe = _docs(spark, [(100, shared)] + [(101, random_doc(rng))])
+    got = {r.doc_id: r.verdict for r in idx.screen(probe).collect()}
+    assert got[100] == "drop_exact"
+    assert got[101] == "keep"
+    # digests table holds exactly the distinct contents (shared counted once)
+    assert idx.digests.read().count() == 7
