@@ -815,15 +815,45 @@ def build_digest_bloom(digests: DataFrame, col: str = "dg"):
     return out.view(np.uint64)
 
 
+_BLOOM_BC_CACHE: dict = {}  # words-content digest → live Broadcast.
+_BLOOM_BC_CAP = 4  # bounded: a long-running ingest screens once per
+# micro-batch with an evolving bitmap; without eviction every call
+# would leave a dead broadcast block on the driver and executors for
+# the life of the app. FIFO eviction + unpersist keeps at most CAP
+# blocks alive; an evicted broadcast still referenced by an in-flight
+# plan is lazily re-shipped by Spark (unpersist, not destroy).
+
+
+def _bloom_broadcast(spark: SparkSession, words):
+    import hashlib
+
+    key = hashlib.sha256(words.tobytes()).hexdigest()
+    bc = _BLOOM_BC_CACHE.pop(key, None)  # re-insert → moves to newest
+    if bc is None:
+        bc = spark.sparkContext.broadcast(words)
+    _BLOOM_BC_CACHE[key] = bc
+    while len(_BLOOM_BC_CACHE) > _BLOOM_BC_CAP:
+        oldest = next(iter(_BLOOM_BC_CACHE))
+        evicted = _BLOOM_BC_CACHE.pop(oldest)
+        try:
+            evicted.unpersist(blocking=False)
+        except Exception:  # context already stopped — nothing to free
+            pass
+    return bc
+
+
 def bloom_maybe_contains(spark: SparkSession, words, col: Column) -> Column:
     """Boolean Column: digest-hex ``col`` MAYBE in the bloom ``words``
     array (no false negatives). Ships the bitmap once via a proper
-    ``sc.broadcast`` (torrent, not per-task closure pickle) and tests
+    ``sc.broadcast`` (torrent, not per-row closure pickle) and tests
     membership in an Arrow-batched pandas UDF — one numpy gather per
-    batch, no per-row Python."""
+    batch, no per-row Python. Broadcasts are cached by bitmap content
+    and evicted+unpersisted FIFO past ``_BLOOM_BC_CAP`` so repeated
+    per-micro-batch screens don't accumulate unbounded broadcast
+    blocks (round-7 advisory)."""
     from pyspark.sql.functions import pandas_udf
 
-    bc = spark.sparkContext.broadcast(words)
+    bc = _bloom_broadcast(spark, words)
 
     @pandas_udf("boolean")
     def maybe(dg):

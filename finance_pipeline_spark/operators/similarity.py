@@ -830,6 +830,142 @@ def kmeans_fit(
     return cents, assign(cents)
 
 
+# --- multi-probe IVF ---------------------------------------------------------
+
+_IVF_NPROBE = 2  # cells probed per query in ann_ivf_multiprobe. FAISS
+# defaults to nprobe 8-64 because nprobe=1 recall is poor: a query
+# sitting just across a Voronoi boundary from its true neighbor never
+# sees it. 2 is the smallest value that demonstrates the cure and keeps
+# the oracle chain tractable; the operator takes any nprobe.
+
+
+def _ivf_multiprobe_oracle(nprobe: int) -> str:
+    """Full-chain replica: the shared one-Lloyd-round recipe
+    (``kmeans_lloyd_ctes`` — the same CTE chain ``kmeans_train_assign``
+    pins) yields refined centroids; corpus cells are the rank-1
+    assignment, probe cells the rank-≤nprobe assignment of each query;
+    cosine scoring within probed cells mirrors ``ann_ivf_topk``."""
+    return f"""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ), {kmeans_lloyd_ctes()}, a2 AS (
+        SELECT vec_id, cluster FROM (
+            SELECT vec_id, cluster,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d, cluster) AS rnk
+            FROM s2
+        ) WHERE rnk = 1
+    ), probes AS (
+        SELECT vec_id AS query_id, cluster FROM (
+            SELECT vec_id, cluster,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d, cluster) AS rnk
+            FROM s2 WHERE vec_id % 100 = 0
+        ) WHERE rnk <= {nprobe}
+    ), nv AS (
+        SELECT vec_id, emb, sqrt(list_sum([x * x FOR x IN emb])) AS nrm
+        FROM v
+    ), nn AS (
+        SELECT * FROM nv WHERE nrm > 0
+    ), scored AS (
+        SELECT p.query_id, c.vec_id AS corpus_id,
+               round(list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm), 4) AS cosine
+        FROM probes p
+        JOIN a2 ON a2.cluster = p.cluster
+        JOIN nn c ON c.vec_id = a2.vec_id AND c.vec_id <> p.query_id
+        JOIN nn q ON q.vec_id = p.query_id
+    ), ranked AS (
+        SELECT query_id, corpus_id, cosine,
+               CAST(row_number() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, corpus_id) AS BIGINT) AS rnk
+        FROM scored
+    )
+    SELECT query_id, corpus_id, cosine, rnk FROM ranked WHERE rnk <= {_TOPK}
+    """
+
+
+def ivf_probe_topk(
+    spark: SparkSession, sf_dir: str, nprobe: int = _IVF_NPROBE
+) -> DataFrame:
+    """IVF ANN with a REAL trained coarse quantizer and configurable
+    multi-probe: ``kmeans_fit`` (one Lloyd round, the oracle-pinned
+    recipe) produces the cells; each query scores the ``nprobe``
+    nearest cells by centroid distance instead of only its own —
+    closing nprobe=1's boundary blind spot (a true neighbor just
+    across a Voronoi edge), the round-7 verdict's top retrieval gap.
+
+    Scale shape: centroids are driver-sized (k×dim) and join the query
+    set as a broadcast-tiny cross join — k rows per query, all-JVM
+    fold distance, rank, keep nprobe. The (query, cell) probe list
+    then BROADCASTS against the corpus assignment scan (map-only on
+    the big side), and only the ~nprobe/k corpus fraction reaches the
+    cosine join. Per-query work scales with nprobe×|cell|, the FAISS
+    recall/latency dial."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents, assignments = kmeans_fit(spark, e, _KMEANS_K, rounds=1)
+    cent_df = spark.createDataFrame(
+        [(int(c), [float(x) for x in cents[c]]) for c in range(len(cents))],
+        "cluster bigint, cent array<double>",
+    )
+    with_norm = e.select(
+        "vec_id", "embedding", l2norm(F.col("embedding")).alias("nrm")
+    ).filter(F.col("nrm") > 0)  # zero-norm: cosine undefined
+    q = with_norm.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    # probe selection: per query, squared L2 to every centroid (JVM
+    # sequential fold, 4-dp round + cluster tie-break — the exact
+    # kmeans_fit assignment recipe), keep the nprobe nearest
+    cent_dist = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("q_emb"),
+                F.col("cent"),
+                lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        4,
+    )
+    wq = W.partitionBy("query_id").orderBy(F.col("d").asc(), F.col("cluster").asc())
+    probes = (
+        q.crossJoin(F.broadcast(cent_df))  # broadcast-tiny side: k rows
+        .withColumn("d", cent_dist)
+        .withColumn("rnk", F.row_number().over(wq))
+        .filter(F.col("rnk") <= nprobe)
+        .select("query_id", "cluster", "q_emb", "q_nrm")
+    )
+    cand = assignments.select("vec_id", "cluster").join(
+        F.broadcast(probes), "cluster"
+    ).filter(F.col("vec_id") != F.col("query_id"))
+    cos = F.round(
+        dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_nrm") * F.col("nrm")), 4
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("corpus_id"))
+    return (
+        cand.join(with_norm, "vec_id")
+        .select("query_id", F.col("vec_id").alias("corpus_id"), cos.alias("cosine"))
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= _TOPK)
+    )
+
+
+@query(
+    "ann_ivf_multiprobe",
+    oracle=lambda: _ivf_multiprobe_oracle(_IVF_NPROBE),
+    tags=("similarity", "ann", "ivf", "multiprobe"),
+    bench=True,
+)
+def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF at nprobe=2 — see ``ivf_probe_topk``. Recall
+    strictly above the nprobe=1 path on planted boundary-crossing
+    neighbors (tests/test_similarity.py)."""
+    return ivf_probe_topk(spark, sf_dir, nprobe=_IVF_NPROBE)
+
+
 # --- product quantization ----------------------------------------------------
 
 _PQ_M = 4  # subspaces (64-dim embedding → 4 × 16)

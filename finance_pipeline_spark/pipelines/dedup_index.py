@@ -13,10 +13,18 @@ probes —
 - ``bands/``    — key ``(band_key, doc_id)``: the MinHash-LSH band
   index (8 bands × 4 rows, ``operators/dedup.minhash_band_rows``).
   The near tier.
-- ``bloom/``    — key ``word_idx``, value ``word``: the 2^20-bit Bloom
-  bitmap over stored digests as ≤16384 bigint words, OR-maintained via
-  ``upsert``. Loaded driver-side (≤128 KiB) and broadcast each screen
-  so the exact probe never shuffles stored digests.
+- ``bloom/``    — key ``(word_idx, token)``: the 2^20-bit Bloom
+  bitmap over stored digests as APPEND-ONLY per-add delta word rows.
+  Each ``add()`` inserts its batch's nonzero words under a
+  content-addressed ``token`` (sha256 of the delta), and readers fold
+  all rows with ``bit_or`` — a commutative, idempotent merge, so
+  concurrent adds can NEVER lose each other's bits (a read-merge-
+  overwrite scheme can: the loser's stale overwrite drops the
+  winner's freshly OR'd words — permanent false negatives, i.e. docs
+  admitted as duplicates forever). ``optimize()`` folds accumulated
+  deltas back to one row-set per word. The folded bitmap is loaded
+  driver-side (≤128 KiB) and broadcast each screen so the exact probe
+  never shuffles stored digests.
 
 At 100 TB: write the bands table bucketed on ``band_key`` (see
 ``sinks/bucketed.py``) so the near probe co-locates without shuffling
@@ -69,11 +77,16 @@ class CorpusDedupIndex:
         self.bands = TxnKeyedTable(
             spark, f"{self.root}/bands", ["band_key", "doc_id"]
         )
-        self.bloom = TxnKeyedTable(spark, f"{self.root}/bloom", ["word_idx"])
+        self.bloom = TxnKeyedTable(spark, f"{self.root}/bloom", ["word_idx", "token"])
 
     # -- read side ---------------------------------------------------
 
     def _bloom_words(self):
+        """Fold every stored delta row into the live bitmap: bit_or is
+        associative/commutative, so any interleaving of concurrent adds
+        reads back identically. The groupBy fold runs JVM-side; the
+        driver collects ≤ BITS/64 rows no matter how many add-tokens
+        have accumulated."""
         import numpy as np
 
         from finance_pipeline_spark.operators.dedup import _BLOOM_BITS
@@ -81,7 +94,12 @@ class CorpusDedupIndex:
         out = np.zeros(_BLOOM_BITS >> 6, dtype=np.int64)
         stored = self.bloom.read()
         if stored is not None:
-            for row in stored.select("word_idx", "word").collect():
+            folded = (
+                stored.groupBy("word_idx")
+                .agg(F.bit_or("word").alias("word"))
+                .collect()
+            )
+            for row in folded:
                 out[row["word_idx"]] = row["word"]
         return out.view(np.uint64)
 
@@ -176,8 +194,17 @@ class CorpusDedupIndex:
         probes and the file-open overhead drops to ceil(rows/target).
         Run from the same background cadence as any OPTIMIZE job —
         screens racing a compaction read the pre-compaction snapshot
-        (snapshot isolation) and lose nothing."""
+        (snapshot isolation) and lose nothing.
+
+        The bloom table additionally FOLDS its per-add delta rows back
+        to one consolidated row-set (bit_or over the tokens seen at
+        read time). Crash-safe order: merge the folded rows first,
+        then delete exactly the tokens that were folded — a crash
+        between the two leaves duplicate delta rows, which the
+        read-side bit_or absorbs; a concurrent add() landing a NEW
+        token meanwhile is untouched by the targeted delete."""
         out = {}
+        out["bloom_tokens_folded"] = self._fold_bloom_deltas()
         for name, table in (
             ("digests", self.digests),
             ("bands", self.bands),
@@ -188,44 +215,92 @@ class CorpusDedupIndex:
                 out[name] = {"files_before": before, "files_after": after}
         return out
 
+    def _fold_bloom_deltas(self) -> int:
+        """Consolidate the bloom's per-add delta rows: bit_or every
+        word across the token set seen NOW, write the result under one
+        content-addressed fold token, then delete the folded tokens.
+        Returns the number of tokens folded away (0 = nothing to do)."""
+        import hashlib
+
+        stored = self.bloom.read()
+        if stored is None:
+            return 0
+        tokens = [r["token"] for r in stored.select("token").distinct().collect()]
+        if len(tokens) <= 1:
+            return 0
+        folded = (
+            stored.filter(F.col("token").isin(tokens))
+            .groupBy("word_idx")
+            .agg(F.bit_or("word").alias("word"))
+            .collect()
+        )
+        pairs = sorted((int(r["word_idx"]), int(r["word"])) for r in folded)
+        fold_token = "fold-" + hashlib.sha256(repr(pairs).encode()).hexdigest()
+        rows = [(i, fold_token, w) for i, w in pairs]
+        self.bloom.merge(
+            self.spark.createDataFrame(
+                rows, "word_idx bigint, token string, word bigint"
+            )
+        )
+        doomed = [t for t in tokens if t != fold_token]
+        if doomed:
+            self.bloom.delete(F.col("token").isin(doomed))
+        return len(doomed)
+
     # -- write side --------------------------------------------------
 
     def add(self, batch: DataFrame) -> dict:
         """Fold a (doc_id, text) batch into the stored index. Returns
-        per-table insert counts. Safe to re-run on the same batch:
-        digests merge first-wins, band rows are keyed on (band_key,
-        doc_id), and the bloom update ORs — all idempotent.
+        per-table insert counts. Safe to re-run on the same batch AND
+        safe under concurrent adds: digests merge first-wins, band rows
+        are keyed on (band_key, doc_id), and the bloom update inserts a
+        content-addressed DELTA row-set — same batch → same token →
+        first-wins skip (idempotent); different batches → disjoint
+        tokens whose rows commute under the read-side bit_or fold, so
+        neither writer can overwrite the other's bits (lost bloom bits
+        would be permanent false negatives: stored digests screening
+        as 'keep' forever).
 
-        Commit ORDER is load-bearing: the bloom words land FIRST.
-        ``screen`` trusts the bloom to have no false negatives against
-        the digests table, so a crash between the two commits must
-        only ever leave EXTRA bloom bits (harmless false positives the
-        confirm join kills), never digests the bloom doesn't know —
-        those would be admitted as duplicates forever."""
+        Commit ORDER is load-bearing: bloom → bands → digests. A crash
+        anywhere in the chain leaves a state a replay converges from —
+        extra bloom bits are harmless false positives the confirm join
+        kills; extra band rows only raise harmless review_near flags;
+        and a doc whose digest did NOT commit still re-screens as a
+        survivor (keep/review_near) on replay, so ``add`` runs again
+        for it and backfills whatever is missing. The reverse order
+        (digests before bands) breaks that: a replayed doc would
+        screen drop_exact, never re-enter ``add``, and its band rows
+        would be missing forever — future near-duplicates of it would
+        screen 'keep'."""
+        import hashlib
+
         import numpy as np
 
-        # bloom: OR the batch's words into the stored words. Both sides
-        # are ≤16384 rows — driver arithmetic, then one keyed upsert of
-        # the rows that actually changed.
+        # bloom delta: distributed build over the BATCH only (the
+        # stored words are never read on the write path), then one
+        # append-only merge of the nonzero words under a token derived
+        # from their content.
         batch_words = build_digest_bloom(
             batch.select(_digest().alias("dg")), "dg"
         ).view(np.int64)
-        stored = self._bloom_words().view(np.int64)
-        merged = stored | batch_words
-        changed = np.nonzero(merged != stored)[0]
+        nz = np.nonzero(batch_words)[0]
         n_bloom = 0
-        if len(changed):
-            rows = [(int(i), int(merged[i])) for i in changed]
-            df = self.spark.createDataFrame(rows, "word_idx bigint, word bigint")
-            up = self.bloom.upsert(df)
-            n_bloom = up.inserted + up.updated
-
-        dgs = batch.select(_digest().alias("dg"), F.col("doc_id").alias("first_doc_id"))
-        dg_stats = self.digests.merge(dgs)
+        if len(nz):
+            token = hashlib.sha256(
+                nz.tobytes() + batch_words[nz].tobytes()
+            ).hexdigest()
+            rows = [(int(i), token, int(batch_words[i])) for i in nz]
+            df = self.spark.createDataFrame(
+                rows, "word_idx bigint, token string, word bigint"
+            )
+            n_bloom = self.bloom.merge(df).inserted
 
         band_stats = self.bands.merge(
             minhash_band_rows(batch.select("doc_id", "text"))
         )
+
+        dgs = batch.select(_digest().alias("dg"), F.col("doc_id").alias("first_doc_id"))
+        dg_stats = self.digests.merge(dgs)
         return {
             "digests_inserted": dg_stats.inserted,
             "bands_inserted": band_stats.inserted,

@@ -8,6 +8,8 @@ from __future__ import annotations
 
 import random
 
+from pyspark.sql import functions as F
+
 from finance_pipeline_spark.pipelines.dedup_index import CorpusDedupIndex
 from tests.conftest import perturb_doc, random_doc
 
@@ -169,3 +171,116 @@ def test_concurrent_adds_converge(spark, tmp_path):
     assert got[101] == "keep"
     # digests table holds exactly the distinct contents (shared counted once)
     assert idx.digests.read().count() == 7
+
+    # the r7 advisory's lost-update check: the stored bloom must equal
+    # a from-scratch build over ALL stored digests — a read-merge-
+    # overwrite race would drop the winner's bits for the docs unique
+    # to one batch (probing only the shared doc can't see that).
+    import numpy as np
+
+    from finance_pipeline_spark.operators.dedup import build_digest_bloom
+
+    rebuilt = build_digest_bloom(
+        idx.digests.read().select(F.col("dg")), "dg"
+    )
+    assert np.array_equal(idx._bloom_words(), rebuilt)
+
+    # every doc from BOTH batches screens drop_exact (not just the shared one)
+    all_docs = _docs(spark, [(200 + i, t) for i, (_, t) in enumerate(b1 + b2)])
+    verdicts = {r.doc_id: r.verdict for r in idx.screen(all_docs).collect()}
+    assert all(v == "drop_exact" for v in verdicts.values()), verdicts
+
+
+def test_optimize_folds_bloom_deltas(spark, tmp_path):
+    """Per-add bloom delta rows are folded to one consolidated row-set
+    by optimize(); the folded bitmap is bit-identical to the pre-fold
+    fold-on-read view and to a from-scratch rebuild."""
+    import numpy as np
+
+    from finance_pipeline_spark.operators.dedup import build_digest_bloom
+
+    idx = CorpusDedupIndex(spark, str(tmp_path / "idx"))
+    rng = random.Random(29)
+    for b in range(3):
+        idx.add(_docs(spark, [(b * 10 + i, random_doc(rng)) for i in range(3)]))
+    assert idx.bloom.read().select("token").distinct().count() == 3
+
+    before = idx._bloom_words().copy()
+    stats = idx.optimize(target_rows=10_000)
+    assert stats["bloom_tokens_folded"] == 3
+    assert idx.bloom.read().select("token").distinct().count() == 1
+    assert np.array_equal(idx._bloom_words(), before)
+    rebuilt = build_digest_bloom(idx.digests.read().select("dg"), "dg")
+    assert np.array_equal(idx._bloom_words(), rebuilt)
+    # folding again is a no-op
+    assert idx.optimize(target_rows=10_000)["bloom_tokens_folded"] == 0
+
+
+def test_crashed_add_converges_on_replay(spark, tmp_path):
+    """Crash-ordering invariant (bloom → bands → digests): kill add()
+    right before the digests commit, then replay the batch. The doc
+    must still re-screen as a SURVIVOR (not drop_exact) so the replay
+    re-runs add() for it and backfills the digest — afterwards the
+    index state equals a never-crashed add (including the band rows a
+    digest-first ordering would lose forever)."""
+    idx = CorpusDedupIndex(spark, str(tmp_path / "idx"))
+    rng = random.Random(31)
+    batch = _docs(spark, [(1, random_doc(rng)), (2, random_doc(rng))])
+
+    real_merge = idx.digests.merge
+
+    def boom(df):
+        raise RuntimeError("injected crash before digests commit")
+
+    idx.digests.merge = boom
+    try:
+        idx.add(batch)
+        raise AssertionError("injected crash did not fire")
+    except RuntimeError:
+        pass
+    idx.digests.merge = real_merge
+
+    # bloom + bands committed, digests did not: replay re-screens the
+    # docs as survivors (bloom false-positive is killed by the confirm
+    # join against the EMPTY digests table; band self-hits only flag
+    # review_near) — never drop_exact, so add() runs again.
+    verdicts = {r.doc_id: r.verdict for r in idx.screen(batch).collect()}
+    assert all(v != "drop_exact" for v in verdicts.values()), verdicts
+
+    replay = idx.add(batch)
+    assert replay["digests_inserted"] == 2  # backfilled
+    assert replay["bands_inserted"] == 0  # already committed pre-crash
+    assert replay["bloom_words_touched"] == 0  # same content-addressed token
+
+    # converged: everything now screens drop_exact, bloom matches rebuild
+    import numpy as np
+
+    from finance_pipeline_spark.operators.dedup import build_digest_bloom
+
+    verdicts = {r.doc_id: r.verdict for r in idx.screen(batch).collect()}
+    assert all(v == "drop_exact" for v in verdicts.values())
+    rebuilt = build_digest_bloom(idx.digests.read().select("dg"), "dg")
+    assert np.array_equal(idx._bloom_words(), rebuilt)
+
+
+def test_bloom_broadcast_cache_is_bounded(spark, tmp_path):
+    """Repeated per-micro-batch screens must not accumulate broadcast
+    blocks (r7 advisory): the content-keyed cache holds at most
+    _BLOOM_BC_CAP live broadcasts and re-uses an entry for an
+    unchanged bitmap instead of re-broadcasting."""
+    import numpy as np
+
+    from finance_pipeline_spark.operators import dedup
+
+    dedup._BLOOM_BC_CACHE.clear()
+    n_words = dedup._BLOOM_BITS >> 6
+    rng = np.random.default_rng(5)
+    for i in range(dedup._BLOOM_BC_CAP + 3):
+        words = rng.integers(0, 1 << 62, size=n_words, dtype=np.int64).view(np.uint64)
+        dedup._bloom_broadcast(spark, words)
+        assert len(dedup._BLOOM_BC_CACHE) <= dedup._BLOOM_BC_CAP
+    # same content → cache hit, not a new broadcast
+    words = rng.integers(0, 1 << 62, size=n_words, dtype=np.int64).view(np.uint64)
+    bc1 = dedup._bloom_broadcast(spark, words)
+    bc2 = dedup._bloom_broadcast(spark, words.copy())
+    assert bc1 is bc2
