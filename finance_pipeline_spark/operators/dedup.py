@@ -382,16 +382,26 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_pairs(load(spark, sf_dir, "documents"))
 
 
-def minhash_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+def minhash_pairs(
+    docs: DataFrame, threshold: float = 0.5, dropped_out: dict | None = None
+) -> DataFrame:
     """(doc_id, text)+ → verified near-dup pairs (doc_a, doc_b,
     jaccard ≥ threshold). The reusable body of ``dedup_minhash_lsh``
     — same plan whether the input is a raw table scan or an already-
-    screened universe (pipelines/curation.py composes it that way)."""
+    screened universe (pipelines/curation.py composes it that way).
+
+    Pass ``dropped_out={}`` to receive the over-cap bucket ledger:
+    the dict gains a ``"dropped_buckets"`` DataFrame (block_key,
+    n_docs_dropped) mirroring exactly what the cap filter below
+    removes — silent drops are where 100 TB duplicates hide (see
+    ``dedup_dropped_accounting``)."""
     import pandas as pd
 
     from pyspark.sql import Window as W
 
     exploded = minhash_band_rows(docs)
+    if dropped_out is not None:
+        dropped_out["dropped_buckets"] = minhash_dropped_buckets(exploded)
     # Bucket-size cap as a windowed count: one shuffle on band_key
     # produces both the sizes and the capped rows (vs a separate
     # groupBy+join, which re-runs the signature kernel), and the
@@ -457,20 +467,18 @@ _CHUNK_UID_BASE = 1 << 32  # packed chunk id = doc_id * BASE + chunk_idx.
 # wider ids would thread a struct key through the kernel instead.
 
 
-def _chunk_minhash_oracle() -> str:
-    """DuckDB replica of the chunk-level near-dup pipeline: the
-    text_chunk_overlap tiler (same integer arithmetic) renamed to a
-    (doc_id, text) relation with packed chunk uids, then the exact
-    band CTE chain from ``_bands_cte`` and the same cap / candidate /
-    string-set Jaccard verify as the document-level LSH oracle."""
+def _chunk_src_cte() -> str:
+    """The text_chunk_overlap tiler as a DuckDB CTE chain ending in
+    ``chunk_src`` (doc_id-packed chunk uids, chunk text) — shared by
+    the chunk-level near-dup oracle and the dropped-bucket accounting
+    oracle."""
     from finance_pipeline_spark.operators.textops import (
         _CHUNK_OVERLAP,
         _CHUNK_STRIDE,
         _CHUNK_TOKENS,
     )
 
-    return f"""
-    WITH dtoks AS (
+    return f"""dtoks AS (
         SELECT doc_id, string_split(text, ' ') AS dts,
                len(string_split(text, ' ')) AS n
         FROM documents
@@ -485,7 +493,17 @@ def _chunk_minhash_oracle() -> str:
                                   least(c * {_CHUNK_STRIDE} + {_CHUNK_TOKENS}, n)],
                               'string_agg', ' ') AS text
         FROM dk, unnest(range(0, n_chunks)) AS r(c)
-    ), {_bands_cte(src="chunk_src")}, capped AS (
+    )"""
+
+
+def _chunk_minhash_oracle() -> str:
+    """DuckDB replica of the chunk-level near-dup pipeline: the
+    text_chunk_overlap tiler (same integer arithmetic) renamed to a
+    (doc_id, text) relation with packed chunk uids, then the exact
+    band CTE chain from ``_bands_cte`` and the same cap / candidate /
+    string-set Jaccard verify as the document-level LSH oracle."""
+    return f"""
+    WITH {_chunk_src_cte()}, {_bands_cte(src="chunk_src")}, capped AS (
         SELECT doc_id, band_key FROM (
             SELECT doc_id, band_key,
                    count(*) OVER (PARTITION BY band_key) AS n
@@ -513,6 +531,43 @@ def _chunk_minhash_oracle() -> str:
 
 
 _CHUNK_MINHASH_THRESHOLD = 0.5  # same verify bar as the document LSH
+
+
+def _chunk_relation(d: DataFrame) -> DataFrame:
+    """(doc_id, text) docs → (doc_id, text) chunk relation with packed
+    ``doc_id * 2³² + chunk_idx`` uids — the text_chunk_overlap tiler
+    as a pure-JVM projection (split/sequence/slice/array_join), shared
+    by the chunk-level near-dup pipeline and its cap accounting."""
+    from finance_pipeline_spark.operators.textops import (
+        _CHUNK_OVERLAP,
+        _CHUNK_STRIDE,
+        _CHUNK_TOKENS,
+    )
+
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((n - F.lit(_CHUNK_OVERLAP)) / F.lit(float(_CHUNK_STRIDE))).cast(
+            "bigint"
+        ),
+    )
+    exploded = d.select(
+        "doc_id", toks.alias("ts"), n.alias("n"), n_chunks.alias("n_chunks")
+    ).select(
+        "doc_id",
+        "ts",
+        "n",
+        F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("chunk_idx"),
+    )
+    start = F.col("chunk_idx") * _CHUNK_STRIDE
+    chunk_len = F.least(start + F.lit(_CHUNK_TOKENS), F.col("n")) - start
+    return exploded.select(
+        (F.col("doc_id") * _CHUNK_UID_BASE + F.col("chunk_idx")).alias("doc_id"),
+        F.array_join(F.slice(F.col("ts"), start + 1, chunk_len), " ").alias(
+            "text"
+        ),
+    )
 
 
 @query(
@@ -547,31 +602,7 @@ def dedup_chunk_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         _CHUNK_TOKENS,
     )
 
-    d = load(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    n = F.size(toks)
-    n_chunks = F.greatest(
-        F.lit(1),
-        F.ceil((n - F.lit(_CHUNK_OVERLAP)) / F.lit(float(_CHUNK_STRIDE))).cast(
-            "bigint"
-        ),
-    )
-    exploded = d.select(
-        "doc_id", toks.alias("ts"), n.alias("n"), n_chunks.alias("n_chunks")
-    ).select(
-        "doc_id",
-        "ts",
-        "n",
-        F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("chunk_idx"),
-    )
-    start = F.col("chunk_idx") * _CHUNK_STRIDE
-    chunk_len = F.least(start + F.lit(_CHUNK_TOKENS), F.col("n")) - start
-    chunks = exploded.select(
-        (F.col("doc_id") * _CHUNK_UID_BASE + F.col("chunk_idx")).alias("doc_id"),
-        F.array_join(F.slice(F.col("ts"), start + 1, chunk_len), " ").alias(
-            "text"
-        ),
-    )
+    chunks = _chunk_relation(load(spark, sf_dir, "documents"))
     pairs = minhash_pairs(chunks, threshold=_CHUNK_MINHASH_THRESHOLD)
     base = F.lit(_CHUNK_UID_BASE)
     return pairs.select(
@@ -580,6 +611,143 @@ def dedup_chunk_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"doc_b div {_CHUNK_UID_BASE}").alias("doc_b"),
         F.pmod(F.col("doc_b"), base).alias("chunk_b"),
         "jaccard",
+    )
+
+
+# --- dropped-bucket accounting ----------------------------------------------
+#
+# Every fuzzy variant bounds its candidate space with a cap (band
+# buckets, shingle blocks, label blocks). Right call at scale — but at
+# 100 TB the dropped boilerplate buckets are exactly where duplicates
+# concentrate, so the drops must be OBSERVABLE, not silent (round-7
+# verdict item 3). These helpers emit (block_key, n_docs_dropped) for
+# each family with the exact drop semantics of the operator they
+# mirror: the minhash cap drops the WHOLE bucket (n_docs_dropped = its
+# size); the ngram/cosine caps keep the first CAP rows and drop the
+# remainder (n_docs_dropped = size - CAP).
+
+
+def minhash_dropped_buckets(band_rows: DataFrame) -> DataFrame:
+    """(doc_id, band_key) band rows → one row per over-cap bucket.
+    A doc in a dropped bucket can still pair via its 7 other bands —
+    the accounting is per-bucket, matching what the cap removes."""
+    return (
+        band_rows.groupBy("band_key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > _MINHASH_BUCKET_CAP)
+        .select(
+            F.col("band_key").cast("string").alias("block_key"),
+            F.col("n").alias("n_docs_dropped"),
+        )
+    )
+
+
+def ngram_dropped_blocks(docs: DataFrame) -> DataFrame:
+    """Docs past ``_NGRAM_BLOCK_CAP`` in their (lang, len_bucket)
+    block — the rows ``dedup_ngram_jaccard``'s row_number cap never
+    admits to pairing."""
+    return (
+        hashed_shingle_rows(docs)
+        .groupBy("lang", "len_bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > _NGRAM_BLOCK_CAP)
+        .select(
+            F.concat_ws(
+                "/", "lang", F.col("len_bucket").cast("string")
+            ).alias("block_key"),
+            (F.col("n") - _NGRAM_BLOCK_CAP).alias("n_docs_dropped"),
+        )
+    )
+
+
+def cosine_dropped_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectors past ``_COSINE_BLOCK_CAP`` in their label block — the
+    rows the cosine family routes to SRP-LSH instead of exact pairing.
+    Mirrors ``_cosine_capped``'s pre-cap universe exactly (%10 sample,
+    zero-norm dropped)."""
+    from finance_pipeline_spark.operators.similarity import l2norm
+
+    return (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 10 == 0)
+        .select("vec_id", "label", l2norm(F.col("embedding")).alias("nrm"))
+        .filter(F.col("nrm") > 0)
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > _COSINE_BLOCK_CAP)
+        .select(
+            F.col("label").cast("string").alias("block_key"),
+            (F.col("n") - _COSINE_BLOCK_CAP).alias("n_docs_dropped"),
+        )
+    )
+
+
+@query(
+    "dedup_dropped_accounting",
+    oracle=lambda: f"""
+    SELECT family, block_key, n_docs_dropped FROM (
+        SELECT 'minhash' AS family, CAST(band_key AS VARCHAR) AS block_key,
+               n AS n_docs_dropped
+        FROM (
+            WITH {_bands_cte()}
+            SELECT band_key, count(*) AS n FROM bands GROUP BY band_key
+        ) WHERE n > {_MINHASH_BUCKET_CAP}
+        UNION ALL
+        SELECT 'chunk_minhash', CAST(band_key AS VARCHAR), n
+        FROM (
+            WITH {_chunk_src_cte()}, {_bands_cte(src="chunk_src")}
+            SELECT band_key, count(*) AS n FROM bands GROUP BY band_key
+        ) WHERE n > {_MINHASH_BUCKET_CAP}
+        UNION ALL
+        SELECT 'ngram', lang || '/' || CAST(len_bucket AS VARCHAR),
+               n - {_NGRAM_BLOCK_CAP}
+        FROM (
+            SELECT lang, CAST(len(t) // 32 AS INTEGER) AS len_bucket,
+                   count(*) AS n
+            FROM (SELECT doc_id, lang, string_split(trim(lower(text)), ' ') AS t
+                  FROM documents)
+            WHERE len(t) >= 3
+            GROUP BY 1, 2
+        ) WHERE n > {_NGRAM_BLOCK_CAP}
+        UNION ALL
+        SELECT 'cosine', CAST(label AS VARCHAR), n - {_COSINE_BLOCK_CAP}
+        FROM (
+            SELECT label, count(*) AS n
+            FROM (
+                SELECT label,
+                       sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                                      FOR x IN embedding])) AS nrm
+                FROM embeddings WHERE vec_id % 10 = 0
+            ) WHERE nrm > 0
+            GROUP BY label
+        ) WHERE n > {_COSINE_BLOCK_CAP}
+    )
+    """,
+    tags=("dedup", "accounting"),
+)
+def dedup_dropped_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One oracle-checked ledger of every bucket/block the fuzzy-dedup
+    family's caps silently exclude: (family, block_key,
+    n_docs_dropped) across the minhash, chunk-minhash, n-gram and
+    cosine variants. Empty when no cap engages (the gate SF); nonzero
+    from sf0.1 up — review it the way you'd review a lossy-compression
+    report before trusting a 100 TB dedup run. Each branch reuses the
+    family's own candidate-universe builder, so the accounting can
+    never drift from what the operator actually drops."""
+    docs = load(spark, sf_dir, "documents")
+    mh = minhash_dropped_buckets(minhash_band_rows(docs)).withColumn(
+        "family", F.lit("minhash")
+    )
+    ck = minhash_dropped_buckets(
+        minhash_band_rows(_chunk_relation(docs))
+    ).withColumn("family", F.lit("chunk_minhash"))
+    ng = ngram_dropped_blocks(docs).withColumn("family", F.lit("ngram"))
+    cs = cosine_dropped_blocks(spark, sf_dir).withColumn("family", F.lit("cosine"))
+    return (
+        mh.unionByName(ck)
+        .unionByName(ng)
+        .unionByName(cs)
+        .select("family", "block_key", "n_docs_dropped")
     )
 
 
@@ -1402,9 +1570,12 @@ def _cosine_pairs(e: DataFrame) -> DataFrame:
 # --- near-dup group assembly (connected components) --------------------------
 
 
-@query(
-    "dedup_connected_groups",
-    oracle=lambda: f"""
+def _components_oracle() -> str:
+    """Recursive-CTE fixpoint over the cosine edges: min label per
+    component. Algorithm-independent — shared verbatim by the
+    min-label-propagation query and the log-round star-contraction
+    one, which must agree exactly."""
+    return f"""
     WITH RECURSIVE v0 AS (
         SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
                sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
@@ -1435,7 +1606,12 @@ def _cosine_pairs(e: DataFrame) -> DataFrame:
     )
     SELECT u AS vec_id, CAST(min(comp) AS BIGINT) AS component_id
     FROM labels GROUP BY u
-    """,
+    """
+
+
+@query(
+    "dedup_connected_groups",
+    oracle=_components_oracle,
     tags=("dedup", "components"),
     bench=True,
 )
@@ -1512,6 +1688,139 @@ def _min_label_components(pairs: DataFrame) -> DataFrame:
     return labels.select(
         F.col("u").alias("vec_id"), F.col("comp").cast("bigint").alias("component_id")
     )
+
+
+_STAR_MAX_ROUNDS = 50  # big-rounds (large-star + small-star each); the
+# algorithm needs O(log² n) worst case, so 50 covers any graph that
+# fits in storage — the cap exists only to turn a logic bug into a
+# loud failure instead of an infinite loop.
+
+
+def _star_components(
+    pairs: DataFrame, rounds_out: dict | None = None
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce
+    and Beyond", SOCC'14) — the log-round alternative to
+    ``_min_label_components``: min-label propagation needs ~diameter
+    rounds (a 200-doc chain needs 200 — past its 60-round cap), star
+    contraction converges in O(log² n) rounds on ANY shape because
+    each round halves the distance to the component's minimum, not
+    steps it by one.
+
+    Per big-round, over canonical child>parent edges:
+
+    - **large-star**: every vertex u connects its LARGER neighbors to
+      m = min(Γ(u) ∪ {u}) — emitted as (v, m), v > u ≥ m;
+    - **small-star**: every vertex u (edges oriented to the larger
+      endpoint) connects itself and its smaller neighbors to
+      m = min(Γ⁻(u) ∪ {u}).
+
+    Both emit only child>parent pairs, so the fixpoint check is a
+    canonical-set compare (count + order-insensitive hash-sum — on
+    equality an exact ``exceptAll`` probe confirms, so a hash
+    collision can never end the loop early). At the fixpoint the edge
+    set is a disjoint union of stars rooted at each component's
+    minimum vertex — the same labels the recursive-CTE oracle and the
+    min-label path produce. Each round is two groupBy-min shuffles +
+    a join, localCheckpoint-ed for the same lineage-truncation reason
+    as ``_min_label_components``."""
+    edges = (
+        pairs.select(
+            F.greatest("vec_a", "vec_b").alias("c"),
+            F.least("vec_a", "vec_b").alias("p"),
+        )
+        .filter(F.col("c") != F.col("p"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    verts = (
+        edges.select(F.col("c").alias("u"))
+        .union(edges.select("p"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def fingerprint(e: DataFrame) -> tuple:
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("c", "p")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    def large_star(e: DataFrame) -> DataFrame:
+        bi = e.select(F.col("c").alias("u"), F.col("p").alias("v")).union(
+            e.select(F.col("p").alias("u"), F.col("c").alias("v"))
+        )
+        mins = bi.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        return (
+            bi.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("c"), F.col("m").alias("p"))
+            .filter(F.col("c") != F.col("p"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # edges are already oriented child(c) > parent(p): Γ⁻(c) = its
+        # parents; m = min(parents) (all < c, so u itself never wins)
+        mins = e.groupBy("c").agg(F.min("p").alias("m"))
+        with_m = e.join(mins, "c")
+        to_m = with_m.select(F.col("c"), F.col("m").alias("p")).union(
+            with_m.select(F.col("p").alias("c"), F.col("m").alias("p"))
+        )
+        return to_m.filter(F.col("c") != F.col("p")).distinct()
+
+    prev = fingerprint(edges)
+    converged = edges.isEmpty()
+    rounds = 0
+    while not converged and rounds < _STAR_MAX_ROUNDS:
+        edges_next = small_star(large_star(edges)).localCheckpoint(eager=True)
+        rounds += 1
+        now = fingerprint(edges_next)
+        if now == prev and edges_next.exceptAll(edges).isEmpty():
+            converged = True
+        edges = edges_next
+        prev = now
+    if rounds_out is not None:
+        rounds_out["rounds"] = rounds
+    if not converged:
+        raise RuntimeError(
+            f"_star_components: no fixpoint within {_STAR_MAX_ROUNDS} "
+            "big-rounds — impossible for a well-formed pair list; "
+            "inspect the input for nulls"
+        )
+    return (
+        verts.join(
+            edges.select(F.col("c").alias("u"), F.col("p").alias("comp")),
+            "u",
+            "left",
+        )
+        .select(
+            F.col("u").alias("vec_id"),
+            F.coalesce("comp", F.col("u")).cast("bigint").alias("component_id"),
+        )
+    )
+
+
+@query(
+    "dedup_connected_star",
+    oracle=_components_oracle,
+    tags=("dedup", "components", "logstar"),
+)
+def dedup_connected_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_connected_groups`` computed by log-round star
+    contraction instead of min-label propagation — identical output
+    under the identical oracle, different convergence envelope: round
+    count scales with log(component size), not diameter, so a
+    100 TB dedup graph with a pathological chain (crawl rings,
+    boilerplate ladders) finishes in ~tens of shuffles where the
+    propagation loop would need thousands. Planted-chain convergence
+    asserted in tests/test_dedup.py."""
+    pairs = dedup_embedding_cosine(spark, sf_dir).select("vec_a", "vec_b")
+    return _star_components(pairs)
 
 
 @query(

@@ -1256,3 +1256,149 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-parity recipe; the oracle adds the label-equality join to
     the PQ chain."""
     return _pq_serve(spark, sf_dir, cell_pruned=True)
+
+
+# --- multi-probe IVFPQ -------------------------------------------------------
+
+
+def _ivfpq_multiprobe_oracle(nprobe: int) -> str:
+    """Full-chain replica of kmeans-cell IVFPQ with multi-probe: the
+    shared Lloyd-round CTEs produce corpus cell assignments (rank-1)
+    and per-query probe cells (rank-<=nprobe); the PQ subspace chains
+    produce codes and per-query ADC tables; scoring joins them —
+    candidates are corpus codes whose cell is among the query's
+    probed cells."""
+    subs = ",".join(_pq_subspace_cte(s) for s in range(_PQ_M))
+    enc_joins = " ".join(
+        f"JOIN enc_{s} e{s} USING (vec_id)" for s in range(1, _PQ_M)
+    )
+    qd_joins = " ".join(
+        f"JOIN qd_{s} q{s} ON q{s}.code = e{s}.code"
+        f" AND q{s}.query_id = q0.query_id"
+        for s in range(1, _PQ_M)
+    )
+    adist = " + ".join(f"q{s}.d" for s in range(_PQ_M))
+    return f"""
+    WITH v AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ), {kmeans_lloyd_ctes()}, a2 AS (
+        SELECT vec_id, cluster FROM (
+            SELECT vec_id, cluster,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d, cluster) AS rnk
+            FROM s2
+        ) WHERE rnk = 1
+    ), probes AS (
+        SELECT vec_id AS query_id, cluster FROM (
+            SELECT vec_id, cluster,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d, cluster) AS rnk
+            FROM s2 WHERE vec_id % 100 = 0
+        ) WHERE rnk <= {nprobe}
+    ), {subs}, scored AS (
+        SELECT q0.query_id, e0.vec_id AS corpus_id,
+               round({adist}, 4) AS adist
+        FROM enc_0 e0 {enc_joins}
+        JOIN a2 ON a2.vec_id = e0.vec_id
+        JOIN probes pr ON pr.cluster = a2.cluster
+        JOIN qd_0 q0 ON q0.code = e0.code AND q0.query_id = pr.query_id
+        {qd_joins}
+        WHERE e0.vec_id <> q0.query_id
+    )
+    SELECT query_id, corpus_id, adist, rnk FROM (
+        SELECT query_id, corpus_id, adist,
+               CAST(row_number() OVER (PARTITION BY query_id
+                     ORDER BY adist, corpus_id) AS BIGINT) AS rnk
+        FROM scored
+    ) WHERE rnk <= {_TOPK}
+    """
+
+
+def ivfpq_probe_topk(
+    spark: SparkSession, sf_dir: str, nprobe: int = _IVF_NPROBE
+) -> DataFrame:
+    """IVFPQ over REAL trained cells with configurable multi-probe —
+    FAISS's billion-scale serving shape end-to-end: ``kmeans_fit``
+    trains the coarse quantizer, ``_pq_build`` trains codebooks and
+    encodes the corpus to 4-byte codes, and each query ADC-scans only
+    the codes in its ``nprobe`` nearest cells. Replaces the label
+    stand-in cells of ``ann_ivfpq_topk`` (nprobe=1 by construction —
+    the r7 verdict's recall caveat) with centroid-distance cell
+    selection, the actual recall/latency dial.
+
+    Scale shape: coarse training + PQ training are the bounded
+    driver-loop passes documented on their builders; serving joins the
+    codes scan (4 B/vector) with its cell id, broadcasts the
+    (query, probe-cell, ADC-table) list, and scans ~nprobe/k of the
+    corpus codes per query — all-JVM lookups after one broadcast."""
+    e, codes, qdfs = _pq_build(spark, sf_dir)
+    cents, assignments = kmeans_fit(spark, e, _KMEANS_K, rounds=1)
+    cent_df = spark.createDataFrame(
+        [(int(c), [float(x) for x in cents[c]]) for c in range(len(cents))],
+        "cluster bigint, cent array<double>",
+    )
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    cent_dist = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("q_emb"),
+                F.col("cent"),
+                lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        4,
+    )
+    wq = W.partitionBy("query_id").orderBy(F.col("d").asc(), F.col("cluster").asc())
+    probes = (
+        q.crossJoin(F.broadcast(cent_df))
+        .withColumn("d", cent_dist)
+        .withColumn("rnk", F.row_number().over(wq))
+        .filter(F.col("rnk") <= nprobe)
+        .select("query_id", "cluster")
+    )
+    codes_c = codes.join(assignments.select("vec_id", "cluster"), "vec_id")
+
+    term = lambda s: F.round(  # noqa: E731 — per-subspace 4-dp round, oracle parity
+        F.element_at(F.col(f"t{s}"), F.col(f"c{s}").cast("int") + 1), 4
+    )
+    adist = F.round(term(0) + term(1) + term(2) + term(3), 4)
+    w = W.partitionBy("query_id").orderBy(F.col("adist").asc(), F.col("corpus_id"))
+    out_schema = "query_id bigint, corpus_id bigint, adist double"
+    parts = []
+    for qdf in qdfs:
+        qp = qdf.join(probes, "query_id").withColumnRenamed("cluster", "p_cluster")
+        parts.append(
+            codes_c.join(
+                F.broadcast(qp),
+                (F.col("cluster") == F.col("p_cluster"))
+                & (F.col("vec_id") != F.col("query_id")),
+            ).select(
+                "query_id",
+                F.col("vec_id").alias("corpus_id"),
+                adist.alias("adist"),
+            )
+        )
+    if not parts:
+        scored = spark.createDataFrame([], out_schema)
+    else:
+        scored = parts[0]
+        for p in parts[1:]:
+            scored = scored.unionByName(p)
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= _TOPK)
+    )
+
+
+@query(
+    "ann_ivfpq_multiprobe",
+    oracle=lambda: _ivfpq_multiprobe_oracle(_IVF_NPROBE),
+    tags=("similarity", "ann", "pq", "ivf", "multiprobe"),
+)
+def ann_ivfpq_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVFPQ at nprobe=2 — see ``ivfpq_probe_topk``."""
+    return ivfpq_probe_topk(spark, sf_dir, nprobe=_IVF_NPROBE)

@@ -1192,3 +1192,123 @@ def text_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_occurrences") > 1)
     )
+
+
+# --- exact duplicated-substring spans ---------------------------------------
+
+_SPAN_W = 20  # tokens per duplicated-substring probe window: spans
+# shorter than this are noise (stock phrases); every duplicated run of
+# >= W tokens is covered by at least one window, so merged windows
+# reconstruct the full span with (W-1)-token end slack at worst.
+
+
+@query(
+    "text_dup_spans",
+    oracle=lambda: f"""
+    WITH toks AS (
+        SELECT doc_id, {_sql_tokens()} AS t FROM documents
+    ), grams AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos,
+               md5(list_aggregate(t[i : i + {_SPAN_W} - 1], 'string_agg', ' ')) AS g
+        FROM toks, unnest(range(1, len(t) - {_SPAN_W} + 2)) AS r(i)
+        WHERE len(t) >= {_SPAN_W}
+    ), dup AS (
+        SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) > 1
+    ), hits AS (
+        SELECT doc_id, pos FROM grams JOIN dup USING (g)
+    ), isl AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos > coalesce(lag(pos) OVER (
+                        PARTITION BY doc_id ORDER BY pos), -{_SPAN_W})
+                        + {_SPAN_W} - 1
+                    THEN 1 ELSE 0 END AS ni
+        FROM hits
+    ), grp AS (
+        SELECT doc_id, pos,
+               sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS island
+        FROM isl
+    )
+    SELECT doc_id,
+           CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) + {_SPAN_W} - 1 AS BIGINT) AS span_end,
+           CAST(max(pos) - min(pos) + {_SPAN_W} AS BIGINT) AS span_tokens,
+           CAST(count(*) AS BIGINT) AS n_windows
+    FROM grp GROUP BY doc_id, island
+    """,
+    tags=("text", "dedup", "training-prep"),
+)
+def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-SUBSTRING spans — the suffix-array-style pass
+    (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better") that document- and chunk-level dedup both miss: a
+    boilerplate run embedded mid-document (license header, nav bar,
+    quoted reply) duplicated across otherwise-distinct pages. Output
+    is one row per maximal duplicated span: (doc_id, span_start,
+    span_end, span_tokens, n_windows) in 1-based token positions —
+    the removal list a curation pipeline applies before training.
+
+    Method: slide a {_SPAN_W}-token window at stride 1, key each
+    window by md5 of its token run (portable — both engines hash the
+    identical string), keep windows whose key occurs in >1 DISTINCT
+    document (self-repetition is text_repetition_stats' job), and
+    merge overlapping/adjacent hit positions per doc into maximal
+    spans with a lag-based gaps-and-islands pass. Pure integer/window
+    logic — bit-identical across engines, no rounding.
+
+    Scale shape: the gram explosion is ~n_tokens rows per doc (stride
+    1) carrying (doc_id, pos, 32-char key) — columnar-narrow; ONE
+    shuffle on the gram key builds the duplicate set, which is tiny
+    (only actually-duplicated runs survive the HAVING), so the hits
+    semi-join broadcasts it back under AQE; the island merge windows
+    over (doc_id, pos) — the same one-exchange shape as every
+    warehouse window op. At 100 TB: two corpus passes (gram build is
+    recomputed for the semi-join rather than materialized — compute
+    is cheaper than shuffling the full gram set twice), then
+    span assembly over the small hit set."""
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    base = d.select("doc_id", _tokens().alias("t")).withColumn(
+        "n", F.size("t")
+    ).filter(F.col("n") >= _SPAN_W)
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.col("n") - F.lit(_SPAN_W - 1))
+        ).alias("pos"),
+        "t",
+    ).select(
+        "doc_id",
+        F.col("pos").cast("bigint").alias("pos"),
+        F.md5(F.array_join(F.slice("t", F.col("pos"), _SPAN_W), " ")).alias("g"),
+    )
+    dup = (
+        grams.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("g")
+    )
+    hits = grams.join(dup, "g", "left_semi").select("doc_id", "pos")
+    w_ord = W.partitionBy("doc_id").orderBy("pos")
+    ni = (
+        F.col("pos")
+        > F.coalesce(F.lag("pos").over(w_ord), F.lit(-_SPAN_W)) + (_SPAN_W - 1)
+    ).cast("bigint")
+    grp = hits.withColumn("ni", ni).withColumn(
+        "island",
+        F.sum("ni").over(w_ord.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return (
+        grp.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(_SPAN_W - 1)).alias("span_end"),
+            (F.max("pos") - F.min("pos") + F.lit(_SPAN_W)).alias("span_tokens"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select(
+            "doc_id", "span_start", "span_end", "span_tokens", "n_windows"
+        )
+    )

@@ -114,6 +114,9 @@ def ingest_with_index(
     stats: list[dict] = []
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
+        import time
+
+        t0 = time.monotonic()
         batch_df = batch_df.localCheckpoint(eager=True)  # stream source
         # is single-pass; the screen + write below each traverse it.
         # The screen and survivor sets also feed MULTIPLE downstream
@@ -143,6 +146,10 @@ def ingest_with_index(
                 F.col("verdict") == "review_near"
             ).count(),
             **a,
+            # per-batch wall time: the scale signal — batch cost must
+            # stay ~flat as the stored corpus grows (screen is bloom +
+            # key-only probes, never a corpus rescan)
+            "elapsed_sec": round(time.monotonic() - t0, 3),
         }
         log.info("indexed corpus batch %s", s)
         stats.append(s)

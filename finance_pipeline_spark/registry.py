@@ -224,6 +224,67 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # re-enter the evaluated window this round; "out" entries move past the
 # fold carrying the named prior round's hash-green driver evidence.
 ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
+    "r8": {
+        "in": (
+            # Oldest-evidence-first (the standing ledger rule): the
+            # three r4-evidence rows deferred in r7 and the ENTIRE
+            # 36-query r5-evidence cohort (folded r6, never back
+            # since) — this clears the whole pre-r6 staleness tail in
+            # one round.
+            "d4_custom_format_parse", "rollup_time_multi",
+            "funnel_conversion",
+            "win_rank_family", "dedup_connected_groups",
+            "join_skew_enrich", "u2_anti_join", "d8_trim",
+            "d10_current_date", "mm_binary_meta", "p8_watermark_filter",
+            "o2_topk_single", "a3_affected_rows", "s6_sql_table_scan",
+            "win_sliding", "win_session", "stream_stream_join",
+            "stream_session_counts", "join_asof", "scd2_order_status",
+            "cdc_latest_state", "attribution_first_last",
+            "hist_value_buckets", "profile_columns", "ts_moving_features",
+            "ts_resample_ffill", "win_distribution_family",
+            "metric_rolling_active", "affinity_part_pairs",
+            "winsorize_values", "text_vocab_topk", "text_pii_scrub",
+            "text_repetition_stats", "text_tfidf_topk",
+            "text_source_quota", "grouped_user_gaps", "stream_dedup",
+            "text_decontaminate", "user_gap_stats",
+            # new r8 operators earning first driver evidence
+            "ann_ivf_multiprobe",       # multi-probe IVF (nprobe=2)
+            "ann_ivfpq_multiprobe",     # kmeans-cell IVFPQ, nprobe=2
+            "dedup_dropped_accounting",  # cap-drop observability ledger
+            "dedup_connected_star",      # log-round star contraction
+            "text_dup_spans",            # exact duplicated-substring spans
+            # NOT rotating out despite r7-green (changed code in r8):
+            # dedup_minhash_lsh / dedup_chunk_minhash (minhash_pairs
+            # accounting hook + extracted _chunk_relation) and
+            # dedup_bloom_screen (bloom broadcast cache) hold their
+            # window slots to re-earn on the new code.
+        ),
+        "out": (  # all hash-green in CORRECTNESS_r07.json
+            # mid-round fold: slots ceded to text_dup_spans and
+            # ann_ivfpq_multiprobe (both code-unchanged this round;
+            # their families keep multiple in-window reps)
+            "dedup_incremental",
+            "kmeans_train_assign",
+            "agg_exact_median", "agg_corr_exact", "a2_empty_probe",
+            "win_tumbling", "win_topk_per_group", "join_agg_revenue",
+            "join_range_bands", "u3_semi_join", "o3_dynamic_sort",
+            "o4_global_index", "p2_drop_column", "p3_date_window",
+            "d2_interval_shift", "d6_literal_columns", "dedup_exact",
+            "dedup_ngram_jaccard", "dedup_simhash",
+            "dedup_group_decisions", "dedup_embedding_cosine",
+            "dedup_semantic_clusters", "mm_decode_features",
+            "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
+            "ann_quantized_topk", "ann_pq_topk", "ann_ivfpq_topk",
+            "emb_quantize_int8", "stream_tumbling_counts",
+            "stream_static_join", "stateful_user_totals",
+            "text_token_count", "text_gopher_rules",
+            "text_pack_sequences", "text_split_assign",
+            "text_mixture_sample", "text_ngram_profile",
+            "text_chunk_overlap", "text_quality_prune",
+            "cohort_retention", "event_transition_counts",
+            "merge_upsert_orders",
+        ),
+    },
     "r7": {
         "in": (
             # Oldest-evidence first (the standing ledger rule): the
@@ -478,55 +539,96 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
 }
 
 PRIORITY: tuple[str, ...] = (
+    # ---- window: positions 1-50, evaluated by the driver this round ----
     # flagship + the two sketch rows (rows-only by design, pytest-bound)
     "agg_pricing_summary",
     "agg_approx_distinct",
     "agg_approx_quantile",
-    # exact-at-scale aggregates landing first evidence (r7 additions)
+    # dedup family — r8 changed-code re-earners (minhash_pairs grew the
+    # dropped-bucket accounting hook, _chunk_relation was extracted,
+    # bloom_maybe_contains gained the broadcast cache; incremental
+    # rides as the family companion on the shared band machinery), the
+    # two new r8 rows, and the r5-evidence components re-entrant
+    "dedup_minhash_lsh",
+    "dedup_chunk_minhash",
+    "dedup_bloom_screen",
+    "dedup_dropped_accounting",
+    "dedup_connected_star",
+    "dedup_connected_groups",
+    "text_dup_spans",
+    # similarity — the new multi-probe IVF earns first evidence;
+    # kmeans_train_assign re-earns alongside (ivf_probe_topk now
+    # serves from its kmeans_fit cells)
+    "ann_ivf_multiprobe",
+    "ann_ivfpq_multiprobe",
+    # r4-evidence re-entrants deferred in r7 (oldest evidence first)
+    "d4_custom_format_parse",
+    "rollup_time_multi",
+    "funnel_conversion",
+    # the full r5-evidence cohort (folded r6; re-earning this round
+    # clears the pre-r6 staleness tail completely)
+    "win_rank_family",
+    "join_skew_enrich",
+    "u2_anti_join",
+    "d8_trim",
+    "d10_current_date",
+    "mm_binary_meta",
+    "p8_watermark_filter",
+    "o2_topk_single",
+    "a3_affected_rows",
+    "s6_sql_table_scan",
+    "win_sliding",
+    "win_session",
+    "stream_stream_join",
+    "stream_session_counts",
+    "join_asof",
+    "scd2_order_status",
+    "cdc_latest_state",
+    "attribution_first_last",
+    "hist_value_buckets",
+    "profile_columns",
+    "ts_moving_features",
+    "ts_resample_ffill",
+    "win_distribution_family",
+    "metric_rolling_active",
+    "affinity_part_pairs",
+    "winsorize_values",
+    "text_vocab_topk",
+    "text_pii_scrub",
+    "text_repetition_stats",
+    "text_tfidf_topk",
+    "text_source_quota",
+    "grouped_user_gaps",
+    "stream_dedup",
+    "text_decontaminate",
+    "user_gap_stats",
+    # ---- fold: position 51+ — prior-round hash-green driver evidence ----
+    # r7-green, rotated out r8 (newest evidence first; incremental and
+    # kmeans folded mid-round to free slots for text_dup_spans +
+    # ann_ivfpq_multiprobe)
+    "dedup_incremental",
+    "kmeans_train_assign",
     "agg_exact_median",
     "agg_corr_exact",
-    # aggregates-misc (empty-probe re-earning after its r6 deferral)
     "a2_empty_probe",
-    # event-time windows: win_tumbling holds its r6-reimplemented slot
-    # one more round; per-group top-k re-earns after its r4 fold
     "win_tumbling",
     "win_topk_per_group",
-    # joins / set ops (join_agg_revenue keeps its r6 AQE-decided plan
-    # in-window; range bands + semi-join re-earn from the r4 cohort)
     "join_agg_revenue",
     "join_range_bands",
     "u3_semi_join",
-    # sort / catalog introspection anchor + the new scalable global
-    # row index (first driver evidence)
     "o3_dynamic_sort",
     "o4_global_index",
-    # projection / filter (r4 cohort re-entries)
     "p2_drop_column",
     "p3_date_window",
-    # derivations (r4 cohort + the deferred literal-columns row)
     "d2_interval_shift",
     "d6_literal_columns",
-    # dedup family — the r7 kernel-vectorization cohort: every query
-    # whose signature/shingle kernel changed re-earns evidence on the
-    # NEW code (minhash_lsh, incremental, ngram_jaccard, simhash), the
-    # chunk-level MinHash pass lands its first row, and the r4-folded
-    # exact/group/embedding variants re-earn their rotation rows
     "dedup_exact",
     "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_incremental",
     "dedup_simhash",
-    "dedup_chunk_minhash",
-    "dedup_bloom_screen",
     "dedup_group_decisions",
     "dedup_embedding_cosine",
     "dedup_semantic_clusters",
-    # multimodal (decode-features re-earning; frame_sample folds r6-green)
     "mm_decode_features",
-    # similarity — ann_cosine_topk re-earns on the r7 batched query
-    # fetch; the whole serving family rotates with it (lsh holds its
-    # r6 slot, ivf/quantized + quantizer + k-means re-earn their r4
-    # fold rows)
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
@@ -534,14 +636,9 @@ PRIORITY: tuple[str, ...] = (
     "ann_pq_topk",
     "ann_ivfpq_topk",
     "emb_quantize_int8",
-    "kmeans_train_assign",
-    # streaming anchors (stream_static_join re-earns from the r4 cohort)
     "stream_tumbling_counts",
     "stream_static_join",
-    # stateful anchor
     "stateful_user_totals",
-    # text family — r4 cohort re-entries + the deferred ngram profile;
-    # chunking pair keeps its r6 first-evidence slots
     "text_token_count",
     "text_gopher_rules",
     "text_pack_sequences",
@@ -550,26 +647,15 @@ PRIORITY: tuple[str, ...] = (
     "text_ngram_profile",
     "text_chunk_overlap",
     "text_quality_prune",
-    # temporal (r4 cohort re-entries + r6 first-evidence transitions)
     "cohort_retention",
     "event_transition_counts",
-    # warehouse tier — r6 first-evidence / changed-code rows hold their
-    # slots one more round
     "merge_upsert_orders",
-    # ---- fold: position 51+ — prior-round hash-green driver evidence ----
-    # r6-green, rotated out r7 (newest evidence first; fuzzy_match_blocked,
-    # anomaly_zscore_flags and dq_referential_audit folded mid-round to
-    # free window slots for dedup_bloom_screen / o4_global_index /
-    # ann_pq_topk)
+    # r6-green cohort (folded r7)
     "fuzzy_match_blocked",
     "anomaly_zscore_flags",
     "dq_referential_audit",
     "text_chunk_dedup",
     "agg_incremental_maintain",
-    # r4-green re-entrants deferred to r8 (see ROTATION_LOG r7 note)
-    "d4_custom_format_parse",
-    "rollup_time_multi",
-    "funnel_conversion",
     "agg_minmax_distinct",
     "agg_variance_exact",
     "agg_rollup",
@@ -602,43 +688,6 @@ PRIORITY: tuple[str, ...] = (
     "text_bpe_token_count",
     "text_quality_score",
     "udf_embedding_norm",
-    # r5-green cohort, folded r6 (minus the four re-entering above)
-    "stream_dedup",
-    "text_decontaminate",
-    "user_gap_stats",
-    "win_rank_family",
-    "dedup_connected_groups",
-    "join_skew_enrich",
-    "u2_anti_join",
-    "d8_trim",
-    "d10_current_date",
-    "mm_binary_meta",
-    "p8_watermark_filter",
-    "o2_topk_single",
-    "a3_affected_rows",
-    "s6_sql_table_scan",
-    "win_sliding",
-    "win_session",
-    "stream_stream_join",
-    "stream_session_counts",
-    "join_asof",
-    "scd2_order_status",
-    "cdc_latest_state",
-    "attribution_first_last",
-    "hist_value_buckets",
-    "profile_columns",
-    "ts_moving_features",
-    "ts_resample_ffill",
-    "win_distribution_family",
-    "metric_rolling_active",
-    "affinity_part_pairs",
-    "winsorize_values",
-    "text_vocab_topk",
-    "text_pii_scrub",
-    "text_repetition_stats",
-    "text_tfidf_topk",
-    "text_source_quota",
-    "grouped_user_gaps",
 )
 
 DRIVER_WINDOW = 50  # observed driver evaluation cap (r1 + r2)

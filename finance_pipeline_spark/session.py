@@ -46,4 +46,12 @@ def get_session(app_name: str = "finance_pipeline_spark") -> SparkSession:
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # Ship the package zip to executor Python workers unconditionally:
+    # any session can hit a mapInPandas/foreachPartition closure that
+    # imports this package (the corpus CLI does before any registry
+    # load), and a CLI invoked from outside the repo root has no cwd
+    # fallback — r8 fix for `main.py corpus` failing anywhere but ./.
+    from finance_pipeline_spark.registry import ship_package
+
+    ship_package(spark)
     return spark

@@ -304,3 +304,131 @@ def test_bloom_build_and_membership_kernel(spark, tmp_path):
 
     assert member(inserted).all()
     assert member(novel).mean() < 0.02
+
+
+def test_star_components_match_min_label_on_random_graph(spark):
+    """Star contraction and min-label propagation are two algorithms
+    for one answer: identical (vertex, component) labels on a random
+    multi-component graph."""
+    from finance_pipeline_spark.operators.dedup import (
+        _min_label_components,
+        _star_components,
+    )
+
+    rng = random.Random(41)
+    edges = set()
+    # 5 random components of 3-15 vertices each, ids deliberately
+    # interleaved so min-label roots aren't positional accidents
+    base = 0
+    for _ in range(5):
+        n = rng.randrange(3, 16)
+        ids = [base + i * 7 + rng.randrange(3) * 100 for i in range(n)]
+        ids = list(dict.fromkeys(ids))
+        for i in range(1, len(ids)):
+            edges.add((ids[i], ids[rng.randrange(i)]))
+        for _ in range(len(ids) // 2):  # extra chords
+            a, b = rng.sample(ids, 2)
+            if a != b:
+                edges.add((a, b))
+        base += 2000
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in sorted(edges)], "vec_a bigint, vec_b bigint"
+    )
+    want = sorted(
+        map(tuple, _min_label_components(pairs).collect())
+    )
+    got = sorted(map(tuple, _star_components(pairs).collect()))
+    assert got == want
+
+
+def test_star_components_log_rounds_on_planted_chain(spark):
+    """The shape that motivates star contraction: a 200-vertex path
+    needs 200 min-label rounds (past its 60-round cap) but must
+    converge in <= ceil(log2(200)) + 4 = 12 star big-rounds, with
+    every vertex labeled by the chain's minimum id."""
+    from finance_pipeline_spark.operators.dedup import (
+        _min_label_components,
+        _star_components,
+    )
+
+    n = 200
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], "vec_a bigint, vec_b bigint"
+    )
+    rounds_out: dict = {}
+    labels = _star_components(pairs, rounds_out=rounds_out).collect()
+    assert {r.vec_id for r in labels} == set(range(1, n + 1))
+    assert all(r.component_id == 1 for r in labels)
+    assert rounds_out["rounds"] <= 12, rounds_out
+    # and the propagation loop indeed cannot do this shape
+    import pytest
+
+    with pytest.raises(RuntimeError, match="did not"):
+        _min_label_components(pairs)
+
+
+def test_star_components_empty_and_single_edge(spark):
+    from finance_pipeline_spark.operators.dedup import _star_components
+
+    empty = spark.createDataFrame([], "vec_a bigint, vec_b bigint")
+    assert _star_components(empty).collect() == []
+    one = spark.createDataFrame([(7, 3)], "vec_a bigint, vec_b bigint")
+    got = sorted(map(tuple, _star_components(one).collect()))
+    assert got == [(3, 3), (7, 3)]
+
+
+def test_minhash_dropped_bucket_accounting_matches_planted_bucket(spark):
+    """A planted boilerplate bucket (cap+1 identical docs) must vanish
+    from the pair output AND appear in the accounting ledger with its
+    exact size — the silent-drop observability the r7 verdict demanded.
+    Identical docs share all 8 band keys, so the ledger shows 8
+    over-cap buckets of cap+1 docs each, and distinct filler docs pair
+    normally."""
+    from finance_pipeline_spark.operators import dedup as D
+
+    boiler = " ".join(f"tok{i % 7}" for i in range(40))
+    n_boiler = D._MINHASH_BUCKET_CAP + 1
+    rng = random.Random(43)
+    a = random_doc(rng)
+    rows = [(i, boiler) for i in range(n_boiler)]
+    rows += [(10_000, a), (10_001, a)]  # a genuine pair that must survive
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    out: dict = {}
+    pairs = D.minhash_pairs(docs, dropped_out=out).collect()
+    got_pairs = {(r.doc_a, r.doc_b) for r in pairs}
+    assert (10_000, 10_001) in got_pairs
+    assert not any(d < n_boiler for p in got_pairs for d in p), (
+        "boilerplate bucket must be dropped from pairing"
+    )
+    ledger = out["dropped_buckets"].collect()
+    assert len(ledger) == D._LSH_BANDS
+    assert all(r.n_docs_dropped == n_boiler for r in ledger)
+
+
+def test_ngram_and_cosine_dropped_block_accounting(spark, tmp_path, monkeypatch):
+    """Row-number-capped families report size - cap (only the remainder
+    is dropped). Caps are monkeypatched small to keep the planted
+    blocks cheap; operator and accounting read the same module
+    constant at call time, so they move together."""
+    import numpy as np
+
+    from finance_pipeline_spark.operators import dedup as D
+    from tests.conftest import write_embeddings
+
+    monkeypatch.setattr(D, "_NGRAM_BLOCK_CAP", 5)
+    rng = random.Random(47)
+    docs = spark.createDataFrame(
+        [(i, "en", random_doc(rng)) for i in range(9)],  # one (en, bucket-1) block
+        "doc_id bigint, lang string, text string",
+    )
+    ng = D.ngram_dropped_blocks(docs).collect()
+    assert [(r.block_key, r.n_docs_dropped) for r in ng] == [("en/1", 4)]
+
+    # cosine: 20 same-label vectors at %10 ids vs cap 16 -> 4 dropped
+    mat = np.random.default_rng(7).standard_normal((20, 64))
+    sf = write_embeddings(tmp_path, [(i + 1) * 10 for i in range(20)], mat)
+    cs = D.cosine_dropped_blocks(spark, sf).collect()
+    assert [(r.block_key, r.n_docs_dropped) for r in cs] == [
+        ("0", 20 - D._COSINE_BLOCK_CAP)
+    ]

@@ -66,39 +66,35 @@ def test_driver_window_covers_every_family():
     window = list(ordered)[: registry.DRIVER_WINDOW]
 
     must_be_in_window = {
-        # queries whose implementation CHANGED in r7 — they must earn
+        # queries whose implementation CHANGED in r8 — they must earn
         # driver evidence on the new code, not coast on stale rows
-        "dedup_minhash_lsh",  # vectorized band kernel
-        "dedup_incremental",  # vectorized band kernel (shared)
-        "dedup_ngram_jaccard",  # vectorized shingle kernel
-        "dedup_simhash",  # vectorized signature kernel + filter order
-        "ann_cosine_topk",  # batched query fetch
-        "ann_lsh_topk", "ann_ivf_topk", "ann_quantized_topk",  # family rotation
-        # new r7 operators earning their first driver evidence
-        "dedup_chunk_minhash",
-        "dedup_bloom_screen",
-        "o4_global_index",
-        "ann_pq_topk",
-        "ann_ivfpq_topk",
-        "text_quality_prune",
-        "agg_exact_median",
-        "agg_corr_exact",
-        "dedup_semantic_clusters",
+        "dedup_minhash_lsh",  # dropped-bucket accounting hook
+        "dedup_chunk_minhash",  # extracted _chunk_relation
+        "dedup_bloom_screen",  # bloom broadcast cache
+        # new r8 operators earning their first driver evidence
+        "ann_ivf_multiprobe",
+        "ann_ivfpq_multiprobe",
+        "dedup_dropped_accounting",
+        "dedup_connected_star",
+        "text_dup_spans",
         # flagship + the two sketch rows
         "agg_pricing_summary", "agg_approx_distinct", "agg_approx_quantile",
-        # one-plus anchor per family while the r4-evidence cohort
-        # re-earns its rows (ROTATION_LOG r7)
-        "stream_tumbling_counts",  # streaming
-        "stateful_user_totals",  # stateful
-        "text_chunk_overlap",  # text
-        "mm_decode_features",  # multimodal
-        "dedup_exact",  # dedup exact tier
-        "u3_semi_join",  # set ops
-        "o3_dynamic_sort",  # sort / catalog
-        "a2_empty_probe",  # aggregates-misc
-        "p2_drop_column", "d2_interval_shift",  # projection / derivation
-        "win_tumbling", "join_agg_revenue",  # windows / joins
-        "merge_upsert_orders", "event_transition_counts",  # warehouse/temporal
+        # the r8 staleness-tail clearance (ROTATION_LOG r8): the three
+        # r4-evidence rows plus family anchors of the r5 cohort
+        "d4_custom_format_parse", "rollup_time_multi", "funnel_conversion",
+        "dedup_connected_groups",  # components (both algorithms in-window)
+        "win_sliding", "win_rank_family",  # windows
+        "join_asof", "join_skew_enrich", "u2_anti_join",  # joins / set ops
+        "o2_topk_single",  # sort
+        "p8_watermark_filter", "d8_trim",  # projection / derivation
+        "s6_sql_table_scan",  # scan
+        "a3_affected_rows",  # aggregates-misc
+        "mm_binary_meta",  # multimodal
+        "stream_stream_join", "stream_dedup",  # streaming
+        "grouped_user_gaps",  # stateful / pandas-udf
+        "text_vocab_topk", "text_decontaminate",  # text
+        "scd2_order_status", "cdc_latest_state",  # warehouse
+        "metric_rolling_active",  # monitoring
     }
     missing = must_be_in_window - set(window)
     assert not missing, f"fell out of the driver window: {sorted(missing)}"
@@ -116,6 +112,7 @@ def test_driver_window_covers_every_family():
         "CORRECTNESS_r04.json",
         "CORRECTNESS_r05.json",
         "CORRECTNESS_r06.json",
+        "CORRECTNESS_r07.json",
     ):
         p = Path(__file__).resolve().parents[1] / f
         if p.exists():
