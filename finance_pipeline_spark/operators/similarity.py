@@ -1315,7 +1315,8 @@ def _ivfpq_multiprobe_oracle(nprobe: int) -> str:
 
 
 def ivfpq_probe_topk(
-    spark: SparkSession, sf_dir: str, nprobe: int = _IVF_NPROBE
+    spark: SparkSession, sf_dir: str, nprobe: int = _IVF_NPROBE,
+    keep: int = _TOPK,
 ) -> DataFrame:
     """IVFPQ over REAL trained cells with configurable multi-probe —
     FAISS's billion-scale serving shape end-to-end: ``kmeans_fit``
@@ -1390,7 +1391,7 @@ def ivfpq_probe_topk(
             scored = scored.unionByName(p)
     return (
         scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rnk") <= _TOPK)
+        .filter(F.col("rnk") <= keep)
     )
 
 
@@ -1402,3 +1403,89 @@ def ivfpq_probe_topk(
 def ann_ivfpq_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe IVFPQ at nprobe=2 — see ``ivfpq_probe_topk``."""
     return ivfpq_probe_topk(spark, sf_dir, nprobe=_IVF_NPROBE)
+
+
+# --- exact re-rank (refine) over the IVFPQ candidates ------------------------
+
+_RERANK_N = 50  # ADC candidates re-scored exactly per query — FAISS's
+# IndexRefineFlat k_factor=5 shape: the coarse stage over-fetches 5×
+# the final k, the refine stage restores exact ordering inside that
+# pool, recovering the sub-code resolution PQ ties throw away.
+
+
+def _ivfpq_rerank_oracle(nprobe: int, rerank_n: int) -> str:
+    """The multiprobe-IVFPQ chain, ADC-ranked to ``rerank_n``
+    candidates, exactly re-scored (squared L2 on the raw doubles,
+    4-dp round) and re-ranked to the final top-k."""
+    base = _ivfpq_multiprobe_oracle(nprobe)
+    # reuse the whole chain up to its final SELECT by nesting it
+    return f"""
+    WITH cand AS ({base.replace(f"WHERE rnk <= {_TOPK}", f"WHERE rnk <= {rerank_n}", 1)}
+    )
+    SELECT query_id, corpus_id, dist, rnk FROM (
+        SELECT c.query_id, c.corpus_id,
+               round(list_sum(list_transform(qv.emb,
+                   (x, i) -> (x - cv.emb[i]) * (x - cv.emb[i]))), 4) AS dist,
+               CAST(row_number() OVER (PARTITION BY c.query_id ORDER BY
+                   round(list_sum(list_transform(qv.emb,
+                       (x, i) -> (x - cv.emb[i]) * (x - cv.emb[i]))), 4),
+                   c.corpus_id) AS BIGINT) AS rnk
+        FROM cand c
+        JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+              FROM embeddings) qv ON qv.vec_id = c.query_id
+        JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+              FROM embeddings) cv ON cv.vec_id = c.corpus_id
+    ) WHERE rnk <= {_TOPK}
+    """
+
+
+@query(
+    "ann_ivfpq_rerank",
+    oracle=lambda: _ivfpq_rerank_oracle(_IVF_NPROBE, _RERANK_N),
+    tags=("similarity", "ann", "pq", "ivf", "rerank"),
+)
+def ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval: multiprobe-IVFPQ ADC scan over-fetches
+    {_RERANK_N} candidates per query, then an exact squared-L2 refine
+    pass over the RAW vectors of just those candidates restores true
+    ordering — FAISS's standard ``IndexRefineFlat`` serving recipe.
+    Fixes PQ's intra-code blindness (all vectors sharing a code tie
+    on ADC distance) at the cost of fetching {_RERANK_N} raw vectors
+    per query instead of zero.
+
+    Scale shape: the refine join touches corpus rows only for
+    candidate ids — at 100 TB that's |queries|×{_RERANK_N} point
+    lookups against a vec_id-keyed store (bucket-pruned or
+    bloom-skipped, see sinks/txn_table.py), never a scan; the
+    re-score is one JVM fold per candidate."""
+    cand = ivfpq_probe_topk(spark, sf_dir, nprobe=_IVF_NPROBE, keep=_RERANK_N)
+    e = load(spark, sf_dir, "embeddings")
+    qv = e.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    cv = e.select(
+        F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("c_emb")
+    )
+    dist = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("q_emb"),
+                F.col("c_emb"),
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        4,
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("corpus_id"))
+    return (
+        cand.select("query_id", "corpus_id")
+        .join(cv, "corpus_id")
+        .join(qv, "query_id")
+        .withColumn("dist", dist)
+        .select("query_id", "corpus_id", "dist")
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= _TOPK)
+    )

@@ -1202,10 +1202,11 @@ _SPAN_W = 20  # tokens per duplicated-substring probe window: spans
 # reconstruct the full span with (W-1)-token end slack at worst.
 
 
-@query(
-    "text_dup_spans",
-    oracle=lambda: f"""
-    WITH toks AS (
+def _dup_spans_cte() -> str:
+    """The duplicated-span detection chain as a DuckDB CTE body ending
+    in ``spans`` — shared verbatim by the span-report oracle and the
+    scrub oracle, which must agree on every position."""
+    return f"""toks AS (
         SELECT doc_id, {_sql_tokens()} AS t FROM documents
     ), grams AS (
         SELECT doc_id, CAST(i AS BIGINT) AS pos,
@@ -1229,13 +1230,21 @@ _SPAN_W = 20  # tokens per duplicated-substring probe window: spans
                              ROWS BETWEEN UNBOUNDED PRECEDING
                              AND CURRENT ROW) AS island
         FROM isl
-    )
-    SELECT doc_id,
-           CAST(min(pos) AS BIGINT) AS span_start,
-           CAST(max(pos) + {_SPAN_W} - 1 AS BIGINT) AS span_end,
-           CAST(max(pos) - min(pos) + {_SPAN_W} AS BIGINT) AS span_tokens,
-           CAST(count(*) AS BIGINT) AS n_windows
-    FROM grp GROUP BY doc_id, island
+    ), spans AS (
+        SELECT doc_id,
+               CAST(min(pos) AS BIGINT) AS span_start,
+               CAST(max(pos) + {_SPAN_W} - 1 AS BIGINT) AS span_end,
+               CAST(max(pos) - min(pos) + {_SPAN_W} AS BIGINT) AS span_tokens,
+               CAST(count(*) AS BIGINT) AS n_windows
+        FROM grp GROUP BY doc_id, island
+    )"""
+
+
+@query(
+    "text_dup_spans",
+    oracle=lambda: f"""
+    WITH {_dup_spans_cte()}
+    SELECT doc_id, span_start, span_end, span_tokens, n_windows FROM spans
     """,
     tags=("text", "dedup", "training-prep"),
 )
@@ -1267,9 +1276,14 @@ def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputed for the semi-join rather than materialized — compute
     is cheaper than shuffling the full gram set twice), then
     span assembly over the small hit set."""
+    return dup_spans(load(spark, sf_dir, "documents"))
+
+
+def dup_spans(d: DataFrame) -> DataFrame:
+    """(doc_id, text)+ → maximal cross-document duplicated spans. The
+    reusable body of ``text_dup_spans`` — also feeds the scrub."""
     from pyspark.sql import Window as W
 
-    d = load(spark, sf_dir, "documents")
     base = d.select("doc_id", _tokens().alias("t")).withColumn(
         "n", F.size("t")
     ).filter(F.col("n") >= _SPAN_W)
@@ -1311,4 +1325,80 @@ def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id", "span_start", "span_end", "span_tokens", "n_windows"
         )
+    )
+
+
+@query(
+    "text_dup_scrub",
+    oracle=lambda: f"""
+    WITH {_dup_spans_cte()}, ptoks AS (
+        SELECT doc_id, generate_subscripts(t, 1) AS pos, unnest(t) AS tok
+        FROM toks
+    ), marked AS (
+        SELECT p.doc_id, p.pos, p.tok,
+               s.doc_id IS NOT NULL AS dropped
+        FROM ptoks p
+        LEFT JOIN spans s
+          ON s.doc_id = p.doc_id AND p.pos BETWEEN s.span_start AND s.span_end
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(*) FILTER (WHERE dropped) AS BIGINT) AS n_removed,
+           coalesce(string_agg(tok, ' ' ORDER BY pos)
+                    FILTER (WHERE NOT dropped), '') AS text_clean
+    FROM marked
+    GROUP BY doc_id
+    HAVING count(*) FILTER (WHERE dropped) > 0
+    """,
+    tags=("text", "dedup", "training-prep"),
+)
+def text_dup_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the duplicated-span removal list: for every document with
+    at least one cross-corpus duplicated span (``text_dup_spans``),
+    emit (doc_id, n_tokens, n_removed, text_clean) — the patched text
+    with the spans excised, tokens rejoined in order. A fully
+    duplicated document scrubs to the empty string (the curation
+    pipeline then drops it). Only affected docs are emitted: the
+    output is a PATCH list, not a corpus rewrite, so its size scales
+    with duplication volume, not corpus size.
+
+    Plan shape: the span list is small (duplicated runs only), so the
+    position-range join broadcasts it against the per-token explode;
+    the only wide op is the per-doc regroup, one shuffle keyed by
+    doc_id. Spans are disjoint by construction (maximal merged
+    islands), so the range join matches each token at most once —
+    no double-count, no dedup needed."""
+    from pyspark.sql import Window as W  # noqa: F401 — parity with siblings
+
+    d = load(spark, sf_dir, "documents")
+    spans = dup_spans(d).select(
+        F.col("doc_id").alias("s_doc"), "span_start", "span_end"
+    )
+    ptoks = d.select("doc_id", F.posexplode(_tokens()).alias("p0", "tok")).select(
+        "doc_id", (F.col("p0") + 1).cast("bigint").alias("pos"), "tok"
+    )
+    marked = ptoks.join(
+        F.broadcast(spans),
+        (F.col("doc_id") == F.col("s_doc"))
+        & F.col("pos").between(F.col("span_start"), F.col("span_end")),
+        "left",
+    ).select(
+        "doc_id", "pos", "tok", F.col("s_doc").isNotNull().alias("dropped")
+    )
+    kept_toks = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.when(~F.col("dropped"), F.struct("pos", "tok"))
+            )
+        ),
+        lambda s: s["tok"],
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("dropped").cast("bigint")).alias("n_removed"),
+            F.array_join(kept_toks, " ").alias("text_clean"),
+        )
+        .filter(F.col("n_removed") > 0)
     )

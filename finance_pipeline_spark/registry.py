@@ -246,13 +246,17 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
             "winsorize_values", "text_vocab_topk", "text_pii_scrub",
             "text_repetition_stats", "text_tfidf_topk",
             "text_source_quota", "grouped_user_gaps", "stream_dedup",
-            "text_decontaminate", "user_gap_stats",
+            # (text_decontaminate and user_gap_stats deferred to r9 —
+            # slots ceded to text_dup_scrub / ann_ivfpq_rerank below;
+            # both stay covered by every full-registry oracle run)
             # new r8 operators earning first driver evidence
             "ann_ivf_multiprobe",       # multi-probe IVF (nprobe=2)
             "ann_ivfpq_multiprobe",     # kmeans-cell IVFPQ, nprobe=2
+            "ann_ivfpq_rerank",         # two-stage exact refine
             "dedup_dropped_accounting",  # cap-drop observability ledger
             "dedup_connected_star",      # log-round star contraction
             "text_dup_spans",            # exact duplicated-substring spans
+            "text_dup_scrub",            # span-removal patch list
             # NOT rotating out despite r7-green (changed code in r8):
             # dedup_minhash_lsh / dedup_chunk_minhash (minhash_pairs
             # accounting hook + extracted _chunk_relation) and
@@ -556,11 +560,13 @@ PRIORITY: tuple[str, ...] = (
     "dedup_connected_star",
     "dedup_connected_groups",
     "text_dup_spans",
+    "text_dup_scrub",
     # similarity — the new multi-probe IVF earns first evidence;
     # kmeans_train_assign re-earns alongside (ivf_probe_topk now
     # serves from its kmeans_fit cells)
     "ann_ivf_multiprobe",
     "ann_ivfpq_multiprobe",
+    "ann_ivfpq_rerank",
     # r4-evidence re-entrants deferred in r7 (oldest evidence first)
     "d4_custom_format_parse",
     "rollup_time_multi",
@@ -600,12 +606,14 @@ PRIORITY: tuple[str, ...] = (
     "text_source_quota",
     "grouped_user_gaps",
     "stream_dedup",
-    "text_decontaminate",
-    "user_gap_stats",
     # ---- fold: position 51+ — prior-round hash-green driver evidence ----
     # r7-green, rotated out r8 (newest evidence first; incremental and
     # kmeans folded mid-round to free slots for text_dup_spans +
-    # ann_ivfpq_multiprobe)
+    # ann_ivfpq_multiprobe; text_decontaminate and user_gap_stats —
+    # r5-green, families keep 6/1 in-window reps — deferred to r9 so
+    # text_dup_scrub + ann_ivfpq_rerank could earn first evidence)
+    "text_decontaminate",
+    "user_gap_stats",
     "dedup_incremental",
     "kmeans_train_assign",
     "agg_exact_median",

@@ -74,9 +74,11 @@ def test_driver_window_covers_every_family():
         # new r8 operators earning their first driver evidence
         "ann_ivf_multiprobe",
         "ann_ivfpq_multiprobe",
+        "ann_ivfpq_rerank",
         "dedup_dropped_accounting",
         "dedup_connected_star",
         "text_dup_spans",
+        "text_dup_scrub",
         # flagship + the two sketch rows
         "agg_pricing_summary", "agg_approx_distinct", "agg_approx_quantile",
         # the r8 staleness-tail clearance (ROTATION_LOG r8): the three
@@ -92,7 +94,7 @@ def test_driver_window_covers_every_family():
         "mm_binary_meta",  # multimodal
         "stream_stream_join", "stream_dedup",  # streaming
         "grouped_user_gaps",  # stateful / pandas-udf
-        "text_vocab_topk", "text_decontaminate",  # text
+        "text_vocab_topk",  # text
         "scd2_order_status", "cdc_latest_state",  # warehouse
         "metric_rolling_active",  # monitoring
     }

@@ -297,3 +297,17 @@ def test_ivfpq_multiprobe_beats_nprobe1_on_boundary_pairs(spark, tmp_path):
     )
     assert r1 == 0.0, f"boundary pairs must be invisible at nprobe=1, got {r1}"
     assert r2 == 1.0, f"nprobe=2 must recover every boundary pair, got {r2}"
+
+
+def test_ivfpq_rerank_restores_exact_rank1(spark, tmp_path):
+    """The refine stage's reason to exist: with 20-member blobs the
+    source's ADC tie group exceeds top-10, so plain multiprobe IVFPQ
+    cannot surface it — but the exact re-score over the 50 over-fetched
+    candidates must put the true nearest neighbor at rank 1 for every
+    query."""
+    from finance_pipeline_spark.operators.similarity import ann_ivfpq_rerank
+
+    sf, truth = _blob_boundary_harness(tmp_path, per_blob=20)
+    rows = ann_ivfpq_rerank(spark, sf).collect()
+    top1 = {r.query_id: r.corpus_id for r in rows if r.rnk == 1}
+    assert top1 == truth, top1

@@ -142,3 +142,42 @@ def test_chunk_overlap_covers_every_token(spark):
         assert last.start_tok - 1 + last.n_tokens == len(toks)
         if len(toks) <= T._CHUNK_TOKENS:
             assert len(chunks) == 1
+
+
+def test_dup_spans_and_scrub_on_planted_boilerplate(spark, tmp_path):
+    """Two docs share a 25-token boilerplate run embedded at different
+    offsets; the span report must locate it in both docs and the scrub
+    must excise exactly those tokens, leaving the unique remainder."""
+    from tests.conftest import write_documents
+
+    from finance_pipeline_spark.operators import textops as T
+    from finance_pipeline_spark import registry
+
+    boiler = [f"b{i}" for i in range(25)]
+    a_head = [f"a{i}" for i in range(10)]
+    a_tail = [f"at{i}" for i in range(8)]
+    b_head = [f"c{i}" for i in range(5)]
+    doc_a = " ".join(a_head + boiler + a_tail)
+    doc_b = " ".join(b_head + boiler)
+    doc_c = " ".join(f"z{i}" for i in range(30))  # no duplication
+    sf = write_documents(tmp_path, [(1, doc_a), (2, doc_b), (3, doc_c)])
+
+    spans = {
+        r.doc_id: (r.span_start, r.span_end)
+        for r in registry.QUERIES["text_dup_spans"].fn(spark, sf).collect()
+    }
+    # doc 1: boiler occupies tokens 11..35; every 20-window fully inside
+    # it starts at 11..16, so the reported span is [11, 35]
+    assert spans[1] == (11, 35)
+    # doc 2: boiler at 6..30 -> span [6, 30]
+    assert spans[2] == (6, 30)
+    assert 3 not in spans
+
+    scrub = {
+        r.doc_id: r for r in registry.QUERIES["text_dup_scrub"].fn(spark, sf).collect()
+    }
+    assert set(scrub) == {1, 2}
+    assert scrub[1].n_removed == 25
+    assert scrub[1].text_clean == " ".join(a_head + a_tail)
+    assert scrub[2].n_removed == 25
+    assert scrub[2].text_clean == " ".join(b_head)
