@@ -596,12 +596,6 @@ def dedup_chunk_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(corpus); adjacent chunks of one doc share only the 8-token
     overlap (Jaccard ≈ 0.11, well under the 0.5 verify bar), so
     self-matches don't pollute the output."""
-    from finance_pipeline_spark.operators.textops import (
-        _CHUNK_OVERLAP,
-        _CHUNK_STRIDE,
-        _CHUNK_TOKENS,
-    )
-
     chunks = _chunk_relation(load(spark, sf_dir, "documents"))
     pairs = minhash_pairs(chunks, threshold=_CHUNK_MINHASH_THRESHOLD)
     base = F.lit(_CHUNK_UID_BASE)
@@ -731,7 +725,11 @@ def dedup_dropped_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs_dropped) across the minhash, chunk-minhash, n-gram and
     cosine variants. Empty when no cap engages (the gate SF); nonzero
     from sf0.1 up — review it the way you'd review a lossy-compression
-    report before trusting a 100 TB dedup run. Each branch reuses the
+    report before trusting a 100 TB dedup run. ``n_docs_dropped``
+    counts BUCKET MEMBERS in each family's own granularity: documents
+    for minhash/ngram, %10-sampled vectors for cosine, and packed
+    CHUNKS (doc_id·2³²+chunk_idx) for chunk_minhash — one document can
+    contribute several dropped chunks there. Each branch reuses the
     family's own candidate-universe builder, so the accounting can
     never drift from what the operator actually drops."""
     docs = load(spark, sf_dir, "documents")
@@ -995,7 +993,13 @@ _BLOOM_BC_CAP = 4  # bounded: a long-running ingest screens once per
 def _bloom_broadcast(spark: SparkSession, words):
     import hashlib
 
-    key = hashlib.sha256(words.tobytes()).hexdigest()
+    # key includes the SparkContext identity: a cached Broadcast from a
+    # stopped context would raise on .value after a session restart in
+    # the same process (same hazard ship_package keys on applicationId)
+    key = (
+        spark.sparkContext.applicationId,
+        hashlib.sha256(words.tobytes()).hexdigest(),
+    )
     bc = _BLOOM_BC_CACHE.pop(key, None)  # re-insert → moves to newest
     if bc is None:
         bc = spark.sparkContext.broadcast(words)

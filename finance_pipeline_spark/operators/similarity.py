@@ -884,6 +884,44 @@ def _ivf_multiprobe_oracle(nprobe: int) -> str:
     """
 
 
+
+
+def _probe_cells(
+    spark: SparkSession, cents, q: DataFrame, nprobe: int
+) -> DataFrame:
+    """Per query, the ``nprobe`` nearest k-means cells by centroid
+    distance — the shared multi-probe selection recipe (4-dp-rounded
+    JVM sequential fold + cluster tie-break, the exact ``kmeans_fit``
+    assignment semantics, so both IVF families and every oracle agree
+    on cell choice). ``q`` must carry (query_id, q_emb); extra columns
+    ride through. Centroids are driver-sized, broadcast as a k-row
+    cross join."""
+    cent_df = spark.createDataFrame(
+        [(int(c), [float(x) for x in cents[c]]) for c in range(len(cents))],
+        "cluster bigint, cent array<double>",
+    )
+    cent_dist = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("q_emb"),
+                F.col("cent"),
+                lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        4,
+    )
+    wq = W.partitionBy("query_id").orderBy(F.col("d").asc(), F.col("cluster").asc())
+    return (
+        q.crossJoin(F.broadcast(cent_df))
+        .withColumn("d", cent_dist)
+        .withColumn("rnk", F.row_number().over(wq))
+        .filter(F.col("rnk") <= nprobe)
+        .drop("cent", "d", "rnk")
+    )
+
+
 def ivf_probe_topk(
     spark: SparkSession, sf_dir: str, nprobe: int = _IVF_NPROBE
 ) -> DataFrame:
@@ -903,10 +941,6 @@ def ivf_probe_topk(
     recall/latency dial."""
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cents, assignments = kmeans_fit(spark, e, _KMEANS_K, rounds=1)
-    cent_df = spark.createDataFrame(
-        [(int(c), [float(x) for x in cents[c]]) for c in range(len(cents))],
-        "cluster bigint, cent array<double>",
-    )
     with_norm = e.select(
         "vec_id", "embedding", l2norm(F.col("embedding")).alias("nrm")
     ).filter(F.col("nrm") > 0)  # zero-norm: cosine undefined
@@ -915,28 +949,8 @@ def ivf_probe_topk(
         F.col("embedding").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),
     )
-    # probe selection: per query, squared L2 to every centroid (JVM
-    # sequential fold, 4-dp round + cluster tie-break — the exact
-    # kmeans_fit assignment recipe), keep the nprobe nearest
-    cent_dist = F.round(
-        F.aggregate(
-            F.zip_with(
-                F.col("q_emb"),
-                F.col("cent"),
-                lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-        4,
-    )
-    wq = W.partitionBy("query_id").orderBy(F.col("d").asc(), F.col("cluster").asc())
-    probes = (
-        q.crossJoin(F.broadcast(cent_df))  # broadcast-tiny side: k rows
-        .withColumn("d", cent_dist)
-        .withColumn("rnk", F.row_number().over(wq))
-        .filter(F.col("rnk") <= nprobe)
-        .select("query_id", "cluster", "q_emb", "q_nrm")
+    probes = _probe_cells(spark, cents, q, nprobe).select(
+        "query_id", "cluster", "q_emb", "q_nrm"
     )
     cand = assignments.select("vec_id", "cluster").join(
         F.broadcast(probes), "cluster"
@@ -1261,7 +1275,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- multi-probe IVFPQ -------------------------------------------------------
 
 
-def _ivfpq_multiprobe_oracle(nprobe: int) -> str:
+def _ivfpq_multiprobe_oracle(nprobe: int, final_k: int = _TOPK) -> str:
     """Full-chain replica of kmeans-cell IVFPQ with multi-probe: the
     shared Lloyd-round CTEs produce corpus cell assignments (rank-1)
     and per-query probe cells (rank-<=nprobe); the PQ subspace chains
@@ -1310,7 +1324,7 @@ def _ivfpq_multiprobe_oracle(nprobe: int) -> str:
                CAST(row_number() OVER (PARTITION BY query_id
                      ORDER BY adist, corpus_id) AS BIGINT) AS rnk
         FROM scored
-    ) WHERE rnk <= {_TOPK}
+    ) WHERE rnk <= {final_k}
     """
 
 
@@ -1334,33 +1348,10 @@ def ivfpq_probe_topk(
     corpus codes per query — all-JVM lookups after one broadcast."""
     e, codes, qdfs = _pq_build(spark, sf_dir)
     cents, assignments = kmeans_fit(spark, e, _KMEANS_K, rounds=1)
-    cent_df = spark.createDataFrame(
-        [(int(c), [float(x) for x in cents[c]]) for c in range(len(cents))],
-        "cluster bigint, cent array<double>",
-    )
     q = e.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
-    cent_dist = F.round(
-        F.aggregate(
-            F.zip_with(
-                F.col("q_emb"),
-                F.col("cent"),
-                lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-        4,
-    )
-    wq = W.partitionBy("query_id").orderBy(F.col("d").asc(), F.col("cluster").asc())
-    probes = (
-        q.crossJoin(F.broadcast(cent_df))
-        .withColumn("d", cent_dist)
-        .withColumn("rnk", F.row_number().over(wq))
-        .filter(F.col("rnk") <= nprobe)
-        .select("query_id", "cluster")
-    )
+    probes = _probe_cells(spark, cents, q, nprobe).select("query_id", "cluster")
     codes_c = codes.join(assignments.select("vec_id", "cluster"), "vec_id")
 
     term = lambda s: F.round(  # noqa: E731 — per-subspace 4-dp round, oracle parity
@@ -1417,10 +1408,10 @@ def _ivfpq_rerank_oracle(nprobe: int, rerank_n: int) -> str:
     """The multiprobe-IVFPQ chain, ADC-ranked to ``rerank_n``
     candidates, exactly re-scored (squared L2 on the raw doubles,
     4-dp round) and re-ranked to the final top-k."""
-    base = _ivfpq_multiprobe_oracle(nprobe)
-    # reuse the whole chain up to its final SELECT by nesting it
+    # the whole ADC chain, cut at rerank_n candidates, nested as a CTE
+    base = _ivfpq_multiprobe_oracle(nprobe, final_k=rerank_n)
     return f"""
-    WITH cand AS ({base.replace(f"WHERE rnk <= {_TOPK}", f"WHERE rnk <= {rerank_n}", 1)}
+    WITH cand AS ({base}
     )
     SELECT query_id, corpus_id, dist, rnk FROM (
         SELECT c.query_id, c.corpus_id,
@@ -1446,15 +1437,15 @@ def _ivfpq_rerank_oracle(nprobe: int, rerank_n: int) -> str:
 )
 def ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage retrieval: multiprobe-IVFPQ ADC scan over-fetches
-    {_RERANK_N} candidates per query, then an exact squared-L2 refine
-    pass over the RAW vectors of just those candidates restores true
-    ordering — FAISS's standard ``IndexRefineFlat`` serving recipe.
-    Fixes PQ's intra-code blindness (all vectors sharing a code tie
-    on ADC distance) at the cost of fetching {_RERANK_N} raw vectors
+    ``_RERANK_N`` (50) candidates per query, then an exact squared-L2
+    refine pass over the RAW vectors of just those candidates restores
+    true ordering — FAISS's standard ``IndexRefineFlat`` serving
+    recipe. Fixes PQ's intra-code blindness (all vectors sharing a
+    code tie on ADC distance) at the cost of fetching 50 raw vectors
     per query instead of zero.
 
     Scale shape: the refine join touches corpus rows only for
-    candidate ids — at 100 TB that's |queries|×{_RERANK_N} point
+    candidate ids — at 100 TB that's |queries|×50 point
     lookups against a vec_id-keyed store (bucket-pruned or
     bloom-skipped, see sinks/txn_table.py), never a scan; the
     re-score is one JVM fold per candidate."""

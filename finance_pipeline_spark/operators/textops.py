@@ -1258,7 +1258,7 @@ def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     span_end, span_tokens, n_windows) in 1-based token positions —
     the removal list a curation pipeline applies before training.
 
-    Method: slide a {_SPAN_W}-token window at stride 1, key each
+    Method: slide a ``_SPAN_W`` (20)-token window at stride 1, key each
     window by md5 of its token run (portable — both engines hash the
     identical string), keep windows whose key occurs in >1 DISTINCT
     document (self-repetition is text_repetition_stats' job), and
@@ -1368,8 +1368,6 @@ def text_dup_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id. Spans are disjoint by construction (maximal merged
     islands), so the range join matches each token at most once —
     no double-count, no dedup needed."""
-    from pyspark.sql import Window as W  # noqa: F401 — parity with siblings
-
     d = load(spark, sf_dir, "documents")
     spans = dup_spans(d).select(
         F.col("doc_id").alias("s_doc"), "span_start", "span_end"

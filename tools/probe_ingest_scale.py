@@ -54,18 +54,21 @@ def main() -> int:
         chunk = docs.iloc[b * per : (b + 1) * per].copy()
         if seen_texts:
             # replace dup_pm permille of this batch with re-crawls of
-            # earlier content (fresh doc_ids — content identity is what
-            # the index must catch)
+            # earlier INGESTED content (fresh doc_ids — content identity
+            # is what the index must catch)
             n_dup = max(1, per * dup_pm // 1000)
             idx = rng.sample(range(len(chunk)), n_dup)
             for i in idx:
-                chunk.iloc[i, chunk.columns.get_loc("text")] = rng.choice(
-                    seen_texts
-                )
+                t = rng.choice(seen_texts)
+                chunk.iloc[i, chunk.columns.get_loc("text")] = t
+                chunk.iloc[i, chunk.columns.get_loc("n_chars")] = len(t)
         chunk["doc_id"] = range(next_id, next_id + len(chunk))
         next_id += len(chunk)
         chunk.to_parquet(src / f"b{b:03d}.parquet")
-        seen_texts.extend(docs.iloc[b * per : (b + 1) * per]["text"].dropna())
+        # record what actually reached the index: the POST-replacement
+        # batch (a replaced-away original was never ingested, so
+        # replaying it would screen 'keep' and skew the planted rate)
+        seen_texts.extend(chunk["text"].dropna())
 
     spark = get_session("ingest_scale_probe")
     stats = ingest_with_index(
