@@ -1,8 +1,8 @@
 """Batch corpus curation — the end-to-end pass a pretraining dataset
 actually runs, composed from the engine's own primitives:
 
-    quality screen → exact dedup → near-dup groups → decontaminate
-    → split assignment → sharded export with integrity manifest
+    quality screen → exact dedup → near-dup groups → substring scrub
+    → decontaminate → split assignment → sharded export with manifest
 
 Every stage reuses the exact operator the per-query registry ships
 (``minhash_pairs``, ``_min_label_components``, ``hashed_shingle_rows``,
@@ -103,6 +103,70 @@ def curate_corpus(
     n_kept = kept.count()
     log("near_dedup", kept=n_kept, dropped=n_uniq - n_kept)
 
+    # 3b. Cross-document substring scrub — excise duplicated ≥20-token
+    # runs (license headers, nav bars, quoted replies) that survive
+    # document-level dedup because the HOST documents are distinct
+    # (text_dup_spans' reason to exist). CASE-PRESERVING: span
+    # positions come from dup_spans' lowercased tokenization but are
+    # applied to the original token sequence — split-on-space
+    # positions are case-invariant. Docs scrubbed below the token
+    # floor drop, and the digest dedup re-runs on the patched
+    # universe: two docs can scrub to one residue (distinct
+    # boilerplate + identical remainder).
+    from finance_pipeline_spark.operators.textops import dup_spans
+
+    spans = dup_spans(kept.select("doc_id", "text")).select(
+        F.col("doc_id").alias("s_doc"), "span_start", "span_end"
+    )
+    affected = spans.select(F.col("s_doc").alias("doc_id")).distinct()
+    ptoks = (
+        kept.join(affected, "doc_id", "left_semi")
+        .select(
+            "doc_id",
+            F.posexplode(F.split(F.trim("text"), " ", -1)).alias("p0", "tok"),
+        )
+        .select("doc_id", (F.col("p0") + 1).cast("bigint").alias("pos"), "tok")
+    )
+    patched = (
+        ptoks.join(
+            F.broadcast(spans),
+            (F.col("doc_id") == F.col("s_doc"))
+            & F.col("pos").between(F.col("span_start"), F.col("span_end")),
+            "left",
+        )
+        .filter(F.col("s_doc").isNull())  # surviving tokens only
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("text_scrubbed"),
+            F.count(F.lit(1)).alias("n_left"),
+        )
+    )
+    rn2 = F.row_number().over(
+        W.partitionBy(F.sha2(F.encode("text", "UTF-8"), 256)).orderBy("doc_id")
+    )
+    scrubbed = (
+        kept.join(affected.withColumn("aff", F.lit(True)), "doc_id", "left")
+        .join(patched, "doc_id", "left")
+        # an affected doc with NO patched row was scrubbed to nothing
+        .filter(~F.coalesce("aff", F.lit(False)) | F.col("text_scrubbed").isNotNull())
+        .withColumn("text", F.coalesce("text_scrubbed", "text"))
+        .filter(F.coalesce("n_left", F.lit(_MIN_TOKENS)) >= _MIN_TOKENS)
+        .drop("aff", "text_scrubbed", "n_left")
+        .withColumn("rn", rn2)
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .localCheckpoint(eager=True)
+    )
+    n_scrub = scrubbed.count()
+    log("span_scrub", kept=n_scrub, dropped=n_kept - n_scrub)
+    kept = scrubbed
+
     # 4. Split assignment + decontamination: train docs sharing
     # >= _DECON_MIN_SHARED shingles with any val/test doc are dropped
     # FROM TRAIN (the eval split is the trusted side).
@@ -137,7 +201,7 @@ def curate_corpus(
         .localCheckpoint(eager=True)
     )
     n_final = final.count()
-    log("decontaminate", kept=n_final, dropped=n_kept - n_final)
+    log("decontaminate", kept=n_final, dropped=n_scrub - n_final)
 
     # 5. Sharded export — md5-mod shard assignment + integrity manifest
     # (write_training_shards re-verifies per-shard digests on read).
@@ -152,6 +216,7 @@ def curate_corpus(
         "n_screened": n_screened,
         "n_exact_unique": n_uniq,
         "n_after_near_dedup": n_kept,
+        "n_after_scrub": n_scrub,
         "n_exported": n_final,
         "splits": splits,
         "manifest": manifest,

@@ -23,6 +23,7 @@ def test_curate_corpus_on_driver_testdata(spark, tmp_path):
         >= stats["n_screened"]
         >= stats["n_exact_unique"]
         >= stats["n_after_near_dedup"]
+        >= stats["n_after_scrub"]
         >= stats["n_exported"]
         > 0
     )
@@ -73,3 +74,44 @@ def test_curate_corpus_collapses_planted_duplicates(spark, tmp_path):
         spark.read.parquet(f"{out}/data").select("doc_id").toPandas()["doc_id"]
     )
     assert set(range(1, 21)) <= kept
+
+
+def test_curate_corpus_scrubs_cross_doc_boilerplate(spark, tmp_path):
+    """Stage 3b: a 25-token boilerplate run shared by two otherwise
+    distinct docs (Jaccard far below the 0.5 LSH bar, so near-dedup
+    keeps both) is excised from BOTH, case-preserved; a doc that is
+    nothing but the boilerplate plus a too-short residue drops."""
+    rng = random.Random(17)
+    boiler_toks = [f"BP{i}" for i in range(25)]
+    a_unique = random_doc(rng, 60).split(" ")
+    b_unique = random_doc(rng, 60).split(" ")
+    doc_a = " ".join(a_unique + boiler_toks)
+    doc_b = " ".join(boiler_toks + b_unique)
+    doc_c = " ".join(boiler_toks + ["only", "four", "extra", "toks"])  # drops
+    filler = [random_doc(rng, 60) for _ in range(5)]
+    rows = [(1, doc_a), (2, doc_b), (3, doc_c)] + [
+        (10 + i, t) for i, t in enumerate(filler)
+    ]
+    pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in rows],
+            "text": [r[1] for r in rows],
+            "lang": ["en"] * len(rows),
+            "source": ["t"] * len(rows),
+            "n_chars": [len(r[1]) for r in rows],
+        }
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+
+    out = str(tmp_path / "curated")
+    stats = curate_corpus(spark, str(tmp_path), out, n_shards=1)
+    assert stats["n_after_near_dedup"] - stats["n_after_scrub"] == 1  # doc_c
+    got = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{out}/data").select("doc_id", "text").collect()
+    }
+    assert got[1] == " ".join(a_unique), "boilerplate tail not excised"
+    assert got[2] == " ".join(b_unique), "boilerplate head not excised"
+    assert 3 not in got
+    # untouched docs keep their exact text
+    for i, t in enumerate(filler):
+        assert got[10 + i] == t
