@@ -1480,3 +1480,100 @@ def ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= _TOPK)
     )
+
+
+_OUTLIER_X = 2  # flag vectors whose ||x-c||^2 exceeds X * their label's mean
+
+
+@query(
+    "emb_outlier_prune",
+    oracle=lambda: f"""
+    WITH v AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+        FROM embeddings
+    ), comp AS (
+        SELECT label, generate_subscripts(emb, 1) AS pos, unnest(emb) AS x
+        FROM v
+    ), cm AS (
+        SELECT label, pos, round(avg(x), 6) AS c FROM comp GROUP BY 1, 2
+    ), cent AS (
+        SELECT label, list(c ORDER BY pos) AS cent FROM cm GROUP BY label
+    ), scored AS (
+        SELECT v.vec_id, v.label,
+               round(list_sum(list_transform(
+                   v.emb, (x, i) -> (x - cent.cent[i]) * (x - cent.cent[i])
+               )), 4) AS dist
+        FROM v JOIN cent USING (label)
+    ), stats AS (
+        SELECT label, round(avg(dist), 6) AS label_mean_dist
+        FROM scored GROUP BY label
+    )
+    SELECT s.vec_id, s.label, s.dist, t.label_mean_dist,
+           s.dist > {_OUTLIER_X}.0 * t.label_mean_dist AS outlier
+    FROM scored s JOIN stats t USING (label)
+    """,
+    tags=("similarity", "embeddings", "quality"),
+)
+def emb_outlier_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid-distance outlier pruning — the mislabeled/
+    noisy-sample filter of embedding-curated training sets (the
+    CLIP-filtering / data-pruning shape: score each vector by its
+    squared distance to its OWN label's centroid, flag the ones more
+    than ``_OUTLIER_X`` times the label's mean distance out). Flagged
+    rows are the candidates a curation pipeline drops or routes to
+    review; the unflagged remainder is the cleaned set.
+
+    Deterministic cross-engine by the kmeans_fit recipe: centroids are
+    per-dimension ``round(avg(x), 6)`` (bridging partial-aggregation
+    summation-order ulps), distances ``round(ssq, 4)`` folded in array
+    order, and the flag compare multiplies by a power-of-two constant
+    (exact in IEEE), so the boolean is bit-identical in both engines.
+
+    Scale shape: centroids are (n_labels x dim) — KBs — built by ONE
+    shuffle over (label, pos) partial sums and broadcast back, so the
+    corpus is scanned exactly twice (once to build, once to score)
+    with no corpus-sized shuffle anywhere; the per-label mean-distance
+    table is n_labels rows, also broadcast. At 100 TB both joins stay
+    broadcasts no matter how many vectors there are, because their
+    build sides scale with labels x dim, not rows."""
+    e = load(spark, sf_dir, "embeddings")
+    v = e.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+    cent = (
+        v.select("label", F.posexplode("emb").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("x"), 6).alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"],
+            ).alias("cent")
+        )
+    )
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with("emb", "cent", lambda x, c: (x - c) * (x - c)),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        ),
+        4,
+    )
+    scored = v.join(F.broadcast(cent), "label").select(
+        "vec_id", "label", d2.alias("dist")
+    )
+    stats = scored.groupBy("label").agg(
+        F.round(F.avg("dist"), 6).alias("label_mean_dist")
+    )
+    return scored.join(F.broadcast(stats), "label").select(
+        "vec_id",
+        "label",
+        "dist",
+        "label_mean_dist",
+        (
+            F.col("dist") > F.lit(float(_OUTLIER_X)) * F.col("label_mean_dist")
+        ).alias("outlier"),
+    )

@@ -1400,3 +1400,151 @@ def text_dup_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_removed") > 0)
     )
+
+
+_LM_VOCAB = 256  # top-V tokens kept by the bigram LM; the rest -> <unk>
+_LM_UNFAMILIAR_X = 4  # flag docs whose mean bigram freq < corpus mean / X
+
+
+@query(
+    "text_lm_familiarity",
+    oracle=lambda: f"""
+    WITH clean AS (
+        SELECT doc_id, lang,
+               list_filter({_sql_tokens()}, x -> x <> '') AS toks
+        FROM documents
+    ), clean2 AS (
+        SELECT * FROM clean WHERE len(toks) >= 2
+    ), uni AS (
+        SELECT unnest(toks) AS w FROM clean2
+    ), vocab AS (
+        SELECT w FROM (SELECT w, count(*) AS n FROM uni GROUP BY w)
+        ORDER BY n DESC, w LIMIT {_LM_VOCAB}
+    ), fanned AS (
+        SELECT doc_id, lang, toks,
+               unnest(generate_series(1, len(toks) - 1)) AS i
+        FROM clean2
+    ), pairs AS (
+        SELECT doc_id, lang, toks[i] AS w1a, toks[i + 1] AS w2a FROM fanned
+    ), mapped AS (
+        SELECT p.doc_id, p.lang,
+               coalesce(v1.w, '<unk>') AS w1,
+               coalesce(v2.w, '<unk>') AS w2
+        FROM pairs p
+        LEFT JOIN vocab v1 ON p.w1a = v1.w
+        LEFT JOIN vocab v2 ON p.w2a = v2.w
+    ), c2 AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS freq
+        FROM mapped GROUP BY 1, 2
+    ), per_doc AS (
+        SELECT m.doc_id, m.lang,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(sum(c2.freq) AS BIGINT) AS sum_freq
+        FROM mapped m JOIN c2 USING (w1, w2)
+        GROUP BY 1, 2
+    ), corpus_mean AS (
+        SELECT CAST(sum(sum_freq) AS DOUBLE)
+               / CAST(sum(n_bigrams) AS DOUBLE) AS gavg
+        FROM per_doc
+    )
+    SELECT doc_id, lang, n_bigrams, sum_freq,
+           round(CAST(sum_freq AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 6)
+               AS familiarity,
+           (CAST(sum_freq AS DOUBLE) / CAST(n_bigrams AS DOUBLE))
+               * {_LM_UNFAMILIAR_X}.0 < gavg AS unfamiliar
+    FROM per_doc CROSS JOIN corpus_mean
+    """,
+    tags=("text", "quality", "lm"),
+    bench=True,
+)
+def text_lm_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-bigram familiarity scoring — the CCNet/KenLM-style
+    "train a cheap LM on the corpus, flag documents whose token
+    sequences it finds surprising" quality filter, re-expressed so
+    every compared value is engine-exact. Tokens outside the top-
+    ``_LM_VOCAB`` corpus vocabulary map to ``<unk>``; each document
+    scores the mean corpus frequency of its consecutive-token bigrams;
+    docs whose mean is under 1/``_LM_UNFAMILIAR_X`` of the corpus-wide
+    mean are flagged ``unfamiliar`` (gibberish, boilerplate soup,
+    wrong-language shards — sequences the corpus LM has rarely seen).
+
+    True perplexity needs libm ``ln``, whose last bit differs between
+    engines — the reason text_tfidf_topk went log-free. Same trick
+    here: arithmetic-mean bigram frequency is hash-exact (integer
+    counts, one IEEE-correctly-rounded division, a power-of-two
+    scale in the flag compare) and orders documents by the same
+    "has this corpus seen these transitions" signal.
+
+    Scale shape: the vocab cap bounds the bigram-frequency table at
+    (V+1)^2 rows, so BOTH lookup joins against the corpus-sized pair
+    stream are broadcasts — the token stream itself is never
+    shuffled. The only shuffles are three bounded aggregations:
+    unigram counts (vocab-sized after map-side combine), bigram
+    counts ((V+1)^2), and the per-doc rollup (doc-sized). The
+    corpus-mean scalar is a 1-row broadcast. At 100 TB the pair
+    explode is linear map work inside whole-stage codegen."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(_tokens(), lambda x: x != F.lit(""))
+    clean = d.select("doc_id", "lang", toks.alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    uni = (
+        clean.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    vocab = uni.orderBy(F.col("n").desc(), "w").limit(_LM_VOCAB).select("w")
+    pairs = clean.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks) - 2),"
+                " i -> struct(toks[i] AS w1a, toks[i + 1] AS w2a))"
+            )
+        ).alias("pr"),
+    ).select("doc_id", "lang", "pr.w1a", "pr.w2a")
+    mapped = (
+        pairs.join(
+            F.broadcast(vocab.select(F.col("w").alias("v1"))),
+            F.col("w1a") == F.col("v1"),
+            "left",
+        )
+        .join(
+            F.broadcast(vocab.select(F.col("w").alias("v2"))),
+            F.col("w2a") == F.col("v2"),
+            "left",
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce("v1", F.lit("<unk>")).alias("w1"),
+            F.coalesce("v2", F.lit("<unk>")).alias("w2"),
+        )
+    )
+    c2 = mapped.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("freq"))
+    per_doc = (
+        mapped.join(F.broadcast(c2), ["w1", "w2"])
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("freq").cast("bigint").alias("sum_freq"),
+        )
+    )
+    glob = per_doc.groupBy().agg(
+        (
+            F.sum("sum_freq").cast("double")
+            / F.sum("n_bigrams").cast("double")
+        ).alias("gavg")
+    )
+    fam = F.col("sum_freq").cast("double") / F.col("n_bigrams").cast("double")
+    return per_doc.crossJoin(F.broadcast(glob)).select(
+        "doc_id",
+        "lang",
+        "n_bigrams",
+        "sum_freq",
+        F.round(fam, 6).alias("familiarity"),
+        (fam * F.lit(float(_LM_UNFAMILIAR_X)) < F.col("gavg")).alias(
+            "unfamiliar"
+        ),
+    )

