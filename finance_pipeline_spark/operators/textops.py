@@ -1483,7 +1483,14 @@ def text_lm_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts ((V+1)^2), and the per-doc rollup (doc-sized). The
     corpus-mean scalar is a 1-row broadcast. At 100 TB the pair
     explode is linear map work inside whole-stage codegen."""
-    d = load(spark, sf_dir, "documents")
+    return lm_familiarity(load(spark, sf_dir, "documents"))
+
+
+def lm_familiarity(d: DataFrame) -> DataFrame:
+    """The ``text_lm_familiarity`` scorer over any (doc_id, lang, text)
+    frame — exposed so the curation pipeline can screen its own
+    (already quality-filtered, already checkpointed) universe with the
+    exact semantics the DuckDB oracle verified."""
     toks = F.filter(_tokens(), lambda x: x != F.lit(""))
     clean = d.select("doc_id", "lang", toks.alias("toks")).filter(
         F.size("toks") >= 2

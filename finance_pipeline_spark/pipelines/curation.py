@@ -74,9 +74,27 @@ def curate_corpus(
         (F.size(toks) >= _MIN_TOKENS) & (quality >= _MIN_QUALITY)
     ).select("doc_id", "lang", "source", "text", F.sha2("text", 256).alias("digest"))
     # ONE materialized universe shared by every stage below.
-    u = screened.localCheckpoint(eager=True)
-    n_input, n_screened = d.count(), u.count()
+    u0 = screened.localCheckpoint(eager=True)
+    n_input, n_screened = d.count(), u0.count()
     log("screen", kept=n_screened, dropped=n_input - n_screened)
+
+    # 1b. Corpus-LM familiarity screen — drop docs whose token
+    # transitions the corpus itself finds rare (gibberish, encoding
+    # soup, wrong-language shards the TTR screen can't see: they have
+    # normal length and type/token ratio but bigrams the rest of the
+    # corpus never produces). Same scorer the text_lm_familiarity
+    # oracle verified; trained on the post-screen universe so junk the
+    # TTR stage already dropped doesn't pollute the vocabulary.
+    from finance_pipeline_spark.operators.textops import lm_familiarity
+
+    unfamiliar = (
+        lm_familiarity(u0.select("doc_id", "lang", "text"))
+        .filter(F.col("unfamiliar"))
+        .select("doc_id")
+    )
+    u = u0.join(unfamiliar, "doc_id", "left_anti").localCheckpoint(eager=True)
+    n_familiar = u.count()
+    log("lm_screen", kept=n_familiar, dropped=n_screened - n_familiar)
 
     # 2. Exact dedup — first-wins per content digest; the shuffle key
     # is the 32-byte digest, text never moves.
@@ -88,7 +106,7 @@ def curate_corpus(
         .localCheckpoint(eager=True)
     )
     n_uniq = uniq.count()
-    log("exact_dedup", kept=n_uniq, dropped=n_screened - n_uniq)
+    log("exact_dedup", kept=n_uniq, dropped=n_familiar - n_uniq)
 
     # 3. Near-dup groups — banded-LSH verified pairs over the unique
     # universe, connected components, keep the min-id canonical doc.
@@ -214,6 +232,7 @@ def curate_corpus(
     return {
         "n_input": n_input,
         "n_screened": n_screened,
+        "n_lm_familiar": n_familiar,
         "n_exact_unique": n_uniq,
         "n_after_near_dedup": n_kept,
         "n_after_scrub": n_scrub,

@@ -21,6 +21,7 @@ def test_curate_corpus_on_driver_testdata(spark, tmp_path):
     assert (
         stats["n_input"]
         >= stats["n_screened"]
+        >= stats["n_lm_familiar"]
         >= stats["n_exact_unique"]
         >= stats["n_after_near_dedup"]
         >= stats["n_after_scrub"]
@@ -67,7 +68,7 @@ def test_curate_corpus_collapses_planted_duplicates(spark, tmp_path):
     stats = curate_corpus(spark, str(tmp_path), out, n_shards=1)
     # The 5 exact copies must go at exact-dedup; the near-copies at
     # the LSH stage (high-Jaccard 2-edit perturbations of 80 tokens).
-    assert stats["n_screened"] - stats["n_exact_unique"] == 5
+    assert stats["n_lm_familiar"] - stats["n_exact_unique"] == 5
     assert stats["n_exact_unique"] - stats["n_after_near_dedup"] == 5
     # Canonical (min doc_id) survivors: every original base doc kept
     kept = set(
@@ -115,3 +116,34 @@ def test_curate_corpus_scrubs_cross_doc_boilerplate(spark, tmp_path):
     # untouched docs keep their exact text
     for i, t in enumerate(filler):
         assert got[10 + i] == t
+
+
+def test_curate_corpus_lm_screen_drops_planted_gibberish(spark, tmp_path):
+    """Stage 1b: a doc that sails through the TTR screen (long, all
+    tokens distinct — maximal type/token ratio) but whose bigrams the
+    corpus has never seen is dropped at the LM-familiarity stage."""
+    rng = random.Random(11)
+    rows = [(i, random_doc(rng, 80)) for i in range(1, 31)]
+    # high-TTR gibberish: 80 unique out-of-vocabulary tokens — the TTR
+    # quality screen scores this 1.0, only the corpus LM catches it
+    rows.append((99, " ".join(f"qz{i}gibberish{i}x" for i in range(80))))
+    pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in rows],
+            "text": [r[1] for r in rows],
+            "lang": ["en"] * len(rows),
+            "source": ["t"] * len(rows),
+            "n_chars": [len(r[1]) for r in rows],
+        }
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+
+    out = str(tmp_path / "curated")
+    stats = curate_corpus(spark, str(tmp_path), out, n_shards=1)
+
+    assert stats["n_screened"] == 31  # TTR screen keeps the gibberish
+    assert stats["n_lm_familiar"] == 30  # the LM screen drops it
+    kept = set(
+        spark.read.parquet(f"{out}/data").select("doc_id").toPandas()["doc_id"]
+    )
+    assert 99 not in kept
+    assert set(range(1, 31)) <= kept
