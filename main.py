@@ -83,6 +83,18 @@ def corpus_main(argv: list[str]) -> int:
     p.add_argument("--n-shards", type=int, required=True)
     p.add_argument("--key-col", default="doc_id")
     p.add_argument("--format", choices=("parquet", "jsonl"), default="jsonl")
+
+    p = sub.add_parser(
+        "curate",
+        help="batch curation: screen -> LM screen -> dedup -> scrub -> "
+        "decontaminate -> sharded export",
+    )
+    p.add_argument(
+        "--source-dir", required=True,
+        help="dir containing documents.parquet (sf_dir layout)",
+    )
+    p.add_argument("--out", required=True)
+    p.add_argument("--n-shards", type=int, default=4)
     args = ap.parse_args(argv)
 
     sys.path.insert(0, str(Path(__file__).resolve().parent))
@@ -114,6 +126,15 @@ def corpus_main(argv: list[str]) -> int:
             for r in verdicts.groupBy("verdict").agg(F.count(F.lit(1)).alias("n")).collect()
         }
         print(json.dumps({"verdicts": counts, "out": args.out}))
+        return 0
+    if args.cmd == "curate":
+        from finance_pipeline_spark.pipelines.curation import curate_corpus
+
+        stats = curate_corpus(spark, args.source_dir, args.out, args.n_shards)
+        stats["manifest"] = {
+            k: stats["manifest"][k] for k in ("n_rows", "n_shards")
+        }
+        print(json.dumps(stats))
         return 0
     if args.cmd == "optimize":
         from finance_pipeline_spark.pipelines.dedup_index import CorpusDedupIndex

@@ -524,3 +524,47 @@ def test_corpus_cli_ingest_screen_optimize_export(spark, tmp_path, capsys):
     from finance_pipeline_spark.sinks.shard_writer import verify_jsonl_shards
 
     assert verify_jsonl_shards(spark, export) == []
+
+
+def test_corpus_cli_curate(spark, tmp_path, capsys):
+    """`main.py corpus curate` drives the batch curation pipeline end
+    to end and prints one JSON stats line with the stage accounting."""
+    import json as _json
+    import random
+
+    import pandas as pd
+
+    import main as cli
+    from conftest import random_doc
+
+    rng = random.Random(3)
+    base = [random_doc(rng, 60) for _ in range(12)]
+    rows = [(i + 1, t) for i, t in enumerate(base)]
+    rows.append((99, base[0]))  # one exact duplicate
+    src = tmp_path / "docs"
+    src.mkdir()
+    pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in rows],
+            "text": [r[1] for r in rows],
+            "lang": ["en"] * len(rows),
+            "source": ["t"] * len(rows),
+            "n_chars": [len(r[1]) for r in rows],
+        }
+    ).to_parquet(src / "documents.parquet")
+
+    out_dir = str(tmp_path / "curated")
+    rc = cli.main(
+        ["corpus", "curate", "--source-dir", str(src), "--out", out_dir,
+         "--n-shards", "2"]
+    )
+    assert rc == 0
+    stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["n_input"] == 13
+    assert stats["n_exact_unique"] == 12  # the planted duplicate went
+    assert stats["manifest"] == {"n_rows": stats["n_exported"], "n_shards": 2}
+    assert sum(stats["splits"].values()) == stats["n_exported"]
+
+    from finance_pipeline_spark.sinks.shard_writer import verify_training_shards
+
+    assert verify_training_shards(spark, out_dir) == []
