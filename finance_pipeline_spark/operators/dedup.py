@@ -25,6 +25,8 @@ planted-dup recall/precision assertions in tests/test_dedup.py.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -646,8 +648,12 @@ def ngram_dropped_blocks(docs: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") > _NGRAM_BLOCK_CAP)
         .select(
-            F.concat_ws(
-                "/", "lang", F.col("len_bucket").cast("string")
+            # F.concat (NULL-propagating, matching the oracle's ||),
+            # NOT concat_ws (which silently skips a NULL lang and
+            # would emit a differently-keyed ledger row than the
+            # dedup_dropped_accounting oracle defines)
+            F.concat(
+                F.col("lang"), F.lit("/"), F.col("len_bucket").cast("string")
             ).alias("block_key"),
             (F.col("n") - _NGRAM_BLOCK_CAP).alias("n_docs_dropped"),
         )
@@ -988,6 +994,11 @@ _BLOOM_BC_CAP = 4  # bounded: a long-running ingest screens once per
 # the life of the app. FIFO eviction + unpersist keeps at most CAP
 # blocks alive; an evicted broadcast still referenced by an in-flight
 # plan is lazily re-shipped by Spark (unpersist, not destroy).
+_BLOOM_BC_LOCK = threading.Lock()  # a streaming ingest's
+# foreachBatch thread can screen concurrently with driver-side calls;
+# the pop/insert/evict sequence is not atomic without this (two threads
+# racing the same 'oldest' key → KeyError, or double-broadcasting the
+# same content with one copy never evictable by content key).
 
 
 def _bloom_broadcast(spark: SparkSession, words):
@@ -1000,13 +1011,16 @@ def _bloom_broadcast(spark: SparkSession, words):
         spark.sparkContext.applicationId,
         hashlib.sha256(words.tobytes()).hexdigest(),
     )
-    bc = _BLOOM_BC_CACHE.pop(key, None)  # re-insert → moves to newest
-    if bc is None:
-        bc = spark.sparkContext.broadcast(words)
-    _BLOOM_BC_CACHE[key] = bc
-    while len(_BLOOM_BC_CACHE) > _BLOOM_BC_CAP:
-        oldest = next(iter(_BLOOM_BC_CACHE))
-        evicted = _BLOOM_BC_CACHE.pop(oldest)
+    with _BLOOM_BC_LOCK:
+        bc = _BLOOM_BC_CACHE.pop(key, None)  # re-insert → moves to newest
+        if bc is None:
+            bc = spark.sparkContext.broadcast(words)
+        _BLOOM_BC_CACHE[key] = bc
+        evict = []
+        while len(_BLOOM_BC_CACHE) > _BLOOM_BC_CAP:
+            oldest = next(iter(_BLOOM_BC_CACHE))
+            evict.append(_BLOOM_BC_CACHE.pop(oldest))
+    for evicted in evict:  # unpersist outside the lock (RPC round-trip)
         try:
             evicted.unpersist(blocking=False)
         except Exception:  # context already stopped — nothing to free

@@ -1362,18 +1362,46 @@ def text_dup_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     output is a PATCH list, not a corpus rewrite, so its size scales
     with duplication volume, not corpus size.
 
-    Plan shape: the span list is small (duplicated runs only), so the
-    position-range join broadcasts it against the per-token explode;
-    the only wide op is the per-doc regroup, one shuffle keyed by
-    doc_id. Spans are disjoint by construction (maximal merged
-    islands), so the range join matches each token at most once —
-    no double-count, no dedup needed."""
+    Plan shape: only SPAN-AFFECTED docs are exploded — a left-semi
+    join against the span list's distinct doc_ids prunes the corpus
+    BEFORE the per-token explode, so the wide regroup is sized by
+    duplication volume, not corpus size (the r8 self-review fix: the
+    first version exploded every document and threw almost all of it
+    away at the final filter). The span list itself is small, so the
+    position-range join broadcasts. Spans are disjoint by
+    construction (maximal merged islands), so the range join matches
+    each token at most once — no double-count, no dedup needed."""
     d = load(spark, sf_dir, "documents")
     spans = dup_spans(d).select(
         F.col("doc_id").alias("s_doc"), "span_start", "span_end"
     )
-    ptoks = d.select("doc_id", F.posexplode(_tokens()).alias("p0", "tok")).select(
-        "doc_id", (F.col("p0") + 1).cast("bigint").alias("pos"), "tok"
+    return scrub_spans(d, spans).filter(F.col("n_removed") > 0)
+
+
+def scrub_spans(
+    d: DataFrame, spans: DataFrame, lowercase: bool = True
+) -> DataFrame:
+    """Apply a (s_doc, span_start, span_end) token-position removal
+    list to ``d`` (doc_id, text): per AFFECTED doc, emit
+    (doc_id, n_tokens, n_removed, text_clean) — the patched text with
+    the span tokens excised, remaining tokens rejoined in order. A
+    fully-spanned doc emits text_clean = ''. Shared by
+    ``text_dup_scrub`` (lowercased, the oracle's tokenization) and the
+    curation pipeline's stage 3b (``lowercase=False``: span positions
+    come from the lowercased detection pass but split-on-space
+    positions are case-invariant, so applying them to the original
+    token sequence preserves case) — one copy of the
+    position-sensitive logic, so the two paths cannot drift.
+
+    Scale shape: left-semi prune to affected docs → per-token explode
+    → broadcast range join → ONE regroup shuffle keyed by doc_id,
+    all sized by duplication volume."""
+    affected = spans.select(F.col("s_doc").alias("doc_id")).distinct()
+    toks = _tokens() if lowercase else F.split(F.trim("text"), " ", -1)
+    ptoks = (
+        d.join(affected, "doc_id", "left_semi")
+        .select("doc_id", F.posexplode(toks).alias("p0", "tok"))
+        .select("doc_id", (F.col("p0") + 1).cast("bigint").alias("pos"), "tok")
     )
     marked = ptoks.join(
         F.broadcast(spans),
@@ -1391,14 +1419,10 @@ def text_dup_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         lambda s: s["tok"],
     )
-    return (
-        marked.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum(F.col("dropped").cast("bigint")).alias("n_removed"),
-            F.array_join(kept_toks, " ").alias("text_clean"),
-        )
-        .filter(F.col("n_removed") > 0)
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.col("dropped").cast("bigint")).alias("n_removed"),
+        F.array_join(kept_toks, " ").alias("text_clean"),
     )
 
 

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from finance_pipeline_spark.logging_utils import get_logger
 from finance_pipeline_spark.operators.dedup import (
-    _min_label_components,
+    _star_components,
     hashed_shingle_rows,
     minhash_pairs,
 )
@@ -110,10 +110,15 @@ def curate_corpus(
 
     # 3. Near-dup groups — banded-LSH verified pairs over the unique
     # universe, connected components, keep the min-id canonical doc.
+    # Star contraction, not min-label propagation: the pipeline can't
+    # pick its input's shape, and a boilerplate ladder / crawl ring
+    # with diameter > 60 would blow min-label's round cap AFTER the
+    # expensive screen/dedup stages already ran (r8 self-review).
+    # Same (vec_id, component_id) contract, log-round convergence.
     pairs = minhash_pairs(uniq.select("doc_id", "text")).select(
         F.col("doc_a").alias("vec_a"), F.col("doc_b").alias("vec_b")
     )
-    comps = _min_label_components(pairs)
+    comps = _star_components(pairs)
     non_canonical = comps.filter(F.col("vec_id") != F.col("component_id")).select(
         F.col("vec_id").alias("doc_id")
     )
@@ -131,39 +136,21 @@ def curate_corpus(
     # floor drop, and the digest dedup re-runs on the patched
     # universe: two docs can scrub to one residue (distinct
     # boilerplate + identical remainder).
-    from finance_pipeline_spark.operators.textops import dup_spans
+    from finance_pipeline_spark.operators.textops import dup_spans, scrub_spans
 
     spans = dup_spans(kept.select("doc_id", "text")).select(
         F.col("doc_id").alias("s_doc"), "span_start", "span_end"
     )
     affected = spans.select(F.col("s_doc").alias("doc_id")).distinct()
-    ptoks = (
-        kept.join(affected, "doc_id", "left_semi")
-        .select(
-            "doc_id",
-            F.posexplode(F.split(F.trim("text"), " ", -1)).alias("p0", "tok"),
-        )
-        .select("doc_id", (F.col("p0") + 1).cast("bigint").alias("pos"), "tok")
-    )
-    patched = (
-        ptoks.join(
-            F.broadcast(spans),
-            (F.col("doc_id") == F.col("s_doc"))
-            & F.col("pos").between(F.col("span_start"), F.col("span_end")),
-            "left",
-        )
-        .filter(F.col("s_doc").isNull())  # surviving tokens only
-        .groupBy("doc_id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                    lambda s: s["tok"],
-                ),
-                " ",
-            ).alias("text_scrubbed"),
-            F.count(F.lit(1)).alias("n_left"),
-        )
+    # ONE copy of the position-sensitive span application (shared with
+    # text_dup_scrub — r8 self-review): a fully-spanned doc comes back
+    # with text_clean = '' and n_left = 0, which the token floor drops.
+    patched = scrub_spans(
+        kept.select("doc_id", "text"), spans, lowercase=False
+    ).select(
+        "doc_id",
+        F.col("text_clean").alias("text_scrubbed"),
+        (F.col("n_tokens") - F.col("n_removed")).alias("n_left"),
     )
     rn2 = F.row_number().over(
         W.partitionBy(F.sha2(F.encode("text", "UTF-8"), 256)).orderBy("doc_id")
@@ -171,8 +158,8 @@ def curate_corpus(
     scrubbed = (
         kept.join(affected.withColumn("aff", F.lit(True)), "doc_id", "left")
         .join(patched, "doc_id", "left")
-        # an affected doc with NO patched row was scrubbed to nothing
-        .filter(~F.coalesce("aff", F.lit(False)) | F.col("text_scrubbed").isNotNull())
+        # every affected doc has a patched row (a fully-scrubbed doc
+        # carries text_clean='' / n_left=0 and drops at the floor)
         .withColumn("text", F.coalesce("text_scrubbed", "text"))
         .filter(F.coalesce("n_left", F.lit(_MIN_TOKENS)) >= _MIN_TOKENS)
         .drop("aff", "text_scrubbed", "n_left")

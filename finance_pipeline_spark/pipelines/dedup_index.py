@@ -78,6 +78,63 @@ class CorpusDedupIndex:
             spark, f"{self.root}/bands", ["band_key", "doc_id"]
         )
         self.bloom = TxnKeyedTable(spark, f"{self.root}/bloom", ["word_idx", "token"])
+        self._maybe_migrate_bloom()
+
+    def _maybe_migrate_bloom(self) -> None:
+        """Upgrade a pre-delta bloom layout in place. The r8 schema
+        change (key ``[word_idx]``, one mutable row per word → key
+        ``[word_idx, token]``, append-only delta rows) would otherwise
+        make every index persisted by earlier code unreadable: merge
+        anti-joins and the fold's ``select('token')`` both raise
+        UNRESOLVED_COLUMN against the old files.
+
+        Crash-safe order: (1) collect the old folded words —
+        driver-sized, ≤ BITS/64 rows; (2) write them to a backup
+        parquet SIDECAR; (3) drop the old table; (4) recreate it as
+        delta rows under the fixed token ``migrate-v1`` (keyed merge →
+        idempotent); (5) delete the backup. A crash between (3) and
+        (5) leaves the backup, and the recovery branch below replays
+        (4)-(5) on next open — bits are never lost at any step."""
+        from pathlib import Path
+
+        backup = Path(self.root) / "bloom_migrate_v1.parquet"
+
+        def _restore(rows_df) -> None:
+            rows = [
+                (int(r["word_idx"]), "migrate-v1", int(r["word"]))
+                for r in rows_df.collect()
+            ]
+            if rows:
+                self.bloom.merge(
+                    self.spark.createDataFrame(
+                        rows, "word_idx bigint, token string, word bigint"
+                    )
+                )
+
+        if backup.exists():  # crashed mid-migration: replay from (3)
+            if self.bloom.exists():
+                stored = self.bloom.read()
+                if stored is not None and "token" not in stored.columns:
+                    # crash landed between backup write and drop — the
+                    # backup is the complete fold of this old table
+                    self.bloom.drop()
+            _restore(self.spark.read.parquet(str(backup)))
+            import shutil
+
+            shutil.rmtree(backup, ignore_errors=True)
+            return
+        if not self.bloom.exists():
+            return
+        stored = self.bloom.read()
+        if stored is None or "token" in stored.columns:
+            return  # empty or already the delta layout
+        old = stored.groupBy("word_idx").agg(F.bit_or("word").alias("word"))
+        old.coalesce(1).write.mode("overwrite").parquet(str(backup))
+        self.bloom.drop()
+        _restore(self.spark.read.parquet(str(backup)))
+        import shutil
+
+        shutil.rmtree(backup, ignore_errors=True)
 
     # -- read side ---------------------------------------------------
 

@@ -110,16 +110,35 @@ def ship_package(spark: SparkSession) -> None:
     import os
 
     pkg_root = Path(__file__).resolve().parent
-    cache = pkg_root.parent / ".cache"
-    cache.mkdir(parents=True, exist_ok=True)
-    zpath = cache / "finance_pipeline_spark.zip"
-    # Stage + atomic rename: concurrent processes (tests + tools) share
-    # this path; a half-written zip must never be visible to addPyFile.
-    tmp = cache / f".finance_pipeline_spark.{os.getpid()}.zip.tmp"
-    with zipfile.ZipFile(tmp, "w") as z:
-        for p in sorted(pkg_root.rglob("*.py")):
-            z.write(p, p.relative_to(pkg_root.parent))
-    tmp.replace(zpath)
+    try:
+        cache = pkg_root.parent / ".cache"
+        cache.mkdir(parents=True, exist_ok=True)
+        zpath = cache / "finance_pipeline_spark.zip"
+        # Stage + atomic rename: concurrent processes (tests + tools)
+        # share this path; a half-written zip must never be visible to
+        # addPyFile.
+        tmp = cache / f".finance_pipeline_spark.{os.getpid()}.zip.tmp"
+        with zipfile.ZipFile(tmp, "w") as z:
+            for p in sorted(pkg_root.rglob("*.py")):
+                z.write(p, p.relative_to(pkg_root.parent))
+        tmp.replace(zpath)
+    except OSError:
+        # Read-only checkout (CI mount, site-packages install): fall
+        # back to a tempdir zip. If THAT fails too, degrade to the
+        # pre-ship behavior — session construction must not die here;
+        # only executor-side imports (mapInPandas closures) would
+        # later miss the package, and they fail with a clear
+        # ModuleNotFoundError naming it.
+        import tempfile
+
+        try:
+            zpath = Path(tempfile.mkdtemp()) / "finance_pipeline_spark.zip"
+            with zipfile.ZipFile(zpath, "w") as z:
+                for p in sorted(pkg_root.rglob("*.py")):
+                    z.write(p, p.relative_to(pkg_root.parent))
+        except OSError:
+            _SHIPPED_APPS.add(app_id)  # don't retry every call
+            return
     try:
         spark.sparkContext.addPyFile(str(zpath))
     except Exception:  # noqa: BLE001 — already registered in this context
@@ -567,8 +586,9 @@ PRIORITY: tuple[str, ...] = (
     "text_dup_spans",
     "text_dup_scrub",
     # similarity — the new multi-probe IVF earns first evidence;
-    # kmeans_train_assign re-earns alongside (ivf_probe_topk now
-    # serves from its kmeans_fit cells)
+    # (kmeans_train_assign folded mid-round on its r7-green row —
+    # kmeans_fit itself is UNCHANGED in r8; the new multi-probe rows
+    # below are the ones that earn evidence on the new serving path)
     "ann_ivf_multiprobe",
     "ann_ivfpq_multiprobe",
     "ann_ivfpq_rerank",

@@ -284,3 +284,81 @@ def test_bloom_broadcast_cache_is_bounded(spark, tmp_path):
     bc1 = dedup._bloom_broadcast(spark, words)
     bc2 = dedup._bloom_broadcast(spark, words.copy())
     assert bc1 is bc2
+
+
+def test_pre_r8_bloom_layout_migrates_on_open(spark, tmp_path):
+    """An index persisted by the pre-delta code (bloom keyed
+    [word_idx], one mutable row per word, no token column) must open
+    cleanly: the migration folds the old rows into delta rows under
+    'migrate-v1' with zero lost bits, and screen()/add() work."""
+    import numpy as np
+
+    from finance_pipeline_spark.operators.dedup import build_digest_bloom
+    from finance_pipeline_spark.pipelines.dedup_index import _digest
+    from finance_pipeline_spark.sinks.txn_table import TxnKeyedTable
+
+    root = tmp_path / "idx"
+    rng = random.Random(29)
+    batch = _docs(spark, [(i, random_doc(rng)) for i in range(4)])
+
+    # build the index with CURRENT code, then rewrite the bloom table
+    # in the OLD layout (key [word_idx], columns word_idx/word)
+    idx = CorpusDedupIndex(spark, str(root))
+    idx.add(batch)
+    words = idx._bloom_words().view(np.int64)
+    old_rows = [(int(i), int(w)) for i, w in enumerate(words) if w != 0]
+    idx.bloom.drop()
+    old_tbl = TxnKeyedTable(spark, str(root / "bloom"), ["word_idx"])
+    old_tbl.merge(
+        spark.createDataFrame(old_rows, "word_idx bigint, word bigint")
+    )
+
+    # reopening migrates in place
+    idx2 = CorpusDedupIndex(spark, str(root))
+    stored = idx2.bloom.read()
+    assert "token" in stored.columns
+    assert stored.select("token").distinct().collect()[0][0] == "migrate-v1"
+    rebuilt = build_digest_bloom(batch.select(_digest().alias("dg")))
+    assert np.array_equal(idx2._bloom_words(), rebuilt)
+    assert not (root / "bloom_migrate_v1.parquet").exists()
+
+    # the migrated index still screens and accepts adds
+    verdicts = {r.doc_id: r.verdict for r in idx2.screen(batch).collect()}
+    assert set(verdicts.values()) == {"drop_exact"}
+    b2 = _docs(spark, [(100, random_doc(rng))])
+    idx2.add(b2)
+    assert idx2.screen(b2).collect()[0].verdict == "drop_exact"
+
+
+def test_bloom_migration_recovers_from_crash_between_backup_and_drop(
+    spark, tmp_path
+):
+    """Crash corner: the backup sidecar was written but the old table
+    was not dropped — reopening must finish the migration from the
+    backup, not crash or double-count."""
+    import numpy as np
+
+    from finance_pipeline_spark.operators.dedup import build_digest_bloom
+    from finance_pipeline_spark.pipelines.dedup_index import _digest
+    from finance_pipeline_spark.sinks.txn_table import TxnKeyedTable
+
+    root = tmp_path / "idx"
+    rng = random.Random(31)
+    batch = _docs(spark, [(i, random_doc(rng)) for i in range(3)])
+    idx = CorpusDedupIndex(spark, str(root))
+    idx.add(batch)
+    words = idx._bloom_words().view(np.int64)
+    old_rows = [(int(i), int(w)) for i, w in enumerate(words) if w != 0]
+    idx.bloom.drop()
+    TxnKeyedTable(spark, str(root / "bloom"), ["word_idx"]).merge(
+        spark.createDataFrame(old_rows, "word_idx bigint, word bigint")
+    )
+    # simulate the crash: backup exists alongside the UN-dropped table
+    spark.createDataFrame(old_rows, "word_idx bigint, word bigint").coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(root / "bloom_migrate_v1.parquet"))
+
+    idx2 = CorpusDedupIndex(spark, str(root))
+    rebuilt = build_digest_bloom(batch.select(_digest().alias("dg")))
+    assert np.array_equal(idx2._bloom_words(), rebuilt)
+    assert not (root / "bloom_migrate_v1.parquet").exists()

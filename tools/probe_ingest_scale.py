@@ -82,6 +82,10 @@ def main() -> int:
     for s in stats:
         print(json.dumps(s))
     times = [s["elapsed_sec"] for s in stats]
+    if not times:  # empty-source race: report it, don't crash post-run
+        print(json.dumps({"summary": "no batches ran", "batches": 0}))
+        shutil.rmtree(work, ignore_errors=True)
+        return 1
     print(
         json.dumps(
             {
@@ -90,7 +94,10 @@ def main() -> int:
                 "docs_per_batch": per,
                 "first_batch_sec": times[0],
                 "last_batch_sec": times[-1],
-                "max_over_min": round(max(times) / min(times), 2),
+                # a sub-ms batch rounds to 0.000 — guard the ratio
+                "max_over_min": (
+                    round(max(times) / min(times), 2) if min(times) > 0 else None
+                ),
                 "total_kept": sum(s["kept"] for s in stats),
                 "total_dropped_exact": sum(s["dropped_exact"] for s in stats),
             }
