@@ -1510,32 +1510,34 @@ def text_lm_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_familiarity(load(spark, sf_dir, "documents"))
 
 
-def lm_familiarity(d: DataFrame) -> DataFrame:
-    """The ``text_lm_familiarity`` scorer over any (doc_id, lang, text)
-    frame — exposed so the curation pipeline can screen its own
-    (already quality-filtered, already checkpointed) universe with the
-    exact semantics the DuckDB oracle verified."""
+def lm_clean(d: DataFrame, carry: tuple[str, ...] = ("doc_id",)) -> DataFrame:
+    """(carry..., toks): the LM tokenization — lowercased whitespace
+    tokens, empties filtered, docs under 2 tokens dropped. One copy of
+    the tokenize semantics for the operator, the curation stage, and
+    the stored-index screen."""
     toks = F.filter(_tokens(), lambda x: x != F.lit(""))
-    clean = d.select("doc_id", "lang", toks.alias("toks")).filter(
-        F.size("toks") >= 2
-    )
-    uni = (
-        clean.select(F.explode("toks").alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    vocab = uni.orderBy(F.col("n").desc(), "w").limit(_LM_VOCAB).select("w")
-    pairs = clean.select(
-        "doc_id",
-        "lang",
+    return d.select(*carry, toks.alias("toks")).filter(F.size("toks") >= 2)
+
+
+def lm_pairs(clean: DataFrame, carry: tuple[str, ...] = ("doc_id",)) -> DataFrame:
+    """(carry..., w1a, w2a): consecutive-token bigram instances."""
+    return clean.select(
+        *carry,
         F.explode(
             F.expr(
                 "transform(sequence(0, size(toks) - 2),"
                 " i -> struct(toks[i] AS w1a, toks[i + 1] AS w2a))"
             )
         ).alias("pr"),
-    ).select("doc_id", "lang", "pr.w1a", "pr.w2a")
-    mapped = (
+    ).select(*carry, "pr.w1a", "pr.w2a")
+
+
+def lm_map_to_vocab(pairs: DataFrame, vocab: DataFrame) -> DataFrame:
+    """Map raw pair endpoints through a (w) vocab frame — out-of-vocab
+    tokens become ``<unk>``. Both lookups broadcast (the vocab is
+    capped at ``_LM_VOCAB`` rows)."""
+    carry = [c for c in pairs.columns if c not in ("w1a", "w2a")]
+    return (
         pairs.join(
             F.broadcast(vocab.select(F.col("w").alias("v1"))),
             F.col("w1a") == F.col("v1"),
@@ -1547,31 +1549,43 @@ def lm_familiarity(d: DataFrame) -> DataFrame:
             "left",
         )
         .select(
-            "doc_id",
-            "lang",
+            *carry,
             F.coalesce("v1", F.lit("<unk>")).alias("w1"),
             F.coalesce("v2", F.lit("<unk>")).alias("w2"),
         )
     )
-    c2 = mapped.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("freq"))
+
+
+def lm_score(
+    mapped: DataFrame, c2: DataFrame, gavg: DataFrame | None = None
+) -> DataFrame:
+    """Per-doc familiarity over vocab-mapped pairs: ``c2`` is the
+    (w1, w2, freq) bigram-frequency table (broadcast — bounded at
+    (V+1)²); pairs absent from ``c2`` score freq 0 (only possible when
+    screening NEW docs against a stored corpus — the operator's own
+    c2 covers every pair it scores). ``gavg`` is the 1-row corpus-mean
+    frame; None derives it from the scored docs themselves (the
+    ``text_lm_familiarity`` oracle semantics)."""
+    carry = [c for c in mapped.columns if c not in ("w1", "w2")]
     per_doc = (
-        mapped.join(F.broadcast(c2), ["w1", "w2"])
-        .groupBy("doc_id", "lang")
+        mapped.join(F.broadcast(c2), ["w1", "w2"], "left")
+        .withColumn("freq", F.coalesce("freq", F.lit(0)))
+        .groupBy(*carry)
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
             F.sum("freq").cast("bigint").alias("sum_freq"),
         )
     )
-    glob = per_doc.groupBy().agg(
-        (
-            F.sum("sum_freq").cast("double")
-            / F.sum("n_bigrams").cast("double")
-        ).alias("gavg")
-    )
+    if gavg is None:
+        gavg = per_doc.groupBy().agg(
+            (
+                F.sum("sum_freq").cast("double")
+                / F.sum("n_bigrams").cast("double")
+            ).alias("gavg")
+        )
     fam = F.col("sum_freq").cast("double") / F.col("n_bigrams").cast("double")
-    return per_doc.crossJoin(F.broadcast(glob)).select(
-        "doc_id",
-        "lang",
+    return per_doc.crossJoin(F.broadcast(gavg)).select(
+        *carry,
         "n_bigrams",
         "sum_freq",
         F.round(fam, 6).alias("familiarity"),
@@ -1579,3 +1593,20 @@ def lm_familiarity(d: DataFrame) -> DataFrame:
             "unfamiliar"
         ),
     )
+
+
+def lm_familiarity(d: DataFrame) -> DataFrame:
+    """The ``text_lm_familiarity`` scorer over any (doc_id, lang, text)
+    frame — exposed so the curation pipeline can screen its own
+    (already quality-filtered, already checkpointed) universe with the
+    exact semantics the DuckDB oracle verified."""
+    clean = lm_clean(d, ("doc_id", "lang"))
+    uni = (
+        clean.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    vocab = uni.orderBy(F.col("n").desc(), "w").limit(_LM_VOCAB).select("w")
+    mapped = lm_map_to_vocab(lm_pairs(clean, ("doc_id", "lang")), vocab)
+    c2 = mapped.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("freq"))
+    return lm_score(mapped, c2)

@@ -84,6 +84,17 @@ def corpus_main(argv: list[str]) -> int:
     p.add_argument("--key-col", default="doc_id")
     p.add_argument("--format", choices=("parquet", "jsonl"), default="jsonl")
 
+    p = sub.add_parser("lm-add", help="fold a batch into the stored corpus LM")
+    p.add_argument("--index", required=True, help="CorpusLmIndex root")
+    p.add_argument("--input", required=True, help="parquet of (doc_id, text, ...)")
+
+    p = sub.add_parser(
+        "lm-screen", help="score a batch's LM familiarity vs the stored corpus"
+    )
+    p.add_argument("--index", required=True)
+    p.add_argument("--input", required=True)
+    p.add_argument("--out", default=None, help="scores parquet dir (optional)")
+
     p = sub.add_parser(
         "curate",
         help="batch curation: screen -> LM screen -> dedup -> scrub -> "
@@ -126,6 +137,39 @@ def corpus_main(argv: list[str]) -> int:
             for r in verdicts.groupBy("verdict").agg(F.count(F.lit(1)).alias("n")).collect()
         }
         print(json.dumps({"verdicts": counts, "out": args.out}))
+        return 0
+    if args.cmd == "lm-add":
+        from finance_pipeline_spark.pipelines.lm_index import CorpusLmIndex
+
+        stats = CorpusLmIndex(spark, args.index).add(
+            spark.read.parquet(args.input)
+        )
+        print(json.dumps(stats))
+        return 0
+    if args.cmd == "lm-screen":
+        from pyspark.sql import functions as F
+
+        from finance_pipeline_spark.pipelines.lm_index import CorpusLmIndex
+
+        scores = CorpusLmIndex(spark, args.index).familiarity(
+            spark.read.parquet(args.input)
+        )
+        if args.out:
+            scores.write.mode("overwrite").parquet(args.out)
+            scores = spark.read.parquet(args.out)
+        counts = scores.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("unfamiliar").cast("bigint")).alias("n_unfamiliar"),
+        ).collect()[0]
+        print(
+            json.dumps(
+                {
+                    "scored": counts["n"],
+                    "unfamiliar": counts["n_unfamiliar"],
+                    "out": args.out,
+                }
+            )
+        )
         return 0
     if args.cmd == "curate":
         from finance_pipeline_spark.pipelines.curation import curate_corpus

@@ -568,3 +568,54 @@ def test_corpus_cli_curate(spark, tmp_path, capsys):
     from finance_pipeline_spark.sinks.shard_writer import verify_training_shards
 
     assert verify_training_shards(spark, out_dir) == []
+
+
+def test_corpus_cli_lm_add_and_screen(spark, tmp_path, capsys):
+    """`main.py corpus lm-add` grows the stored LM; `lm-screen` scores
+    a new batch against it."""
+    import json as _json
+    import random
+
+    import pandas as pd
+
+    import main as cli
+    from conftest import random_doc
+
+    rng = random.Random(23)
+    corpus = pd.DataFrame(
+        {
+            "doc_id": list(range(1, 16)),
+            "text": [random_doc(rng, 40) for _ in range(15)],
+        }
+    )
+    corpus.to_parquet(tmp_path / "corpus.parquet")
+    probe = pd.DataFrame(
+        {
+            "doc_id": [100, 101],
+            "text": [
+                random_doc(rng, 40),
+                " ".join(f"zz{i}q" for i in range(20)),  # gibberish
+            ],
+        }
+    )
+    probe.to_parquet(tmp_path / "probe.parquet")
+
+    index = str(tmp_path / "lm")
+    rc = cli.main(
+        ["corpus", "lm-add", "--index", index,
+         "--input", str(tmp_path / "corpus.parquet")]
+    )
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["uni_rows"] > 0 and out["bi_rows"] > 0
+
+    scores_dir = str(tmp_path / "scores")
+    rc = cli.main(
+        ["corpus", "lm-screen", "--index", index,
+         "--input", str(tmp_path / "probe.parquet"), "--out", scores_dir]
+    )
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["scored"] == 2 and out["unfamiliar"] == 1
+    got = {r.doc_id: r.unfamiliar for r in spark.read.parquet(scores_dir).collect()}
+    assert got == {100: False, 101: True}
