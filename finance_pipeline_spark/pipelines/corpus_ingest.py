@@ -85,6 +85,7 @@ def ingest_with_index(
     kept_path: str,
     checkpoint_dir: str,
     max_files_per_trigger: int | None = None,
+    lm_root: str | None = None,
 ) -> list[dict]:
     """Streaming ingestion through the FULL stored dedup index
     (``pipelines/dedup_index.CorpusDedupIndex``) — the production
@@ -105,12 +106,28 @@ def ingest_with_index(
     in the index now) and the kept table's digest key dedups any race
     remainder — state after N replays equals state after 1.
 
+    ``lm_root`` (optional) threads the stored corpus LM
+    (``pipelines/lm_index.CorpusLmIndex``) through the stream:
+    survivors are SCORED against the accumulated LM and land with an
+    ``unfamiliar`` flag — observational, never a drop, because the LM
+    state evolves with the stream and a kept-set that depended on it
+    would not replay deterministically (the flag is for downstream
+    adjudication, exactly like ``review_near``). ``lm.add`` runs
+    BEFORE the kept-merge: a crash between them replays the batch with
+    the same content → same batch token → keyed no-op, so LM counts
+    are never lost and never doubled.
+
     Returns one stats dict per micro-batch."""
     from finance_pipeline_spark.pipelines.dedup_index import CorpusDedupIndex
     from finance_pipeline_spark.sinks.txn_table import TxnKeyedTable
 
     idx = CorpusDedupIndex(spark, index_root)
     kept = TxnKeyedTable(spark, kept_path, ["dg"])
+    lm = None
+    if lm_root is not None:
+        from finance_pipeline_spark.pipelines.lm_index import CorpusLmIndex
+
+        lm = CorpusLmIndex(spark, lm_root)
     stats: list[dict] = []
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
@@ -130,6 +147,27 @@ def ingest_with_index(
             ),
             "doc_id",
         ).localCheckpoint(eager=True)
+        n_unfamiliar = 0
+        if lm is not None:
+            # score against the LM as it stood BEFORE this batch, then
+            # grow it (order matters for determinism: scoring after the
+            # add would judge a batch against itself); docs under 2
+            # tokens get no score row → not unfamiliar. An empty LM
+            # (first batch) scores nothing — there's no corpus to
+            # disagree with yet.
+            if lm._folded_bi() is not None:
+                fam = lm.familiarity(
+                    survivors.select("doc_id", "text")
+                ).select("doc_id", "unfamiliar")
+                survivors = survivors.join(fam, "doc_id", "left").withColumn(
+                    "unfamiliar", F.coalesce("unfamiliar", F.lit(False))
+                )
+            else:
+                survivors = survivors.withColumn("unfamiliar", F.lit(False))
+            survivors = survivors.localCheckpoint(eager=True)
+            n_unfamiliar = survivors.filter(F.col("unfamiliar")).count()
+            if survivors.limit(1).count():
+                lm.add(survivors.select("doc_id", "text"))
         w = kept.merge(
             survivors.withColumn(
                 "dg", F.sha2(F.encode("text", "UTF-8"), 256)
@@ -145,6 +183,7 @@ def ingest_with_index(
             "near_flagged": survivors.filter(
                 F.col("verdict") == "review_near"
             ).count(),
+            **({"lm_unfamiliar": n_unfamiliar} if lm is not None else {}),
             **a,
             # per-batch wall time: the scale signal — batch cost must
             # stay ~flat as the stored corpus grows (screen is bloom +

@@ -67,6 +67,11 @@ def corpus_main(argv: list[str]) -> int:
     p.add_argument("--kept", required=True, help="kept-docs TxnKeyedTable path")
     p.add_argument("--checkpoint", required=True)
     p.add_argument("--max-files-per-trigger", type=int, default=None)
+    p.add_argument(
+        "--lm-index", default=None,
+        help="optional CorpusLmIndex root: score survivors' LM "
+        "familiarity vs the accumulated corpus (lands as a flag)",
+    )
 
     p = sub.add_parser("screen", help="screen a parquet batch, write verdicts")
     p.add_argument("--index", required=True)
@@ -118,6 +123,7 @@ def corpus_main(argv: list[str]) -> int:
         stats = ingest_with_index(
             spark, args.source_dir, args.index, args.kept, args.checkpoint,
             max_files_per_trigger=args.max_files_per_trigger,
+            lm_root=args.lm_index,
         )
         print(json.dumps({"batches": stats}))
         return 0

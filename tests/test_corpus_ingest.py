@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import pandas as pd
 
+from pyspark.sql import functions as F
+
 from finance_pipeline_spark.pipelines.corpus_ingest import ingest_corpus_stream
 
 
@@ -110,3 +112,60 @@ def test_ingest_with_index_screens_exact_and_near(spark, tmp_path):
     )
     assert all(s["kept"] == 0 for s in stats2)
     assert TxnKeyedTable(spark, kept_path, ["dg"]).read().count() == 4
+
+
+def test_ingest_with_lm_flags_gibberish_against_accumulated_corpus(
+    spark, tmp_path
+):
+    """lm_root threads the stored LM through the stream: batch 1 lands
+    unflagged (no corpus to judge against yet), batch 2's gibberish is
+    flagged unfamiliar by the LM batch 1 trained, and a replayed batch
+    converges to the same kept state."""
+    import random
+
+    from finance_pipeline_spark.pipelines.corpus_ingest import ingest_with_index
+    from finance_pipeline_spark.sinks.txn_table import TxnKeyedTable
+    from tests.conftest import random_doc
+
+    rng = random.Random(27)
+    src = tmp_path / "incoming"
+    src.mkdir()
+    kwargs = dict(
+        index_root=str(tmp_path / "index"),
+        kept_path=str(tmp_path / "kept"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        lm_root=str(tmp_path / "lm"),
+        max_files_per_trigger=1,
+    )
+
+    _write_docs(
+        src / "f1.parquet", [(i, random_doc(rng, 40)) for i in range(1, 16)]
+    )
+    stats = ingest_with_index(spark, str(src), **kwargs)
+    assert stats[0]["lm_unfamiliar"] == 0  # empty LM judges nothing
+    assert stats[0]["kept"] == 15
+
+    _write_docs(
+        src / "f2.parquet",
+        [
+            (100, random_doc(rng, 40)),  # corpus-like -> clean
+            (101, " ".join(f"qx{i}z" for i in range(25))),  # gibberish
+        ],
+    )
+    stats = ingest_with_index(spark, str(src), **kwargs)
+    assert stats[0]["lm_unfamiliar"] == 1
+    kept = TxnKeyedTable(spark, kwargs["kept_path"], ["dg"]).read()
+    flags = {
+        r.doc_id: r.unfamiliar
+        for r in kept.filter(F.col("doc_id") >= 100).collect()
+    }
+    assert flags == {100: False, 101: True}  # flagged, NOT dropped
+
+    # replay convergence: wipe the checkpoint, re-deliver everything
+    import shutil
+
+    shutil.rmtree(kwargs["checkpoint_dir"])
+    before = kept.count()
+    stats = ingest_with_index(spark, str(src), **kwargs)
+    assert all(s["kept"] == 0 for s in stats)  # every doc drop_exact
+    assert TxnKeyedTable(spark, kwargs["kept_path"], ["dg"]).read().count() == before
