@@ -150,16 +150,19 @@ def ingest_with_index(
         n_unfamiliar = 0
         if lm is not None:
             # score against the LM as it stood BEFORE this batch, then
-            # grow it (order matters for determinism: scoring after the
-            # add would judge a batch against itself); docs under 2
-            # tokens get no score row → not unfamiliar. An empty LM
-            # (first batch) scores nothing — there's no corpus to
-            # disagree with yet.
-            if lm._folded_bi() is not None:
-                fam = lm.familiarity(
-                    survivors.select("doc_id", "text")
-                ).select("doc_id", "unfamiliar")
-                survivors = survivors.join(fam, "doc_id", "left").withColumn(
+            # grow it. screen_before excludes the batch's OWN delta
+            # token, so a crash-replayed batch (whose counts are
+            # already stored) scores against the identical state as
+            # its first delivery — without that, replayed gibberish
+            # would be judged against itself and flagged familiar.
+            # Docs under 2 tokens get no score row → not unfamiliar;
+            # an empty LM (first batch) scores nothing — there's no
+            # corpus to disagree with yet.
+            fam = lm.screen_before(survivors.select("doc_id", "text"))
+            if fam is not None:
+                survivors = survivors.join(
+                    fam.select("doc_id", "unfamiliar"), "doc_id", "left"
+                ).withColumn(
                     "unfamiliar", F.coalesce("unfamiliar", F.lit(False))
                 )
             else:

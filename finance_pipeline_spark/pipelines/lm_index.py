@@ -52,26 +52,28 @@ from finance_pipeline_spark.operators.textops import (
 from finance_pipeline_spark.sinks.txn_table import TxnKeyedTable
 
 
-def _batch_token(batch: DataFrame) -> str:
-    """Order-free content address of a (doc_id, text) batch: the SUM of
-    a 60-bit integer digest per text plus the row count. Same batch →
-    same token → the keyed merge makes re-adds no-ops (crash-retry,
-    at-least-once streaming delivery)."""
-    row = batch.agg(
+def _content_token(df: DataFrame, src, prefix: str) -> str:
+    """Order-free content address of a frame: the SUM of a 60-bit
+    integer digest of ``src`` (a Column) per row plus the row count.
+    Deterministic for the same content regardless of partitioning —
+    the single token idiom for both add batches and optimize folds, so
+    the two token spaces can never drift apart."""
+    row = df.agg(
         F.sum(
             F.conv(
-                F.substring(
-                    F.sha2(F.encode(F.coalesce("text", F.lit("")), "UTF-8"), 256),
-                    1,
-                    15,
-                ),
-                16,
-                10,
+                F.substring(F.sha2(F.encode(src, "UTF-8"), 256), 1, 15), 16, 10
             ).cast("decimal(38,0)")
         ).alias("s"),
         F.count(F.lit(1)).alias("n"),
     ).collect()[0]
-    return f"add-{row['s']}-{row['n']}"
+    return f"{prefix}-{row['s']}-{row['n']}"
+
+
+def _batch_token(batch: DataFrame) -> str:
+    """Content address of a (doc_id, text) batch. Same batch → same
+    token → the keyed merge makes re-adds no-ops (crash-retry,
+    at-least-once streaming delivery)."""
+    return _content_token(batch, F.coalesce("text", F.lit("")), "add")
 
 
 class CorpusLmIndex:
@@ -114,12 +116,16 @@ class CorpusLmIndex:
             if not side.exists():
                 continue
             marker = side / "doomed.json"
-            if not marker.exists():
-                # torn sidecar write: the fold never started deleting,
-                # the delta rows are intact — discard and move on
+            try:
+                doomed = _json.loads(marker.read_text())["doomed"]
+            except (FileNotFoundError, ValueError, KeyError):
+                # missing or torn marker: the fold never started
+                # deleting (the marker is written atomically BEFORE any
+                # table mutation), so the delta rows are intact —
+                # discard and move on. Tolerating a torn marker matters:
+                # raising here would brick every subsequent open.
                 shutil.rmtree(side, ignore_errors=True)
                 continue
-            doomed = _json.loads(marker.read_text())["doomed"]
             rows = self.spark.read.parquet(str(side / "rows.parquet"))
             if doomed:
                 tbl.delete(F.col("token").isin(doomed))
@@ -152,33 +158,25 @@ class CorpusLmIndex:
 
     # -- read side -----------------------------------------------------
 
-    def _folded_uni(self) -> DataFrame | None:
+    def _folded_uni(self, exclude_token: str | None = None) -> DataFrame | None:
         stored = self.uni.read()
         if stored is None:
             return None
+        if exclude_token is not None:
+            stored = stored.filter(F.col("token") != exclude_token)
         return stored.groupBy("w").agg(F.sum("n").alias("n"))
 
-    def _folded_bi(self) -> DataFrame | None:
+    def _folded_bi(self, exclude_token: str | None = None) -> DataFrame | None:
         stored = self.bi.read()
         if stored is None:
             return None
+        if exclude_token is not None:
+            stored = stored.filter(F.col("token") != exclude_token)
         return stored.groupBy("w1", "w2").agg(F.sum("n").alias("n"))
 
-    def familiarity(self, batch: DataFrame) -> DataFrame:
-        """Score (doc_id, text) docs against the STORED corpus LM:
-        (doc_id, n_bigrams, sum_freq, familiarity, unfamiliar) — the
-        ``text_lm_familiarity`` semantics with vocabulary, bigram
-        frequencies, and the corpus mean all taken from stored state.
-        When the probe equals the stored corpus, the output matches
-        the registered operator row-for-row (pinned by test). Raises
-        on an empty index: a screen against no corpus is meaningless
-        and silently keeping everything would mask a wiring bug."""
-        uni, bi = self._folded_uni(), self._folded_bi()
-        if uni is None or bi is None:
-            raise ValueError(
-                "CorpusLmIndex.familiarity on an empty index — add() a "
-                "corpus first"
-            )
+    def _score_against(
+        self, uni: DataFrame, bi: DataFrame, batch: DataFrame
+    ) -> DataFrame:
         vocab = (
             uni.orderBy(F.col("n").desc(), "w")
             .limit(textops._LM_VOCAB)
@@ -197,15 +195,64 @@ class CorpusLmIndex:
             .agg(F.sum("n").alias("freq"))
         )
         # corpus mean bigram frequency = sum over stored pair INSTANCES
-        # of their type's frequency / total instances = sum(freq^2)/sum(freq)
+        # of their type's frequency / total instances = Σfreq²/Σfreq.
+        # freq is cast to double BEFORE the product: long×long overflows
+        # at ~3e9 instances of one type ('<unk> <unk>' at corpus scale),
+        # and ANSI mode turns that into a query-killing exception. The
+        # double product is exact below 2^53 (so the operator-parity
+        # test is unaffected) and correctly-rounded above (fine — the
+        # flag is a heuristic at that magnitude).
+        fd = F.col("freq").cast("double")
         gavg = c2.groupBy().agg(
-            (
-                F.sum(F.col("freq") * F.col("freq")).cast("double")
-                / F.sum("freq").cast("double")
-            ).alias("gavg")
+            (F.sum(fd * fd) / F.sum(fd)).alias("gavg")
         )
-        mapped = lm_map_to_vocab(lm_pairs(lm_clean(batch.select("doc_id", "text"))), vocab)
+        mapped = lm_map_to_vocab(
+            lm_pairs(lm_clean(batch.select("doc_id", "text"))), vocab
+        )
         return lm_score(mapped, c2, gavg)
+
+    def familiarity(self, batch: DataFrame) -> DataFrame:
+        """Score (doc_id, text) docs against the STORED corpus LM:
+        (doc_id, n_bigrams, sum_freq, familiarity, unfamiliar) — the
+        ``text_lm_familiarity`` semantics with vocabulary, bigram
+        frequencies, and the corpus mean all taken from stored state.
+        When the probe equals the stored corpus, the output matches
+        the registered operator row-for-row (pinned by test). Raises
+        on an empty index: a screen against no corpus is meaningless
+        and silently keeping everything would mask a wiring bug."""
+        uni, bi = self._folded_uni(), self._folded_bi()
+        if uni is None or bi is None:
+            raise ValueError(
+                "CorpusLmIndex.familiarity on an empty index — add() a "
+                "corpus first"
+            )
+        return self._score_against(uni, bi, batch)
+
+    def screen_before(self, batch: DataFrame) -> DataFrame | None:
+        """``familiarity`` for a batch that will subsequently be
+        ``add``-ed — scores against the stored corpus EXCLUDING this
+        batch's own delta token. The streaming ingest needs exactly
+        this: on a crash-replay the batch's counts are already stored,
+        and without the exclusion the batch would be judged against
+        itself (its gibberish has stored freq ≥ 1 → scores familiar —
+        the wrong flag would persist in the kept table forever). With
+        it, first delivery and replay score against the identical
+        state. Known residual: if an ``optimize`` folded the batch's
+        token away BETWEEN crash and replay, the exclusion misses and
+        the replayed flags may differ — the flag is observational by
+        design, and maintenance folds shouldn't run mid-recovery
+        anyway (see ``optimize``'s single-writer note).
+
+        Returns None when there is no prior corpus to judge against
+        (empty index, or the only stored content IS this batch)."""
+        if not self.bi.exists():
+            return None
+        token = _batch_token(batch)
+        uni = self._folded_uni(exclude_token=token)
+        bi = self._folded_bi(exclude_token=token)
+        if uni is None or bi is None or not bi.limit(1).count():
+            return None
+        return self._score_against(uni, bi, batch)
 
     # -- maintenance ---------------------------------------------------
 
@@ -219,11 +266,26 @@ class CorpusLmIndex:
         them to a sidecar, doomed-token list LAST as the commit marker;
         (3) delete the old delta tokens; (4) merge the fold rows;
         (5) drop the sidecar. A crash anywhere replays (3)-(5) from the
-        sidecar on next open (``_recover_folds``) — counts are never
-        doubled and never lost."""
+        sidecar — on next open (``_recover_folds``) AND at the top of
+        this method, so a failed fold retried in the SAME process
+        recovers instead of discarding the committed journal (losing
+        the counts whose deltas step (3) already deleted).
+
+        Single-writer maintenance: don't run ``optimize`` concurrently
+        with ``add`` — a replayed add whose token is in the doomed list
+        can re-insert its deltas in the delete→merge window, and the
+        fold rows already include those counts (the per-op transactions
+        don't linearize across the two commits). Adds between folds,
+        and concurrent adds with each other, are safe."""
         import json as _json
+        import os
         import shutil
 
+        # a prior fold may have crashed in THIS process (no reopen →
+        # __init__'s recovery never ran): replay it before starting a
+        # new one — rmtree-ing an unreplayed committed journal here
+        # would permanently lose the folded counts
+        self._recover_folds()
         out = {}
         for name, tbl, keys in (
             ("uni", self.uni, ["w"]),
@@ -244,27 +306,21 @@ class CorpusLmIndex:
                 .groupBy(*keys)
                 .agg(F.sum("n").alias("n"))
             )
-            digest_src = F.concat_ws("\x1f", *keys, F.col("n").cast("string"))
-            tok_row = folded.agg(
-                F.sum(
-                    F.conv(
-                        F.substring(
-                            F.sha2(F.encode(digest_src, "UTF-8"), 256), 1, 15
-                        ),
-                        16,
-                        10,
-                    ).cast("decimal(38,0)")
-                ).alias("s"),
-                F.count(F.lit(1)).alias("c"),
-            ).collect()[0]
-            fold_token = f"fold-{tok_row['s']}-{tok_row['c']}"
+            fold_token = _content_token(
+                folded,
+                F.concat_ws("\x1f", *keys, F.col("n").cast("string")),
+                "fold",
+            )
             doomed = [t for t in tokens if t != fold_token]
             side = self._fold_sidecar(name)
-            shutil.rmtree(side, ignore_errors=True)
             folded.withColumn("token", F.lit(fold_token)).select(
                 *keys, "token", "n"
             ).write.parquet(str(side / "rows.parquet"))
-            (side / "doomed.json").write_text(_json.dumps({"doomed": doomed}))
+            # marker written atomically (tmp + rename): a torn marker
+            # must read as "fold never started", not JSONDecodeError
+            tmp = side / ".doomed.json.tmp"
+            tmp.write_text(_json.dumps({"doomed": doomed}))
+            os.replace(tmp, side / "doomed.json")
             if doomed:
                 tbl.delete(F.col("token").isin(doomed))
             tbl.merge(self.spark.read.parquet(str(side / "rows.parquet")))

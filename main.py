@@ -165,7 +165,12 @@ def corpus_main(argv: list[str]) -> int:
             scores = spark.read.parquet(args.out)
         counts = scores.agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("unfamiliar").cast("bigint")).alias("n_unfamiliar"),
+            # coalesce: sum over ZERO scored rows (every probe doc under
+            # 2 tokens) is NULL — schedulers doing arithmetic on the
+            # JSON line need 0, not null
+            F.coalesce(
+                F.sum(F.col("unfamiliar").cast("bigint")), F.lit(0)
+            ).alias("n_unfamiliar"),
         ).collect()[0]
         print(
             json.dumps(

@@ -170,3 +170,95 @@ def test_familiarity_on_empty_index_raises(spark, tmp_path):
     idx = CorpusLmIndex(spark, str(tmp_path / "lm"))
     with pytest.raises(ValueError, match="empty"):
         idx.familiarity(_docs(spark, [(1, "a b c")]))
+
+
+def test_screen_before_is_replay_deterministic(spark, tmp_path):
+    """The ingest invariant: screening a batch BEFORE its add and
+    re-screening it AFTER (the crash-replay case, when its delta token
+    is already stored) must produce identical flags — screen_before
+    excludes the batch's own contribution."""
+    rng = random.Random(37)
+    idx = CorpusLmIndex(spark, str(tmp_path / "lm"))
+    idx.add(_docs(spark, _corpus(rng, 20)))
+    probe = _docs(
+        spark,
+        [(100, random_doc(rng, 40)),
+         (101, " ".join(f"jw{i}k" for i in range(25)))],
+    )
+    first = {
+        r.doc_id: (r.sum_freq, r.familiarity, r.unfamiliar)
+        for r in idx.screen_before(probe).collect()
+    }
+    assert first[101][2] and not first[100][2]
+    idx.add(probe)  # the crash landed after lm.add; the batch replays
+    replay = {
+        r.doc_id: (r.sum_freq, r.familiarity, r.unfamiliar)
+        for r in idx.screen_before(probe).collect()
+    }
+    assert replay == first
+    # sanity: WITHOUT the exclusion the state differs (the probe's own
+    # counts are in the fold now)
+    with_self = {
+        r.doc_id: r.sum_freq for r in idx.familiarity(probe).collect()
+    }
+    assert with_self != {d: v[0] for d, v in first.items()}
+
+
+def test_screen_before_returns_none_when_only_self_stored(spark, tmp_path):
+    rng = random.Random(41)
+    idx = CorpusLmIndex(spark, str(tmp_path / "lm"))
+    probe = _docs(spark, _corpus(rng, 4))
+    assert idx.screen_before(probe) is None  # empty index
+    idx.add(probe)
+    # the ONLY stored content is this batch: nothing prior to judge by
+    assert idx.screen_before(probe) is None
+
+
+def test_optimize_retry_replays_committed_journal_instead_of_discarding(
+    spark, tmp_path
+):
+    """A fold that deleted its deltas but crashed before the merge,
+    retried in the SAME process (no reopen): optimize() must replay the
+    journal, not rmtree it — discarding would permanently lose every
+    count the delete removed."""
+    rng = random.Random(43)
+    rows = _corpus(rng, 6)
+    idx = CorpusLmIndex(spark, str(tmp_path / "lm"))
+    idx.add(_docs(spark, rows[:3]))
+    idx.add(_docs(spark, rows[3:]))
+    want = {tuple(r) for r in idx._folded_uni().collect()}
+
+    # craft the committed-journal crash state by hand: sidecar written,
+    # deltas deleted, fold rows NOT merged
+    tokens = [
+        r["token"] for r in idx.uni.read().select("token").distinct().collect()
+    ]
+    folded = idx.uni.read().groupBy("w").agg(F.sum("n").alias("n"))
+    side = idx._fold_sidecar("uni")
+    folded.withColumn("token", F.lit("fold-crash")).select(
+        "w", "token", "n"
+    ).write.parquet(str(side / "rows.parquet"))
+    (side / "doomed.json").write_text(json.dumps({"doomed": tokens}))
+    idx.uni.delete(F.col("token").isin(tokens))
+
+    out = idx.optimize()  # same object — __init__ recovery never ran
+    assert not side.exists()
+    assert {tuple(r) for r in idx._folded_uni().collect()} == want
+    # the replayed fold left one token; bi still had two to fold
+    assert out["bi_tokens_folded"] == 2
+
+
+def test_torn_doomed_marker_is_discarded_not_fatal(spark, tmp_path):
+    """A half-written doomed.json must read as 'fold never started',
+    not brick every subsequent open with JSONDecodeError."""
+    rng = random.Random(47)
+    idx = CorpusLmIndex(spark, str(tmp_path / "lm"))
+    idx.add(_docs(spark, _corpus(rng, 4)))
+    want = {tuple(r) for r in idx._folded_uni().collect()}
+    side = idx._fold_sidecar("uni")
+    idx.uni.read().limit(1).write.parquet(str(side / "rows.parquet"))
+    (side / "doomed.json").write_text('{"doo')  # torn mid-write
+
+    reopened = CorpusLmIndex(spark, str(tmp_path / "lm"))
+    assert not side.exists()
+    assert {tuple(r) for r in reopened._folded_uni().collect()} == want
