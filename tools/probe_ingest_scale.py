@@ -11,8 +11,11 @@ per-batch cost must stay ~FLAT as the stored corpus grows from 0 to
 ~5k docs — the screen is a bloom probe plus key-only semi-joins, so
 batch cost is O(|batch|) + bounded probes, never a corpus rescan.
 
-Usage: python tools/probe_ingest_scale.py [n_batches] [dup_permille]
-Prints one JSON line per batch plus a summary line.
+Usage: python tools/probe_ingest_scale.py [n_batches] [dup_permille] [--lm]
+Prints one JSON line per batch plus a summary line. ``--lm`` threads
+the stored bigram-LM (``--lm-index``) through the ingest, so the probe
+also measures the familiarity screen's per-batch cost as the stored
+LM grows.
 """
 
 from __future__ import annotations
@@ -35,8 +38,10 @@ from finance_pipeline_spark.session import get_session  # noqa: E402
 
 
 def main() -> int:
-    n_batches = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    dup_pm = int(sys.argv[2]) if len(sys.argv) > 2 else 100  # 10% dups
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    with_lm = "--lm" in sys.argv
+    n_batches = int(args[0]) if len(args) > 0 else 8
+    dup_pm = int(args[1]) if len(args) > 1 else 100  # 10% dups
     sf_dir = "/root/testdata/sf0.1"
 
     docs = pd.read_parquet(f"{sf_dir}/documents.parquet")[
@@ -78,6 +83,7 @@ def main() -> int:
         str(work / "kept"),
         str(work / "ckpt"),
         max_files_per_trigger=1,
+        lm_root=str(work / "lm") if with_lm else None,
     )
     for s in stats:
         print(json.dumps(s))
