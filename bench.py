@@ -7,6 +7,17 @@ Runs every registry query flagged ``bench=True`` against
     {"metric": "bench_total_sec", "value": N, "unit": "sec",
      "queries": {"q": sec, ...}, "sf": 0.1}
 
+Stdout hygiene (every ``BENCH_r0N.json`` through r8 recorded
+``"parsed": null`` — the driver could not pull structured numbers out
+of our output): file descriptor 1 is re-pointed at stderr BEFORE the
+JVM starts, so nothing the JVM/py4j/log4j writes to the process's
+stdout can interleave with the result; the single compact JSON object
+is written to a saved duplicate of the ORIGINAL stdout as the very
+last act. Per-repeat raw timings (needed to tell CPU-steal noise from
+real regressions) move to ``bench_detail.json`` next to this script
+and to stderr — they tripled the stdout line's size, which risked the
+driver's tail-capture truncating the JSON mid-object.
+
 Timing protocol: each query is forced end-to-end with a ``noop``-format
 write (computes every output column, no driver collect, no sink IO), so
 the number measures the full distributed plan, not just a count-star
@@ -38,6 +49,15 @@ def force(df) -> None:
 
 
 def main() -> int:
+    # Stdout guard: duplicate the real stdout for the final JSON line,
+    # then point fd 1 at stderr so ANY write to fd 1 from here on
+    # (JVM console appenders, py4j, a stray library print) lands in the
+    # diagnostic stream instead of corrupting the machine-readable
+    # output. Must happen before the SparkSession (JVM) launches.
+    real_stdout = os.fdopen(os.dup(1), "w")
+    os.dup2(2, 1)
+    sys.stdout = sys.stderr
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     repeat = 3  # min-of-3: the host shows bursty CPU-steal windows
     # (identical code measured 35s/64s/42s across runs); two repeats
@@ -105,26 +125,35 @@ def main() -> int:
         print(f"# {name}: {timings[name]:.3f}s {runs}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    # Per-repeat raw times ride along so a round-over-round diff can
-    # tell CPU-steal noise (one wild repeat, stable min) from a real
-    # plan regression (all repeats shifted) — this host shows bursty
-    # steal windows (identical code: 35s/64s/42s across runs).
-    print(
-        json.dumps(
-            {
-                "metric": "bench_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "errors": errors,
-                "repeats": repeats,
-                "shuffle_partitions": int(
-                    spark.conf.get("spark.sql.shuffle.partitions")
-                ),
-                "sf": sf,
-            }
-        )
-    )
+    result = {
+        "metric": "bench_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "errors": errors,
+        "shuffle_partitions": int(
+            spark.conf.get("spark.sql.shuffle.partitions")
+        ),
+        "sf": sf,
+    }
+    # Per-repeat raw times let a round-over-round diff tell CPU-steal
+    # noise (one wild repeat, stable min) from a real plan regression
+    # (all repeats shifted) — this host shows bursty steal windows
+    # (identical code: 35s/64s/42s across runs). They ride in a sidecar
+    # file + stderr, NOT stdout: the repeats map tripled the stdout
+    # line and risked tail-capture truncation.
+    detail = dict(result, repeats=repeats)
+    detail_path = Path(__file__).resolve().parent / "bench_detail.json"
+    try:
+        detail_path.write_text(json.dumps(detail, indent=1) + "\n")
+    except OSError as exc:
+        print(f"# bench_detail.json not written: {exc}", file=sys.stderr)
+    print(f"# detail: {json.dumps(detail)}", file=sys.stderr)
+    sys.stderr.flush()
+    # The one and only stdout artifact — written to the saved pre-guard
+    # descriptor, as a single compact line.
+    real_stdout.write(json.dumps(result) + "\n")
+    real_stdout.flush()
     return 0
 
 

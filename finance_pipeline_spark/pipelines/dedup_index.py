@@ -94,7 +94,11 @@ class CorpusDedupIndex:
         delta rows under the fixed token ``migrate-v1`` (keyed merge →
         idempotent); (5) delete the backup. A crash between (3) and
         (5) leaves the backup, and the recovery branch below replays
-        (4)-(5) on next open — bits are never lost at any step."""
+        (4)-(5) on next open. A crash DURING (2) leaves a torn backup
+        dir (no ``_SUCCESS`` marker); the guard below discards it and
+        reruns the migration from the still-intact old table — the
+        destructive step (3) only ever runs after the backup is
+        validated committed, so bits are never lost at any step."""
         from pathlib import Path
 
         backup = Path(self.root) / "bloom_migrate_v1.parquet"
@@ -111,6 +115,18 @@ class CorpusDedupIndex:
                     )
                 )
 
+        import shutil
+
+        if backup.exists() and not (backup / "_SUCCESS").exists():
+            # TORN backup: the crash hit DURING the backup parquet
+            # write (step 2), before the committer placed _SUCCESS —
+            # the old table is still the only complete copy. Taking
+            # the replay branch here would drop it and then raise on
+            # the unreadable backup, losing the bits permanently
+            # (the advisor-flagged hole). Discard the torn dir and
+            # fall through to rerun the migration from the intact
+            # old table.
+            shutil.rmtree(backup, ignore_errors=True)
         if backup.exists():  # crashed mid-migration: replay from (3)
             if self.bloom.exists():
                 stored = self.bloom.read()
@@ -119,8 +135,6 @@ class CorpusDedupIndex:
                     # backup is the complete fold of this old table
                     self.bloom.drop()
             _restore(self.spark.read.parquet(str(backup)))
-            import shutil
-
             shutil.rmtree(backup, ignore_errors=True)
             return
         if not self.bloom.exists():
@@ -130,10 +144,17 @@ class CorpusDedupIndex:
             return  # empty or already the delta layout
         old = stored.groupBy("word_idx").agg(F.bit_or("word").alias("word"))
         old.coalesce(1).write.mode("overwrite").parquet(str(backup))
+        if not (backup / "_SUCCESS").exists():
+            # Backup not durably committed — refuse to touch the old
+            # table. Leaves the pre-migration layout (unreadable by the
+            # delta-layout code paths, but INTACT) for the next open to
+            # retry, rather than destroying the only complete copy.
+            raise RuntimeError(
+                f"bloom migration backup at {backup} missing _SUCCESS "
+                "after write; old table left untouched — retry the open"
+            )
         self.bloom.drop()
         _restore(self.spark.read.parquet(str(backup)))
-        import shutil
-
         shutil.rmtree(backup, ignore_errors=True)
 
     # -- read side ---------------------------------------------------

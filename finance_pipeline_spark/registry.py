@@ -90,6 +90,12 @@ def query(
 
 _SHIPPED_APPS: set[str] = set()
 
+# Read-only-checkout fallback zip, cached per package content: one temp
+# dir per PROCESS (not per SparkSession — the advisor found the
+# per-session mkdtemp leaked a dir every session construction), rebuilt
+# only when the package source actually changed (max mtime over *.py).
+_FALLBACK_ZIP: "tuple[float, Path] | None" = None
+
 
 def ship_package(spark: SparkSession) -> None:
     """Make ``finance_pipeline_spark`` importable on executor Python
@@ -110,6 +116,7 @@ def ship_package(spark: SparkSession) -> None:
     import os
 
     pkg_root = Path(__file__).resolve().parent
+    tmp = None
     try:
         cache = pkg_root.parent / ".cache"
         cache.mkdir(parents=True, exist_ok=True)
@@ -122,23 +129,44 @@ def ship_package(spark: SparkSession) -> None:
             for p in sorted(pkg_root.rglob("*.py")):
                 z.write(p, p.relative_to(pkg_root.parent))
         tmp.replace(zpath)
+        tmp = None
     except OSError:
         # Read-only checkout (CI mount, site-packages install): fall
-        # back to a tempdir zip. If THAT fails too, degrade to the
-        # pre-ship behavior — session construction must not die here;
-        # only executor-side imports (mapInPandas closures) would
-        # later miss the package, and they fail with a clear
-        # ModuleNotFoundError naming it.
+        # back to a tempdir zip — ONE per process, reused across
+        # sessions and rebuilt only when the package mtime moves (the
+        # advisor flagged the previous per-session mkdtemp as a temp
+        # dir leak). If THAT fails too, degrade to the pre-ship
+        # behavior — session construction must not die here; only
+        # executor-side imports (mapInPandas closures) would later miss
+        # the package, and they fail with a clear ModuleNotFoundError
+        # naming it.
         import tempfile
 
+        global _FALLBACK_ZIP
         try:
-            zpath = Path(tempfile.mkdtemp()) / "finance_pipeline_spark.zip"
-            with zipfile.ZipFile(zpath, "w") as z:
-                for p in sorted(pkg_root.rglob("*.py")):
-                    z.write(p, p.relative_to(pkg_root.parent))
+            mtime = max(p.stat().st_mtime for p in pkg_root.rglob("*.py"))
+            if _FALLBACK_ZIP is not None and _FALLBACK_ZIP[0] == mtime:
+                zpath = _FALLBACK_ZIP[1]
+            else:
+                zpath = Path(tempfile.mkdtemp()) / "finance_pipeline_spark.zip"
+                with zipfile.ZipFile(zpath, "w") as z:
+                    for p in sorted(pkg_root.rglob("*.py")):
+                        z.write(p, p.relative_to(pkg_root.parent))
+                if _FALLBACK_ZIP is not None:
+                    # retire the stale zip's tempdir before re-pointing
+                    import shutil
+
+                    shutil.rmtree(_FALLBACK_ZIP[1].parent, ignore_errors=True)
+                _FALLBACK_ZIP = (mtime, zpath)
         except OSError:
             _SHIPPED_APPS.add(app_id)  # don't retry every call
             return
+    finally:
+        if tmp is not None:  # the broad except above must not strand it
+            try:
+                tmp.unlink(missing_ok=True)
+            except OSError:
+                pass
     try:
         spark.sparkContext.addPyFile(str(zpath))
     except Exception:  # noqa: BLE001 — already registered in this context

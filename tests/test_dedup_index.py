@@ -362,3 +362,41 @@ def test_bloom_migration_recovers_from_crash_between_backup_and_drop(
     rebuilt = build_digest_bloom(batch.select(_digest().alias("dg")))
     assert np.array_equal(idx2._bloom_words(), rebuilt)
     assert not (root / "bloom_migrate_v1.parquet").exists()
+
+
+def test_bloom_migration_survives_torn_backup(spark, tmp_path):
+    """Crash corner (advisor-flagged): the crash hit DURING the backup
+    parquet write, leaving a torn dir with no _SUCCESS marker next to
+    the intact old-layout table. The old recovery branch dropped the
+    intact table and then raised on the unreadable backup — bits gone
+    forever. Now the torn dir is discarded and the migration reruns
+    from the old table with zero lost bits."""
+    import numpy as np
+
+    from finance_pipeline_spark.operators.dedup import build_digest_bloom
+    from finance_pipeline_spark.pipelines.dedup_index import _digest
+    from finance_pipeline_spark.sinks.txn_table import TxnKeyedTable
+
+    root = tmp_path / "idx"
+    rng = random.Random(37)
+    batch = _docs(spark, [(i, random_doc(rng)) for i in range(3)])
+    idx = CorpusDedupIndex(spark, str(root))
+    idx.add(batch)
+    words = idx._bloom_words().view(np.int64)
+    old_rows = [(int(i), int(w)) for i, w in enumerate(words) if w != 0]
+    idx.bloom.drop()
+    TxnKeyedTable(spark, str(root / "bloom"), ["word_idx"]).merge(
+        spark.createDataFrame(old_rows, "word_idx bigint, word bigint")
+    )
+    # torn backup: a part file landed but the committer never placed
+    # _SUCCESS (crash mid-write)
+    backup = root / "bloom_migrate_v1.parquet"
+    backup.mkdir(parents=True)
+    (backup / "part-00000.parquet").write_bytes(b"\x00garbage not parquet")
+
+    idx2 = CorpusDedupIndex(spark, str(root))
+    rebuilt = build_digest_bloom(batch.select(_digest().alias("dg")))
+    assert np.array_equal(idx2._bloom_words(), rebuilt)
+    assert not backup.exists()
+    stored = idx2.bloom.read()
+    assert "token" in stored.columns
