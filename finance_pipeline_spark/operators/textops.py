@@ -1463,20 +1463,28 @@ _LM_UNFAMILIAR_X = 4  # flag docs whose mean bigram freq < corpus mean / X
     ), per_doc AS (
         SELECT m.doc_id, m.lang,
                CAST(count(*) AS BIGINT) AS n_bigrams,
-               CAST(sum(c2.freq) AS BIGINT) AS sum_freq
+               CAST(sum(CASE WHEN m.w1 = '<unk>' AND m.w2 = '<unk>'
+                             THEN 0 ELSE 1 END) AS BIGINT) AS n_scored,
+               CAST(sum(CASE WHEN m.w1 = '<unk>' AND m.w2 = '<unk>'
+                             THEN 0 ELSE c2.freq END) AS BIGINT) AS sum_freq
         FROM mapped m JOIN c2 USING (w1, w2)
         GROUP BY 1, 2
     ), corpus_mean AS (
-        SELECT CAST(sum(sum_freq) AS DOUBLE)
-               / CAST(sum(n_bigrams) AS DOUBLE) AS gavg
-        FROM per_doc
+        SELECT lang,
+               CASE WHEN sum(n_scored) > 0
+                    THEN CAST(sum(sum_freq) AS DOUBLE)
+                         / CAST(sum(n_scored) AS DOUBLE) END AS gavg
+        FROM per_doc GROUP BY lang
     )
-    SELECT doc_id, lang, n_bigrams, sum_freq,
-           round(CAST(sum_freq AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 6)
+    SELECT doc_id, lang, n_bigrams, n_scored, sum_freq,
+           round(CASE WHEN n_scored > 0
+                      THEN CAST(sum_freq AS DOUBLE)
+                           / CAST(n_scored AS DOUBLE) END, 6)
                AS familiarity,
-           (CAST(sum_freq AS DOUBLE) / CAST(n_bigrams AS DOUBLE))
-               * {_LM_UNFAMILIAR_X}.0 < gavg AS unfamiliar
-    FROM per_doc CROSS JOIN corpus_mean
+           n_scored = 0
+           OR coalesce((CAST(sum_freq AS DOUBLE) / CAST(n_scored AS DOUBLE))
+                       * {_LM_UNFAMILIAR_X}.0 < gavg, FALSE) AS unfamiliar
+    FROM per_doc LEFT JOIN corpus_mean USING (lang)
     """,
     tags=("text", "quality", "lm"),
     bench=True,
@@ -1487,10 +1495,16 @@ def text_lm_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequences it finds surprising" quality filter, re-expressed so
     every compared value is engine-exact. Tokens outside the top-
     ``_LM_VOCAB`` corpus vocabulary map to ``<unk>``; each document
-    scores the mean corpus frequency of its consecutive-token bigrams;
-    docs whose mean is under 1/``_LM_UNFAMILIAR_X`` of the corpus-wide
-    mean are flagged ``unfamiliar`` (gibberish, boilerplate soup,
-    wrong-language shards — sequences the corpus LM has rarely seen).
+    scores the mean corpus frequency of its consecutive-token bigrams
+    — EXCLUDING ``<unk> <unk>`` pairs, which otherwise become the
+    corpus's most frequent bigram type once the true vocabulary
+    exceeds the cap and would score pure-OOV gibberish as maximally
+    familiar (the r8 advisor inversion); docs whose mean is under
+    1/``_LM_UNFAMILIAR_X`` of their LANGUAGE's corpus mean (per-lang,
+    so minority languages aren't wholesale-flagged) — or with zero
+    scored pairs at all — are flagged ``unfamiliar`` (gibberish,
+    boilerplate soup, encoding junk: sequences the corpus LM has
+    rarely seen).
 
     True perplexity needs libm ``ln``, whose last bit differs between
     engines — the reason text_tfidf_topk went log-free. Same trick
@@ -1557,41 +1571,81 @@ def lm_map_to_vocab(pairs: DataFrame, vocab: DataFrame) -> DataFrame:
 
 
 def lm_score(
-    mapped: DataFrame, c2: DataFrame, gavg: DataFrame | None = None
+    mapped: DataFrame,
+    c2: DataFrame,
+    gavg: DataFrame | None = None,
+    mean_keys: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-doc familiarity over vocab-mapped pairs: ``c2`` is the
     (w1, w2, freq) bigram-frequency table (broadcast — bounded at
     (V+1)²); pairs absent from ``c2`` score freq 0 (only possible when
     screening NEW docs against a stored corpus — the operator's own
-    c2 covers every pair it scores). ``gavg`` is the 1-row corpus-mean
+    c2 covers every pair it scores). ``gavg`` is the corpus-mean
     frame; None derives it from the scored docs themselves (the
-    ``text_lm_familiarity`` oracle semantics)."""
+    ``text_lm_familiarity`` oracle semantics), grouped by
+    ``mean_keys`` (e.g. ``("lang",)`` — per-language means, so a
+    minority language's globally-rare bigrams don't flag its every
+    document; advisor finding r8).
+
+    ``<unk> <unk>`` pairs are EXCLUDED from both the per-doc mean and
+    the corpus mean: once corpus vocabulary exceeds ``_LM_VOCAB``,
+    every out-of-vocab token collapses to ``<unk>``, making
+    ``<unk> <unk>`` typically the highest-frequency bigram type — so
+    pure-OOV gibberish would score maximally FAMILIAR (the advisor's
+    inversion finding). With the exclusion, a doc whose every bigram
+    is ``<unk> <unk>`` has zero scored pairs (``n_scored`` = 0), null
+    familiarity, and is flagged unfamiliar outright."""
     carry = [c for c in mapped.columns if c not in ("w1", "w2")]
+    unk2 = (F.col("w1") == F.lit("<unk>")) & (F.col("w2") == F.lit("<unk>"))
     per_doc = (
         mapped.join(F.broadcast(c2), ["w1", "w2"], "left")
         .withColumn("freq", F.coalesce("freq", F.lit(0)))
+        .withColumn("scored", ~unk2)
         .groupBy(*carry)
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
-            F.sum("freq").cast("bigint").alias("sum_freq"),
+            F.sum(F.col("scored").cast("bigint")).alias("n_scored"),
+            F.sum(F.when(F.col("scored"), F.col("freq")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("sum_freq"),
         )
     )
     if gavg is None:
-        gavg = per_doc.groupBy().agg(
-            (
-                F.sum("sum_freq").cast("double")
-                / F.sum("n_bigrams").cast("double")
-            ).alias("gavg")
+        gavg = (
+            per_doc.groupBy(*mean_keys)
+            .agg(
+                F.sum("sum_freq").alias("_sf"), F.sum("n_scored").alias("_ns")
+            )
+            .select(
+                *mean_keys,
+                F.when(
+                    F.col("_ns") > 0,
+                    F.col("_sf").cast("double") / F.col("_ns").cast("double"),
+                ).alias("gavg"),
+            )
         )
-    fam = F.col("sum_freq").cast("double") / F.col("n_bigrams").cast("double")
-    return per_doc.crossJoin(F.broadcast(gavg)).select(
+    joined = (
+        per_doc.join(F.broadcast(gavg), list(mean_keys), "left")
+        if mean_keys
+        else per_doc.crossJoin(F.broadcast(gavg))
+    )
+    fam = F.when(
+        F.col("n_scored") > 0,
+        F.col("sum_freq").cast("double") / F.col("n_scored").cast("double"),
+    )
+    return joined.select(
         *carry,
         "n_bigrams",
+        "n_scored",
         "sum_freq",
         F.round(fam, 6).alias("familiarity"),
-        (fam * F.lit(float(_LM_UNFAMILIAR_X)) < F.col("gavg")).alias(
-            "unfamiliar"
-        ),
+        (
+            (F.col("n_scored") == 0)
+            | F.coalesce(
+                fam * F.lit(float(_LM_UNFAMILIAR_X)) < F.col("gavg"),
+                F.lit(False),
+            )
+        ).alias("unfamiliar"),
     )
 
 
@@ -1599,7 +1653,10 @@ def lm_familiarity(d: DataFrame) -> DataFrame:
     """The ``text_lm_familiarity`` scorer over any (doc_id, lang, text)
     frame — exposed so the curation pipeline can screen its own
     (already quality-filtered, already checkpointed) universe with the
-    exact semantics the DuckDB oracle verified."""
+    exact semantics the DuckDB oracle verified. The flag compares each
+    doc to ITS LANGUAGE's corpus mean (``mean_keys=("lang",)``), so a
+    mixed-language corpus can't wholesale-flag a minority language
+    whose bigrams are globally rare."""
     clean = lm_clean(d, ("doc_id", "lang"))
     uni = (
         clean.select(F.explode("toks").alias("w"))
@@ -1609,4 +1666,4 @@ def lm_familiarity(d: DataFrame) -> DataFrame:
     vocab = uni.orderBy(F.col("n").desc(), "w").limit(_LM_VOCAB).select("w")
     mapped = lm_map_to_vocab(lm_pairs(clean, ("doc_id", "lang")), vocab)
     c2 = mapped.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("freq"))
-    return lm_score(mapped, c2)
+    return lm_score(mapped, c2, mean_keys=("lang",))

@@ -84,7 +84,14 @@ def curate_corpus(
     # normal length and type/token ratio but bigrams the rest of the
     # corpus never produces). Same scorer the text_lm_familiarity
     # oracle verified; trained on the post-screen universe so junk the
-    # TTR stage already dropped doesn't pollute the vocabulary.
+    # TTR stage already dropped doesn't pollute the vocabulary. Two
+    # r8 advisor hazards are closed inside the scorer itself: the flag
+    # compares each doc to ITS LANGUAGE's mean (a minority language
+    # can't be wholesale-dropped for having globally-rare bigrams),
+    # and '<unk> <unk>' pairs are excluded from scoring (pure-OOV
+    # gibberish flags via n_scored=0 instead of riding the corpus's
+    # most frequent bigram type to a "familiar" verdict once the real
+    # vocabulary exceeds _LM_VOCAB).
     from finance_pipeline_spark.operators.textops import lm_familiarity
 
     unfamiliar = (

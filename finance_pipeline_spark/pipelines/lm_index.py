@@ -195,16 +195,32 @@ class CorpusLmIndex:
             .agg(F.sum("n").alias("freq"))
         )
         # corpus mean bigram frequency = sum over stored pair INSTANCES
-        # of their type's frequency / total instances = Σfreq²/Σfreq.
+        # of their type's frequency / total instances = Σfreq²/Σfreq —
+        # over SCORED types only: the '<unk> <unk>' type is excluded,
+        # matching lm_score's per-doc exclusion (the r8 advisor
+        # inversion fix; without this the index mean and the operator
+        # mean would drift once vocab overflows).
         # freq is cast to double BEFORE the product: long×long overflows
-        # at ~3e9 instances of one type ('<unk> <unk>' at corpus scale),
-        # and ANSI mode turns that into a query-killing exception. The
-        # double product is exact below 2^53 (so the operator-parity
-        # test is unaffected) and correctly-rounded above (fine — the
-        # flag is a heuristic at that magnitude).
+        # at ~3e9 instances of one type, and ANSI mode turns that into
+        # a query-killing exception. The double product is exact below
+        # 2^53 (so the operator-parity test is unaffected) and
+        # correctly-rounded above (fine — the flag is a heuristic at
+        # that magnitude).
         fd = F.col("freq").cast("double")
-        gavg = c2.groupBy().agg(
-            (F.sum(fd * fd) / F.sum(fd)).alias("gavg")
+        gavg = (
+            c2.filter(
+                ~(
+                    (F.col("w1") == F.lit("<unk>"))
+                    & (F.col("w2") == F.lit("<unk>"))
+                )
+            )
+            .groupBy()
+            .agg(F.sum(fd * fd).alias("_ff"), F.sum(fd).alias("_f"))
+            .select(
+                F.when(F.col("_f") > 0, F.col("_ff") / F.col("_f")).alias(
+                    "gavg"
+                )
+            )
         )
         mapped = lm_map_to_vocab(
             lm_pairs(lm_clean(batch.select("doc_id", "text"))), vocab

@@ -161,7 +161,10 @@ def test_gibberish_probe_flags_against_stored_corpus(spark, tmp_path):
     got = {r.doc_id: r for r in idx.familiarity(probe).collect()}
     assert got[101].unfamiliar and got[101].sum_freq == 0
     assert not got[100].unfamiliar
-    assert got[100].familiarity > got[101].familiarity
+    # all-OOV probe: every bigram is <unk>-<unk>, which is excluded
+    # from scoring (the advisor inversion fix) -> nothing scored at all
+    assert got[101].n_scored == 0 and got[101].familiarity is None
+    assert got[100].familiarity > 0
 
 
 def test_familiarity_on_empty_index_raises(spark, tmp_path):

@@ -207,8 +207,12 @@ def test_lm_familiarity_flags_gibberish(spark, tmp_path):
 
 
 def test_lm_familiarity_unk_mapping_caps_vocab(spark, tmp_path):
-    """Rare tokens map to <unk>: two docs made of DIFFERENT rare tokens
-    still share bigram mass through <unk> once the vocab cap bites."""
+    """Once the vocab cap bites, pure-OOV docs collapse to the
+    '<unk> <unk>' bigram — typically the CORPUS'S most frequent type.
+    The advisor-flagged inversion: scoring those pairs would rank
+    gibberish maximally familiar. They are excluded instead: pure-OOV
+    docs have zero scored pairs, null familiarity, and the unfamiliar
+    flag; mixed pairs (vocab token next to an OOV token) still score."""
     from finance_pipeline_spark.operators import textops
 
     # force a tiny vocab so the cap is exercised at test scale
@@ -219,20 +223,59 @@ def test_lm_familiarity_unk_mapping_caps_vocab(spark, tmp_path):
             (1, "a b a b a b"),  # 'a' and 'b' fill the whole vocab
             (2, "rare1 rare2 rare1 rare2"),  # all <unk> after mapping
             (3, "rare3 rare4 rare3 rare4"),  # different tokens, same <unk>
+            (4, "a rare5 a rare6 a rare7"),  # mixed: a-<unk>/<unk>-a pairs
         ]
         sf = write_documents(tmp_path, docs)
         out = {
             r.doc_id: r
             for r in textops.text_lm_familiarity(spark, sf).collect()
         }
-        # docs 2 and 3 collapse to the same <unk>-<unk> bigram stream:
-        # identical counts, identical familiarity
-        assert out[2].sum_freq == out[3].sum_freq
-        assert out[2].familiarity == out[3].familiarity
-        # the <unk>-<unk> bigram count pools across BOTH docs (6 pairs)
-        assert out[2].sum_freq == 3 * 6
+        # pure-OOV docs: every pair is <unk>-<unk> -> nothing scored,
+        # flagged outright (NOT scored as the corpus's top bigram)
+        for i in (2, 3):
+            assert out[i].n_scored == 0 and out[i].sum_freq == 0
+            assert out[i].familiarity is None
+            assert out[i].unfamiliar
+        # mixed pairs still score: doc 4's a-<unk>/<unk>-a transitions
+        # carry real frequency mass
+        assert out[4].n_scored == out[4].n_bigrams == 5
+        assert out[4].sum_freq > 0
+        # in-vocab doc unaffected by the exclusion
+        assert out[1].n_scored == out[1].n_bigrams == 5
+        assert not out[1].unfamiliar
     finally:
         textops._LM_VOCAB = old
+
+
+def test_lm_familiarity_vocab_overflow_flags_gibberish(spark, tmp_path):
+    """The advisor's required regression: a corpus whose TRUE
+    vocabulary exceeds _LM_VOCAB (so '<unk>' genuinely dominates) must
+    still flag planted pure-OOV gibberish — under the old semantics the
+    '<unk> <unk>' frequency made gibberish the most FAMILIAR doc."""
+    import random
+
+    from finance_pipeline_spark.operators import textops
+
+    rng = random.Random(41)
+    # 40 docs over a 600-word vocabulary: far past _LM_VOCAB=256, so a
+    # large OOV tail maps to <unk> even for legitimate docs
+    vocab = [f"w{i}" for i in range(600)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(60)))
+        for i in range(1, 41)
+    ]
+    # planted gibberish: tokens no other doc uses — all OOV
+    docs.append((99, " ".join(f"zzqx{i}v" for i in range(30))))
+    sf = write_documents(tmp_path, docs)
+    out = {
+        r.doc_id: r for r in textops.text_lm_familiarity(spark, sf).collect()
+    }
+    assert out[99].unfamiliar, "pure-OOV gibberish must be flagged"
+    assert out[99].n_scored == 0 and out[99].familiarity is None
+    # the legitimate docs must NOT be wholesale-flagged just because
+    # the vocab overflowed (they share the corpus's real transitions)
+    n_flagged = sum(1 for i in range(1, 41) if out[i].unfamiliar)
+    assert n_flagged <= 8, f"vocab overflow flagged {n_flagged}/40 real docs"
 
 
 def test_emb_outlier_prune_flags_planted_far_vector(spark, tmp_path):
@@ -270,3 +313,36 @@ def test_emb_outlier_prune_flags_planted_far_vector(spark, tmp_path):
     for v in planted:
         assert out[v].dist > 2 * out[v].label_mean_dist
     assert all(r.label_mean_dist > 0 for r in out.values())
+
+
+def test_lm_familiarity_minority_language_not_wholesale_flagged(
+    spark, tmp_path
+):
+    """Per-language corpus means (advisor finding): under a single
+    global mean, every doc of a minority language has globally-rare
+    bigrams and gets flagged wholesale. With per-lang means, a
+    minority language whose docs share ITS OWN phrasing is unflagged."""
+    import pandas as pd
+
+    from finance_pipeline_spark.operators import textops
+
+    en = "the quick brown fox jumps over the lazy dog again and again"
+    fr = "le renard brun rapide saute par dessus le chien paresseux aussi"
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(range(1, 41)) + [101, 102, 103, 104],
+            "text": [en] * 40 + [fr] * 4,
+            "lang": ["en"] * 40 + ["fr"] * 4,
+            "source": ["test"] * 44,
+            "n_chars": [len(en)] * 40 + [len(fr)] * 4,
+        }
+    )
+    pdf.to_parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r.doc_id: r
+        for r in textops.text_lm_familiarity(spark, str(tmp_path)).collect()
+    }
+    # the fr docs' bigram frequency (4) is far under the en mass (40);
+    # a global mean would flag all four — per-lang must flag none
+    assert not any(out[i].unfamiliar for i in (101, 102, 103, 104))
+    assert not any(out[i].unfamiliar for i in range(1, 41))
