@@ -311,3 +311,83 @@ def test_ivfpq_rerank_restores_exact_rank1(spark, tmp_path):
     rows = ann_ivfpq_rerank(spark, sf).collect()
     top1 = {r.query_id: r.corpus_id for r in rows if r.rnk == 1}
     assert top1 == truth, top1
+
+
+def test_scaled_ann_params_track_corpus_size():
+    """Capacity derives from N: sqrt(N) cells, N/32 codes capped at the
+    8-bit 256, sqrt(cells) probes — with floors that keep toy corpora
+    trainable and a 4096-cell ceiling that keeps centroids
+    broadcast-sized."""
+    from finance_pipeline_spark.operators.similarity import scaled_ann_params
+
+    p = scaled_ann_params(1_000_000)
+    assert p["k_cells"] == 1000 and p["k_pq"] == 256 and p["nprobe"] == 32
+    p = scaled_ann_params(2000)
+    assert p["k_cells"] == 45 and p["k_pq"] == 62 and p["nprobe"] == 7
+    assert scaled_ann_params(10**10)["k_cells"] == 4096  # ceiling
+    tiny = scaled_ann_params(50)
+    assert tiny["k_cells"] >= 4 and tiny["k_pq"] >= 8  # floors
+    assert scaled_ann_params(0)["k_cells"] == 4  # degenerate-safe
+
+
+def test_ivfpq_scaled_recall_vs_exact_and_nprobe_dial(spark, tmp_path):
+    """Corpus-capacity IVFPQ earns its parameters: on a clustered
+    corpus (the regime IVF assumes), recall@10 vs the exact float
+    baseline must be high at the derived nprobe and must not DROP when
+    the dial rises — and the derived nprobe must beat a crippled
+    nprobe=1 scan."""
+    from finance_pipeline_spark.operators.similarity import (
+        ivfpq_scaled_topk,
+        scaled_ann_params,
+    )
+
+    rng = np.random.default_rng(17)
+    n_blobs, per_blob = 40, 50  # N=2000 -> 45 cells, 62 codes, nprobe 7
+    centers = 6.0 * rng.standard_normal((n_blobs, _DIM))
+    mat = np.vstack(
+        [
+            centers[b] + 0.4 * rng.standard_normal((per_blob, _DIM))
+            for b in range(n_blobs)
+        ]
+    )
+    ids = []
+    nid = 1
+    for _ in range(len(mat)):
+        if nid % 100 == 0:
+            nid += 1  # non-query corpus ids
+        ids.append(nid)
+        nid += 1
+    # queries: noisy copies of every 40th corpus vector, ids % 100 == 0
+    q_idx = list(range(0, len(mat), 40))
+    q_ids = [(k + 1) * 100 for k in range(len(q_idx))]
+    q_mat = mat[q_idx] + 0.1 * rng.standard_normal((len(q_idx), _DIM))
+    sf = write_embeddings(tmp_path, ids + q_ids, np.vstack([mat, q_mat]))
+
+    # exact squared-L2 top-10 per query (numpy, the independent oracle)
+    all_ids = np.array(ids + q_ids)
+    all_mat = np.vstack([mat, q_mat])
+    exact = {}
+    for k, qid in enumerate(q_ids):
+        d = ((all_mat - q_mat[k]) ** 2).sum(axis=1)
+        order = np.lexsort((all_ids, d))
+        top = [int(all_ids[j]) for j in order if int(all_ids[j]) != qid][:10]
+        exact[qid] = set(top)
+
+    def recall_at10(rows):
+        got = {}
+        for r in rows:
+            got.setdefault(r.query_id, set()).add(r.corpus_id)
+        return sum(
+            len(got.get(q, set()) & exact[q]) / 10 for q in exact
+        ) / len(exact)
+
+    n = len(all_ids)
+    derived = scaled_ann_params(n)["nprobe"]
+    r_derived = recall_at10(ivfpq_scaled_topk(spark, sf).collect())
+    r_np1 = recall_at10(ivfpq_scaled_topk(spark, sf, nprobe=1).collect())
+    r_wide = recall_at10(
+        ivfpq_scaled_topk(spark, sf, nprobe=derived * 2).collect()
+    )
+    assert r_derived >= 0.7, f"recall@10 {r_derived} at nprobe={derived}"
+    assert r_derived >= r_np1, (r_derived, r_np1)
+    assert r_wide >= r_derived - 1e-9, (r_wide, r_derived)

@@ -1,0 +1,125 @@
+"""10x scale probe for the corpus-capacity IVFPQ tier.
+
+Synthesizes clustered embedding corpora at N and 10N (the regime IVF
+assumes), runs ``ivfpq_scaled_topk`` end-to-end at each size, and
+measures wall time plus recall@10 against an exact numpy baseline.
+The point: as N grows 10x the derived capacity grows with it
+(sqrt(N) cells, bigger codebooks, wider nprobe) and recall must HOLD
+rather than decay — the measurement the r8 verdict asked for before
+trusting the scaled constants.
+
+Usage: python tools/probe_ann_scale.py [--n 2000] [--queries 20]
+Prints one JSON line with per-size {params, recall_at10, secs}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from finance_pipeline_spark.session import get_session  # noqa: E402
+
+_DIM = 64
+
+
+def _make_corpus(root: Path, n: int, n_queries: int, seed: int):
+    """Clustered corpus + noisy-copy queries (ids % 100 == 0), written
+    as an embeddings.parquet usable as sf_dir."""
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    n_blobs = max(8, int(round(np.sqrt(n))))
+    per_blob = max(1, n // n_blobs)
+    centers = 6.0 * rng.standard_normal((n_blobs, _DIM))
+    mat = np.vstack(
+        [
+            centers[b] + 0.4 * rng.standard_normal((per_blob, _DIM))
+            for b in range(n_blobs)
+        ]
+    )
+    ids = []
+    nid = 1
+    for _ in range(len(mat)):
+        if nid % 100 == 0:
+            nid += 1
+        ids.append(nid)
+        nid += 1
+    step = max(1, len(mat) // n_queries)
+    q_idx = list(range(0, len(mat), step))[:n_queries]
+    q_ids = [(k + 1) * 100 for k in range(len(q_idx))]
+    q_mat = mat[q_idx] + 0.1 * rng.standard_normal((len(q_idx), _DIM))
+    all_ids = ids + q_ids
+    all_mat = np.vstack([mat, q_mat])
+    pd.DataFrame(
+        {
+            "vec_id": all_ids,
+            "embedding": [r.astype(np.float32).tolist() for r in all_mat],
+            "label": [0] * len(all_ids),
+        }
+    ).to_parquet(root / "embeddings.parquet")
+    exact = {}
+    arr_ids = np.array(all_ids)
+    for k, qid in enumerate(q_ids):
+        d = ((all_mat - q_mat[k]) ** 2).sum(axis=1)
+        order = np.lexsort((arr_ids, d))
+        top = [int(arr_ids[j]) for j in order if int(arr_ids[j]) != qid][:10]
+        exact[qid] = set(top)
+    return exact
+
+
+def main() -> int:
+    n = 2000
+    n_queries = 20
+    if "--n" in sys.argv:
+        n = int(sys.argv[sys.argv.index("--n") + 1])
+    if "--queries" in sys.argv:
+        n_queries = int(sys.argv[sys.argv.index("--queries") + 1])
+
+    from finance_pipeline_spark.operators.similarity import (
+        ivfpq_scaled_topk,
+        scaled_ann_params,
+    )
+
+    spark = get_session("probe-ann")
+    out = {"dim": _DIM, "sizes": {}}
+    for mult, label in ((1, "n"), (10, "n10x")):
+        size = n * mult
+        with tempfile.TemporaryDirectory() as td:
+            root = Path(td)
+            exact = _make_corpus(root, size, n_queries, seed=23)
+            # warm pass (JVM/codegen), then timed
+            ivfpq_scaled_topk(spark, str(root)).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            t0 = time.time()
+            rows = ivfpq_scaled_topk(spark, str(root)).collect()
+            secs = round(time.time() - t0, 3)
+            got: dict[int, set] = {}
+            for r in rows:
+                got.setdefault(r.query_id, set()).add(r.corpus_id)
+            recall = sum(
+                len(got.get(q, set()) & exact[q]) / 10 for q in exact
+            ) / len(exact)
+            out["sizes"][label] = {
+                "n": size,
+                "params": scaled_ann_params(size),
+                "recall_at10": round(recall, 4),
+                "secs": secs,
+            }
+            print(f"# {label}: {out['sizes'][label]}", file=sys.stderr)
+    a, b = out["sizes"]["n"], out["sizes"]["n10x"]
+    out["recall_delta_10x"] = round(b["recall_at10"] - a["recall_at10"], 4)
+    out["time_ratio_10x"] = round(b["secs"] / max(a["secs"], 1e-9), 2)
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
