@@ -947,8 +947,9 @@ def build_digest_bloom(digests: DataFrame, col: str = "dg"):
     merges partials JVM-side, and the driver collects the merged words
     (≤16384 rows / 128 KiB). Sizing at scale is arithmetic, not redesign: 10^10
     digests at 1% fp is a ~1.5 GB bitmap — still one torrent-broadcast
-    per run; beyond that, split into per-key-range blooms and test
-    against the range a digest routes to."""
+    per run; beyond that, ``build_digest_bloom_ranged`` splits into
+    per-key-range bitmaps with prefix routing (the form the stored
+    index persists)."""
     import numpy as np
 
     n_words = _BLOOM_BITS >> 6
@@ -985,6 +986,130 @@ def build_digest_bloom(digests: DataFrame, col: str = "dg"):
     for row in merged:
         out[row["word_idx"]] = row["word"]
     return out.view(np.uint64)
+
+
+_BLOOM_RANGES = 4  # digest key ranges, one independent bitmap each.
+# The monolithic bitmap stops scaling around 10^10 digests (~1.5 GB at
+# a 1% fp sizing): one torrent broadcast per screen, one driver-side
+# array, one resize-the-world event when the corpus grows. Ranging by
+# digest prefix splits that into per-range bitmaps that are built,
+# stored, broadcast, and RESIZED independently — a 100 TB screen can
+# process range-by-range so executor memory is capped by ONE range's
+# bitmap, and a hot range can double its bits without touching the
+# other ranges' stored words. 4 here is test-sized; the layout admits
+# up to 256 (one per first digest byte) without changing the routing.
+
+
+def _bloom_range_ids(digests) -> "np.ndarray":
+    """Route digest-hex strings to their range: first byte of the
+    digest mod ``_BLOOM_RANGES``. The digest is uniform, so ranges are
+    balanced by construction; the same routing runs driver-side
+    (build) and executor-side (probe), so the two can never disagree."""
+    import numpy as np
+
+    return np.array(
+        [int(d[:2], 16) % _BLOOM_RANGES for d in digests], dtype=np.int64
+    )
+
+
+def build_digest_bloom_ranged(digests: DataFrame, col: str = "dg"):
+    """Range-partitioned Bloom build → ``np.int64`` array of shape
+    ``(_BLOOM_RANGES, BITS/64)`` — row r holds range r's independent
+    bitmap, fed only by digests whose first byte routes to r.
+
+    Same map-only scale shape as ``build_digest_bloom`` (each
+    partition ORs locally, emits nonzero words, one bounded ``bit_or``
+    merge), with ``range_idx`` riding the word rows; the merge stays
+    bounded by RANGES x BITS/64 rows regardless of corpus size. This
+    is the split that function's docstring prescribes past ~10^10
+    digests."""
+    import numpy as np
+
+    n_words = _BLOOM_BITS >> 6
+
+    def partial(batches):
+        import pandas as pd
+
+        words = np.zeros((_BLOOM_RANGES, n_words), dtype=np.uint64)
+        for pdf in batches:
+            dgs = [d for d in pdf[col] if isinstance(d, str)]
+            if not dgs:
+                continue
+            rng = _bloom_range_ids(dgs)
+            idx = _bloom_indexes(dgs)  # (n, k)
+            flat = (
+                np.repeat(rng, idx.shape[1]).astype(np.uint64)
+                * np.uint64(n_words << 6)
+                + idx.ravel()
+            )
+            np.bitwise_or.at(
+                words.reshape(-1),
+                flat >> np.uint64(6),
+                np.uint64(1) << (flat & np.uint64(63)),
+            )
+        nzr, nzw = np.nonzero(words)
+        yield pd.DataFrame(
+            {
+                "range_idx": nzr.astype(np.int64),
+                "word_idx": nzw.astype(np.int64),
+                "word": words[nzr, nzw].view(np.int64),
+            }
+        )
+
+    merged = (
+        digests.select(col)
+        .mapInPandas(partial, "range_idx bigint, word_idx bigint, word bigint")
+        .groupBy("range_idx", "word_idx")
+        .agg(F.bit_or("word").alias("word"))
+        .collect()
+    )
+    out = np.zeros((_BLOOM_RANGES, n_words), dtype=np.int64)
+    for row in merged:
+        out[row["range_idx"], row["word_idx"]] = row["word"]
+    return out
+
+
+def bloom_maybe_contains_ranged(
+    spark: SparkSession, words2d, col: Column
+) -> Column:
+    """Boolean Column: digest-hex ``col`` MAYBE present — tested
+    against ONLY the bitmap of the range the digest routes to. A bit
+    set in another range's bitmap is invisible (the planted-routing
+    test pins this): that per-range isolation is what lets each range
+    be sized/stored/shipped independently at scale. Broadcast +
+    Arrow-batched probe, same machinery as the monolithic form."""
+    from pyspark.sql.functions import pandas_udf
+
+    import numpy as np
+
+    bc = _bloom_broadcast(spark, np.ascontiguousarray(words2d))
+
+    @pandas_udf("boolean")
+    def maybe(dg):
+        import numpy as np
+        import pandas as pd
+
+        w = bc.value.view(np.uint64)
+        out = np.zeros(len(dg), dtype=bool)
+        strs = [d for d in dg if isinstance(d, str)]
+        if strs:
+            mask = np.array([isinstance(d, str) for d in dg], dtype=bool)
+            rng = _bloom_range_ids(strs)
+            idx = _bloom_indexes(strs)  # (n, k)
+            rows = w[rng]  # (n, BITS/64) gather of each digest's range
+            bits = (
+                (
+                    np.take_along_axis(
+                        rows, (idx >> np.uint64(6)).astype(np.int64), axis=1
+                    )
+                    >> (idx & np.uint64(63))
+                )
+                & np.uint64(1)
+            ).all(axis=1)
+            out[mask] = bits
+        return pd.Series(out)
+
+    return maybe(col)
 
 
 _BLOOM_BC_CACHE: dict = {}  # words-content digest → live Broadcast.
@@ -1158,6 +1283,57 @@ def dedup_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id"
     )
 
+    return (
+        incoming.select("doc_id")
+        .join(F.broadcast(exact_ids.withColumn("hit", F.lit(True))), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("hit", F.lit(False)).alias("exact_dup"),
+            F.when(F.col("hit"), F.lit("drop_exact"))
+            .otherwise(F.lit("keep"))
+            .alias("verdict"),
+        )
+    )
+
+
+@query(
+    "dedup_bloom_ranged",
+    oracle=_bloom_screen_oracle,
+    tags=("dedup", "bloom", "incremental", "ranged"),
+)
+def dedup_bloom_ranged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_bloom_screen`` through the RANGE-PARTITIONED bitmap
+    path (``build_digest_bloom_ranged`` / ``bloom_maybe_contains_
+    ranged``): digests route to one of ``_BLOOM_RANGES`` independent
+    bitmaps by prefix, so at 10^10+ digests each range is built,
+    stored, broadcast, and resized on its own — executor memory is
+    capped by ONE range's bitmap, not the whole corpus's. The result
+    is bit-identical to the plain digest semi-join the oracle
+    expresses (no false negatives per range; false positives die in
+    the same confirm pass), so the two screen variants share one
+    oracle."""
+    docs = load(spark, sf_dir, "documents")
+    pm = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("bigint")
+        % 1000
+    )
+    dg = F.sha2(F.encode("text", "UTF-8"), 256)
+    with_pm = docs.withColumn("pm", pm)
+    corpus_dg = with_pm.filter(F.col("pm") < _INCR_SPLIT_PM).select(dg.alias("dg"))
+    incoming = with_pm.filter(F.col("pm") >= _INCR_SPLIT_PM).select(
+        "doc_id", dg.alias("dg")
+    )
+    words2d = build_digest_bloom_ranged(corpus_dg)
+    maybe_hits = incoming.filter(
+        bloom_maybe_contains_ranged(spark, words2d, F.col("dg"))
+    )
+    confirmed_dg = corpus_dg.join(
+        F.broadcast(maybe_hits.select("dg").distinct()), "dg", "left_semi"
+    ).distinct()
+    exact_ids = maybe_hits.join(
+        F.broadcast(confirmed_dg), "dg", "left_semi"
+    ).select("doc_id")
     return (
         incoming.select("doc_id")
         .join(F.broadcast(exact_ids.withColumn("hit", F.lit(True))), "doc_id", "left")

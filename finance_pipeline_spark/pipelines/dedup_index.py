@@ -13,18 +13,22 @@ probes —
 - ``bands/``    — key ``(band_key, doc_id)``: the MinHash-LSH band
   index (8 bands × 4 rows, ``operators/dedup.minhash_band_rows``).
   The near tier.
-- ``bloom/``    — key ``(word_idx, token)``: the 2^20-bit Bloom
-  bitmap over stored digests as APPEND-ONLY per-add delta word rows.
-  Each ``add()`` inserts its batch's nonzero words under a
+- ``bloom/``    — key ``(range_idx, word_idx, token)``: RANGE-
+  PARTITIONED Bloom bitmaps over stored digests (one independent
+  2^20-bit bitmap per digest-prefix range, ``operators/dedup.
+  _BLOOM_RANGES``) as APPEND-ONLY per-add delta word rows. Each
+  ``add()`` inserts its batch's nonzero words under a
   content-addressed ``token`` (sha256 of the delta), and readers fold
   all rows with ``bit_or`` — a commutative, idempotent merge, so
   concurrent adds can NEVER lose each other's bits (a read-merge-
   overwrite scheme can: the loser's stale overwrite drops the
   winner's freshly OR'd words — permanent false negatives, i.e. docs
   admitted as duplicates forever). ``optimize()`` folds accumulated
-  deltas back to one row-set per word. The folded bitmap is loaded
-  driver-side (≤128 KiB) and broadcast each screen so the exact probe
-  never shuffles stored digests.
+  deltas back to one row-set per word. The folded bitmaps are loaded
+  driver-side (RANGES x 128 KiB here) and broadcast each screen so
+  the exact probe never shuffles stored digests; past ~10^10 digests
+  each range's bitmap is resized and shipped independently — executor
+  memory is capped per range, not per corpus.
 
 At 100 TB: write the bands table bucketed on ``band_key`` (see
 ``sinks/bucketed.py``) so the near probe co-locates without shuffling
@@ -42,8 +46,8 @@ from pyspark.sql import functions as F
 
 from finance_pipeline_spark.operators.dedup import (
     _MINHASH_BUCKET_CAP,
-    bloom_maybe_contains,
-    build_digest_bloom,
+    bloom_maybe_contains_ranged,
+    build_digest_bloom_ranged,
     minhash_band_rows,
 )
 from finance_pipeline_spark.sinks.txn_table import TxnKeyedTable
@@ -77,109 +81,110 @@ class CorpusDedupIndex:
         self.bands = TxnKeyedTable(
             spark, f"{self.root}/bands", ["band_key", "doc_id"]
         )
-        self.bloom = TxnKeyedTable(spark, f"{self.root}/bloom", ["word_idx", "token"])
+        self.bloom = TxnKeyedTable(
+            spark, f"{self.root}/bloom", ["range_idx", "word_idx", "token"]
+        )
         self._maybe_migrate_bloom()
 
     def _maybe_migrate_bloom(self) -> None:
-        """Upgrade a pre-delta bloom layout in place. The r8 schema
-        change (key ``[word_idx]``, one mutable row per word → key
-        ``[word_idx, token]``, append-only delta rows) would otherwise
-        make every index persisted by earlier code unreadable: merge
-        anti-joins and the fold's ``select('token')`` both raise
-        UNRESOLVED_COLUMN against the old files.
+        """Bring a legacy bloom layout up to the current one (key
+        ``[range_idx, word_idx, token]``, per-range delta rows) by
+        REBUILD, not transform. The bloom is DERIVED state — a bitmap
+        over the digests table, which is the source of truth — and
+        range membership cannot be recovered from an already-OR'd
+        monolithic bitmap, so any unrecognized layout (the pre-r8
+        ``[word_idx]`` mutable rows, the r8 ``[word_idx, token]``
+        un-ranged deltas, or a pre-r9 migration-backup sidecar) is
+        dropped and rebuilt from the stored digests in one map-only
+        pass.
 
-        Crash-safe order: (1) collect the old folded words —
-        driver-sized, ≤ BITS/64 rows; (2) write them to a backup
-        parquet SIDECAR; (3) drop the old table; (4) recreate it as
-        delta rows under the fixed token ``migrate-v1`` (keyed merge →
-        idempotent); (5) delete the backup. A crash between (3) and
-        (5) leaves the backup, and the recovery branch below replays
-        (4)-(5) on next open. A crash DURING (2) leaves a torn backup
-        dir (no ``_SUCCESS`` marker); the guard below discards it and
-        reruns the migration from the still-intact old table — the
-        destructive step (3) only ever runs after the backup is
-        validated committed, so bits are never lost at any step."""
+        Crash safety is marker-first: (1) touch the ``bloom_rebuild_
+        pending`` marker; (2) drop the legacy table; (3) rebuild from
+        digests under a content-addressed token (keyed merge —
+        idempotent); (4) remove the marker. A crash anywhere leaves
+        the marker, and the next open redoes (2)-(4) — each step is
+        idempotent, and the digests table is never touched, so no
+        crash point can lose exact-screen coverage. (This replaces the
+        r8 backup-sidecar scheme whose torn-backup corner an advisor
+        flagged: with the digests table as the rebuild source there is
+        no backup to tear.)"""
+        import shutil
         from pathlib import Path
 
-        backup = Path(self.root) / "bloom_migrate_v1.parquet"
-
-        def _restore(rows_df) -> None:
-            rows = [
-                (int(r["word_idx"]), "migrate-v1", int(r["word"]))
-                for r in rows_df.collect()
-            ]
-            if rows:
-                self.bloom.merge(
-                    self.spark.createDataFrame(
-                        rows, "word_idx bigint, token string, word bigint"
-                    )
-                )
-
-        import shutil
-
-        if backup.exists() and not (backup / "_SUCCESS").exists():
-            # TORN backup: the crash hit DURING the backup parquet
-            # write (step 2), before the committer placed _SUCCESS —
-            # the old table is still the only complete copy. Taking
-            # the replay branch here would drop it and then raise on
-            # the unreadable backup, losing the bits permanently
-            # (the advisor-flagged hole). Discard the torn dir and
-            # fall through to rerun the migration from the intact
-            # old table.
-            shutil.rmtree(backup, ignore_errors=True)
-        if backup.exists():  # crashed mid-migration: replay from (3)
-            if self.bloom.exists():
-                stored = self.bloom.read()
-                if stored is not None and "token" not in stored.columns:
-                    # crash landed between backup write and drop — the
-                    # backup is the complete fold of this old table
-                    self.bloom.drop()
-            _restore(self.spark.read.parquet(str(backup)))
-            shutil.rmtree(backup, ignore_errors=True)
+        marker = Path(self.root) / "bloom_rebuild_pending"
+        legacy_backup = Path(self.root) / "bloom_migrate_v1.parquet"
+        stored = self.bloom.read() if self.bloom.exists() else None
+        needs = (
+            marker.exists()
+            or legacy_backup.exists()
+            or (stored is not None and "range_idx" not in stored.columns)
+        )
+        if not needs:
             return
-        if not self.bloom.exists():
+        marker.parent.mkdir(parents=True, exist_ok=True)
+        marker.touch()
+        shutil.rmtree(legacy_backup, ignore_errors=True)
+        if self.bloom.exists():
+            self.bloom.drop()
+        self._rebuild_bloom_from_digests()
+        marker.unlink(missing_ok=True)
+
+    def _rebuild_bloom_from_digests(self) -> None:
+        """One map-only pass over the stored digests → ranged delta
+        rows under a content-addressed rebuild token. At 100 TB this
+        reads the digests table once (32 B/doc, no text) — the
+        one-time cost of a layout change, not a recurring one."""
+        import hashlib
+
+        import numpy as np
+
+        dg = self.digests.read()
+        if dg is None:
             return
-        stored = self.bloom.read()
-        if stored is None or "token" in stored.columns:
-            return  # empty or already the delta layout
-        old = stored.groupBy("word_idx").agg(F.bit_or("word").alias("word"))
-        old.coalesce(1).write.mode("overwrite").parquet(str(backup))
-        if not (backup / "_SUCCESS").exists():
-            # Backup not durably committed — refuse to touch the old
-            # table. Leaves the pre-migration layout (unreadable by the
-            # delta-layout code paths, but INTACT) for the next open to
-            # retry, rather than destroying the only complete copy.
-            raise RuntimeError(
-                f"bloom migration backup at {backup} missing _SUCCESS "
-                "after write; old table left untouched — retry the open"
+        words = build_digest_bloom_ranged(dg.select("dg"))
+        nzr, nzw = np.nonzero(words)
+        if not len(nzr):
+            return
+        token = "rebuild-" + hashlib.sha256(
+            nzr.tobytes() + nzw.tobytes() + words[nzr, nzw].tobytes()
+        ).hexdigest()
+        rows = [
+            (int(r), int(w), token, int(words[r, w]))
+            for r, w in zip(nzr, nzw)
+        ]
+        self.bloom.merge(
+            self.spark.createDataFrame(
+                rows, "range_idx bigint, word_idx bigint, token string, word bigint"
             )
-        self.bloom.drop()
-        _restore(self.spark.read.parquet(str(backup)))
-        shutil.rmtree(backup, ignore_errors=True)
+        )
 
     # -- read side ---------------------------------------------------
 
     def _bloom_words(self):
-        """Fold every stored delta row into the live bitmap: bit_or is
-        associative/commutative, so any interleaving of concurrent adds
-        reads back identically. The groupBy fold runs JVM-side; the
-        driver collects ≤ BITS/64 rows no matter how many add-tokens
+        """Fold every stored delta row into the live per-range bitmaps
+        (shape ``(_BLOOM_RANGES, BITS/64)``): bit_or is associative/
+        commutative, so any interleaving of concurrent adds reads back
+        identically. The groupBy fold runs JVM-side; the driver
+        collects ≤ RANGES x BITS/64 rows no matter how many add-tokens
         have accumulated."""
         import numpy as np
 
-        from finance_pipeline_spark.operators.dedup import _BLOOM_BITS
+        from finance_pipeline_spark.operators.dedup import (
+            _BLOOM_BITS,
+            _BLOOM_RANGES,
+        )
 
-        out = np.zeros(_BLOOM_BITS >> 6, dtype=np.int64)
+        out = np.zeros((_BLOOM_RANGES, _BLOOM_BITS >> 6), dtype=np.int64)
         stored = self.bloom.read()
         if stored is not None:
             folded = (
-                stored.groupBy("word_idx")
+                stored.groupBy("range_idx", "word_idx")
                 .agg(F.bit_or("word").alias("word"))
                 .collect()
             )
             for row in folded:
-                out[row["word_idx"]] = row["word"]
-        return out.view(np.uint64)
+                out[row["range_idx"], row["word_idx"]] = row["word"]
+        return out
 
     def screen(self, batch: DataFrame) -> DataFrame:
         """(doc_id, text) batch → (doc_id, exact_dup, near_dup,
@@ -203,7 +208,9 @@ class CorpusDedupIndex:
             exact_ids = dgs.select("doc_id").filter(F.lit(False))
         else:
             words = self._bloom_words()
-            maybe = dgs.filter(bloom_maybe_contains(self.spark, words, F.col("dg")))
+            maybe = dgs.filter(
+                bloom_maybe_contains_ranged(self.spark, words, F.col("dg"))
+            )
             confirmed = (
                 stored_dg.select("dg")
                 .join(F.broadcast(maybe.select("dg").distinct()), "dg", "left_semi")
@@ -295,9 +302,10 @@ class CorpusDedupIndex:
 
     def _fold_bloom_deltas(self) -> int:
         """Consolidate the bloom's per-add delta rows: bit_or every
-        word across the token set seen NOW, write the result under one
-        content-addressed fold token, then delete the folded tokens.
-        Returns the number of tokens folded away (0 = nothing to do)."""
+        (range, word) across the token set seen NOW, write the result
+        under one content-addressed fold token, then delete the folded
+        tokens. Returns the number of tokens folded away (0 = nothing
+        to do)."""
         import hashlib
 
         stored = self.bloom.read()
@@ -308,16 +316,20 @@ class CorpusDedupIndex:
             return 0
         folded = (
             stored.filter(F.col("token").isin(tokens))
-            .groupBy("word_idx")
+            .groupBy("range_idx", "word_idx")
             .agg(F.bit_or("word").alias("word"))
             .collect()
         )
-        pairs = sorted((int(r["word_idx"]), int(r["word"])) for r in folded)
-        fold_token = "fold-" + hashlib.sha256(repr(pairs).encode()).hexdigest()
-        rows = [(i, fold_token, w) for i, w in pairs]
+        triples = sorted(
+            (int(r["range_idx"]), int(r["word_idx"]), int(r["word"]))
+            for r in folded
+        )
+        fold_token = "fold-" + hashlib.sha256(repr(triples).encode()).hexdigest()
+        rows = [(r, i, fold_token, w) for r, i, w in triples]
         self.bloom.merge(
             self.spark.createDataFrame(
-                rows, "word_idx bigint, token string, word bigint"
+                rows,
+                "range_idx bigint, word_idx bigint, token string, word bigint",
             )
         )
         doomed = [t for t in tokens if t != fold_token]
@@ -354,22 +366,26 @@ class CorpusDedupIndex:
 
         import numpy as np
 
-        # bloom delta: distributed build over the BATCH only (the
-        # stored words are never read on the write path), then one
+        # bloom delta: distributed RANGED build over the BATCH only
+        # (the stored words are never read on the write path), then one
         # append-only merge of the nonzero words under a token derived
         # from their content.
-        batch_words = build_digest_bloom(
+        batch_words = build_digest_bloom_ranged(
             batch.select(_digest().alias("dg")), "dg"
-        ).view(np.int64)
-        nz = np.nonzero(batch_words)[0]
+        )
+        nzr, nzw = np.nonzero(batch_words)
         n_bloom = 0
-        if len(nz):
+        if len(nzr):
             token = hashlib.sha256(
-                nz.tobytes() + batch_words[nz].tobytes()
+                nzr.tobytes() + nzw.tobytes() + batch_words[nzr, nzw].tobytes()
             ).hexdigest()
-            rows = [(int(i), token, int(batch_words[i])) for i in nz]
+            rows = [
+                (int(r), int(w), token, int(batch_words[r, w]))
+                for r, w in zip(nzr, nzw)
+            ]
             df = self.spark.createDataFrame(
-                rows, "word_idx bigint, token string, word bigint"
+                rows,
+                "range_idx bigint, word_idx bigint, token string, word bigint",
             )
             n_bloom = self.bloom.merge(df).inserted
 

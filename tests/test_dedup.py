@@ -432,3 +432,80 @@ def test_ngram_and_cosine_dropped_block_accounting(spark, tmp_path, monkeypatch)
     assert [(r.block_key, r.n_docs_dropped) for r in cs] == [
         ("0", 20 - D._COSINE_BLOCK_CAP)
     ]
+
+
+def test_ranged_bloom_routing_isolates_ranges(spark):
+    """The planted two-ranges-disagree check: a digest must be tested
+    ONLY against its own range's bitmap. Range r's bitmap is forced
+    all-ones while the probe digest routes to a different, empty range
+    — a monolithic OR of the bitmaps would answer 'maybe', the ranged
+    probe must answer 'no' (and the converse digest routing INTO the
+    saturated range answers 'maybe')."""
+    import hashlib
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from finance_pipeline_spark.operators import dedup
+
+    # two real digests landing in different ranges
+    def dg_for_range(r: int) -> str:
+        i = 0
+        while True:
+            d = hashlib.sha256(f"probe-{r}-{i}".encode()).hexdigest()
+            if int(d[:2], 16) % dedup._BLOOM_RANGES == r:
+                return d
+            i += 1
+
+    d0, d1 = dg_for_range(0), dg_for_range(1)
+    n_words = dedup._BLOOM_BITS >> 6
+    words = np.zeros((dedup._BLOOM_RANGES, n_words), dtype=np.int64)
+    words[0, :] = -1  # range 0: every bit set
+
+    probe = spark.createDataFrame([(d0,), (d1,)], "dg string")
+    got = {
+        r["dg"]: r["hit"]
+        for r in probe.select(
+            "dg",
+            dedup.bloom_maybe_contains_ranged(spark, words, F.col("dg")).alias(
+                "hit"
+            ),
+        ).collect()
+    }
+    assert got[d0] is True  # its range is saturated -> maybe
+    assert got[d1] is False  # its own range is empty, range 0 invisible
+
+
+def test_ranged_bloom_equals_monolithic_semantics(spark):
+    """No false negatives and build/probe agreement: every digest put
+    into the ranged build must probe 'maybe'; digests never added and
+    routing to sparse ranges probe 'no' (up to fp rate ~0 at this
+    fill)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from finance_pipeline_spark.operators import dedup
+
+    dgs = [hashlib.sha256(f"doc-{i}".encode()).hexdigest() for i in range(200)]
+    absent = [
+        hashlib.sha256(f"other-{i}".encode()).hexdigest() for i in range(200)
+    ]
+    words = dedup.build_digest_bloom_ranged(
+        spark.createDataFrame([(d,) for d in dgs], "dg string")
+    )
+    probe = spark.createDataFrame(
+        [(d, True) for d in dgs] + [(d, False) for d in absent],
+        "dg string, expected boolean",
+    )
+    rows = probe.select(
+        "expected",
+        dedup.bloom_maybe_contains_ranged(spark, words, F.col("dg")).alias(
+            "hit"
+        ),
+    ).collect()
+    present_hits = [r["hit"] for r in rows if r["expected"]]
+    absent_hits = [r["hit"] for r in rows if not r["expected"]]
+    assert all(present_hits), "ranged bloom produced a false negative"
+    # 200 digests over 4x2^20 bits: fp odds are ~0 — allow a couple
+    assert sum(absent_hits) <= 2

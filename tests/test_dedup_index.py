@@ -78,7 +78,9 @@ def test_bloom_words_match_full_rebuild(spark, tmp_path):
     from-scratch build over all stored digests produces."""
     import numpy as np
 
-    from finance_pipeline_spark.operators.dedup import build_digest_bloom
+    from finance_pipeline_spark.operators.dedup import (
+        build_digest_bloom_ranged,
+    )
     from finance_pipeline_spark.pipelines.dedup_index import _digest
 
     idx = CorpusDedupIndex(spark, str(tmp_path / "idx"))
@@ -88,7 +90,9 @@ def test_bloom_words_match_full_rebuild(spark, tmp_path):
     idx.add(b1)
     idx.add(b2)
 
-    rebuilt = build_digest_bloom(b1.unionByName(b2).select(_digest().alias("dg")))
+    rebuilt = build_digest_bloom_ranged(
+        b1.unionByName(b2).select(_digest().alias("dg"))
+    )
     assert np.array_equal(idx._bloom_words(), rebuilt)
 
 
@@ -178,11 +182,11 @@ def test_concurrent_adds_converge(spark, tmp_path):
     # to one batch (probing only the shared doc can't see that).
     import numpy as np
 
-    from finance_pipeline_spark.operators.dedup import build_digest_bloom
-
-    rebuilt = build_digest_bloom(
-        idx.digests.read().select(F.col("dg")), "dg"
+    from finance_pipeline_spark.operators.dedup import (
+        build_digest_bloom_ranged,
     )
+
+    rebuilt = build_digest_bloom_ranged(idx.digests.read().select(F.col("dg")), "dg")
     assert np.array_equal(idx._bloom_words(), rebuilt)
 
     # every doc from BOTH batches screens drop_exact (not just the shared one)
@@ -197,7 +201,9 @@ def test_optimize_folds_bloom_deltas(spark, tmp_path):
     fold-on-read view and to a from-scratch rebuild."""
     import numpy as np
 
-    from finance_pipeline_spark.operators.dedup import build_digest_bloom
+    from finance_pipeline_spark.operators.dedup import (
+        build_digest_bloom_ranged,
+    )
 
     idx = CorpusDedupIndex(spark, str(tmp_path / "idx"))
     rng = random.Random(29)
@@ -210,7 +216,7 @@ def test_optimize_folds_bloom_deltas(spark, tmp_path):
     assert stats["bloom_tokens_folded"] == 3
     assert idx.bloom.read().select("token").distinct().count() == 1
     assert np.array_equal(idx._bloom_words(), before)
-    rebuilt = build_digest_bloom(idx.digests.read().select("dg"), "dg")
+    rebuilt = build_digest_bloom_ranged(idx.digests.read().select("dg"), "dg")
     assert np.array_equal(idx._bloom_words(), rebuilt)
     # folding again is a no-op
     assert idx.optimize(target_rows=10_000)["bloom_tokens_folded"] == 0
@@ -255,11 +261,13 @@ def test_crashed_add_converges_on_replay(spark, tmp_path):
     # converged: everything now screens drop_exact, bloom matches rebuild
     import numpy as np
 
-    from finance_pipeline_spark.operators.dedup import build_digest_bloom
+    from finance_pipeline_spark.operators.dedup import (
+        build_digest_bloom_ranged,
+    )
 
     verdicts = {r.doc_id: r.verdict for r in idx.screen(batch).collect()}
     assert all(v == "drop_exact" for v in verdicts.values())
-    rebuilt = build_digest_bloom(idx.digests.read().select("dg"), "dg")
+    rebuilt = build_digest_bloom_ranged(idx.digests.read().select("dg"), "dg")
     assert np.array_equal(idx._bloom_words(), rebuilt)
 
 
@@ -286,117 +294,116 @@ def test_bloom_broadcast_cache_is_bounded(spark, tmp_path):
     assert bc1 is bc2
 
 
-def test_pre_r8_bloom_layout_migrates_on_open(spark, tmp_path):
-    """An index persisted by the pre-delta code (bloom keyed
-    [word_idx], one mutable row per word, no token column) must open
-    cleanly: the migration folds the old rows into delta rows under
-    'migrate-v1' with zero lost bits, and screen()/add() work."""
+def test_legacy_bloom_layouts_rebuild_on_open(spark, tmp_path):
+    """Indexes persisted by BOTH legacy bloom layouts — pre-r8
+    ([word_idx] mutable rows) and r8 un-ranged deltas ([word_idx,
+    token]) — must open cleanly: the current code detects the missing
+    range_idx column and rebuilds the ranged bitmaps from the digests
+    table (the source of truth) with zero lost exact-screen coverage."""
     import numpy as np
 
-    from finance_pipeline_spark.operators.dedup import build_digest_bloom
-    from finance_pipeline_spark.pipelines.dedup_index import _digest
-    from finance_pipeline_spark.sinks.txn_table import TxnKeyedTable
-
-    root = tmp_path / "idx"
-    rng = random.Random(29)
-    batch = _docs(spark, [(i, random_doc(rng)) for i in range(4)])
-
-    # build the index with CURRENT code, then rewrite the bloom table
-    # in the OLD layout (key [word_idx], columns word_idx/word)
-    idx = CorpusDedupIndex(spark, str(root))
-    idx.add(batch)
-    words = idx._bloom_words().view(np.int64)
-    old_rows = [(int(i), int(w)) for i, w in enumerate(words) if w != 0]
-    idx.bloom.drop()
-    old_tbl = TxnKeyedTable(spark, str(root / "bloom"), ["word_idx"])
-    old_tbl.merge(
-        spark.createDataFrame(old_rows, "word_idx bigint, word bigint")
+    from finance_pipeline_spark.operators.dedup import (
+        build_digest_bloom_ranged,
     )
-
-    # reopening migrates in place
-    idx2 = CorpusDedupIndex(spark, str(root))
-    stored = idx2.bloom.read()
-    assert "token" in stored.columns
-    assert stored.select("token").distinct().collect()[0][0] == "migrate-v1"
-    rebuilt = build_digest_bloom(batch.select(_digest().alias("dg")))
-    assert np.array_equal(idx2._bloom_words(), rebuilt)
-    assert not (root / "bloom_migrate_v1.parquet").exists()
-
-    # the migrated index still screens and accepts adds
-    verdicts = {r.doc_id: r.verdict for r in idx2.screen(batch).collect()}
-    assert set(verdicts.values()) == {"drop_exact"}
-    b2 = _docs(spark, [(100, random_doc(rng))])
-    idx2.add(b2)
-    assert idx2.screen(b2).collect()[0].verdict == "drop_exact"
-
-
-def test_bloom_migration_recovers_from_crash_between_backup_and_drop(
-    spark, tmp_path
-):
-    """Crash corner: the backup sidecar was written but the old table
-    was not dropped — reopening must finish the migration from the
-    backup, not crash or double-count."""
-    import numpy as np
-
-    from finance_pipeline_spark.operators.dedup import build_digest_bloom
     from finance_pipeline_spark.pipelines.dedup_index import _digest
     from finance_pipeline_spark.sinks.txn_table import TxnKeyedTable
+
+    for variant, schema, row_fn in (
+        ("pre_r8", "word_idx bigint, word bigint", lambda i, w: (i, w)),
+        (
+            "r8",
+            "word_idx bigint, token string, word bigint",
+            lambda i, w: (i, "legacy-add", w),
+        ),
+    ):
+        root = tmp_path / f"idx_{variant}"
+        rng = random.Random(29)
+        batch = _docs(spark, [(i, random_doc(rng)) for i in range(4)])
+
+        # build the index with CURRENT code, then rewrite the bloom
+        # table in the legacy layout (flattened, un-ranged words)
+        idx = CorpusDedupIndex(spark, str(root))
+        idx.add(batch)
+        flat = np.bitwise_or.reduce(
+            idx._bloom_words().view(np.uint64), axis=0
+        ).view(np.int64)
+        old_rows = [row_fn(int(i), int(w)) for i, w in enumerate(flat) if w]
+        idx.bloom.drop()
+        keys = ["word_idx"] if variant == "pre_r8" else ["word_idx", "token"]
+        TxnKeyedTable(spark, str(root / "bloom"), keys).merge(
+            spark.createDataFrame(old_rows, schema)
+        )
+
+        # reopening rebuilds the ranged layout from digests
+        idx2 = CorpusDedupIndex(spark, str(root))
+        stored = idx2.bloom.read()
+        assert "range_idx" in stored.columns
+        rebuilt = build_digest_bloom_ranged(batch.select(_digest().alias("dg")))
+        assert np.array_equal(idx2._bloom_words(), rebuilt)
+        assert not (root / "bloom_rebuild_pending").exists()
+
+        # the rebuilt index still screens and accepts adds
+        verdicts = {r.doc_id: r.verdict for r in idx2.screen(batch).collect()}
+        assert set(verdicts.values()) == {"drop_exact"}
+        b2 = _docs(spark, [(100, random_doc(rng))])
+        idx2.add(b2)
+        assert idx2.screen(b2).collect()[0].verdict == "drop_exact"
+
+
+def test_bloom_rebuild_marker_replays_after_crash(spark, tmp_path):
+    """Crash corner: the rebuild marker exists (crash between drop and
+    rebuild — the bloom table may be missing entirely). Reopening must
+    finish the rebuild from digests; exact-screen coverage is restored,
+    never silently degraded to keep-everything."""
+    import numpy as np
+
+    from finance_pipeline_spark.operators.dedup import (
+        build_digest_bloom_ranged,
+    )
+    from finance_pipeline_spark.pipelines.dedup_index import _digest
 
     root = tmp_path / "idx"
     rng = random.Random(31)
     batch = _docs(spark, [(i, random_doc(rng)) for i in range(3)])
     idx = CorpusDedupIndex(spark, str(root))
     idx.add(batch)
-    words = idx._bloom_words().view(np.int64)
-    old_rows = [(int(i), int(w)) for i, w in enumerate(words) if w != 0]
+    # simulate the crash: marker down, bloom table gone
     idx.bloom.drop()
-    TxnKeyedTable(spark, str(root / "bloom"), ["word_idx"]).merge(
-        spark.createDataFrame(old_rows, "word_idx bigint, word bigint")
-    )
-    # simulate the crash: backup exists alongside the UN-dropped table
-    spark.createDataFrame(old_rows, "word_idx bigint, word bigint").coalesce(
-        1
-    ).write.mode("overwrite").parquet(str(root / "bloom_migrate_v1.parquet"))
+    (root / "bloom_rebuild_pending").touch()
 
     idx2 = CorpusDedupIndex(spark, str(root))
-    rebuilt = build_digest_bloom(batch.select(_digest().alias("dg")))
+    assert not (root / "bloom_rebuild_pending").exists()
+    rebuilt = build_digest_bloom_ranged(batch.select(_digest().alias("dg")))
     assert np.array_equal(idx2._bloom_words(), rebuilt)
-    assert not (root / "bloom_migrate_v1.parquet").exists()
+    verdicts = {r.doc_id: r.verdict for r in idx2.screen(batch).collect()}
+    assert set(verdicts.values()) == {"drop_exact"}
 
 
-def test_bloom_migration_survives_torn_backup(spark, tmp_path):
-    """Crash corner (advisor-flagged): the crash hit DURING the backup
-    parquet write, leaving a torn dir with no _SUCCESS marker next to
-    the intact old-layout table. The old recovery branch dropped the
-    intact table and then raised on the unreadable backup — bits gone
-    forever. Now the torn dir is discarded and the migration reruns
-    from the old table with zero lost bits."""
+def test_legacy_migration_backup_sidecar_triggers_rebuild(spark, tmp_path):
+    """A pre-r9 migration-backup sidecar (torn or complete — the
+    advisor-flagged corner) is treated as one more legacy signal: the
+    sidecar is discarded and the bloom rebuilt from digests, so no
+    crash point of the RETIRED backup scheme can lose coverage."""
     import numpy as np
 
-    from finance_pipeline_spark.operators.dedup import build_digest_bloom
+    from finance_pipeline_spark.operators.dedup import (
+        build_digest_bloom_ranged,
+    )
     from finance_pipeline_spark.pipelines.dedup_index import _digest
-    from finance_pipeline_spark.sinks.txn_table import TxnKeyedTable
 
     root = tmp_path / "idx"
     rng = random.Random(37)
     batch = _docs(spark, [(i, random_doc(rng)) for i in range(3)])
     idx = CorpusDedupIndex(spark, str(root))
     idx.add(batch)
-    words = idx._bloom_words().view(np.int64)
-    old_rows = [(int(i), int(w)) for i, w in enumerate(words) if w != 0]
-    idx.bloom.drop()
-    TxnKeyedTable(spark, str(root / "bloom"), ["word_idx"]).merge(
-        spark.createDataFrame(old_rows, "word_idx bigint, word bigint")
-    )
-    # torn backup: a part file landed but the committer never placed
-    # _SUCCESS (crash mid-write)
+    # torn sidecar: a part file landed but no _SUCCESS (crash mid-write)
     backup = root / "bloom_migrate_v1.parquet"
     backup.mkdir(parents=True)
     (backup / "part-00000.parquet").write_bytes(b"\x00garbage not parquet")
 
     idx2 = CorpusDedupIndex(spark, str(root))
-    rebuilt = build_digest_bloom(batch.select(_digest().alias("dg")))
-    assert np.array_equal(idx2._bloom_words(), rebuilt)
     assert not backup.exists()
+    rebuilt = build_digest_bloom_ranged(batch.select(_digest().alias("dg")))
+    assert np.array_equal(idx2._bloom_words(), rebuilt)
     stored = idx2.bloom.read()
-    assert "token" in stored.columns
+    assert "range_idx" in stored.columns
