@@ -287,18 +287,30 @@ class CorpusDedupIndex:
         then delete exactly the tokens that were folded — a crash
         between the two leaves duplicate delta rows, which the
         read-side bit_or absorbs; a concurrent add() landing a NEW
-        token meanwhile is untouched by the targeted delete."""
-        out = {}
-        out["bloom_tokens_folded"] = self._fold_bloom_deltas()
-        for name, table in (
-            ("digests", self.digests),
-            ("bands", self.bands),
-            ("bloom", self.bloom),
-        ):
-            if table.exists():
-                before, after = table.compact(target_rows=target_rows)
-                out[name] = {"files_before": before, "files_after": after}
-        return out
+        token meanwhile is untouched by the targeted delete.
+
+        MAINTENANCE IS MUTUALLY EXCLUSIVE: the whole pass holds the
+        index-root writer lock, so two concurrent ``optimize`` calls
+        (double-fired cron, two operators) can't interleave their
+        fold/delete windows — the second caller gets a loud
+        ``ConcurrentWriteError`` naming the lock holder and simply
+        retries next cadence (r8 verdict item 6). Concurrent ``add``
+        calls remain lock-free and safe (append-only commutative
+        deltas)."""
+        from finance_pipeline_spark.sinks.keyed_writer import writer_lock
+
+        with writer_lock(self.root, owner="dedup-index-optimize"):
+            out = {}
+            out["bloom_tokens_folded"] = self._fold_bloom_deltas()
+            for name, table in (
+                ("digests", self.digests),
+                ("bands", self.bands),
+                ("bloom", self.bloom),
+            ):
+                if table.exists():
+                    before, after = table.compact(target_rows=target_rows)
+                    out[name] = {"files_before": before, "files_after": after}
+            return out
 
     def _fold_bloom_deltas(self) -> int:
         """Consolidate the bloom's per-add delta rows: bit_or every

@@ -287,12 +287,23 @@ class CorpusLmIndex:
         recovers instead of discarding the committed journal (losing
         the counts whose deltas step (3) already deleted).
 
-        Single-writer maintenance: don't run ``optimize`` concurrently
-        with ``add`` — a replayed add whose token is in the doomed list
-        can re-insert its deltas in the delete→merge window, and the
-        fold rows already include those counts (the per-op transactions
+        MAINTENANCE IS MUTUALLY EXCLUSIVE: the whole fold holds the
+        index-root writer lock, so two concurrent ``optimize`` calls
+        can't interleave their journal/delete/merge windows — the
+        second caller gets a loud ``ConcurrentWriteError`` and retries
+        next cadence (r8 verdict item 6). The remaining single-writer
+        note is about ``add``: don't run ``optimize`` concurrently
+        with a REPLAYED add whose token is in the doomed list — it can
+        re-insert its deltas in the delete→merge window, and the fold
+        rows already include those counts (the per-op transactions
         don't linearize across the two commits). Adds between folds,
         and concurrent adds with each other, are safe."""
+        from finance_pipeline_spark.sinks.keyed_writer import writer_lock
+
+        with writer_lock(self.root, owner="lm-index-optimize"):
+            return self._optimize_locked()
+
+    def _optimize_locked(self) -> dict:
         import json as _json
         import os
         import shutil

@@ -407,3 +407,63 @@ def test_legacy_migration_backup_sidecar_triggers_rebuild(spark, tmp_path):
     assert np.array_equal(idx2._bloom_words(), rebuilt)
     stored = idx2.bloom.read()
     assert "range_idx" in stored.columns
+
+
+def test_concurrent_optimize_is_mutually_exclusive(spark, tmp_path):
+    """r8 verdict item 6: two concurrent optimize() calls must not
+    interleave their fold/delete windows. The index-root writer lock
+    makes exactly one win; the loser fails loudly, and the final state
+    equals the single-writer result (fold-once, coverage intact)."""
+    import threading
+
+    import numpy as np
+
+    from finance_pipeline_spark.operators.dedup import (
+        build_digest_bloom_ranged,
+    )
+    from finance_pipeline_spark.pipelines.dedup_index import _digest
+    from finance_pipeline_spark.sinks.keyed_writer import ConcurrentWriteError
+
+    root = tmp_path / "idx"
+    rng = random.Random(43)
+    idx = CorpusDedupIndex(spark, str(root))
+    batches = []
+    for b in range(3):
+        batch = _docs(spark, [(b * 10 + i, random_doc(rng)) for i in range(3)])
+        batches.append(batch)
+        idx.add(batch)
+    assert idx.bloom.read().select("token").distinct().count() == 3
+
+    results: dict = {}
+
+    def run(tag):
+        # each thread gets its own handle (same stored state)
+        local = CorpusDedupIndex(spark, str(root))
+        try:
+            results[tag] = ("ok", local.optimize(target_rows=10_000))
+        except ConcurrentWriteError as exc:
+            results[tag] = ("locked", str(exc))
+        except Exception as exc:  # noqa: BLE001 — surface in assert below
+            results[tag] = ("err", f"{type(exc).__name__}: {exc}")
+
+    ts = [threading.Thread(target=run, args=(i,)) for i in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    outcomes = sorted(kind for kind, _ in results.values())
+    # one winner; the other either lost the lock race or found nothing
+    # left to fold (the winner finished before it acquired)
+    assert outcomes[1] == "ok" or outcomes == ["ok", "ok"], results
+    assert "err" not in outcomes, results
+
+    # final state == the single-writer result: one fold token, bitmap
+    # identical to a from-scratch rebuild, everything screens exact
+    reopened = CorpusDedupIndex(spark, str(root))
+    assert reopened.bloom.read().select("token").distinct().count() == 1
+    rebuilt = build_digest_bloom_ranged(
+        reopened.digests.read().select("dg"), "dg"
+    )
+    assert np.array_equal(reopened._bloom_words(), rebuilt)
+    # lock released: a later optimize runs clean
+    assert reopened.optimize(target_rows=10_000)["bloom_tokens_folded"] == 0

@@ -265,3 +265,47 @@ def test_torn_doomed_marker_is_discarded_not_fatal(spark, tmp_path):
     reopened = CorpusLmIndex(spark, str(tmp_path / "lm"))
     assert not side.exists()
     assert {tuple(r) for r in reopened._folded_uni().collect()} == want
+
+
+def test_concurrent_lm_optimize_is_mutually_exclusive(spark, tmp_path):
+    """r8 verdict item 6 (LM side): two concurrent optimize() folds
+    must serialize on the index-root writer lock; the final counts
+    equal the single-writer fold and a later optimize runs clean."""
+    import threading
+
+    from finance_pipeline_spark.sinks.keyed_writer import ConcurrentWriteError
+
+    rng = random.Random(47)
+    root = str(tmp_path / "lm")
+    idx = CorpusLmIndex(spark, root)
+    rows = _corpus(rng, 9)
+    for lo in (0, 3, 6):
+        idx.add(_docs(spark, rows[lo : lo + 3]))
+    assert idx.uni.read().select("token").distinct().count() == 3
+    want = {tuple(r) for r in idx._folded_uni().collect()}
+
+    results: dict = {}
+
+    def run(tag):
+        local = CorpusLmIndex(spark, root)
+        try:
+            results[tag] = ("ok", local.optimize())
+        except ConcurrentWriteError as exc:
+            results[tag] = ("locked", str(exc))
+        except Exception as exc:  # noqa: BLE001
+            results[tag] = ("err", f"{type(exc).__name__}: {exc}")
+
+    ts = [threading.Thread(target=run, args=(i,)) for i in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    outcomes = sorted(kind for kind, _ in results.values())
+    assert outcomes[1] == "ok" or outcomes == ["ok", "ok"], results
+    assert "err" not in outcomes, results
+
+    reopened = CorpusLmIndex(spark, root)
+    assert reopened.uni.read().select("token").distinct().count() == 1
+    assert {tuple(r) for r in reopened._folded_uni().collect()} == want
+    later = reopened.optimize()
+    assert later["uni_tokens_folded"] == 0 and later["bi_tokens_folded"] == 0
