@@ -122,16 +122,38 @@ def curate_corpus(
     # with diameter > 60 would blow min-label's round cap AFTER the
     # expensive screen/dedup stages already ran (r8 self-review).
     # Same (vec_id, component_id) contract, log-round convergence.
-    pairs = minhash_pairs(uniq.select("doc_id", "text")).select(
-        F.col("doc_a").alias("vec_a"), F.col("doc_b").alias("vec_b")
-    )
+    # Cap-drop observability (r8 verdict item 7): a 100 TB curation
+    # run must report what the LSH bucket cap EXCLUDED from pairing
+    # next to its per-stage counts — an over-cap bucket is exactly
+    # where boilerplate-heavy duplicates hide, and a silent drop reads
+    # as "deduped" when it wasn't. Two single-row aggregates of the
+    # ledger ride into the stats dict.
+    dropped: dict = {}
+    pairs = minhash_pairs(
+        uniq.select("doc_id", "text"), dropped_out=dropped
+    ).select(F.col("doc_a").alias("vec_a"), F.col("doc_b").alias("vec_b"))
     comps = _star_components(pairs)
     non_canonical = comps.filter(F.col("vec_id") != F.col("component_id")).select(
         F.col("vec_id").alias("doc_id")
     )
     kept = uniq.join(non_canonical, "doc_id", "left_anti").localCheckpoint(eager=True)
     n_kept = kept.count()
-    log("near_dedup", kept=n_kept, dropped=n_uniq - n_kept)
+    drop_row = (
+        dropped["dropped_buckets"]
+        .agg(
+            F.count(F.lit(1)).alias("b"),
+            F.coalesce(F.sum("n_docs_dropped"), F.lit(0)).alias("d"),
+        )
+        .collect()[0]
+    )
+    n_dropped_buckets, n_dropped_docs = int(drop_row["b"]), int(drop_row["d"])
+    log(
+        "near_dedup",
+        kept=n_kept,
+        dropped=n_uniq - n_kept,
+        over_cap_buckets=n_dropped_buckets,
+        docs_excluded_from_pairing=n_dropped_docs,
+    )
 
     # 3b. Cross-document substring scrub — excise duplicated ≥20-token
     # runs (license headers, nav bars, quoted replies) that survive
@@ -229,6 +251,8 @@ def curate_corpus(
         "n_lm_familiar": n_familiar,
         "n_exact_unique": n_uniq,
         "n_after_near_dedup": n_kept,
+        "n_dropped_buckets": n_dropped_buckets,
+        "n_docs_in_dropped_buckets": n_dropped_docs,
         "n_after_scrub": n_scrub,
         "n_exported": n_final,
         "splits": splits,

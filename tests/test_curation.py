@@ -147,3 +147,51 @@ def test_curate_corpus_lm_screen_drops_planted_gibberish(spark, tmp_path):
     )
     assert 99 not in kept
     assert set(range(1, 31)) <= kept
+
+
+def test_curate_corpus_surfaces_dropped_bucket_ledger(spark, tmp_path):
+    """r8 verdict item 7: a planted over-cap LSH bucket (>512 docs
+    sharing band keys) must show up in the curation stats — the run
+    completes, and the caps' exclusions are REPORTED instead of
+    silently reading as 'deduped'."""
+    rng = random.Random(11)
+    # wide-vocab base (random_doc's ~25-word vocabulary would fail the
+    # TTR quality screen at 200 tokens)
+    base = " ".join(f"w{rng.randrange(5000)}" for _ in range(200))
+    rows = [(1, base)]
+    # 700 suffix-only variants: all distinct (survive exact dedup) but
+    # appending one token only ADDS shingles, so each variant keeps the
+    # base's minhash band keys with ~90% probability per band ->
+    # buckets of ~630 docs, past the 512 cap
+    doc_id = 2
+    while len(rows) < 700:
+        rows.append((doc_id, f"{base} uq{doc_id}tail"))
+        doc_id += 1
+    n_en = len(rows)
+    # plus healthy docs in a SECOND language: unique wide-vocab
+    # content (no dup spans to scrub) scored against the fr corpus
+    # mean — the en mean is skewed sky-high by the 699 suffix clones,
+    # which is exactly why the LM screen is per-language
+    for _ in range(30):
+        rows.append(
+            (doc_id, " ".join(f"f{rng.randrange(5000)}" for _ in range(60)))
+        )
+        doc_id += 1
+    pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in rows],
+            "text": [r[1] for r in rows],
+            "lang": ["en"] * n_en + ["fr"] * 30,
+            "source": ["test"] * len(rows),
+            "n_chars": [len(r[1]) for r in rows],
+        }
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+
+    out = str(tmp_path / "curated")
+    stats = curate_corpus(spark, str(tmp_path), out, n_shards=2)
+    assert stats["n_dropped_buckets"] > 0
+    assert stats["n_docs_in_dropped_buckets"] > 512
+    # the cap never kills the run: the healthy minority-language docs
+    # come out the far end (the 699 clones legitimately die at the
+    # substring scrub — they ARE wall-to-wall boilerplate)
+    assert stats["n_exported"] >= 25
