@@ -45,3 +45,20 @@ def test_driver_record_shape_unwraps():
         assert _load(f.name)["queries"] == {"a": 1.0}
     finally:
         os.unlink(f.name)
+
+
+def test_merged_min_across_multiple_runs():
+    """BASELINE.md merged-min protocol: several NEW runs merge by
+    query-wise min with concatenated repeats — one noisy run can't
+    manufacture a regression if any run's min is under bar."""
+    from tools.bench_compare import compare, merge_records
+
+    old = {"queries": {"q1": 1.0, "q2": 1.0}}
+    run1 = {"queries": {"q1": 3.1, "q2": 1.1}, "repeats": {"q1": [3.1, 3.4], "q2": [1.1, 1.2]}}
+    run2 = {"queries": {"q1": 1.2, "q2": 1.0}, "repeats": {"q1": [1.2, 1.3], "q2": [1.0, 1.4]}}
+    merged = merge_records([run1, run2])
+    assert merged["queries"] == {"q1": 1.2, "q2": 1.0}
+    assert merged["repeats"]["q1"] == [3.1, 3.4, 1.2, 1.3]
+    lines, rc = compare(old, merged, bar=2.0)
+    assert rc == 0
+    assert all(line.startswith("ok") for line in lines), lines

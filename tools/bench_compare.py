@@ -1,7 +1,13 @@
-"""Compare two bench JSON records with repeat-aware verdicts.
+"""Compare bench JSON records with repeat-aware verdicts.
 
 Usage:
-    python tools/bench_compare.py OLD.json NEW.json [--bar 2.0]
+    python tools/bench_compare.py OLD.json NEW.json [NEW2.json ...] [--bar 2.0]
+
+Multiple NEW files implement BASELINE.md's merged-min protocol
+("Bench noise protocol"): this steal-prone host needs 3 full runs x 3
+repeats, compared by the per-query MIN across all runs. The NEW
+records are merged query-wise by min with their repeat lists
+concatenated, so the spread heuristic sees every sample.
 
 Per query present in both records: ratio = new_min / old_min.
 - ratio <= bar               -> ok
@@ -68,15 +74,43 @@ def compare(old: dict, new: dict, bar: float) -> tuple[list[str], int]:
     return lines, rc
 
 
+def merge_records(records: list[dict]) -> dict:
+    """BASELINE.md merged-min: query-wise min across records, repeat
+    lists concatenated (every sample feeds the spread heuristic). A
+    query missing from SOME runs keeps the samples it has — but a
+    query must appear in at least one record to survive, so the
+    dropped-entry check still fires."""
+    queries: dict[str, float] = {}
+    repeats: dict[str, list[float]] = {}
+    for rec in records:
+        for name, sec in rec.get("queries", {}).items():
+            queries[name] = min(queries.get(name, sec), sec)
+            repeats.setdefault(name, []).extend(
+                rec.get("repeats", {}).get(name) or [sec]
+            )
+    return {"queries": queries, "repeats": repeats}
+
+
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    args = []
+    skip = False
+    for i, a in enumerate(sys.argv[1:], 1):
+        if skip:
+            skip = False
+            continue
+        if a == "--bar":
+            skip = True
+            continue
+        if not a.startswith("--"):
+            args.append(a)
     bar = 2.0
     if "--bar" in sys.argv:
         bar = float(sys.argv[sys.argv.index("--bar") + 1])
-    if len(args) != 2:
+    if len(args) < 2:
         print(__doc__)
         return 2
-    lines, rc = compare(_load(args[0]), _load(args[1]), bar)
+    new = merge_records([_load(p) for p in args[1:]])
+    lines, rc = compare(_load(args[0]), new, bar)
     print("\n".join(lines))
     return rc
 
