@@ -271,6 +271,59 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # re-enter the evaluated window this round; "out" entries move past the
 # fold carrying the named prior round's hash-green driver evidence.
 ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
+    "r9": {
+        "in": (
+            # The four disclosed r9 deferrals (r5 driver evidence — the
+            # oldest rows left; r8 verdict item 3) re-enter first.
+            "text_decontaminate", "user_gap_stats",
+            "text_vocab_topk", "text_repetition_stats",
+            # The entire r6-evidence cohort (folded r7, never back
+            # since — now the oldest bulk evidence) re-earns.
+            "fuzzy_match_blocked", "anomaly_zscore_flags",
+            "dq_referential_audit", "text_chunk_dedup",
+            "agg_incremental_maintain", "agg_minmax_distinct",
+            "agg_variance_exact", "agg_rollup", "agg_cube", "agg_pivot",
+            "agg_unpivot", "win_running_sum", "join_multiway_region",
+            "u1_union_dedup", "o1_topk_multikey", "a1_count",
+            "p1_projection", "p4_comparison_filter", "p5_null_drop",
+            "p6_exact_dedup", "p7_keyed_dedup", "p9_arity_guard",
+            "d1_parse_coerce", "d3_tz_convert", "d5_format_render",
+            "d7_text_to_double", "d9_map_explode", "d9b_json_map_parse",
+            "d11_month_offset", "dedup_exact_by_digest",
+            "dedup_keyed_pick", "mm_frame_sample", "text_fingerprint",
+            "text_langid", "text_bpe_token_count", "text_quality_score",
+            "udf_embedding_norm",
+            # oldest r7-evidence slice fills the remaining slots
+            "dedup_incremental", "kmeans_train_assign", "agg_exact_median",
+            # new r9 operators earning first driver evidence
+            "ann_ivfpq_scaled",   # corpus-capacity IVFPQ (rows-only)
+            "dedup_bloom_ranged",  # range-partitioned bloom screen
+            # NOT rotating out despite r8-green (changed code in r9):
+            # text_lm_familiarity — lm_score gained the <unk>-<unk>
+            # exclusion and per-language corpus means (advisor fixes);
+            # it holds its window slot to re-earn on the new semantics.
+        ),
+        "out": (  # all hash-green in CORRECTNESS_r08.json
+            "dedup_minhash_lsh", "dedup_chunk_minhash",
+            "dedup_bloom_screen", "dedup_dropped_accounting",
+            "dedup_connected_star", "dedup_connected_groups",
+            "text_dup_spans", "text_dup_scrub", "ann_ivf_multiprobe",
+            "ann_ivfpq_multiprobe", "ann_ivfpq_rerank",
+            "emb_outlier_prune", "d4_custom_format_parse",
+            "rollup_time_multi", "funnel_conversion", "win_rank_family",
+            "join_skew_enrich", "u2_anti_join", "d8_trim",
+            "d10_current_date", "mm_binary_meta", "p8_watermark_filter",
+            "o2_topk_single", "a3_affected_rows", "s6_sql_table_scan",
+            "win_sliding", "win_session", "stream_stream_join",
+            "stream_session_counts", "join_asof", "scd2_order_status",
+            "cdc_latest_state", "attribution_first_last",
+            "hist_value_buckets", "profile_columns", "ts_moving_features",
+            "ts_resample_ffill", "win_distribution_family",
+            "metric_rolling_active", "affinity_part_pairs",
+            "winsorize_values", "text_pii_scrub", "text_tfidf_topk",
+            "text_source_quota", "grouped_user_gaps", "stream_dedup",
+        ),
+    },
     "r8": {
         "in": (
             # Oldest-evidence-first (the standing ledger rule): the
@@ -600,11 +653,65 @@ PRIORITY: tuple[str, ...] = (
     "agg_pricing_summary",
     "agg_approx_distinct",
     "agg_approx_quantile",
-    # dedup family — r8 changed-code re-earners (minhash_pairs grew the
-    # dropped-bucket accounting hook, _chunk_relation was extracted,
-    # bloom_maybe_contains gained the broadcast cache; incremental
-    # rides as the family companion on the shared band machinery), the
-    # two new r8 rows, and the r5-evidence components re-entrant
+    # changed code in r9 — lm_score gained the <unk>-<unk> exclusion
+    # and per-language corpus means (advisor fixes); re-earns on the
+    # new semantics rather than coasting on its r8-green row
+    "text_lm_familiarity",
+    # new r9 operators earning first driver evidence
+    "ann_ivfpq_scaled",    # corpus-capacity IVFPQ (rows-only by design:
+    # data-dependent sqrt(N)/256 parameters; recall-verified in pytest
+    # + tools/probe_ann_scale.py)
+    "dedup_bloom_ranged",  # range-partitioned bloom screen
+    # the four disclosed r9 deferrals (r5 evidence — oldest rows left)
+    "text_decontaminate",
+    "user_gap_stats",
+    "text_vocab_topk",
+    "text_repetition_stats",
+    # oldest r7-evidence slice
+    "dedup_incremental",
+    "kmeans_train_assign",
+    "agg_exact_median",
+    # the full r6-evidence cohort (folded r7; re-earning this round
+    # clears the pre-r7 staleness tail completely)
+    "fuzzy_match_blocked",
+    "anomaly_zscore_flags",
+    "dq_referential_audit",
+    "text_chunk_dedup",
+    "agg_incremental_maintain",
+    "agg_minmax_distinct",
+    "agg_variance_exact",
+    "agg_rollup",
+    "agg_cube",
+    "agg_pivot",
+    "agg_unpivot",
+    "win_running_sum",
+    "join_multiway_region",
+    "u1_union_dedup",
+    "o1_topk_multikey",
+    "a1_count",
+    "p1_projection",
+    "p4_comparison_filter",
+    "p5_null_drop",
+    "p6_exact_dedup",
+    "p7_keyed_dedup",
+    "p9_arity_guard",
+    "d1_parse_coerce",
+    "d3_tz_convert",
+    "d5_format_render",
+    "d7_text_to_double",
+    "d9_map_explode",
+    "d9b_json_map_parse",
+    "d11_month_offset",
+    "dedup_exact_by_digest",
+    "dedup_keyed_pick",
+    "mm_frame_sample",
+    "text_fingerprint",
+    "text_langid",
+    "text_bpe_token_count",
+    "text_quality_score",
+    "udf_embedding_norm",
+    # ---- fold: position 51+ — prior-round hash-green driver evidence ----
+    # r8-green cohort, rotated out r9 (newest evidence first)
     "dedup_minhash_lsh",
     "dedup_chunk_minhash",
     "dedup_bloom_screen",
@@ -613,23 +720,13 @@ PRIORITY: tuple[str, ...] = (
     "dedup_connected_groups",
     "text_dup_spans",
     "text_dup_scrub",
-    # similarity — the new multi-probe IVF earns first evidence;
-    # (kmeans_train_assign folded mid-round on its r7-green row —
-    # kmeans_fit itself is UNCHANGED in r8; the new multi-probe rows
-    # below are the ones that earn evidence on the new serving path)
     "ann_ivf_multiprobe",
     "ann_ivfpq_multiprobe",
     "ann_ivfpq_rerank",
-    # late-r8 new operators earning first evidence (text_vocab_topk and
-    # text_repetition_stats ceded their re-entry slots, deferred to r9)
-    "text_lm_familiarity",
     "emb_outlier_prune",
-    # r4-evidence re-entrants deferred in r7 (oldest evidence first)
     "d4_custom_format_parse",
     "rollup_time_multi",
     "funnel_conversion",
-    # the full r5-evidence cohort (folded r6; re-earning this round
-    # clears the pre-r6 staleness tail completely)
     "win_rank_family",
     "join_skew_enrich",
     "u2_anti_join",
@@ -661,22 +758,8 @@ PRIORITY: tuple[str, ...] = (
     "text_source_quota",
     "grouped_user_gaps",
     "stream_dedup",
-    # ---- fold: position 51+ — prior-round hash-green driver evidence ----
-    # r7-green, rotated out r8 (newest evidence first; incremental and
-    # kmeans folded mid-round to free slots for text_dup_spans +
-    # ann_ivfpq_multiprobe; text_decontaminate and user_gap_stats —
-    # r5-green, families keep 6/1 in-window reps — deferred to r9 so
-    # text_dup_scrub + ann_ivfpq_rerank could earn first evidence;
-    # text_vocab_topk and text_repetition_stats — r5-green, the text
-    # family keeps 5 in-window reps — likewise deferred to r9, their
-    # slots ceded to text_lm_familiarity + emb_outlier_prune)
-    "text_decontaminate",
-    "user_gap_stats",
-    "text_vocab_topk",
-    "text_repetition_stats",
-    "dedup_incremental",
-    "kmeans_train_assign",
-    "agg_exact_median",
+    # r7-green remainder (rotated out r8; dedup_incremental /
+    # kmeans_train_assign / agg_exact_median re-entered the window)
     "agg_corr_exact",
     "a2_empty_probe",
     "win_tumbling",
@@ -718,44 +801,6 @@ PRIORITY: tuple[str, ...] = (
     "cohort_retention",
     "event_transition_counts",
     "merge_upsert_orders",
-    # r6-green cohort (folded r7)
-    "fuzzy_match_blocked",
-    "anomaly_zscore_flags",
-    "dq_referential_audit",
-    "text_chunk_dedup",
-    "agg_incremental_maintain",
-    "agg_minmax_distinct",
-    "agg_variance_exact",
-    "agg_rollup",
-    "agg_cube",
-    "agg_pivot",
-    "agg_unpivot",
-    "win_running_sum",
-    "join_multiway_region",
-    "u1_union_dedup",
-    "o1_topk_multikey",
-    "a1_count",
-    "p1_projection",
-    "p4_comparison_filter",
-    "p5_null_drop",
-    "p6_exact_dedup",
-    "p7_keyed_dedup",
-    "p9_arity_guard",
-    "d1_parse_coerce",
-    "d3_tz_convert",
-    "d5_format_render",
-    "d7_text_to_double",
-    "d9_map_explode",
-    "d9b_json_map_parse",
-    "d11_month_offset",
-    "dedup_exact_by_digest",
-    "dedup_keyed_pick",
-    "mm_frame_sample",
-    "text_fingerprint",
-    "text_langid",
-    "text_bpe_token_count",
-    "text_quality_score",
-    "udf_embedding_norm",
 )
 
 DRIVER_WINDOW = 50  # observed driver evaluation cap (r1 + r2)

@@ -66,38 +66,34 @@ def test_driver_window_covers_every_family():
     window = list(ordered)[: registry.DRIVER_WINDOW]
 
     must_be_in_window = {
-        # queries whose implementation CHANGED in r8 — they must earn
-        # driver evidence on the new code, not coast on stale rows
-        "dedup_minhash_lsh",  # dropped-bucket accounting hook
-        "dedup_chunk_minhash",  # extracted _chunk_relation
-        "dedup_bloom_screen",  # bloom broadcast cache
-        # new r8 operators earning their first driver evidence
-        "ann_ivf_multiprobe",
-        "ann_ivfpq_multiprobe",
-        "ann_ivfpq_rerank",
-        "dedup_dropped_accounting",
-        "dedup_connected_star",
-        "text_dup_spans",
-        "text_dup_scrub",
+        # query whose implementation CHANGED in r9 — must earn driver
+        # evidence on the new code, not coast on its r8 row
+        "text_lm_familiarity",  # <unk>-<unk> exclusion + per-lang means
+        # new r9 operators earning their first driver evidence
+        "ann_ivfpq_scaled",
+        "dedup_bloom_ranged",
         # flagship + the two sketch rows
         "agg_pricing_summary", "agg_approx_distinct", "agg_approx_quantile",
-        # the r8 staleness-tail clearance (ROTATION_LOG r8): the three
-        # r4-evidence rows plus family anchors of the r5 cohort
-        "d4_custom_format_parse", "rollup_time_multi", "funnel_conversion",
-        "dedup_connected_groups",  # components (both algorithms in-window)
-        "win_sliding", "win_rank_family",  # windows
-        "join_asof", "join_skew_enrich", "u2_anti_join",  # joins / set ops
-        "o2_topk_single",  # sort
-        "p8_watermark_filter", "d8_trim",  # projection / derivation
-        "s6_sql_table_scan",  # scan
-        "a3_affected_rows",  # aggregates-misc
-        "mm_binary_meta",  # multimodal
-        "stream_stream_join", "stream_dedup",  # streaming
-        "grouped_user_gaps",  # stateful / pandas-udf
-        "text_tfidf_topk",  # text (vocab_topk ceded its slot to
-        # text_lm_familiarity late-r8 — ROTATION_LOG r8 note)
-        "scd2_order_status", "cdc_latest_state",  # warehouse
-        "metric_rolling_active",  # monitoring
+        # the four disclosed r9 deferrals (r8 verdict item 3)
+        "text_decontaminate", "user_gap_stats",
+        "text_vocab_topk", "text_repetition_stats",
+        # r9 re-earns one-plus representative of every family via the
+        # r6-evidence cohort (ROTATION_LOG r9): anchors spot-checked
+        "dedup_exact_by_digest", "dedup_keyed_pick",  # dedup
+        "win_running_sum", "agg_rollup", "agg_pivot",  # windows / aggs
+        "join_multiway_region", "u1_union_dedup",  # joins / set ops
+        "o1_topk_multikey",  # sort
+        "p1_projection", "p4_comparison_filter",  # projection / filter
+        "d1_parse_coerce", "d9_map_explode",  # derivation
+        "a1_count",  # aggregates-misc
+        "mm_frame_sample",  # multimodal
+        "udf_embedding_norm",  # pandas-udf
+        "text_fingerprint", "text_langid", "text_quality_score",  # text
+        "fuzzy_match_blocked", "anomaly_zscore_flags",  # warehouse
+        "dq_referential_audit", "agg_incremental_maintain",
+        # similarity family reps (kmeans anchors ANN; the scaled IVFPQ
+        # row above is the serving-path rep)
+        "kmeans_train_assign", "dedup_incremental",
     }
     missing = must_be_in_window - set(window)
     assert not missing, f"fell out of the driver window: {sorted(missing)}"
@@ -116,6 +112,7 @@ def test_driver_window_covers_every_family():
         "CORRECTNESS_r05.json",
         "CORRECTNESS_r06.json",
         "CORRECTNESS_r07.json",
+        "CORRECTNESS_r08.json",
     ):
         p = Path(__file__).resolve().parents[1] / f
         if p.exists():
