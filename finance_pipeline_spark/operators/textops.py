@@ -1430,9 +1430,11 @@ _LM_VOCAB = 256  # top-V tokens kept by the bigram LM; the rest -> <unk>
 _LM_UNFAMILIAR_X = 4  # flag docs whose mean bigram freq < corpus mean / X
 
 
-@query(
-    "text_lm_familiarity",
-    oracle=lambda: f"""
+def _lm_familiarity_oracle() -> str:
+    """The full familiarity chain as one SELECT — shared by the
+    ``text_lm_familiarity`` oracle and, nested as a CTE, by the
+    ``text_lm_buckets`` oracle."""
+    return f"""
     WITH clean AS (
         SELECT doc_id, lang,
                list_filter({_sql_tokens()}, x -> x <> '') AS toks
@@ -1485,7 +1487,12 @@ _LM_UNFAMILIAR_X = 4  # flag docs whose mean bigram freq < corpus mean / X
            OR coalesce((CAST(sum_freq AS DOUBLE) / CAST(n_scored AS DOUBLE))
                        * {_LM_UNFAMILIAR_X}.0 < gavg, FALSE) AS unfamiliar
     FROM per_doc LEFT JOIN corpus_mean USING (lang)
-    """,
+    """
+
+
+@query(
+    "text_lm_familiarity",
+    oracle=lambda: _lm_familiarity_oracle(),
     tags=("text", "quality", "lm"),
     bench=True,
 )
@@ -1667,3 +1674,67 @@ def lm_familiarity(d: DataFrame) -> DataFrame:
     mapped = lm_map_to_vocab(lm_pairs(clean, ("doc_id", "lang")), vocab)
     c2 = mapped.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("freq"))
     return lm_score(mapped, c2, mean_keys=("lang",))
+
+
+@query(
+    "text_lm_buckets",
+    oracle=lambda: f"""
+    WITH fam AS ({_lm_familiarity_oracle()}
+    ), scored AS (
+        SELECT doc_id, lang, familiarity FROM fam
+        WHERE familiarity IS NOT NULL
+    ), tiled AS (
+        SELECT doc_id, lang, familiarity,
+               ntile(3) OVER (PARTITION BY lang
+                              ORDER BY familiarity DESC, doc_id) AS t
+        FROM scored
+    )
+    SELECT doc_id, lang, familiarity,
+           CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                  ELSE 'tail' END AS bucket
+    FROM tiled
+    UNION ALL
+    SELECT doc_id, lang, familiarity, 'tail' AS bucket
+    FROM fam WHERE familiarity IS NULL
+    """,
+    tags=("text", "quality", "lm", "mixture"),
+)
+def text_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail split: per language, rank documents by
+    LM familiarity and cut into terciles — 'head' (most familiar,
+    highest-quality prose by the corpus's own standard), 'middle',
+    'tail' (rare transitions; CCNet trains on head+middle and samples
+    the tail). ntile(3) over (familiarity DESC, doc_id) is exact and
+    deterministic (the standard larger-buckets-first distribution both
+    engines implement); pure-OOV docs (null familiarity — nothing
+    scored) go straight to 'tail'.
+
+    Scale note: ntile needs a per-language sort. Fine while each
+    language fits one sort spill budget (lang is the partition key,
+    so it's |lang| parallel sorts, not one global); at 100 TB replace
+    the tercile rank with percentile_approx cutpoints per lang (two
+    scans, no sort) — the bucket semantics CCNet actually uses. The
+    exact form is kept here because it hash-checks against the
+    oracle."""
+    from pyspark.sql import Window as W
+
+    fam = lm_familiarity(
+        load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    ).select("doc_id", "lang", "familiarity")
+    scored = fam.filter(F.col("familiarity").isNotNull())
+    t = F.ntile(3).over(
+        W.partitionBy("lang").orderBy(F.col("familiarity").desc(), "doc_id")
+    )
+    tiled = scored.withColumn("t", t).select(
+        "doc_id",
+        "lang",
+        "familiarity",
+        F.when(F.col("t") == 1, "head")
+        .when(F.col("t") == 2, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+    nulls = fam.filter(F.col("familiarity").isNull()).select(
+        "doc_id", "lang", "familiarity", F.lit("tail").alias("bucket")
+    )
+    return tiled.unionByName(nulls)

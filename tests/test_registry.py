@@ -72,6 +72,7 @@ def test_driver_window_covers_every_family():
         # new r9 operators earning their first driver evidence
         "ann_ivfpq_scaled",
         "dedup_bloom_ranged",
+        "text_lm_buckets",
         # flagship + the two sketch rows
         "agg_pricing_summary", "agg_approx_distinct", "agg_approx_quantile",
         # the four disclosed r9 deferrals (r8 verdict item 3)

@@ -346,3 +346,46 @@ def test_lm_familiarity_minority_language_not_wholesale_flagged(
     # a global mean would flag all four — per-lang must flag none
     assert not any(out[i].unfamiliar for i in (101, 102, 103, 104))
     assert not any(out[i].unfamiliar for i in range(1, 41))
+
+
+def test_lm_buckets_tercile_split_and_null_tail(spark, tmp_path):
+    """CCNet head/middle/tail: per-lang terciles by familiarity with
+    deterministic tie-break; pure-OOV docs (null familiarity) land in
+    'tail' unconditionally."""
+    from finance_pipeline_spark.operators import textops
+
+    old = textops._LM_VOCAB
+    textops._LM_VOCAB = 4
+    try:
+        docs = [
+            # vocab fillers: 'a b' dominates
+            (1, "a b a b a b"),
+            (2, "a b a b c d"),
+            (3, "c d c d a b"),
+            (4, "c d c d c d"),
+            (5, "a b c d a b"),
+            (6, "b a d c b a"),
+            # pure-OOV doc: every bigram is <unk> <unk>
+            (99, "q1z q2z q1z q2z"),
+        ]
+        sf = write_documents(tmp_path, docs)
+        from finance_pipeline_spark import registry
+
+        out = {
+            r.doc_id: r
+            for r in registry.QUERIES["text_lm_buckets"].fn(spark, sf).collect()
+        }
+        assert out[99].bucket == "tail" and out[99].familiarity is None
+        scored = [r for i, r in out.items() if i != 99]
+        buckets = [r.bucket for r in scored]
+        assert buckets.count("head") == 2
+        assert buckets.count("middle") == 2
+        assert buckets.count("tail") == 2
+        # ordering: every head doc is at least as familiar as every
+        # middle doc, and middle >= tail
+        fam = {b: [r.familiarity for r in scored if r.bucket == b] for b in
+               ("head", "middle", "tail")}
+        assert min(fam["head"]) >= max(fam["middle"])
+        assert min(fam["middle"]) >= max(fam["tail"])
+    finally:
+        textops._LM_VOCAB = old
