@@ -1567,43 +1567,8 @@ def _pq_train_encode_scaled(
     k_eff = len(seed_mat)  # tiny corpora may have fewer rows than k_pq
     cents = seed_mat.reshape(k_eff, _PQ_M, _PQ_DSUB).transpose(1, 0, 2).copy()
 
-    def assign(src: DataFrame, c_now: np.ndarray) -> DataFrame:
-        bc = spark.sparkContext.broadcast(c_now)
-
-        def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            c_mat = bc.value  # (m, k, dsub)
-            m = c_mat.shape[0]
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-                x = _emb_matrix(pdf["embedding"]).reshape(
-                    len(pdf), m, _PQ_DSUB
-                )
-                # (n, m, k) squared L2, then the oracle-parity argmin:
-                # 4-dp-rounded distance asc, code asc
-                d = np.round(
-                    ((x[:, :, None, :] - c_mat[None, :, :, :]) ** 2).sum(
-                        axis=3
-                    ),
-                    4,
-                )
-                code = d.argmin(axis=2)  # ties -> lowest code (argmin)
-                n_rows = len(ids)
-                yield pd.DataFrame(
-                    {
-                        "vec_id": np.repeat(ids, m),
-                        "sub": np.tile(np.arange(m, dtype=np.int64), n_rows),
-                        "code": code.astype(np.int64).ravel(),
-                    }
-                )
-
-        return src.mapInPandas(
-            kern, "vec_id bigint, sub bigint, code bigint"
-        )
-
     upd = (
-        assign(sample, cents)
+        _pq_assign_rows(spark, sample, cents)
         .join(sample, "vec_id")
         .select("sub", "code", F.posexplode("embedding").alias("pos", "xf"))
         .filter(F.expr(f"pos div {_PQ_DSUB}") == F.col("sub"))
@@ -1615,8 +1580,50 @@ def _pq_train_encode_scaled(
     for r in upd:
         cents1[r["sub"], r["code"], r["lpos"]] = r["c"]
 
-    codes = (
-        assign(e, cents1)
+    return _pq_assign_codes(spark, e, cents1), cents1
+
+
+def _pq_assign_rows(
+    spark: SparkSession, src: DataFrame, c_now: "np.ndarray"
+) -> DataFrame:
+    """(vec_id, sub, code) PQ assignment rows against codebooks
+    ``c_now`` (m, k, dsub) — one Arrow-batched vectorized argmin kernel
+    pass (4-dp-rounded distance, lowest code on ties — the family's
+    oracle-parity rule). Shared by the trainer's Lloyd update, corpus
+    encoding, and the stored index's incremental ``add``."""
+    bc = spark.sparkContext.broadcast(c_now)
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c_mat = bc.value  # (m, k, dsub)
+        m = c_mat.shape[0]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            x = _emb_matrix(pdf["embedding"]).reshape(len(pdf), m, _PQ_DSUB)
+            d = np.round(
+                ((x[:, :, None, :] - c_mat[None, :, :, :]) ** 2).sum(axis=3),
+                4,
+            )
+            code = d.argmin(axis=2)  # ties -> lowest code (argmin)
+            n_rows = len(ids)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(ids, m),
+                    "sub": np.tile(np.arange(m, dtype=np.int64), n_rows),
+                    "code": code.astype(np.int64).ravel(),
+                }
+            )
+
+    return src.mapInPandas(kern, "vec_id bigint, sub bigint, code bigint")
+
+
+def _pq_assign_codes(
+    spark: SparkSession, src: DataFrame, c_now: "np.ndarray"
+) -> DataFrame:
+    """(vec_id, c0..c3) one-row-per-vector PQ codes."""
+    return (
+        _pq_assign_rows(spark, src, c_now)
         .groupBy("vec_id")
         .agg(
             *[
@@ -1625,7 +1632,6 @@ def _pq_train_encode_scaled(
             ]
         )
     )
-    return codes, cents1
 
 
 def ivfpq_scaled_topk(
@@ -1681,18 +1687,47 @@ def ivfpq_scaled_topk(
     codes, cents1 = _pq_train_encode_scaled(spark, e, sample, p["k_pq"])
     codes_c = codes.join(corpus_cells, "vec_id")
 
-    q = e.filter(F.col("vec_id") % 100 == 0)
-    probes = _probe_cells(
-        spark,
-        cents,
-        q.select(F.col("vec_id").alias("query_id"),
-                 F.col("embedding").alias("q_emb")),
-        nprobe,
-    ).select("query_id", "cluster")
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    # Rerank pool sized to the ADC TIE GROUP, not a constant: every
+    # same-cell vector sharing a code tuple ties on ADC distance, and
+    # on strongly clustered corpora a whole cell can collapse to one
+    # code — a fixed 50-cut then keeps the 50 smallest corpus_ids of
+    # the tie group and recall craters (the 10x probe measured
+    # 1.0 -> 0.45 from exactly this). Two average cells' worth covers
+    # the probe's top tie groups; the 1024 cap bounds the refine fetch
+    # (FAISS k_factor territory) at real scale, where genuine
+    # embedding spread breaks the ties long before the cap matters.
+    pool = max(_RERANK_N, min(1024, 2 * -(-n // p["k_cells"])))
+    return ivfpq_serve(spark, cents, cents1, codes_c, q, e, nprobe, pool)
+
+
+def ivfpq_serve(
+    spark: SparkSession,
+    cents,
+    cents1: "np.ndarray",
+    codes_c: DataFrame,
+    q: DataFrame,
+    rerank_src: DataFrame,
+    nprobe: int,
+    pool: int,
+    k: int = _TOPK,
+) -> DataFrame:
+    """The IVFPQ + IndexRefineFlat serving stack over EXISTING state:
+    probe the ``nprobe`` nearest cells per query, ADC-rank the probed
+    codes (``codes_c`` = (vec_id, cluster, c0..c3)), cut at ``pool``
+    candidates, exactly re-rank against raw vectors from
+    ``rerank_src`` (vec_id, embedding). Shared by the per-call batch
+    operator (``ivfpq_scaled_topk``) and the stored vector index
+    (``pipelines/ann_index.CorpusAnnIndex.search``) so the two serving
+    paths cannot drift. ``q`` carries (query_id, q_emb)."""
+    probes = _probe_cells(spark, cents, q, nprobe).select(
+        "query_id", "cluster"
+    )
 
     # query ADC tables, chunked exactly like _pq_build (driver holds
     # <= _QUERY_FETCH_CAP query rows at once)
-    k_eff = cents1.shape[1]
     tab_cols = ", ".join(f"t{s} array<double>" for s in range(_PQ_M))
     qdfs: list[DataFrame] = []
     qdata: list = []
@@ -1705,13 +1740,13 @@ def ivfpq_scaled_topk(
             qdata.clear()
 
     for r in q.toLocalIterator():
-        qv = np.asarray(r["embedding"], dtype=np.float64).reshape(
+        qv = np.asarray(r["q_emb"], dtype=np.float64).reshape(
             _PQ_M, _PQ_DSUB
         )
         tabs = ((qv[:, None, :] - cents1) ** 2).sum(axis=2)  # (m, k_eff)
         qdata.append(
             (
-                int(r["vec_id"]),
+                int(r["query_id"]),
                 *[[float(x) for x in tabs[s]] for s in range(_PQ_M)],
             )
         )
@@ -1749,16 +1784,6 @@ def ivfpq_scaled_topk(
         cand = parts[0]
         for part in parts[1:]:
             cand = cand.unionByName(part)
-    # Rerank pool sized to the ADC TIE GROUP, not a constant: every
-    # same-cell vector sharing a code tuple ties on ADC distance, and
-    # on strongly clustered corpora a whole cell can collapse to one
-    # code — a fixed 50-cut then keeps the 50 smallest corpus_ids of
-    # the tie group and recall craters (the 10x probe measured
-    # 1.0 -> 0.45 from exactly this). Two average cells' worth covers
-    # the probe's top tie groups; the 1024 cap bounds the refine fetch
-    # (FAISS k_factor territory) at real scale, where genuine
-    # embedding spread breaks the ties long before the cap matters.
-    pool = max(_RERANK_N, min(1024, 2 * -(-n // p["k_cells"])))
     cand = (
         cand.withColumn("rnk", F.row_number().over(wa))
         .filter(F.col("rnk") <= pool)
@@ -1766,10 +1791,8 @@ def ivfpq_scaled_topk(
     )
 
     # exact refine over the candidate pool (IndexRefineFlat)
-    qv_df = e.select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
-    )
-    cv_df = e.select(
+    qv_df = q.select("query_id", "q_emb")
+    cv_df = rerank_src.select(
         F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("c_emb")
     )
     dist = F.round(
@@ -1794,7 +1817,7 @@ def ivfpq_scaled_topk(
         .withColumn("dist", dist)
         .select("query_id", "corpus_id", "dist")
         .withColumn("rnk", F.row_number().over(wf).cast("bigint"))
-        .filter(F.col("rnk") <= _TOPK)
+        .filter(F.col("rnk") <= k)
     )
 
 

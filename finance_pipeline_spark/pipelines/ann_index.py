@@ -1,0 +1,227 @@
+"""Stored vector index — the persistent, build-once/serve-many form of
+``ann_ivfpq_scaled``.
+
+The registered operator trains, encodes, AND serves in one call; a real
+deployment does those at different cadences: the index is built offline
+over the corpus, EXTENDED incrementally as ingest admits new documents
+(FAISS semantics: adds encode against the FROZEN codebooks — no
+retrain), and searched per query batch. This component persists that
+state the same way ``CorpusDedupIndex`` / ``CorpusLmIndex`` persist
+theirs:
+
+- ``codes/``      — ``TxnKeyedTable`` keyed ``vec_id``: one row per
+  indexed vector — its coarse cell and PQ codes ``(cluster, c0..c3)``.
+  First-wins keyed merge makes re-adds idempotent (crash-retried
+  ingest batches are no-ops).
+- ``centroids.npy`` / ``codebooks.npy`` — the coarse quantizer
+  (k_cells x dim) and PQ codebooks (m x k_pq x dsub), driver-sized by
+  construction (``scaled_ann_params`` caps: ≤4096x64 + 4x256x16
+  doubles ≈ 2.2 MB), written via tmp + atomic rename.
+- ``meta.json``   — params + build size, written LAST as the build's
+  commit marker: a crash mid-build leaves no meta, and every read path
+  raises a clear "not built" instead of serving half an index.
+
+Search loads the two arrays driver-side, broadcasts them through the
+SHARED serving stack (``operators/similarity.ivfpq_serve`` — the exact
+code path the recall tests and 10x probe measured), and re-ranks
+against raw vectors the caller supplies (the index stores 4-byte codes
+per vector, never embeddings — at 100 TB the refine is |queries| x
+pool point lookups against the vec_id-keyed source table, not a scan).
+
+Scale shape: add() cost is one assignment kernel pass over the BATCH
+(broadcast codebooks); stored cost is ~12 bytes/vector; search scans
+~nprobe/k_cells of the stored codes. ``optimize()`` compacts the codes
+table under the same index-root writer lock as the other stored
+indexes. Frozen-codebook drift is the operator's standard tradeoff:
+re-``build`` when the corpus distribution has moved (FAISS guidance),
+which this class makes explicit rather than silent.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from finance_pipeline_spark.operators.similarity import (
+    _PQ_DSUB,
+    _PQ_M,
+    _RERANK_N,
+    _pq_assign_codes,
+    _pq_train_encode_scaled,
+    _probe_cells,
+    _train_sample,
+    ivfpq_serve,
+    kmeans_fit,
+    scaled_ann_params,
+)
+from finance_pipeline_spark.sinks.txn_table import TxnKeyedTable
+
+
+def _write_atomic(path: Path, data: bytes) -> None:
+    tmp = path.with_name(f".{path.name}.{os.getpid()}.tmp")
+    tmp.write_bytes(data)
+    tmp.replace(path)
+
+
+class CorpusAnnIndex:
+    """Persistent IVFPQ index over (vec_id, embedding) batches.
+
+    Typical loop::
+
+        idx = CorpusAnnIndex(spark, "/warehouse/ann_index")
+        idx.build(corpus)                  # offline: train + encode
+        idx.add(new_batch)                 # per-ingest: encode only
+        hits = idx.search(queries, corpus_plus_new)   # per-request
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = str(root)
+        self.codes = TxnKeyedTable(spark, f"{self.root}/codes", ["vec_id"])
+
+    # -- state ---------------------------------------------------------
+
+    def _meta_path(self) -> Path:
+        return Path(self.root) / "meta.json"
+
+    def exists(self) -> bool:
+        return self._meta_path().exists()
+
+    def _load_state(self):
+        if not self.exists():
+            raise ValueError(
+                f"CorpusAnnIndex at {self.root} is not built — run build() "
+                "first (meta.json is the build's commit marker)"
+            )
+        meta = json.loads(self._meta_path().read_text())
+        cents = np.load(Path(self.root) / "centroids.npy")
+        cents1 = np.load(Path(self.root) / "codebooks.npy")
+        return meta, cents, cents1
+
+    # -- build / extend -------------------------------------------------
+
+    def build(self, e: DataFrame) -> dict:
+        """Train the coarse quantizer + PQ codebooks at
+        ``scaled_ann_params`` capacity on a deterministic sample of
+        ``e`` (vec_id, embedding), encode every vector, and persist.
+        Overwrites any previous build (codebooks are frozen per build;
+        a rebuild is the documented answer to distribution drift).
+        Commit order: arrays → codes → meta LAST, so a crash anywhere
+        leaves either the old index (meta still old/absent) or the new
+        one — never a half-built state a reader would trust."""
+        e = e.select("vec_id", "embedding")
+        n = e.count()
+        p = scaled_ann_params(n)
+        sample = _train_sample(e, n, p["train_target"]).localCheckpoint(
+            eager=True
+        )
+        hashed = sample.select(
+            F.xxhash64(F.col("vec_id")).alias("vec_id"), "embedding"
+        )
+        cents, _ = kmeans_fit(self.spark, hashed, p["k_cells"], rounds=2)
+        codes_df, cents1 = _pq_train_encode_scaled(
+            self.spark, e, sample, p["k_pq"]
+        )
+
+        root = Path(self.root)
+        root.mkdir(parents=True, exist_ok=True)
+        # invalidate any previous build BEFORE replacing its arrays: a
+        # crash between the array writes and the new meta must not let
+        # readers pair old meta with new arrays
+        self._meta_path().unlink(missing_ok=True)
+        buf_c, buf_b = _np_bytes(np.asarray(cents)), _np_bytes(cents1)
+        _write_atomic(root / "centroids.npy", buf_c)
+        _write_atomic(root / "codebooks.npy", buf_b)
+        if self.codes.exists():
+            self.codes.drop()
+        merged = self.codes.merge(self._encode(e, cents, cents1))
+        meta = dict(p, n_built=n, dim=_PQ_M * _PQ_DSUB)
+        _write_atomic(
+            self._meta_path(), json.dumps(meta, sort_keys=True).encode()
+        )
+        return dict(meta, codes_inserted=merged.inserted)
+
+    def _encode(self, e: DataFrame, cents, cents1) -> DataFrame:
+        cells = _probe_cells(
+            self.spark,
+            cents,
+            e.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("q_emb"),
+            ),
+            1,
+        ).select(F.col("query_id").alias("vec_id"), "cluster")
+        return _pq_assign_codes(self.spark, e, cents1).join(cells, "vec_id")
+
+    def add(self, batch: DataFrame) -> dict:
+        """Encode a (vec_id, embedding) batch against the FROZEN
+        codebooks and merge — the FAISS ``add()`` contract. Keyed
+        first-wins merge: re-delivered batches and crash replays are
+        no-ops; concurrent adds of disjoint ids are safe (per-op
+        transactional table)."""
+        meta, cents, cents1 = self._load_state()
+        merged = self.codes.merge(
+            self._encode(batch.select("vec_id", "embedding"), cents, cents1)
+        )
+        return {"codes_inserted": merged.inserted}
+
+    # -- serve -----------------------------------------------------------
+
+    def search(
+        self, q: DataFrame, rerank_src: DataFrame, k: int = 10,
+        nprobe: int | None = None,
+    ) -> DataFrame:
+        """Top-``k`` neighbors per query against the STORED codes:
+        ``q`` carries (query_id, q_emb); ``rerank_src`` (vec_id,
+        embedding) supplies raw vectors for the exact refine — the
+        index itself stores only codes. Same ``ivfpq_serve`` stack the
+        batch operator uses, so stored-state serving cannot drift from
+        the recall-tested path."""
+        meta, cents, cents1 = self._load_state()
+        if nprobe is None:
+            nprobe = int(meta["nprobe"])
+        n_indexed = self.codes.read().count() if self.codes.exists() else 0
+        pool = max(
+            _RERANK_N,
+            min(1024, 2 * -(-max(n_indexed, 1) // int(meta["k_cells"]))),
+        )
+        stored = self.codes.read()
+        return ivfpq_serve(
+            self.spark,
+            cents,
+            cents1,
+            stored,
+            q.select("query_id", "q_emb"),
+            rerank_src.select("vec_id", "embedding"),
+            nprobe,
+            pool,
+            k=k,
+        )
+
+    # -- maintenance ------------------------------------------------------
+
+    def optimize(self, target_rows: int = 1_000_000) -> dict:
+        """Compact the codes table (key-sorted bin-pack) under the
+        index-root writer lock — the same mutual exclusion contract as
+        the dedup/LM indexes."""
+        from finance_pipeline_spark.sinks.keyed_writer import writer_lock
+
+        with writer_lock(self.root, owner="ann-index-optimize"):
+            if not self.codes.exists():
+                return {"files_before": 0, "files_after": 0}
+            before, after = self.codes.compact(target_rows=target_rows)
+            return {"files_before": before, "files_after": after}
+
+
+def _np_bytes(arr: "np.ndarray") -> bytes:
+    import io
+
+    buf = io.BytesIO()
+    np.save(buf, arr)
+    return buf.getvalue()

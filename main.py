@@ -101,6 +101,36 @@ def corpus_main(argv: list[str]) -> int:
     p.add_argument("--out", default=None, help="scores parquet dir (optional)")
 
     p = sub.add_parser(
+        "ann-build",
+        help="train + encode a stored IVFPQ vector index over a corpus",
+    )
+    p.add_argument("--index", required=True, help="CorpusAnnIndex root")
+    p.add_argument(
+        "--input", required=True, help="parquet of (vec_id, embedding)"
+    )
+
+    p = sub.add_parser(
+        "ann-add", help="encode a batch against the frozen codebooks"
+    )
+    p.add_argument("--index", required=True)
+    p.add_argument("--input", required=True)
+
+    p = sub.add_parser(
+        "ann-search", help="top-k neighbors vs the stored codes"
+    )
+    p.add_argument("--index", required=True)
+    p.add_argument(
+        "--queries", required=True, help="parquet of (query_id, q_emb)"
+    )
+    p.add_argument(
+        "--corpus", required=True,
+        help="parquet of (vec_id, embedding) — raw vectors for the "
+        "exact re-rank (the index stores only codes)",
+    )
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--out", default=None, help="hits parquet dir (optional)")
+
+    p = sub.add_parser(
         "curate",
         help="batch curation: screen -> LM screen -> dedup -> scrub -> "
         "decontaminate -> sharded export",
@@ -181,6 +211,35 @@ def corpus_main(argv: list[str]) -> int:
                 }
             )
         )
+        return 0
+    if args.cmd == "ann-build":
+        from finance_pipeline_spark.pipelines.ann_index import CorpusAnnIndex
+
+        stats = CorpusAnnIndex(spark, args.index).build(
+            spark.read.parquet(args.input)
+        )
+        print(json.dumps(stats))
+        return 0
+    if args.cmd == "ann-add":
+        from finance_pipeline_spark.pipelines.ann_index import CorpusAnnIndex
+
+        stats = CorpusAnnIndex(spark, args.index).add(
+            spark.read.parquet(args.input)
+        )
+        print(json.dumps(stats))
+        return 0
+    if args.cmd == "ann-search":
+        from finance_pipeline_spark.pipelines.ann_index import CorpusAnnIndex
+
+        hits = CorpusAnnIndex(spark, args.index).search(
+            spark.read.parquet(args.queries),
+            spark.read.parquet(args.corpus),
+            k=args.k,
+        )
+        if args.out:
+            hits.write.mode("overwrite").parquet(args.out)
+            hits = spark.read.parquet(args.out)
+        print(json.dumps({"hits": hits.count(), "k": args.k, "out": args.out}))
         return 0
     if args.cmd == "curate":
         from finance_pipeline_spark.pipelines.curation import curate_corpus

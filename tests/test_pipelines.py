@@ -619,3 +619,71 @@ def test_corpus_cli_lm_add_and_screen(spark, tmp_path, capsys):
     assert out["scored"] == 2 and out["unfamiliar"] == 1
     got = {r.doc_id: r.unfamiliar for r in spark.read.parquet(scores_dir).collect()}
     assert got == {100: False, 101: True}
+
+
+def test_corpus_cli_ann_build_add_search(spark, tmp_path, capsys):
+    """CLI round-trip for the stored vector index: build over a small
+    clustered corpus, add a planted near-duplicate, search finds it."""
+    import json as _json
+
+    import numpy as np
+    import pandas as pd
+
+    import main as cli
+
+    rng = np.random.default_rng(3)
+    centers = 6.0 * rng.standard_normal((6, 64))
+    mat = np.vstack(
+        [centers[b] + 0.3 * rng.standard_normal((15, 64)) for b in range(6)]
+    )
+    ids = list(range(1, len(mat) + 1))
+    pd.DataFrame(
+        {
+            "vec_id": ids,
+            "embedding": [r.astype(np.float64).tolist() for r in mat],
+        }
+    ).to_parquet(tmp_path / "corpus.parquet")
+
+    index = str(tmp_path / "ann")
+    rc = cli.main(
+        ["corpus", "ann-build", "--index", index,
+         "--input", str(tmp_path / "corpus.parquet")]
+    )
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["codes_inserted"] == len(ids)
+
+    # planted near-copy of vector 1, then a query at vector 1
+    new_vec = mat[0] + 0.01 * rng.standard_normal(64)
+    pd.DataFrame(
+        {"vec_id": [900001], "embedding": [new_vec.tolist()]}
+    ).to_parquet(tmp_path / "batch.parquet")
+    rc = cli.main(
+        ["corpus", "ann-add", "--index", index,
+         "--input", str(tmp_path / "batch.parquet")]
+    )
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["codes_inserted"] == 1
+
+    pd.DataFrame(
+        {"query_id": [1], "q_emb": [mat[0].tolist()]}
+    ).to_parquet(tmp_path / "queries.parquet")
+    pd.concat(
+        [
+            pd.read_parquet(tmp_path / "corpus.parquet"),
+            pd.read_parquet(tmp_path / "batch.parquet"),
+        ]
+    ).to_parquet(tmp_path / "corpus2.parquet")
+    hits_dir = str(tmp_path / "hits")
+    rc = cli.main(
+        ["corpus", "ann-search", "--index", index,
+         "--queries", str(tmp_path / "queries.parquet"),
+         "--corpus", str(tmp_path / "corpus2.parquet"),
+         "--k", "3", "--out", hits_dir]
+    )
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["hits"] == 3
+    rows = {r.rnk: r.corpus_id for r in spark.read.parquet(hits_dir).collect()}
+    assert rows[1] == 900001  # the planted near-copy is rank-1
