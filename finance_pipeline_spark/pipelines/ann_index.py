@@ -204,6 +204,49 @@ class CorpusAnnIndex:
             k=k,
         )
 
+    def screen(
+        self, batch: DataFrame, rerank_src: DataFrame, threshold: float,
+    ) -> DataFrame:
+        """Incremental EMBEDDING near-dup screen — the vector-space
+        analogue of ``CorpusDedupIndex.screen``: each (vec_id,
+        embedding) batch row gets its exact-reranked nearest stored
+        neighbor; squared-L2 ``dist`` <= ``threshold`` flags
+        ``review_near`` (candidate, not proof — same verdict contract
+        as the text tiers). Self-matches are excluded by id inside the
+        serve, so a crash-replayed batch whose ids are already indexed
+        screens against the REST of the corpus, not itself. Returns
+        (vec_id, near_dup, nn_id, nn_dist, verdict)."""
+        q = batch.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+        )
+        nn = (
+            self.search(q, rerank_src, k=1)
+            .select(
+                F.col("query_id").alias("vec_id"),
+                F.col("corpus_id").alias("nn_id"),
+                F.col("dist").alias("nn_dist"),
+            )
+        )
+        return (
+            batch.select("vec_id")
+            .join(nn, "vec_id", "left")
+            .select(
+                "vec_id",
+                F.coalesce(
+                    F.col("nn_dist") <= F.lit(float(threshold)), F.lit(False)
+                ).alias("near_dup"),
+                "nn_id",
+                "nn_dist",
+                F.when(
+                    F.col("nn_dist") <= F.lit(float(threshold)),
+                    F.lit("review_near"),
+                )
+                .otherwise(F.lit("keep"))
+                .alias("verdict"),
+            )
+        )
+
     # -- maintenance ------------------------------------------------------
 
     def optimize(self, target_rows: int = 1_000_000) -> dict:

@@ -157,3 +157,35 @@ def test_optimize_compacts_codes(spark, tmp_path):
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
     assert idx.search(q, e).count() > 0
+
+
+def test_screen_flags_planted_embedding_near_dup(spark, tmp_path):
+    """The vector-space incremental screen: a near-copy of a stored
+    vector flags review_near with its source as nearest neighbor; a
+    novel far vector keeps."""
+    from finance_pipeline_spark.registry import load
+
+    sf, centers, rng = _clustered(tmp_path, n_blobs=8, per_blob=20)
+    e = load(spark, sf, "embeddings").select("vec_id", "embedding")
+    idx = CorpusAnnIndex(spark, str(tmp_path / "ann"))
+    idx.build(e)
+
+    v1 = np.array(
+        e.filter(F.col("vec_id") == 1).collect()[0]["embedding"],
+        dtype=np.float64,
+    )
+    near = v1 + 0.01 * rng.standard_normal(_DIM)  # dist ~ 64*0.0001
+    far = 50.0 + rng.standard_normal(_DIM)  # far from every blob
+    batch = spark.createDataFrame(
+        [
+            (700001, [float(x) for x in near]),
+            (700002, [float(x) for x in far]),
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = {
+        r.vec_id: r for r in idx.screen(batch, e, threshold=1.0).collect()
+    }
+    assert out[700001].near_dup and out[700001].verdict == "review_near"
+    assert out[700001].nn_id == 1
+    assert not out[700002].near_dup and out[700002].verdict == "keep"
