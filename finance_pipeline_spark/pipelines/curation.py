@@ -94,14 +94,44 @@ def curate_corpus(
     # vocabulary exceeds _LM_VOCAB).
     from finance_pipeline_spark.operators.textops import lm_familiarity
 
-    unfamiliar = (
+    # materialize the doc-sized score frame ONCE: both the drop filter
+    # and the bucket histogram below consume it (re-deriving would run
+    # the whole LM scoring plan twice — the module's composition rule)
+    fam = (
         lm_familiarity(u0.select("doc_id", "lang", "text"))
-        .filter(F.col("unfamiliar"))
-        .select("doc_id")
+        .select("doc_id", "lang", "familiarity", "unfamiliar")
+        .localCheckpoint(eager=True)
     )
+    unfamiliar = fam.filter(F.col("unfamiliar")).select("doc_id")
     u = u0.join(unfamiliar, "doc_id", "left_anti").localCheckpoint(eager=True)
     n_familiar = u.count()
-    log("lm_screen", kept=n_familiar, dropped=n_screened - n_familiar)
+    # CCNet-style quality distribution, reported not acted on: per-lang
+    # familiarity terciles over the scored docs (the text_lm_buckets
+    # semantics) — a 100 TB curation run wants to SEE its head/middle/
+    # tail mix next to the drop counts.
+    tile = F.ntile(3).over(
+        W.partitionBy("lang").orderBy(F.col("familiarity").desc(), "doc_id")
+    )
+    lm_buckets = {
+        r["bucket"]: r["n"]
+        for r in fam.filter(F.col("familiarity").isNotNull())
+        .withColumn("t", tile)
+        .select(
+            F.when(F.col("t") == 1, "head")
+            .when(F.col("t") == 2, "middle")
+            .otherwise("tail")
+            .alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    log(
+        "lm_screen",
+        kept=n_familiar,
+        dropped=n_screened - n_familiar,
+        buckets=lm_buckets,
+    )
 
     # 2. Exact dedup — first-wins per content digest; the shuffle key
     # is the 32-byte digest, text never moves.
@@ -253,6 +283,7 @@ def curate_corpus(
         "n_after_near_dedup": n_kept,
         "n_dropped_buckets": n_dropped_buckets,
         "n_docs_in_dropped_buckets": n_dropped_docs,
+        "lm_buckets": lm_buckets,
         "n_after_scrub": n_scrub,
         "n_exported": n_final,
         "splits": splits,

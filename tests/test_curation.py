@@ -195,3 +195,13 @@ def test_curate_corpus_surfaces_dropped_bucket_ledger(spark, tmp_path):
     # come out the far end (the 699 clones legitimately die at the
     # substring scrub — they ARE wall-to-wall boilerplate)
     assert stats["n_exported"] >= 25
+
+
+def test_curate_corpus_reports_lm_bucket_mix(spark, tmp_path):
+    """The CCNet-style quality histogram rides the stats: per-lang
+    familiarity terciles sum to the scored-doc count."""
+    stats = curate_corpus(spark, SF_DIR, str(tmp_path / "out"), n_shards=2)
+    b = stats["lm_buckets"]
+    assert set(b) <= {"head", "middle", "tail"} and sum(b.values()) > 0
+    # terciles: no bucket more than ~a doc bigger than another per lang
+    assert max(b.values()) - min(b.values()) <= stats["n_screened"] * 0.1
