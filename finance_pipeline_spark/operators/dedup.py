@@ -1084,27 +1084,30 @@ def bloom_maybe_contains_ranged(
 
     bc = _bloom_broadcast(spark, np.ascontiguousarray(words2d))
 
+    n_words = _BLOOM_BITS >> 6
+
     @pandas_udf("boolean")
     def maybe(dg):
         import numpy as np
         import pandas as pd
 
-        w = bc.value.view(np.uint64)
+        w = bc.value.view(np.uint64).reshape(-1)
         out = np.zeros(len(dg), dtype=bool)
         strs = [d for d in dg if isinstance(d, str)]
         if strs:
             mask = np.array([isinstance(d, str) for d in dg], dtype=bool)
             rng = _bloom_range_ids(strs)
             idx = _bloom_indexes(strs)  # (n, k)
-            rows = w[rng]  # (n, BITS/64) gather of each digest's range
+            # flat (n, k) word gather into the stacked bitmaps — NEVER
+            # w[rng]: that fancy-index materializes one full 128 KiB
+            # bitmap row PER DIGEST (a 10k-row Arrow batch would copy
+            # ~1.3 GB per task)
+            word_idx = (
+                rng[:, None].astype(np.uint64) * np.uint64(n_words)
+                + (idx >> np.uint64(6))
+            )
             bits = (
-                (
-                    np.take_along_axis(
-                        rows, (idx >> np.uint64(6)).astype(np.int64), axis=1
-                    )
-                    >> (idx & np.uint64(63))
-                )
-                & np.uint64(1)
+                (w[word_idx] >> (idx & np.uint64(63))) & np.uint64(1)
             ).all(axis=1)
             out[mask] = bits
         return pd.Series(out)
