@@ -1,0 +1,172 @@
+"""Trained quality classifier — the fastText-style "reference corpus
+vs crawl" filter from the GPT-3/LLaMA data recipes, re-expressed
+Spark-first.
+
+The standard recipe trains a linear classifier to distinguish a
+trusted reference slice (Wikipedia/books; here: a fixed subset of the
+``source`` column) from the rest of the crawl, then keeps documents
+the classifier scores reference-like. The interesting engineering
+problem at 100 TB is DETERMINISTIC distributed training: a naive
+gradient sum over doubles changes with partitioning (float addition
+isn't associative), so two runs of the same job produce different
+weights and different keep sets — an audit nightmare. Here every
+per-row gradient contribution is rounded to 9 dp and accumulated as
+``decimal(38,12)`` (exact, order-free — the engine's standard trick
+for cross-run and cross-engine determinism), so the trained weights
+are bit-identical on every run and any partitioning; a pytest pins
+that plus separation on planted data.
+
+Cost shape: training is ``iters`` map-side-combined aggregates over
+the feature frame (one narrow row per doc — text is touched once in
+the feature pass); scoring is one codegen scan with literal weights.
+No driver-side data beyond the (d+1)-element weight vector.
+
+Registered rows-only: 20 coupled gradient-descent iterations are an
+iterative algorithm, not a static SQL chain (the brief's explicit
+rows-only category); correctness is pinned by determinism + planted
+separation tests instead.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from finance_pipeline_spark.registry import load, query
+
+# the trusted "reference" slice of the corpus — stands in for the
+# Wikipedia/books side of the classic quality-classifier recipe
+_REF_SOURCES = ("src0", "src1", "src2", "src3", "src4")
+_ITERS = 20
+_LR = 0.5
+
+
+def doc_features(d: DataFrame) -> DataFrame:
+    """(doc_id, f1..f5): deterministic per-doc quality signals, all
+    pure JVM expressions on one text scan, each rounded to 6 dp so the
+    downstream decimal accumulation is exact. Features: token count
+    (log-scaled), type/token ratio, mean token length, digit-character
+    ratio, mean sentence-ish segment length."""
+    toks = F.split(F.trim(F.col("text")), " ")
+    n_tok = F.size(toks).cast("double")
+    chars = F.length("text").cast("double")
+    digits = (
+        chars - F.length(F.regexp_replace("text", r"[0-9]", ""))
+    ).cast("double")
+    segs = F.size(F.split(F.col("text"), r"[.!?]")).cast("double")
+    return d.select(
+        "doc_id",
+        F.round(F.log1p(n_tok), 6).alias("f1"),
+        F.round(
+            F.size(F.array_distinct(toks)).cast("double")
+            / F.greatest(n_tok, F.lit(1.0)),
+            6,
+        ).alias("f2"),
+        F.round(chars / F.greatest(n_tok, F.lit(1.0)), 6).alias("f3"),
+        F.round(digits / F.greatest(chars, F.lit(1.0)), 6).alias("f4"),
+        F.round(n_tok / F.greatest(segs, F.lit(1.0)), 6).alias("f5"),
+    )
+
+
+_FEATS = ("f1", "f2", "f3", "f4", "f5")
+
+
+def _standardize(feat: DataFrame) -> tuple[DataFrame, dict]:
+    """6-dp-rounded z-scores with exact decimal moment sums: mean and
+    variance come out identical on every run/partitioning, so the
+    standardization can't introduce nondeterminism before training."""
+    aggs = []
+    for f in _FEATS:
+        c = F.col(f).cast("decimal(20,6)")
+        aggs += [
+            F.sum(c).alias(f"s_{f}"),
+            F.sum((c * c).cast("decimal(38,12)")).alias(f"q_{f}"),
+        ]
+    row = feat.agg(F.count(F.lit(1)).alias("n"), *aggs).collect()[0]
+    n = max(int(row["n"]), 1)
+    stats = {}
+    for f in _FEATS:
+        mean = float(row[f"s_{f}"] or 0) / n
+        var = max(float(row[f"q_{f}"] or 0) / n - mean * mean, 1e-12)
+        stats[f] = (round(mean, 6), round(math.sqrt(var), 6))
+    out = feat.select(
+        *[c for c in feat.columns if c not in _FEATS],
+        *[
+            F.round(
+                (F.col(f) - F.lit(stats[f][0])) / F.lit(max(stats[f][1], 1e-6)),
+                6,
+            ).alias(f)
+            for f in _FEATS
+        ],
+    )
+    return out, stats
+
+
+def _margin(weights: list[float]) -> Column:
+    z = F.lit(weights[0])
+    for j, f in enumerate(_FEATS, start=1):
+        z = z + F.lit(weights[j]) * F.col(f)
+    return z
+
+
+def logreg_fit(
+    labeled: DataFrame, iters: int = _ITERS, lr: float = _LR
+) -> list[float]:
+    """Deterministic batch gradient descent over (y, f1..f5): per
+    iteration ONE map-side-combined aggregate computes the full-batch
+    gradient with 9-dp-rounded per-row contributions summed as exact
+    decimals; the (d+1)-element weight vector lives on the driver and
+    is rounded to 9 dp per step. Same data → same weights, regardless
+    of partitioning, executor count, or run order."""
+    labeled = labeled.localCheckpoint(eager=True)  # iters passes, one plan
+    n = max(labeled.count(), 1)
+    w = [0.0] * (1 + len(_FEATS))
+    for _ in range(iters):
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_margin(w)))
+        err = p - F.col("y").cast("double")
+        aggs = [
+            F.sum(F.round(err, 9).cast("decimal(38,12)")).alias("g0")
+        ] + [
+            F.sum(
+                F.round(err * F.col(f), 9).cast("decimal(38,12)")
+            ).alias(f"g{j}")
+            for j, f in enumerate(_FEATS, start=1)
+        ]
+        g = labeled.agg(*aggs).collect()[0]
+        w = [
+            round(w[j] - lr * float(g[f"g{j}"] or 0) / n, 9)
+            for j in range(len(w))
+        ]
+    return w
+
+
+@query(
+    "text_quality_classifier",
+    oracle=None,  # 20 coupled GD iterations are an iterative
+    # algorithm (the brief's rows-only category); determinism and
+    # planted-separation are pytest-pinned instead
+    tags=("text", "quality", "classifier"),
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-vs-rest quality classifier: train on (source in
+    ``_REF_SOURCES``) labels over deterministic text features, score
+    every document — (doc_id, score, ref_like). The keep rule a
+    GPT-3-style pipeline applies downstream is ``ref_like`` (or a
+    noisy threshold on ``score``); here both ride the row so the
+    caller chooses."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    feat, _ = _standardize(doc_features(d))
+    labeled = feat.join(d.select("doc_id", "source"), "doc_id").withColumn(
+        "y", F.col("source").isin(*_REF_SOURCES).cast("int")
+    )
+    w = logreg_fit(labeled)
+    score = F.round(
+        F.lit(1.0) / (F.lit(1.0) + F.exp(-_margin(w))), 6
+    )
+    return feat.select(
+        "doc_id",
+        score.alias("score"),
+        (score >= F.lit(0.5)).alias("ref_like"),
+    )

@@ -290,18 +290,21 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
             "d1_parse_coerce", "d3_tz_convert", "d5_format_render",
             "d7_text_to_double", "d9_map_explode", "d9b_json_map_parse",
             "d11_month_offset", "dedup_exact_by_digest",
-            "dedup_keyed_pick", "mm_frame_sample", "text_fingerprint",
+            "dedup_keyed_pick", "mm_frame_sample",
             "text_langid", "text_quality_score",
             "udf_embedding_norm",
-            # (text_bpe_token_count — r6-green — defers to r10: its slot
-            # went to the late-round text_lm_buckets below; it stays
-            # covered by every full-registry oracle run)
+            # (text_bpe_token_count and text_fingerprint — r6-green —
+            # defer to r10: their slots went to the late-round
+            # text_lm_buckets / text_quality_classifier below; both
+            # stay covered by every full-registry oracle run)
             # oldest r7-evidence slice fills the remaining slots
             "dedup_incremental", "kmeans_train_assign", "agg_exact_median",
             # new r9 operators earning first driver evidence
             "ann_ivfpq_scaled",   # corpus-capacity IVFPQ (rows-only)
             "dedup_bloom_ranged",  # range-partitioned bloom screen
             "text_lm_buckets",     # CCNet head/middle/tail split
+            "text_quality_classifier",  # trained ref-vs-rest filter
+            # (rows-only: iterative GD; determinism pytest-pinned)
             # NOT rotating out despite r8-green (changed code in r9):
             # text_lm_familiarity — lm_score gained the <unk>-<unk>
             # exclusion and per-language corpus means (advisor fixes);
@@ -445,12 +448,13 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
             "p9_arity_guard", "d1_parse_coerce", "d3_tz_convert",
             "d5_format_render", "d7_text_to_double", "d9_map_explode",
             "d9b_json_map_parse", "d11_month_offset", "dedup_exact_by_digest",
-            "dedup_keyed_pick", "mm_frame_sample", "text_fingerprint",
+            "dedup_keyed_pick", "mm_frame_sample",
             "text_langid", "text_quality_score",
             "udf_embedding_norm",
-            # (text_bpe_token_count — r6-green — defers to r10: its slot
-            # went to the late-round text_lm_buckets below; it stays
-            # covered by every full-registry oracle run)
+            # (text_bpe_token_count and text_fingerprint — r6-green —
+            # defer to r10: their slots went to the late-round
+            # text_lm_buckets / text_quality_classifier below; both
+            # stay covered by every full-registry oracle run)
             # mid-round folds on their r6-green rows: slots freed for
             # the new dedup_bloom_screen / o4_global_index / ann_pq_topk
             # (warehouse keeps 2 in-window reps + merge_upsert_orders)
@@ -712,17 +716,21 @@ PRIORITY: tuple[str, ...] = (
     "dedup_exact_by_digest",
     "dedup_keyed_pick",
     "mm_frame_sample",
-    "text_fingerprint",
     "text_langid",
     "text_quality_score",
     "udf_embedding_norm",
-    # new r9 (late-round): CCNet head/middle/tail familiarity split —
-    # first driver evidence; text_bpe_token_count (r6-green, text
-    # family keeps 6 in-window reps) cedes its slot, deferred to r10
+    # new r9 (late-round): CCNet head/middle/tail familiarity split
+    # and the trained reference-vs-rest quality classifier — first
+    # driver evidence; text_bpe_token_count and text_fingerprint
+    # (r6-green, the text family keeps 5+ in-window reps) cede their
+    # slots, deferred to r10
     "text_lm_buckets",
+    "text_quality_classifier",
     # ---- fold: position 51+ — prior-round hash-green driver evidence ----
-    # r6-green, deferred to r10 (slot ceded to text_lm_buckets)
+    # r6-green, deferred to r10 (slots ceded to text_lm_buckets and
+    # text_quality_classifier)
     "text_bpe_token_count",
+    "text_fingerprint",
     # r8-green cohort, rotated out r9 (newest evidence first)
     "dedup_minhash_lsh",
     "dedup_chunk_minhash",
@@ -850,6 +858,7 @@ def load_all() -> None:
     """Import every operator module for its registration side effects."""
     from finance_pipeline_spark.operators import (  # noqa: F401
         aggregates,
+        classifier,
         dedup,
         derivations,
         multimodal,

@@ -89,7 +89,9 @@ def test_driver_window_covers_every_family():
         "a1_count",  # aggregates-misc
         "mm_frame_sample",  # multimodal
         "udf_embedding_norm",  # pandas-udf
-        "text_fingerprint", "text_langid", "text_quality_score",  # text
+        "text_langid", "text_quality_score",  # text (fingerprint and
+        # bpe_token_count are the two disclosed r10 deferrals)
+        "text_lm_buckets", "text_quality_classifier",
         "fuzzy_match_blocked", "anomaly_zscore_flags",  # warehouse
         "dq_referential_audit", "agg_incremental_maintain",
         # similarity family reps (kmeans anchors ANN; the scaled IVFPQ
