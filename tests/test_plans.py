@@ -225,3 +225,34 @@ def test_global_index_has_no_full_data_single_partition_exchange(spark):
     assert plan.count("Exchange SinglePartition") <= 1, plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_ranged_bloom_screen_never_shuffle_joins_the_corpus(spark):
+    """Same contract as the monolithic screen, through the
+    range-partitioned path: corpus digests consumed map-only, every
+    join broadcast."""
+    plan = plan_of(spark, "dedup_bloom_ranged")
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_lm_familiarity_joins_are_all_broadcast(spark):
+    """The vocab cap bounds the bigram table at (V+1)^2, so BOTH
+    lookup joins and the c2 scoring join against the corpus-sized pair
+    stream must be broadcasts — the token stream itself never shuffles
+    through a join. (Aggregation exchanges are fine: they're map-side-
+    combined and bounded.) The per-lang gavg join rides the same
+    contract."""
+    plan = plan_of(spark, "text_lm_familiarity")
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_classifier_scoring_is_single_scan_codegen(spark):
+    """text_quality_classifier's SERVING plan (the returned frame):
+    literal trained weights over the feature scan — no joins, no
+    Python eval in the scoring path. (Training ran during plan
+    construction; this pins what a consumer re-executes.)"""
+    plan = plan_of(spark, "text_quality_classifier")
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "BatchEvalPython" not in plan
