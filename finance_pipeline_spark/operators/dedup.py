@@ -1303,6 +1303,7 @@ def dedup_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_bloom_ranged",
     oracle=_bloom_screen_oracle,
     tags=("dedup", "bloom", "incremental", "ranged"),
+    bench=True,
 )
 def dedup_bloom_ranged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``dedup_bloom_screen`` through the RANGE-PARTITIONED bitmap

@@ -1698,6 +1698,7 @@ def lm_familiarity(d: DataFrame) -> DataFrame:
     FROM fam WHERE familiarity IS NULL
     """,
     tags=("text", "quality", "lm", "mixture"),
+    bench=True,
 )
 def text_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet's head/middle/tail split: per language, rank documents by
