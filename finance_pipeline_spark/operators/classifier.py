@@ -157,7 +157,12 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     noisy threshold on ``score``); here both ride the row so the
     caller chooses."""
     d = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    feat, _ = _standardize(doc_features(d))
+    # ONE text scan: the raw feature frame feeds the standardization
+    # aggregate, the training passes, and the final scoring select —
+    # without the checkpoint each would re-run the documents scan +
+    # feature projection (review finding r9)
+    feat_raw = doc_features(d).localCheckpoint(eager=True)
+    feat, _ = _standardize(feat_raw)
     labeled = feat.join(d.select("doc_id", "source"), "doc_id").withColumn(
         "y", F.col("source").isin(*_REF_SOURCES).cast("int")
     )

@@ -1004,12 +1004,22 @@ def _bloom_range_ids(digests) -> "np.ndarray":
     """Route digest-hex strings to their range: first byte of the
     digest mod ``_BLOOM_RANGES``. The digest is uniform, so ranges are
     balanced by construction; the same routing runs driver-side
-    (build) and executor-side (probe), so the two can never disagree."""
+    (build) and executor-side (probe), so the two can never disagree.
+    Vectorized with the same hex-LUT trick as ``_bloom_indexes`` — a
+    per-digest ``int(d[:2], 16)`` Python loop in the Arrow probe path
+    was the review-flagged hot-path cost."""
     import numpy as np
 
-    return np.array(
-        [int(d[:2], 16) % _BLOOM_RANGES for d in digests], dtype=np.int64
-    )
+    n = len(digests)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    lut = np.zeros(256, dtype=np.int64)
+    for i, c in enumerate("0123456789abcdef"):
+        lut[ord(c)] = i
+    raw = np.frombuffer(
+        "".join(d[:2] for d in digests).encode("ascii"), dtype=np.uint8
+    ).reshape(n, 2)
+    return (lut[raw[:, 0]] * 16 + lut[raw[:, 1]]) % _BLOOM_RANGES
 
 
 def build_digest_bloom_ranged(digests: DataFrame, col: str = "dg"):
@@ -1253,6 +1263,21 @@ def dedup_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     Parity: same reference skip-already-loaded semantics as
     ``dedup_incremental`` (etl/csv_loader.py:124-133), re-engineered
     for a corpus too large to shuffle."""
+    return _bloom_screen_plan(
+        spark, sf_dir, build_digest_bloom, bloom_maybe_contains
+    )
+
+
+def _bloom_screen_plan(
+    spark: SparkSession, sf_dir: str, build_fn, probe_fn
+) -> DataFrame:
+    """The shared bloom-screen plan (pm split → digest → bloom
+    pre-filter → broadcast confirm → verdicts), parameterized by the
+    (build, probe) pair so the monolithic and range-partitioned
+    variants are ONE copy of the confirm/verdict logic (review finding
+    r9: two verbatim bodies would drift on the next fix). Both
+    variants share ``_bloom_screen_oracle`` — the bloom is an
+    accelerator, the output is the plain semi-join either way."""
     docs = load(spark, sf_dir, "documents")
     pm = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
@@ -1260,7 +1285,6 @@ def dedup_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         % 1000
     )
     dg = F.sha2(F.encode("text", "UTF-8"), 256)
-
     with_pm = docs.withColumn("pm", pm)
     # NO .distinct() on the corpus digests: a distinct is a full shuffle
     # of corpus keys — exactly the cost this operator exists to avoid.
@@ -1270,68 +1294,11 @@ def dedup_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     incoming = with_pm.filter(F.col("pm") >= _INCR_SPLIT_PM).select(
         "doc_id", dg.alias("dg")
     )
-
-    words = build_digest_bloom(corpus_dg)
-    maybe_hits = incoming.filter(
-        bloom_maybe_contains(spark, words, F.col("dg"))
-    )
-
+    words = build_fn(corpus_dg)
+    maybe_hits = incoming.filter(probe_fn(spark, words, F.col("dg")))
     # Confirm: corpus rows filter map-side against the broadcast
     # maybe-hit digests; confirmed digests (⊆ maybe-hits, so also
     # broadcast-sized) come back to tag the incoming rows.
-    confirmed_dg = corpus_dg.join(
-        F.broadcast(maybe_hits.select("dg").distinct()), "dg", "left_semi"
-    ).distinct()
-    exact_ids = maybe_hits.join(F.broadcast(confirmed_dg), "dg", "left_semi").select(
-        "doc_id"
-    )
-
-    return (
-        incoming.select("doc_id")
-        .join(F.broadcast(exact_ids.withColumn("hit", F.lit(True))), "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("hit", F.lit(False)).alias("exact_dup"),
-            F.when(F.col("hit"), F.lit("drop_exact"))
-            .otherwise(F.lit("keep"))
-            .alias("verdict"),
-        )
-    )
-
-
-@query(
-    "dedup_bloom_ranged",
-    oracle=_bloom_screen_oracle,
-    tags=("dedup", "bloom", "incremental", "ranged"),
-    bench=True,
-)
-def dedup_bloom_ranged(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``dedup_bloom_screen`` through the RANGE-PARTITIONED bitmap
-    path (``build_digest_bloom_ranged`` / ``bloom_maybe_contains_
-    ranged``): digests route to one of ``_BLOOM_RANGES`` independent
-    bitmaps by prefix, so at 10^10+ digests each range is built,
-    stored, broadcast, and resized on its own — executor memory is
-    capped by ONE range's bitmap, not the whole corpus's. The result
-    is bit-identical to the plain digest semi-join the oracle
-    expresses (no false negatives per range; false positives die in
-    the same confirm pass), so the two screen variants share one
-    oracle."""
-    docs = load(spark, sf_dir, "documents")
-    pm = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
-        .cast("bigint")
-        % 1000
-    )
-    dg = F.sha2(F.encode("text", "UTF-8"), 256)
-    with_pm = docs.withColumn("pm", pm)
-    corpus_dg = with_pm.filter(F.col("pm") < _INCR_SPLIT_PM).select(dg.alias("dg"))
-    incoming = with_pm.filter(F.col("pm") >= _INCR_SPLIT_PM).select(
-        "doc_id", dg.alias("dg")
-    )
-    words2d = build_digest_bloom_ranged(corpus_dg)
-    maybe_hits = incoming.filter(
-        bloom_maybe_contains_ranged(spark, words2d, F.col("dg"))
-    )
     confirmed_dg = corpus_dg.join(
         F.broadcast(maybe_hits.select("dg").distinct()), "dg", "left_semi"
     ).distinct()
@@ -1349,6 +1316,27 @@ def dedup_bloom_ranged(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("verdict"),
         )
     )
+
+
+def dedup_bloom_ranged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_bloom_screen`` through the RANGE-PARTITIONED bitmap
+    path (``build_digest_bloom_ranged`` / ``bloom_maybe_contains_
+    ranged``): digests route to one of ``_BLOOM_RANGES`` independent
+    bitmaps by prefix, so at 10^10+ digests each range is built,
+    stored, broadcast, and resized on its own — executor memory is
+    capped by ONE range's bitmap, not the whole corpus's. Same shared
+    plan + oracle as the monolithic screen."""
+    return _bloom_screen_plan(
+        spark, sf_dir, build_digest_bloom_ranged, bloom_maybe_contains_ranged
+    )
+
+
+dedup_bloom_ranged = query(
+    "dedup_bloom_ranged",
+    oracle=_bloom_screen_oracle,
+    tags=("dedup", "bloom", "incremental", "ranged"),
+    bench=True,
+)(dedup_bloom_ranged)
 
 
 # --- SimHash ----------------------------------------------------------------

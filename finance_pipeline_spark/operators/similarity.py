@@ -1583,6 +1583,45 @@ def _pq_train_encode_scaled(
     return _pq_assign_codes(spark, e, cents1), cents1
 
 
+def coarse_assign(
+    spark: SparkSession, e: DataFrame, cents
+) -> DataFrame:
+    """(vec_id, cluster): each vector's rank-1 coarse cell by the
+    family's assignment rule (4-dp-rounded squared L2 asc, cluster asc
+    on ties) — as ONE vectorized broadcast-centroid argmin kernel
+    emitting a single row per vector. The window form
+    (``_probe_cells`` at nprobe=1) materializes and shuffles n x k
+    rows just to keep rank 1 — at the 4096-cell cap that's a 4096x
+    corpus blow-up on the encode path (review finding r9); queries
+    keep ``_probe_cells`` because they need nprobe > 1 and are few."""
+    c_mat = np.asarray(cents, dtype=np.float64)
+    bc = spark.sparkContext.broadcast(c_mat)
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cm = bc.value  # (k, dim)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            x = _emb_matrix(pdf["embedding"])
+            # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2, rounded like the
+            # sequential fold; argmin takes the lowest cluster on ties
+            d = np.round(
+                (x * x).sum(axis=1)[:, None]
+                - 2.0 * (x @ cm.T)
+                + (cm * cm).sum(axis=1)[None, :],
+                4,
+            )
+            yield pd.DataFrame(
+                {
+                    "vec_id": ids,
+                    "cluster": d.argmin(axis=1).astype(np.int64),
+                }
+            )
+
+    return e.mapInPandas(kern, "vec_id bigint, cluster bigint")
+
+
 def _pq_assign_rows(
     spark: SparkSession, src: DataFrame, c_now: "np.ndarray"
 ) -> DataFrame:
@@ -1676,13 +1715,7 @@ def ivfpq_scaled_topk(
         F.xxhash64(F.col("vec_id")).alias("vec_id"), "embedding"
     )
     cents, _ = kmeans_fit(spark, hashed, p["k_cells"], rounds=2)
-    corpus_cells = _probe_cells(
-        spark,
-        cents,
-        e.select(F.col("vec_id").alias("query_id"),
-                 F.col("embedding").alias("q_emb")),
-        1,
-    ).select(F.col("query_id").alias("vec_id"), "cluster")
+    corpus_cells = coarse_assign(spark, e, cents)
 
     codes, cents1 = _pq_train_encode_scaled(spark, e, sample, p["k_pq"])
     codes_c = codes.join(corpus_cells, "vec_id")

@@ -54,8 +54,8 @@ from finance_pipeline_spark.operators.similarity import (
     _RERANK_N,
     _pq_assign_codes,
     _pq_train_encode_scaled,
-    _probe_cells,
     _train_sample,
+    coarse_assign,
     ivfpq_serve,
     kmeans_fit,
     scaled_ann_params,
@@ -148,15 +148,7 @@ class CorpusAnnIndex:
         return dict(meta, codes_inserted=merged.inserted)
 
     def _encode(self, e: DataFrame, cents, cents1) -> DataFrame:
-        cells = _probe_cells(
-            self.spark,
-            cents,
-            e.select(
-                F.col("vec_id").alias("query_id"),
-                F.col("embedding").alias("q_emb"),
-            ),
-            1,
-        ).select(F.col("query_id").alias("vec_id"), "cluster")
+        cells = coarse_assign(self.spark, e, cents)
         return _pq_assign_codes(self.spark, e, cents1).join(cells, "vec_id")
 
     def add(self, batch: DataFrame) -> dict:
@@ -186,12 +178,12 @@ class CorpusAnnIndex:
         meta, cents, cents1 = self._load_state()
         if nprobe is None:
             nprobe = int(meta["nprobe"])
-        n_indexed = self.codes.read().count() if self.codes.exists() else 0
+        stored = self.codes.read()  # ONE snapshot: pool sizing + serve
+        n_indexed = stored.count() if stored is not None else 0
         pool = max(
             _RERANK_N,
             min(1024, 2 * -(-max(n_indexed, 1) // int(meta["k_cells"]))),
         )
-        stored = self.codes.read()
         return ivfpq_serve(
             self.spark,
             cents,

@@ -229,11 +229,18 @@ class CorpusLmIndex:
 
     def familiarity(self, batch: DataFrame) -> DataFrame:
         """Score (doc_id, text) docs against the STORED corpus LM:
-        (doc_id, n_bigrams, sum_freq, familiarity, unfamiliar) — the
-        ``text_lm_familiarity`` semantics with vocabulary, bigram
-        frequencies, and the corpus mean all taken from stored state.
-        When the probe equals the stored corpus, the output matches
-        the registered operator row-for-row (pinned by test). Raises
+        (doc_id, n_bigrams, n_scored, sum_freq, familiarity,
+        unfamiliar) — the ``text_lm_familiarity`` semantics with
+        vocabulary, bigram frequencies, and the corpus mean all taken
+        from stored state. The stored count tables carry no language
+        column, so the flag compares against ONE GLOBAL corpus mean —
+        on a single-language corpus the output matches the registered
+        operator row-for-row (pinned by test); on a MIXED-language
+        corpus the operator's per-language means diverge from this
+        screen, which is why the ingest path treats the flag as
+        observational (never a drop). Per-language stored state would
+        need a lang key on uni/bi — the documented upgrade if a
+        multilingual stored screen ever needs to hard-drop. Raises
         on an empty index: a screen against no corpus is meaningless
         and silently keeping everything would mask a wiring bug."""
         uni, bi = self._folded_uni(), self._folded_bi()

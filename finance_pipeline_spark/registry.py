@@ -94,7 +94,11 @@ _SHIPPED_APPS: set[str] = set()
 # dir per PROCESS (not per SparkSession — the advisor found the
 # per-session mkdtemp leaked a dir every session construction), rebuilt
 # only when the package source actually changed (max mtime over *.py).
+# The lock serializes the stale-check/rmtree/assign sequence: two
+# threads constructing sessions concurrently must not rmtree the zip
+# the other just published (review finding r9).
 _FALLBACK_ZIP: "tuple[float, Path] | None" = None
+_FALLBACK_LOCK = __import__("threading").Lock()
 
 
 def ship_package(spark: SparkSession) -> None:
@@ -140,27 +144,34 @@ def ship_package(spark: SparkSession) -> None:
         # executor-side imports (mapInPandas closures) would later miss
         # the package, and they fail with a clear ModuleNotFoundError
         # naming it.
+        import shutil
         import tempfile
 
         global _FALLBACK_ZIP
-        try:
-            mtime = max(p.stat().st_mtime for p in pkg_root.rglob("*.py"))
-            if _FALLBACK_ZIP is not None and _FALLBACK_ZIP[0] == mtime:
-                zpath = _FALLBACK_ZIP[1]
-            else:
-                zpath = Path(tempfile.mkdtemp()) / "finance_pipeline_spark.zip"
-                with zipfile.ZipFile(zpath, "w") as z:
-                    for p in sorted(pkg_root.rglob("*.py")):
-                        z.write(p, p.relative_to(pkg_root.parent))
-                if _FALLBACK_ZIP is not None:
-                    # retire the stale zip's tempdir before re-pointing
-                    import shutil
-
-                    shutil.rmtree(_FALLBACK_ZIP[1].parent, ignore_errors=True)
-                _FALLBACK_ZIP = (mtime, zpath)
-        except OSError:
-            _SHIPPED_APPS.add(app_id)  # don't retry every call
-            return
+        with _FALLBACK_LOCK:
+            tdir = None
+            try:
+                mtime = max(p.stat().st_mtime for p in pkg_root.rglob("*.py"))
+                if _FALLBACK_ZIP is not None and _FALLBACK_ZIP[0] == mtime:
+                    zpath = _FALLBACK_ZIP[1]
+                else:
+                    tdir = Path(tempfile.mkdtemp())
+                    zpath = tdir / "finance_pipeline_spark.zip"
+                    with zipfile.ZipFile(zpath, "w") as z:
+                        for p in sorted(pkg_root.rglob("*.py")):
+                            z.write(p, p.relative_to(pkg_root.parent))
+                    if _FALLBACK_ZIP is not None:
+                        # retire the stale zip's tempdir before re-pointing
+                        shutil.rmtree(
+                            _FALLBACK_ZIP[1].parent, ignore_errors=True
+                        )
+                    _FALLBACK_ZIP = (mtime, zpath)
+                    tdir = None  # published — ours no longer to clean
+            except OSError:
+                if tdir is not None:  # half-built zip dir: don't strand it
+                    shutil.rmtree(tdir, ignore_errors=True)
+                _SHIPPED_APPS.add(app_id)  # don't retry every call
+                return
     finally:
         if tmp is not None:  # the broad except above must not strand it
             try:

@@ -363,9 +363,12 @@ def test_ivfpq_scaled_recall_vs_exact_and_nprobe_dial(spark, tmp_path):
     q_mat = mat[q_idx] + 0.1 * rng.standard_normal((len(q_idx), _DIM))
     sf = write_embeddings(tmp_path, ids + q_ids, np.vstack([mat, q_mat]))
 
-    # exact squared-L2 top-10 per query (numpy, the independent oracle)
+    # exact squared-L2 top-10 per query (numpy, the independent
+    # oracle) — over the float32-rounded values the engine reads from
+    # parquet, so borderline rank-10 members can't flake the bound
     all_ids = np.array(ids + q_ids)
-    all_mat = np.vstack([mat, q_mat])
+    all_mat = np.vstack([mat, q_mat]).astype(np.float32).astype(np.float64)
+    q_mat = q_mat.astype(np.float32).astype(np.float64)
     exact = {}
     for k, qid in enumerate(q_ids):
         d = ((all_mat - q_mat[k]) ** 2).sum(axis=1)

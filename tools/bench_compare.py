@@ -65,6 +65,18 @@ def compare(old: dict, new: dict, bar: float) -> tuple[list[str], int]:
                 f"steal?      {name}: {oq[name]:.3f}s -> {nq[name]:.3f}s "
                 f"({ratio:.2f}x) but repeats {r} spread {spread:.1f}x — re-measure"
             )
+        elif len(r) < 2:
+            # One sample per query (a driver-recorded stdout JSON has no
+            # repeats — they live in bench_detail.json): a single number
+            # on this steal-prone host can't be called "tight". Still
+            # exit 1 so the gate trips, but say what to actually run.
+            lines.append(
+                f"REGRESSION? {name}: {oq[name]:.3f}s -> {nq[name]:.3f}s "
+                f"({ratio:.2f}x > {bar}x bar, SINGLE sample — run the "
+                "BASELINE.md merged-min protocol / probe_query before "
+                "believing it)"
+            )
+            rc = 1
         else:
             lines.append(
                 f"REGRESSION  {name}: {oq[name]:.3f}s -> {nq[name]:.3f}s "
