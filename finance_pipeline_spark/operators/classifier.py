@@ -142,11 +142,114 @@ def logreg_fit(
     return w
 
 
+def _classifier_oracle() -> str:
+    """The ENTIRE training + serving chain re-derived in DuckDB — the
+    ``_pq_oracle`` pattern (re-derive trained state in SQL, don't
+    embed it): features, exact-decimal standardization moments, and
+    the 20 gradient steps unrolled as generated CTE pairs (per step:
+    one decimal-summed gradient aggregate over the feature CTE, one
+    1-row weight update). Every rounding point mirrors the Spark side
+    (6-dp features/stats, 9-dp per-row gradient contributions and
+    weights, decimal(38,12) accumulation), so the weights — and hence
+    the served scores — hash-match. Static SQL, no data-dependent
+    literals: the oracle is sf-agnostic like every other entry
+    (r9 verdict item 3 — drops the rows-only count by one)."""
+    refs = ", ".join(f"'{s}'" for s in _REF_SOURCES)
+    feats = list(_FEATS)
+    # per-feature standardization stats: exact decimal moment sums,
+    # then the Python-side float math reproduced expression-for-
+    # expression (unrounded mean feeds the variance; rounded mean/std
+    # feed the z-score; greatest() = the max() clamps)
+    mom = ", ".join(
+        f"sum(CAST({f} AS DECIMAL(18,6))) AS s_{f}, "
+        f"sum(CAST(CAST({f} AS DECIMAL(18,6)) * CAST({f} AS DECIMAL(18,6)) "
+        f"AS DECIMAL(38,12))) AS q_{f}"
+        for f in feats
+    )
+    st_cols = ", ".join(
+        f"round(CAST(s_{f} AS DOUBLE) / nn, 6) AS m_{f}, "
+        f"round(sqrt(greatest(CAST(q_{f} AS DOUBLE) / nn"
+        f" - (CAST(s_{f} AS DOUBLE) / nn) * (CAST(s_{f} AS DOUBLE) / nn),"
+        f" 1e-12)), 6) AS d_{f}"
+        for f in feats
+    )
+    z_cols = ", ".join(
+        f"round((r.{f} - st.m_{f}) / greatest(st.d_{f}, 1e-6), 6) AS {f}"
+        for f in feats
+    )
+
+    def margin(w: str) -> str:
+        # left-associated like the Spark Column fold in _margin
+        z = f"{w}.b0"
+        for j, f in enumerate(feats, start=1):
+            z = f"({z} + {w}.b{j} * {f})"
+        return z
+
+    steps = []
+    for i in range(_ITERS):
+        p = f"1.0 / (1.0 + exp(-{margin('w')}))"
+        gsum = ", ".join(
+            ["sum(CAST(round(err, 9) AS DECIMAL(38,12))) AS g0"]
+            + [
+                f"sum(CAST(round(err * {f}, 9) AS DECIMAL(38,12))) AS g{j}"
+                for j, f in enumerate(feats, start=1)
+            ]
+        )
+        upd = ", ".join(
+            f"round(w.b{j} - {_LR} * CAST(g.g{j} AS DOUBLE) / st.nn, 9)"
+            f" AS b{j}"
+            for j in range(len(feats) + 1)
+        )
+        steps.append(
+            f"""g_{i} AS MATERIALIZED (
+        SELECT {gsum} FROM (
+            SELECT {p} - CAST(y AS DOUBLE) AS err, {', '.join(feats)}
+            FROM feats CROSS JOIN w_{i} w
+        )
+    ), w_{i + 1} AS MATERIALIZED (
+        SELECT {upd} FROM w_{i} w, g_{i} g, st
+    )"""
+        )
+    w0 = ", ".join(f"0.0 AS b{j}" for j in range(len(feats) + 1))
+    score = f"round(1.0 / (1.0 + exp(-{margin('w')})), 6)"
+    return f"""
+    WITH raw AS MATERIALIZED (
+        SELECT doc_id,
+               CASE WHEN source IN ({refs}) THEN 1 ELSE 0 END AS y,
+               round(ln(1 + CAST(len(string_split(trim(text), ' '))
+                                 AS DOUBLE)), 6) AS f1,
+               round(CAST(len(list_distinct(string_split(trim(text), ' ')))
+                          AS DOUBLE)
+                     / greatest(CAST(len(string_split(trim(text), ' '))
+                                     AS DOUBLE), 1.0), 6) AS f2,
+               round(CAST(length(text) AS DOUBLE)
+                     / greatest(CAST(len(string_split(trim(text), ' '))
+                                     AS DOUBLE), 1.0), 6) AS f3,
+               round((CAST(length(text) AS DOUBLE)
+                      - length(regexp_replace(text, '[0-9]', '', 'g')))
+                     / greatest(CAST(length(text) AS DOUBLE), 1.0), 6) AS f4,
+               round(CAST(len(string_split(trim(text), ' ')) AS DOUBLE)
+                     / greatest(CAST(len(regexp_split_to_array(text,
+                                         '[.!?]')) AS DOUBLE), 1.0), 6) AS f5
+        FROM documents
+    ), agg AS (
+        SELECT count(*) AS n, {mom} FROM raw
+    ), st AS (
+        SELECT greatest(n, 1) AS nn, {st_cols}
+        FROM (SELECT *, CAST(greatest(n, 1) AS DOUBLE) AS nn0 FROM agg)
+    ), feats AS MATERIALIZED (
+        SELECT doc_id, y, {z_cols} FROM raw r CROSS JOIN st
+    ), w_0 AS MATERIALIZED (
+        SELECT {w0}
+    ), {', '.join(steps)}
+    SELECT doc_id, {score} AS score, {score} >= 0.5 AS ref_like
+    FROM feats CROSS JOIN w_{_ITERS} w
+    """
+
+
 @query(
     "text_quality_classifier",
-    oracle=None,  # 20 coupled GD iterations are an iterative
-    # algorithm (the brief's rows-only category); determinism and
-    # planted-separation are pytest-pinned instead
+    oracle=_classifier_oracle,
     tags=("text", "quality", "classifier"),
 )
 def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:

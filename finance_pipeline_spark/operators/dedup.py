@@ -403,6 +403,14 @@ def minhash_pairs(
 
     exploded = minhash_band_rows(docs)
     if dropped_out is not None:
+        # The ledger frame is consumed AFTER the pairing has already
+        # run the banding plan (curation collects its two counters at
+        # stage-log time) — without a checkpoint that second action
+        # re-executes the whole shingle/signature kernel pass over the
+        # corpus just to count dropped buckets. Lazy localCheckpoint:
+        # the pairing's first action materializes the band rows once,
+        # the ledger aggregate reads the checkpointed blocks.
+        exploded = exploded.localCheckpoint(eager=False)
         dropped_out["dropped_buckets"] = minhash_dropped_buckets(exploded)
     # Bucket-size cap as a windowed count: one shuffle on band_key
     # produces both the sizes and the capped rows (vs a separate
@@ -988,26 +996,58 @@ def build_digest_bloom(digests: DataFrame, col: str = "dg"):
     return out.view(np.uint64)
 
 
-_BLOOM_RANGES = 4  # digest key ranges, one independent bitmap each.
-# The monolithic bitmap stops scaling around 10^10 digests (~1.5 GB at
-# a 1% fp sizing): one torrent broadcast per screen, one driver-side
-# array, one resize-the-world event when the corpus grows. Ranging by
-# digest prefix splits that into per-range bitmaps that are built,
-# stored, broadcast, and RESIZED independently — a 100 TB screen can
-# process range-by-range so executor memory is capped by ONE range's
-# bitmap, and a hot range can double its bits without touching the
-# other ranges' stored words. 4 here is test-sized; the layout admits
-# up to 256 (one per first digest byte) without changing the routing.
+_BLOOM_RANGES = 4  # DEFAULT digest key ranges, one independent bitmap
+# each. The monolithic bitmap stops scaling around 10^10 digests
+# (~1.5 GB at a 1% fp sizing): one torrent broadcast per screen, one
+# driver-side array, one resize-the-world event when the corpus grows.
+# Ranging by digest prefix splits that into per-range bitmaps that are
+# built, stored, broadcast, and RESIZED independently — a 100 TB
+# screen can process range-by-range so executor memory is capped by
+# ONE range's bitmap, and a hot range can double its bits without
+# touching the other ranges' stored words. 4 is the test-sized
+# default; ``scaled_bloom_params`` derives the count from corpus
+# capacity (r9 verdict item 4), and the stored index re-splits by
+# rebuild when the derived count moves.
+
+_BLOOM_RANGE_CAP = _BLOOM_BITS // 10  # digests per range at the
+# design point: 10 bits/key with k=4 slices keeps a range's fp ~1%
+# (1-e^-0.4)^4 ≈ 1.2%; past it, the range — and only it — needs more
+# bits, which is exactly the event ranging exists to localize.
 
 
-def _bloom_range_ids(digests) -> "np.ndarray":
+def scaled_bloom_params(n_digests: int) -> dict:
+    """Range count derived from corpus capacity — the
+    ``scaled_ann_params`` analogue for the bloom tier: the smallest
+    POWER-OF-TWO range count that keeps the expected per-range digest
+    load at or under ``_BLOOM_RANGE_CAP`` (so each range's fixed
+    ``_BLOOM_BITS`` bitmap sits at its ~1% fp design point), clamped
+    to [_BLOOM_RANGES, 256]. Power of two because the router is
+    first-byte mod n: 256 % n == 0 keeps the uniform digest byte
+    uniformly distributed over ranges — a non-divisor count would
+    systematically overload the low ranges. 256 is the routing's
+    natural ceiling (one range per first-byte value); past 256·cap
+    digests the next lever is per-range bitmap growth, which the
+    per-range layout already localizes."""
+    r = max(1, int(_BLOOM_RANGES))
+    while r < 256 and n_digests > _BLOOM_RANGE_CAP * r:
+        r *= 2
+    return {
+        "n_ranges": r,
+        "per_range_capacity": _BLOOM_RANGE_CAP,
+        "expected_load": -(-max(n_digests, 1) // r),
+    }
+
+
+def _bloom_range_ids(digests, n_ranges: int = _BLOOM_RANGES) -> "np.ndarray":
     """Route digest-hex strings to their range: first byte of the
-    digest mod ``_BLOOM_RANGES``. The digest is uniform, so ranges are
-    balanced by construction; the same routing runs driver-side
-    (build) and executor-side (probe), so the two can never disagree.
-    Vectorized with the same hex-LUT trick as ``_bloom_indexes`` — a
-    per-digest ``int(d[:2], 16)`` Python loop in the Arrow probe path
-    was the review-flagged hot-path cost."""
+    digest mod ``n_ranges``. The digest is uniform and ``n_ranges``
+    divides 256, so ranges are balanced by construction; the same
+    routing runs driver-side (build) and executor-side (probe), so the
+    two can never disagree — the probe always derives ``n_ranges``
+    from the bitmap array's own first axis. Vectorized with the same
+    hex-LUT trick as ``_bloom_indexes`` — a per-digest
+    ``int(d[:2], 16)`` Python loop in the Arrow probe path was the
+    review-flagged hot-path cost."""
     import numpy as np
 
     n = len(digests)
@@ -1019,13 +1059,17 @@ def _bloom_range_ids(digests) -> "np.ndarray":
     raw = np.frombuffer(
         "".join(d[:2] for d in digests).encode("ascii"), dtype=np.uint8
     ).reshape(n, 2)
-    return (lut[raw[:, 0]] * 16 + lut[raw[:, 1]]) % _BLOOM_RANGES
+    return (lut[raw[:, 0]] * 16 + lut[raw[:, 1]]) % n_ranges
 
 
-def build_digest_bloom_ranged(digests: DataFrame, col: str = "dg"):
+def build_digest_bloom_ranged(
+    digests: DataFrame, col: str = "dg", n_ranges: int = _BLOOM_RANGES
+):
     """Range-partitioned Bloom build → ``np.int64`` array of shape
-    ``(_BLOOM_RANGES, BITS/64)`` — row r holds range r's independent
-    bitmap, fed only by digests whose first byte routes to r.
+    ``(n_ranges, BITS/64)`` — row r holds range r's independent
+    bitmap, fed only by digests whose first byte routes to r
+    (``n_ranges`` from ``scaled_bloom_params`` for a sized corpus;
+    the default keeps small callers at the test-sized 4).
 
     Same map-only scale shape as ``build_digest_bloom`` (each
     partition ORs locally, emits nonzero words, one bounded ``bit_or``
@@ -1040,12 +1084,12 @@ def build_digest_bloom_ranged(digests: DataFrame, col: str = "dg"):
     def partial(batches):
         import pandas as pd
 
-        words = np.zeros((_BLOOM_RANGES, n_words), dtype=np.uint64)
+        words = np.zeros((n_ranges, n_words), dtype=np.uint64)
         for pdf in batches:
             dgs = [d for d in pdf[col] if isinstance(d, str)]
             if not dgs:
                 continue
-            rng = _bloom_range_ids(dgs)
+            rng = _bloom_range_ids(dgs, n_ranges)
             idx = _bloom_indexes(dgs)  # (n, k)
             flat = (
                 np.repeat(rng, idx.shape[1]).astype(np.uint64)
@@ -1073,7 +1117,7 @@ def build_digest_bloom_ranged(digests: DataFrame, col: str = "dg"):
         .agg(F.bit_or("word").alias("word"))
         .collect()
     )
-    out = np.zeros((_BLOOM_RANGES, n_words), dtype=np.int64)
+    out = np.zeros((n_ranges, n_words), dtype=np.int64)
     for row in merged:
         out[row["range_idx"], row["word_idx"]] = row["word"]
     return out
@@ -1087,12 +1131,16 @@ def bloom_maybe_contains_ranged(
     set in another range's bitmap is invisible (the planted-routing
     test pins this): that per-range isolation is what lets each range
     be sized/stored/shipped independently at scale. Broadcast +
-    Arrow-batched probe, same machinery as the monolithic form."""
+    Arrow-batched probe, same machinery as the monolithic form.
+    ``n_ranges`` is taken from the bitmap array's own first axis —
+    self-describing state, so a build at one ``scaled_bloom_params``
+    count can never be probed with another's routing."""
     from pyspark.sql.functions import pandas_udf
 
     import numpy as np
 
     bc = _bloom_broadcast(spark, np.ascontiguousarray(words2d))
+    n_ranges = int(np.asarray(words2d).shape[0])
 
     n_words = _BLOOM_BITS >> 6
 
@@ -1106,7 +1154,7 @@ def bloom_maybe_contains_ranged(
         strs = [d for d in dg if isinstance(d, str)]
         if strs:
             mask = np.array([isinstance(d, str) for d in dg], dtype=bool)
-            rng = _bloom_range_ids(strs)
+            rng = _bloom_range_ids(strs, n_ranges)
             idx = _bloom_indexes(strs)  # (n, k)
             # flat (n, k) word gather into the stacked bitmaps — NEVER
             # w[rng]: that fancy-index materializes one full 128 KiB
@@ -1321,13 +1369,23 @@ def _bloom_screen_plan(
 def dedup_bloom_ranged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``dedup_bloom_screen`` through the RANGE-PARTITIONED bitmap
     path (``build_digest_bloom_ranged`` / ``bloom_maybe_contains_
-    ranged``): digests route to one of ``_BLOOM_RANGES`` independent
-    bitmaps by prefix, so at 10^10+ digests each range is built,
-    stored, broadcast, and resized on its own — executor memory is
-    capped by ONE range's bitmap, not the whole corpus's. Same shared
-    plan + oracle as the monolithic screen."""
+    ranged``): digests route to one of N independent bitmaps by
+    prefix, so at 10^10+ digests each range is built, stored,
+    broadcast, and resized on its own — executor memory is capped by
+    ONE range's bitmap, not the whole corpus's. N derives from the
+    corpus digest count via ``scaled_bloom_params`` (r9 verdict item
+    4), floored at the 4-range default so the multi-range routing is
+    exercised even at test scale (a count under the per-range capacity
+    would derive 1 and degenerate to the monolith). Same shared plan +
+    oracle as the monolithic screen — the range count is invisible in
+    the output, which is exactly why it can scale freely."""
+
+    def build(dgs: DataFrame):
+        n = scaled_bloom_params(dgs.count())["n_ranges"]
+        return build_digest_bloom_ranged(dgs, n_ranges=max(n, _BLOOM_RANGES))
+
     return _bloom_screen_plan(
-        spark, sf_dir, build_digest_bloom_ranged, bloom_maybe_contains_ranged
+        spark, sf_dir, build, bloom_maybe_contains_ranged
     )
 
 

@@ -60,6 +60,14 @@ _QUERY_FETCH_CAP = 100_000  # max query vectors held driver-side AT ONCE;
 # processed in cap-sized batches — one corpus pass per batch — instead
 # of the hard failure this replaces (or the OOM the failure prevented).
 
+_ADC_BYTE_BUDGET = 64 << 20  # per-chunk cap on query ADC-table bytes
+# (driver buffer AND executor broadcast). A query's table is
+# m x k_eff doubles, so the row cap is budget // (m*k_eff*8): the k=8
+# oracle family stays at _QUERY_FETCH_CAP (256 B/row), the scaled
+# 256-code tier drops to ~8k queries/chunk (8 KB/row) — the cap moves
+# with capacity instead of letting a constant sized for one family
+# OOM the other (advisor r9).
+
 
 def _query_batches(spark: SparkSession, sf_dir: str):
     """Driver-side fetch of the query subset (1% of vectors — small by
@@ -1586,14 +1594,26 @@ def _pq_train_encode_scaled(
 def coarse_assign(
     spark: SparkSession, e: DataFrame, cents
 ) -> DataFrame:
-    """(vec_id, cluster): each vector's rank-1 coarse cell by the
-    family's assignment rule (4-dp-rounded squared L2 asc, cluster asc
-    on ties) — as ONE vectorized broadcast-centroid argmin kernel
-    emitting a single row per vector. The window form
-    (``_probe_cells`` at nprobe=1) materializes and shuffles n x k
-    rows just to keep rank 1 — at the 4096-cell cap that's a 4096x
-    corpus blow-up on the encode path (review finding r9); queries
-    keep ``_probe_cells`` because they need nprobe > 1 and are few."""
+    """(vec_id, cluster): each vector's rank-1 coarse cell — 4-dp-
+    rounded squared L2 asc, cluster asc on ties — as ONE vectorized
+    broadcast-centroid argmin kernel emitting a single row per vector.
+    The window form (``_probe_cells`` at nprobe=1) materializes and
+    shuffles n x k rows just to keep rank 1 — at the 4096-cell cap
+    that's a 4096x corpus blow-up on the encode path (review finding
+    r9); queries keep ``_probe_cells`` because they need nprobe > 1
+    and are few.
+
+    Near-parity caveat (advisor r9): this kernel rounds with numpy
+    ``np.round`` (banker's) over the expanded ||x||²-2x·c+||c||² form,
+    while ``_probe_cells`` rounds with Spark ``F.round`` (HALF_UP)
+    over a sequential (x-c)² fold — a vector whose two nearest cells
+    tie at exactly 4 dp, or whose distance differs between the two
+    float summation orders at the 4th decimal, can be ASSIGNED to a
+    cell the query-side probe RANKING disagrees with. Recall-only
+    effect (a probed query still reaches the vector unless the
+    disagreeing cell falls outside nprobe), no oracle touches this
+    path, and the recall tests + 10x probe measure through it — but
+    the two paths are near-parity, not bit-parity."""
     c_mat = np.asarray(cents, dtype=np.float64)
     bc = spark.sparkContext.broadcast(c_mat)
 
@@ -1759,8 +1779,18 @@ def ivfpq_serve(
         "query_id", "cluster"
     )
 
-    # query ADC tables, chunked exactly like _pq_build (driver holds
-    # <= _QUERY_FETCH_CAP query rows at once)
+    # Query ADC tables, chunked under a BYTE budget, not a row count
+    # (advisor r9): a query row carries m x k_eff doubles — 256 B for
+    # the oracle-pinned k=8 family, but ~8 KB once the scaled tier's
+    # 256-code books arrive, so the old _QUERY_FETCH_CAP=100k chunk
+    # would hold ~0.8 GB driver-side. The cap derives from the actual
+    # codebook width so each chunk (and its broadcast below) stays
+    # ≤ _ADC_BYTE_BUDGET regardless of capacity params.
+    k_eff_serve = int(np.asarray(cents1).shape[1])
+    chunk_cap = max(
+        1,
+        min(_QUERY_FETCH_CAP, _ADC_BYTE_BUDGET // (_PQ_M * k_eff_serve * 8)),
+    )
     tab_cols = ", ".join(f"t{s} array<double>" for s in range(_PQ_M))
     qdfs: list[DataFrame] = []
     qdata: list = []
@@ -1783,7 +1813,7 @@ def ivfpq_serve(
                 *[[float(x) for x in tabs[s]] for s in range(_PQ_M)],
             )
         )
-        if len(qdata) >= _QUERY_FETCH_CAP:
+        if len(qdata) >= chunk_cap:
             flush()
     flush()
 
@@ -1795,20 +1825,24 @@ def ivfpq_serve(
         F.col("adist").asc(), F.col("corpus_id")
     )
     out_schema = "query_id bigint, corpus_id bigint, adist double"
+    # Candidate generation joins the (query_id, cluster) probe list —
+    # tiny — against the codes; the ADC tables attach AFTERWARD by a
+    # separate query_id-keyed broadcast. The old shape pre-joined the
+    # tables to the probe list and broadcast the product, duplicating
+    # every query's m x k_eff table once per probed cell (x nprobe, up
+    # to 64 at scaled capacity) — tens of GB where the data is tens of
+    # MB (advisor r9). Two broadcasts, zero duplication, same rows.
+    code_cols = [f"c{s}" for s in range(_PQ_M)]
+    cand_base = codes_c.join(
+        F.broadcast(probes.withColumnRenamed("cluster", "p_cluster")),
+        (F.col("cluster") == F.col("p_cluster"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select("query_id", F.col("vec_id").alias("corpus_id"), *code_cols)
     parts = []
     for qdf in qdfs:
-        qp = qdf.join(probes, "query_id").withColumnRenamed(
-            "cluster", "p_cluster"
-        )
         parts.append(
-            codes_c.join(
-                F.broadcast(qp),
-                (F.col("cluster") == F.col("p_cluster"))
-                & (F.col("vec_id") != F.col("query_id")),
-            ).select(
-                "query_id",
-                F.col("vec_id").alias("corpus_id"),
-                adist.alias("adist"),
+            cand_base.join(F.broadcast(qdf), "query_id").select(
+                "query_id", "corpus_id", adist.alias("adist")
             )
         )
     if not parts:
@@ -1869,6 +1903,58 @@ def ann_ivfpq_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``scaled_ann_params`` (sqrt(N) cells, min(256, N/32) codes,
     sqrt(cells) probes, bounded training sample)."""
     return ivfpq_scaled_topk(spark, sf_dir)
+
+
+_ANN_INDEX_CACHE: dict[str, str] = {}  # corpus-content key → built root
+
+
+@query(
+    "ann_index_serve",
+    oracle=None,  # serve-only path over the stored index; row-identical
+    # to ann_ivfpq_scaled by the parity test
+    # (tests/test_ann_index.py::test_build_then_search_matches_batch_
+    # operator), which is itself rows-only for the same data-dependent-
+    # capacity reason
+    tags=("similarity", "ann", "pq", "ivf", "scaled", "index"),
+    bench=True,
+)
+def ann_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SERVE-ONLY ANN — search a pre-built ``CorpusAnnIndex`` (r9
+    verdict item 6). ``ann_ivfpq_scaled`` times train + encode + serve
+    end-to-end per invocation, which is the right contract for a
+    one-shot batch operator but overstates steady-state cost: a real
+    deployment builds the index offline, extends it incrementally, and
+    pays only the search path per query batch. This entry is that
+    steady state: the index is built ONCE per corpus content (cached
+    on disk keyed by the source file's identity+mtime; bench's
+    min-of-3 therefore times pure serving after the first repeat pays
+    the build) and every call runs the shared ``ivfpq_serve`` stack
+    against the STORED codes — the exact plan ``CorpusAnnIndex.search``
+    ships in production, pinned row-identical to the batch operator by
+    the parity test."""
+    import hashlib
+    import tempfile
+    from pathlib import Path
+
+    from finance_pipeline_spark.pipelines.ann_index import CorpusAnnIndex
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    src = Path(sf_dir) / "embeddings.parquet"
+    st = src.stat()
+    key = hashlib.sha256(
+        f"{src.resolve()}-{st.st_mtime_ns}-{st.st_size}".encode()
+    ).hexdigest()[:16]
+    root = _ANN_INDEX_CACHE.get(key) or str(
+        Path(tempfile.gettempdir()) / f"spark_graft_ann_{key}"
+    )
+    idx = CorpusAnnIndex(spark, root)
+    if not idx.exists():
+        idx.build(e)
+    _ANN_INDEX_CACHE[key] = root
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    return idx.search(q, e)
 
 
 _OUTLIER_X = 2  # flag vectors whose ||x-c||^2 exceeds X * their label's mean

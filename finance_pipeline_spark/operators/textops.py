@@ -1664,7 +1664,14 @@ def lm_familiarity(d: DataFrame) -> DataFrame:
     doc to ITS LANGUAGE's corpus mean (``mean_keys=("lang",)``), so a
     mixed-language corpus can't wholesale-flag a minority language
     whose bigrams are globally rare."""
-    clean = lm_clean(d, ("doc_id", "lang"))
+    # ONE tokenized scan: clean feeds three consumers (the unigram
+    # vocab count, the c2 bigram count, and the scoring pair stream) —
+    # without the checkpoint each action re-runs the tokenize+filter
+    # over the corpus (bench r9: 1.29x the familiarity bar, bought by
+    # the <unk>/per-lang fixes; folding the passes buys it back).
+    # Lazy checkpoint: plan-only consumers (explain, oracle
+    # registration) pay nothing; the first real action materializes.
+    clean = lm_clean(d, ("doc_id", "lang")).localCheckpoint(eager=False)
     uni = (
         clean.select(F.explode("toks").alias("w"))
         .groupBy("w")
@@ -1719,9 +1726,16 @@ def text_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle."""
     from pyspark.sql import Window as W
 
-    fam = lm_familiarity(
-        load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    ).select("doc_id", "lang", "familiarity")
+    # fam feeds two union branches (scored terciles + null-familiarity
+    # tail); checkpoint the doc-sized score frame so the full LM chain
+    # runs once, not per branch (same rule curation applies to it).
+    fam = (
+        lm_familiarity(
+            load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+        )
+        .select("doc_id", "lang", "familiarity")
+        .localCheckpoint(eager=False)
+    )
     scored = fam.filter(F.col("familiarity").isNotNull())
     t = F.ntile(3).over(
         W.partitionBy("lang").orderBy(F.col("familiarity").desc(), "doc_id")

@@ -179,7 +179,17 @@ class CorpusAnnIndex:
         if nprobe is None:
             nprobe = int(meta["nprobe"])
         stored = self.codes.read()  # ONE snapshot: pool sizing + serve
-        n_indexed = stored.count() if stored is not None else 0
+        if stored is None:
+            # meta.json survived but the codes table is gone/empty —
+            # build() over an empty corpus, or out-of-band removal.
+            # An empty result frame (not a crash, not a silent serve
+            # against nothing the caller can't distinguish from "no
+            # neighbors close enough") keeps screen()'s left-join
+            # contract working: every batch row comes back 'keep'.
+            return self.spark.createDataFrame(
+                [], "query_id bigint, corpus_id bigint, dist double, rnk bigint"
+            )
+        n_indexed = stored.count()
         pool = max(
             _RERANK_N,
             min(1024, 2 * -(-max(n_indexed, 1) // int(meta["k_cells"]))),

@@ -158,7 +158,9 @@ def ingest_with_index(
             # Docs under 2 tokens get no score row → not unfamiliar;
             # an empty LM (first batch) scores nothing — there's no
             # corpus to disagree with yet.
-            fam = lm.screen_before(survivors.select("doc_id", "text"))
+            fam = lm.screen_before(
+                survivors.select("doc_id", "lang", "text")
+            )
             if fam is not None:
                 survivors = survivors.join(
                     fam.select("doc_id", "unfamiliar"), "doc_id", "left"
@@ -170,7 +172,7 @@ def ingest_with_index(
             survivors = survivors.localCheckpoint(eager=True)
             n_unfamiliar = survivors.filter(F.col("unfamiliar")).count()
             if survivors.limit(1).count():
-                lm.add(survivors.select("doc_id", "text"))
+                lm.add(survivors.select("doc_id", "lang", "text"))
         w = kept.merge(
             survivors.withColumn(
                 "dg", F.sha2(F.encode("text", "UTF-8"), 256)

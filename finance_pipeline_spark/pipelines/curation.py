@@ -57,9 +57,21 @@ def curate_corpus(
     """Run the full curation pass over ``sf_dir``'s documents table and
     export train-ready shards under ``out_dir``. Returns a stats dict
     with per-stage row accounting plus the shard manifest."""
+    import time
+
     logger = get_logger()
+    stage_secs: dict[str, float] = {}
+    _t = [time.monotonic()]
 
     def log(stage: str, **kv) -> None:
+        # per-stage wall time rides the stats dict: at 100 TB the FIRST
+        # question about a curation run is which stage went super-linear
+        # (the r9 verdict's scale-probe ask), and each stage ends at its
+        # count() against the checkpointed universe, so the delta since
+        # the previous log IS that stage's cost.
+        now = time.monotonic()
+        stage_secs[stage] = round(now - _t[0], 3)
+        _t[0] = now
         logger.info("curate_corpus %s %s", stage, kv)
 
     d = load(spark, sf_dir, "documents")
@@ -288,4 +300,5 @@ def curate_corpus(
         "n_exported": n_final,
         "splits": splits,
         "manifest": manifest,
+        "stage_secs": stage_secs,
     }

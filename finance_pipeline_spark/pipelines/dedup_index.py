@@ -45,10 +45,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from finance_pipeline_spark.operators.dedup import (
+    _BLOOM_RANGES,
     _MINHASH_BUCKET_CAP,
     bloom_maybe_contains_ranged,
     build_digest_bloom_ranged,
     minhash_band_rows,
+    scaled_bloom_params,
 )
 from finance_pipeline_spark.sinks.txn_table import TxnKeyedTable
 
@@ -129,19 +131,61 @@ class CorpusDedupIndex:
         self._rebuild_bloom_from_digests()
         marker.unlink(missing_ok=True)
 
+    # -- range-count state (scaled_bloom_params, r9 verdict item 4) ----
+
+    def _bloom_meta_path(self):
+        from pathlib import Path
+
+        return Path(self.root) / "bloom_meta.json"
+
+    def _bloom_n_ranges(self) -> int:
+        """The range count this index's stored word rows were ROUTED
+        with. Persisted in ``bloom_meta.json`` at rebuild time; an
+        index without the sidecar predates derived counts and keeps
+        the historical ``_BLOOM_RANGES`` default — routing must match
+        the stored rows, never the current corpus size (re-splitting
+        is ``optimize``'s job, by rebuild)."""
+        import json
+
+        try:
+            return int(
+                json.loads(self._bloom_meta_path().read_text())["n_ranges"]
+            )
+        except (FileNotFoundError, ValueError, KeyError):
+            return _BLOOM_RANGES
+
+    def _derived_n_ranges(self) -> int:
+        """What ``scaled_bloom_params`` prescribes for the CURRENT
+        stored digest count, floored at the legacy default (shrinking
+        below it buys nothing and would churn small indexes)."""
+        dg = self.digests.read()
+        n = dg.count() if dg is not None else 0
+        return max(scaled_bloom_params(n)["n_ranges"], _BLOOM_RANGES)
+
     def _rebuild_bloom_from_digests(self) -> None:
         """One map-only pass over the stored digests → ranged delta
-        rows under a content-addressed rebuild token. At 100 TB this
-        reads the digests table once (32 B/doc, no text) — the
-        one-time cost of a layout change, not a recurring one."""
+        rows under a content-addressed rebuild token, at the range
+        count ``scaled_bloom_params`` derives from the digest count
+        NOW (the sidecar records it for every later add/probe). At
+        100 TB this reads the digests table once (32 B/doc, no text)
+        — the one-time cost of a layout or range-count change, not a
+        recurring one."""
         import hashlib
+        import json
+        import os
 
         import numpy as np
 
+        n_ranges = self._derived_n_ranges()
+        tmp = self._bloom_meta_path().with_suffix(".json.tmp")
+        tmp.write_text(json.dumps({"n_ranges": n_ranges}))
+        os.replace(tmp, self._bloom_meta_path())
         dg = self.digests.read()
         if dg is None:
             return
-        words = build_digest_bloom_ranged(dg.select("dg"))
+        words = build_digest_bloom_ranged(
+            dg.select("dg"), n_ranges=n_ranges
+        )
         nzr, nzw = np.nonzero(words)
         if not len(nzr):
             return
@@ -169,12 +213,11 @@ class CorpusDedupIndex:
         have accumulated."""
         import numpy as np
 
-        from finance_pipeline_spark.operators.dedup import (
-            _BLOOM_BITS,
-            _BLOOM_RANGES,
-        )
+        from finance_pipeline_spark.operators.dedup import _BLOOM_BITS
 
-        out = np.zeros((_BLOOM_RANGES, _BLOOM_BITS >> 6), dtype=np.int64)
+        out = np.zeros(
+            (self._bloom_n_ranges(), _BLOOM_BITS >> 6), dtype=np.int64
+        )
         stored = self.bloom.read()
         if stored is not None:
             folded = (
@@ -301,6 +344,7 @@ class CorpusDedupIndex:
 
         with writer_lock(self.root, owner="dedup-index-optimize"):
             out = {}
+            out["bloom_resplit"] = self._maybe_resplit_bloom()
             out["bloom_tokens_folded"] = self._fold_bloom_deltas()
             for name, table in (
                 ("digests", self.digests),
@@ -311,6 +355,37 @@ class CorpusDedupIndex:
                     before, after = table.compact(target_rows=target_rows)
                     out[name] = {"files_before": before, "files_after": after}
             return out
+
+    def _maybe_resplit_bloom(self) -> dict | None:
+        """RE-SPLIT when the corpus has outgrown its range count: if
+        ``scaled_bloom_params`` over the current digest count derives
+        more ranges than the stored rows were routed with, rebuild the
+        bloom from the digests table at the new count (the same
+        marker-first drop-and-rebuild the layout migration uses — the
+        bloom is derived state, and range membership can't be
+        recomputed from already-OR'd words). Runs under the caller's
+        writer lock. Returns {from, to} when a re-split happened.
+
+        Concurrency note (the family's standing maintenance rule):
+        an ``add`` racing the re-split window could land word rows
+        routed with the OLD count — its digests commit afterward and
+        stay authoritative, but its bloom bits would probe wrong, so
+        don't schedule adds concurrently with optimize on a growing
+        index; generation-tagged tokens are the named upgrade if that
+        discipline ever needs to be enforced in-band."""
+        current, derived = self._bloom_n_ranges(), self._derived_n_ranges()
+        if derived <= current:
+            return None
+        from pathlib import Path
+
+        marker = Path(self.root) / "bloom_rebuild_pending"
+        marker.parent.mkdir(parents=True, exist_ok=True)
+        marker.touch()
+        if self.bloom.exists():
+            self.bloom.drop()
+        self._rebuild_bloom_from_digests()
+        marker.unlink(missing_ok=True)
+        return {"from": current, "to": derived}
 
     def _fold_bloom_deltas(self) -> int:
         """Consolidate the bloom's per-add delta rows: bit_or every
@@ -383,7 +458,9 @@ class CorpusDedupIndex:
         # append-only merge of the nonzero words under a token derived
         # from their content.
         batch_words = build_digest_bloom_ranged(
-            batch.select(_digest().alias("dg")), "dg"
+            batch.select(_digest().alias("dg")),
+            "dg",
+            n_ranges=self._bloom_n_ranges(),
         )
         nzr, nzw = np.nonzero(batch_words)
         n_bloom = 0

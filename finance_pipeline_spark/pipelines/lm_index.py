@@ -9,14 +9,16 @@ exists to avoid. This component persists the LM state the same way
 ``CorpusDedupIndex`` persists dedup state — two transactional count
 tables with APPEND-ONLY delta rows:
 
-- ``uni/`` — key ``(w, token)``: per-add unigram counts.
-- ``bi/``  — key ``(w1, w2, token)``: per-add bigram counts.
+- ``uni/`` — key ``(lang, w, token)``: per-add, per-language unigram
+  counts.
+- ``bi/``  — key ``(lang, w1, w2, token)``: per-add, per-language
+  bigram counts.
 
 ``token`` is a content address of the added batch (order-free digest
-sum over the batch's texts), so a crashed-and-retried add is a keyed
-no-op — counts can never double. Readers fold deltas with SUM (an
-associative, commutative merge: concurrent adds can never lose each
-other's counts — the bloom table's append-only lesson applied to
+sum over the batch's (lang, text) rows), so a crashed-and-retried add
+is a keyed no-op — counts can never double. Readers fold deltas with
+SUM (an associative, commutative merge: concurrent adds can never lose
+each other's counts — the bloom table's append-only lesson applied to
 integers); ``optimize()`` folds accumulated deltas back to one row per
 key.
 
@@ -26,6 +28,30 @@ with the operator's exact semantics (top-``_LM_VOCAB`` vocabulary,
 derived from the folded counts instead of the batch: stored-unseen
 pairs score frequency 0, which is the point — gibberish scores low
 against an established corpus even when the probe batch is 3 docs.
+
+PER-LANGUAGE means (r9 verdict item 1): the vocabulary and the bigram
+frequency table stay GLOBAL — exactly the batch operator's semantics
+(``lm_familiarity`` builds one top-V vocab and one c2 over the whole
+frame) — but the corpus-mean each doc's score is flagged against is
+its LANGUAGE's mean, derived from the per-lang count split. This
+closes the batch-vs-streaming semantic gap: the batch operator and
+curation stage 1b score ``mean_keys=("lang",)``, so a minority
+language's globally-rare bigrams no longer flag its every document on
+the STREAMING path either. Batches without a ``lang`` column count
+under ``'und'`` (one group — degenerates to the old global mean, so
+single-language callers are unchanged row-for-row).
+
+LEGACY LAYOUT: tables written before the lang key carry no ``lang``
+column. Read paths fold those rows under ``'und'`` (mergeSchema reads
+them as null). WRITE paths need the migration first — ``add`` into a
+legacy table auto-runs ``optimize()``, whose journaled fold rewrites
+every surviving row with the lang key (delete-all-tokens → merge
+new-schema rows lands on an empty file set, so the keyed anti-join
+never probes a lang-less file). Cross-version replay caveat: batch
+tokens now digest (lang, text), so a pre-upgrade batch crash-replayed
+AFTER the upgrade gets a fresh token and double-counts — replay the
+in-flight batch (or optimize) before upgrading, the same
+"maintenance doesn't run mid-recovery" rule optimize already carries.
 
 Scale shape: count tables hold TYPES, not instances — they grow with
 vocabulary (unigrams) and observed transition types (bigrams), both
@@ -69,11 +95,30 @@ def _content_token(df: DataFrame, src, prefix: str) -> str:
     return f"{prefix}-{row['s']}-{row['n']}"
 
 
+def _with_lang(batch: DataFrame) -> DataFrame:
+    """Normalize a batch to (doc_id, lang, text): a missing or null
+    ``lang`` becomes ``'und'`` — one copy of the rule for add, score,
+    and token digest, so the three can never disagree on grouping."""
+    lang = (
+        F.coalesce(F.col("lang"), F.lit("und"))
+        if "lang" in batch.columns
+        else F.lit("und")
+    )
+    return batch.select("doc_id", lang.alias("lang"), "text")
+
+
 def _batch_token(batch: DataFrame) -> str:
-    """Content address of a (doc_id, text) batch. Same batch → same
-    token → the keyed merge makes re-adds no-ops (crash-retry,
-    at-least-once streaming delivery)."""
-    return _content_token(batch, F.coalesce("text", F.lit("")), "add")
+    """Content address of a NORMALIZED (doc_id, lang, text) batch.
+    Same batch → same token → the keyed merge makes re-adds no-ops
+    (crash-retry, at-least-once streaming delivery). ``lang`` is part
+    of the digest: two batches with identical texts but different
+    language tags are different content — sharing a token would make
+    ``screen_before``'s self-exclusion exclude the other batch too."""
+    return _content_token(
+        batch,
+        F.concat_ws("\x1f", F.col("lang"), F.coalesce("text", F.lit(""))),
+        "add",
+    )
 
 
 class CorpusLmIndex:
@@ -89,9 +134,22 @@ class CorpusLmIndex:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = str(root)
-        self.uni = TxnKeyedTable(spark, f"{self.root}/uni", ["w", "token"])
-        self.bi = TxnKeyedTable(spark, f"{self.root}/bi", ["w1", "w2", "token"])
+        self.uni = TxnKeyedTable(
+            spark, f"{self.root}/uni", ["lang", "w", "token"]
+        )
+        self.bi = TxnKeyedTable(
+            spark, f"{self.root}/bi", ["lang", "w1", "w2", "token"]
+        )
         self._recover_folds()
+
+    @staticmethod
+    def _norm_lang(df: DataFrame) -> DataFrame:
+        """Stored rows → guaranteed (lang, ...) shape: legacy files
+        carry no lang column (pre-lang layout) or read as null through
+        mergeSchema — both fold under 'und'."""
+        if "lang" not in df.columns:
+            return df.withColumn("lang", F.lit("und"))
+        return df.withColumn("lang", F.coalesce("lang", F.lit("und")))
 
     def _fold_sidecar(self, name: str):
         from pathlib import Path
@@ -126,7 +184,9 @@ class CorpusLmIndex:
                 # raising here would brick every subsequent open.
                 shutil.rmtree(side, ignore_errors=True)
                 continue
-            rows = self.spark.read.parquet(str(side / "rows.parquet"))
+            rows = self._norm_lang(
+                self.spark.read.parquet(str(side / "rows.parquet"))
+            )  # legacy sidecar (pre-lang fold) replays under 'und'
             if doomed:
                 tbl.delete(F.col("token").isin(doomed))
             tbl.merge(rows)
@@ -134,26 +194,44 @@ class CorpusLmIndex:
 
     # -- write side ----------------------------------------------------
 
+    def _is_legacy_layout(self) -> bool:
+        """True when stored files predate the lang key (no lang
+        column): new-schema merges can't anti-join against them."""
+        stored = self.uni.read()
+        if stored is not None and "lang" not in stored.columns:
+            return True
+        stored_bi = self.bi.read()
+        return stored_bi is not None and "lang" not in stored_bi.columns
+
     def add(self, batch: DataFrame) -> dict:
-        """Fold a batch's unigram/bigram counts into the stored LM.
-        Idempotent per batch content; counts are delta rows, so
-        concurrent adds merge without loss. Returns row accounting."""
-        token = _batch_token(batch)
-        clean = lm_clean(batch.select("doc_id", "text"))
+        """Fold a batch's per-language unigram/bigram counts into the
+        stored LM (missing/null lang → 'und'). Idempotent per batch
+        content; counts are delta rows, so concurrent adds merge
+        without loss. A legacy (pre-lang) table migrates first via the
+        journaled fold — a one-time optimize() under the writer lock,
+        so the first post-upgrade add may lose the lock race loudly
+        (retry; the standing optimize contract). Returns accounting."""
+        if self._is_legacy_layout():
+            self.optimize()
+        b2 = _with_lang(batch)
+        token = _batch_token(b2)
+        clean = lm_clean(b2, ("doc_id", "lang"))
         uni = (
-            clean.select(F.explode("toks").alias("w"))
-            .groupBy("w")
+            clean.select("lang", F.explode("toks").alias("w"))
+            .groupBy("lang", "w")
             .agg(F.count(F.lit(1)).alias("n"))
             .withColumn("token", F.lit(token))
         )
         bi = (
-            lm_pairs(clean)
-            .groupBy(F.col("w1a").alias("w1"), F.col("w2a").alias("w2"))
+            lm_pairs(clean, ("lang",))
+            .groupBy(
+                "lang", F.col("w1a").alias("w1"), F.col("w2a").alias("w2")
+            )
             .agg(F.count(F.lit(1)).alias("n"))
             .withColumn("token", F.lit(token))
         )
-        u = self.uni.merge(uni.select("w", "token", "n"))
-        b = self.bi.merge(bi.select("w1", "w2", "token", "n"))
+        u = self.uni.merge(uni.select("lang", "w", "token", "n"))
+        b = self.bi.merge(bi.select("lang", "w1", "w2", "token", "n"))
         return {"token": token, "uni_rows": u.inserted, "bi_rows": b.inserted}
 
     # -- read side -----------------------------------------------------
@@ -164,7 +242,11 @@ class CorpusLmIndex:
             return None
         if exclude_token is not None:
             stored = stored.filter(F.col("token") != exclude_token)
-        return stored.groupBy("w").agg(F.sum("n").alias("n"))
+        return (
+            self._norm_lang(stored)
+            .groupBy("lang", "w")
+            .agg(F.sum("n").alias("n"))
+        )
 
     def _folded_bi(self, exclude_token: str | None = None) -> DataFrame | None:
         stored = self.bi.read()
@@ -172,77 +254,98 @@ class CorpusLmIndex:
             return None
         if exclude_token is not None:
             stored = stored.filter(F.col("token") != exclude_token)
-        return stored.groupBy("w1", "w2").agg(F.sum("n").alias("n"))
+        return (
+            self._norm_lang(stored)
+            .groupBy("lang", "w1", "w2")
+            .agg(F.sum("n").alias("n"))
+        )
 
     def _score_against(
         self, uni: DataFrame, bi: DataFrame, batch: DataFrame
     ) -> DataFrame:
+        # GLOBAL vocabulary — the operator builds one top-V cut over
+        # the whole frame, languages pooled; matching it exactly is
+        # what makes the two-language parity test row-for-row.
         vocab = (
-            uni.orderBy(F.col("n").desc(), "w")
+            uni.groupBy("w")
+            .agg(F.sum("n").alias("n"))
+            .orderBy(F.col("n").desc(), "w")
             .limit(textops._LM_VOCAB)
             .select("w")
         )
         # re-key the stored bigram TYPES through the vocab (types, not
-        # instances: one pass over the count table, never the corpus)
-        c2 = (
+        # instances: one pass over the count table, never the corpus),
+        # keeping the per-lang split (c2l) for the means; the scoring
+        # frequency table (c2) is the lang-pooled sum — again the
+        # operator's semantics (one global c2, per-lang means only).
+        c2l = (
             lm_map_to_vocab(
                 bi.select(
-                    F.col("w1").alias("w1a"), F.col("w2").alias("w2a"), "n"
+                    "lang",
+                    F.col("w1").alias("w1a"),
+                    F.col("w2").alias("w2a"),
+                    "n",
                 ),
                 vocab,
             )
-            .groupBy("w1", "w2")
-            .agg(F.sum("n").alias("freq"))
+            .groupBy("lang", "w1", "w2")
+            .agg(F.sum("n").alias("n_l"))
         )
-        # corpus mean bigram frequency = sum over stored pair INSTANCES
-        # of their type's frequency / total instances = Σfreq²/Σfreq —
-        # over SCORED types only: the '<unk> <unk>' type is excluded,
-        # matching lm_score's per-doc exclusion (the r8 advisor
-        # inversion fix; without this the index mean and the operator
-        # mean would drift once vocab overflows).
-        # freq is cast to double BEFORE the product: long×long overflows
+        c2 = c2l.groupBy("w1", "w2").agg(F.sum("n_l").alias("freq"))
+        # per-language corpus mean = for language L, sum over L's pair
+        # INSTANCES of their type's GLOBAL frequency / L's instance
+        # count = Σ_t n_L(t)·freq(t) / Σ_t n_L(t) — over SCORED types
+        # only: the '<unk> <unk>' type is excluded, matching lm_score's
+        # per-doc exclusion (the r8 advisor inversion fix).
+        # Counts cast to double BEFORE the product: long×long overflows
         # at ~3e9 instances of one type, and ANSI mode turns that into
         # a query-killing exception. The double product is exact below
         # 2^53 (so the operator-parity test is unaffected) and
         # correctly-rounded above (fine — the flag is a heuristic at
         # that magnitude).
+        nl = F.col("n_l").cast("double")
         fd = F.col("freq").cast("double")
         gavg = (
-            c2.filter(
+            c2l.join(c2, ["w1", "w2"])
+            .filter(
                 ~(
                     (F.col("w1") == F.lit("<unk>"))
                     & (F.col("w2") == F.lit("<unk>"))
                 )
             )
-            .groupBy()
-            .agg(F.sum(fd * fd).alias("_ff"), F.sum(fd).alias("_f"))
+            .groupBy("lang")
+            .agg(F.sum(nl * fd).alias("_ff"), F.sum(nl).alias("_f"))
             .select(
+                "lang",
                 F.when(F.col("_f") > 0, F.col("_ff") / F.col("_f")).alias(
                     "gavg"
-                )
+                ),
             )
         )
         mapped = lm_map_to_vocab(
-            lm_pairs(lm_clean(batch.select("doc_id", "text"))), vocab
+            lm_pairs(lm_clean(_with_lang(batch), ("doc_id", "lang")), ("doc_id", "lang")),
+            vocab,
         )
-        return lm_score(mapped, c2, gavg)
+        return lm_score(mapped, c2, gavg, mean_keys=("lang",))
 
     def familiarity(self, batch: DataFrame) -> DataFrame:
-        """Score (doc_id, text) docs against the STORED corpus LM:
-        (doc_id, n_bigrams, n_scored, sum_freq, familiarity,
+        """Score (doc_id[, lang], text) docs against the STORED corpus
+        LM: (doc_id, lang, n_bigrams, n_scored, sum_freq, familiarity,
         unfamiliar) — the ``text_lm_familiarity`` semantics with
-        vocabulary, bigram frequencies, and the corpus mean all taken
-        from stored state. The stored count tables carry no language
-        column, so the flag compares against ONE GLOBAL corpus mean —
-        on a single-language corpus the output matches the registered
-        operator row-for-row (pinned by test); on a MIXED-language
-        corpus the operator's per-language means diverge from this
-        screen, which is why the ingest path treats the flag as
-        observational (never a drop). Per-language stored state would
-        need a lang key on uni/bi — the documented upgrade if a
-        multilingual stored screen ever needs to hard-drop. Raises
-        on an empty index: a screen against no corpus is meaningless
-        and silently keeping everything would mask a wiring bug."""
+        vocabulary, bigram frequencies, and the corpus means all taken
+        from stored state. The flag compares each doc to ITS
+        LANGUAGE's stored mean (``mean_keys=("lang",)`` — the batch
+        operator's default), so streaming and batch agree on
+        multilingual corpora (r9 verdict item 1); a mixed-language
+        corpus matches the operator row-for-row when probe == stored
+        corpus (pinned by the two-language parity test). Docs whose
+        language has no stored instances get a null mean → never
+        flagged by the mean compare (n_scored = 0 still flags).
+        Batches without a lang column score under 'und' — on a
+        single-language corpus that degenerates to the old global
+        mean, unchanged row-for-row. Raises on an empty index: a
+        screen against no corpus is meaningless and silently keeping
+        everything would mask a wiring bug."""
         uni, bi = self._folded_uni(), self._folded_bi()
         if uni is None or bi is None:
             raise ValueError(
@@ -270,7 +373,7 @@ class CorpusLmIndex:
         (empty index, or the only stored content IS this batch)."""
         if not self.bi.exists():
             return None
-        token = _batch_token(batch)
+        token = _batch_token(_with_lang(batch))
         uni = self._folded_uni(exclude_token=token)
         bi = self._folded_bi(exclude_token=token)
         if uni is None or bi is None or not bi.limit(1).count():
@@ -322,17 +425,23 @@ class CorpusLmIndex:
         self._recover_folds()
         out = {}
         for name, tbl, keys in (
-            ("uni", self.uni, ["w"]),
-            ("bi", self.bi, ["w1", "w2"]),
+            ("uni", self.uni, ["lang", "w"]),
+            ("bi", self.bi, ["lang", "w1", "w2"]),
         ):
             stored = tbl.read()
             if stored is None:
                 out[f"{name}_tokens_folded"] = 0
                 continue
+            legacy = "lang" not in stored.columns
+            stored = self._norm_lang(stored)
             tokens = [
                 r["token"] for r in stored.select("token").distinct().collect()
             ]
-            if len(tokens) <= 1:
+            # a legacy-layout table folds even at one token: the fold
+            # IS the lang-key migration (its delete-all-tokens → merge
+            # lands the new schema on an empty file set, the only
+            # write path that can't anti-join against lang-less files)
+            if len(tokens) <= 1 and not legacy:
                 out[f"{name}_tokens_folded"] = 0
                 continue
             folded = (

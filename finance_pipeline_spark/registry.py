@@ -282,6 +282,63 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # re-enter the evaluated window this round; "out" entries move past the
 # fold carrying the named prior round's hash-green driver evidence.
 ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
+    "r10": {
+        "in": (
+            # the two disclosed r10 deferrals (r6 driver evidence — the
+            # oldest rows left; r9 verdict item 2) re-enter first
+            "text_bpe_token_count", "text_fingerprint",
+            # the entire r7-evidence cohort (rotated out r8, never back
+            # since — the oldest bulk evidence; clears every pre-r8 row)
+            "agg_corr_exact", "a2_empty_probe", "win_tumbling",
+            "win_topk_per_group", "join_agg_revenue", "join_range_bands",
+            "u3_semi_join", "o3_dynamic_sort", "o4_global_index",
+            "p2_drop_column", "p3_date_window", "d2_interval_shift",
+            "d6_literal_columns", "dedup_exact", "dedup_ngram_jaccard",
+            "dedup_simhash", "dedup_group_decisions",
+            "dedup_embedding_cosine", "dedup_semantic_clusters",
+            "mm_decode_features",  # also CHANGED code: real PPM codec
+            "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
+            "ann_quantized_topk", "emb_quantize_int8",
+            "stream_tumbling_counts", "stream_static_join",
+            "stateful_user_totals", "text_token_count", "text_gopher_rules",
+            "text_pack_sequences", "text_split_assign", "text_mixture_sample",
+            "text_ngram_profile", "text_chunk_overlap", "text_quality_prune",
+            "cohort_retention", "event_transition_counts",
+            "merge_upsert_orders",
+            # (ann_pq_topk and ann_ivfpq_topk — r7-green, code-unchanged
+            # this round, family keeps 6 in-window reps — defer to r11;
+            # both stay covered by every full-registry oracle run)
+            # new r10 operator earning first driver evidence
+            "ann_index_serve",  # serve-only stored-index path (rows-
+            # only: row-identical to ann_ivfpq_scaled by parity test)
+            # NOT rotating out despite r9-green (changed code in r10):
+            # text_lm_familiarity + text_lm_buckets (one-scan LM chain
+            # fold), text_quality_classifier (NEW full-GD DuckDB oracle
+            # — re-earns as hash-checked, was rows-only),
+            # ann_ivfpq_scaled (ivfpq_serve byte-budget chunking +
+            # probe/ADC broadcast split), dedup_bloom_ranged
+            # (scaled_bloom_params-derived range count) hold their
+            # window slots to re-earn on the new code.
+        ),
+        "out": (  # all hash-green in CORRECTNESS_r09.json
+            "text_decontaminate", "user_gap_stats", "text_vocab_topk",
+            "text_repetition_stats", "dedup_incremental",
+            "kmeans_train_assign", "agg_exact_median",
+            "fuzzy_match_blocked", "anomaly_zscore_flags",
+            "dq_referential_audit", "text_chunk_dedup",
+            "agg_incremental_maintain", "agg_minmax_distinct",
+            "agg_variance_exact", "agg_rollup", "agg_cube", "agg_pivot",
+            "agg_unpivot", "win_running_sum", "join_multiway_region",
+            "u1_union_dedup", "o1_topk_multikey", "a1_count",
+            "p1_projection", "p4_comparison_filter", "p5_null_drop",
+            "p6_exact_dedup", "p7_keyed_dedup", "p9_arity_guard",
+            "d1_parse_coerce", "d3_tz_convert", "d5_format_render",
+            "d7_text_to_double", "d9_map_explode", "d9b_json_map_parse",
+            "d11_month_offset", "dedup_exact_by_digest",
+            "dedup_keyed_pick", "mm_frame_sample", "text_langid",
+            "text_quality_score", "udf_embedding_norm",
+        ),
+    },
     "r9": {
         "in": (
             # The four disclosed r9 deferrals (r5 driver evidence — the
@@ -675,26 +732,76 @@ PRIORITY: tuple[str, ...] = (
     "agg_pricing_summary",
     "agg_approx_distinct",
     "agg_approx_quantile",
-    # changed code in r9 — lm_score gained the <unk>-<unk> exclusion
-    # and per-language corpus means (advisor fixes); re-earns on the
-    # new semantics rather than coasting on its r8-green row
+    # changed code in r10 — each holds its slot to re-earn on the new
+    # code (LM one-scan fold; classifier NEW full-GD oracle; ivfpq_serve
+    # byte-budget + broadcast split; scaled_bloom_params range count)
     "text_lm_familiarity",
-    # new r9 operators earning first driver evidence
-    "ann_ivfpq_scaled",    # corpus-capacity IVFPQ (rows-only by design:
-    # data-dependent sqrt(N)/256 parameters; recall-verified in pytest
-    # + tools/probe_ann_scale.py)
-    "dedup_bloom_ranged",  # range-partitioned bloom screen
-    # the four disclosed r9 deferrals (r5 evidence — oldest rows left)
+    "text_lm_buckets",
+    "text_quality_classifier",
+    "ann_ivfpq_scaled",
+    "dedup_bloom_ranged",
+    # new r10 operator — first driver evidence (rows-only: parity-
+    # pinned row-identical to ann_ivfpq_scaled)
+    "ann_index_serve",
+    # changed code (real PPM codec) + r7-evidence cohort member
+    "mm_decode_features",
+    # the two disclosed r10 deferrals (r6 evidence — oldest rows left)
+    "text_bpe_token_count",
+    "text_fingerprint",
+    # the full r7-evidence cohort (folded r8; re-earning clears every
+    # pre-r8 row except the two disclosed r11 deferrals below)
+    "agg_corr_exact",
+    "a2_empty_probe",
+    "win_tumbling",
+    "win_topk_per_group",
+    "join_agg_revenue",
+    "join_range_bands",
+    "u3_semi_join",
+    "o3_dynamic_sort",
+    "o4_global_index",
+    "p2_drop_column",
+    "p3_date_window",
+    "d2_interval_shift",
+    "d6_literal_columns",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_group_decisions",
+    "dedup_embedding_cosine",
+    "dedup_semantic_clusters",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "ann_quantized_topk",
+    "emb_quantize_int8",
+    "stream_tumbling_counts",
+    "stream_static_join",
+    "stateful_user_totals",
+    "text_token_count",
+    "text_gopher_rules",
+    "text_pack_sequences",
+    "text_split_assign",
+    "text_mixture_sample",
+    "text_ngram_profile",
+    "text_chunk_overlap",
+    "text_quality_prune",
+    "cohort_retention",
+    "event_transition_counts",
+    "merge_upsert_orders",
+    # ---- fold: position 51+ — prior-round hash-green driver evidence ----
+    # r7-green, deferred to r11 (slots ceded to ann_index_serve and the
+    # changed-code mm_decode_features; ANN family keeps 6 in-window reps)
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
+    # r9-green cohort, rotated out r10 (newest evidence first), then the
+    # r8-green cohort rotated out r9
     "text_decontaminate",
     "user_gap_stats",
     "text_vocab_topk",
     "text_repetition_stats",
-    # oldest r7-evidence slice
     "dedup_incremental",
     "kmeans_train_assign",
     "agg_exact_median",
-    # the full r6-evidence cohort (folded r7; re-earning this round
-    # clears the pre-r7 staleness tail completely)
     "fuzzy_match_blocked",
     "anomaly_zscore_flags",
     "dq_referential_audit",
@@ -730,19 +837,6 @@ PRIORITY: tuple[str, ...] = (
     "text_langid",
     "text_quality_score",
     "udf_embedding_norm",
-    # new r9 (late-round): CCNet head/middle/tail familiarity split
-    # and the trained reference-vs-rest quality classifier — first
-    # driver evidence; text_bpe_token_count and text_fingerprint
-    # (r6-green, the text family keeps 5+ in-window reps) cede their
-    # slots, deferred to r10
-    "text_lm_buckets",
-    "text_quality_classifier",
-    # ---- fold: position 51+ — prior-round hash-green driver evidence ----
-    # r6-green, deferred to r10 (slots ceded to text_lm_buckets and
-    # text_quality_classifier)
-    "text_bpe_token_count",
-    "text_fingerprint",
-    # r8-green cohort, rotated out r9 (newest evidence first)
     "dedup_minhash_lsh",
     "dedup_chunk_minhash",
     "dedup_bloom_screen",
@@ -789,49 +883,6 @@ PRIORITY: tuple[str, ...] = (
     "text_source_quota",
     "grouped_user_gaps",
     "stream_dedup",
-    # r7-green remainder (rotated out r8; dedup_incremental /
-    # kmeans_train_assign / agg_exact_median re-entered the window)
-    "agg_corr_exact",
-    "a2_empty_probe",
-    "win_tumbling",
-    "win_topk_per_group",
-    "join_agg_revenue",
-    "join_range_bands",
-    "u3_semi_join",
-    "o3_dynamic_sort",
-    "o4_global_index",
-    "p2_drop_column",
-    "p3_date_window",
-    "d2_interval_shift",
-    "d6_literal_columns",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_group_decisions",
-    "dedup_embedding_cosine",
-    "dedup_semantic_clusters",
-    "mm_decode_features",
-    "ann_cosine_topk",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "ann_quantized_topk",
-    "ann_pq_topk",
-    "ann_ivfpq_topk",
-    "emb_quantize_int8",
-    "stream_tumbling_counts",
-    "stream_static_join",
-    "stateful_user_totals",
-    "text_token_count",
-    "text_gopher_rules",
-    "text_pack_sequences",
-    "text_split_assign",
-    "text_mixture_sample",
-    "text_ngram_profile",
-    "text_chunk_overlap",
-    "text_quality_prune",
-    "cohort_retention",
-    "event_transition_counts",
-    "merge_upsert_orders",
 )
 
 DRIVER_WINDOW = 50  # observed driver evaluation cap (r1 + r2)

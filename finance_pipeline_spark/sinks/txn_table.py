@@ -243,12 +243,18 @@ def _file_blooms(parts: list[Path], keys: list[str]) -> dict[str, dict[str, str]
         # so skip its key-column read entirely — this is what keeps
         # compact()'s ~1M-row rewrites from paying an O(table) scan for
         # bitmaps that would be discarded anyway
-        if pq.ParquetFile(part).metadata.num_rows > _FILE_BLOOM_MAX_KEYS:
+        pf = pq.ParquetFile(part)
+        if pf.metadata.num_rows > _FILE_BLOOM_MAX_KEYS:
             out[part.name] = {}
             continue
-        tbl = pq.read_table(part, columns=[k for k in keys])
+        # a key column can be absent from an individual file (additive
+        # schema evolution: a survivor rewrite of pre-upgrade files
+        # stages their old schema) — a bloom is a skip optimization,
+        # so just don't build one for the missing column
+        present = [k for k in keys if k in pf.schema_arrow.names]
+        tbl = pq.read_table(part, columns=present)
         cols: dict[str, str] = {}
-        for k in keys:
+        for k in present:
             vals = tbl.column(k).to_pylist()
             uniq = {v for v in vals if v is not None}
             if not uniq or len(uniq) > _FILE_BLOOM_MAX_KEYS:
@@ -474,7 +480,10 @@ class TxnKeyedTable:
         An empty pruned set returns an empty DataFrame with the full
         snapshot schema (read from one file, filtered to nothing)."""
         snap = current_snapshot(self.path, version)
-        if snap.version < 0:
+        if snap.version < 0 or not snap.files:
+            # a full-table delete can leave a committed snapshot with
+            # ZERO files (zero-row survivor parts are not published) —
+            # no file means no schema source, so read as "no data"
             return None
         keep = _prune_files(snap, bounds)
         if not keep and snap.files:
@@ -658,7 +667,7 @@ class TxnKeyedTable:
         fresh snapshot."""
         for _ in range(_MAX_COMMIT_RETRIES):
             snap = current_snapshot(self.path)
-            if snap.version < 0:
+            if snap.version < 0 or not snap.files:
                 return 0
             data = _data_dir(self.path)
             target = self.spark.read.option("mergeSchema", "true").parquet(
@@ -729,7 +738,7 @@ class TxnKeyedTable:
             return 0
         for _ in range(_MAX_COMMIT_RETRIES):
             snap = current_snapshot(self.path)
-            if snap.version < 0:
+            if snap.version < 0 or not snap.files:
                 return 0
             data = _data_dir(self.path)
             probe_files = _prune_files(snap, self._key_bounds(kdf))
@@ -1007,7 +1016,18 @@ class TxnKeyedTable:
         if not keep:
             return batch
         paths = [str(_data_dir(self.path) / f) for f in keep]
-        existing = self.spark.read.parquet(*paths).select(*self.keys).dropDuplicates(self.keys)
+        # mergeSchema + null-fill: a key column added by schema
+        # evolution is absent from pre-evolution files — those rows
+        # probe as null (never equal under the anti-join's = semantics,
+        # so they can't suppress an insert, which is the conservative
+        # direction for first-wins)
+        existing = self.spark.read.option("mergeSchema", "true").parquet(
+            *paths
+        )
+        for k in self.keys:
+            if k not in existing.columns:
+                existing = existing.withColumn(k, F.lit(None))
+        existing = existing.select(*self.keys).dropDuplicates(self.keys)
         return batch.join(existing, on=self.keys, how="left_anti")
 
     def _stage(self, new_rows: DataFrame) -> tuple[list[str], int, dict]:
@@ -1021,7 +1041,19 @@ class TxnKeyedTable:
         staging = Path(self.path) / f"_staging_{uuid.uuid4().hex}"
         stamped = new_rows.withColumn("created_at", F.current_timestamp())
         stamped.write.mode("overwrite").parquet(str(staging))
-        parts = sorted(staging.glob("*.parquet"))
+        # drop zero-row parts before publishing: they carry no data but
+        # WOULD pin their (possibly pre-evolution) schema into every
+        # future mergeSchema read and key probe — a full-table delete's
+        # survivor rewrite must leave NO file behind, or a later merge
+        # anti-joins against a schema the live rows no longer have
+        import pyarrow.parquet as pq_
+
+        parts = []
+        for part in sorted(staging.glob("*.parquet")):
+            if pq_.ParquetFile(part).metadata.num_rows == 0:
+                part.unlink()
+            else:
+                parts.append(part)
         inserted = _footer_row_count(parts)
         part_stats = _footer_stats(parts)
         part_blooms = _file_blooms(parts, self.keys)

@@ -189,3 +189,81 @@ def test_screen_flags_planted_embedding_near_dup(spark, tmp_path):
     assert out[700001].near_dup and out[700001].verdict == "review_near"
     assert out[700001].nn_id == 1
     assert not out[700002].near_dup and out[700002].verdict == "keep"
+
+
+def test_concurrent_ann_optimize_is_mutually_exclusive(spark, tmp_path):
+    """r9 verdict item 5: the vector index takes the same index-root
+    writer lock as the dedup/LM indexes — two concurrent optimize()
+    compactions must serialize: one winner, loud loser (or both clean
+    if the winner finished first), final codes identical to the
+    single-writer result."""
+    import threading
+
+    from finance_pipeline_spark.sinks.keyed_writer import ConcurrentWriteError
+
+    sf, _, _ = _clustered(tmp_path, n_blobs=4, per_blob=10)
+    e = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    root = str(tmp_path / "ann")
+    idx = CorpusAnnIndex(spark, root)
+    idx.build(e.filter(F.col("vec_id") < 20))
+    # several small adds -> several files, so compaction has real work
+    for lo in (20, 30, 40):
+        idx.add(e.filter(F.col("vec_id").between(lo, lo + 9)))
+    want = {
+        (r["vec_id"], r["cluster"])
+        for r in idx.codes.read().select("vec_id", "cluster").collect()
+    }
+
+    results: dict = {}
+
+    def run(tag):
+        local = CorpusAnnIndex(spark, root)
+        try:
+            results[tag] = ("ok", local.optimize(target_rows=10_000))
+        except ConcurrentWriteError as exc:
+            results[tag] = ("locked", str(exc))
+        except Exception as exc:  # noqa: BLE001 — surface in assert below
+            results[tag] = ("err", f"{type(exc).__name__}: {exc}")
+
+    ts = [threading.Thread(target=run, args=(i,)) for i in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    outcomes = sorted(kind for kind, _ in results.values())
+    assert "err" not in outcomes, results
+    assert outcomes[1] == "ok" or outcomes == ["ok", "ok"], results
+
+    # compaction changed layout, never content; lock released after
+    reopened = CorpusAnnIndex(spark, root)
+    got = {
+        (r["vec_id"], r["cluster"])
+        for r in reopened.codes.read().select("vec_id", "cluster").collect()
+    }
+    assert got == want
+    assert reopened.optimize(target_rows=10_000)["files_after"] <= 2
+
+
+def test_search_with_missing_codes_returns_empty_not_crash(spark, tmp_path):
+    """Advisor r9: meta.json survives but the codes table is empty or
+    gone (build over an empty corpus / out-of-band removal) — search
+    must return an empty typed frame, and screen() must then keep
+    every batch row, instead of AttributeError on None."""
+    sf, _, _ = _clustered(tmp_path, n_blobs=4, per_blob=10)
+    e = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    root = str(tmp_path / "ann")
+    idx = CorpusAnnIndex(spark, root)
+    idx.build(e.filter(F.lit(False)))  # empty corpus: meta lands, no codes
+    q = e.limit(3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    hits = idx.search(q, e)
+    assert hits.columns == ["query_id", "corpus_id", "dist", "rnk"]
+    assert hits.count() == 0
+    verd = idx.screen(e.limit(3), e, threshold=0.5)
+    assert verd.count() == 3
+    assert all(r.verdict == "keep" for r in verd.collect())

@@ -467,3 +467,113 @@ def test_concurrent_optimize_is_mutually_exclusive(spark, tmp_path):
     assert np.array_equal(reopened._bloom_words(), rebuilt)
     # lock released: a later optimize runs clean
     assert reopened.optimize(target_rows=10_000)["bloom_tokens_folded"] == 0
+
+
+def test_scaled_bloom_params_derivation():
+    """Range count derives from digest capacity: power-of-two steps,
+    floored at the 4-range default, ceilinged at 256 (one per first
+    digest byte)."""
+    from finance_pipeline_spark.operators.dedup import (
+        _BLOOM_RANGE_CAP,
+        scaled_bloom_params,
+    )
+
+    assert scaled_bloom_params(0)["n_ranges"] == 4
+    assert scaled_bloom_params(_BLOOM_RANGE_CAP * 4)["n_ranges"] == 4
+    assert scaled_bloom_params(_BLOOM_RANGE_CAP * 4 + 1)["n_ranges"] == 8
+    assert scaled_bloom_params(_BLOOM_RANGE_CAP * 100)["n_ranges"] == 128
+    assert scaled_bloom_params(10**12)["n_ranges"] == 256
+    # every derived count divides 256 -> first-byte routing is uniform
+    for n in (0, 10, 10**6, 10**9, 10**12):
+        assert 256 % scaled_bloom_params(n)["n_ranges"] == 0
+
+
+def test_ranged_bloom_membership_holds_at_any_range_count(spark):
+    """Build+probe agree at EVERY range count (the probe derives the
+    routing from the bitmap array's own shape): planted digests are
+    always found, absent ones (almost) never — no false negatives at
+    4, 16, or 256 ranges."""
+    from finance_pipeline_spark.operators.dedup import (
+        bloom_maybe_contains_ranged,
+        build_digest_bloom_ranged,
+    )
+
+    docs = spark.range(200).select(
+        F.sha2(F.concat(F.lit("doc-"), F.col("id").cast("string")), 256).alias(
+            "dg"
+        )
+    )
+    probe = spark.range(400).select(
+        F.col("id").alias("i"),
+        F.sha2(F.concat(F.lit("doc-"), F.col("id").cast("string")), 256).alias(
+            "dg"
+        ),
+    )
+    for n_ranges in (4, 16, 256):
+        words = build_digest_bloom_ranged(docs, n_ranges=n_ranges)
+        assert words.shape[0] == n_ranges
+        got = {
+            r["i"]: r["hit"]
+            for r in probe.select(
+                "i",
+                bloom_maybe_contains_ranged(spark, words, F.col("dg")).alias(
+                    "hit"
+                ),
+            ).collect()
+        }
+        assert all(got[i] for i in range(200)), f"false negative at {n_ranges}"
+        # fp rate sanity on the 200 absent digests (sized for ~1%)
+        assert sum(got[i] for i in range(200, 400)) <= 10
+
+
+def test_bloom_resplit_migrates_stored_index_between_range_counts(
+    spark, tmp_path, monkeypatch
+):
+    """The r9 verdict's re-split path: when the corpus outgrows its
+    range count, optimize() rebuilds the stored bloom from the digests
+    table at the derived count — screens stay exact across the
+    migration, and subsequent adds route with the NEW count."""
+    import finance_pipeline_spark.operators.dedup as dedup_mod
+
+    rng = random.Random(61)
+    docs = [(i, random_doc(rng, 30)) for i in range(30)]
+    d = spark.createDataFrame(docs, "doc_id bigint, text string")
+    idx = CorpusDedupIndex(spark, str(tmp_path / "idx"))
+    idx.add(d)
+    assert idx._bloom_n_ranges() == 4  # no meta yet -> legacy default
+
+    # shrink the per-range capacity so 30 digests derive 16 ranges
+    monkeypatch.setattr(dedup_mod, "_BLOOM_RANGE_CAP", 2)
+    out = idx.optimize()
+    assert out["bloom_resplit"] == {"from": 4, "to": 16}
+    assert idx._bloom_n_ranges() == 16
+    assert idx._bloom_words().shape[0] == 16
+
+    # exactness across the migration: every stored doc still screens
+    # drop_exact, novel docs still keep
+    verd = {r.doc_id: r.verdict for r in idx.screen(d).collect()}
+    assert all(v == "drop_exact" for v in verd.values())
+    novel = spark.createDataFrame(
+        [(100 + i, random_doc(rng, 30)) for i in range(5)],
+        "doc_id bigint, text string",
+    )
+    assert all(r.verdict != "drop_exact" for r in idx.screen(novel).collect())
+
+    # idempotent at the same corpus size: nothing left to re-split
+    assert idx.optimize()["bloom_resplit"] is None
+
+    # adds after the re-split route with the new count
+    idx.add(novel)
+    verd2 = {r.doc_id: r.verdict for r in idx.screen(novel).collect()}
+    assert all(v == "drop_exact" for v in verd2.values())
+
+    # a reopened handle reads the persisted count
+    again = CorpusDedupIndex(spark, str(tmp_path / "idx"))
+    assert again._bloom_n_ranges() == 16
+
+    # continued growth re-splits again (35 digests at cap 2 -> 32),
+    # and the screen stays exact through the second migration too
+    out2 = again.optimize()
+    assert out2["bloom_resplit"] == {"from": 16, "to": 32}
+    verd3 = {r.doc_id: r.verdict for r in again.screen(d).collect()}
+    assert all(v == "drop_exact" for v in verd3.values())

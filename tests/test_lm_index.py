@@ -22,28 +22,38 @@ def _corpus(rng, n, start=0):
 
 def test_familiarity_matches_operator_when_probe_equals_corpus(spark, tmp_path):
     """Stored-state scoring must reproduce text_lm_familiarity
-    row-for-row when the probe IS the stored corpus: same vocab, same
-    bigram frequencies, same corpus mean, same flags."""
+    row-for-row when the probe IS the stored corpus — on a
+    TWO-LANGUAGE corpus (r9 verdict item 1): same global vocab, same
+    global bigram frequencies, same PER-LANGUAGE corpus means, same
+    flags. Adds split mid-language so per-lang counts also prove the
+    cross-batch fold."""
     from finance_pipeline_spark.operators.textops import lm_familiarity
 
     rng = random.Random(5)
     rows = _corpus(rng, 12)
+    lang_of = lambda i: "en" if i % 3 else "fr"  # noqa: E731
+    tagged = [(i, lang_of(i), t) for i, t in rows]
+    ldocs = spark.createDataFrame(
+        tagged, "doc_id bigint, lang string, text string"
+    )
     idx = CorpusLmIndex(spark, str(tmp_path / "lm"))
-    idx.add(_docs(spark, rows[:7]))
-    idx.add(_docs(spark, rows[7:]))
+    idx.add(ldocs.filter(F.col("doc_id") < 7))
+    idx.add(ldocs.filter(F.col("doc_id") >= 7))
 
     got = {
-        r.doc_id: (r.n_bigrams, r.sum_freq, r.familiarity, r.unfamiliar)
-        for r in idx.familiarity(_docs(spark, rows)).collect()
+        r.doc_id: (r.lang, r.n_bigrams, r.sum_freq, r.familiarity, r.unfamiliar)
+        for r in idx.familiarity(ldocs).collect()
     }
     ref_df = spark.createDataFrame(
-        [(i, t, "en") for i, t in rows], "doc_id bigint, text string, lang string"
+        [(i, t, lg) for i, lg, t in tagged],
+        "doc_id bigint, text string, lang string",
     )
     want = {
-        r.doc_id: (r.n_bigrams, r.sum_freq, r.familiarity, r.unfamiliar)
+        r.doc_id: (r.lang, r.n_bigrams, r.sum_freq, r.familiarity, r.unfamiliar)
         for r in lm_familiarity(ref_df).collect()
     }
     assert got == want
+    assert {lg for _, (lg, *_) in got.items()} == {"en", "fr"}
 
 
 def test_add_is_idempotent_per_batch_content(spark, tmp_path):
@@ -309,3 +319,89 @@ def test_concurrent_lm_optimize_is_mutually_exclusive(spark, tmp_path):
     assert {tuple(r) for r in reopened._folded_uni().collect()} == want
     later = reopened.optimize()
     assert later["uni_tokens_folded"] == 0 and later["bi_tokens_folded"] == 0
+
+
+def test_minority_language_not_flagged_by_majority_mean(spark, tmp_path):
+    """The r9 verdict's streaming-vs-batch gap, closed: a minority
+    language whose bigrams are GLOBALLY rare but internally ordinary
+    must not be wholesale-flagged by the stored screen. Same stored
+    counts, two probes: true lang tags -> per-lang means keep the
+    minority clean; the same docs mislabeled as the majority language
+    -> judged against the majority's mean -> flagged. The mean's
+    grouping is the only difference, which is exactly the fix."""
+    rng = random.Random(53)
+    majority = [(i, "en", random_doc(rng, 60)) for i in range(60)]
+    xx_words = [f"xw{j}" for j in range(40)]
+    minority = [
+        (100 + i, "xx", " ".join(rng.choice(xx_words) for _ in range(40)))
+        for i in range(3)
+    ]
+    ldocs = spark.createDataFrame(
+        majority + minority, "doc_id bigint, lang string, text string"
+    )
+    idx = CorpusLmIndex(spark, str(tmp_path / "lm"))
+    idx.add(ldocs)
+
+    by_lang = {
+        r.doc_id: r.unfamiliar for r in idx.familiarity(ldocs).collect()
+    }
+    assert not any(by_lang[100 + i] for i in range(3)), (
+        "per-language means must not flag an internally-ordinary "
+        f"minority language: {by_lang}"
+    )
+    # counterfactual: the SAME stored state judges the same docs
+    # against the majority mean when their tags say 'en' -> flagged
+    mislabeled = ldocs.withColumn("lang", F.lit("en"))
+    as_en = {
+        r.doc_id: r.unfamiliar for r in idx.familiarity(mislabeled).collect()
+    }
+    assert all(as_en[100 + i] for i in range(3)), (
+        "sanity: under the majority's mean the minority docs should "
+        f"flag — if not, the planted contrast is too weak: {as_en}"
+    )
+    # majority docs unflagged either way
+    assert not any(by_lang[i] for i in range(60))
+
+
+def test_legacy_layout_migrates_on_add_and_scores_per_lang(spark, tmp_path):
+    """A table written before the lang key (rows with no lang column)
+    must (a) read under 'und', (b) migrate to the lang-keyed layout on
+    the next add via the journaled fold, and (c) keep its counts
+    bit-for-bit through the migration."""
+    rng = random.Random(59)
+    root = str(tmp_path / "lm")
+    idx = CorpusLmIndex(spark, root)
+    rows = _corpus(rng, 8)
+    idx.add(_docs(spark, rows[:4]))
+    idx.add(_docs(spark, rows[4:]))
+
+    # hand-rewrite both tables to the LEGACY schema (drop lang)
+    import shutil
+
+    from finance_pipeline_spark.sinks.txn_table import TxnKeyedTable
+
+    for name, keys in (("uni", ["w"]), ("bi", ["w1", "w2"])):
+        old = getattr(idx, name).read().drop("lang").localCheckpoint(eager=True)
+        shutil.rmtree(f"{root}/{name}")
+        legacy = TxnKeyedTable(spark, f"{root}/{name}", keys + ["token"])
+        legacy.merge(old.drop("created_at"))
+
+    re1 = CorpusLmIndex(spark, root)
+    assert re1._is_legacy_layout()
+    want = {tuple(r) for r in re1._folded_uni().collect()}
+    assert all(r[0] == "und" for r in want)  # legacy rows read as 'und'
+
+    # next add migrates, then lands the new batch per-lang
+    batch = spark.createDataFrame(
+        [(200, "fr", rows[0][1])], "doc_id bigint, lang string, text string"
+    )
+    re1.add(batch)
+    assert not re1._is_legacy_layout()
+    folded = {tuple(r) for r in re1._folded_uni().collect()}
+    langs = {r[0] for r in folded}
+    assert langs == {"und", "fr"}
+    # pre-migration counts intact under 'und'
+    assert {t for t in folded if t[0] == "und"} == want
+    # and scoring still works end-to-end on the migrated index
+    out = re1.familiarity(_docs(spark, rows[:2]))
+    assert out.count() == 2

@@ -1,10 +1,14 @@
-"""Multimodal plumbing: Arrow-batched decode determinism, stub-codec
-value contract, and the zero-byte frame-sampling guard."""
+"""Multimodal plumbing: Arrow-batched decode determinism, the REAL
+P6 PPM codec's parse contract (well-formed, comment-laden, and
+corrupted files), and the zero-byte frame-sampling guard."""
 
 from __future__ import annotations
 
+import numpy as np
+import pytest
+
 from finance_pipeline_spark import registry
-from finance_pipeline_spark.operators.multimodal import _fake_decode_image
+from finance_pipeline_spark.operators.multimodal import decode_ppm
 
 from tests.conftest import write_documents
 
@@ -20,7 +24,10 @@ def test_decode_features_deterministic(spark, sf_dir):
     assert first and first == run()
 
 
-def test_decode_matches_stub_codec(spark, tmp_path):
+def test_decode_features_match_hand_computed_ppm(spark, tmp_path):
+    """End-to-end through the REAL codec: synthesize, decode, and
+    compare against values computed by hand from the fixture rule
+    (w = 4+n%13, h = 4+7n%11, raster = utf-8 bytes cycled)."""
     rows = [(1, "tiny"), (2, "a slightly longer payload text")]
     sf = write_documents(tmp_path, rows)
     got = {
@@ -28,9 +35,40 @@ def test_decode_matches_stub_codec(spark, tmp_path):
         for r in registry.QUERIES["mm_decode_features"].fn(spark, sf).collect()
     }
     for doc_id, text in rows:
-        payload = text.encode("utf-8")
-        w, h, mi = _fake_decode_image(payload)
-        assert got[doc_id] == (w, h, len(payload), mi)
+        tb = text.encode("utf-8")
+        n = len(tb)
+        w, h = 4 + n % 13, 4 + (n * 7) % 11
+        need = w * h * 3
+        body = (tb * (-(-need // n)))[:need]
+        header = b"P6\n%d %d\n255\n" % (w, h)
+        assert got[doc_id] == (
+            w, h, len(header) + need, sum(body) / need
+        )
+
+
+def test_decode_ppm_parses_any_conforming_file():
+    """The decoder is a real P6 parser, not a fixture-shape check: a
+    hand-built file with comments and multi-digit dims round-trips to
+    the exact pixel array."""
+    raster = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    payload = (
+        b"P6\n# a comment line\n3 # trailing comment\n# more\n2\n255\n"
+        + raster.tobytes()
+    )
+    w, h, arr = decode_ppm(payload)
+    assert (w, h) == (3, 2)
+    assert np.array_equal(arr, raster)
+
+
+def test_decode_ppm_rejects_malformed_input():
+    ok = b"P6\n2 2\n255\n" + bytes(12)
+    assert decode_ppm(ok)[0:2] == (2, 2)
+    with pytest.raises(ValueError, match="not a binary PPM"):
+        decode_ppm(b"P5\n2 2\n255\n" + bytes(12))  # graymap, not pixmap
+    with pytest.raises(ValueError, match="truncated PPM raster"):
+        decode_ppm(b"P6\n2 2\n255\n" + bytes(11))  # one byte short
+    with pytest.raises(ValueError, match="maxval"):
+        decode_ppm(b"P6\n2 2\n65535\n" + bytes(24))  # 16-bit samples
 
 
 def test_frame_sample_zero_byte_payload_emits_no_frames(spark, tmp_path):

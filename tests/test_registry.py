@@ -66,37 +66,39 @@ def test_driver_window_covers_every_family():
     window = list(ordered)[: registry.DRIVER_WINDOW]
 
     must_be_in_window = {
-        # query whose implementation CHANGED in r9 — must earn driver
-        # evidence on the new code, not coast on its r8 row
-        "text_lm_familiarity",  # <unk>-<unk> exclusion + per-lang means
-        # new r9 operators earning their first driver evidence
-        "ann_ivfpq_scaled",
-        "dedup_bloom_ranged",
-        "text_lm_buckets",
+        # queries whose implementation CHANGED in r10 — each must earn
+        # driver evidence on the new code, not coast on its r9 row
+        "text_lm_familiarity", "text_lm_buckets",  # one-scan LM fold
+        "text_quality_classifier",  # NEW full-GD DuckDB oracle
+        "ann_ivfpq_scaled",  # ivfpq_serve byte-budget + broadcast split
+        "dedup_bloom_ranged",  # scaled_bloom_params-derived ranges
+        "mm_decode_features",  # real PPM codec replaced the stub
+        # new r10 operator earning its first driver evidence
+        "ann_index_serve",
         # flagship + the two sketch rows
         "agg_pricing_summary", "agg_approx_distinct", "agg_approx_quantile",
-        # the four disclosed r9 deferrals (r8 verdict item 3)
-        "text_decontaminate", "user_gap_stats",
-        "text_vocab_topk", "text_repetition_stats",
-        # r9 re-earns one-plus representative of every family via the
-        # r6-evidence cohort (ROTATION_LOG r9): anchors spot-checked
-        "dedup_exact_by_digest", "dedup_keyed_pick",  # dedup
-        "win_running_sum", "agg_rollup", "agg_pivot",  # windows / aggs
-        "join_multiway_region", "u1_union_dedup",  # joins / set ops
-        "o1_topk_multikey",  # sort
-        "p1_projection", "p4_comparison_filter",  # projection / filter
-        "d1_parse_coerce", "d9_map_explode",  # derivation
-        "a1_count",  # aggregates-misc
-        "mm_frame_sample",  # multimodal
-        "udf_embedding_norm",  # pandas-udf
-        "text_langid", "text_quality_score",  # text (fingerprint and
-        # bpe_token_count are the two disclosed r10 deferrals)
-        "text_lm_buckets", "text_quality_classifier",
-        "fuzzy_match_blocked", "anomaly_zscore_flags",  # warehouse
-        "dq_referential_audit", "agg_incremental_maintain",
-        # similarity family reps (kmeans anchors ANN; the scaled IVFPQ
-        # row above is the serving-path rep)
-        "kmeans_train_assign", "dedup_incremental",
+        # the two disclosed r10 deferrals (r9 verdict item 2)
+        "text_bpe_token_count", "text_fingerprint",
+        # r10 re-earns one-plus representative of every family via the
+        # r7-evidence cohort (ROTATION_LOG r10): anchors spot-checked
+        "dedup_exact", "dedup_ngram_jaccard", "dedup_simhash",  # dedup
+        "dedup_group_decisions", "dedup_embedding_cosine",
+        "dedup_semantic_clusters",
+        "win_tumbling", "win_topk_per_group",  # windows
+        "agg_corr_exact", "a2_empty_probe",  # aggregates-misc
+        "join_agg_revenue", "join_range_bands", "u3_semi_join",  # joins
+        "o3_dynamic_sort", "o4_global_index",  # sort
+        "p2_drop_column", "p3_date_window",  # projection / filter
+        "d2_interval_shift", "d6_literal_columns",  # derivation
+        "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",  # similarity
+        "ann_quantized_topk", "emb_quantize_int8",
+        "stream_tumbling_counts", "stream_static_join",  # streaming
+        "stateful_user_totals",  # stateful pandas-udf
+        "text_token_count", "text_gopher_rules", "text_pack_sequences",
+        "text_split_assign", "text_mixture_sample", "text_ngram_profile",
+        "text_chunk_overlap", "text_quality_prune",  # text
+        "cohort_retention", "event_transition_counts",  # warehouse
+        "merge_upsert_orders",  # txn sink
     }
     missing = must_be_in_window - set(window)
     assert not missing, f"fell out of the driver window: {sorted(missing)}"
@@ -116,6 +118,7 @@ def test_driver_window_covers_every_family():
         "CORRECTNESS_r06.json",
         "CORRECTNESS_r07.json",
         "CORRECTNESS_r08.json",
+        "CORRECTNESS_r09.json",
     ):
         p = Path(__file__).resolve().parents[1] / f
         if p.exists():
@@ -130,7 +133,7 @@ def test_driver_window_covers_every_family():
     # rotation hygiene (round-3 advisory): every ROTATION_LOG "out" entry
     # must be proven; the LATEST round's "in" entries must actually be in
     # the window (older rounds' in-entries legitimately rotate out again).
-    latest = max(registry.ROTATION_LOG)
+    latest = max(registry.ROTATION_LOG, key=lambda r: int(r[1:]))
     assert set(registry.ROTATION_LOG[latest]["in"]) <= set(window), (
         latest, "in entries not in window",
     )
