@@ -169,3 +169,68 @@ def test_ingest_with_lm_flags_gibberish_against_accumulated_corpus(
     stats = ingest_with_index(spark, str(src), **kwargs)
     assert all(s["kept"] == 0 for s in stats)  # every doc drop_exact
     assert TxnKeyedTable(spark, kwargs["kept_path"], ["dg"]).read().count() == before
+
+
+def test_ingest_lm_flag_respects_language_means(spark, tmp_path):
+    """The r9 verdict's streaming-vs-batch gap, closed on the INGEST
+    path: a minority-language batch whose bigrams are globally rare
+    but internally ordinary must not be flagged unfamiliar by the
+    stored LM screen — the flag compares against the doc's OWN
+    language's stored mean. Planted: batch 1 trains a large 'en'
+    corpus plus a small internally-consistent 'xx' corpus; batch 2
+    delivers one new doc of each language plus one true gibberish doc."""
+    import random
+
+    from finance_pipeline_spark.pipelines.corpus_ingest import ingest_with_index
+    from finance_pipeline_spark.sinks.txn_table import TxnKeyedTable
+    from tests.conftest import random_doc
+
+    def _write_lang_docs(path, rows):
+        pd.DataFrame(
+            {
+                "doc_id": [r[0] for r in rows],
+                "text": [r[2] for r in rows],
+                "lang": [r[1] for r in rows],
+                "source": ["crawl"] * len(rows),
+                "n_chars": [len(r[2]) for r in rows],
+            }
+        ).to_parquet(path)
+
+    rng = random.Random(67)
+    # a SMALL minority vocabulary (8 words -> 64 bigram types): three
+    # training docs cover most types, so a NEW xx doc scores near the
+    # xx mean — the test isolates the mean's grouping, not sparsity
+    xx_words = [f"xw{j}" for j in range(8)]
+    xx_doc = lambda: " ".join(rng.choice(xx_words) for _ in range(40))  # noqa: E731
+    src = tmp_path / "incoming"
+    src.mkdir()
+    kwargs = dict(
+        index_root=str(tmp_path / "index"),
+        kept_path=str(tmp_path / "kept"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        lm_root=str(tmp_path / "lm"),
+        max_files_per_trigger=1,
+    )
+    _write_lang_docs(
+        src / "f1.parquet",
+        [(i, "en", random_doc(rng, 60)) for i in range(60)]
+        + [(100 + i, "xx", xx_doc()) for i in range(3)],
+    )
+    ingest_with_index(spark, str(src), **kwargs)
+
+    _write_lang_docs(
+        src / "f2.parquet",
+        [
+            (200, "en", random_doc(rng, 40)),  # majority-language prose
+            (201, "xx", xx_doc()),  # minority language, ordinary for it
+            (202, "xx", " ".join(f"qz{i}v" for i in range(25))),  # gibberish
+        ],
+    )
+    stats = ingest_with_index(spark, str(src), **kwargs)
+    assert stats[0]["lm_unfamiliar"] == 1  # ONLY the gibberish
+    kept = TxnKeyedTable(spark, kwargs["kept_path"], ["dg"]).read()
+    flags = {
+        r.doc_id: r.unfamiliar
+        for r in kept.filter(F.col("doc_id") >= 200).collect()
+    }
+    assert flags == {200: False, 201: False, 202: True}
