@@ -1381,6 +1381,12 @@ def dedup_bloom_ranged(spark: SparkSession, sf_dir: str) -> DataFrame:
     the output, which is exactly why it can scale freely."""
 
     def build(dgs: DataFrame):
+        # materialize the digest projection ONCE: the count (range
+        # derivation) and the bitmap build would otherwise each
+        # re-execute the corpus scan + sha256 (advisor r10). The
+        # checkpoint holds 32 B/doc — the same key stream the build
+        # consumes, never the documents themselves.
+        dgs = dgs.localCheckpoint(eager=True)
         n = scaled_bloom_params(dgs.count())["n_ranges"]
         return build_digest_bloom_ranged(dgs, n_ranges=max(n, _BLOOM_RANGES))
 

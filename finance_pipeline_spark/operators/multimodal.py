@@ -131,6 +131,10 @@ def decode_ppm(payload: bytes):
         vals.append(int(payload[start:pos]))
     pos += 1  # exactly one whitespace byte separates maxval from data
     w, h, maxval = vals
+    if w <= 0 or h <= 0:  # int(b'-3') parses; a 0/negative dim must
+        # fail HERE with a reason, not as a downstream ZeroDivision /
+        # reshape error (advisor r10)
+        raise ValueError(f"invalid PPM dimensions {w}x{h}")
     if not (0 < maxval < 256):
         raise ValueError(f"unsupported PPM maxval {maxval} (8-bit only)")
     need = w * h * 3

@@ -24,7 +24,12 @@ probes —
   overwrite scheme can: the loser's stale overwrite drops the
   winner's freshly OR'd words — permanent false negatives, i.e. docs
   admitted as duplicates forever). ``optimize()`` folds accumulated
-  deltas back to one row-set per word. The folded bitmaps are loaded
+  deltas back to one row-set per word. Every token is tagged with the
+  ROUTING GENERATION + range count it was built under; readers fold
+  exactly one generation and re-splits rebuild under a bumped one, so
+  a probe can never mix two routings and a re-split racing lock-free
+  adds/screens stays exact (``_maybe_resplit_bloom`` has the proof).
+  The folded bitmaps are loaded
   driver-side (RANGES x 128 KiB here) and broadcast each screen so
   the exact probe never shuffles stored digests; past ~10^10 digests
   each range's bitmap is resized and shipped independently — executor
@@ -138,58 +143,102 @@ class CorpusDedupIndex:
 
         return Path(self.root) / "bloom_meta.json"
 
-    def _bloom_n_ranges(self) -> int:
-        """The range count this index's stored word rows were ROUTED
-        with. Persisted in ``bloom_meta.json`` at rebuild time; an
-        index without the sidecar predates derived counts and keeps
-        the historical ``_BLOOM_RANGES`` default — routing must match
-        the stored rows, never the current corpus size (re-splitting
-        is ``optimize``'s job, by rebuild)."""
+    def _read_bloom_meta(self) -> tuple[int, int]:
+        """(n_ranges, generation) the stored CURRENT-generation word
+        rows were ROUTED with. Persisted atomically in
+        ``bloom_meta.json``; an index without the sidecar predates
+        derived counts — historical ``_BLOOM_RANGES`` default,
+        generation 0 (whose rows are the un-prefixed legacy tokens).
+        Routing must match the stored rows, never the current corpus
+        size (re-splitting is ``optimize``'s job, by rebuild under a
+        BUMPED generation — see ``_maybe_resplit_bloom``)."""
         import json
 
         try:
-            return int(
-                json.loads(self._bloom_meta_path().read_text())["n_ranges"]
-            )
+            meta = json.loads(self._bloom_meta_path().read_text())
+            return int(meta["n_ranges"]), int(meta.get("gen", 0))
         except (FileNotFoundError, ValueError, KeyError):
-            return _BLOOM_RANGES
+            return _BLOOM_RANGES, 0
+
+    def _bloom_n_ranges(self) -> int:
+        return self._read_bloom_meta()[0]
+
+    def _write_bloom_meta(self, n_ranges: int, gen: int) -> None:
+        """Atomic (tmp + rename) flip — readers see either the old
+        (n_ranges, gen) pair or the new one, never a torn mix."""
+        import json
+        import os
+
+        tmp = self._bloom_meta_path().with_suffix(".json.tmp")
+        tmp.write_text(json.dumps({"n_ranges": n_ranges, "gen": gen}))
+        os.replace(tmp, self._bloom_meta_path())
+
+    @staticmethod
+    def _gen_prefix(gen: int, n_ranges: int) -> str:
+        """Routing tag baked into every bloom token: rows are only
+        ever read back under the exact (generation, range-count) pair
+        they were routed with, so a probe can never fold words from
+        two routings into one bitmap (advisor r10: mixed-routing reads
+        during a re-split produce silent false negatives)."""
+        return f"g{gen:08d}n{n_ranges}-"
+
+    def _gen_filter(self, gen: int, n_ranges: int):
+        """Predicate selecting exactly generation ``gen``'s rows.
+        Generation 0 additionally owns the un-prefixed tokens written
+        before generations existed (same routing: the legacy default
+        count)."""
+        cur = F.col("token").startswith(self._gen_prefix(gen, n_ranges))
+        if gen == 0:
+            return cur | ~F.col("token").rlike(r"^g\d{8}n\d+-")
+        return cur
+
+    def _digest_count(self) -> int:
+        dg = self.digests.read()
+        return dg.count() if dg is not None else 0
 
     def _derived_n_ranges(self) -> int:
         """What ``scaled_bloom_params`` prescribes for the CURRENT
         stored digest count, floored at the legacy default (shrinking
         below it buys nothing and would churn small indexes)."""
-        dg = self.digests.read()
-        n = dg.count() if dg is not None else 0
-        return max(scaled_bloom_params(n)["n_ranges"], _BLOOM_RANGES)
+        return max(
+            scaled_bloom_params(self._digest_count())["n_ranges"],
+            _BLOOM_RANGES,
+        )
 
     def _rebuild_bloom_from_digests(self) -> None:
+        """Layout-migration rebuild (``_maybe_migrate_bloom``): derive
+        the range count from the digest count NOW, record it with a
+        bumped generation, and rebuild under that generation. The
+        table was just dropped, so there are no old-generation rows to
+        coexist with — the marker protects this one-time window."""
+        n_ranges = self._derived_n_ranges()
+        _, gen = self._read_bloom_meta()
+        self._write_bloom_meta(n_ranges, gen + 1)
+        self._rebuild_bloom_generation(n_ranges, gen + 1)
+
+    def _rebuild_bloom_generation(self, n_ranges: int, gen: int) -> int:
         """One map-only pass over the stored digests → ranged delta
-        rows under a content-addressed rebuild token, at the range
-        count ``scaled_bloom_params`` derives from the digest count
-        NOW (the sidecar records it for every later add/probe). At
-        100 TB this reads the digests table once (32 B/doc, no text)
-        — the one-time cost of a layout or range-count change, not a
+        rows under a content-addressed, GENERATION-TAGGED rebuild
+        token. Returns the digest count of the snapshot it scanned
+        (the re-split's convergence check). Identical corpus → same
+        token → the keyed merge makes a re-run a no-op. At 100 TB this
+        reads the digests table once (32 B/doc, no text) — the
+        one-time cost of a layout or range-count change, not a
         recurring one."""
         import hashlib
-        import json
-        import os
 
         import numpy as np
 
-        n_ranges = self._derived_n_ranges()
-        tmp = self._bloom_meta_path().with_suffix(".json.tmp")
-        tmp.write_text(json.dumps({"n_ranges": n_ranges}))
-        os.replace(tmp, self._bloom_meta_path())
         dg = self.digests.read()
         if dg is None:
-            return
-        words = build_digest_bloom_ranged(
-            dg.select("dg"), n_ranges=n_ranges
-        )
+            return 0
+        dg = dg.localCheckpoint(eager=True)  # one scan feeds count + build
+        n_seen = dg.count()
+        words = build_digest_bloom_ranged(dg.select("dg"), n_ranges=n_ranges)
         nzr, nzw = np.nonzero(words)
         if not len(nzr):
-            return
-        token = "rebuild-" + hashlib.sha256(
+            return n_seen
+        token = self._gen_prefix(gen, n_ranges) + "rebuild-" + hashlib.sha256(
             nzr.tobytes() + nzw.tobytes() + words[nzr, nzw].tobytes()
         ).hexdigest()
         rows = [
@@ -201,32 +250,45 @@ class CorpusDedupIndex:
                 rows, "range_idx bigint, word_idx bigint, token string, word bigint"
             )
         )
+        return n_seen
 
     # -- read side ---------------------------------------------------
 
     def _bloom_words(self):
-        """Fold every stored delta row into the live per-range bitmaps
-        (shape ``(_BLOOM_RANGES, BITS/64)``): bit_or is associative/
-        commutative, so any interleaving of concurrent adds reads back
-        identically. The groupBy fold runs JVM-side; the driver
-        collects ≤ RANGES x BITS/64 rows no matter how many add-tokens
-        have accumulated."""
+        """Fold the CURRENT GENERATION's delta rows into the live
+        per-range bitmaps (shape ``(n_ranges, BITS/64)``): bit_or is
+        associative/commutative, so any interleaving of concurrent
+        adds reads back identically. The groupBy fold runs JVM-side;
+        the driver collects ≤ RANGES x BITS/64 rows no matter how many
+        add-tokens have accumulated.
+
+        The generation filter + post-fold meta re-check close the
+        advisor-r10 reader race: a probe can never mix rows routed
+        with two different range counts (the filter), and a re-split
+        flipping the meta mid-fold is detected and the fold retried
+        against the new generation (the re-check). Old-generation rows
+        are never dropped before the new generation is complete, so
+        every retry lands on a complete bitmap."""
         import numpy as np
 
         from finance_pipeline_spark.operators.dedup import _BLOOM_BITS
 
-        out = np.zeros(
-            (self._bloom_n_ranges(), _BLOOM_BITS >> 6), dtype=np.int64
-        )
-        stored = self.bloom.read()
-        if stored is not None:
-            folded = (
-                stored.groupBy("range_idx", "word_idx")
-                .agg(F.bit_or("word").alias("word"))
-                .collect()
-            )
-            for row in folded:
-                out[row["range_idx"], row["word_idx"]] = row["word"]
+        out = None
+        for _ in range(5):  # re-splits are rare; >1 flip mid-read ≈ never
+            n_ranges, gen = self._read_bloom_meta()
+            out = np.zeros((n_ranges, _BLOOM_BITS >> 6), dtype=np.int64)
+            stored = self.bloom.read()
+            if stored is not None:
+                folded = (
+                    stored.filter(self._gen_filter(gen, n_ranges))
+                    .groupBy("range_idx", "word_idx")
+                    .agg(F.bit_or("word").alias("word"))
+                    .collect()
+                )
+                for row in folded:
+                    out[row["range_idx"], row["word_idx"]] = row["word"]
+            if self._read_bloom_meta() == (n_ranges, gen):
+                break
         return out
 
     def screen(self, batch: DataFrame) -> DataFrame:
@@ -360,45 +422,78 @@ class CorpusDedupIndex:
         """RE-SPLIT when the corpus has outgrown its range count: if
         ``scaled_bloom_params`` over the current digest count derives
         more ranges than the stored rows were routed with, rebuild the
-        bloom from the digests table at the new count (the same
-        marker-first drop-and-rebuild the layout migration uses — the
-        bloom is derived state, and range membership can't be
-        recomputed from already-OR'd words). Runs under the caller's
-        writer lock. Returns {from, to} when a re-split happened.
+        bloom from the digests table at the new count under a BUMPED
+        GENERATION (the bloom is derived state, and range membership
+        can't be recomputed from already-OR'd words). Runs under the
+        caller's writer lock. Returns {from, to} when a re-split
+        happened.
 
-        Concurrency note (the family's standing maintenance rule):
-        an ``add`` racing the re-split window could land word rows
-        routed with the OLD count — its digests commit afterward and
-        stay authoritative, but its bloom bits would probe wrong, so
-        don't schedule adds concurrently with optimize on a growing
-        index; generation-tagged tokens are the named upgrade if that
-        discipline ever needs to be enforced in-band."""
-        current, derived = self._bloom_n_ranges(), self._derived_n_ranges()
+        The generation protocol (advisor r10 medium — the in-band
+        enforcement its predecessor's docstring only named) makes the
+        window safe for BOTH lock-free paths:
+
+        - screens: old-generation rows are never dropped before the
+          new generation is complete, and readers fold exactly one
+          generation (``_bloom_words``), so no probe ever sees a
+          partial or mixed-routing bitmap;
+        - adds: an add racing this window lands rows tagged with the
+          generation it read at start — readers ignore them once the
+          meta flips, and the add's own post-commit generation check
+          (``add``) re-merges its delta under the new generation. The
+          convergence loop below covers digests that commit while the
+          rebuild scans: pre-flip rebuilds repeat until the digest
+          count is stable, and one post-flip rebuild catches commits
+          that slipped in before the flip. Any digest committing after
+          THAT necessarily belongs to an add whose post-commit check
+          runs after the flip — it re-merges itself.
+
+        Crash safety needs no marker: a crash before the meta flip
+        leaves the old generation intact and authoritative (the
+        orphaned new-generation rows are invisible and GC'd by the
+        next fold); a crash after the flip leaves the new generation
+        complete — only the old-row GC is missed, which the next fold
+        also performs."""
+        (current, gen), derived = self._read_bloom_meta(), self._derived_n_ranges()
         if derived <= current:
             return None
-        from pathlib import Path
-
-        marker = Path(self.root) / "bloom_rebuild_pending"
-        marker.parent.mkdir(parents=True, exist_ok=True)
-        marker.touch()
-        if self.bloom.exists():
-            self.bloom.drop()
-        self._rebuild_bloom_from_digests()
-        marker.unlink(missing_ok=True)
+        new_gen = gen + 1
+        n_seen = self._rebuild_bloom_generation(derived, new_gen)
+        while self._digest_count() != n_seen:  # adds racing the scan
+            n_seen = self._rebuild_bloom_generation(derived, new_gen)
+        self._write_bloom_meta(derived, new_gen)
+        if self._digest_count() != n_seen:  # committed just before flip
+            self._rebuild_bloom_generation(derived, new_gen)
+        if self.bloom.exists():  # GC every other generation's rows
+            self.bloom.delete(~self._gen_filter(new_gen, derived))
         return {"from": current, "to": derived}
 
     def _fold_bloom_deltas(self) -> int:
-        """Consolidate the bloom's per-add delta rows: bit_or every
-        (range, word) across the token set seen NOW, write the result
-        under one content-addressed fold token, then delete the folded
-        tokens. Returns the number of tokens folded away (0 = nothing
-        to do)."""
+        """Consolidate the CURRENT GENERATION's per-add delta rows:
+        bit_or every (range, word) across the token set seen NOW,
+        write the result under one content-addressed fold token, then
+        delete the folded tokens. Stale-generation rows (a crashed
+        re-split's orphans, or a raced add's superseded delta — its
+        re-merge under the current generation already replaced them)
+        are invisible to every reader and garbage-collected here.
+        Returns the number of tokens folded away (0 = nothing to
+        do)."""
         import hashlib
 
         stored = self.bloom.read()
         if stored is None:
             return 0
-        tokens = [r["token"] for r in stored.select("token").distinct().collect()]
+        n_ranges, gen = self._read_bloom_meta()
+        cur = self._gen_filter(gen, n_ranges)
+        stale = [
+            r["token"]
+            for r in stored.filter(~cur).select("token").distinct().collect()
+        ]
+        if stale:
+            self.bloom.delete(F.col("token").isin(stale))
+        tokens = [
+            r["token"]
+            for r in stored.filter(cur).select("token").distinct().collect()
+        ]
         if len(tokens) <= 1:
             return 0
         folded = (
@@ -411,7 +506,11 @@ class CorpusDedupIndex:
             (int(r["range_idx"]), int(r["word_idx"]), int(r["word"]))
             for r in folded
         )
-        fold_token = "fold-" + hashlib.sha256(repr(triples).encode()).hexdigest()
+        fold_token = (
+            self._gen_prefix(gen, n_ranges)
+            + "fold-"
+            + hashlib.sha256(repr(triples).encode()).hexdigest()
+        )
         rows = [(r, i, fold_token, w) for r, i, w in triples]
         self.bloom.merge(
             self.spark.createDataFrame(
@@ -448,35 +547,23 @@ class CorpusDedupIndex:
         (digests before bands) breaks that: a replayed doc would
         screen drop_exact, never re-enter ``add``, and its band rows
         would be missing forever — future near-duplicates of it would
-        screen 'keep'."""
-        import hashlib
+        screen 'keep'.
 
-        import numpy as np
-
-        # bloom delta: distributed RANGED build over the BATCH only
-        # (the stored words are never read on the write path), then one
-        # append-only merge of the nonzero words under a token derived
-        # from their content.
-        batch_words = build_digest_bloom_ranged(
-            batch.select(_digest().alias("dg")),
-            "dg",
-            n_ranges=self._bloom_n_ranges(),
-        )
-        nzr, nzw = np.nonzero(batch_words)
-        n_bloom = 0
-        if len(nzr):
-            token = hashlib.sha256(
-                nzr.tobytes() + nzw.tobytes() + batch_words[nzr, nzw].tobytes()
-            ).hexdigest()
-            rows = [
-                (int(r), int(w), token, int(batch_words[r, w]))
-                for r, w in zip(nzr, nzw)
-            ]
-            df = self.spark.createDataFrame(
-                rows,
-                "range_idx bigint, word_idx bigint, token string, word bigint",
-            )
-            n_bloom = self.bloom.merge(df).inserted
+        RE-SPLIT RACE (advisor r10 medium): a bloom re-split flipping
+        the routing generation while this add is in flight would leave
+        the batch's bloom bits under a generation readers ignore —
+        permanent false negatives. The post-commit generation check at
+        the end re-reads the meta AFTER the digests commit and
+        re-merges the bloom delta under the new routing whenever the
+        generation moved; together with the re-split's post-flip
+        rebuild this covers every interleaving (the proof lives on
+        ``_maybe_resplit_bloom``)."""
+        # bloom delta first: distributed RANGED build over the BATCH
+        # only (the stored words are never read on the write path),
+        # then one append-only merge of the nonzero words under a
+        # generation-tagged content token.
+        n_ranges, gen = self._read_bloom_meta()
+        n_bloom = self._merge_bloom_delta(batch, n_ranges, gen)
 
         band_stats = self.bands.merge(
             minhash_band_rows(batch.select("doc_id", "text"))
@@ -484,8 +571,44 @@ class CorpusDedupIndex:
 
         dgs = batch.select(_digest().alias("dg"), F.col("doc_id").alias("first_doc_id"))
         dg_stats = self.digests.merge(dgs)
+
+        # post-commit generation check: re-merge under the current
+        # routing until the generation is stable across one merge
+        for _ in range(8):  # generations only grow; flips are rare
+            n2, g2 = self._read_bloom_meta()
+            if g2 == gen:
+                break
+            n_ranges, gen = n2, g2
+            n_bloom = self._merge_bloom_delta(batch, n_ranges, gen)
         return {
             "digests_inserted": dg_stats.inserted,
             "bands_inserted": band_stats.inserted,
             "bloom_words_touched": n_bloom,
         }
+
+    def _merge_bloom_delta(self, batch: DataFrame, n_ranges: int, gen: int) -> int:
+        """Build the batch's ranged bloom words at the given routing
+        and merge them under a generation-tagged content token — same
+        batch + same routing → same token → keyed-merge no-op."""
+        import hashlib
+
+        import numpy as np
+
+        batch_words = build_digest_bloom_ranged(
+            batch.select(_digest().alias("dg")), "dg", n_ranges=n_ranges
+        )
+        nzr, nzw = np.nonzero(batch_words)
+        if not len(nzr):
+            return 0
+        token = self._gen_prefix(gen, n_ranges) + hashlib.sha256(
+            nzr.tobytes() + nzw.tobytes() + batch_words[nzr, nzw].tobytes()
+        ).hexdigest()
+        rows = [
+            (int(r), int(w), token, int(batch_words[r, w]))
+            for r, w in zip(nzr, nzw)
+        ]
+        df = self.spark.createDataFrame(
+            rows,
+            "range_idx bigint, word_idx bigint, token string, word bigint",
+        )
+        return self.bloom.merge(df).inserted

@@ -47,11 +47,12 @@ them as null). WRITE paths need the migration first — ``add`` into a
 legacy table auto-runs ``optimize()``, whose journaled fold rewrites
 every surviving row with the lang key (delete-all-tokens → merge
 new-schema rows lands on an empty file set, so the keyed anti-join
-never probes a lang-less file). Cross-version replay caveat: batch
-tokens now digest (lang, text), so a pre-upgrade batch crash-replayed
-AFTER the upgrade gets a fresh token and double-counts — replay the
-in-flight batch (or optimize) before upgrading, the same
-"maintenance doesn't run mid-recovery" rule optimize already carries.
+never probes a lang-less file). Cross-version replay is guarded
+in-band (advisor r10): the migrating fold records the retired
+text-only add-tokens in ``legacy_tokens.json`` and ``add()`` checks
+incoming batches against that set by their OLD-format token, so a
+pre-upgrade in-flight add crash-replayed after the upgrade is skipped
+(loudly) instead of double-counting under a fresh (lang, text) token.
 
 Scale shape: count tables hold TYPES, not instances — they grow with
 vocabulary (unigrams) and observed transition types (bigrams), both
@@ -75,6 +76,7 @@ from finance_pipeline_spark.operators.textops import (
     lm_pairs,
     lm_score,
 )
+from finance_pipeline_spark.logging_utils import get_logger
 from finance_pipeline_spark.sinks.txn_table import TxnKeyedTable
 
 
@@ -203,6 +205,33 @@ class CorpusLmIndex:
         stored_bi = self.bi.read()
         return stored_bi is not None and "lang" not in stored_bi.columns
 
+    def _legacy_tokens_path(self):
+        from pathlib import Path
+
+        return Path(self.root) / "legacy_tokens.json"
+
+    def _legacy_tokens(self) -> set[str]:
+        """Add-tokens the pre-lang layout had stored at migration time
+        (recorded by the migrating fold). Used to detect cross-version
+        replays: those batches' counts are already folded in, but the
+        token formula changed (text-only → (lang, text)), so the keyed
+        merge alone can't recognize them."""
+        import json
+
+        try:
+            return set(json.loads(self._legacy_tokens_path().read_text()))
+        except (FileNotFoundError, ValueError):
+            return set()
+
+    def _record_legacy_tokens(self, tokens: list[str]) -> None:
+        import json
+        import os
+
+        merged = sorted(self._legacy_tokens() | set(tokens))
+        tmp = self._legacy_tokens_path().with_suffix(".json.tmp")
+        tmp.write_text(json.dumps(merged))
+        os.replace(tmp, self._legacy_tokens_path())
+
     def add(self, batch: DataFrame) -> dict:
         """Fold a batch's per-language unigram/bigram counts into the
         stored LM (missing/null lang → 'und'). Idempotent per batch
@@ -210,9 +239,39 @@ class CorpusLmIndex:
         without loss. A legacy (pre-lang) table migrates first via the
         journaled fold — a one-time optimize() under the writer lock,
         so the first post-upgrade add may lose the lock race loudly
-        (retry; the standing optimize contract). Returns accounting."""
+        (retry; the standing optimize contract). Returns accounting.
+
+        Cross-version replay guard (advisor r10): batch tokens digest
+        (lang, text) since the lang upgrade, so a pre-upgrade in-flight
+        add crash-replayed AFTER the migration would mint a fresh token
+        and double-count. The migrating fold records the legacy table's
+        add-tokens in ``legacy_tokens.json``; a replay is recognized by
+        its OLD-format (text-only) token and skipped as already
+        counted. (Content-identical texts under different lang tags
+        also match the text-only digest — such a replay keeps the
+        pre-upgrade 'und' attribution rather than re-counting, the
+        conservative choice.) The check costs one batch scan and only
+        runs while the sidecar is non-empty."""
         if self._is_legacy_layout():
             self.optimize()
+        legacy_seen = self._legacy_tokens()
+        if legacy_seen:
+            old_token = _content_token(
+                batch, F.coalesce("text", F.lit("")), "add"
+            )
+            if old_token in legacy_seen:
+                get_logger().warning(
+                    "CorpusLmIndex.add: batch matches pre-migration "
+                    "token %s — counts already folded in at the lang "
+                    "upgrade; skipping to avoid double-counting",
+                    old_token,
+                )
+                return {
+                    "token": old_token,
+                    "uni_rows": 0,
+                    "bi_rows": 0,
+                    "skipped_legacy_replay": True,
+                }
         b2 = _with_lang(batch)
         token = _batch_token(b2)
         clean = lm_clean(b2, ("doc_id", "lang"))
@@ -444,6 +503,23 @@ class CorpusLmIndex:
             if len(tokens) <= 1 and not legacy:
                 out[f"{name}_tokens_folded"] = 0
                 continue
+            if legacy:
+                # cross-version replay guard (advisor r10): the fold is
+                # about to retire these text-only-digest tokens; record
+                # them so a pre-upgrade in-flight add replayed later is
+                # recognized (add()'s old-token check) instead of
+                # double-counting under a fresh (lang, text) token
+                legacy_adds = [t for t in tokens if t.startswith("add-")]
+                if legacy_adds:
+                    self._record_legacy_tokens(legacy_adds)
+                    get_logger().warning(
+                        "CorpusLmIndex migration (%s): folding %d "
+                        "pre-lang add token(s) — any pre-upgrade "
+                        "in-flight add replayed after this point is "
+                        "detected via legacy_tokens.json and skipped",
+                        name,
+                        len(legacy_adds),
+                    )
             folded = (
                 stored.filter(F.col("token").isin(tokens))
                 .groupBy(*keys)

@@ -577,3 +577,103 @@ def test_bloom_resplit_migrates_stored_index_between_range_counts(
     assert out2["bloom_resplit"] == {"from": 16, "to": 32}
     verd3 = {r.doc_id: r.verdict for r in again.screen(d).collect()}
     assert all(v == "drop_exact" for v in verd3.values())
+
+
+def test_add_racing_resplit_remerges_at_new_generation(
+    spark, tmp_path, monkeypatch
+):
+    """The advisor-r10 medium race, closed in-band: an add that read
+    the bloom meta BEFORE a re-split flipped the routing generation
+    lands its bloom delta under the stale generation (invisible to
+    readers) — its post-commit generation check must detect the flip
+    and re-merge under the new routing, so the batch's stored digests
+    never screen 'keep' (a permanent exact-dup false negative)."""
+    import finance_pipeline_spark.operators.dedup as dedup_mod
+
+    rng = random.Random(71)
+    b1 = _docs(spark, [(i, random_doc(rng, 30)) for i in range(20)])
+    b2 = _docs(spark, [(100 + i, random_doc(rng, 30)) for i in range(6)])
+    idx = CorpusDedupIndex(spark, str(tmp_path / "idx"))
+    idx.add(b1)
+    stale_meta = idx._read_bloom_meta()
+
+    # corpus outgrows its range count -> re-split bumps the generation
+    monkeypatch.setattr(dedup_mod, "_BLOOM_RANGE_CAP", 2)
+    assert idx.optimize()["bloom_resplit"] is not None
+    new_meta = idx._read_bloom_meta()
+    assert new_meta[1] == stale_meta[1] + 1
+
+    # sharpness control: replicate the OLD code's behavior (stale bloom
+    # merge + digest commit, NO generation check) on a copy of the
+    # state — the batch screens 'keep', i.e. the false negative is real
+    from finance_pipeline_spark.pipelines.dedup_index import _digest
+
+    ctl = CorpusDedupIndex(spark, str(tmp_path / "idx2"))
+    ctl.add(b1)
+    monkeypatch.setattr(dedup_mod, "_BLOOM_RANGE_CAP", 2)
+    ctl.optimize()
+    ctl._merge_bloom_delta(b2, *stale_meta)  # stale-routed bits
+    ctl.digests.merge(
+        b2.select(_digest().alias("dg"), F.col("doc_id").alias("first_doc_id"))
+    )
+    assert all(
+        not r.exact_dup for r in ctl.screen(b2).collect()
+    ), "control: without the generation re-merge the dup bits are lost"
+
+    # the FIX: run add(b2) with its first meta read forced stale (the
+    # in-flight interleaving); the post-commit check re-merges
+    calls = {"n": 0}
+    real_read = idx._read_bloom_meta
+
+    def staged():
+        calls["n"] += 1
+        return stale_meta if calls["n"] == 1 else real_read()
+
+    monkeypatch.setattr(idx, "_read_bloom_meta", staged)
+    idx.add(b2)
+    assert calls["n"] >= 2  # the post-commit check actually ran
+    verd = {r.doc_id: r.verdict for r in idx.screen(b2).collect()}
+    assert all(v == "drop_exact" for v in verd.values())
+
+
+def test_stale_generation_rows_are_invisible_and_gcd(spark, tmp_path, monkeypatch):
+    """Rows tagged with a non-current generation (a crashed re-split's
+    orphans, a raced add's superseded delta) must never reach a probe
+    — folding them would mix two routings — and the next optimize
+    garbage-collects them."""
+    import numpy as np
+
+    import finance_pipeline_spark.operators.dedup as dedup_mod
+
+    rng = random.Random(73)
+    b1 = _docs(spark, [(i, random_doc(rng, 30)) for i in range(20)])
+    idx = CorpusDedupIndex(spark, str(tmp_path / "idx"))
+    idx.add(b1)
+    monkeypatch.setattr(dedup_mod, "_BLOOM_RANGE_CAP", 2)
+    idx.optimize()
+    n_ranges, gen = idx._read_bloom_meta()
+    before = idx._bloom_words()
+    assert before.shape[0] == n_ranges
+
+    # plant garbage under an older AND a newer generation: range
+    # indices beyond the current count + all-ones words — if a probe
+    # folded them the bitmap shape/content would be wrong
+    junk = [
+        (int(n_ranges + 3), 0, f"g{gen - 1:08d}n{n_ranges + 7}-junk", -1),
+        (0, 1, f"g{gen + 5:08d}n2-junk", -1),
+        (1, 2, "legacy-unprefixed-junk", -1),
+    ]
+    idx.bloom.merge(
+        spark.createDataFrame(
+            junk, "range_idx bigint, word_idx bigint, token string, word bigint"
+        )
+    )
+    after = idx._bloom_words()
+    assert after.shape == before.shape and np.array_equal(after, before)
+    verd = {r.doc_id: r.verdict for r in idx.screen(b1).collect()}
+    assert all(v == "drop_exact" for v in verd.values())
+
+    # optimize GCs every non-current generation's rows
+    idx.optimize()
+    toks = {r["token"] for r in idx.bloom.read().select("token").distinct().collect()}
+    assert all(t.startswith(idx._gen_prefix(gen, n_ranges)) for t in toks)

@@ -405,3 +405,52 @@ def test_legacy_layout_migrates_on_add_and_scores_per_lang(spark, tmp_path):
     # and scoring still works end-to-end on the migrated index
     out = re1.familiarity(_docs(spark, rows[:2]))
     assert out.count() == 2
+
+
+def test_pre_upgrade_replay_is_skipped_after_migration(spark, tmp_path):
+    """Advisor r10: a pre-upgrade in-flight add (token digested over
+    text only) crash-replayed AFTER the lang migration would mint a
+    fresh (lang, text) token and double-count. The migrating fold
+    records the retired legacy add-tokens; add() recognizes the replay
+    by its old-format token and skips — counts stay bit-identical."""
+    import shutil
+
+    from finance_pipeline_spark.pipelines.lm_index import _content_token
+    from finance_pipeline_spark.sinks.txn_table import TxnKeyedTable
+
+    rng = random.Random(67)
+    root = str(tmp_path / "lm")
+    rows = [(i, random_doc(rng)) for i in range(6)]
+    batch = _docs(spark, rows)
+
+    # build the stored counts, then rewrite both tables to the LEGACY
+    # schema under the batch's OLD-format (text-only) token — exactly
+    # the state a pre-upgrade add left behind
+    idx = CorpusLmIndex(spark, root)
+    idx.add(batch)
+    old_token = _content_token(batch, F.coalesce("text", F.lit("")), "add")
+    for name, keys in (("uni", ["w"]), ("bi", ["w1", "w2"])):
+        tbl = getattr(idx, name)
+        old = (
+            tbl.read()
+            .drop("lang", "created_at")
+            .withColumn("token", F.lit(old_token))
+            .localCheckpoint(eager=True)
+        )
+        shutil.rmtree(f"{root}/{name}")
+        TxnKeyedTable(spark, f"{root}/{name}", keys + ["token"]).merge(old)
+
+    re1 = CorpusLmIndex(spark, root)
+    assert re1._is_legacy_layout()
+    re1.optimize()  # the lang migration — records legacy_tokens.json
+    assert old_token in re1._legacy_tokens()
+    folded = {tuple(r) for r in re1._folded_uni().collect()}
+
+    # the crash-replay: same batch, post-upgrade → skipped, no double count
+    out = re1.add(batch)
+    assert out.get("skipped_legacy_replay") is True
+    assert {tuple(r) for r in re1._folded_uni().collect()} == folded
+
+    # a genuinely new batch still adds normally
+    out2 = re1.add(_docs(spark, [(50, random_doc(rng))]))
+    assert "skipped_legacy_replay" not in out2 and out2["uni_rows"] > 0

@@ -91,3 +91,19 @@ def test_binary_meta_prunes_payload(spark, sf_dir):
     assert "text" in plan  # payload is derived from text here
     n = df.count()
     assert n == 500
+
+
+def test_decode_ppm_rejects_zero_and_negative_dims():
+    """Advisor r10: int(b'-3') parses, so a zero/negative header dim
+    must fail in the header check with a reason — not as a downstream
+    ZeroDivisionError (w*h == 0) or an opaque numpy reshape error."""
+    import pytest
+
+    from finance_pipeline_spark.operators.multimodal import decode_ppm
+
+    for header in (b"P6\n0 5\n255\n", b"P6\n5 0\n255\n", b"P6\n-3 5\n255\n",
+                   b"P6\n5 -1\n255\n"):
+        with pytest.raises(ValueError, match="invalid PPM dimensions"):
+            decode_ppm(header + bytes(75))
+    with pytest.raises(ValueError, match="maxval"):
+        decode_ppm(b"P6\n2 2\n0\n" + bytes(12))
