@@ -1694,7 +1694,10 @@ def _pq_assign_codes(
 
 
 def ivfpq_scaled_topk(
-    spark: SparkSession, sf_dir: str, nprobe: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    nprobe: int | None = None,
+    queries: DataFrame | None = None,
 ) -> DataFrame:
     """IVFPQ with CORPUS-SIZED capacity + exact re-rank: sqrt(N)
     coarse cells and an up-to-256-code codebook (``scaled_ann_params``)
@@ -1740,8 +1743,12 @@ def ivfpq_scaled_topk(
     codes, cents1 = _pq_train_encode_scaled(spark, e, sample, p["k_pq"])
     codes_c = codes.join(corpus_cells, "vec_id")
 
-    q = e.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    q = (
+        queries
+        if queries is not None
+        else e.filter(F.col("vec_id") % 100 == 0).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        )
     )
     # Rerank pool sized to the ADC TIE GROUP, not a constant: every
     # same-cell vector sharing a code tuple ties on ADC distance, and
@@ -1891,9 +1898,11 @@ def ivfpq_serve(
 @query(
     "ann_ivfpq_scaled",
     oracle=None,  # data-dependent capacity (sqrt(N) cells, N-sized
-    # codebooks) can't be expressed as a static SQL chain; verified by
-    # recall-vs-exact bounds in tests/test_similarity.py and the 10x
-    # scale probe tools/probe_ann_scale.py (rows-only driver check)
+    # codebooks) can't be expressed as a static SQL chain; the SAME
+    # stack is driver-hash-checked by ann_planted_recall (planted
+    # near-dup retrieval bound) — this entry stays rows-only so the
+    # bench times the raw serve output, plus recall-vs-exact bounds in
+    # tests/test_similarity.py and the 10x probe tools/probe_ann_scale.py
     tags=("similarity", "ann", "pq", "ivf", "scaled"),
     bench=True,
 )
@@ -1911,10 +1920,10 @@ _ANN_INDEX_CACHE: dict[str, str] = {}  # corpus-content key → built root
 @query(
     "ann_index_serve",
     oracle=None,  # serve-only path over the stored index; row-identical
-    # to ann_ivfpq_scaled by the parity test
-    # (tests/test_ann_index.py::test_build_then_search_matches_batch_
-    # operator), which is itself rows-only for the same data-dependent-
-    # capacity reason
+    # to ann_ivfpq_scaled by the DRIVER-hash-checked ann_serve_parity
+    # query (and the pytest parity test tests/test_ann_index.py::
+    # test_build_then_search_matches_batch_operator) — stays rows-only
+    # so the bench times the raw serve output
     tags=("similarity", "ann", "pq", "ivf", "scaled", "index"),
     bench=True,
 )
@@ -1955,6 +1964,94 @@ def ann_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
     return idx.search(q, e)
+
+
+_PLANT_QID_OFFSET = 1_000_000_000  # planted query ids, disjoint from vec_ids
+_PLANT_SCALE = 1.0009765625  # 1 + 2^-10: exact in float, ~0.1% perturbation
+
+
+@query(
+    "ann_planted_recall",
+    # The driver-checkable bound for the data-dependent IVFPQ stack
+    # (r10 verdict item 2): plant one query per probe id as a ~0.1%
+    # perturbation of a CORPUS vector — its true nearest neighbor is
+    # its source by ~6 orders of magnitude in squared distance — and
+    # assert the full scaled pipeline (derived cells/codes/nprobe/
+    # pool) retrieves the source in its top-10. This is exactly the
+    # retrieval contract a dedup/curation pipeline relies on, and it
+    # holds by construction on ANY corpus (unlike a raw recall@10
+    # threshold, which on an unclustered corpus measures the data, not
+    # the code). A routing/encode/rerank regression breaks it → hash
+    # mismatch.
+    oracle=f"""
+    SELECT vec_id + {_PLANT_QID_OFFSET} AS query_id, TRUE AS found_planted
+    FROM embeddings WHERE vec_id % 100 = 0
+    """,
+    tags=("similarity", "ann", "pq", "ivf", "scaled", "bound"),
+)
+def ann_planted_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted-near-duplicate retrieval through the corpus-capacity
+    IVFPQ stack: for every probe id, query = source vector x (1+2^-10)
+    under a fresh id (offset past the vec_id domain so the serve
+    path's self-exclusion can't hide the source); found_planted = the
+    source appears in the query's top-10."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    plants = e.filter(F.col("vec_id") % 100 == 0).select(
+        (F.col("vec_id") + F.lit(_PLANT_QID_OFFSET)).alias("query_id"),
+        F.col("vec_id").alias("planted"),
+        F.transform(
+            "embedding", lambda x: (x.cast("double") * F.lit(_PLANT_SCALE))
+        ).alias("q_emb"),
+    )
+    got = ivfpq_scaled_topk(
+        spark, sf_dir, queries=plants.select("query_id", "q_emb")
+    )
+    hits = (
+        got.join(F.broadcast(plants.select("query_id", "planted")), "query_id")
+        .groupBy("query_id")
+        .agg(F.max(F.col("corpus_id") == F.col("planted")).alias("hit"))
+    )
+    return plants.select("query_id").join(hits, "query_id", "left").select(
+        "query_id", F.coalesce("hit", F.lit(False)).alias("found_planted")
+    )
+
+
+@query(
+    "ann_serve_parity",
+    # Driver-visible form of the ann_index_serve parity pytest (r10
+    # verdict item 2): the stored-index serve path must return rows
+    # IDENTICAL to the batch operator — same neighbors, same ranks,
+    # same distances. Both paths are deterministic, so parity is exact
+    # TRUE per query; any drift between CorpusAnnIndex.search's stored
+    # state and the batch build hash-mismatches.
+    oracle="""
+    SELECT vec_id AS query_id, TRUE AS parity_ok
+    FROM embeddings WHERE vec_id % 100 = 0
+    """,
+    tags=("similarity", "ann", "index", "bound"),
+)
+def ann_serve_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-identity check between ``ann_index_serve`` (stored
+    CorpusAnnIndex, serve-only) and ``ann_ivfpq_scaled`` (batch
+    train+encode+serve): full-outer join on (query_id, corpus_id,
+    rnk), parity_ok = no unmatched row and no distance difference."""
+    key = ["query_id", "corpus_id", "rnk"]
+    a = ann_index_serve(spark, sf_dir).select(
+        *key, F.col("dist").alias("dist_a")
+    )
+    b = ann_ivfpq_scaled(spark, sf_dir).select(
+        *key, F.col("dist").alias("dist_b")
+    )
+    bad = (
+        F.col("dist_a").isNull()
+        | F.col("dist_b").isNull()
+        | (F.col("dist_a") != F.col("dist_b"))
+    )
+    return (
+        a.join(b, key, "full_outer")
+        .groupBy("query_id")
+        .agg((F.sum(F.when(bad, 1).otherwise(0)) == 0).alias("parity_ok"))
+    )
 
 
 _OUTLIER_X = 2  # flag vectors whose ||x-c||^2 exceeds X * their label's mean

@@ -282,6 +282,69 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # re-enter the evaluated window this round; "out" entries move past the
 # fold carrying the named prior round's hash-green driver evidence.
 ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
+    "r11": {
+        "in": (
+            # the two disclosed r10 deferrals (r7 driver evidence — the
+            # oldest rows left)
+            "ann_pq_topk", "ann_ivfpq_topk",
+            # 38 of the 46-member r8-evidence cohort (rotated out r9,
+            # never back since — the oldest bulk evidence); the 8
+            # deferred to r12, each with same-family coverage still
+            # in-window: ann_ivf_multiprobe, ann_ivfpq_multiprobe,
+            # ann_ivfpq_rerank (ANN keeps 6 reps), dedup_connected_star
+            # (connected_groups in), win_sliding (3 window reps in),
+            # d8_trim (d4/d10 in), profile_columns + hist_value_buckets
+            # (agg family has 8 reps in)
+            "dedup_minhash_lsh", "dedup_chunk_minhash",
+            "dedup_bloom_screen", "dedup_dropped_accounting",
+            "dedup_connected_groups", "text_dup_spans", "text_dup_scrub",
+            "emb_outlier_prune", "d4_custom_format_parse",
+            "rollup_time_multi", "funnel_conversion", "win_rank_family",
+            "join_skew_enrich", "u2_anti_join", "d10_current_date",
+            "mm_binary_meta", "p8_watermark_filter", "o2_topk_single",
+            "a3_affected_rows", "s6_sql_table_scan", "win_session",
+            "stream_stream_join", "stream_session_counts", "join_asof",
+            "scd2_order_status", "cdc_latest_state",
+            "attribution_first_last", "ts_moving_features",
+            "ts_resample_ffill", "win_distribution_family",
+            "metric_rolling_active", "affinity_part_pairs",
+            "winsorize_values", "text_pii_scrub", "text_tfidf_topk",
+            "text_source_quota", "grouped_user_gaps", "stream_dedup",
+            # new r11 operators earning first driver evidence:
+            "mm_decode_png",  # real zlib PNG codec (r10 verdict item 1)
+            "ann_planted_recall",  # planted-near-dup bound over the
+            # scaled IVFPQ stack (r10 verdict item 2)
+            "ann_serve_parity",  # serve==batch row identity, driver-
+            # visible form of the ann_index parity pytest
+            # NOT rotating out despite r10-green (changed code in r11):
+            # agg_approx_distinct + agg_approx_quantile (NEW bound-check
+            # outputs — first hash-checkable evidence, were rows-only),
+            # dedup_bloom_ranged (one-scan digest checkpoint),
+            # mm_decode_features (decode_ppm dimension validation).
+            # ann_ivfpq_scaled + ann_index_serve stay window-pinned
+            # (rows-only by design — they can never earn fold evidence).
+        ),
+        "out": (  # all hash-green in CORRECTNESS_r10.json
+            "text_lm_familiarity", "text_lm_buckets",
+            "text_quality_classifier", "text_bpe_token_count",
+            "text_fingerprint", "agg_corr_exact", "a2_empty_probe",
+            "win_tumbling", "win_topk_per_group", "join_agg_revenue",
+            "join_range_bands", "u3_semi_join", "o3_dynamic_sort",
+            "o4_global_index", "p2_drop_column", "p3_date_window",
+            "d2_interval_shift", "d6_literal_columns", "dedup_exact",
+            "dedup_ngram_jaccard", "dedup_simhash",
+            "dedup_group_decisions", "dedup_embedding_cosine",
+            "dedup_semantic_clusters", "ann_cosine_topk", "ann_lsh_topk",
+            "ann_ivf_topk", "ann_quantized_topk", "emb_quantize_int8",
+            "stream_tumbling_counts", "stream_static_join",
+            "stateful_user_totals", "text_token_count",
+            "text_gopher_rules", "text_pack_sequences",
+            "text_split_assign", "text_mixture_sample",
+            "text_ngram_profile", "text_chunk_overlap",
+            "text_quality_prune", "cohort_retention",
+            "event_transition_counts", "merge_upsert_orders",
+        ),
+    },
     "r10": {
         "in": (
             # the two disclosed r10 deferrals (r6 driver evidence — the
@@ -728,28 +791,76 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
 
 PRIORITY: tuple[str, ...] = (
     # ---- window: positions 1-50, evaluated by the driver this round ----
-    # flagship + the two sketch rows (rows-only by design, pytest-bound)
+    # flagship + the two sketch rows — the sketches re-earn with their
+    # NEW r11 bound-check outputs (first hash-checkable evidence; the
+    # emitted booleans assert the sketch accuracy contract, r10 verdict
+    # item 2)
     "agg_pricing_summary",
     "agg_approx_distinct",
     "agg_approx_quantile",
-    # changed code in r10 — each holds its slot to re-earn on the new
-    # code (LM one-scan fold; classifier NEW full-GD oracle; ivfpq_serve
-    # byte-budget + broadcast split; scaled_bloom_params range count)
+    # rows-only BY DESIGN (data-dependent capacity) — window-pinned
+    # forever; their driver-checkable evidence is the two new bound
+    # queries below (ann_planted_recall / ann_serve_parity)
+    "ann_ivfpq_scaled",
+    "ann_index_serve",
+    # changed code in r11 — hold their slots to re-earn on the new code
+    "dedup_bloom_ranged",  # one-scan digest checkpoint in the build
+    "mm_decode_features",  # decode_ppm dimension validation
+    # new r11 operators — first driver evidence
+    "mm_decode_png",  # real zlib PNG codec (r10 verdict item 1)
+    "ann_planted_recall",  # planted-near-dup bound, scaled IVFPQ stack
+    "ann_serve_parity",  # stored-index serve == batch operator
+    # the two disclosed r10 deferrals (r7 evidence — oldest rows left)
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
+    # the r8-evidence cohort (folded r9; 38 of 46 — the 8 deferrals to
+    # r12 are listed in ROTATION_LOG r11 with their in-window family
+    # coverage)
+    "dedup_minhash_lsh",
+    "dedup_chunk_minhash",
+    "dedup_bloom_screen",
+    "dedup_dropped_accounting",
+    "dedup_connected_groups",
+    "text_dup_spans",
+    "text_dup_scrub",
+    "emb_outlier_prune",
+    "d4_custom_format_parse",
+    "rollup_time_multi",
+    "funnel_conversion",
+    "win_rank_family",
+    "join_skew_enrich",
+    "u2_anti_join",
+    "d10_current_date",
+    "mm_binary_meta",
+    "p8_watermark_filter",
+    "o2_topk_single",
+    "a3_affected_rows",
+    "s6_sql_table_scan",
+    "win_session",
+    "stream_stream_join",
+    "stream_session_counts",
+    "join_asof",
+    "scd2_order_status",
+    "cdc_latest_state",
+    "attribution_first_last",
+    "ts_moving_features",
+    "ts_resample_ffill",
+    "win_distribution_family",
+    "metric_rolling_active",
+    "affinity_part_pairs",
+    "winsorize_values",
+    "text_pii_scrub",
+    "text_tfidf_topk",
+    "text_source_quota",
+    "grouped_user_gaps",
+    "stream_dedup",
+    # ---- fold: position 51+ — prior-round hash-green driver evidence ----
+    # r10-green cohort, rotated out r11 (newest evidence first)
     "text_lm_familiarity",
     "text_lm_buckets",
     "text_quality_classifier",
-    "ann_ivfpq_scaled",
-    "dedup_bloom_ranged",
-    # new r10 operator — first driver evidence (rows-only: parity-
-    # pinned row-identical to ann_ivfpq_scaled)
-    "ann_index_serve",
-    # changed code (real PPM codec) + r7-evidence cohort member
-    "mm_decode_features",
-    # the two disclosed r10 deferrals (r6 evidence — oldest rows left)
     "text_bpe_token_count",
     "text_fingerprint",
-    # the full r7-evidence cohort (folded r8; re-earning clears every
-    # pre-r8 row except the two disclosed r11 deferrals below)
     "agg_corr_exact",
     "a2_empty_probe",
     "win_tumbling",
@@ -788,13 +899,7 @@ PRIORITY: tuple[str, ...] = (
     "cohort_retention",
     "event_transition_counts",
     "merge_upsert_orders",
-    # ---- fold: position 51+ — prior-round hash-green driver evidence ----
-    # r7-green, deferred to r11 (slots ceded to ann_index_serve and the
-    # changed-code mm_decode_features; ANN family keeps 6 in-window reps)
-    "ann_pq_topk",
-    "ann_ivfpq_topk",
-    # r9-green cohort, rotated out r10 (newest evidence first), then the
-    # r8-green cohort rotated out r9
+    # r9-green cohort, rotated out r10
     "text_decontaminate",
     "user_gap_stats",
     "text_vocab_topk",
@@ -837,52 +942,15 @@ PRIORITY: tuple[str, ...] = (
     "text_langid",
     "text_quality_score",
     "udf_embedding_norm",
-    "dedup_minhash_lsh",
-    "dedup_chunk_minhash",
-    "dedup_bloom_screen",
-    "dedup_dropped_accounting",
-    "dedup_connected_star",
-    "dedup_connected_groups",
-    "text_dup_spans",
-    "text_dup_scrub",
+    # r8-green deferrals to r12 (ROTATION_LOG r11 names the coverage)
     "ann_ivf_multiprobe",
     "ann_ivfpq_multiprobe",
     "ann_ivfpq_rerank",
-    "emb_outlier_prune",
-    "d4_custom_format_parse",
-    "rollup_time_multi",
-    "funnel_conversion",
-    "win_rank_family",
-    "join_skew_enrich",
-    "u2_anti_join",
-    "d8_trim",
-    "d10_current_date",
-    "mm_binary_meta",
-    "p8_watermark_filter",
-    "o2_topk_single",
-    "a3_affected_rows",
-    "s6_sql_table_scan",
+    "dedup_connected_star",
     "win_sliding",
-    "win_session",
-    "stream_stream_join",
-    "stream_session_counts",
-    "join_asof",
-    "scd2_order_status",
-    "cdc_latest_state",
-    "attribution_first_last",
-    "hist_value_buckets",
+    "d8_trim",
     "profile_columns",
-    "ts_moving_features",
-    "ts_resample_ffill",
-    "win_distribution_family",
-    "metric_rolling_active",
-    "affinity_part_pairs",
-    "winsorize_values",
-    "text_pii_scrub",
-    "text_tfidf_topk",
-    "text_source_quota",
-    "grouped_user_gaps",
-    "stream_dedup",
+    "hist_value_buckets",
 )
 
 DRIVER_WINDOW = 50  # observed driver evaluation cap (r1 + r2)

@@ -66,39 +66,45 @@ def test_driver_window_covers_every_family():
     window = list(ordered)[: registry.DRIVER_WINDOW]
 
     must_be_in_window = {
-        # queries whose implementation CHANGED in r10 — each must earn
-        # driver evidence on the new code, not coast on its r9 row
-        "text_lm_familiarity", "text_lm_buckets",  # one-scan LM fold
-        "text_quality_classifier",  # NEW full-GD DuckDB oracle
-        "ann_ivfpq_scaled",  # ivfpq_serve byte-budget + broadcast split
-        "dedup_bloom_ranged",  # scaled_bloom_params-derived ranges
-        "mm_decode_features",  # real PPM codec replaced the stub
-        # new r10 operator earning its first driver evidence
-        "ann_index_serve",
-        # flagship + the two sketch rows
-        "agg_pricing_summary", "agg_approx_distinct", "agg_approx_quantile",
-        # the two disclosed r10 deferrals (r9 verdict item 2)
-        "text_bpe_token_count", "text_fingerprint",
-        # r10 re-earns one-plus representative of every family via the
-        # r7-evidence cohort (ROTATION_LOG r10): anchors spot-checked
-        "dedup_exact", "dedup_ngram_jaccard", "dedup_simhash",  # dedup
-        "dedup_group_decisions", "dedup_embedding_cosine",
-        "dedup_semantic_clusters",
-        "win_tumbling", "win_topk_per_group",  # windows
-        "agg_corr_exact", "a2_empty_probe",  # aggregates-misc
-        "join_agg_revenue", "join_range_bands", "u3_semi_join",  # joins
-        "o3_dynamic_sort", "o4_global_index",  # sort
-        "p2_drop_column", "p3_date_window",  # projection / filter
-        "d2_interval_shift", "d6_literal_columns",  # derivation
-        "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",  # similarity
-        "ann_quantized_topk", "emb_quantize_int8",
-        "stream_tumbling_counts", "stream_static_join",  # streaming
-        "stateful_user_totals",  # stateful pandas-udf
-        "text_token_count", "text_gopher_rules", "text_pack_sequences",
-        "text_split_assign", "text_mixture_sample", "text_ngram_profile",
-        "text_chunk_overlap", "text_quality_prune",  # text
-        "cohort_retention", "event_transition_counts",  # warehouse
-        "merge_upsert_orders",  # txn sink
+        # queries whose implementation or OUTPUT changed in r11 — each
+        # must earn driver evidence on the new code
+        "agg_approx_distinct", "agg_approx_quantile",  # NEW bound-check
+        # outputs (first hash-checkable evidence)
+        "dedup_bloom_ranged",  # one-scan digest checkpoint
+        "mm_decode_features",  # decode_ppm dimension validation
+        # new r11 operators earning first driver evidence
+        "mm_decode_png",  # real zlib PNG codec
+        "ann_planted_recall", "ann_serve_parity",  # ANN bound queries
+        # rows-only by design — window-pinned (can never earn fold
+        # evidence under the hash-green rule)
+        "ann_ivfpq_scaled", "ann_index_serve",
+        # flagship
+        "agg_pricing_summary",
+        # the two disclosed r10 deferrals (r7 evidence)
+        "ann_pq_topk", "ann_ivfpq_topk",
+        # r11 re-earns one-plus representative of every family via the
+        # r8-evidence cohort (ROTATION_LOG r11): anchors spot-checked
+        "dedup_minhash_lsh", "dedup_chunk_minhash",  # dedup
+        "dedup_bloom_screen", "dedup_dropped_accounting",
+        "dedup_connected_groups",
+        "win_rank_family", "win_session",  # windows
+        "win_distribution_family",
+        "rollup_time_multi", "funnel_conversion",  # aggregates-misc
+        "winsorize_values", "metric_rolling_active", "affinity_part_pairs",
+        "join_skew_enrich", "join_asof", "u2_anti_join",  # joins / setop
+        "o2_topk_single",  # sort
+        "p8_watermark_filter",  # P-family (projection/filter rows)
+        "d4_custom_format_parse", "d10_current_date",  # derivation
+        "emb_outlier_prune",  # similarity-quality
+        "stream_stream_join", "stream_session_counts",  # streaming
+        "stream_dedup",
+        "text_dup_spans", "text_dup_scrub", "text_pii_scrub",  # text
+        "text_tfidf_topk", "text_source_quota",
+        "scd2_order_status", "cdc_latest_state",  # temporal
+        "attribution_first_last", "ts_moving_features", "ts_resample_ffill",
+        "grouped_user_gaps",  # sessionization
+        "mm_binary_meta",  # multimodal scan
+        "a3_affected_rows", "s6_sql_table_scan",  # scan / accounting
     }
     missing = must_be_in_window - set(window)
     assert not missing, f"fell out of the driver window: {sorted(missing)}"
@@ -119,6 +125,7 @@ def test_driver_window_covers_every_family():
         "CORRECTNESS_r07.json",
         "CORRECTNESS_r08.json",
         "CORRECTNESS_r09.json",
+        "CORRECTNESS_r10.json",
     ):
         p = Path(__file__).resolve().parents[1] / f
         if p.exists():
