@@ -549,3 +549,266 @@ def mm_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "payload").mapInPandas(
         decode_png_batches, schema=_PNG_DECODE_SCHEMA
     )
+
+
+# --- WAV (audio — extends the multimodal tier beyond images) -----------------
+
+
+def encode_wav(samples, sample_rate: int) -> bytes:
+    """Minimal REAL RIFF/WAVE writer — PCM (format 1), mono, 16-bit
+    little-endian. Fixture generator for ``decode_wav``."""
+    import struct
+
+    import numpy as np
+
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes):
+    """REAL pure-stdlib RIFF/WAVE decoder: RIFF/WAVE magic, chunk walk
+    (unknown chunks skipped per spec, word-aligned), fmt validation
+    (PCM, 16-bit), data extraction — returns (sample_rate, n_channels,
+    int16 numpy array). Rejected loudly: non-RIFF payloads, missing
+    fmt/data, compressed formats (format tag != 1), non-16-bit widths,
+    truncated chunks."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        typ = payload[pos : pos + 4]
+        (ln,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        chunk = payload[pos + 8 : pos + 8 + ln]
+        if len(chunk) < ln:
+            raise ValueError(f"truncated WAV chunk {typ.decode('latin1')!r}")
+        if typ == b"fmt ":
+            if ln < 16:
+                raise ValueError("truncated WAV fmt chunk")
+            tag, n_ch, rate, _, _, bits = struct.unpack("<HHIIHH", chunk[:16])
+            if tag != 1:
+                raise ValueError(f"unsupported WAV format tag {tag} (PCM only)")
+            if bits != 16:
+                raise ValueError(f"unsupported WAV bit width {bits} (16 only)")
+            if n_ch < 1:
+                raise ValueError("invalid WAV channel count 0")
+            fmt = (rate, n_ch)
+        elif typ == b"data":
+            data = chunk
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+    if fmt is None:
+        raise ValueError("WAV missing fmt chunk")
+    if data is None:
+        raise ValueError("WAV missing data chunk")
+    if len(data) % 2:
+        raise ValueError("WAV data length not sample-aligned")
+    return fmt[0], fmt[1], np.frombuffer(data, dtype="<i2")
+
+
+def with_wav_payload(df: DataFrame) -> DataFrame:
+    """Synthesize a REAL PCM WAV per document — sample count and rate
+    derive from the text length, 16-bit LE samples are the document's
+    UTF-8 bytes cycled pairwise. Fixture generator, not the codec
+    under test."""
+
+    def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            payloads = []
+            for t in pdf["text"]:
+                tb = ("" if t is None else t).encode("utf-8")
+                n = len(tb)
+                n_samples = 100 + n % 57
+                rate = 8000 + (n % 3) * 4000
+                need = 2 * n_samples
+                body = (tb * (-(-need // n)))[:need] if n else bytes(need)
+                samples = np.frombuffer(body, dtype="<i2")
+                payloads.append(encode_wav(samples, rate))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    return df.select("doc_id", "text").mapInPandas(
+        synth, "doc_id bigint, payload binary"
+    )
+
+
+@query(
+    "mm_decode_wav",
+    # Same exact-integer replication recipe as the image entries: PCM
+    # round-trips bit-exactly, so the decoded samples equal the
+    # cycled-bytes synthesis (signed 16-bit LE pairs) and the mean
+    # absolute amplitude is exact integer arithmetic in both engines.
+    oracle="""
+    WITH b AS (
+        SELECT doc_id,
+               octet_length(encode(coalesce(text, ''))) AS n,
+               hex(encode(coalesce(text, ''))) AS hx
+        FROM documents
+    ), dims AS (
+        SELECT doc_id, n, hx,
+               100 + (n % 57) AS ns,
+               8000 + (n % 3) * 4000 AS rate
+        FROM b
+    ), s AS (
+        SELECT doc_id, ns, rate,
+               CASE WHEN n = 0 THEN [0 FOR i IN range(0, ns)] ELSE
+                 [CASE WHEN v >= 32768 THEN v - 65536 ELSE v END
+                  FOR v IN [('0x' || substr(hx, 2 * (((2 * i) % n) + 1) - 1, 2))::INT
+                            + 256 * ('0x' || substr(hx, 2 * (((2 * i + 1) % n) + 1) - 1, 2))::INT
+                            FOR i IN range(0, ns)]]
+               END AS samples
+        FROM dims
+    )
+    SELECT doc_id,
+           CAST(rate AS INTEGER) AS sample_rate,
+           CAST(ns AS BIGINT) AS n_samples,
+           CAST(list_sum(list_transform(samples, x -> abs(x))) AS DOUBLE) / ns
+             AS mean_abs_amplitude
+    FROM s
+    """,
+    tags=("multimodal", "udf", "audio"),
+)
+def mm_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode/feature-extract over AUDIO payloads — real RIFF/WAVE PCM
+    files parsed by a real pure-stdlib decoder inside Arrow-batched
+    ``mapInPandas``: the audio leg of the multimodal tier (images are
+    the PPM/PNG entries). Swapping in an MP3/AAC library changes only
+    the decode function; the plan is identical."""
+    import numpy as np
+
+    d = with_wav_payload(load(spark, sf_dir, "documents"))
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("mean_abs_amplitude", T.DoubleType()),
+        ]
+    )
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {
+                "doc_id": [], "sample_rate": [],
+                "n_samples": [], "mean_abs_amplitude": [],
+            }
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                rate, _, samples = decode_wav(bytes(p))
+                rows["doc_id"].append(int(doc_id))
+                rows["sample_rate"].append(rate)
+                rows["n_samples"].append(len(samples))
+                rows["mean_abs_amplitude"].append(
+                    float(np.abs(samples.astype(np.int64)).sum()) / len(samples)
+                )
+            yield pd.DataFrame(rows)
+
+    return d.select("doc_id", "payload").mapInPandas(kernel, schema=schema)
+
+
+# --- JPEG (lossy compressed image codec — operators/jpeg.py) ------------------
+
+# Decode-error bounds for the driver oracle, per pixel format. Measured
+# on the sf0.01 document rasters at quality 90: gray max MAE 3.5,
+# 4:4:4 max 7.0, 4:2:0 max 21.9 (chroma noise can't survive a box
+# downsample); limits carry ~2x margin. Deterministic per dataset —
+# the codec has no RNG — so the booleans are stable driver evidence.
+_JPEG_MAE_LIMIT = {"gray": 8.0, "444": 14.0, "420": 44.0}
+_JPEG_MEAN_SHIFT_LIMIT = 1.5  # DC path preserves the mean (measured max 0.41)
+
+
+@query(
+    "mm_decode_jpeg",
+    # JPEG is LOSSY — equality oracles can't apply. The driver-checked
+    # contract is (a) spec-exact dimensions/channels (SQL-derivable
+    # from the text length) and (b) reconstruction-error bounds: the
+    # decoded raster's mean absolute error vs the uncompressed
+    # synthesis, and the mean-intensity shift, must stay inside the
+    # measured envelope. A quantizer/Huffman/IDCT/upsample regression
+    # blows the bound -> hash mismatch. The codec's exactness
+    # properties (flat blocks, marker rejects, restart handling) are
+    # pinned by tests/test_multimodal.py.
+    oracle="""
+    WITH b AS (
+        SELECT doc_id, octet_length(encode(coalesce(text, ''))) AS n
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(8 + (n % 25) AS INTEGER) AS width,
+           CAST(8 + ((n * 3) % 21) AS INTEGER) AS height,
+           CAST(CASE WHEN n % 2 = 1 THEN 3 ELSE 1 END AS INTEGER) AS n_channels,
+           TRUE AS mae_ok,
+           TRUE AS mean_shift_ok
+    FROM b
+    """,
+    tags=("multimodal", "udf", "jpeg"),
+)
+def mm_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode/feature-extract over LOSSY compressed image payloads:
+    real baseline JPEG files (DCT + quantization + Huffman, standard
+    Annex-K tables — ``operators/jpeg.py``) synthesized per document
+    and decoded by the pure-numpy decoder inside Arrow-batched
+    ``mapInPandas``. The corpus spans grayscale, 4:4:4 color, 4:2:0
+    subsampled color, and restart-marker streams (every 5th doc), so
+    the driver bound exercises the full marker/MCU/upsample surface.
+    Same plumbing as the PPM/PNG/WAV entries — the codec is the only
+    moving part."""
+    import numpy as np
+
+    from finance_pipeline_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    d = load(spark, sf_dir, "documents")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("n_channels", T.IntegerType()),
+            T.StructField("mae_ok", T.BooleanType()),
+            T.StructField("mean_shift_ok", T.BooleanType()),
+        ]
+    )
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {
+                "doc_id": [], "width": [], "height": [],
+                "n_channels": [], "mae_ok": [], "mean_shift_ok": [],
+            }
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                tb = ("" if t is None else t).encode("utf-8")
+                n = len(tb)
+                w, h = 8 + n % 25, 8 + (n * 3) % 21
+                ch = 3 if n % 2 else 1
+                need = w * h * ch
+                body = (tb * (-(-need // n)))[:need] if n else bytes(need)
+                arr = np.frombuffer(body, dtype=np.uint8).reshape(h, w, ch)
+                ss = ch == 3 and n % 4 == 1
+                ri = 2 if n % 5 == 0 else 0
+                w2, h2, out = decode_jpeg(
+                    encode_jpeg(arr, quality=90, subsample=ss, restart_interval=ri)
+                )
+                mode = "gray" if ch == 1 else ("420" if ss else "444")
+                mae = float(
+                    np.abs(out.astype(np.int64) - arr.astype(np.int64)).mean()
+                )
+                shift = abs(float(out.mean()) - float(arr.mean()))
+                rows["doc_id"].append(int(doc_id))
+                rows["width"].append(w2)
+                rows["height"].append(h2)
+                rows["n_channels"].append(int(out.shape[2]))
+                rows["mae_ok"].append(mae <= _JPEG_MAE_LIMIT[mode])
+                rows["mean_shift_ok"].append(shift <= _JPEG_MEAN_SHIFT_LIMIT)
+            yield pd.DataFrame(rows)
+
+    return d.select("doc_id", "text").mapInPandas(kernel, schema=schema)

@@ -287,14 +287,16 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
             # the two disclosed r10 deferrals (r7 driver evidence — the
             # oldest rows left)
             "ann_pq_topk", "ann_ivfpq_topk",
-            # 38 of the 46-member r8-evidence cohort (rotated out r9,
-            # never back since — the oldest bulk evidence); the 8
+            # 36 of the 46-member r8-evidence cohort (rotated out r9,
+            # never back since — the oldest bulk evidence); the 10
             # deferred to r12, each with same-family coverage still
             # in-window: ann_ivf_multiprobe, ann_ivfpq_multiprobe,
             # ann_ivfpq_rerank (ANN keeps 6 reps), dedup_connected_star
-            # (connected_groups in), win_sliding (3 window reps in),
-            # d8_trim (d4/d10 in), profile_columns + hist_value_buckets
-            # (agg family has 8 reps in)
+            # (connected_groups in), win_sliding +
+            # win_distribution_family (win_rank_family + win_session
+            # in), d8_trim (d4/d10 in), profile_columns +
+            # hist_value_buckets (agg family has 8 reps in),
+            # ts_moving_features (scd2/cdc/attribution/ts_resample in)
             "dedup_minhash_lsh", "dedup_chunk_minhash",
             "dedup_bloom_screen", "dedup_dropped_accounting",
             "dedup_connected_groups", "text_dup_spans", "text_dup_scrub",
@@ -305,13 +307,15 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
             "a3_affected_rows", "s6_sql_table_scan", "win_session",
             "stream_stream_join", "stream_session_counts", "join_asof",
             "scd2_order_status", "cdc_latest_state",
-            "attribution_first_last", "ts_moving_features",
-            "ts_resample_ffill", "win_distribution_family",
+            "attribution_first_last",
+            "ts_resample_ffill",
             "metric_rolling_active", "affinity_part_pairs",
             "winsorize_values", "text_pii_scrub", "text_tfidf_topk",
             "text_source_quota", "grouped_user_gaps", "stream_dedup",
             # new r11 operators earning first driver evidence:
             "mm_decode_png",  # real zlib PNG codec (r10 verdict item 1)
+            "mm_decode_wav",  # real RIFF/PCM audio codec — the audio leg
+            "mm_decode_jpeg",  # real baseline JPEG codec (lossy bound oracle)
             "ann_planted_recall",  # planted-near-dup bound over the
             # scaled IVFPQ stack (r10 verdict item 2)
             "ann_serve_parity",  # serve==batch row identity, driver-
@@ -456,7 +460,7 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
             "stream_session_counts", "join_asof", "scd2_order_status",
             "cdc_latest_state", "attribution_first_last",
             "hist_value_buckets", "profile_columns", "ts_moving_features",
-            "ts_resample_ffill", "win_distribution_family",
+            "ts_resample_ffill",
             "metric_rolling_active", "affinity_part_pairs",
             "winsorize_values", "text_pii_scrub", "text_tfidf_topk",
             "text_source_quota", "grouped_user_gaps", "stream_dedup",
@@ -479,7 +483,7 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
             "stream_session_counts", "join_asof", "scd2_order_status",
             "cdc_latest_state", "attribution_first_last",
             "hist_value_buckets", "profile_columns", "ts_moving_features",
-            "ts_resample_ffill", "win_distribution_family",
+            "ts_resample_ffill",
             "metric_rolling_active", "affinity_part_pairs",
             "winsorize_values", "text_pii_scrub",
             "text_tfidf_topk",
@@ -650,7 +654,7 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
             "stream_session_counts", "join_asof", "scd2_order_status",
             "cdc_latest_state", "attribution_first_last",
             "hist_value_buckets", "profile_columns", "ts_moving_features",
-            "ts_resample_ffill", "win_distribution_family",
+            "ts_resample_ffill",
             "metric_rolling_active", "affinity_part_pairs",
             "winsorize_values", "text_vocab_topk", "text_pii_scrub",
             "text_repetition_stats", "text_tfidf_topk", "text_source_quota",
@@ -808,6 +812,8 @@ PRIORITY: tuple[str, ...] = (
     "mm_decode_features",  # decode_ppm dimension validation
     # new r11 operators — first driver evidence
     "mm_decode_png",  # real zlib PNG codec (r10 verdict item 1)
+    "mm_decode_wav",  # real RIFF/PCM audio codec (multimodal audio leg)
+    "mm_decode_jpeg",  # real baseline JPEG codec (DCT+Huffman, operators/jpeg.py)
     "ann_planted_recall",  # planted-near-dup bound, scaled IVFPQ stack
     "ann_serve_parity",  # stored-index serve == batch operator
     # the two disclosed r10 deferrals (r7 evidence — oldest rows left)
@@ -843,9 +849,7 @@ PRIORITY: tuple[str, ...] = (
     "scd2_order_status",
     "cdc_latest_state",
     "attribution_first_last",
-    "ts_moving_features",
     "ts_resample_ffill",
-    "win_distribution_family",
     "metric_rolling_active",
     "affinity_part_pairs",
     "winsorize_values",
@@ -951,6 +955,8 @@ PRIORITY: tuple[str, ...] = (
     "d8_trim",
     "profile_columns",
     "hist_value_buckets",
+    "ts_moving_features",
+    "win_distribution_family",
 )
 
 DRIVER_WINDOW = 50  # observed driver evaluation cap (r1 + r2)

@@ -224,3 +224,170 @@ def test_mm_decode_png_runs_on_documents(spark, sf_dir):
     r = rows[did]
     assert (r.width, r.height) == (w, h)
     assert abs(r.mean_intensity - sum(body) / need) < 1e-12
+
+
+def test_wav_round_trip_and_rejects():
+    """decode(encode(x)) bit-exact; every reject path raises with a
+    reason (non-RIFF, truncated chunk, compressed format tag, wrong
+    bit width, missing fmt/data, odd data length)."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from finance_pipeline_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(7)
+    s = rng.integers(-32768, 32768, 321).astype("<i2")
+    rate, ch, out = decode_wav(encode_wav(s, 12000))
+    assert rate == 12000 and ch == 1 and np.array_equal(s, out)
+
+    good = encode_wav(s, 8000)
+    with pytest.raises(ValueError, match="not a RIFF"):
+        decode_wav(b"OggS" + good[4:])
+    with pytest.raises(ValueError, match="truncated WAV chunk"):
+        decode_wav(good[:-10])
+    # format tag 85 (MP3) must be rejected, not misparsed
+    mp3ish = bytearray(good)
+    mp3ish[20:22] = struct.pack("<H", 85)
+    with pytest.raises(ValueError, match="format tag"):
+        decode_wav(bytes(mp3ish))
+    bits8 = bytearray(good)
+    bits8[34:36] = struct.pack("<H", 8)
+    with pytest.raises(ValueError, match="bit width"):
+        decode_wav(bytes(bits8))
+    with pytest.raises(ValueError, match="missing data"):
+        decode_wav(good[: 12 + 8 + 16])  # RIFF + fmt only
+    with pytest.raises(ValueError, match="missing fmt"):
+        decode_wav(good[:12] + good[12 + 8 + 16 :])  # data only
+
+
+# --- JPEG codec (operators/jpeg.py) ------------------------------------------
+
+
+def test_jpeg_zigzag_dct_huffman_spec_properties():
+    """Spec-derived properties INDEPENDENT of the codec's own
+    round-trip (a shared zigzag/DCT bug would round-trip fine):
+    - zigzag traverses anti-diagonals in ascending (r+c) order,
+      alternating direction, visiting all 64 cells exactly once;
+    - the DCT matrix is orthonormal (so IDCT(DCT(x)) == x exactly);
+    - every Annex-K Huffman table builds a prefix-free canonical code
+      with the spec's exact symbol counts (DC 12, AC 162)."""
+    import numpy as np
+
+    from finance_pipeline_spark.operators.jpeg import (
+        _AC_CHROMA_BITS, _AC_CHROMA_VALS, _AC_LUMA_BITS, _AC_LUMA_VALS,
+        _DC_CHROMA_BITS, _DC_CHROMA_VALS, _DC_LUMA_BITS, _DC_LUMA_VALS,
+        ZIGZAG, build_huffman, dct_matrix,
+    )
+
+    assert sorted(ZIGZAG.tolist()) == list(range(64))
+    diags = [(idx // 8 + idx % 8) for idx in ZIGZAG]
+    assert diags == sorted(diags)  # anti-diagonals in ascending order
+    for d in range(15):
+        cells = [int(i) for i in ZIGZAG if i // 8 + i % 8 == d]
+        rows = [c // 8 for c in cells]
+        # within a diagonal: rows strictly monotone, direction alternating
+        assert rows == sorted(rows, reverse=(d % 2 == 0)), d
+
+    C = dct_matrix()
+    assert np.allclose(C @ C.T, np.eye(8), atol=1e-12)
+    rng = np.random.default_rng(0)
+    B = rng.standard_normal((8, 8))
+    assert np.allclose(C.T @ (C @ B @ C.T) @ C, B, atol=1e-10)
+
+    for bits, vals, n in (
+        (_DC_LUMA_BITS, _DC_LUMA_VALS, 12),
+        (_DC_CHROMA_BITS, _DC_CHROMA_VALS, 12),
+        (_AC_LUMA_BITS, _AC_LUMA_VALS, 162),
+        (_AC_CHROMA_BITS, _AC_CHROMA_VALS, 162),
+    ):
+        assert sum(bits) == len(vals) == n
+        enc, dec = build_huffman(bits, vals)
+        codes = sorted((l, c) for c, l in enc.values())
+        # prefix-free: no code is a prefix of a longer one
+        for i, (l1, c1) in enumerate(codes):
+            for l2, c2 in codes[i + 1 :]:
+                assert not (l2 > l1 and (c2 >> (l2 - l1)) == c1), (l1, c1, l2, c2)
+
+
+def test_jpeg_round_trip_quality_and_modes():
+    """Flat blocks reconstruct exactly; smooth gradients within MAE 1;
+    noise error shrinks as quality rises; gray / 4:4:4 / 4:2:0 /
+    restart-marker streams all decode to the declared dims; restart
+    markers are bit-transparent."""
+    import numpy as np
+
+    from finance_pipeline_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    flat = np.full((16, 24, 3), 130, dtype=np.uint8)
+    w, h, out = decode_jpeg(encode_jpeg(flat, quality=85))
+    assert (w, h) == (24, 16) and np.array_equal(out, flat)
+
+    g = np.linspace(0, 255, 23 * 17).reshape(17, 23).astype(np.uint8)
+    for ch, ss in ((1, False), (3, False), (3, True)):
+        img = np.repeat(g[:, :, None], ch, axis=2)
+        w, h, out = decode_jpeg(encode_jpeg(img, quality=92, subsample=ss))
+        assert out.shape == img.shape
+        assert np.abs(out.astype(int) - img.astype(int)).mean() < 1.5, (ch, ss)
+
+    rng = np.random.default_rng(9)
+    noise = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    maes = [
+        np.abs(
+            decode_jpeg(encode_jpeg(noise, quality=q))[2].astype(int)
+            - noise.astype(int)
+        ).mean()
+        for q in (50, 75, 95)
+    ]
+    assert maes[0] > maes[1] > maes[2], maes
+
+    base = decode_jpeg(encode_jpeg(noise, quality=90))[2]
+    for ri in (1, 3):
+        same = decode_jpeg(encode_jpeg(noise, quality=90, restart_interval=ri))[2]
+        assert np.array_equal(base, same), f"restart_interval={ri}"
+
+
+def test_jpeg_decoder_rejects_unsupported_and_malformed():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from finance_pipeline_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    good = encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8))
+    with pytest.raises(ValueError, match="missing SOI"):
+        decode_jpeg(b"\x89PNG" + good[4:])
+    with pytest.raises(ValueError, match="truncated JPEG entropy"):
+        decode_jpeg(good[:-4])
+    # progressive: rewrite SOF0 marker to SOF2
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError, match="progressive"):
+        decode_jpeg(prog)
+    # 12-bit precision: patch the SOF precision byte
+    i = good.index(b"\xff\xc0")
+    bad = good[: i + 4] + bytes([12]) + good[i + 5 :]
+    with pytest.raises(ValueError, match="precision"):
+        decode_jpeg(bad)
+    # 3x3 sampling factors
+    j = good.index(b"\xff\xc0") + 11  # first component's h/v byte
+    bad = good[:j] + bytes([0x33]) + good[j + 1 :]
+    with pytest.raises(ValueError, match="sampling factors"):
+        decode_jpeg(bad)
+    with pytest.raises(ValueError, match="no scan data"):
+        decode_jpeg(b"\xff\xd8\xff\xd9")
+
+
+def test_mm_decode_jpeg_bounds_hold_on_documents(spark, sf_dir):
+    """Every doc decodes to the declared dims/channels with both error
+    bounds TRUE — the exact frame the driver oracle asserts."""
+    from finance_pipeline_spark.registry import QUERIES
+
+    rows = QUERIES["mm_decode_jpeg"].fn(spark, sf_dir).collect()
+    assert rows
+    assert {r.n_channels for r in rows} == {1, 3}
+    assert all(r.mae_ok and r.mean_shift_ok for r in rows)

@@ -74,6 +74,8 @@ def test_driver_window_covers_every_family():
         "mm_decode_features",  # decode_ppm dimension validation
         # new r11 operators earning first driver evidence
         "mm_decode_png",  # real zlib PNG codec
+        "mm_decode_wav",  # real RIFF/PCM audio codec
+        "mm_decode_jpeg",  # real baseline JPEG codec
         "ann_planted_recall", "ann_serve_parity",  # ANN bound queries
         # rows-only by design — window-pinned (can never earn fold
         # evidence under the hash-green rule)
@@ -88,7 +90,6 @@ def test_driver_window_covers_every_family():
         "dedup_bloom_screen", "dedup_dropped_accounting",
         "dedup_connected_groups",
         "win_rank_family", "win_session",  # windows
-        "win_distribution_family",
         "rollup_time_multi", "funnel_conversion",  # aggregates-misc
         "winsorize_values", "metric_rolling_active", "affinity_part_pairs",
         "join_skew_enrich", "join_asof", "u2_anti_join",  # joins / setop
@@ -101,7 +102,7 @@ def test_driver_window_covers_every_family():
         "text_dup_spans", "text_dup_scrub", "text_pii_scrub",  # text
         "text_tfidf_topk", "text_source_quota",
         "scd2_order_status", "cdc_latest_state",  # temporal
-        "attribution_first_last", "ts_moving_features", "ts_resample_ffill",
+        "attribution_first_last", "ts_resample_ffill",
         "grouped_user_gaps",  # sessionization
         "mm_binary_meta",  # multimodal scan
         "a3_affected_rows", "s6_sql_table_scan",  # scan / accounting
