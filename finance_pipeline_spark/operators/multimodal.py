@@ -812,3 +812,196 @@ def mm_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return d.select("doc_id", "text").mapInPandas(kernel, schema=schema)
+
+
+# --- AVI/MJPEG (video — container parse + per-frame codec decode) -------------
+
+
+def encode_avi_mjpeg(frames: list, width: int, height: int, fps: int = 10) -> bytes:
+    """Minimal REAL AVI writer — RIFF('AVI ') with an hdrl LIST (avih
+    main header + one 'vids'/'MJPG' stream's strh/strf) and a movi
+    LIST of '00dc' chunks, each a complete baseline JPEG frame
+    (word-aligned per RIFF). Fixture generator for
+    ``decode_avi_mjpeg``; no idx1 (optional per spec, and the decoder
+    must tolerate its absence)."""
+    import struct
+
+    def chunk(fourcc: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) % 2 else b""
+        return fourcc + struct.pack("<I", len(data)) + data + pad
+
+    def lst(kind: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", kind + data)
+
+    n = len(frames)
+    max_bytes = max((len(f) for f in frames), default=0)
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // max(fps, 1),  # microsec / frame
+        0, 0, 0x10,  # rate, padding, flags (HASINDEX off)
+        n, 0, 1, max_bytes,
+        width, height, 0, 0, 0, 0,
+    )
+    strh = b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n, max_bytes, 0, 0, 0)
+    strf = struct.pack(
+        "<IiiHH4sIiiII",
+        40, width, height, 1, 24, b"MJPG", width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", bytes(f)) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi_mjpeg(payload: bytes):
+    """REAL AVI/MJPEG demuxer: RIFF('AVI ') walk, avih main-header
+    parse (declared frame count + dims), movi LIST scan for
+    '00dc'/'00db' video chunks (word-aligned; unknown chunks and idx1
+    skipped per spec) — returns (declared_frames, width, height,
+    [frame JPEG bytes]). Rejected loudly: non-AVI RIFF, missing
+    hdrl/avih or movi, truncated chunks, declared/actual frame-count
+    mismatch. Frame payloads are then per-frame ``decode_jpeg`` work —
+    the demux/decode split every real video pipeline has."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+
+    def walk(buf, pos, end):
+        while pos + 8 <= end:
+            fourcc = buf[pos : pos + 4]
+            (ln,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+            data_start = pos + 8
+            if data_start + ln > end:
+                raise ValueError(
+                    f"truncated AVI chunk {fourcc.decode('latin1')!r}"
+                )
+            yield fourcc, data_start, ln
+            pos = data_start + ln + (ln & 1)
+
+    avih = None
+    frames: list[bytes] = []
+    saw_movi = False
+    for fourcc, start, ln in walk(payload, 12, len(payload)):
+        if fourcc == b"LIST":
+            kind = payload[start : start + 4]
+            if kind == b"hdrl":
+                for fc2, s2, l2 in walk(payload, start + 4, start + ln):
+                    if fc2 == b"avih":
+                        if l2 < 56:
+                            raise ValueError("truncated AVI main header")
+                        vals = struct.unpack("<14I", payload[s2 : s2 + 56])
+                        avih = {
+                            "n_frames": vals[4],
+                            "width": vals[8],
+                            "height": vals[9],
+                        }
+            elif kind == b"movi":
+                saw_movi = True
+                for fc2, s2, l2 in walk(payload, start + 4, start + ln):
+                    if fc2[2:4] in (b"dc", b"db"):
+                        frames.append(payload[s2 : s2 + l2])
+    if avih is None:
+        raise ValueError("AVI missing hdrl/avih header")
+    if not saw_movi:
+        raise ValueError("AVI missing movi list")
+    if avih["n_frames"] != len(frames):
+        raise ValueError(
+            f"AVI declares {avih['n_frames']} frames, found {len(frames)}"
+        )
+    return avih["n_frames"], avih["width"], avih["height"], frames
+
+
+@query(
+    "mm_video_frames",
+    # Per-frame fan-out of the JPEG bound oracle: one row per (doc,
+    # frame), dims spec-exact, per-frame reconstruction error bounded.
+    # Frame f's raster cycles the text bytes with offset f, so every
+    # frame is distinct and a demux off-by-one (frame order, chunk
+    # alignment) misassigns rasters and blows the bound.
+    oracle="""
+    WITH b AS (
+        SELECT doc_id, octet_length(encode(coalesce(text, ''))) AS n
+        FROM documents
+    ), dims AS (
+        SELECT doc_id, n,
+               8 + (n % 17) AS w, 8 + ((n * 3) % 13) AS h,
+               2 + (n % 3) AS nf
+        FROM b
+    )
+    SELECT doc_id,
+           CAST(f.frame_no AS INTEGER) AS frame_no,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           TRUE AS mae_ok
+    FROM dims,
+    LATERAL (
+        SELECT unnest(range(0, nf)) AS frame_no
+    ) f
+    """,
+    tags=("multimodal", "udf", "video", "jpeg"),
+)
+def mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video decode: REAL AVI/MJPEG containers (RIFF demux) holding
+    2-4 real JPEG frames per document, exploded one row per frame with
+    per-frame decode features — the container-parse → frame-decode →
+    row-explode shape of an actual video training pipeline (frame
+    sampling, dedup, captioning all start here). Arrow-batched
+    ``mapInPandas``; demux and codec are plain functions a C library
+    can replace one-for-one."""
+    import numpy as np
+
+    from finance_pipeline_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    d = load(spark, sf_dir, "documents")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("frame_no", T.IntegerType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("mae_ok", T.BooleanType()),
+        ]
+    )
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {
+                "doc_id": [], "frame_no": [], "width": [],
+                "height": [], "mae_ok": [],
+            }
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                tb = ("" if t is None else t).encode("utf-8")
+                n = len(tb)
+                w, h = 8 + n % 17, 8 + (n * 3) % 13
+                nf = 2 + n % 3
+                need = w * h * 3
+                rasters = []
+                for f in range(nf):
+                    if n:
+                        rot = tb[f % n :] + tb[: f % n]
+                        body = (rot * (-(-need // n)))[:need]
+                    else:
+                        body = bytes(need)
+                    rasters.append(
+                        np.frombuffer(body, dtype=np.uint8).reshape(h, w, 3)
+                    )
+                avi = encode_avi_mjpeg(
+                    [encode_jpeg(r, quality=90) for r in rasters], w, h
+                )
+                n_declared, aw, ah, frames = decode_avi_mjpeg(avi)
+                for f, (jb, raster) in enumerate(zip(frames, rasters)):
+                    w2, h2, out = decode_jpeg(jb)
+                    mae = float(
+                        np.abs(
+                            out.astype(np.int64) - raster.astype(np.int64)
+                        ).mean()
+                    )
+                    rows["doc_id"].append(int(doc_id))
+                    rows["frame_no"].append(f)
+                    rows["width"].append(w2)
+                    rows["height"].append(h2)
+                    rows["mae_ok"].append(mae <= _JPEG_MAE_LIMIT["444"])
+            yield pd.DataFrame(rows)
+
+    return d.select("doc_id", "text").mapInPandas(kernel, schema=schema)

@@ -391,3 +391,70 @@ def test_mm_decode_jpeg_bounds_hold_on_documents(spark, sf_dir):
     assert rows
     assert {r.n_channels for r in rows} == {1, 3}
     assert all(r.mae_ok and r.mean_shift_ok for r in rows)
+
+
+def test_avi_mjpeg_demux_round_trip_and_rejects():
+    """Container walk: declared frame count honored, frame bytes
+    recovered in order and word-aligned; rejects non-AVI RIFF, missing
+    headers, truncated chunks, frame-count mismatches."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from finance_pipeline_spark.operators.jpeg import encode_jpeg
+    from finance_pipeline_spark.operators.multimodal import (
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+    )
+
+    rng = np.random.default_rng(13)
+    jpegs = [
+        encode_jpeg(rng.integers(0, 256, (8, 9, 3), dtype=np.uint8))
+        for _ in range(4)
+    ]
+    avi = encode_avi_mjpeg(jpegs, 9, 8, fps=5)
+    nf, w, h, frames = decode_avi_mjpeg(avi)
+    assert (nf, w, h) == (4, 9, 8)
+    assert frames == jpegs  # byte-exact, in order (odd-length padded)
+
+    with pytest.raises(ValueError, match="not a RIFF/AVI"):
+        decode_avi_mjpeg(b"RIFF" + struct.pack("<I", 4) + b"WAVE")
+    with pytest.raises(ValueError, match="truncated AVI chunk"):
+        decode_avi_mjpeg(avi[:-7])
+    # frame-count mismatch: declare 4, deliver 3 (cut one 00dc chunk
+    # and shrink both the movi LIST's and the RIFF's length fields)
+    bad = encode_avi_mjpeg(jpegs, 9, 8)
+    i = bad.index(b"00dc")
+    ln = struct.unpack("<I", bad[i + 4 : i + 8])[0]
+    removed = 8 + ln + (ln & 1)
+    movi_hdr = bad.index(b"movi") - 8
+    movi_len = struct.unpack("<I", bad[movi_hdr + 4 : movi_hdr + 8])[0]
+    cut = bytearray(bad[:i] + bad[i + removed :])
+    cut[movi_hdr + 4 : movi_hdr + 8] = struct.pack("<I", movi_len - removed)
+    cut[4:8] = struct.pack("<I", len(cut) - 8)
+    with pytest.raises(ValueError, match="declares 4 frames, found 3"):
+        decode_avi_mjpeg(bytes(cut))
+    # headerless movi-only file
+    movi = avi[avi.index(b"movi") - 8 :]
+    nohdr = b"RIFF" + struct.pack("<I", 4 + len(movi)) + b"AVI " + movi
+    with pytest.raises(ValueError, match="missing hdrl"):
+        decode_avi_mjpeg(nohdr)
+
+
+def test_mm_video_frames_explodes_per_frame(spark, sf_dir):
+    """One row per (doc, frame); frame counts follow 2 + n%3; all
+    per-frame error bounds hold; distinct frames per doc (the rotated
+    rasters differ)."""
+    from finance_pipeline_spark.registry import QUERIES, load
+
+    rows = QUERIES["mm_video_frames"].fn(spark, sf_dir).collect()
+    docs = {r.doc_id: r.text for r in load(spark, sf_dir, "documents").collect()}
+    per_doc = {}
+    for r in rows:
+        assert r.mae_ok, (r.doc_id, r.frame_no)
+        per_doc.setdefault(r.doc_id, []).append(r.frame_no)
+    assert set(per_doc) == set(docs)
+    for did, fns in per_doc.items():
+        n = len(("" if docs[did] is None else docs[did]).encode("utf-8"))
+        assert sorted(fns) == list(range(2 + n % 3)), did
