@@ -287,17 +287,17 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
             # the two disclosed r10 deferrals (r7 driver evidence — the
             # oldest rows left)
             "ann_pq_topk", "ann_ivfpq_topk",
-            # 35 of the 46-member r8-evidence cohort (rotated out r9,
-            # never back since — the oldest bulk evidence); the 11
+            # 34 of the 46-member r8-evidence cohort (rotated out r9,
+            # never back since — the oldest bulk evidence); the 12
             # deferred to r12, each with same-family coverage still
             # in-window: ann_ivf_multiprobe, ann_ivfpq_multiprobe,
             # ann_ivfpq_rerank (ANN keeps 6 reps), dedup_connected_star
             # (connected_groups in), win_sliding +
             # win_distribution_family (win_rank_family + win_session
             # in), d8_trim (d4/d10 in), profile_columns +
-            # hist_value_buckets + affinity_part_pairs (agg family
-            # keeps 7 reps in), ts_moving_features (scd2/cdc/
-            # attribution/ts_resample in)
+            # hist_value_buckets + affinity_part_pairs +
+            # metric_rolling_active (agg family keeps 6 reps in),
+            # ts_moving_features (scd2/cdc/attribution/ts_resample in)
             "dedup_minhash_lsh", "dedup_chunk_minhash",
             "dedup_bloom_screen", "dedup_dropped_accounting",
             "dedup_connected_groups", "text_dup_spans", "text_dup_scrub",
@@ -310,7 +310,6 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
             "scd2_order_status", "cdc_latest_state",
             "attribution_first_last",
             "ts_resample_ffill",
-            "metric_rolling_active",
             "winsorize_values", "text_pii_scrub", "text_tfidf_topk",
             "text_source_quota", "grouped_user_gaps", "stream_dedup",
             # new r11 operators earning first driver evidence:
@@ -318,6 +317,7 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
             "mm_decode_wav",  # real RIFF/PCM audio codec — the audio leg
             "mm_decode_jpeg",  # real baseline JPEG codec (lossy bound oracle)
             "mm_video_frames",  # real AVI/MJPEG demux + per-frame decode
+            "mm_decode_quarantine",  # dead-letter decode routing
             "ann_planted_recall",  # planted-near-dup bound over the
             # scaled IVFPQ stack (r10 verdict item 2)
             "ann_serve_parity",  # serve==batch row identity, driver-
@@ -463,7 +463,6 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
             "cdc_latest_state", "attribution_first_last",
             "hist_value_buckets", "profile_columns", "ts_moving_features",
             "ts_resample_ffill",
-            "metric_rolling_active",
             "winsorize_values", "text_pii_scrub", "text_tfidf_topk",
             "text_source_quota", "grouped_user_gaps", "stream_dedup",
         ),
@@ -486,7 +485,6 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
             "cdc_latest_state", "attribution_first_last",
             "hist_value_buckets", "profile_columns", "ts_moving_features",
             "ts_resample_ffill",
-            "metric_rolling_active",
             "winsorize_values", "text_pii_scrub",
             "text_tfidf_topk",
             "text_source_quota", "grouped_user_gaps", "stream_dedup",
@@ -657,7 +655,6 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
             "cdc_latest_state", "attribution_first_last",
             "hist_value_buckets", "profile_columns", "ts_moving_features",
             "ts_resample_ffill",
-            "metric_rolling_active",
             "winsorize_values", "text_vocab_topk", "text_pii_scrub",
             "text_repetition_stats", "text_tfidf_topk", "text_source_quota",
             "grouped_user_gaps",
@@ -817,6 +814,7 @@ PRIORITY: tuple[str, ...] = (
     "mm_decode_wav",  # real RIFF/PCM audio codec (multimodal audio leg)
     "mm_decode_jpeg",  # real baseline JPEG codec (DCT+Huffman, operators/jpeg.py)
     "mm_video_frames",  # real AVI/MJPEG demux + per-frame decode (video leg)
+    "mm_decode_quarantine",  # dead-letter decode routing (corrupt payloads)
     "ann_planted_recall",  # planted-near-dup bound, scaled IVFPQ stack
     "ann_serve_parity",  # stored-index serve == batch operator
     # the two disclosed r10 deferrals (r7 evidence — oldest rows left)
@@ -853,7 +851,6 @@ PRIORITY: tuple[str, ...] = (
     "cdc_latest_state",
     "attribution_first_last",
     "ts_resample_ffill",
-    "metric_rolling_active",
     "winsorize_values",
     "text_pii_scrub",
     "text_tfidf_topk",
@@ -960,6 +957,7 @@ PRIORITY: tuple[str, ...] = (
     "ts_moving_features",
     "win_distribution_family",
     "affinity_part_pairs",
+    "metric_rolling_active",
 )
 
 DRIVER_WINDOW = 50  # observed driver evaluation cap (r1 + r2)

@@ -173,7 +173,7 @@ def test_png_decoder_rejects_malformed_input():
     with pytest.raises(ValueError, match="bit depth"):
         decode_png(png_with_ihdr(4, 4, depth=16))
     with pytest.raises(ValueError, match="color type"):
-        decode_png(png_with_ihdr(4, 4, color=3))
+        decode_png(png_with_ihdr(4, 4, color=4))  # gray+alpha unsupported
     with pytest.raises(ValueError, match="interlace"):
         decode_png(png_with_ihdr(4, 4, inter=1))
     # raster size mismatch: IHDR says 5 wide, raster built for 4
@@ -458,3 +458,65 @@ def test_mm_video_frames_explodes_per_frame(spark, sf_dir):
     for did, fns in per_doc.items():
         n = len(("" if docs[did] is None else docs[did]).encode("utf-8"))
         assert sorted(fns) == list(range(2 + n % 3)), did
+
+
+def test_png_palette_round_trip_and_rejects():
+    """Color-type-3 (PLTE) support: index rasters map through the
+    palette exactly; missing PLTE, short PLTE, out-of-range indices,
+    and tRNS all reject with a reason."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from finance_pipeline_spark.operators.multimodal import (
+        _PNG_SIG,
+        _png_chunk,
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(21)
+    pal = rng.integers(0, 256, (11, 3), dtype=np.uint8)
+    idx = rng.integers(0, 11, (6, 8), dtype=np.uint8)
+    w, h, out = decode_png(encode_png(idx, palette=pal))
+    assert (w, h) == (8, 6) and np.array_equal(out, pal[idx])
+
+    good = encode_png(idx, palette=pal)
+    # strip the PLTE chunk -> missing palette
+    i = good.index(b"PLTE") - 4
+    ln = struct.unpack(">I", good[i : i + 4])[0]
+    noplte = good[:i] + good[i + 12 + ln :]
+    with pytest.raises(ValueError, match="missing PLTE"):
+        decode_png(noplte)
+    # palette too short for the indices used
+    with pytest.raises(ValueError, match="palette index out of range"):
+        decode_png(encode_png(idx, palette=pal[:5]))
+    # tRNS rejected loudly
+    j = good.index(b"IDAT") - 4
+    trns = good[:j] + _png_chunk(b"tRNS", bytes([128] * 11)) + good[j:]
+    with pytest.raises(ValueError, match="tRNS"):
+        decode_png(trns)
+
+
+def test_mm_decode_quarantine_routes_corrupt_payloads(spark, sf_dir):
+    """Corrupt payloads (n%7==0) land as ok=false rows with the CRC
+    reason; good rows carry exact features; the job itself never
+    fails — the dead-letter contract."""
+    from finance_pipeline_spark.registry import QUERIES, load
+
+    rows = {r.doc_id: r for r in QUERIES["mm_decode_quarantine"].fn(spark, sf_dir).collect()}
+    docs = {r.doc_id: r.text for r in load(spark, sf_dir, "documents").collect()}
+    assert set(rows) == set(docs)
+    n_bad = 0
+    for did, t in docs.items():
+        n = len(("" if t is None else t).encode("utf-8"))
+        r = rows[did]
+        if n % 7 == 0:
+            n_bad += 1
+            assert not r.ok and r.err == "PNG chunk IDAT CRC mismatch"
+            assert r.width is None and r.mean_intensity is None
+        else:
+            assert r.ok and r.err is None and r.width == 3 + n % 9
+    assert 0 < n_bad < len(docs)
