@@ -1,0 +1,237 @@
+"""WARC (ISO 28500) ingestion — the format a web-scale training-data
+pipeline actually starts from (Common Crawl ships per-record-gzipped
+WARC response records).
+
+Real parser, real framing: records are Content-Length-delimited with
+CRLF header grammar, the fixture writes one GZIP MEMBER PER RECORD
+(the CC convention — members are split by streaming ``decompressobj``
+reads over ``unused_data``, no whole-file buffering assumption), and
+extraction walks warcinfo/request/response records, keeps responses,
+parses the inner HTTP/1.1 message (status line + headers + body), and
+emits one row per document. Anything mis-framed (bad magic, missing
+mandatory headers, short payloads, non-numeric Content-Length) raises
+with a reason.
+
+Scale shape: WARC files are line-of-business blobs read per-partition;
+the whole synthesize→parse→emit path here runs inside one Arrow-batched
+``mapInPandas`` pass — no shuffle, no driver involvement, linear in
+input bytes. A real deployment points the same parser at
+``binaryFile``-read WARC segments; only the fixture generator drops
+out.
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from finance_pipeline_spark.registry import load, query
+
+_CRLF = "\r\n"
+
+
+def build_warc(records: list[tuple[str, dict, bytes]], gzip_members: bool = True) -> bytes:
+    """Serialize (warc_type, extra_headers, payload) triples into a
+    WARC file — one gzip member per record when ``gzip_members`` (the
+    Common Crawl layout), plain concatenation otherwise. Fixture
+    generator for ``parse_warc``."""
+    out = bytearray()
+    for warc_type, extra, payload in records:
+        head = [f"WARC/1.0"]
+        head.append(f"WARC-Type: {warc_type}")
+        for k, v in extra.items():
+            head.append(f"{k}: {v}")
+        head.append(f"Content-Length: {len(payload)}")
+        rec = (
+            (_CRLF.join(head) + _CRLF + _CRLF).encode("utf-8")
+            + payload
+            + b"\r\n\r\n"
+        )
+        out += zlib.compress(rec, wbits=31) if gzip_members else rec
+    return bytes(out)
+
+
+def _gzip_members(buf: bytes) -> Iterator[bytes]:
+    """Split a concatenation of gzip members (the CC per-record
+    layout) via sequential ``decompressobj`` reads — each member's end
+    is found from ``unused_data``, so members never need to be
+    length-prefixed."""
+    pos = 0
+    while pos < len(buf):
+        d = zlib.decompressobj(wbits=31)
+        try:
+            chunk = d.decompress(buf[pos:])
+        except zlib.error as e:
+            raise ValueError(f"bad gzip member in WARC at byte {pos}: {e}") from None
+        if not d.eof:
+            raise ValueError("truncated gzip member in WARC")
+        yield chunk
+        pos = len(buf) - len(d.unused_data)
+
+
+def parse_warc(payload: bytes) -> list[dict]:
+    """Parse a WARC file (plain or per-record-gzip, auto-detected) into
+    a list of record dicts: {type, headers, payload}. Framing is
+    Content-Length-driven per the spec; header names are
+    case-insensitive; the two CRLF record separators are enforced."""
+    if payload[:2] == b"\x1f\x8b":
+        stream = b"".join(_gzip_members(payload))
+    else:
+        stream = payload
+    records, pos = [], 0
+    while pos < len(stream):
+        end = stream.find(b"\r\n\r\n", pos)
+        if end < 0:
+            raise ValueError("truncated WARC record header")
+        head = stream[pos:end].decode("utf-8", errors="strict").split(_CRLF)
+        if not head or not head[0].startswith("WARC/"):
+            raise ValueError(f"bad WARC version line at byte {pos}")
+        headers: dict[str, str] = {}
+        for line in head[1:]:
+            if ":" not in line:
+                raise ValueError(f"malformed WARC header line {line!r}")
+            k, v = line.split(":", 1)
+            headers[k.strip().lower()] = v.strip()
+        if "content-length" not in headers:
+            raise ValueError("WARC record missing Content-Length")
+        try:
+            n = int(headers["content-length"])
+        except ValueError:
+            raise ValueError(
+                f"non-numeric WARC Content-Length {headers['content-length']!r}"
+            ) from None
+        body_start = end + 4
+        body = stream[body_start : body_start + n]
+        if len(body) < n:
+            raise ValueError("truncated WARC record payload")
+        if stream[body_start + n : body_start + n + 4] != b"\r\n\r\n":
+            raise ValueError("missing WARC record separator")
+        records.append(
+            {
+                "type": headers.get("warc-type", ""),
+                "headers": headers,
+                "payload": body,
+            }
+        )
+        pos = body_start + n + 4
+    return records
+
+
+def parse_http_response(payload: bytes) -> tuple[int, dict, bytes]:
+    """Parse the inner HTTP/1.1 response a WARC response record
+    carries: (status, headers, body)."""
+    end = payload.find(b"\r\n\r\n")
+    if end < 0:
+        raise ValueError("truncated HTTP response head")
+    lines = payload[:end].decode("utf-8").split(_CRLF)
+    parts = lines[0].split(" ", 2)
+    if len(parts) < 2 or not parts[0].startswith("HTTP/"):
+        raise ValueError(f"bad HTTP status line {lines[0]!r}")
+    status = int(parts[1])
+    headers = {}
+    for line in lines[1:]:
+        k, v = line.split(":", 1)
+        headers[k.strip().lower()] = v.strip()
+    return status, headers, payload[end + 4 :]
+
+
+def _http_response_bytes(body: bytes) -> bytes:
+    head = (
+        "HTTP/1.1 200 OK\r\n"
+        "Content-Type: text/plain; charset=utf-8\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    )
+    return head.encode("utf-8") + body
+
+
+@query(
+    "text_warc_extract",
+    # The fixture wraps each document's exact UTF-8 bytes in a real
+    # response record (plus a warcinfo and a request record the parser
+    # must SKIP), one gzip member per record; extraction must recover
+    # every framed field bit-exactly, so the oracle is plain equality
+    # over the source columns. A framing bug (member split, CRLF
+    # separators, Content-Length arithmetic, inner HTTP parse)
+    # corrupts url/status/digest and hash-mismatches.
+    oracle="""
+    SELECT doc_id,
+           'http://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR)
+             AS url,
+           200 AS http_status,
+           CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes,
+           sha256(coalesce(text, '')) AS digest
+    FROM documents
+    """,
+    tags=("text", "warc", "udf"),
+)
+def text_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC ingestion end-to-end: each Arrow batch's documents are
+    written into ONE real per-record-gzipped WARC file (warcinfo +
+    request + response records — the Common Crawl shape), then parsed
+    back by the real grammar and emitted one row per response. This is
+    the entry stage of a web-scale corpus pipeline; downstream stages
+    (langid → quality → dedup → export) are the existing operators."""
+    import hashlib
+
+    d = load(spark, sf_dir, "documents")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("url", T.StringType()),
+            T.StructField("http_status", T.IntegerType()),
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("digest", T.StringType()),
+        ]
+    )
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            # ---- fixture: one real WARC file for this Arrow batch ----
+            records: list[tuple[str, dict, bytes]] = [
+                ("warcinfo", {"Content-Type": "application/warc-fields"},
+                 b"software: finance-pipeline-spark\r\n")
+            ]
+            for doc_id, src, t in zip(
+                pdf["doc_id"], pdf["source"], pdf["text"]
+            ):
+                url = f"http://{src}.example.com/doc/{int(doc_id)}"
+                body = ("" if t is None else t).encode("utf-8")
+                records.append(
+                    ("request",
+                     {"WARC-Target-URI": url,
+                      "Content-Type": "application/http; msgtype=request"},
+                     f"GET /doc/{int(doc_id)} HTTP/1.1\r\nHost: x\r\n\r\n".encode())
+                )
+                records.append(
+                    ("response",
+                     {"WARC-Target-URI": url,
+                      "Content-Type": "application/http; msgtype=response"},
+                     _http_response_bytes(body))
+                )
+            warc_file = build_warc(records, gzip_members=True)
+
+            # ---- the operator under test: parse + extract ----
+            rows = {
+                "doc_id": [], "url": [], "http_status": [],
+                "n_bytes": [], "digest": [],
+            }
+            for rec in parse_warc(warc_file):
+                if rec["type"] != "response":
+                    continue  # warcinfo/request records are skipped
+                url = rec["headers"]["warc-target-uri"]
+                status, _, body = parse_http_response(rec["payload"])
+                rows["doc_id"].append(int(url.rsplit("/", 1)[1]))
+                rows["url"].append(url)
+                rows["http_status"].append(status)
+                rows["n_bytes"].append(len(body))
+                rows["digest"].append(hashlib.sha256(body).hexdigest())
+            yield pd.DataFrame(rows)
+
+    return d.select("doc_id", "source", "text").mapInPandas(
+        kernel, schema=schema
+    )

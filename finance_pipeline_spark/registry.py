@@ -287,8 +287,8 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
             # the two disclosed r10 deferrals (r7 driver evidence — the
             # oldest rows left)
             "ann_pq_topk", "ann_ivfpq_topk",
-            # 34 of the 46-member r8-evidence cohort (rotated out r9,
-            # never back since — the oldest bulk evidence); the 12
+            # 33 of the 46-member r8-evidence cohort (rotated out r9,
+            # never back since — the oldest bulk evidence); the 13
             # deferred to r12, each with same-family coverage still
             # in-window: ann_ivf_multiprobe, ann_ivfpq_multiprobe,
             # ann_ivfpq_rerank (ANN keeps 6 reps), dedup_connected_star
@@ -296,8 +296,9 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
             # win_distribution_family (win_rank_family + win_session
             # in), d8_trim (d4/d10 in), profile_columns +
             # hist_value_buckets + affinity_part_pairs +
-            # metric_rolling_active (agg family keeps 6 reps in),
-            # ts_moving_features (scd2/cdc/attribution/ts_resample in)
+            # metric_rolling_active + winsorize_values (agg family
+            # keeps 5 reps in), ts_moving_features (scd2/cdc/
+            # attribution/ts_resample in)
             "dedup_minhash_lsh", "dedup_chunk_minhash",
             "dedup_bloom_screen", "dedup_dropped_accounting",
             "dedup_connected_groups", "text_dup_spans", "text_dup_scrub",
@@ -309,8 +310,7 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
             "stream_stream_join", "stream_session_counts", "join_asof",
             "scd2_order_status", "cdc_latest_state",
             "attribution_first_last",
-            "ts_resample_ffill",
-            "winsorize_values", "text_pii_scrub", "text_tfidf_topk",
+            "ts_resample_ffill", "text_pii_scrub", "text_tfidf_topk",
             "text_source_quota", "grouped_user_gaps", "stream_dedup",
             # new r11 operators earning first driver evidence:
             "mm_decode_png",  # real zlib PNG codec (r10 verdict item 1)
@@ -318,6 +318,7 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
             "mm_decode_jpeg",  # real baseline JPEG codec (lossy bound oracle)
             "mm_video_frames",  # real AVI/MJPEG demux + per-frame decode
             "mm_decode_quarantine",  # dead-letter decode routing
+            "text_warc_extract",  # real per-record-gzip WARC ingestion
             "ann_planted_recall",  # planted-near-dup bound over the
             # scaled IVFPQ stack (r10 verdict item 2)
             "ann_serve_parity",  # serve==batch row identity, driver-
@@ -462,8 +463,7 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
             "stream_session_counts", "join_asof", "scd2_order_status",
             "cdc_latest_state", "attribution_first_last",
             "hist_value_buckets", "profile_columns", "ts_moving_features",
-            "ts_resample_ffill",
-            "winsorize_values", "text_pii_scrub", "text_tfidf_topk",
+            "ts_resample_ffill", "text_pii_scrub", "text_tfidf_topk",
             "text_source_quota", "grouped_user_gaps", "stream_dedup",
         ),
     },
@@ -484,8 +484,7 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
             "stream_session_counts", "join_asof", "scd2_order_status",
             "cdc_latest_state", "attribution_first_last",
             "hist_value_buckets", "profile_columns", "ts_moving_features",
-            "ts_resample_ffill",
-            "winsorize_values", "text_pii_scrub",
+            "ts_resample_ffill", "text_pii_scrub",
             "text_tfidf_topk",
             "text_source_quota", "grouped_user_gaps", "stream_dedup",
             # (text_decontaminate and user_gap_stats deferred to r9 —
@@ -654,8 +653,7 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
             "stream_session_counts", "join_asof", "scd2_order_status",
             "cdc_latest_state", "attribution_first_last",
             "hist_value_buckets", "profile_columns", "ts_moving_features",
-            "ts_resample_ffill",
-            "winsorize_values", "text_vocab_topk", "text_pii_scrub",
+            "ts_resample_ffill", "text_vocab_topk", "text_pii_scrub",
             "text_repetition_stats", "text_tfidf_topk", "text_source_quota",
             "grouped_user_gaps",
             # displaced by the three new r6 operators; all r5-green,
@@ -815,6 +813,7 @@ PRIORITY: tuple[str, ...] = (
     "mm_decode_jpeg",  # real baseline JPEG codec (DCT+Huffman, operators/jpeg.py)
     "mm_video_frames",  # real AVI/MJPEG demux + per-frame decode (video leg)
     "mm_decode_quarantine",  # dead-letter decode routing (corrupt payloads)
+    "text_warc_extract",  # real per-record-gzip WARC ingestion (CC shape)
     "ann_planted_recall",  # planted-near-dup bound, scaled IVFPQ stack
     "ann_serve_parity",  # stored-index serve == batch operator
     # the two disclosed r10 deferrals (r7 evidence — oldest rows left)
@@ -851,7 +850,6 @@ PRIORITY: tuple[str, ...] = (
     "cdc_latest_state",
     "attribution_first_last",
     "ts_resample_ffill",
-    "winsorize_values",
     "text_pii_scrub",
     "text_tfidf_topk",
     "text_source_quota",
@@ -958,6 +956,7 @@ PRIORITY: tuple[str, ...] = (
     "win_distribution_family",
     "affinity_part_pairs",
     "metric_rolling_active",
+    "winsorize_values",
 )
 
 DRIVER_WINDOW = 50  # observed driver evaluation cap (r1 + r2)
@@ -1005,6 +1004,7 @@ def load_all() -> None:
         streaming_batch,
         temporal,
         textops,
+        warc,
         udfs,
         warehouse,
     )

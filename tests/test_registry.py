@@ -78,6 +78,7 @@ def test_driver_window_covers_every_family():
         "mm_decode_jpeg",  # real baseline JPEG codec
         "mm_video_frames",  # real AVI/MJPEG demux + frame decode
         "mm_decode_quarantine",  # dead-letter decode routing
+        "text_warc_extract",  # WARC ingestion
         "ann_planted_recall", "ann_serve_parity",  # ANN bound queries
         # rows-only by design — window-pinned (can never earn fold
         # evidence under the hash-green rule)
@@ -93,7 +94,6 @@ def test_driver_window_covers_every_family():
         "dedup_connected_groups",
         "win_rank_family", "win_session",  # windows
         "rollup_time_multi", "funnel_conversion",  # aggregates-misc
-        "winsorize_values",
         "join_skew_enrich", "join_asof", "u2_anti_join",  # joins / setop
         "o2_topk_single",  # sort
         "p8_watermark_filter",  # P-family (projection/filter rows)
