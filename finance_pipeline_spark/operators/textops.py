@@ -1753,3 +1753,122 @@ def text_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "familiarity", F.lit("tail").alias("bucket")
     )
     return tiled.unionByName(nulls)
+
+
+_KN_D = 0.75  # the standard absolute-discount constant
+
+
+def _kn_perplexity_oracle() -> str:
+    return f"""
+    WITH clean AS (
+        SELECT doc_id,
+               list_filter({_sql_tokens()}, x -> x <> '') AS toks
+        FROM documents
+    ), clean2 AS (
+        SELECT * FROM clean WHERE len(toks) >= 2
+    ), fanned AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(1, len(toks) - 1)) AS i
+        FROM clean2
+    ), pairs AS (
+        SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2 FROM fanned
+    ), c2 AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS n FROM pairs GROUP BY 1, 2
+    ), c1 AS (
+        SELECT w1, CAST(sum(n) AS BIGINT) AS ctx,
+               CAST(count(*) AS BIGINT) AS kf
+        FROM c2 GROUP BY 1
+    ), n1p AS (
+        SELECT w2, CAST(count(*) AS BIGINT) AS kp FROM c2 GROUP BY 1
+    ), t AS (
+        SELECT CAST(count(*) AS BIGINT) AS t FROM c2
+    ), scored AS (
+        SELECT p.doc_id,
+               CAST(round(ln(
+                 (CAST(c2.n AS DOUBLE) - {_KN_D}) / CAST(c1.ctx AS DOUBLE)
+                 + (({_KN_D} * CAST(c1.kf AS DOUBLE)) / CAST(c1.ctx AS DOUBLE))
+                   * (CAST(n1p.kp AS DOUBLE) / CAST(t.t AS DOUBLE))
+               ), 6) AS DECIMAL(38,6)) AS logp
+        FROM pairs p JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+             JOIN n1p USING (w2), t
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(logp) AS DOUBLE) AS sum_logp,
+           round(exp(-(CAST(sum(logp) AS DOUBLE) / count(*))), 3) AS ppl
+    FROM scored GROUP BY doc_id
+    """
+
+
+@query(
+    "text_kn_perplexity",
+    oracle=lambda: _kn_perplexity_oracle(),
+    tags=("text", "lm", "kn", "quality"),
+)
+def text_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram perplexity per document — the
+    CCNet/KenLM-style quality signal the simple frequency familiarity
+    approximates: P(w2|w1) = max(c(w1,w2)-D, 0)/c(w1) +
+    D·N1+(w1,·)/c(w1) · N1+(·,w2)/T with D = 0.75, scored over the
+    corpus's own bigrams (every pair is seen, so max() never binds and
+    the log argument is always > 0; docs under 2 tokens drop with the
+    shared ``lm_clean`` rule).
+
+    Cross-engine determinism: probabilities are IEEE chains over
+    integer counts written with identical association in both engines;
+    per-instance log-probs round to 6 dp and sum as exact decimals
+    (order-free — the one float summation in the chain is removed, the
+    repo's standing double-aggregation rule). The emitted per-doc
+    aggregate is the EXACT decimal sum cast to double (no second
+    rounding — a round-after-divide differed by one 6th-decimal ulp
+    between the engines' round-on-double implementations on one sf0.1
+    doc); ppl rounds at a coarse 3 dp where that boundary window is
+    negligible.
+
+    Scale shape: the count tables (c2/c1/n1p) grow with bigram TYPES
+    (sub-linear in corpus size) and broadcast onto the pair stream —
+    the instances are scanned, never shuffled, except the final
+    per-doc rollup. c2 is checkpointed once so its three derived
+    tables and the probe join don't re-run the pair explode."""
+    d = load(spark, sf_dir, "documents")
+    pairs = lm_pairs(lm_clean(d)).select(
+        "doc_id", F.col("w1a").alias("w1"), F.col("w2a").alias("w2")
+    )
+    c2 = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    c1 = c2.groupBy("w1").agg(
+        F.sum("n").alias("ctx"), F.count(F.lit(1)).alias("kf")
+    )
+    n1p = c2.groupBy("w2").agg(F.count(F.lit(1)).alias("kp"))
+    t = float(c2.count())
+    p = (
+        (F.col("n").cast("double") - F.lit(_KN_D)) / F.col("ctx").cast("double")
+    ) + (
+        (F.lit(_KN_D) * F.col("kf").cast("double")) / F.col("ctx").cast("double")
+    ) * (F.col("kp").cast("double") / F.lit(t))
+    scored = (
+        pairs.join(F.broadcast(c2), ["w1", "w2"])
+        .join(F.broadcast(c1), "w1")
+        .join(F.broadcast(n1p), "w2")
+        .select(
+            "doc_id",
+            F.round(F.log(p), 6).cast("decimal(38,6)").alias("logp"),
+        )
+    )
+    avg = F.col("sum_lp").cast("double") / F.col("n_bigrams")
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("logp").alias("sum_lp"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.col("sum_lp").cast("double").alias("sum_logp"),
+            F.round(F.exp(-avg), 3).alias("ppl"),
+        )
+    )

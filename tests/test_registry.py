@@ -79,6 +79,7 @@ def test_driver_window_covers_every_family():
         "mm_video_frames",  # real AVI/MJPEG demux + frame decode
         "mm_decode_quarantine",  # dead-letter decode routing
         "text_warc_extract",  # WARC ingestion
+        "text_kn_perplexity",  # Kneser-Ney perplexity
         "ann_planted_recall", "ann_serve_parity",  # ANN bound queries
         # rows-only by design — window-pinned (can never earn fold
         # evidence under the hash-green rule)
@@ -104,7 +105,7 @@ def test_driver_window_covers_every_family():
         "text_dup_spans", "text_dup_scrub", "text_pii_scrub",  # text
         "text_tfidf_topk", "text_source_quota",
         "scd2_order_status", "cdc_latest_state",  # temporal
-        "attribution_first_last", "ts_resample_ffill",
+        "attribution_first_last",
         "grouped_user_gaps",  # sessionization
         "mm_binary_meta",  # multimodal scan
         "a3_affected_rows", "s6_sql_table_scan",  # scan / accounting

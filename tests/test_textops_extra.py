@@ -389,3 +389,57 @@ def test_lm_buckets_tercile_split_and_null_tail(spark, tmp_path):
         assert min(fam["middle"]) >= max(fam["tail"])
     finally:
         textops._LM_VOCAB = old
+
+
+def test_kn_perplexity_matches_hand_computation(spark, tmp_path):
+    """Interpolated KN on a 3-doc corpus, checked against values
+    computed by hand from the definition (D=0.75): P(w2|w1) =
+    (c(w1,w2)-D)/c(w1) + D*N1+(w1,.)/c(w1) * N1+(.,w2)/T."""
+    import math
+
+    from tests.conftest import write_documents
+
+    from finance_pipeline_spark import registry
+
+    rows = [(1, "a b a b"), (2, "a b c"), (3, "x")]  # doc 3 drops (<2 toks)
+    sf = write_documents(tmp_path, rows)
+    got = {
+        r.doc_id: r
+        for r in registry.QUERIES["text_kn_perplexity"].fn(spark, sf).collect()
+    }
+    assert set(got) == {1, 2}
+    # corpus pairs: d1: (a,b)x2, (b,a); d2: (a,b), (b,c)
+    # c2: (a,b)=3, (b,a)=1, (b,c)=1 ; c1: a: ctx=3 kf=1 ; b: ctx=2 kf=2
+    # n1p: b<-{a}:1, a<-{b}:1, c<-{b}:1 ; T=3
+    D = 0.75
+    p_ab = (3 - D) / 3 + (D * 1 / 3) * (1 / 3)
+    p_ba = (1 - D) / 2 + (D * 2 / 2) * (1 / 3)
+    p_bc = (1 - D) / 2 + (D * 2 / 2) * (1 / 3)
+    lp = lambda p: round(math.log(p), 6)  # noqa: E731
+    s1 = lp(p_ab) * 2 + lp(p_ba)
+    s2 = lp(p_ab) + lp(p_bc)
+    assert got[1].n_bigrams == 3 and got[2].n_bigrams == 2
+    assert abs(got[1].sum_logp - s1) < 1e-9
+    assert abs(got[2].sum_logp - s2) < 1e-9
+    assert abs(got[1].ppl - round(math.exp(-s1 / 3), 3)) < 1e-9
+    assert abs(got[2].ppl - round(math.exp(-s2 / 2), 3)) < 1e-9
+
+
+def test_kn_perplexity_flags_gibberish_higher(spark, tmp_path):
+    """The quality-signal property: rare-transition docs score higher
+    perplexity than docs made of the corpus's common transitions."""
+    import random
+
+    from tests.conftest import write_documents
+
+    from finance_pipeline_spark import registry
+
+    rng = random.Random(31)
+    common = [(i, "the quick brown fox jumps over the lazy dog " * 3) for i in range(20)]
+    gibber = [(100, " ".join(rng.choice("qzxjvkw") * 3 for _ in range(12)))]
+    sf = write_documents(tmp_path, common + gibber)
+    got = {
+        r.doc_id: r.ppl
+        for r in registry.QUERIES["text_kn_perplexity"].fn(spark, sf).collect()
+    }
+    assert got[100] > 2 * got[0], got
