@@ -413,6 +413,82 @@ class CorpusLmIndex:
             )
         return self._score_against(uni, bi, batch)
 
+    def perplexity(self, batch: DataFrame) -> DataFrame:
+        """Interpolated Kneser-Ney bigram perplexity of NEW docs
+        against the STORED corpus counts — the streaming/serving form
+        of ``text_kn_perplexity`` (same D = 0.75, same decimal-sum
+        rounding chain; parity-pinned ROW-IDENTICAL when the probe
+        equals the stored corpus). KN counts are lang-POOLED, matching
+        the batch operator's full-corpus model.
+
+        Unseen events (a probe can contain words the corpus never
+        saw) back off deterministically: unseen pair → discounted
+        term 0, interpolation weight still applies; unseen CONTEXT →
+        pure continuation probability; unseen continuation word →
+        half-count floor 0.5/T (so log is always finite). Every branch
+        is a documented constant, not a runtime fallback.
+
+        Scale shape: identical to the batch operator — TYPE-sized
+        count tables broadcast onto the probe's pair stream; the
+        stored corpus is never rescanned (counts come from the folded
+        delta tables)."""
+        bi = self._folded_bi()
+        if bi is None:
+            raise ValueError(
+                "CorpusLmIndex.perplexity on an empty index — add() a "
+                "corpus first"
+            )
+        kn_d = textops._KN_D
+        c2 = (
+            bi.groupBy("w1", "w2")
+            .agg(F.sum("n").alias("n"))
+            .localCheckpoint(eager=True)
+        )
+        c1 = c2.groupBy("w1").agg(
+            F.sum("n").alias("ctx"), F.count(F.lit(1)).alias("kf")
+        )
+        n1p = c2.groupBy("w2").agg(F.count(F.lit(1)).alias("kp"))
+        t = float(c2.count())
+        pairs = lm_pairs(lm_clean(batch.select("doc_id", "text"))).select(
+            "doc_id", F.col("w1a").alias("w1"), F.col("w2a").alias("w2")
+        )
+        j = (
+            pairs.join(F.broadcast(c2), ["w1", "w2"], "left")
+            .join(F.broadcast(c1), "w1", "left")
+            .join(F.broadcast(n1p), "w2", "left")
+        )
+        pcont = F.coalesce(F.col("kp").cast("double"), F.lit(0.5)) / F.lit(t)
+        # greatest() is a no-op on the seen path ((n-D)/ctx, n >= 1),
+        # so probe == corpus reproduces the operator bit-for-bit
+        p_seen = (
+            F.greatest(
+                F.coalesce(F.col("n").cast("double"), F.lit(0.0)) - F.lit(kn_d),
+                F.lit(0.0),
+            )
+            / F.col("ctx").cast("double")
+        ) + (
+            (F.lit(kn_d) * F.col("kf").cast("double"))
+            / F.col("ctx").cast("double")
+        ) * pcont
+        p = F.when(F.col("ctx").isNotNull(), p_seen).otherwise(pcont)
+        scored = j.select(
+            "doc_id", F.round(F.log(p), 6).cast("decimal(38,6)").alias("logp")
+        )
+        avg = F.col("sum_lp").cast("double") / F.col("n_bigrams")
+        return (
+            scored.groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_bigrams"),
+                F.sum("logp").alias("sum_lp"),
+            )
+            .select(
+                "doc_id",
+                "n_bigrams",
+                F.col("sum_lp").cast("double").alias("sum_logp"),
+                F.round(F.exp(-avg), 3).alias("ppl"),
+            )
+        )
+
     def screen_before(self, batch: DataFrame) -> DataFrame | None:
         """``familiarity`` for a batch that will subsequently be
         ``add``-ed — scores against the stored corpus EXCLUDING this
