@@ -101,6 +101,14 @@ def corpus_main(argv: list[str]) -> int:
     p.add_argument("--out", default=None, help="scores parquet dir (optional)")
 
     p = sub.add_parser(
+        "lm-ppl",
+        help="Kneser-Ney perplexity of a batch vs the stored corpus LM",
+    )
+    p.add_argument("--index", required=True)
+    p.add_argument("--input", required=True)
+    p.add_argument("--out", default=None, help="scores parquet dir (optional)")
+
+    p = sub.add_parser(
         "ann-build",
         help="train + encode a stored IVFPQ vector index over a corpus",
     )
@@ -207,6 +215,33 @@ def corpus_main(argv: list[str]) -> int:
                 {
                     "scored": counts["n"],
                     "unfamiliar": counts["n_unfamiliar"],
+                    "out": args.out,
+                }
+            )
+        )
+        return 0
+    if args.cmd == "lm-ppl":
+        from pyspark.sql import functions as F
+
+        from finance_pipeline_spark.pipelines.lm_index import CorpusLmIndex
+
+        scores = CorpusLmIndex(spark, args.index).perplexity(
+            spark.read.parquet(args.input)
+        )
+        if args.out:
+            scores.write.mode("overwrite").parquet(args.out)
+            scores = spark.read.parquet(args.out)
+        agg = scores.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("ppl"), 3).alias("mean_ppl"),
+            F.round(F.max("ppl"), 3).alias("max_ppl"),
+        ).collect()[0]
+        print(
+            json.dumps(
+                {
+                    "scored": agg["n"],
+                    "mean_ppl": agg["mean_ppl"],
+                    "max_ppl": agg["max_ppl"],
                     "out": args.out,
                 }
             )
