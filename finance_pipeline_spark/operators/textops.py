@@ -1872,3 +1872,107 @@ def text_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.exp(-avg), 3).alias("ppl"),
         )
     )
+
+
+@query(
+    "text_url_canonicalize",
+    # The fixture assembles a deliberately MESSY url per document
+    # (upper-cased scheme/host, scheme-default or explicit ports,
+    # shuffled query params, utm_* tracking params, fragments) from
+    # deterministic parts; the operator must recover the canonical
+    # form BY PARSING THE STRING, while the oracle derives the same
+    # canonical form from the ground-truth parts — so any parse bug
+    # (port/default-port logic, param sort, tracking strip, fragment
+    # cut, case rules) hash-mismatches. Paths stay case-sensitive per
+    # RFC 3986; only scheme and host lowercase.
+    oracle="""
+    WITH b AS (
+        SELECT doc_id, source,
+               octet_length(encode(coalesce(text, ''))) AS n
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN n % 2 = 0 THEN 'http' ELSE 'https' END
+           || '://www.' || source || '.example.com'
+           || CASE WHEN n % 4 = 2 THEN ':8080' ELSE '' END
+           || '/D/' || CAST(doc_id AS VARCHAR)
+           || '?id=' || CAST(doc_id AS VARCHAR) || '&ref=home'
+             AS canon_url,
+           CAST(n % 4 = 2 AS BOOLEAN) AS kept_port,
+           CAST(1 AS BIGINT) AS n_tracking_stripped
+    FROM b
+    """,
+    tags=("text", "url"),
+)
+def text_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization — the precursor to URL-level dedup and
+    host-level quotas: lowercase scheme+host, drop scheme-default
+    ports (80/http, 443/https; explicit non-defaults kept), strip
+    ``utm_*`` tracking params, sort the surviving query params, cut
+    fragments, keep the path verbatim (case-sensitive per RFC 3986).
+    Entirely JVM expressions (regexp_extract + array ops) — no UDF, no
+    shuffle; at 100 TB this is a free map stage in the scan."""
+    d = load(spark, sf_dir, "documents")
+    n = F.octet_length(F.encode(F.coalesce("text", F.lit("")), "UTF-8"))
+    messy = F.concat(
+        F.when(n % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https")),
+        F.lit("://WWW."),
+        F.col("source"),
+        F.lit(".ExAmple.COM"),
+        F.when(n % 4 == 0, F.lit(":80"))
+        .when(n % 4 == 1, F.lit(":443"))
+        .when(n % 4 == 2, F.lit(":8080"))
+        .otherwise(F.lit("")),
+        F.lit("/D/"),
+        F.col("doc_id").cast("string"),
+        F.when(
+            n % 2 == 0,
+            F.concat(
+                F.lit("?ref=home&id="),
+                F.col("doc_id").cast("string"),
+                F.lit("&utm_source=feed"),
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit("?utm_source=feed&id="),
+                F.col("doc_id").cast("string"),
+                F.lit("&ref=home"),
+            )
+        ),
+        F.lit("#s"),
+        (n % 5).cast("string"),
+    )
+    u = d.select("doc_id", messy.alias("url"))
+    scheme = F.lower(F.regexp_extract("url", r"^([A-Za-z]+)://", 1))
+    hostport = F.regexp_extract("url", r"^[A-Za-z]+://([^/?#]+)", 1)
+    host = F.lower(F.split(hostport, ":")[0])
+    port = F.regexp_extract(hostport, r":(\d+)$", 1)
+    path = F.regexp_extract("url", r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
+    qs = F.regexp_extract("url", r"\?([^#]*)", 1)
+    params = F.filter(
+        F.split(qs, "&"),
+        lambda p: (p != F.lit("")) & ~p.startswith("utm_"),
+    )
+    n_tracked = F.size(F.split(qs, "&")) - F.size(params)
+    kept = ~(
+        ((scheme == F.lit("http")) & (port == F.lit("80")))
+        | ((scheme == F.lit("https")) & (port == F.lit("443")))
+        | (port == F.lit(""))
+    )
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(kept, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path,
+        F.when(
+            F.size(params) > 0,
+            F.concat(F.lit("?"), F.array_join(F.sort_array(params), "&")),
+        ).otherwise(F.lit("")),
+    )
+    return u.select(
+        "doc_id",
+        canon.alias("canon_url"),
+        kept.alias("kept_port"),
+        n_tracked.cast("bigint").alias("n_tracking_stripped"),
+    )

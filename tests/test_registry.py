@@ -80,6 +80,7 @@ def test_driver_window_covers_every_family():
         "mm_decode_quarantine",  # dead-letter decode routing
         "text_warc_extract",  # WARC ingestion
         "text_kn_perplexity",  # Kneser-Ney perplexity
+        "text_url_canonicalize",  # URL canonicalization
         "ann_planted_recall", "ann_serve_parity",  # ANN bound queries
         # rows-only by design — window-pinned (can never earn fold
         # evidence under the hash-green rule)
@@ -105,7 +106,6 @@ def test_driver_window_covers_every_family():
         "text_dup_spans", "text_dup_scrub", "text_pii_scrub",  # text
         "text_tfidf_topk", "text_source_quota",
         "scd2_order_status", "cdc_latest_state",  # temporal
-        "attribution_first_last",
         "grouped_user_gaps",  # sessionization
         "mm_binary_meta",  # multimodal scan
         "a3_affected_rows", "s6_sql_table_scan",  # scan / accounting
