@@ -520,3 +520,45 @@ def test_mm_decode_quarantine_routes_corrupt_payloads(spark, sf_dir):
         else:
             assert r.ok and r.err is None and r.width == 3 + n % 9
     assert 0 < n_bad < len(docs)
+
+
+def test_codec_round_trips_hypothesis():
+    """Property (hypothesis): PNG (all color types + palette) and WAV
+    round-trip arbitrary rasters/samples bit-exactly at arbitrary
+    small shapes."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from finance_pipeline_spark.operators.multimodal import (
+        decode_png,
+        decode_wav,
+        encode_png,
+        encode_wav,
+    )
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        st.integers(1, 11), st.integers(1, 11),
+        st.sampled_from([1, 3, 4]), st.integers(0, 2**32 - 1),
+    )
+    def png_prop(h, w, ch, seed):
+        rng = np.random.default_rng(seed)
+        a = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+        w2, h2, b = decode_png(encode_png(a))
+        assert (w2, h2) == (w, h) and np.array_equal(a, b)
+
+    @settings(max_examples=20, deadline=None)
+    @given(st.integers(1, 9), st.integers(1, 400), st.integers(0, 2**32 - 1))
+    def wav_prop(npal, n, seed):
+        rng = np.random.default_rng(seed)
+        pal = rng.integers(0, 256, (npal, 3), dtype=np.uint8)
+        idx = rng.integers(0, npal, (5, 4), dtype=np.uint8)
+        _, _, out = decode_png(encode_png(idx, palette=pal))
+        assert np.array_equal(out, pal[idx])
+        s = rng.integers(-32768, 32768, n).astype("<i2")
+        rate, ch, got = decode_wav(encode_wav(s, 8000))
+        assert np.array_equal(s, got)
+
+    png_prop()
+    wav_prop()

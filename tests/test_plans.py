@@ -256,3 +256,13 @@ def test_classifier_scoring_is_single_scan_codegen(spark):
     plan = plan_of(spark, "text_quality_classifier")
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_kn_perplexity_joins_are_all_broadcast(spark):
+    """text_kn_perplexity's count tables (c2/c1/n1p) grow with bigram
+    TYPES, so every join against the corpus-sized pair stream must be
+    a broadcast — the instances shuffle only through the final per-doc
+    rollup (and the bounded count aggregations)."""
+    plan = plan_of(spark, "text_kn_perplexity")
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -82,3 +82,34 @@ def test_warc_extract_end_to_end(spark, sf_dir):
     assert r.url == f"http://{src}.example.com/doc/{did}"
     assert r.http_status == 200
     assert r.n_bytes == len(("" if text is None else text).encode("utf-8"))
+
+
+def test_warc_framing_is_binary_safe_hypothesis():
+    """Property (hypothesis): Content-Length framing must round-trip
+    ANY payload bytes — including payloads that themselves contain
+    record separators (b'\\r\\n\\r\\n'), WARC version lines, and gzip
+    magic — in both plain and per-record-gzip layouts."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    payloads = st.lists(
+        st.binary(min_size=0, max_size=200), min_size=1, max_size=4
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(payloads, st.booleans())
+    def prop(bodies, gz):
+        recs = [
+            ("response", {"WARC-Target-URI": f"http://h/doc/{i}"}, b)
+            for i, b in enumerate(bodies)
+        ]
+        out = parse_warc(build_warc(recs, gzip_members=gz))
+        assert [r["payload"] for r in out] == bodies
+
+    # adversarial seeds the generator should also cover explicitly
+    for tricky in (b"\r\n\r\n", b"WARC/1.0\r\n", b"\x1f\x8b\x08", b""):
+        out = parse_warc(
+            build_warc([("response", {}, tricky)], gzip_members=True)
+        )
+        assert out[0]["payload"] == tricky
+    prop()
