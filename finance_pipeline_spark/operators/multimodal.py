@@ -789,6 +789,11 @@ _JPEG_MEAN_SHIFT_LIMIT = 1.5  # DC path preserves the mean (measured max 0.41)
     FROM b
     """,
     tags=("multimodal", "udf", "jpeg"),
+    # NOT a bench entry: at sf0.1 the pure-Python codec pair costs
+    # ~15 s (measured, ~60% of it the fixture ENCODER) — a headline
+    # total should track engine plans, not a disclosed
+    # thumbnail-scale reference codec. Throughput evidence lives in
+    # the per-round oracle timings instead.
 )
 def mm_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode/feature-extract over LOSSY compressed image payloads:

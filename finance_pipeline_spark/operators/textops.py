@@ -1804,6 +1804,7 @@ def _kn_perplexity_oracle() -> str:
     "text_kn_perplexity",
     oracle=lambda: _kn_perplexity_oracle(),
     tags=("text", "lm", "kn", "quality"),
+    bench=True,
 )
 def text_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated Kneser-Ney bigram perplexity per document — the
