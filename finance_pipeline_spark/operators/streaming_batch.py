@@ -638,3 +638,123 @@ def stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.catalog.dropTempView(name)
     # Sentinel sessions drop here, AFTER the drain (see note above).
     return out.filter(F.col("user_id") >= 0)
+
+
+@query(
+    "stream_decode_quarantine",
+    # Per-source totals of the dead-letter decode, computed by a TRUE
+    # streaming run (readStream -> mapInPandas codec kernel ->
+    # complete-mode aggregate, drained synchronously) and checked
+    # against plain batch SQL: which docs quarantine (n%7==0 planted
+    # corruption) and the exact width-sum of the good decodes are both
+    # deterministic functions of the text bytes.
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n % 7 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_ok,
+           CAST(sum(CASE WHEN n % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_quarantined,
+           CAST(sum(CASE WHEN n % 7 <> 0 THEN 3 + (n % 9) ELSE 0 END)
+                AS BIGINT) AS sum_width
+    FROM (
+        SELECT source,
+               octet_length(encode(coalesce(text, ''))) AS n
+        FROM documents
+    )
+    GROUP BY source
+    """,
+    tags=("streaming", "multimodal", "quarantine", "udf"),
+)
+def stream_decode_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING multimodal ingest with dead-letter routing — the
+    composition a real pipeline runs: documents arrive as a file
+    stream, each micro-batch synthesizes/decodes real PNG payloads
+    through the same Arrow-batched kernel as ``mm_decode_quarantine``
+    (every n%7==0 payload corrupted in-flight), corrupt rows route to
+    quarantine counts instead of failing the stream, and a
+    complete-mode aggregate tracks per-source ok/quarantined totals.
+    The decode kernel is STATELESS (mapInPandas on an unbounded
+    stream is legal and scales per-partition); only the final count
+    aggregate holds state, bounded by |sources|."""
+    from pathlib import Path
+
+    import pandas as pd
+
+    from finance_pipeline_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    load(spark, sf_dir, "documents")  # pins session confs
+    stage = (
+        Path(__file__).resolve().parents[2]
+        / ".cache" / "stream" / Path(sf_dir).name / "docs"
+    )
+    stage.mkdir(parents=True, exist_ok=True)
+    _stage_file(f"{sf_dir}/documents.parquet", stage / "documents.parquet")
+    stream = (
+        spark.readStream.schema(
+            "doc_id bigint, text string, lang string, source string, "
+            "n_chars bigint"
+        )
+        .option("recursiveFileLookup", "true")
+        .parquet(str(stage))
+    )
+
+    def kernel(it):
+        import numpy as np
+
+        for pdf in it:
+            rows = {"source": [], "ok": [], "width": []}
+            for src, t in zip(pdf["source"], pdf["text"]):
+                tb = ("" if t is None else t).encode("utf-8")
+                n = len(tb)
+                w, h = 3 + n % 9, 3 + (n * 5) % 7
+                ch = (1, 3, 4)[n % 3]
+                need = w * h * ch
+                body = (tb * (-(-need // n)))[:need] if n else bytes(need)
+                arr = np.frombuffer(body, dtype=np.uint8).reshape(h, w, ch)
+                payload = bytearray(encode_png(arr))
+                if n % 7 == 0:
+                    payload[41] ^= 0xFF
+                rows["source"].append(src)
+                try:
+                    w2, _, _ = decode_png(bytes(payload))
+                    rows["ok"].append(True)
+                    rows["width"].append(w2)
+                except ValueError:
+                    rows["ok"].append(False)
+                    rows["width"].append(0)
+            yield pd.DataFrame(rows)
+
+    decoded = stream.select("source", "text").mapInPandas(
+        kernel, "source string, ok boolean, width int"
+    )
+    agg = decoded.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("ok").cast("bigint")).alias("n_ok"),
+        F.sum((~F.col("ok")).cast("bigint")).alias("n_quarantined"),
+        F.sum(F.when(F.col("ok"), F.col("width")).otherwise(0))
+        .cast("bigint")
+        .alias("sum_width"),
+    )
+    name = "stream_decode_quarantine_sink"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out

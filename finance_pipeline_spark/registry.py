@@ -287,8 +287,8 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
             # the two disclosed r10 deferrals (r7 driver evidence — the
             # oldest rows left)
             "ann_pq_topk", "ann_ivfpq_topk",
-            # 31 of the 46-member r8-evidence cohort (rotated out r9,
-            # never back since — the oldest bulk evidence); the 15
+            # 30 of the 46-member r8-evidence cohort (rotated out r9,
+            # never back since — the oldest bulk evidence); the 16
             # deferred to r12, each with same-family coverage still
             # in-window: ann_ivf_multiprobe, ann_ivfpq_multiprobe,
             # ann_ivfpq_rerank (ANN keeps 6 reps), dedup_connected_star
@@ -298,9 +298,10 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
             # hist_value_buckets + affinity_part_pairs +
             # metric_rolling_active + winsorize_values (agg family
             # keeps 5 reps in), ts_moving_features + ts_resample_ffill
-            # + attribution_first_last (scd2/cdc in)
+            # + attribution_first_last (scd2/cdc in),
+            # dedup_dropped_accounting (5 dedup reps in)
             "dedup_minhash_lsh", "dedup_chunk_minhash",
-            "dedup_bloom_screen", "dedup_dropped_accounting",
+            "dedup_bloom_screen",
             "dedup_connected_groups", "text_dup_spans", "text_dup_scrub",
             "emb_outlier_prune", "d4_custom_format_parse",
             "rollup_time_multi", "funnel_conversion", "win_rank_family",
@@ -319,6 +320,7 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
             "text_warc_extract",  # real per-record-gzip WARC ingestion
             "text_kn_perplexity",  # Kneser-Ney perplexity (KenLM shape)
             "text_url_canonicalize",  # URL canonicalization
+            "stream_decode_quarantine",  # streaming dead-letter ingest
             "ann_planted_recall",  # planted-near-dup bound over the
             # scaled IVFPQ stack (r10 verdict item 2)
             "ann_serve_parity",  # serve==batch row identity, driver-
@@ -816,6 +818,7 @@ PRIORITY: tuple[str, ...] = (
     "text_warc_extract",  # real per-record-gzip WARC ingestion (CC shape)
     "text_kn_perplexity",  # interpolated Kneser-Ney bigram perplexity
     "text_url_canonicalize",  # URL canonicalization (url-dedup precursor)
+    "stream_decode_quarantine",  # STREAMING dead-letter codec ingest
     "ann_planted_recall",  # planted-near-dup bound, scaled IVFPQ stack
     "ann_serve_parity",  # stored-index serve == batch operator
     # the two disclosed r10 deferrals (r7 evidence — oldest rows left)
@@ -827,7 +830,6 @@ PRIORITY: tuple[str, ...] = (
     "dedup_minhash_lsh",
     "dedup_chunk_minhash",
     "dedup_bloom_screen",
-    "dedup_dropped_accounting",
     "dedup_connected_groups",
     "text_dup_spans",
     "text_dup_scrub",
@@ -959,6 +961,7 @@ PRIORITY: tuple[str, ...] = (
     "winsorize_values",
     "ts_resample_ffill",
     "attribution_first_last",
+    "dedup_dropped_accounting",
 )
 
 DRIVER_WINDOW = 50  # observed driver evaluation cap (r1 + r2)

@@ -81,6 +81,7 @@ def test_driver_window_covers_every_family():
         "text_warc_extract",  # WARC ingestion
         "text_kn_perplexity",  # Kneser-Ney perplexity
         "text_url_canonicalize",  # URL canonicalization
+        "stream_decode_quarantine",  # streaming dead-letter ingest
         "ann_planted_recall", "ann_serve_parity",  # ANN bound queries
         # rows-only by design — window-pinned (can never earn fold
         # evidence under the hash-green rule)
@@ -92,7 +93,7 @@ def test_driver_window_covers_every_family():
         # r11 re-earns one-plus representative of every family via the
         # r8-evidence cohort (ROTATION_LOG r11): anchors spot-checked
         "dedup_minhash_lsh", "dedup_chunk_minhash",  # dedup
-        "dedup_bloom_screen", "dedup_dropped_accounting",
+        "dedup_bloom_screen",
         "dedup_connected_groups",
         "win_rank_family", "win_session",  # windows
         "rollup_time_multi", "funnel_conversion",  # aggregates-misc
