@@ -687,9 +687,13 @@ def stream_decode_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     load(spark, sf_dir, "documents")  # pins session confs
+    # SIBLING of the events staging dir, never inside it: the events
+    # stream source lists its dir with recursiveFileLookup, so a
+    # nested documents.parquet would pollute every events stream query
+    # (caught by the full-gate run that first hit both).
     stage = (
         Path(__file__).resolve().parents[2]
-        / ".cache" / "stream" / Path(sf_dir).name / "docs"
+        / ".cache" / "stream_docs" / Path(sf_dir).name
     )
     stage.mkdir(parents=True, exist_ok=True)
     _stage_file(f"{sf_dir}/documents.parquet", stage / "documents.parquet")
