@@ -441,3 +441,53 @@ def test_python_datasource_stream_offsets_survive_backfill(spark, tmp_path):
     payload("2024-01-04", {"JPY": 157.2})
     second = drain()
     assert {(r.currency, r.exchange_rate) for r in second} == {("JPY", 157.2)}
+
+
+def test_stream_decode_quarantine_matches_batch_and_keeps_events_clean(
+    spark, sf_dir
+):
+    """The streaming dead-letter decode's per-source totals equal the
+    batch ground truth, AND running it must not pollute the EVENTS
+    stream staging dir (regression: the first version staged
+    documents.parquet inside it, and recursiveFileLookup fed the
+    mismatched file to every events stream query)."""
+    from pyspark.sql import functions as F
+
+    rows = {
+        r.source: r
+        for r in registry.QUERIES["stream_decode_quarantine"].fn(spark, sf_dir).collect()
+    }
+    truth = {
+        r.source: r
+        for r in registry.load(spark, sf_dir, "documents")
+        .select(
+            "source",
+            F.octet_length(F.encode(F.coalesce("text", F.lit("")), "UTF-8")).alias("n"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("n") % 7 != 0).cast("bigint")).alias("n_ok"),
+            F.sum((F.col("n") % 7 == 0).cast("bigint")).alias("n_q"),
+        )
+        .collect()
+    }
+    assert set(rows) == set(truth)
+    for s, t in truth.items():
+        r = rows[s]
+        assert (r.n_docs, r.n_ok, r.n_quarantined) == (t.n_docs, t.n_ok, t.n_q)
+        assert r.n_quarantined > 0  # the planted corruption is exercised
+
+    # events streaming query still bit-equal to its batch form
+    ev = {
+        (r.event_type,): r.n_events
+        for r in registry.QUERIES["stream_dedup"].fn(spark, sf_dir).collect()
+    }
+    batch = {
+        (r.event_type,): r.n
+        for r in registry.load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert ev == batch
