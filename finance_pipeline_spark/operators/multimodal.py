@@ -475,30 +475,48 @@ def decode_png(payload: bytes):
     return w, h, out.reshape(h, w, ch)
 
 
+def png_fixture_payload(text: str | None, corrupt_mod: int = 0) -> bytes:
+    """ONE copy of the PNG fixture rule shared by ``mm_decode_png``,
+    ``mm_decode_quarantine``, and the streaming quarantine ingest
+    (three kernels each carrying the formula would drift): dims and
+    color type derive from the text length (w = 3+n%9, h = 3+5n%7,
+    ch cycles gray/RGB/RGBA by n%3), raster bytes are the UTF-8 bytes
+    cycled to fill, and the default ``y % 5`` filter schedule makes
+    the decoder undo every filter type. With ``corrupt_mod`` > 0,
+    every n % corrupt_mod == 0 document's first IDAT data byte is
+    flipped (offset 41 = signature 8 + IHDR chunk 25 + chunk header 8
+    — our fixture writer emits no chunk before IDAT) — the planted
+    dead-letter corruption, deterministic so oracles know which rows
+    quarantine."""
+    import numpy as np
+
+    tb = ("" if text is None else text).encode("utf-8")
+    n = len(tb)
+    w, h = 3 + n % 9, 3 + (n * 5) % 7
+    ch = (1, 3, 4)[n % 3]
+    need = w * h * ch
+    body = (tb * (-(-need // n)))[:need] if n else bytes(need)
+    arr = np.frombuffer(body, dtype=np.uint8).reshape(h, w, ch)
+    payload = encode_png(arr)
+    if corrupt_mod and n % corrupt_mod == 0:
+        mut = bytearray(payload)
+        mut[41] ^= 0xFF
+        payload = bytes(mut)
+    return payload
+
+
 def with_png_payload(df: DataFrame) -> DataFrame:
-    """Synthesize a REAL zlib-compressed PNG per document — dimensions
-    and color type derive from the text length (so the corpus spans
-    gray/RGB/RGBA and many header shapes), raster bytes are the
-    document's UTF-8 bytes cycled to fill (w, h, ch), and the default
-    per-row ``y % 5`` filter schedule makes the decoder undo every
-    filter type. Fixture generator, not the codec under test."""
+    """Synthesize a REAL zlib-compressed PNG per document (the shared
+    ``png_fixture_payload`` rule). Fixture generator, not the codec
+    under test."""
 
     def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
         for pdf in it:
-            payloads = []
-            for t in pdf["text"]:
-                tb = ("" if t is None else t).encode("utf-8")
-                n = len(tb)
-                w, h = 3 + n % 9, 3 + (n * 5) % 7
-                ch = (1, 3, 4)[n % 3]
-                need = w * h * ch
-                body = (tb * (-(-need // n)))[:need] if n else bytes(need)
-                arr = np.frombuffer(body, dtype=np.uint8).reshape(h, w, ch)
-                payloads.append(encode_png(arr))
             yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "payload": [png_fixture_payload(t) for t in pdf["text"]],
+                }
             )
 
     return df.select("doc_id", "text").mapInPandas(
@@ -1121,19 +1139,10 @@ def mm_decode_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "height": [], "mean_intensity": [], "err": [],
             }
             for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
-                tb = ("" if t is None else t).encode("utf-8")
-                n = len(tb)
-                w, h = 3 + n % 9, 3 + (n * 5) % 7
-                ch = (1, 3, 4)[n % 3]
-                need = w * h * ch
-                body = (tb * (-(-need // n)))[:need] if n else bytes(need)
-                arr = np.frombuffer(body, dtype=np.uint8).reshape(h, w, ch)
-                payload = bytearray(encode_png(arr))
-                if n % 7 == 0:  # the planted corruption
-                    payload[41] ^= 0xFF  # first IDAT data byte
+                payload = png_fixture_payload(t, corrupt_mod=7)
                 rows["doc_id"].append(int(doc_id))
                 try:
-                    w2, h2, out = decode_png(bytes(payload))
+                    w2, h2, out = decode_png(payload)
                     rows["ok"].append(True)
                     rows["width"].append(w2)
                     rows["height"].append(h2)

@@ -681,10 +681,7 @@ def stream_decode_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pandas as pd
 
-    from finance_pipeline_spark.operators.multimodal import (
-        decode_png,
-        encode_png,
-    )
+    from finance_pipeline_spark.operators.multimodal import decode_png
 
     load(spark, sf_dir, "documents")  # pins session confs
     # SIBLING of the events staging dir, never inside it: the events
@@ -707,24 +704,17 @@ def stream_decode_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def kernel(it):
-        import numpy as np
+        from finance_pipeline_spark.operators.multimodal import (
+            png_fixture_payload,
+        )
 
         for pdf in it:
             rows = {"source": [], "ok": [], "width": []}
             for src, t in zip(pdf["source"], pdf["text"]):
-                tb = ("" if t is None else t).encode("utf-8")
-                n = len(tb)
-                w, h = 3 + n % 9, 3 + (n * 5) % 7
-                ch = (1, 3, 4)[n % 3]
-                need = w * h * ch
-                body = (tb * (-(-need // n)))[:need] if n else bytes(need)
-                arr = np.frombuffer(body, dtype=np.uint8).reshape(h, w, ch)
-                payload = bytearray(encode_png(arr))
-                if n % 7 == 0:
-                    payload[41] ^= 0xFF
+                payload = png_fixture_payload(t, corrupt_mod=7)
                 rows["source"].append(src)
                 try:
-                    w2, _, _ = decode_png(bytes(payload))
+                    w2, _, _ = decode_png(payload)
                     rows["ok"].append(True)
                     rows["width"].append(w2)
                 except ValueError:

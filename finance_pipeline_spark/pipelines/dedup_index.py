@@ -274,7 +274,7 @@ class CorpusDedupIndex:
         from finance_pipeline_spark.operators.dedup import _BLOOM_BITS
 
         out = None
-        for _ in range(5):  # re-splits are rare; >1 flip mid-read ≈ never
+        for attempt in range(5):  # re-splits are rare; >1 flip ≈ never
             n_ranges, gen = self._read_bloom_meta()
             out = np.zeros((n_ranges, _BLOOM_BITS >> 6), dtype=np.int64)
             stored = self.bloom.read()
@@ -288,7 +288,20 @@ class CorpusDedupIndex:
                 for row in folded:
                     out[row["range_idx"], row["word_idx"]] = row["word"]
             if self._read_bloom_meta() == (n_ranges, gen):
-                break
+                return out
+        from finance_pipeline_spark.logging_utils import get_logger
+
+        get_logger().warning(
+            "CorpusDedupIndex bloom read saw the routing generation flip "
+            "%d times in a row — returning the last complete fold. Its "
+            "routing is internally consistent but may be one generation "
+            "stale, which equals a screen that ran just before the flip "
+            "(the re-split rebuilds the new generation from ALL pre-flip "
+            "digests, so the stale bitmap covers the same corpus) — the "
+            "standing point-in-time screen semantics, not a new failure "
+            "mode.",
+            5,
+        )
         return out
 
     def screen(self, batch: DataFrame) -> DataFrame:
@@ -580,6 +593,15 @@ class CorpusDedupIndex:
                 break
             n_ranges, gen = n2, g2
             n_bloom = self._merge_bloom_delta(batch, n_ranges, gen)
+        else:
+            from finance_pipeline_spark.logging_utils import get_logger
+
+            get_logger().warning(
+                "CorpusDedupIndex.add saw 8 routing-generation flips "
+                "during one batch — bloom delta may be tagged one "
+                "generation stale; re-run add() (idempotent) or the "
+                "next optimize()'s re-split rebuild covers it"
+            )
         return {
             "digests_inserted": dg_stats.inserted,
             "bands_inserted": band_stats.inserted,

@@ -562,3 +562,75 @@ def test_codec_round_trips_hypothesis():
 
     png_prop()
     wav_prop()
+
+
+def test_codecs_decode_real_files_via_binaryfile_source(spark, tmp_path):
+    """The deployment claim made concrete: PNG/JPEG/WAV files written
+    to disk, read back through Spark's ``binaryFile`` source, and
+    decoded by the same kernels — no fixture synthesis in the loop,
+    the payloads come from the filesystem like a real corpus's."""
+    import numpy as np
+    import pandas as pd
+
+    from finance_pipeline_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from finance_pipeline_spark.operators.multimodal import (
+        decode_png,
+        decode_wav,
+        encode_png,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(17)
+    d = tmp_path / "blobs"
+    d.mkdir()
+    truth = {}
+    for i in range(6):
+        arr = rng.integers(0, 256, (6 + i, 5 + i, 3), dtype=np.uint8)
+        (d / f"img_{i}.png").write_bytes(encode_png(arr))
+        truth[f"img_{i}.png"] = ("png", arr.shape)
+        (d / f"img_{i}.jpg").write_bytes(encode_jpeg(arr, quality=90))
+        truth[f"img_{i}.jpg"] = ("jpg", arr.shape)
+        s = rng.integers(-32768, 32768, 50 + i).astype("<i2")
+        (d / f"clip_{i}.wav").write_bytes(encode_wav(s, 8000))
+        truth[f"clip_{i}.wav"] = ("wav", (len(s),))
+
+    files = spark.read.format("binaryFile").load(str(d))
+
+    def kernel(it):
+        for pdf in it:
+            rows = {"name": [], "kind": [], "dim0": [], "dim1": []}
+            for path, content in zip(pdf["path"], pdf["content"]):
+                name = path.rsplit("/", 1)[1]
+                b = bytes(content)
+                if name.endswith(".png"):
+                    w, h, _ = decode_png(b)
+                    rows["kind"].append("png")
+                    rows["dim0"].append(h)
+                    rows["dim1"].append(w)
+                elif name.endswith(".jpg"):
+                    w, h, _ = decode_jpeg(b)
+                    rows["kind"].append("jpg")
+                    rows["dim0"].append(h)
+                    rows["dim1"].append(w)
+                else:
+                    _, _, samples = decode_wav(b)
+                    rows["kind"].append("wav")
+                    rows["dim0"].append(len(samples))
+                    rows["dim1"].append(0)
+                rows["name"].append(name)
+            yield pd.DataFrame(rows)
+
+    got = {
+        r.name: (r.kind, r.dim0, r.dim1)
+        for r in files.select("path", "content")
+        .mapInPandas(kernel, "name string, kind string, dim0 int, dim1 int")
+        .collect()
+    }
+    assert set(got) == set(truth)
+    for name, (kind, shape) in truth.items():
+        k, d0, d1 = got[name]
+        assert k == kind
+        if kind == "wav":
+            assert d0 == shape[0]
+        else:
+            assert (d0, d1) == (shape[0], shape[1])
