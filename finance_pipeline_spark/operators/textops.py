@@ -1830,7 +1830,16 @@ def text_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sub-linear in corpus size) and broadcast onto the pair stream —
     the instances are scanned, never shuffled, except the final
     per-doc rollup. c2 is checkpointed once so its three derived
-    tables and the probe join don't re-run the pair explode."""
+    tables and the probe join don't re-run the pair explode.
+    BOUNDEDNESS CAVEAT: "type-sized" is sub-linear but not bounded —
+    an open-vocabulary 100 TB corpus can reach billions of bigram
+    types, past broadcast range. The two standing upgrades, neither
+    changing this operator's semantics at its tested scale: map pairs
+    through a top-V vocabulary first (``lm_map_to_vocab`` — the
+    familiarity chain's cut, bounding c2 at (V+1)²), or drop the
+    ``F.broadcast`` hints and let the joins shuffle-hash partition on
+    (w1, w2) — KenLM itself prunes low-count n-grams for the same
+    reason."""
     d = load(spark, sf_dir, "documents")
     pairs = lm_pairs(lm_clean(d)).select(
         "doc_id", F.col("w1a").alias("w1"), F.col("w2a").alias("w2")

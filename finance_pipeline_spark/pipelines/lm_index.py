@@ -431,7 +431,9 @@ class CorpusLmIndex:
         Scale shape: identical to the batch operator — TYPE-sized
         count tables broadcast onto the probe's pair stream; the
         stored corpus is never rescanned (counts come from the folded
-        delta tables)."""
+        delta tables). The batch operator's boundedness caveat applies
+        equally here: past broadcast-sized type tables, cut to a top-V
+        vocabulary or let the probe joins shuffle on (w1, w2)."""
         bi = self._folded_bi()
         if bi is None:
             raise ValueError(
