@@ -677,3 +677,89 @@ def test_stale_generation_rows_are_invisible_and_gcd(spark, tmp_path, monkeypatc
     idx.optimize()
     toks = {r["token"] for r in idx.bloom.read().select("token").distinct().collect()}
     assert all(t.startswith(idx._gen_prefix(gen, n_ranges)) for t in toks)
+
+
+def test_crashed_resplit_before_flip_leaves_old_generation_authoritative(
+    spark, tmp_path, monkeypatch
+):
+    """Crash between the new generation's rebuild and the meta flip:
+    the old generation is untouched and still authoritative (screens
+    stay exact), the orphaned new-generation rows are invisible, and
+    the next optimize completes the re-split."""
+    import pytest
+
+    import finance_pipeline_spark.operators.dedup as dedup_mod
+
+    rng = random.Random(83)
+    b1 = _docs(spark, [(i, random_doc(rng, 30)) for i in range(20)])
+    idx = CorpusDedupIndex(spark, str(tmp_path / "idx"))
+    idx.add(b1)
+    meta0 = idx._read_bloom_meta()
+    monkeypatch.setattr(dedup_mod, "_BLOOM_RANGE_CAP", 2)
+
+    boom = {"armed": True}
+    real_write = idx._write_bloom_meta
+
+    def crashing_write(n_ranges, gen):
+        if boom["armed"]:
+            boom["armed"] = False
+            raise RuntimeError("simulated crash before meta flip")
+        return real_write(n_ranges, gen)
+
+    monkeypatch.setattr(idx, "_write_bloom_meta", crashing_write)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        idx.optimize()
+    # old generation still authoritative; screens exact
+    assert idx._read_bloom_meta() == meta0
+    verd = {r.doc_id: r.verdict for r in idx.screen(b1).collect()}
+    assert all(v == "drop_exact" for v in verd.values())
+    # retry completes (writer lock was released by the context manager)
+    out = idx.optimize()
+    assert out["bloom_resplit"] is not None
+    assert idx._read_bloom_meta()[1] == meta0[1] + 1
+    verd2 = {r.doc_id: r.verdict for r in idx.screen(b1).collect()}
+    assert all(v == "drop_exact" for v in verd2.values())
+
+
+def test_crashed_resplit_before_gc_is_cleaned_by_next_fold(
+    spark, tmp_path, monkeypatch
+):
+    """Crash after the meta flip but before the old-generation GC: the
+    new generation is complete and live (screens exact immediately),
+    and the stale rows are garbage-collected by the next optimize's
+    fold."""
+    import pytest
+
+    import finance_pipeline_spark.operators.dedup as dedup_mod
+
+    rng = random.Random(89)
+    b1 = _docs(spark, [(i, random_doc(rng, 30)) for i in range(20)])
+    idx = CorpusDedupIndex(spark, str(tmp_path / "idx"))
+    idx.add(b1)
+    monkeypatch.setattr(dedup_mod, "_BLOOM_RANGE_CAP", 2)
+
+    boom = {"armed": True}
+    real_delete = idx.bloom.delete
+
+    def crashing_delete(pred):
+        if boom["armed"]:
+            boom["armed"] = False
+            raise RuntimeError("simulated crash before generation GC")
+        return real_delete(pred)
+
+    monkeypatch.setattr(idx.bloom, "delete", crashing_delete)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        idx.optimize()
+    n_ranges, gen = idx._read_bloom_meta()
+    assert gen == 1  # flip landed
+    verd = {r.doc_id: r.verdict for r in idx.screen(b1).collect()}
+    assert all(v == "drop_exact" for v in verd.values())
+    # stale generation rows still on disk...
+    toks = {r["token"] for r in idx.bloom.read().select("token").distinct().collect()}
+    assert any(not t.startswith(idx._gen_prefix(gen, n_ranges)) for t in toks)
+    # ...until the next optimize's fold GCs them
+    idx.optimize()
+    toks2 = {r["token"] for r in idx.bloom.read().select("token").distinct().collect()}
+    assert all(t.startswith(idx._gen_prefix(gen, n_ranges)) for t in toks2)
+    verd2 = {r.doc_id: r.verdict for r in idx.screen(b1).collect()}
+    assert all(v == "drop_exact" for v in verd2.values())
