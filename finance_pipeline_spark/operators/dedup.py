@@ -2259,3 +2259,58 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "vec_id", "cluster", F.col("dup").isNull().alias("keep")
     )
+
+
+@query(
+    "dedup_url_keyed",
+    # URL-level dedup — the cheap pass every web pipeline runs BEFORE
+    # content dedup (Common Crawl re-fetches the same URL across
+    # snapshots). The fixture aliases every SAME-SOURCE doc within a
+    # 100-id block to one canonical URL (sources cycle over doc_ids,
+    # so a block holds several docs of each source — real multi-way
+    # duplicate groups, pytest-pinned non-vacuous); the keyed
+    # first-wins pick is the deterministic-survivor rule the registry
+    # mandates (min doc_id, never an arbitrary dropDuplicates).
+    oracle="""
+    SELECT doc_id,
+           'http://' || source || '.example.com/d/'
+             || CAST(doc_id // 100 AS VARCHAR) AS canon_url,
+           doc_id = min(doc_id) OVER (
+               PARTITION BY source, doc_id // 100
+           ) AS kept,
+           CASE WHEN doc_id = min(doc_id) OVER (
+               PARTITION BY source, doc_id // 100
+           ) THEN 'keep' ELSE 'drop_url_dup' END AS verdict
+    FROM documents
+    """,
+    tags=("dedup", "url"),
+)
+def dedup_url_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-wins dedup on canonical URL: one hash shuffle on the URL
+    key, min-doc_id survivor (deterministic — the registry's standing
+    no-arbitrary-survivor rule), losers tagged ``drop_url_dup`` for
+    the audit trail rather than silently vanishing. At 100 TB this is
+    the FIRST dedup pass (keys are short strings, no content hashing),
+    shrinking what the content tiers must shingle/embed."""
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    canon = F.concat(
+        F.lit("http://"),
+        F.col("source"),
+        F.lit(".example.com/d/"),
+        F.floor(F.col("doc_id") / 100).cast("bigint").cast("string"),
+    )
+    w = W.partitionBy("canon_url").orderBy("doc_id")
+    kept = F.col("doc_id") == F.min("doc_id").over(w)
+    return (
+        d.select("doc_id", canon.alias("canon_url"))
+        .select(
+            "doc_id",
+            "canon_url",
+            kept.alias("kept"),
+            F.when(kept, F.lit("keep"))
+            .otherwise(F.lit("drop_url_dup"))
+            .alias("verdict"),
+        )
+    )

@@ -287,8 +287,8 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
             # the two disclosed r10 deferrals (r7 driver evidence — the
             # oldest rows left)
             "ann_pq_topk", "ann_ivfpq_topk",
-            # 30 of the 46-member r8-evidence cohort (rotated out r9,
-            # never back since — the oldest bulk evidence); the 16
+            # 29 of the 46-member r8-evidence cohort (rotated out r9,
+            # never back since — the oldest bulk evidence); the 17
             # deferred to r12, each with same-family coverage still
             # in-window: ann_ivf_multiprobe, ann_ivfpq_multiprobe,
             # ann_ivfpq_rerank (ANN keeps 6 reps), dedup_connected_star
@@ -299,7 +299,8 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
             # metric_rolling_active + winsorize_values (agg family
             # keeps 5 reps in), ts_moving_features + ts_resample_ffill
             # + attribution_first_last (scd2/cdc in),
-            # dedup_dropped_accounting (5 dedup reps in)
+            # dedup_dropped_accounting (5 dedup reps in),
+            # text_tfidf_topk (7 text reps in)
             "dedup_minhash_lsh", "dedup_chunk_minhash",
             "dedup_bloom_screen",
             "dedup_connected_groups", "text_dup_spans", "text_dup_scrub",
@@ -309,7 +310,7 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
             "mm_binary_meta", "p8_watermark_filter", "o2_topk_single",
             "a3_affected_rows", "s6_sql_table_scan", "win_session",
             "stream_stream_join", "stream_session_counts", "join_asof",
-            "scd2_order_status", "cdc_latest_state", "text_pii_scrub", "text_tfidf_topk",
+            "scd2_order_status", "cdc_latest_state", "text_pii_scrub",
             "text_source_quota", "grouped_user_gaps", "stream_dedup",
             # new r11 operators earning first driver evidence:
             "mm_decode_png",  # real zlib PNG codec (r10 verdict item 1)
@@ -321,6 +322,7 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
             "text_kn_perplexity",  # Kneser-Ney perplexity (KenLM shape)
             "text_url_canonicalize",  # URL canonicalization
             "stream_decode_quarantine",  # streaming dead-letter ingest
+            "dedup_url_keyed",  # URL-level first-wins dedup
             "ann_planted_recall",  # planted-near-dup bound over the
             # scaled IVFPQ stack (r10 verdict item 2)
             "ann_serve_parity",  # serve==batch row identity, driver-
@@ -819,6 +821,7 @@ PRIORITY: tuple[str, ...] = (
     "text_kn_perplexity",  # interpolated Kneser-Ney bigram perplexity
     "text_url_canonicalize",  # URL canonicalization (url-dedup precursor)
     "stream_decode_quarantine",  # STREAMING dead-letter codec ingest
+    "dedup_url_keyed",  # URL-level first-wins dedup (pre-content pass)
     "ann_planted_recall",  # planted-near-dup bound, scaled IVFPQ stack
     "ann_serve_parity",  # stored-index serve == batch operator
     # the two disclosed r10 deferrals (r7 evidence — oldest rows left)
@@ -853,7 +856,6 @@ PRIORITY: tuple[str, ...] = (
     "scd2_order_status",
     "cdc_latest_state",
     "text_pii_scrub",
-    "text_tfidf_topk",
     "text_source_quota",
     "grouped_user_gaps",
     "stream_dedup",
@@ -962,6 +964,7 @@ PRIORITY: tuple[str, ...] = (
     "ts_resample_ffill",
     "attribution_first_last",
     "dedup_dropped_accounting",
+    "text_tfidf_topk",
 )
 
 DRIVER_WINDOW = 50  # observed driver evaluation cap (r1 + r2)

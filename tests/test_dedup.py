@@ -509,3 +509,26 @@ def test_ranged_bloom_equals_monolithic_semantics(spark):
     assert all(present_hits), "ranged bloom produced a false negative"
     # 200 digests over 4x2^20 bits: fp odds are ~0 — allow a couple
     assert sum(absent_hits) <= 2
+
+
+def test_url_keyed_dedup_plants_real_groups(spark, sf_dir):
+    """Non-vacuity guard for dedup_url_keyed: the fixture must create
+    genuine multi-way URL groups (a prior grouping rule produced zero
+    duplicates and the oracle PASSED vacuously), first-wins must pick
+    the min doc_id, and every loser carries the audit verdict."""
+    from finance_pipeline_spark import registry
+
+    rows = registry.QUERIES["dedup_url_keyed"].fn(spark, sf_dir).collect()
+    by_url = {}
+    for r in rows:
+        by_url.setdefault(r.canon_url, []).append(r)
+    multi = [g for g in by_url.values() if len(g) > 1]
+    assert multi, "fixture planted no duplicate URL groups"
+    assert sum(len(g) - 1 for g in multi) > 0.5 * len(rows) * 0.5
+    for g in multi:
+        keepers = [r for r in g if r.kept]
+        assert len(keepers) == 1
+        assert keepers[0].doc_id == min(r.doc_id for r in g)
+        assert all(
+            r.verdict == ("keep" if r.kept else "drop_url_dup") for r in g
+        )

@@ -266,3 +266,11 @@ def test_kn_perplexity_joins_are_all_broadcast(spark):
     plan = plan_of(spark, "text_kn_perplexity")
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_url_canonicalize_and_warc_extract_are_shuffle_free(spark):
+    """Both web-corpus entry ops must be pure map stages: no Exchange
+    anywhere in the plan — at 100 TB they ride the scan for free."""
+    for name in ("text_url_canonicalize", "text_warc_extract"):
+        plan = plan_of(spark, name)
+        assert "Exchange" not in plan, name

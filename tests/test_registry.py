@@ -82,6 +82,7 @@ def test_driver_window_covers_every_family():
         "text_kn_perplexity",  # Kneser-Ney perplexity
         "text_url_canonicalize",  # URL canonicalization
         "stream_decode_quarantine",  # streaming dead-letter ingest
+        "dedup_url_keyed",  # URL-level first-wins dedup
         "ann_planted_recall", "ann_serve_parity",  # ANN bound queries
         # rows-only by design — window-pinned (can never earn fold
         # evidence under the hash-green rule)
@@ -105,7 +106,7 @@ def test_driver_window_covers_every_family():
         "stream_stream_join", "stream_session_counts",  # streaming
         "stream_dedup",
         "text_dup_spans", "text_dup_scrub", "text_pii_scrub",  # text
-        "text_tfidf_topk", "text_source_quota",
+        "text_source_quota",
         "scd2_order_status", "cdc_latest_state",  # temporal
         "grouped_user_gaps",  # sessionization
         "mm_binary_meta",  # multimodal scan
