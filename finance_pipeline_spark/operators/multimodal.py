@@ -807,11 +807,10 @@ _JPEG_MEAN_SHIFT_LIMIT = 1.5  # DC path preserves the mean (measured max 0.41)
     FROM b
     """,
     tags=("multimodal", "udf", "jpeg"),
-    # NOT a bench entry: at sf0.1 the pure-Python codec pair costs
-    # ~15 s (measured, ~60% of it the fixture ENCODER) — a headline
-    # total should track engine plans, not a disclosed
-    # thumbnail-scale reference codec. Throughput evidence lives in
-    # the per-round oracle timings instead.
+    bench=True,  # ~1.9 s at sf0.1 AFTER the partition-spread fix (was
+    # 15 s pinned to one Python worker by a single-file input) — the
+    # codec tier's docs/s is a headline number now that its
+    # parallelism matches its plan
 )
 def mm_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode/feature-extract over LOSSY compressed image payloads:
@@ -827,7 +826,15 @@ def mm_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from finance_pipeline_spark.operators.jpeg import decode_jpeg, encode_jpeg
 
-    d = load(spark, sf_dir, "documents")
+    # The codec kernel is Python-bound, so its wall-clock is set by the
+    # PARTITION count, not the row count: a single small parquet file
+    # would pin the whole corpus to one Python worker. Spread it across
+    # the cores explicitly — at real scale maxPartitionBytes splits the
+    # input anyway and this repartition collapses to a no-op-sized
+    # shuffle of (doc_id, text).
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
@@ -1013,7 +1020,11 @@ def mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from finance_pipeline_spark.operators.jpeg import decode_jpeg, encode_jpeg
 
-    d = load(spark, sf_dir, "documents")
+    # same Python-bound-kernel rule as mm_decode_jpeg: parallelism is
+    # the partition count, so spread the corpus across the cores
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
