@@ -42,6 +42,18 @@ from pyspark.sql import types as T
 from finance_pipeline_spark.registry import load, query
 
 
+def _spread_for_python_kernel(df: DataFrame) -> DataFrame:
+    """Python-bound mapInPandas wall-clock is set by the PARTITION
+    count, not the row count: a single small parquet file pins the
+    whole corpus to one Python worker (measured 7.7x on the JPEG
+    tier). Spread across the cores; at real scale maxPartitionBytes
+    splits the input anyway and this collapses to a no-op-sized
+    shuffle of (doc_id, text)."""
+    spark = df.sparkSession
+    return df.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+
+
+
 def with_binary_payload(df: DataFrame) -> DataFrame:
     """Synthesize an opaque binary column + typed metadata from document
     text — the stand-in for reading real image/audio bytes. At 100 TB
@@ -113,7 +125,7 @@ def with_ppm_payload(df: DataFrame) -> DataFrame:
                 {"doc_id": pdf["doc_id"].values, "payload": payloads}
             )
 
-    return df.select("doc_id", "text").mapInPandas(
+    return _spread_for_python_kernel(df.select("doc_id", "text")).mapInPandas(
         synth, "doc_id bigint, payload binary"
     )
 
@@ -519,7 +531,7 @@ def with_png_payload(df: DataFrame) -> DataFrame:
                 }
             )
 
-    return df.select("doc_id", "text").mapInPandas(
+    return _spread_for_python_kernel(df.select("doc_id", "text")).mapInPandas(
         synth, "doc_id bigint, payload binary"
     )
 
@@ -693,7 +705,7 @@ def with_wav_payload(df: DataFrame) -> DataFrame:
                 {"doc_id": pdf["doc_id"].values, "payload": payloads}
             )
 
-    return df.select("doc_id", "text").mapInPandas(
+    return _spread_for_python_kernel(df.select("doc_id", "text")).mapInPandas(
         synth, "doc_id bigint, payload binary"
     )
 
@@ -826,15 +838,7 @@ def mm_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from finance_pipeline_spark.operators.jpeg import decode_jpeg, encode_jpeg
 
-    # The codec kernel is Python-bound, so its wall-clock is set by the
-    # PARTITION count, not the row count: a single small parquet file
-    # would pin the whole corpus to one Python worker. Spread it across
-    # the cores explicitly — at real scale maxPartitionBytes splits the
-    # input anyway and this repartition collapses to a no-op-sized
-    # shuffle of (doc_id, text).
-    d = load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    d = _spread_for_python_kernel(load(spark, sf_dir, "documents"))
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
@@ -878,7 +882,9 @@ def mm_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows["mean_shift_ok"].append(shift <= _JPEG_MEAN_SHIFT_LIMIT)
             yield pd.DataFrame(rows)
 
-    return d.select("doc_id", "text").mapInPandas(kernel, schema=schema)
+    return _spread_for_python_kernel(d.select("doc_id", "text")).mapInPandas(
+        kernel, schema=schema
+    )
 
 
 # --- AVI/MJPEG (video — container parse + per-frame codec decode) -------------
@@ -1020,11 +1026,7 @@ def mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from finance_pipeline_spark.operators.jpeg import decode_jpeg, encode_jpeg
 
-    # same Python-bound-kernel rule as mm_decode_jpeg: parallelism is
-    # the partition count, so spread the corpus across the cores
-    d = load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    d = _spread_for_python_kernel(load(spark, sf_dir, "documents"))
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
@@ -1075,7 +1077,9 @@ def mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                     rows["mae_ok"].append(mae <= _JPEG_MAE_LIMIT["444"])
             yield pd.DataFrame(rows)
 
-    return d.select("doc_id", "text").mapInPandas(kernel, schema=schema)
+    return _spread_for_python_kernel(d.select("doc_id", "text")).mapInPandas(
+        kernel, schema=schema
+    )
 
 
 # --- quarantine decode (dead-letter routing — the 100 TB failure mode) --------
@@ -1176,4 +1180,6 @@ def mm_decode_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return d.select("doc_id", "text").mapInPandas(kernel, schema=schema)
+    return _spread_for_python_kernel(d.select("doc_id", "text")).mapInPandas(
+        kernel, schema=schema
+    )

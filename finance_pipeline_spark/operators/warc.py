@@ -232,6 +232,10 @@ def text_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows["digest"].append(hashlib.sha256(body).hexdigest())
             yield pd.DataFrame(rows)
 
-    return d.select("doc_id", "source", "text").mapInPandas(
-        kernel, schema=schema
+    from finance_pipeline_spark.operators.multimodal import (
+        _spread_for_python_kernel,
     )
+
+    return _spread_for_python_kernel(
+        d.select("doc_id", "source", "text")
+    ).mapInPandas(kernel, schema=schema)
