@@ -268,9 +268,13 @@ def test_kn_perplexity_joins_are_all_broadcast(spark):
     assert "BroadcastHashJoin" in plan
 
 
-def test_url_canonicalize_and_warc_extract_are_shuffle_free(spark):
-    """Both web-corpus entry ops must be pure map stages: no Exchange
-    anywhere in the plan — at 100 TB they ride the scan for free."""
-    for name in ("text_url_canonicalize", "text_warc_extract"):
-        plan = plan_of(spark, name)
-        assert "Exchange" not in plan, name
+def test_url_canonicalize_and_warc_extract_plans(spark):
+    """text_url_canonicalize is a pure map stage: no Exchange anywhere
+    — at 100 TB it rides the scan for free. text_warc_extract carries
+    exactly ONE deliberate exchange (the Python-kernel core spread,
+    _spread_for_python_kernel) and nothing else — no join/agg shuffle
+    creeps into the extraction itself."""
+    plan = plan_of(spark, "text_url_canonicalize")
+    assert "Exchange" not in plan
+    plan = plan_of(spark, "text_warc_extract")
+    assert plan.count("Exchange") == 1 and "hashpartitioning" in plan
