@@ -239,3 +239,59 @@ def text_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _spread_for_python_kernel(
         d.select("doc_id", "source", "text")
     ).mapInPandas(kernel, schema=schema)
+
+
+def warc_dir_to_docs(spark: SparkSession, warc_dir: str) -> DataFrame:
+    """Real WARC segments on disk → the corpus-pipeline document frame
+    (doc_id, text, lang, source, n_chars): files arrive through
+    Spark's ``binaryFile`` source (one row per segment — the unit a
+    100 TB crawl is sharded into), each partition parses its segments
+    with ``parse_warc`` and keeps response records. doc_id is a stable
+    60-bit digest of the target URI (re-extraction of the same crawl
+    converges on the same ids — what makes the downstream keyed/dedup
+    stages idempotent), source is the URI host, lang is left null for
+    the langid stage downstream.
+
+    This is the missing first mile before ``corpus ingest``: segments
+    → docs parquet → stored-index screening. At scale, parallelism is
+    one task per segment file, so no spread repartition is needed —
+    the crawl's own sharding provides it."""
+    import hashlib
+
+    files = spark.read.format("binaryFile").load(warc_dir)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {
+                "doc_id": [], "text": [], "lang": [],
+                "source": [], "n_chars": [],
+            }
+            for content in pdf["content"]:
+                for rec in parse_warc(bytes(content)):
+                    if rec["type"] != "response":
+                        continue
+                    url = rec["headers"].get("warc-target-uri", "")
+                    _, _, body = parse_http_response(rec["payload"])
+                    text = body.decode("utf-8", errors="replace")
+                    host = url.split("://", 1)[-1].split("/", 1)[0]
+                    did = int(
+                        hashlib.sha256(url.encode("utf-8")).hexdigest()[:15],
+                        16,
+                    )
+                    rows["doc_id"].append(did)
+                    rows["text"].append(text)
+                    rows["lang"].append(None)
+                    rows["source"].append(host)
+                    rows["n_chars"].append(len(text))
+            yield pd.DataFrame(rows)
+
+    return files.select("content").mapInPandas(kernel, schema=schema)

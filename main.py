@@ -73,6 +73,13 @@ def corpus_main(argv: list[str]) -> int:
         "familiarity vs the accumulated corpus (lands as a flag)",
     )
 
+    p = sub.add_parser(
+        "warc-extract",
+        help="real WARC segments -> docs parquet (the shape ingest reads)",
+    )
+    p.add_argument("--warc-dir", required=True)
+    p.add_argument("--out", required=True, help="docs parquet dir")
+
     p = sub.add_parser("screen", help="screen a parquet batch, write verdicts")
     p.add_argument("--index", required=True)
     p.add_argument("--input", required=True, help="parquet of (doc_id, text, ...)")
@@ -181,6 +188,18 @@ def corpus_main(argv: list[str]) -> int:
             for r in verdicts.groupBy("verdict").agg(F.count(F.lit(1)).alias("n")).collect()
         }
         print(json.dumps({"verdicts": counts, "out": args.out}))
+        return 0
+    if args.cmd == "warc-extract":
+        from pyspark.sql import functions as F
+
+        from finance_pipeline_spark.operators.warc import warc_dir_to_docs
+
+        docs = warc_dir_to_docs(spark, args.warc_dir)
+        docs.write.mode("overwrite").parquet(args.out)
+        out = spark.read.parquet(args.out)
+        n = out.count()
+        n_hosts = out.select("source").distinct().count()
+        print(json.dumps({"docs": n, "hosts": n_hosts, "out": args.out}))
         return 0
     if args.cmd == "lm-add":
         from finance_pipeline_spark.pipelines.lm_index import CorpusLmIndex
