@@ -190,8 +190,6 @@ def corpus_main(argv: list[str]) -> int:
         print(json.dumps({"verdicts": counts, "out": args.out}))
         return 0
     if args.cmd == "warc-extract":
-        from pyspark.sql import functions as F
-
         from finance_pipeline_spark.operators.warc import warc_dir_to_docs
 
         docs = warc_dir_to_docs(spark, args.warc_dir)
