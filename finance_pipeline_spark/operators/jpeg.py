@@ -364,6 +364,15 @@ def _encode_block(w: _BitWriter, zz: np.ndarray, pred: int, dc_enc, ac_enc) -> i
             w.write(code, length)
             run -= 16
         size = _category(v)
+        if size > 10:
+            # Annex-K AC tables only define sizes 1..10 (|coef| <= 1023).
+            # Quality near 100 clips quant values to 1 and can push an AC
+            # coefficient past that envelope — fail loudly instead of a
+            # bare KeyError from the table lookup.
+            raise ValueError(
+                f"AC coefficient {v} exceeds the Annex-K Huffman envelope "
+                f"(category {size} > 10); lower the quality setting"
+            )
         code, length = ac_enc[(run << 4) | size]
         w.write(code, length)
         w.write(_extend_bits(v, size), size)
@@ -512,6 +521,12 @@ def decode_jpeg(payload: bytes):
             raise ValueError("truncated JPEG (no SOS/EOI)")
         if b[pos] != 0xFF:
             raise ValueError(f"expected marker at byte {pos}")
+        # T.81 B.1.1.2: a marker may be preceded by any number of 0xFF
+        # fill bytes — skip them so files from padding encoders decode.
+        while pos + 1 < len(b) and b[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > len(b):
+            raise ValueError("truncated JPEG (no SOS/EOI)")
         marker = b[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI before SOS

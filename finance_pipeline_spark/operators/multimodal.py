@@ -838,7 +838,7 @@ def mm_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from finance_pipeline_spark.operators.jpeg import decode_jpeg, encode_jpeg
 
-    d = _spread_for_python_kernel(load(spark, sf_dir, "documents"))
+    d = load(spark, sf_dir, "documents")
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
@@ -1026,7 +1026,7 @@ def mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from finance_pipeline_spark.operators.jpeg import decode_jpeg, encode_jpeg
 
-    d = _spread_for_python_kernel(load(spark, sf_dir, "documents"))
+    d = load(spark, sf_dir, "documents")
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),

@@ -60,12 +60,16 @@ def _gzip_members(buf: bytes) -> Iterator[bytes]:
     """Split a concatenation of gzip members (the CC per-record
     layout) via sequential ``decompressobj`` reads — each member's end
     is found from ``unused_data``, so members never need to be
-    length-prefixed."""
+    length-prefixed. The tail is handed to zlib as a ``memoryview``
+    slice — a zero-copy bytes-like — so a segment with hundreds of
+    thousands of per-record members (the real Common Crawl shape)
+    costs O(total bytes), not O(members × file size)."""
+    view = memoryview(buf)
     pos = 0
     while pos < len(buf):
         d = zlib.decompressobj(wbits=31)
         try:
-            chunk = d.decompress(buf[pos:])
+            chunk = d.decompress(view[pos:])
         except zlib.error as e:
             raise ValueError(f"bad gzip member in WARC at byte {pos}: {e}") from None
         if not d.eof:

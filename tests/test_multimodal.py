@@ -382,6 +382,52 @@ def test_jpeg_decoder_rejects_unsupported_and_malformed():
         decode_jpeg(b"\xff\xd8\xff\xd9")
 
 
+def test_jpeg_decoder_accepts_fill_bytes_before_markers():
+    """T.81 B.1.1.2 permits any run of 0xFF fill bytes before a marker
+    code — other encoders pad with them; insert pads before every
+    table/SOF/SOS marker and require a byte-identical decode."""
+    import numpy as np
+
+    from finance_pipeline_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(13, 17, 3), dtype=np.uint8)
+    good = encode_jpeg(img, quality=90)
+    base = decode_jpeg(good)[2]
+    # pad each segment marker (skip SOI at 0 and everything after SOS —
+    # entropy data has its own 0xFF00 stuffing rules)
+    sos = good.index(b"\xff\xda")
+    padded = bytearray(good[:2])
+    i = 2
+    while i < sos:
+        assert good[i] == 0xFF
+        padded += b"\xff\xff\xff" + good[i : i + 2]
+        seglen = int.from_bytes(good[i + 2 : i + 4], "big")
+        padded += good[i + 2 : i + 2 + seglen]
+        i += 2 + seglen
+    padded += b"\xff\xff" + good[sos:]
+    out = decode_jpeg(bytes(padded))[2]
+    assert np.array_equal(out, base)
+
+
+def test_jpeg_encoder_rejects_out_of_envelope_ac_category():
+    """Annex-K AC tables stop at size 10 (|coef| <= 1023); an encoder
+    pushed past that envelope must fail with a descriptive error, not
+    a bare KeyError from the Huffman lookup."""
+    import numpy as np
+    import pytest
+
+    from finance_pipeline_spark.operators import jpeg as J
+
+    w = J._BitWriter()
+    dc_enc = J.build_huffman(J._DC_LUMA_BITS, J._DC_LUMA_VALS)[0]
+    ac_enc = J.build_huffman(J._AC_LUMA_BITS, J._AC_LUMA_VALS)[0]
+    zz = np.zeros(64, dtype=np.int64)
+    zz[1] = 1024  # category 11 — beyond the Annex-K AC envelope
+    with pytest.raises(ValueError, match="Annex-K"):
+        J._encode_block(w, zz, 0, dc_enc, ac_enc)
+
+
 def test_mm_decode_jpeg_bounds_hold_on_documents(spark, sf_dir):
     """Every doc decodes to the declared dims/channels with both error
     bounds TRUE — the exact frame the driver oracle asserts."""
