@@ -1786,43 +1786,44 @@ def ivfpq_serve(
         "query_id", "cluster"
     )
 
-    # Query ADC tables, chunked under a BYTE budget, not a row count
-    # (advisor r9): a query row carries m x k_eff doubles — 256 B for
-    # the oracle-pinned k=8 family, but ~8 KB once the scaled tier's
-    # 256-code books arrive, so the old _QUERY_FETCH_CAP=100k chunk
-    # would hold ~0.8 GB driver-side. The cap derives from the actual
-    # codebook width so each chunk (and its broadcast below) stays
-    # ≤ _ADC_BYTE_BUDGET regardless of capacity params.
-    k_eff_serve = int(np.asarray(cents1).shape[1])
-    chunk_cap = max(
-        1,
-        min(_QUERY_FETCH_CAP, _ADC_BYTE_BUDGET // (_PQ_M * k_eff_serve * 8)),
+    # Query ADC tables, built EXECUTOR-SIDE (advisor r11): the old
+    # shape looped q.toLocalIterator() on the driver, computing every
+    # query's m x k_eff table in a Python loop and re-broadcasting it
+    # in byte-budgeted chunks — correct and bounded, but the last
+    # driver-side per-row loop in a hot path, and the serving knee
+    # once the query batch scales with the corpus. Now an
+    # Arrow-batched kernel computes the tables on the executors
+    # against the broadcast codebook — the SAME float64 expression as
+    # the driver loop, so values are bit-identical (parity-pinned by
+    # tests/test_ann_index.py and the ann_serve_parity oracle) — and
+    # the tables attach to candidates by a query_id equi-join that AQE
+    # converts to a runtime broadcast while the batch is small and
+    # leaves as a shuffle join once it isn't.
+    cb_mat = np.ascontiguousarray(np.asarray(cents1, dtype=np.float64))
+    bc_cb = spark.sparkContext.broadcast(cb_mat)
+    tab_schema = "query_id bigint, " + ", ".join(
+        f"t{s} array<double>" for s in range(_PQ_M)
     )
-    tab_cols = ", ".join(f"t{s} array<double>" for s in range(_PQ_M))
-    qdfs: list[DataFrame] = []
-    qdata: list = []
 
-    def flush():
-        if qdata:
-            qdfs.append(
-                spark.createDataFrame(qdata, f"query_id bigint, {tab_cols}")
-            )
-            qdata.clear()
+    def tab_kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cb = bc_cb.value
+        for pdf in it:
+            out: dict = {"query_id": []}
+            for s in range(_PQ_M):
+                out[f"t{s}"] = []
+            for qid, emb in zip(pdf["query_id"], pdf["q_emb"]):
+                qv = np.asarray(emb, dtype=np.float64).reshape(
+                    _PQ_M, _PQ_DSUB
+                )
+                tabs = ((qv[:, None, :] - cb) ** 2).sum(axis=2)  # (m, k_eff)
+                out["query_id"].append(int(qid))
+                for s in range(_PQ_M):
+                    out[f"t{s}"].append([float(x) for x in tabs[s]])
+            yield pd.DataFrame(out)
 
-    for r in q.toLocalIterator():
-        qv = np.asarray(r["q_emb"], dtype=np.float64).reshape(
-            _PQ_M, _PQ_DSUB
-        )
-        tabs = ((qv[:, None, :] - cents1) ** 2).sum(axis=2)  # (m, k_eff)
-        qdata.append(
-            (
-                int(r["query_id"]),
-                *[[float(x) for x in tabs[s]] for s in range(_PQ_M)],
-            )
-        )
-        if len(qdata) >= chunk_cap:
-            flush()
-    flush()
+    q_tabs = q.select("query_id", "q_emb").mapInPandas(
+        tab_kernel, schema=tab_schema
+    )
 
     term = lambda s: F.round(  # noqa: E731 — 4-dp per-subspace, family parity
         F.element_at(F.col(f"t{s}"), F.col(f"c{s}").cast("int") + 1), 4
@@ -1831,35 +1832,22 @@ def ivfpq_serve(
     wa = W.partitionBy("query_id").orderBy(
         F.col("adist").asc(), F.col("corpus_id")
     )
-    out_schema = "query_id bigint, corpus_id bigint, adist double"
     # Candidate generation joins the (query_id, cluster) probe list —
-    # tiny — against the codes; the ADC tables attach AFTERWARD by a
-    # separate query_id-keyed broadcast. The old shape pre-joined the
-    # tables to the probe list and broadcast the product, duplicating
-    # every query's m x k_eff table once per probed cell (x nprobe, up
-    # to 64 at scaled capacity) — tens of GB where the data is tens of
-    # MB (advisor r9). Two broadcasts, zero duplication, same rows.
+    # tiny — against the codes; the ADC tables attach AFTERWARD keyed
+    # on query_id alone. Pre-joining tables to the probe list would
+    # duplicate every query's m x k_eff table once per probed cell
+    # (x nprobe, up to 64 at scaled capacity) — tens of GB where the
+    # data is tens of MB (advisor r9). Zero duplication, same rows.
     code_cols = [f"c{s}" for s in range(_PQ_M)]
     cand_base = codes_c.join(
         F.broadcast(probes.withColumnRenamed("cluster", "p_cluster")),
         (F.col("cluster") == F.col("p_cluster"))
         & (F.col("vec_id") != F.col("query_id")),
     ).select("query_id", F.col("vec_id").alias("corpus_id"), *code_cols)
-    parts = []
-    for qdf in qdfs:
-        parts.append(
-            cand_base.join(F.broadcast(qdf), "query_id").select(
-                "query_id", "corpus_id", adist.alias("adist")
-            )
-        )
-    if not parts:
-        cand = spark.createDataFrame([], out_schema)
-    else:
-        cand = parts[0]
-        for part in parts[1:]:
-            cand = cand.unionByName(part)
     cand = (
-        cand.withColumn("rnk", F.row_number().over(wa))
+        cand_base.join(q_tabs, "query_id")
+        .select("query_id", "corpus_id", adist.alias("adist"))
+        .withColumn("rnk", F.row_number().over(wa))
         .filter(F.col("rnk") <= pool)
         .select("query_id", "corpus_id")
     )
