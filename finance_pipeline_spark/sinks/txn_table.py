@@ -1149,10 +1149,6 @@ class TxnKeyedTable:
     ) -> bool:
         _log_dir(self.path).mkdir(parents=True, exist_ok=True)
         target = _commit_file(self.path, version)
-        try:
-            fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            return False
         entry = {
             "version": version,
             "adds": adds,
@@ -1161,11 +1157,37 @@ class TxnKeyedTable:
             "stats": stats or {},
             "ts": time.time(),
         }
-        os.write(fd, json.dumps(entry).encode())
-        os.close(fd)
+        # Publish atomically: the old claim-then-write (O_EXCL create,
+        # THEN write the JSON) left a window where a concurrent
+        # current_snapshot globs the claimed file and json.loads an
+        # empty/partial body — the r11 full-suite flake, reproduced in
+        # <1 s by tests/test_txn_table.py::
+        # test_concurrent_snapshot_readers_never_see_torn_commits.
+        # Now the complete payload lands in a private tmp (underscore
+        # prefix — invisible to the [0-9]* log globs), fsyncs, and
+        # os.link claims the version name: link(2) is atomic, so a
+        # visible commit file ALWAYS carries its full JSON, and EEXIST
+        # is the lost-race signal. Same guarantee a crash needs: a
+        # writer killed mid-commit leaves only a tmp, never a torn
+        # version file.
+        tmp = target.with_name(f"_commit_{uuid.uuid4().hex}.json.tmp")
+        fd = os.open(tmp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        try:
+            os.write(fd, json.dumps(entry).encode())
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+        try:
+            os.link(tmp, target)
+        except FileExistsError:
+            return False
+        finally:
+            tmp.unlink(missing_ok=True)
         if version % CHECKPOINT_EVERY == 0 and version > 0:
             snap = current_snapshot(self.path, version)
-            _checkpoint_file(self.path, version).write_text(
+            ck = _checkpoint_file(self.path, version)
+            ck_tmp = ck.with_name(f"_ck_{uuid.uuid4().hex}.json.tmp")
+            ck_tmp.write_text(
                 json.dumps(
                     {
                         "version": version,
@@ -1174,6 +1196,9 @@ class TxnKeyedTable:
                     }
                 )
             )
+            # rename is atomic on POSIX; checkpoints are idempotent
+            # re-derivations of the log, so last-writer-wins is fine.
+            os.replace(ck_tmp, ck)
         return True
 
     def _revalidate(
@@ -1246,11 +1271,17 @@ def vacuum(path: str, retain_seconds: float = 7 * 24 * 3600.0) -> list[str]:
             live.update(entry.get("adds", ()))
             live.update(entry.get("files", ()))  # checkpoints
     dd = _data_dir(path)
-    if not dd.exists():
-        return []
     cutoff = _time.time() - retain_seconds
     deleted = []
-    for f in dd.glob("*.parquet"):
+    # a writer killed between staging its commit tmp and the link claim
+    # leaves `_*.json.tmp` in the log dir — invisible to replay (the
+    # [0-9]* globs skip it) but worth reaping once aged out
+    if ld.exists():
+        for t in ld.glob("_*.tmp"):
+            if t.stat().st_mtime < cutoff:
+                t.unlink(missing_ok=True)
+                deleted.append(t.name)
+    for f in dd.glob("*.parquet") if dd.exists() else ():
         if f.name in live:
             continue
         if f.stat().st_mtime < cutoff:

@@ -152,6 +152,108 @@ def test_threaded_writers_preserve_uniqueness(spark, tmp_path):
     assert sum(s.inserted for s in stats) == 80
 
 
+def test_concurrent_snapshot_readers_never_see_torn_commits(tmp_path):
+    """Root cause of the r11 full-suite flake: _try_commit used to
+    claim the version file with O_EXCL and write the JSON afterwards,
+    so a concurrent current_snapshot could glob the claimed-but-empty
+    file and die in json.loads ("Expecting value: line 1 column 1").
+    This hammer reproduced that in <0.2 s pre-fix; with the tmp+fsync+
+    link publication a visible commit always carries complete JSON.
+    No Spark needed — the race is pure filesystem."""
+    from finance_pipeline_spark.sinks.txn_table import TxnKeyedTable
+
+    path = str(tmp_path / "t")
+
+    class _PathOnly:
+        def __init__(self, p):
+            self.path = p
+
+    fake = _PathOnly(path)
+    stop = threading.Event()
+    errs: list[str] = []
+
+    n_commits = 5_000
+
+    def writer():
+        v = 1
+        while not stop.is_set() and v <= n_commits:
+            TxnKeyedTable._try_commit(fake, v, [f"f{v}.parquet"], 1)
+            v += 1
+        stop.set()
+
+    def reader():
+        from finance_pipeline_spark.sinks.txn_table import current_snapshot
+
+        while not stop.is_set():
+            try:
+                current_snapshot(path)
+            except Exception as e:  # noqa: BLE001
+                errs.append(repr(e))
+                stop.set()
+
+    threads = [threading.Thread(target=writer)] + [
+        threading.Thread(target=reader) for _ in range(4)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs, errs
+    # every published commit parses and the log is gap-free
+    from finance_pipeline_spark.sinks.txn_table import current_snapshot
+
+    snap = current_snapshot(path)
+    assert snap.version == n_commits
+    assert len(snap.files) == n_commits
+
+
+def test_crashed_commit_leaves_no_torn_version_file(tmp_path):
+    """A writer killed between staging its payload and the link claim
+    must leave only an underscore tmp (invisible to log replay), never
+    a torn version file — and vacuum reaps the aged tmp."""
+    import os
+    import time as _time
+    from unittest import mock
+
+    from finance_pipeline_spark.sinks.txn_table import (
+        TxnKeyedTable,
+        current_snapshot,
+        vacuum,
+    )
+
+    path = str(tmp_path / "t")
+
+    class _PathOnly:
+        def __init__(self, p):
+            self.path = p
+
+    fake = _PathOnly(path)
+    TxnKeyedTable._try_commit(fake, 1, ["a.parquet"], 1)
+    log_dir = tmp_path / "t" / "_txnlog"
+
+    # In-process failure at the claim: the error propagates, no torn
+    # version file appears, AND the tmp is cleaned up (finally).
+    with mock.patch("os.link", side_effect=OSError("claim failed")):
+        with pytest.raises(OSError):
+            TxnKeyedTable._try_commit(fake, 2, ["b.parquet"], 1)
+    snap = current_snapshot(path)
+    assert snap.version == 1 and snap.files == ("a.parquet",)
+    assert not list(log_dir.glob("_*.tmp"))
+    assert not (log_dir / "00000002.json").exists()
+
+    # A writer KILLED mid-commit (no finally) leaves only the payload
+    # tmp — plant one; replay must ignore it and vacuum reaps it aged.
+    tmp = log_dir / "_commit_deadbeef.json.tmp"
+    tmp.write_text('{"version": 2, "adds": ["torn.parquet"]')  # torn JSON
+    assert current_snapshot(path).version == 1  # invisible to replay
+    assert vacuum(path) == []  # fresh: inside the retention window
+    past = _time.time() - 8 * 24 * 3600
+    os.utime(tmp, (past, past))
+    gone = vacuum(path)
+    assert tmp.name in gone and not tmp.exists()
+    assert current_snapshot(path).version == 1  # log untouched
+
+
 def test_vacuum_removes_only_aged_orphans(spark, tmp_path):
     import os
     import time
