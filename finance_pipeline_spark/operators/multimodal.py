@@ -1082,6 +1082,167 @@ def mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- GIF (palette image — real LZW, operators/gif.py) ------------------------
+
+
+def gif_fixture_payload(text: str | None, corrupt_mod: int = 9) -> bytes:
+    """Synthesize a REAL GIF89a per document: dims/palette-size derive
+    from the text length, pixel indices are the UTF-8 bytes cycled mod
+    the palette size, palette entries follow a fixed affine rule the
+    SQL oracle replicates. Every n%4==1 doc is interlaced (decoder
+    must invert the pass ordering) and every n%5==0 good doc carries a
+    comment extension (decoder must skip it). With ``corrupt_mod`` >
+    0, every n % corrupt_mod == 0 doc's image-descriptor width is
+    patched past the logical screen — a deterministic reject for the
+    dead-letter route. Fixture generator, not the codec under test."""
+    import struct as _struct
+
+    import numpy as np
+
+    from finance_pipeline_spark.operators.gif import encode_gif
+
+    tb = ("" if text is None else text).encode("utf-8")
+    n = len(tb)
+    w, h = 4 + n % 19, 4 + (n * 3) % 15
+    k = 1 + n % 8
+    p = 1 << k
+    pal = np.stack(
+        [
+            (np.arange(p) * 37 + 11) % 256,
+            (np.arange(p) * 59 + 7) % 256,
+            (np.arange(p) * 83 + 3) % 256,
+        ],
+        axis=1,
+    ).astype(np.uint8)
+    if n:
+        body = (tb * (-(-(w * h) // n)))[: w * h]
+        idx = (np.frombuffer(body, dtype=np.uint8) % p).reshape(h, w)
+    else:
+        idx = np.zeros((h, w), dtype=np.uint8)
+    corrupt = corrupt_mod and n % corrupt_mod == 0
+    payload = encode_gif(
+        idx,
+        pal,
+        interlace=n % 4 == 1,
+        comment=b"spark-graft" if (n % 5 == 0 and not corrupt) else None,
+    )
+    if corrupt:
+        # image descriptor sits right after header+LSD+GCT (no comment
+        # on corrupt docs): patch its width past the logical screen
+        off = 6 + 7 + 3 * p + 1 + 4  # -> iw field of the descriptor
+        payload = (
+            payload[:off]
+            + _struct.pack("<H", w + 1000)
+            + payload[off + 2 :]
+        )
+    return payload
+
+
+@query(
+    "mm_decode_gif",
+    # GIF is lossless palette indexing, so decode(encode(idx, pal))
+    # round-trips exactly and the mean RGB intensity replicates in SQL
+    # from the cycled-bytes rule + the affine palette — but ONLY if
+    # the LZW decode (variable-width codes, dictionary growth) and the
+    # interlace inversion are correct; any desync corrupts the raster
+    # and hash-mismatches. Corrupt docs (n%9==0, width patched past
+    # the logical screen) must route to ok=false with the decoder's
+    # deterministic reject reason — the dead-letter contract shared
+    # with mm_decode_quarantine.
+    oracle="""
+    WITH b AS (
+        SELECT doc_id,
+               octet_length(encode(coalesce(text, ''))) AS n,
+               hex(encode(coalesce(text, ''))) AS hx
+        FROM documents
+    ), dims AS (
+        SELECT doc_id, n, hx,
+               4 + (n % 19) AS w, 4 + ((n * 3) % 15) AS h,
+               (1 << (1 + (n % 8))) AS p,
+               (n % 9 <> 0) AS good
+        FROM b
+    )
+    SELECT doc_id,
+           good AS ok,
+           CASE WHEN good THEN CAST(w AS INTEGER) END AS width,
+           CASE WHEN good THEN CAST(h AS INTEGER) END AS height,
+           CASE WHEN good THEN CAST(p AS INTEGER) END AS n_colors,
+           CASE WHEN good THEN
+             CAST(list_sum([
+                 ((('0x' || substr(hx, 2 * ((i % n) + 1) - 1, 2))::INT % p) * 37 + 11) % 256
+               + ((('0x' || substr(hx, 2 * ((i % n) + 1) - 1, 2))::INT % p) * 59 + 7) % 256
+               + ((('0x' || substr(hx, 2 * ((i % n) + 1) - 1, 2))::INT % p) * 83 + 3) % 256
+               FOR i IN range(0, w * h)]) AS DOUBLE) / (w * h * 3)
+           END AS mean_intensity,
+           CASE WHEN NOT good THEN 'GIF image extends past the logical screen' END AS err
+    FROM dims
+    """,
+    tags=("multimodal", "udf", "gif", "quarantine"),
+)
+def mm_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode/feature-extract over LZW-compressed palette images: real
+    GIF89a files (``operators/gif.py`` — variable-width LZW, interlace,
+    extension skip) synthesized per document and decoded inside
+    Arrow-batched ``mapInPandas``, with per-row dead-letter routing for
+    the deterministically corrupted subset. Same plumbing as the
+    PNG/WAV/JPEG entries — the codec is the only moving part."""
+    import numpy as np
+
+    from finance_pipeline_spark.operators.gif import decode_gif_info
+
+    d = load(spark, sf_dir, "documents")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("ok", T.BooleanType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("n_colors", T.IntegerType()),
+            T.StructField("mean_intensity", T.DoubleType()),
+            T.StructField("err", T.StringType()),
+        ]
+    )
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {
+                "doc_id": [], "ok": [], "width": [], "height": [],
+                "n_colors": [], "mean_intensity": [], "err": [],
+            }
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                payload = gif_fixture_payload(t)
+                rows["doc_id"].append(int(doc_id))
+                try:
+                    w2, h2, nc, out = decode_gif_info(payload)
+                    rows["ok"].append(True)
+                    rows["width"].append(w2)
+                    rows["height"].append(h2)
+                    rows["n_colors"].append(nc)
+                    rows["mean_intensity"].append(
+                        float(out.sum(dtype=np.int64)) / out.size
+                    )
+                    rows["err"].append(None)
+                except ValueError as e:
+                    rows["ok"].append(False)
+                    rows["width"].append(None)
+                    rows["height"].append(None)
+                    rows["n_colors"].append(None)
+                    rows["mean_intensity"].append(None)
+                    rows["err"].append(str(e))
+            yield pd.DataFrame(
+                {
+                    k: pd.array(v, dtype="Int32")
+                    if k in ("width", "height", "n_colors")
+                    else v
+                    for k, v in rows.items()
+                }
+            )
+
+    return _spread_for_python_kernel(d.select("doc_id", "text")).mapInPandas(
+        kernel, schema=schema
+    )
+
+
 # --- quarantine decode (dead-letter routing — the 100 TB failure mode) --------
 
 

@@ -1884,6 +1884,175 @@ def text_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lm_triples(clean: DataFrame, carry: tuple[str, ...] = ("doc_id",)) -> DataFrame:
+    """(carry..., w1a, w2a, w3a): consecutive-token trigram instances
+    (docs under 3 tokens drop)."""
+    return (
+        clean.filter(F.size("toks") >= 3)
+        .select(
+            *carry,
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 3),"
+                    " i -> struct(toks[i] AS w1a, toks[i + 1] AS w2a,"
+                    " toks[i + 2] AS w3a))"
+                )
+            ).alias("tr"),
+        )
+        .select(*carry, "tr.w1a", "tr.w2a", "tr.w3a")
+    )
+
+
+def _kn3_perplexity_oracle() -> str:
+    return f"""
+    WITH clean AS (
+        SELECT doc_id,
+               list_filter({_sql_tokens()}, x -> x <> '') AS toks
+        FROM documents
+    ), clean3 AS (
+        SELECT * FROM clean WHERE len(toks) >= 3
+    ), fanned AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(1, len(toks) - 2)) AS i
+        FROM clean3
+    ), trips AS (
+        SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2, toks[i + 2] AS w3
+        FROM fanned
+    ), c3 AS (
+        SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS n
+        FROM trips GROUP BY 1, 2, 3
+    ), ctx12 AS (
+        SELECT w1, w2, CAST(sum(n) AS BIGINT) AS ctx,
+               CAST(count(*) AS BIGINT) AS kf
+        FROM c3 GROUP BY 1, 2
+    ), cont23 AS (
+        SELECT w2, w3, CAST(count(*) AS BIGINT) AS kc FROM c3 GROUP BY 1, 2
+    ), mid2 AS (
+        SELECT w2, CAST(sum(kc) AS BIGINT) AS m2,
+               CAST(count(*) AS BIGINT) AS kf2
+        FROM cont23 GROUP BY 1
+    ), uni AS (
+        SELECT w3, CAST(count(*) AS BIGINT) AS ku FROM cont23 GROUP BY 1
+    ), u AS (
+        SELECT CAST(count(*) AS BIGINT) AS u FROM cont23
+    ), scored AS (
+        SELECT t.doc_id,
+               CAST(round(ln(
+                 (CAST(c3.n AS DOUBLE) - {_KN_D}) / CAST(ctx12.ctx AS DOUBLE)
+                 + (({_KN_D} * CAST(ctx12.kf AS DOUBLE)) / CAST(ctx12.ctx AS DOUBLE))
+                   * (
+                     (CAST(cont23.kc AS DOUBLE) - {_KN_D}) / CAST(mid2.m2 AS DOUBLE)
+                     + (({_KN_D} * CAST(mid2.kf2 AS DOUBLE)) / CAST(mid2.m2 AS DOUBLE))
+                       * (CAST(uni.ku AS DOUBLE) / CAST(u.u AS DOUBLE))
+                   )
+               ), 6) AS DECIMAL(38,6)) AS logp
+        FROM trips t JOIN c3 USING (w1, w2, w3) JOIN ctx12 USING (w1, w2)
+             JOIN cont23 USING (w2, w3) JOIN mid2 USING (w2)
+             JOIN uni USING (w3), u
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_trigrams,
+           CAST(sum(logp) AS DOUBLE) AS sum_logp,
+           round(exp(-(CAST(sum(logp) AS DOUBLE) / count(*))), 3) AS ppl
+    FROM scored GROUP BY doc_id
+    """
+
+
+@query(
+    "text_kn3_perplexity",
+    oracle=lambda: _kn3_perplexity_oracle(),
+    tags=("text", "lm", "kn", "quality"),
+    bench=True,
+)
+def text_kn3_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney TRIGRAM perplexity per document — the
+    full KenLM-order-3 recursion the bigram form (``text_kn_perplexity``,
+    which documents this upgrade path) bounds from below:
+
+        P(w3|w1,w2) = (c(w1w2w3)-D)/c(w1w2·)
+                      + D·N1+(w1w2·)/c(w1w2·) · P(w3|w2)
+        P(w3|w2)    = (N1+(·w2w3)-D)/N1+(·w2·)
+                      + D·N1+(w2·)/N1+(·w2·) · P(w3)
+        P(w3)       = N1+(·w3)/N1+(··)
+
+    with D = 0.75; the lower orders use CONTINUATION counts (distinct
+    left-extensions over trigram types), the Kneser-Ney insight the
+    bigram form only applies once. Scored over the corpus's own
+    trigrams, every count is >= 1 so no max() clamp binds.
+
+    Cross-engine determinism: the same recipe as the bigram entry —
+    the probability is an IEEE chain over integer counts written with
+    identical association in both engines, per-instance log-probs
+    round to 6 dp and sum as exact decimals, the per-doc aggregate is
+    the decimal sum cast once to double, ppl rounds at 3 dp.
+
+    Scale shape: every table (c3/ctx12/cont23/mid2/uni) is TYPE-sized
+    (sub-linear in corpus size) and broadcasts onto the trigram
+    stream — instances are scanned, never shuffled, except the final
+    per-doc rollup; c3 is checkpointed once so its four derived tables
+    and the probe join don't re-run the triple explode. Same
+    boundedness caveat + upgrade paths as the bigram entry (top-V
+    vocab mapping, or un-hint the broadcasts and shuffle on the gram
+    keys — KenLM prunes low-count n-grams for the same reason)."""
+    d = load(spark, sf_dir, "documents")
+    trips = lm_triples(lm_clean(d)).select(
+        "doc_id",
+        F.col("w1a").alias("w1"),
+        F.col("w2a").alias("w2"),
+        F.col("w3a").alias("w3"),
+    )
+    c3 = (
+        trips.groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    ctx12 = c3.groupBy("w1", "w2").agg(
+        F.sum("n").alias("ctx"), F.count(F.lit(1)).alias("kf")
+    )
+    cont23 = c3.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("kc"))
+    mid2 = cont23.groupBy("w2").agg(
+        F.sum("kc").alias("m2"), F.count(F.lit(1)).alias("kf2")
+    )
+    uni = cont23.groupBy("w3").agg(F.count(F.lit(1)).alias("ku"))
+    u = float(cont23.count())
+    p1 = F.col("ku").cast("double") / F.lit(u)
+    p2 = (
+        (F.col("kc").cast("double") - F.lit(_KN_D)) / F.col("m2").cast("double")
+    ) + (
+        (F.lit(_KN_D) * F.col("kf2").cast("double")) / F.col("m2").cast("double")
+    ) * p1
+    p3 = (
+        (F.col("n").cast("double") - F.lit(_KN_D)) / F.col("ctx").cast("double")
+    ) + (
+        (F.lit(_KN_D) * F.col("kf").cast("double")) / F.col("ctx").cast("double")
+    ) * p2
+    scored = (
+        trips.join(F.broadcast(c3), ["w1", "w2", "w3"])
+        .join(F.broadcast(ctx12), ["w1", "w2"])
+        .join(F.broadcast(cont23), ["w2", "w3"])
+        .join(F.broadcast(mid2), "w2")
+        .join(F.broadcast(uni), "w3")
+        .select(
+            "doc_id",
+            F.round(F.log(p3), 6).cast("decimal(38,6)").alias("logp"),
+        )
+    )
+    avg = F.col("sum_lp").cast("double") / F.col("n_trigrams")
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.sum("logp").alias("sum_lp"),
+        )
+        .select(
+            "doc_id",
+            "n_trigrams",
+            F.col("sum_lp").cast("double").alias("sum_logp"),
+            F.round(F.exp(-avg), 3).alias("ppl"),
+        )
+    )
+
+
 @query(
     "text_url_canonicalize",
     # The fixture assembles a deliberately MESSY url per document

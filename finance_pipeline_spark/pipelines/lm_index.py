@@ -142,6 +142,13 @@ class CorpusLmIndex:
         self.bi = TxnKeyedTable(
             spark, f"{self.root}/bi", ["lang", "w1", "w2", "token"]
         )
+        # trigram deltas (r12): feeds perplexity3's KN order-3 chain.
+        # Indexes created before this table exist fine — tri/ stays
+        # absent until the first post-upgrade add, and perplexity3
+        # refuses an index whose trigram counts don't cover its adds.
+        self.tri = TxnKeyedTable(
+            spark, f"{self.root}/tri", ["lang", "w1", "w2", "w3", "token"]
+        )
         self._recover_folds()
 
     @staticmethod
@@ -171,7 +178,11 @@ class CorpusLmIndex:
         import json as _json
         import shutil
 
-        for name, tbl in (("uni", self.uni), ("bi", self.bi)):
+        for name, tbl in (
+            ("uni", self.uni),
+            ("bi", self.bi),
+            ("tri", self.tri),
+        ):
             side = self._fold_sidecar(name)
             if not side.exists():
                 continue
@@ -289,9 +300,26 @@ class CorpusLmIndex:
             .agg(F.count(F.lit(1)).alias("n"))
             .withColumn("token", F.lit(token))
         )
+        tri = (
+            textops.lm_triples(clean, ("lang",))
+            .groupBy(
+                "lang",
+                F.col("w1a").alias("w1"),
+                F.col("w2a").alias("w2"),
+                F.col("w3a").alias("w3"),
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("token", F.lit(token))
+        )
         u = self.uni.merge(uni.select("lang", "w", "token", "n"))
         b = self.bi.merge(bi.select("lang", "w1", "w2", "token", "n"))
-        return {"token": token, "uni_rows": u.inserted, "bi_rows": b.inserted}
+        t3 = self.tri.merge(tri.select("lang", "w1", "w2", "w3", "token", "n"))
+        return {
+            "token": token,
+            "uni_rows": u.inserted,
+            "bi_rows": b.inserted,
+            "tri_rows": t3.inserted,
+        }
 
     # -- read side -----------------------------------------------------
 
@@ -316,6 +344,18 @@ class CorpusLmIndex:
         return (
             self._norm_lang(stored)
             .groupBy("lang", "w1", "w2")
+            .agg(F.sum("n").alias("n"))
+        )
+
+    def _folded_tri(self, exclude_token: str | None = None) -> DataFrame | None:
+        stored = self.tri.read()
+        if stored is None:
+            return None
+        if exclude_token is not None:
+            stored = stored.filter(F.col("token") != exclude_token)
+        return (
+            self._norm_lang(stored)
+            .groupBy("lang", "w1", "w2", "w3")
             .agg(F.sum("n").alias("n"))
         )
 
@@ -491,6 +531,108 @@ class CorpusLmIndex:
             )
         )
 
+    def perplexity3(self, batch: DataFrame) -> DataFrame:
+        """Interpolated Kneser-Ney TRIGRAM perplexity of NEW docs
+        against the STORED trigram counts — the streaming/serving form
+        of ``text_kn3_perplexity`` (same D = 0.75, same decimal-sum
+        rounding chain; parity-pinned ROW-IDENTICAL when the probe
+        equals the stored corpus). Counts are lang-POOLED like
+        ``perplexity``.
+
+        Backoff for unseen events, each branch a documented constant:
+        unseen trigram → discounted term 0, interpolation weight still
+        applies to the bigram term; unseen (w1,w2) CONTEXT → pure
+        P(w3|w2); unseen (w2,w3) continuation type → discounted term 0
+        at the bigram level; unseen middle w2 → pure continuation
+        unigram; unseen w3 → half-count floor 0.5/U (log stays
+        finite). The seen path reproduces the batch operator
+        bit-for-bit (greatest() and coalesce() are no-ops there).
+
+        COVERAGE CAVEAT: the tri/ table exists only for adds made
+        after the trigram upgrade — an index whose corpus predates it
+        has bigram counts with no matching trigram counts, and this
+        method raises rather than score against the partial model
+        (rebuild or re-add the corpus)."""
+        tri = self._folded_tri()
+        if tri is None:
+            raise ValueError(
+                "CorpusLmIndex.perplexity3 on an index without trigram "
+                "counts — the corpus was added before the trigram "
+                "upgrade (or never); re-add it or rebuild the index"
+            )
+        kn_d = textops._KN_D
+        c3 = (
+            tri.groupBy("w1", "w2", "w3")
+            .agg(F.sum("n").alias("n"))
+            .localCheckpoint(eager=True)
+        )
+        ctx12 = c3.groupBy("w1", "w2").agg(
+            F.sum("n").alias("ctx"), F.count(F.lit(1)).alias("kf")
+        )
+        cont23 = c3.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("kc"))
+        mid2 = cont23.groupBy("w2").agg(
+            F.sum("kc").alias("m2"), F.count(F.lit(1)).alias("kf2")
+        )
+        uni3 = cont23.groupBy("w3").agg(F.count(F.lit(1)).alias("ku"))
+        u = float(cont23.count())
+        trips = textops.lm_triples(
+            lm_clean(batch.select("doc_id", "text"))
+        ).select(
+            "doc_id",
+            F.col("w1a").alias("w1"),
+            F.col("w2a").alias("w2"),
+            F.col("w3a").alias("w3"),
+        )
+        j = (
+            trips.join(F.broadcast(c3), ["w1", "w2", "w3"], "left")
+            .join(F.broadcast(ctx12), ["w1", "w2"], "left")
+            .join(F.broadcast(cont23), ["w2", "w3"], "left")
+            .join(F.broadcast(mid2), "w2", "left")
+            .join(F.broadcast(uni3), "w3", "left")
+        )
+        p1 = F.coalesce(F.col("ku").cast("double"), F.lit(0.5)) / F.lit(u)
+        p2_seen = (
+            F.greatest(
+                F.coalesce(F.col("kc").cast("double"), F.lit(0.0))
+                - F.lit(kn_d),
+                F.lit(0.0),
+            )
+            / F.col("m2").cast("double")
+        ) + (
+            (F.lit(kn_d) * F.col("kf2").cast("double"))
+            / F.col("m2").cast("double")
+        ) * p1
+        p2 = F.when(F.col("m2").isNotNull(), p2_seen).otherwise(p1)
+        p3_seen = (
+            F.greatest(
+                F.coalesce(F.col("n").cast("double"), F.lit(0.0))
+                - F.lit(kn_d),
+                F.lit(0.0),
+            )
+            / F.col("ctx").cast("double")
+        ) + (
+            (F.lit(kn_d) * F.col("kf").cast("double"))
+            / F.col("ctx").cast("double")
+        ) * p2
+        p3 = F.when(F.col("ctx").isNotNull(), p3_seen).otherwise(p2)
+        scored = j.select(
+            "doc_id", F.round(F.log(p3), 6).cast("decimal(38,6)").alias("logp")
+        )
+        avg = F.col("sum_lp").cast("double") / F.col("n_trigrams")
+        return (
+            scored.groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_trigrams"),
+                F.sum("logp").alias("sum_lp"),
+            )
+            .select(
+                "doc_id",
+                "n_trigrams",
+                F.col("sum_lp").cast("double").alias("sum_logp"),
+                F.round(F.exp(-avg), 3).alias("ppl"),
+            )
+        )
+
     def screen_before(self, batch: DataFrame) -> DataFrame | None:
         """``familiarity`` for a batch that will subsequently be
         ``add``-ed — scores against the stored corpus EXCLUDING this
@@ -564,6 +706,7 @@ class CorpusLmIndex:
         for name, tbl, keys in (
             ("uni", self.uni, ["lang", "w"]),
             ("bi", self.bi, ["lang", "w1", "w2"]),
+            ("tri", self.tri, ["lang", "w1", "w2", "w3"]),
         ):
             stored = tbl.read()
             if stored is None:

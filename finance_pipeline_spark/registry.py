@@ -282,6 +282,44 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # re-enter the evaluated window this round; "out" entries move past the
 # fold carrying the named prior round's hash-green driver evidence.
 ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
+    "r12": {
+        "in": (
+            # the 17 r8-evidence deferrals named in ROTATION_LOG r11 —
+            # the oldest rows left; the standing ≤3-round evidence
+            # contract makes them mandatory this round
+            "ann_ivf_multiprobe", "ann_ivfpq_multiprobe",
+            "ann_ivfpq_rerank", "dedup_connected_star", "win_sliding",
+            "d8_trim", "profile_columns", "hist_value_buckets",
+            "ts_moving_features", "win_distribution_family",
+            "affinity_part_pairs", "metric_rolling_active",
+            "winsorize_values", "ts_resample_ffill",
+            "attribution_first_last", "dedup_dropped_accounting",
+            "text_tfidf_topk",
+            # new r12 operators earning first driver evidence:
+            "mm_decode_gif",  # real GIF87a/89a + LZW codec, dead-letter
+            # routed (r11 verdict item 5)
+            "text_kn3_perplexity",  # interpolated KN TRIGRAM ppl — the
+            # full order-3 recursion (r11 verdict item 6)
+            # NOT rotating out despite r11-green (changed code in r12):
+            # ann_planted_recall + ann_serve_parity (ivfpq_serve ADC
+            # tables moved executor-side — r11 verdict item 1),
+            # mm_decode_jpeg + mm_video_frames (single-spread fix +
+            # jpeg codec edge fixes), text_warc_extract (zero-copy
+            # gzip-member walk). ann_ivfpq_scaled + ann_index_serve
+            # stay window-pinned (rows-only by design) and also sit on
+            # the changed serve path.
+        ),
+        "out": (  # all hash-green in CORRECTNESS_r11.json
+            "agg_approx_distinct", "agg_approx_quantile",
+            "dedup_bloom_ranged", "mm_decode_features", "mm_decode_png",
+            "mm_decode_wav", "mm_decode_quarantine",
+            "text_kn_perplexity", "text_url_canonicalize",
+            "dedup_url_keyed", "ann_pq_topk", "ann_ivfpq_topk",
+            "dedup_chunk_minhash", "dedup_connected_groups",
+            "text_dup_spans", "text_dup_scrub", "emb_outlier_prune",
+            "win_rank_family", "stream_stream_join",
+        ),
+    },
     "r11": {
         "in": (
             # the two disclosed r10 deferrals (r7 driver evidence — the
@@ -796,71 +834,88 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
 
 PRIORITY: tuple[str, ...] = (
     # ---- window: positions 1-50, evaluated by the driver this round ----
-    # flagship + the two sketch rows — the sketches re-earn with their
-    # NEW r11 bound-check outputs (first hash-checkable evidence; the
-    # emitted booleans assert the sketch accuracy contract, r10 verdict
-    # item 2)
+    # flagship
     "agg_pricing_summary",
-    "agg_approx_distinct",
-    "agg_approx_quantile",
     # rows-only BY DESIGN (data-dependent capacity) — window-pinned
-    # forever; their driver-checkable evidence is the two new bound
-    # queries below (ann_planted_recall / ann_serve_parity)
+    # forever; their driver-checkable evidence is the two bound queries
+    # below (ann_planted_recall / ann_serve_parity)
     "ann_ivfpq_scaled",
     "ann_index_serve",
-    # changed code in r11 — hold their slots to re-earn on the new code
-    "dedup_bloom_ranged",  # one-scan digest checkpoint in the build
-    "mm_decode_features",  # decode_ppm dimension validation
-    # new r11 operators — first driver evidence
-    "mm_decode_png",  # real zlib PNG codec (r10 verdict item 1)
-    "mm_decode_wav",  # real RIFF/PCM audio codec (multimodal audio leg)
-    "mm_decode_jpeg",  # real baseline JPEG codec (DCT+Huffman, operators/jpeg.py)
-    "mm_video_frames",  # real AVI/MJPEG demux + per-frame decode (video leg)
-    "mm_decode_quarantine",  # dead-letter decode routing (corrupt payloads)
-    "text_warc_extract",  # real per-record-gzip WARC ingestion (CC shape)
-    "text_kn_perplexity",  # interpolated Kneser-Ney bigram perplexity
-    "text_url_canonicalize",  # URL canonicalization (url-dedup precursor)
-    "stream_decode_quarantine",  # STREAMING dead-letter codec ingest
-    "dedup_url_keyed",  # URL-level first-wins dedup (pre-content pass)
-    "ann_planted_recall",  # planted-near-dup bound, scaled IVFPQ stack
-    "ann_serve_parity",  # stored-index serve == batch operator
-    # the two disclosed r10 deferrals (r7 evidence — oldest rows left)
+    # changed code in r12 — hold their slots to re-earn on the new code
+    "ann_planted_recall",  # ivfpq_serve ADC tables now executor-side
+    "ann_serve_parity",  # (r11 verdict item 1) serve == batch identity
+    "mm_decode_jpeg",  # single-spread fix + jpeg codec edge fixes
+    "mm_video_frames",  # single-spread fix (same advisor finding)
+    "text_warc_extract",  # zero-copy gzip-member walk (advisor r11)
+    # new r12 operators — first driver evidence
+    "mm_decode_gif",  # real GIF87a/89a + LZW codec, dead-letter routed
+    "text_kn3_perplexity",  # interpolated KN TRIGRAM perplexity
+    # the 17 r8-evidence deferrals (ROTATION_LOG r11) — mandatory
+    # re-earns under the ≤3-round evidence contract
+    "ann_ivf_multiprobe",
+    "ann_ivfpq_multiprobe",
+    "ann_ivfpq_rerank",
+    "dedup_connected_star",
+    "win_sliding",
+    "d8_trim",
+    "profile_columns",
+    "hist_value_buckets",
+    "ts_moving_features",
+    "win_distribution_family",
+    "affinity_part_pairs",
+    "metric_rolling_active",
+    "winsorize_values",
+    "ts_resample_ffill",
+    "attribution_first_last",
+    "dedup_dropped_accounting",
+    "text_tfidf_topk",
+    # family-coverage anchors held from the r11 window (r11-green;
+    # they fold with fresh evidence in r13)
+    "stream_decode_quarantine",  # streaming + codec dead-letter
+    "dedup_minhash_lsh",  # fuzzy dedup anchor
+    "dedup_bloom_screen",  # corpus-screen anchor
+    "text_pii_scrub",  # text-scrub anchor
+    "text_source_quota",  # mixture/quota anchor
+    "funnel_conversion",  # sequence-agg anchor
+    "win_session",  # sessionizing window anchor
+    "cdc_latest_state",  # CDC anchor
+    "scd2_order_status",  # SCD2 anchor
+    "d10_current_date",  # derivation anchor
+    "d4_custom_format_parse",  # derivation-parse anchor
+    "u2_anti_join",  # setop anchor
+    "a3_affected_rows",  # accounting anchor
+    "grouped_user_gaps",  # sessionization anchor
+    "stream_session_counts",  # streaming-agg anchor
+    "stream_dedup",  # streaming-dedup anchor
+    "mm_binary_meta",  # multimodal-scan anchor
+    "o2_topk_single",  # sort anchor
+    "p8_watermark_filter",  # projection/filter anchor
+    "s6_sql_table_scan",  # scan anchor
+    "join_skew_enrich",  # skew-join anchor
+    "join_asof",  # as-of join anchor
+    "rollup_time_multi",  # time-rollup anchor
+    # ---- fold: position 51+ — prior-round hash-green driver evidence ----
+    # r11-green cohort, rotated out r12 (newest evidence first)
+    "agg_approx_distinct",
+    "agg_approx_quantile",
+    "dedup_bloom_ranged",
+    "mm_decode_features",
+    "mm_decode_png",
+    "mm_decode_wav",
+    "mm_decode_quarantine",
+    "text_kn_perplexity",
+    "text_url_canonicalize",
+    "dedup_url_keyed",
     "ann_pq_topk",
     "ann_ivfpq_topk",
-    # the r8-evidence cohort (folded r9; 38 of 46 — the 8 deferrals to
-    # r12 are listed in ROTATION_LOG r11 with their in-window family
-    # coverage)
-    "dedup_minhash_lsh",
     "dedup_chunk_minhash",
-    "dedup_bloom_screen",
     "dedup_connected_groups",
     "text_dup_spans",
     "text_dup_scrub",
     "emb_outlier_prune",
-    "d4_custom_format_parse",
-    "rollup_time_multi",
-    "funnel_conversion",
     "win_rank_family",
-    "join_skew_enrich",
-    "u2_anti_join",
-    "d10_current_date",
-    "mm_binary_meta",
-    "p8_watermark_filter",
-    "o2_topk_single",
-    "a3_affected_rows",
-    "s6_sql_table_scan",
-    "win_session",
     "stream_stream_join",
-    "stream_session_counts",
-    "join_asof",
-    "scd2_order_status",
-    "cdc_latest_state",
-    "text_pii_scrub",
-    "text_source_quota",
-    "grouped_user_gaps",
-    "stream_dedup",
-    # ---- fold: position 51+ — prior-round hash-green driver evidence ----
-    # r10-green cohort, rotated out r11 (newest evidence first)
+    # r10-green cohort, rotated out r11
     "text_lm_familiarity",
     "text_lm_buckets",
     "text_quality_classifier",
@@ -947,24 +1002,6 @@ PRIORITY: tuple[str, ...] = (
     "text_langid",
     "text_quality_score",
     "udf_embedding_norm",
-    # r8-green deferrals to r12 (ROTATION_LOG r11 names the coverage)
-    "ann_ivf_multiprobe",
-    "ann_ivfpq_multiprobe",
-    "ann_ivfpq_rerank",
-    "dedup_connected_star",
-    "win_sliding",
-    "d8_trim",
-    "profile_columns",
-    "hist_value_buckets",
-    "ts_moving_features",
-    "win_distribution_family",
-    "affinity_part_pairs",
-    "metric_rolling_active",
-    "winsorize_values",
-    "ts_resample_ffill",
-    "attribution_first_last",
-    "dedup_dropped_accounting",
-    "text_tfidf_topk",
 )
 
 DRIVER_WINDOW = 50  # observed driver evaluation cap (r1 + r2)

@@ -114,6 +114,13 @@ def corpus_main(argv: list[str]) -> int:
     p.add_argument("--index", required=True)
     p.add_argument("--input", required=True)
     p.add_argument("--out", default=None, help="scores parquet dir (optional)")
+    p.add_argument(
+        "--order",
+        type=int,
+        default=2,
+        choices=(2, 3),
+        help="KN model order: 2 (bigram) or 3 (trigram)",
+    )
 
     p = sub.add_parser(
         "ann-build",
@@ -248,9 +255,9 @@ def corpus_main(argv: list[str]) -> int:
 
         from finance_pipeline_spark.pipelines.lm_index import CorpusLmIndex
 
-        scores = CorpusLmIndex(spark, args.index).perplexity(
-            spark.read.parquet(args.input)
-        )
+        idx = CorpusLmIndex(spark, args.index)
+        score_fn = idx.perplexity3 if args.order == 3 else idx.perplexity
+        scores = score_fn(spark.read.parquet(args.input))
         if args.out:
             scores.write.mode("overwrite").parquet(args.out)
             scores = spark.read.parquet(args.out)

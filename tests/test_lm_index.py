@@ -101,7 +101,11 @@ def test_optimize_folds_deltas_and_scores_unchanged(spark, tmp_path):
     assert after == before
     # second optimize: nothing to fold
     out2 = idx.optimize()
-    assert out2 == {"uni_tokens_folded": 0, "bi_tokens_folded": 0}
+    assert out2 == {
+        "uni_tokens_folded": 0,
+        "bi_tokens_folded": 0,
+        "tri_tokens_folded": 0,
+    }
 
 
 def test_fold_recovers_from_crash_at_both_corners(spark, tmp_path):
@@ -512,3 +516,69 @@ def test_stored_kn_perplexity_unseen_probe_backs_off(spark, tmp_path):
     # That ordering is the KN semantics, not an artifact.
     assert got[101].ppl > 3 * got[100].ppl
     assert got[102].ppl > 3 * got[100].ppl
+
+
+def test_stored_kn3_perplexity_matches_batch_operator(spark, tmp_path):
+    """Trigram serving parity: when the probe IS the stored corpus,
+    the index's order-3 KN perplexity is row-identical to
+    text_kn3_perplexity (same counts, same rounding chain)."""
+    from finance_pipeline_spark import registry
+    from tests.conftest import write_documents
+
+    rng = random.Random(47)
+    rows = [(i, random_doc(rng)) for i in range(30)]
+    sf = write_documents(tmp_path, rows)
+    batch = _docs(spark, rows)
+
+    idx = CorpusLmIndex(spark, str(tmp_path / "lm"))
+    idx.add(batch)
+    stored = {
+        r.doc_id: (r.n_trigrams, r.sum_logp, r.ppl)
+        for r in idx.perplexity3(batch).collect()
+    }
+    op = {
+        r.doc_id: (r.n_trigrams, r.sum_logp, r.ppl)
+        for r in registry.QUERIES["text_kn3_perplexity"].fn(spark, sf).collect()
+    }
+    assert stored == op
+
+
+def test_stored_kn3_unseen_probe_backs_off_and_legacy_index_refuses(
+    spark, tmp_path
+):
+    """Order-3 backoff mirrors the bigram ladder (finite everywhere,
+    anomalies outrank in-distribution probes); an index whose tri/
+    table never existed (pre-upgrade corpus) refuses loudly instead of
+    scoring against a partial model."""
+    import math
+    import shutil
+
+    import pytest
+
+    corpus = _docs(
+        spark, [(i, "the quick brown fox jumps over " * 4) for i in range(10)]
+    )
+    idx = CorpusLmIndex(spark, str(tmp_path / "lm"))
+    idx.add(corpus)
+    probe = _docs(
+        spark,
+        [
+            (100, "the quick brown fox jumps over the quick brown"),
+            (101, "zq glorp wux vhast zq mibble frop"),
+            (102, "the quick brown zq glorp wux"),
+        ],
+    )
+    got = {r.doc_id: r for r in idx.perplexity3(probe).collect()}
+    assert set(got) == {100, 101, 102}
+    for r in got.values():
+        assert math.isfinite(r.ppl) and r.ppl > 0
+    assert got[101].ppl > 3 * got[100].ppl
+    assert got[102].ppl > 3 * got[100].ppl
+
+    # simulate a pre-upgrade index: drop the trigram table entirely
+    shutil.rmtree(tmp_path / "lm" / "tri", ignore_errors=True)
+    idx2 = CorpusLmIndex(spark, str(tmp_path / "lm"))
+    with pytest.raises(ValueError, match="trigram"):
+        idx2.perplexity3(probe)
+    # the bigram serving path is unaffected
+    assert idx2.perplexity(probe).count() == 3

@@ -439,6 +439,85 @@ def test_mm_decode_jpeg_bounds_hold_on_documents(spark, sf_dir):
     assert all(r.mae_ok and r.mean_shift_ok for r in rows)
 
 
+def test_gif_lzw_round_trips_across_width_and_dict_boundaries():
+    """LZW code-width growth and the 4096-entry clear/reset are the
+    two classic desync points — round-trip random and adversarially
+    repetitive streams across both, plus the deferred-clear decode."""
+    import numpy as np
+
+    from finance_pipeline_spark.operators.gif import lzw_decode, lzw_encode
+
+    rng = np.random.default_rng(3)
+    for _ in range(25):
+        n = int(rng.integers(1, 30_000))
+        alpha = int(rng.choice([4, 16, 64, 256]))
+        mcs = max(2, (alpha - 1).bit_length())
+        data = rng.integers(0, alpha, n).astype(np.uint8).tobytes()
+        assert lzw_decode(lzw_encode(data, mcs), mcs) == data
+    # repetitive data grows the dictionary fastest (crosses 4096)
+    for rep in (b"\x00" * 50_000, bytes(range(256)) * 300, b"\x01\x02" * 30_000):
+        assert lzw_decode(lzw_encode(rep, 8), 8) == rep
+
+
+def test_gif_codec_round_trip_and_rejects():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from finance_pipeline_spark.operators.gif import (
+        decode_gif,
+        decode_gif_info,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(11)
+    for ncol in (2, 16, 256):
+        pal = rng.integers(0, 256, (ncol, 3)).astype(np.uint8)
+        idx = rng.integers(0, ncol, (17, 23)).astype(np.uint8)
+        for inter in (False, True):
+            payload = encode_gif(idx, pal, interlace=inter, comment=b"x")
+            w, h, nc, out = decode_gif_info(payload)
+            assert (w, h, nc) == (23, 17, ncol)
+            assert np.array_equal(out, pal[idx])
+
+    pal = np.zeros((4, 3), dtype=np.uint8)
+    idx = np.zeros((5, 5), dtype=np.uint8)
+    good = encode_gif(idx, pal)
+    with pytest.raises(ValueError, match="signature"):
+        decode_gif(b"NOTGIF" + good[6:])
+    with pytest.raises(ValueError, match="trailer|truncated"):
+        decode_gif(good[:-3])
+    with pytest.raises(ValueError, match="no image data"):
+        decode_gif(good[:13] + good[13 : 13 + 12] + b"\x3b")
+    # image extends past the logical screen (the quarantine fixture's
+    # deterministic corruption)
+    off = 6 + 7 + 3 * 4 + 1 + 4
+    bad = good[:off] + struct.pack("<H", 5000) + good[off + 2 :]
+    with pytest.raises(ValueError, match="past the logical screen"):
+        decode_gif(bad)
+    # unknown block type
+    with pytest.raises(ValueError, match="unknown GIF block"):
+        decode_gif(good[: 6 + 7 + 12] + b"\x99" + good[6 + 7 + 12 :])
+
+
+def test_mm_decode_gif_routes_corrupt_and_bounds_good(spark, sf_dir):
+    """Good docs decode to the derived dims/palette with exact means;
+    n%9==0 docs quarantine with the decoder's deterministic reason —
+    the frame the driver oracle asserts."""
+    from finance_pipeline_spark.registry import QUERIES
+
+    rows = QUERIES["mm_decode_gif"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r.ok:
+            assert r.width and r.height and r.n_colors in {2, 4, 8, 16, 32, 64, 128, 256}
+            assert r.err is None
+        else:
+            assert r.err == "GIF image extends past the logical screen"
+            assert r.width is None and r.mean_intensity is None
+
+
 def test_avi_mjpeg_demux_round_trip_and_rejects():
     """Container walk: declared frame count honored, frame bytes
     recovered in order and word-aligned; rejects non-AVI RIFF, missing

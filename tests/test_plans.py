@@ -268,6 +268,18 @@ def test_kn_perplexity_joins_are_all_broadcast(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_kn3_perplexity_joins_are_all_broadcast(spark):
+    """text_kn3_perplexity's five count tables (c3/ctx12/cont23/mid2/
+    uni) grow with trigram TYPES, so every join against the
+    corpus-sized triple stream must be a broadcast — the instances
+    shuffle only through the final per-doc rollup (and the bounded
+    count aggregations). Same contract as the bigram entry, one order
+    up."""
+    plan = plan_of(spark, "text_kn3_perplexity")
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_url_canonicalize_and_warc_extract_plans(spark):
     """text_url_canonicalize is a pure map stage: no Exchange anywhere
     — at 100 TB it rides the scan for free. text_warc_extract carries
