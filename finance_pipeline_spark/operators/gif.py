@@ -103,7 +103,6 @@ def lzw_encode(data: bytes, min_code_size: int) -> bytes:
             continue
         w.put(table[buf], width)
         if nxt < _MAX_CODE:
-            table[nxt] = None  # placeholder: key direction only
             table[nb] = nxt
             nxt += 1
             # decoder widens when ITS next-code (ours - 1) hits

@@ -1178,6 +1178,8 @@ def gif_fixture_payload(text: str | None, corrupt_mod: int = 9) -> bytes:
     FROM dims
     """,
     tags=("multimodal", "udf", "gif", "quarantine"),
+    bench=True,  # LZW is the codec tier's pure-Python hot loop — its
+    # docs/s is the number a native-lib swap would be judged against
 )
 def mm_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode/feature-extract over LZW-compressed palette images: real
