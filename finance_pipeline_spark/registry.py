@@ -300,6 +300,9 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
             # routed (r11 verdict item 5)
             "text_kn3_perplexity",  # interpolated KN TRIGRAM ppl — the
             # full order-3 recursion (r11 verdict item 6)
+            "s6_jdbc_scan",  # TRUE spark.read.jdbc connector against
+            # embedded Derby (closes the r11 "no JDBC driver jar"
+            # disclosure — Spark bundles Derby)
             # NOT rotating out despite r11-green (changed code in r12):
             # ann_planted_recall + ann_serve_parity (ivfpq_serve ADC
             # tables moved executor-side — r11 verdict item 1),
@@ -317,7 +320,7 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
             "dedup_url_keyed", "ann_pq_topk", "ann_ivfpq_topk",
             "dedup_chunk_minhash", "dedup_connected_groups",
             "text_dup_spans", "text_dup_scrub", "emb_outlier_prune",
-            "win_rank_family", "stream_stream_join",
+            "win_rank_family", "stream_stream_join", "rollup_time_multi",
         ),
     },
     "r11": {
@@ -850,6 +853,7 @@ PRIORITY: tuple[str, ...] = (
     # new r12 operators — first driver evidence
     "mm_decode_gif",  # real GIF87a/89a + LZW codec, dead-letter routed
     "text_kn3_perplexity",  # interpolated KN TRIGRAM perplexity
+    "s6_jdbc_scan",  # TRUE spark.read.jdbc scan vs embedded Derby
     # the 17 r8-evidence deferrals (ROTATION_LOG r11) — mandatory
     # re-earns under the ≤3-round evidence contract
     "ann_ivf_multiprobe",
@@ -893,9 +897,9 @@ PRIORITY: tuple[str, ...] = (
     "s6_sql_table_scan",  # scan anchor
     "join_skew_enrich",  # skew-join anchor
     "join_asof",  # as-of join anchor
-    "rollup_time_multi",  # time-rollup anchor
     # ---- fold: position 51+ — prior-round hash-green driver evidence ----
     # r11-green cohort, rotated out r12 (newest evidence first)
+    "rollup_time_multi",
     "agg_approx_distinct",
     "agg_approx_quantile",
     "dedup_bloom_ranged",
@@ -1053,3 +1057,4 @@ def load_all() -> None:
         udfs,
         warehouse,
     )
+    from finance_pipeline_spark.sources import jdbc_source  # noqa: F401

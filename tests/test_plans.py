@@ -268,6 +268,39 @@ def test_kn_perplexity_joins_are_all_broadcast(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_jdbc_scan_pushes_filter_into_external_engine(spark):
+    """s6_jdbc_scan's plan must show a real JDBCRelation with the
+    totalprice predicate FULLY pushed into the external engine's SQL
+    (starred PushedFilters) and the 4-way range partitioning — i.e.,
+    Derby ships only matching rows and the scan parallelizes."""
+    plan = plan_of(spark, "s6_jdbc_scan")
+    assert "JDBCRelation(ORDERS_SLICE)" in plan
+    assert "numPartitions=4" in plan
+    assert "*GreaterThan(o_totalprice,50000.0)" in plan
+    # pruning: only the four selected columns reach the read schema
+    assert "o_orderpriority" not in plan
+
+
+def test_jdbc_round_trip_matches_parquet_slice(spark):
+    """Value parity through the database: the JDBC read-back equals
+    the parquet slice row-for-row (bigint/double/varchar mapping)."""
+    from finance_pipeline_spark import registry
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        (r.o_orderkey, r.o_custkey, r.o_totalprice, r.o_orderstatus)
+        for r in registry.QUERIES["s6_jdbc_scan"].fn(spark, sf).collect()
+    )
+    want = sorted(
+        (r.o_orderkey, r.o_custkey, r.o_totalprice, r.o_orderstatus)
+        for r in registry.load(spark, sf, "orders")
+        .filter("o_orderkey % 100 = 0 AND o_totalprice > 50000.0")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+        .collect()
+    )
+    assert got == want and got
+
+
 def test_kn3_perplexity_joins_are_all_broadcast(spark):
     """text_kn3_perplexity's five count tables (c3/ctx12/cont23/mid2/
     uni) grow with trigram TYPES, so every join against the
