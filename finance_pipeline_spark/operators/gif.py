@@ -256,6 +256,47 @@ def encode_gif(
     return bytes(out)
 
 
+def encode_gif_animation(
+    frames: list[np.ndarray],
+    palette: np.ndarray,
+    delay_cs: int = 10,
+) -> bytes:
+    """Minimal REAL animated GIF89a — NETSCAPE2.0 loop extension, then
+    per frame a Graphic Control Extension (delay in centiseconds) and
+    a full-screen image with its own LZW stream. Fixture generator for
+    ``decode_gif_frames``; all frames share the global color table and
+    the logical screen size."""
+    if not frames:
+        raise ValueError("animation needs at least one frame")
+    pal = np.asarray(palette, dtype=np.uint8)
+    n_colors = pal.shape[0]
+    if n_colors < 2 or n_colors > 256 or n_colors & (n_colors - 1):
+        raise ValueError(f"palette size {n_colors} not a power of two in 2..256")
+    h, w = np.asarray(frames[0]).shape
+    gct_bits = max(1, n_colors.bit_length() - 1)
+    out = bytearray(b"GIF89a")
+    packed = 0x80 | ((8 - 1) << 4) | (gct_bits - 1)
+    out += struct.pack("<HHBBB", w, h, packed, 0, 0)
+    out += pal.tobytes()
+    # NETSCAPE2.0 application extension, loop forever: 11-byte app id
+    # sub-block, 3-byte data sub-block (1, loop-count 0), terminator
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    mcs = max(2, gct_bits)
+    for fr in frames:
+        idx = np.asarray(fr, dtype=np.uint8)
+        if idx.shape != (h, w):
+            raise ValueError("all frames must share the logical screen size")
+        if int(idx.max(initial=0)) >= n_colors:
+            raise ValueError("pixel index beyond palette")
+        # GCE: no disposal, no transparency, just the delay
+        out += b"\x21\xf9\x04\x00" + struct.pack("<H", delay_cs) + b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        out.append(mcs)
+        out += _sub_blocks(lzw_encode(idx.tobytes(), mcs))
+    out += b"\x3b"
+    return bytes(out)
+
+
 def _decode_frames(
     payload: bytes,
 ) -> tuple[int, int, list[np.ndarray], list[int]]:

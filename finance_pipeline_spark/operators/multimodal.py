@@ -1245,6 +1245,118 @@ def mm_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "mm_gif_frames",
+    # Animated-GIF demux: one output row per (doc, frame), each frame
+    # its own LZW stream behind a GCE the decoder must walk — the
+    # container-parse → frame-decode → row-explode shape shared with
+    # mm_video_frames, on the lossless codec (so the per-frame mean is
+    # EXACT, not a bound). The fixture rotates the byte stream per
+    # frame; the oracle replays the rotation + affine palette in SQL.
+    oracle="""
+    WITH b AS (
+        SELECT doc_id,
+               octet_length(encode(coalesce(text, ''))) AS n,
+               hex(encode(coalesce(text, ''))) AS hx
+        FROM documents
+    ), dims AS (
+        SELECT doc_id, n, hx,
+               4 + (n % 13) AS w, 4 + ((n * 5) % 11) AS h,
+               (1 << (1 + (n % 8))) AS p,
+               2 + (n % 3) AS nf
+        FROM b
+    ), fanned AS (
+        SELECT doc_id, n, hx, w, h, p,
+               unnest(generate_series(0, nf - 1)) AS f
+        FROM dims
+    )
+    SELECT doc_id,
+           CAST(f AS INTEGER) AS frame_no,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CASE WHEN n = 0 THEN 7.0 ELSE
+             CAST(list_sum([
+                 ((('0x' || substr(hx, 2 * (((i + f) % n) + 1) - 1, 2))::INT % p) * 37 + 11) % 256
+               + ((('0x' || substr(hx, 2 * (((i + f) % n) + 1) - 1, 2))::INT % p) * 59 + 7) % 256
+               + ((('0x' || substr(hx, 2 * (((i + f) % n) + 1) - 1, 2))::INT % p) * 83 + 3) % 256
+               FOR i IN range(0, w * h)]) AS DOUBLE) / (w * h * 3)
+           END AS mean_intensity
+    FROM fanned
+    """,
+    tags=("multimodal", "udf", "gif", "video"),
+)
+def mm_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANIMATED GIF demux + per-frame decode: real GIF89a animations
+    (NETSCAPE loop extension, per-frame Graphic Control Extension +
+    LZW stream — ``encode_gif_animation``) synthesized per document
+    and exploded to per-frame rows by ``decode_gif_frames`` inside
+    Arrow-batched ``mapInPandas``. The multi-image container walk is
+    the part ``mm_decode_gif`` (single image) can't see."""
+    import numpy as np
+
+    from finance_pipeline_spark.operators.gif import (
+        decode_gif_frames,
+        encode_gif_animation,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("frame_no", T.IntegerType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("mean_intensity", T.DoubleType()),
+        ]
+    )
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {
+                "doc_id": [], "frame_no": [], "width": [],
+                "height": [], "mean_intensity": [],
+            }
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                tb = ("" if t is None else t).encode("utf-8")
+                n = len(tb)
+                w, h = 4 + n % 13, 4 + (n * 5) % 11
+                p = 1 << (1 + n % 8)
+                nf = 2 + n % 3
+                pal = np.stack(
+                    [
+                        (np.arange(p) * 37 + 11) % 256,
+                        (np.arange(p) * 59 + 7) % 256,
+                        (np.arange(p) * 83 + 3) % 256,
+                    ],
+                    axis=1,
+                ).astype(np.uint8)
+                frames = []
+                for f in range(nf):
+                    if n:
+                        rot = tb[f % n :] + tb[: f % n]
+                        body = (rot * (-(-(w * h) // n)))[: w * h]
+                        idx = (np.frombuffer(body, dtype=np.uint8) % p).reshape(h, w)
+                    else:
+                        idx = np.zeros((h, w), dtype=np.uint8)
+                    frames.append(idx)
+                gw, gh, rgb_frames = decode_gif_frames(
+                    encode_gif_animation(frames, pal)
+                )
+                for f, fr in enumerate(rgb_frames):
+                    rows["doc_id"].append(int(doc_id))
+                    rows["frame_no"].append(f)
+                    rows["width"].append(gw)
+                    rows["height"].append(gh)
+                    rows["mean_intensity"].append(
+                        float(fr.sum(dtype=np.int64)) / fr.size
+                    )
+            yield pd.DataFrame(rows)
+
+    return _spread_for_python_kernel(d.select("doc_id", "text")).mapInPandas(
+        kernel, schema=schema
+    )
+
+
 # --- quarantine decode (dead-letter routing — the 100 TB failure mode) --------
 
 

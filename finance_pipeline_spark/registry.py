@@ -303,6 +303,8 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
             "s6_jdbc_scan",  # TRUE spark.read.jdbc connector against
             # embedded Derby (closes the r11 "no JDBC driver jar"
             # disclosure — Spark bundles Derby)
+            "mm_gif_frames",  # ANIMATED GIF demux + per-frame explode
+            # (the multi-image container walk mm_decode_gif can't see)
             # NOT rotating out despite r11-green (changed code in r12):
             # ann_planted_recall + ann_serve_parity (ivfpq_serve ADC
             # tables moved executor-side — r11 verdict item 1),
@@ -321,6 +323,7 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
             "dedup_chunk_minhash", "dedup_connected_groups",
             "text_dup_spans", "text_dup_scrub", "emb_outlier_prune",
             "win_rank_family", "stream_stream_join", "rollup_time_multi",
+            "d10_current_date",
         ),
     },
     "r11": {
@@ -852,6 +855,7 @@ PRIORITY: tuple[str, ...] = (
     "text_warc_extract",  # zero-copy gzip-member walk (advisor r11)
     # new r12 operators — first driver evidence
     "mm_decode_gif",  # real GIF87a/89a + LZW codec, dead-letter routed
+    "mm_gif_frames",  # ANIMATED GIF demux + per-frame explode
     "text_kn3_perplexity",  # interpolated KN TRIGRAM perplexity
     "s6_jdbc_scan",  # TRUE spark.read.jdbc scan vs embedded Derby
     # the 17 r8-evidence deferrals (ROTATION_LOG r11) — mandatory
@@ -884,7 +888,6 @@ PRIORITY: tuple[str, ...] = (
     "win_session",  # sessionizing window anchor
     "cdc_latest_state",  # CDC anchor
     "scd2_order_status",  # SCD2 anchor
-    "d10_current_date",  # derivation anchor
     "d4_custom_format_parse",  # derivation-parse anchor
     "u2_anti_join",  # setop anchor
     "a3_affected_rows",  # accounting anchor
@@ -900,6 +903,7 @@ PRIORITY: tuple[str, ...] = (
     # ---- fold: position 51+ — prior-round hash-green driver evidence ----
     # r11-green cohort, rotated out r12 (newest evidence first)
     "rollup_time_multi",
+    "d10_current_date",
     "agg_approx_distinct",
     "agg_approx_quantile",
     "dedup_bloom_ranged",

@@ -501,6 +501,39 @@ def test_gif_codec_round_trip_and_rejects():
         decode_gif(good[: 6 + 7 + 12] + b"\x99" + good[6 + 7 + 12 :])
 
 
+def test_gif_animation_round_trips_all_frames():
+    import numpy as np
+
+    from finance_pipeline_spark.operators.gif import (
+        decode_gif_frames,
+        encode_gif_animation,
+    )
+
+    rng = np.random.default_rng(13)
+    pal = rng.integers(0, 256, (16, 3)).astype(np.uint8)
+    frames = [rng.integers(0, 16, (9, 7)).astype(np.uint8) for _ in range(4)]
+    w, h, out = decode_gif_frames(encode_gif_animation(frames, pal))
+    assert (w, h, len(out)) == (7, 9, 4)
+    for fr, dec in zip(frames, out):
+        assert np.array_equal(dec, pal[fr])
+
+
+def test_mm_gif_frames_counts_match_rule(spark, sf_dir):
+    """Every doc explodes to its derived frame count with consistent
+    dims — the frame the driver oracle asserts exactly."""
+    from finance_pipeline_spark.registry import QUERIES, load
+
+    rows = QUERIES["mm_gif_frames"].fn(spark, sf_dir).collect()
+    n_docs = load(spark, sf_dir, "documents").count()
+    per_doc: dict = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r.frame_no)
+    assert len(per_doc) == n_docs
+    for doc_id, fns in per_doc.items():
+        assert sorted(fns) == list(range(len(fns)))
+        assert 2 <= len(fns) <= 4
+
+
 def test_mm_decode_gif_routes_corrupt_and_bounds_good(spark, sf_dir):
     """Good docs decode to the derived dims/palette with exact means;
     n%9==0 docs quarantine with the decoder's deterministic reason —

@@ -75,6 +75,7 @@ def test_driver_window_covers_every_family():
         "text_warc_extract",  # zero-copy gzip-member walk (advisor r11)
         # new r12 operators earning first driver evidence
         "mm_decode_gif",  # real GIF87a/89a + LZW codec (verdict item 5)
+        "mm_gif_frames",  # animated GIF demux + per-frame explode
         "text_kn3_perplexity",  # KN trigram perplexity (verdict item 6)
         "s6_jdbc_scan",  # true spark.read.jdbc vs embedded Derby
         # rows-only by design — window-pinned (can never earn fold
@@ -99,7 +100,8 @@ def test_driver_window_covers_every_family():
         "join_skew_enrich", "join_asof", "u2_anti_join",  # joins / setop
         "o2_topk_single",  # sort
         "p8_watermark_filter",  # P-family (projection/filter rows)
-        "d4_custom_format_parse", "d10_current_date",  # derivation
+        "d4_custom_format_parse",  # derivation (plus the incoming
+        # d8_trim r8 re-earn)
         "stream_decode_quarantine", "stream_session_counts",  # streaming
         "stream_dedup",
         "text_pii_scrub", "text_source_quota",  # text
