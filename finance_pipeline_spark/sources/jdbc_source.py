@@ -101,7 +101,11 @@ def _seed_orders_slice(spark: SparkSession, sf_dir: str) -> tuple[str, int, int]
         .option("driver", DERBY_DRIVER)
         .save()
     )
-    return url, int(bounds["lo"]), int(bounds["hi"])
+    # an empty slice (tiny SF) still creates the table; 0/1 bounds give
+    # a valid—if trivial—partitioned read instead of int(None) dying
+    lo = int(bounds["lo"]) if bounds["lo"] is not None else 0
+    hi = int(bounds["hi"]) if bounds["hi"] is not None else 1
+    return url, lo, hi
 
 
 @query(

@@ -518,6 +518,60 @@ def test_gif_animation_round_trips_all_frames():
         assert np.array_equal(dec, pal[fr])
 
 
+def test_gif_codec_properties_hypothesis():
+    """Properties (hypothesis): (1) encode→decode round-trips ANY
+    raster exactly for any power-of-two palette, interlaced or not;
+    (2) the decoder never hangs or dies with anything but ValueError
+    on arbitrary byte mutations of a valid file (the quarantine
+    router's contract — an unexpected exception type would escape the
+    dead-letter catch and kill the task)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from finance_pipeline_spark.operators.gif import decode_gif, encode_gif
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        st.integers(1, 20),
+        st.integers(1, 20),
+        st.sampled_from([1, 3, 6, 8]),
+        st.booleans(),
+        st.integers(0, 2**32 - 1),
+    )
+    def round_trip(w, h, bits, inter, seed):
+        rng = np.random.default_rng(seed)
+        p = 1 << bits
+        pal = rng.integers(0, 256, (p, 3)).astype(np.uint8)
+        idx = rng.integers(0, p, (h, w)).astype(np.uint8)
+        gw, gh, out = decode_gif(encode_gif(idx, pal, interlace=inter))
+        assert (gw, gh) == (w, h)
+        assert np.array_equal(out, pal[idx])
+
+    round_trip()
+
+    base = encode_gif(
+        np.arange(64, dtype=np.uint8).reshape(8, 8) % 16,
+        np.arange(48, dtype=np.uint8).reshape(16, 3),
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        st.integers(0, len(base) - 1),
+        st.integers(0, 255),
+        st.integers(0, len(base)),
+    )
+    def mutations_fail_loudly(pos, val, cut):
+        mutated = base[:pos] + bytes([val]) + base[pos + 1 :]
+        for payload in (mutated, base[:cut]):
+            try:
+                decode_gif(payload)
+            except ValueError:
+                pass  # the contract: loud, typed, routable
+
+    mutations_fail_loudly()
+
+
 def test_mm_gif_frames_counts_match_rule(spark, sf_dir):
     """Every doc explodes to its derived frame count with consistent
     dims — the frame the driver oracle asserts exactly."""
