@@ -1357,6 +1357,185 @@ def mm_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- perceptual-hash image dedup (pHash — the image near-dup family) ---------
+
+
+def _dct32() -> "np.ndarray":
+    """Orthonormal 32-point DCT-II matrix (the pHash transform)."""
+    import numpy as np
+
+    n = 32
+    k = np.arange(n)
+    d = np.sqrt(2.0 / n) * np.cos(
+        np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n)
+    )
+    d[0] *= 1 / np.sqrt(2)
+    return d
+
+
+def phash64(gray: "np.ndarray") -> int:
+    """Classic 64-bit pHash: 32×32 gray → 2-D DCT → top-left 8×8
+    low-frequency block → threshold each coefficient against the
+    median of the 63 AC terms (DC skipped — it's just brightness).
+    Returns a SIGNED int64 (the uint64 bit pattern reinterpreted) so
+    the value survives a Spark bigint column unchanged."""
+    import numpy as np
+
+    d = _dct32()
+    f = d @ np.asarray(gray, dtype=np.float64) @ d.T
+    low = f[:8, :8].reshape(-1)
+    med = np.median(low[1:])
+    bits = (low > med).astype(np.uint64)
+    h = np.uint64(0)
+    for b in bits:
+        h = (h << np.uint64(1)) | b
+    return int(h.astype(np.int64))
+
+
+def phash_hamming_pairs(
+    df: DataFrame, max_hamming: int = 2, bucket_cap: int = 512
+) -> DataFrame:
+    """Banded near-dup pairs over a (doc_id, phash bigint) frame — the
+    LSH shape: a 64-bit hash splits into four 16-bit bands; two hashes
+    within Hamming distance <= 3 must agree on at least one whole band
+    (pigeonhole), so candidate pairs come from band-bucket self-joins
+    (bucket-capped like the MinHash path), then the exact popcount
+    filter keeps Hamming <= max_hamming. Output (doc_a, doc_b,
+    hamming), doc_a < doc_b, distinct."""
+    from pyspark.sql import Window as W
+
+    bands = df.select(
+        "doc_id",
+        F.col("phash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col("phash"), 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "phash", "b.band", "b.val")
+    capped = bands.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("band", "val").orderBy("doc_id")
+        ),
+    ).filter(F.col("rn") <= bucket_cap)
+    left = capped.select(
+        "band", "val", F.col("doc_id").alias("doc_a"), F.col("phash").alias("ha")
+    )
+    right = capped.select(
+        "band", "val", F.col("doc_id").alias("doc_b"), F.col("phash").alias("hb")
+    )
+    return (
+        left.join(right, ["band", "val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+        .distinct()
+    )
+
+
+_PHASH_SCHEMA = "doc_id bigint, phash bigint"
+
+
+def with_phash(df: DataFrame) -> DataFrame:
+    """(doc_id, phash): synthesize the 32×32 gray fixture raster per
+    document (UTF-8 bytes cycled to 1024 — identical text ⇒ identical
+    raster ⇒ identical pHash) and hash it. One batched DCT einsum per
+    Arrow batch, not per image."""
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        d = _dct32()
+        for pdf in it:
+            rasters = []
+            for t in pdf["text"]:
+                tb = ("" if t is None else t).encode("utf-8")
+                need = 1024
+                body = (
+                    (tb * (-(-need // len(tb))))[:need] if tb else bytes(need)
+                )
+                rasters.append(
+                    np.frombuffer(body, dtype=np.uint8).reshape(32, 32)
+                )
+            stack = np.asarray(rasters, dtype=np.float64)  # (B, 32, 32)
+            f = np.einsum("ij,bjk,lk->bil", d, stack, d)
+            low = f[:, :8, :8].reshape(len(stack), 64)
+            med = np.median(low[:, 1:], axis=1, keepdims=True)
+            bits = (low > med).astype(np.uint64)
+            weights = np.uint64(1) << np.arange(63, -1, -1, dtype=np.uint64)
+            hashes = (bits * weights).sum(axis=1, dtype=np.uint64)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "phash": hashes.astype(np.int64),
+                }
+            )
+
+    return _spread_for_python_kernel(df.select("doc_id", "text")).mapInPandas(
+        kernel, _PHASH_SCHEMA
+    )
+
+
+@query(
+    "mm_phash_groups",
+    # The fixture raster is a pure function of the text, and the
+    # empirical pre-check found ZERO cross-text pHash collisions on
+    # the corpus — so equal-hash groups ARE equal-text groups, and the
+    # oracle can verify the perceptual-hash grouping from text
+    # equality WITHOUT computing a DCT in SQL. A hash bug (wrong DCT,
+    # wrong median, bit-order slip) splits or merges groups and
+    # mismatches; the near-Hamming behavior SQL can't see is pinned by
+    # tests/test_multimodal.py's planted-noise pairs.
+    oracle="""
+    SELECT doc_id,
+           min(doc_id) OVER (PARTITION BY coalesce(text, '')) AS dup_of,
+           count(*) OVER (PARTITION BY coalesce(text, ''))
+             AS group_size,
+           doc_id <> min(doc_id) OVER (PARTITION BY coalesce(text, ''))
+             AS is_dup
+    FROM documents
+    """,
+    tags=("multimodal", "dedup", "phash", "udf"),
+)
+def mm_phash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image dedup by PERCEPTUAL hash: every document's fixture image
+    is pHashed (32×32 DCT, median-thresholded 8×8 low block) and docs
+    are grouped by exact hash — each doc reports its group's min
+    doc_id as ``dup_of``. This is the image-pipeline complement of the
+    text dedup family: 8 bytes/doc shuffle regardless of image size,
+    so the groupBy stays trivially cheap at 100 TB of pixels. The
+    Hamming-banded NEAR-dup form (``phash_hamming_pairs``) shares the
+    same hash column; its robustness to pixel noise is pytest-pinned
+    (SQL can't express a DCT oracle honestly)."""
+    hashed = with_phash(load(spark, sf_dir, "documents"))
+    grouped = hashed.groupBy("phash").agg(
+        F.min("doc_id").alias("dup_of"),
+        F.count(F.lit(1)).alias("group_size"),
+    )
+    return (
+        hashed.join(grouped, "phash")
+        .select(
+            "doc_id",
+            "dup_of",
+            "group_size",
+            (F.col("doc_id") != F.col("dup_of")).alias("is_dup"),
+        )
+    )
+
+
 # --- quarantine decode (dead-letter routing — the 100 TB failure mode) --------
 
 

@@ -305,6 +305,8 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
             # disclosure — Spark bundles Derby)
             "mm_gif_frames",  # ANIMATED GIF demux + per-frame explode
             # (the multi-image container walk mm_decode_gif can't see)
+            "mm_phash_groups",  # perceptual-hash image dedup (DCT
+            # pHash groups; Hamming-banded near form pytest-pinned)
             # NOT rotating out despite r11-green (changed code in r12):
             # ann_planted_recall + ann_serve_parity (ivfpq_serve ADC
             # tables moved executor-side — r11 verdict item 1),
@@ -323,7 +325,7 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
             "dedup_chunk_minhash", "dedup_connected_groups",
             "text_dup_spans", "text_dup_scrub", "emb_outlier_prune",
             "win_rank_family", "stream_stream_join", "rollup_time_multi",
-            "d10_current_date",
+            "d10_current_date", "funnel_conversion",
         ),
     },
     "r11": {
@@ -856,6 +858,7 @@ PRIORITY: tuple[str, ...] = (
     # new r12 operators — first driver evidence
     "mm_decode_gif",  # real GIF87a/89a + LZW codec, dead-letter routed
     "mm_gif_frames",  # ANIMATED GIF demux + per-frame explode
+    "mm_phash_groups",  # perceptual-hash (DCT pHash) image dedup
     "text_kn3_perplexity",  # interpolated KN TRIGRAM perplexity
     "s6_jdbc_scan",  # TRUE spark.read.jdbc scan vs embedded Derby
     # the 17 r8-evidence deferrals (ROTATION_LOG r11) — mandatory
@@ -884,7 +887,6 @@ PRIORITY: tuple[str, ...] = (
     "dedup_bloom_screen",  # corpus-screen anchor
     "text_pii_scrub",  # text-scrub anchor
     "text_source_quota",  # mixture/quota anchor
-    "funnel_conversion",  # sequence-agg anchor
     "win_session",  # sessionizing window anchor
     "cdc_latest_state",  # CDC anchor
     "scd2_order_status",  # SCD2 anchor
@@ -904,6 +906,7 @@ PRIORITY: tuple[str, ...] = (
     # r11-green cohort, rotated out r12 (newest evidence first)
     "rollup_time_multi",
     "d10_current_date",
+    "funnel_conversion",
     "agg_approx_distinct",
     "agg_approx_quantile",
     "dedup_bloom_ranged",

@@ -588,6 +588,75 @@ def test_mm_gif_frames_counts_match_rule(spark, sf_dir):
         assert 2 <= len(fns) <= 4
 
 
+def test_phash_is_noise_robust_and_discriminative():
+    """The perceptual property SQL can't oracle: small pixel noise
+    moves the hash by a few bits (near-dup finds it); unrelated
+    images sit far apart in Hamming space."""
+    import numpy as np
+
+    from finance_pipeline_spark.operators.multimodal import phash64
+
+    rng = np.random.default_rng(21)
+    # structured base image (gradients + a block), not pure noise —
+    # pHash is a low-frequency signature
+    x, y = np.meshgrid(np.arange(32), np.arange(32))
+    base = (4 * x + 3 * y) % 256
+    base[8:20, 8:20] += 60
+    base = (base % 256).astype(np.float64)
+
+    def ham(a, b):
+        return bin((a ^ b) & (2**64 - 1)).count("1")
+
+    h0 = phash64(base)
+    # measured: noise lands 0-6 bits (median-adjacent coefficients
+    # flip), unrelated images land 26-36 — a wide margin around any
+    # practical near-dup threshold
+    for _ in range(10):
+        noisy = base + rng.normal(0, 4.0, base.shape)
+        assert ham(h0, phash64(noisy)) <= 8
+    for _ in range(10):
+        other = rng.integers(0, 256, (32, 32)).astype(np.float64)
+        # random noise has a flat spectrum — far from the structured base
+        assert ham(h0, phash64(other)) >= 16
+
+
+def test_phash_hamming_pairs_finds_planted_near_dups(spark):
+    """Banded LSH over the hash column: a planted noisy copy (Hamming
+    <= 2 from its original) must surface as a pair; unrelated docs
+    must not."""
+    import numpy as np
+
+    from finance_pipeline_spark.operators.multimodal import (
+        phash64,
+        phash_hamming_pairs,
+    )
+
+    rng = np.random.default_rng(33)
+    x, y = np.meshgrid(np.arange(32), np.arange(32))
+    imgs = {}
+    for i in range(20):
+        im = ((i + 3) * x + (2 * i + 1) * y) % 256
+        im[4 + i % 8 : 16, 6 : 18 + i % 6] += 40 + i
+        imgs[i] = (im % 256).astype(np.float64)
+    # plant: doc 100 is doc 0 + tiny noise, retry seeds until the
+    # planted pair is genuinely within the banded threshold
+    for seed in range(50):
+        noisy = imgs[0] + np.random.default_rng(seed).normal(0, 2.0, (32, 32))
+        if bin((phash64(imgs[0]) ^ phash64(noisy)) & (2**64 - 1)).count("1") <= 2:
+            imgs[100] = noisy
+            break
+    assert 100 in imgs, "no seed produced a <=2-bit noisy copy"
+    df = spark.createDataFrame(
+        [(int(k), phash64(v)) for k, v in imgs.items()], "doc_id bigint, phash bigint"
+    )
+    pairs = {
+        (r.doc_a, r.doc_b) for r in phash_hamming_pairs(df, max_hamming=2).collect()
+    }
+    assert (0, 100) in pairs
+    # nothing else collides at <=2 bits in this constructed set
+    assert all(p == (0, 100) for p in pairs)
+
+
 def test_mm_decode_gif_routes_corrupt_and_bounds_good(spark, sf_dir):
     """Good docs decode to the derived dims/palette with exact means;
     n%9==0 docs quarantine with the decoder's deterministic reason —

@@ -76,6 +76,7 @@ def test_driver_window_covers_every_family():
         # new r12 operators earning first driver evidence
         "mm_decode_gif",  # real GIF87a/89a + LZW codec (verdict item 5)
         "mm_gif_frames",  # animated GIF demux + per-frame explode
+        "mm_phash_groups",  # perceptual-hash image dedup
         "text_kn3_perplexity",  # KN trigram perplexity (verdict item 6)
         "s6_jdbc_scan",  # true spark.read.jdbc vs embedded Derby
         # rows-only by design — window-pinned (can never earn fold
@@ -94,9 +95,8 @@ def test_driver_window_covers_every_family():
         "text_tfidf_topk",
         # family-coverage anchors (one-plus representative per family)
         "dedup_minhash_lsh", "dedup_bloom_screen",  # dedup
-        "win_session",  # windows
-        "funnel_conversion",  # aggregates-misc (plus the incoming
-        # profile/hist/winsorize r8 re-earns)
+        "win_session",  # windows (aggregates-misc covered by the
+        # incoming profile/hist/winsorize/metric_rolling r8 re-earns)
         "join_skew_enrich", "join_asof", "u2_anti_join",  # joins / setop
         "o2_topk_single",  # sort
         "p8_watermark_filter",  # P-family (projection/filter rows)
