@@ -1,0 +1,204 @@
+"""Distributed BPE tokenizer TRAINING + encoding — the tokenizer-asset
+step of a pretraining data pipeline (the registry's
+``text_bpe_token_count`` counts with a fixed BPE-ish regex; this module
+LEARNS the merges from the corpus).
+
+Where the scale lives, honestly:
+
+- The data-sized pass is the WORD-FREQUENCY table: one lowercased
+  whitespace tokenize + groupBy over the full corpus (at 100 TB this is
+  the only stage that sees every byte; it's a map-side-combined count).
+- BPE's merge loop then operates on that TYPE-sized table — word types,
+  not instances — capped to the top-``top_words`` types (the same
+  vocab-bounding rule the LM chain uses). Every real tokenizer trainer
+  (the published BPE algorithm included) iterates on word counts, not
+  the raw corpus; doing those ~10k tiny argmax iterations driver-side
+  over a capped table is the honest design, not a shortcut — a Spark
+  job per merge would be thousands of jobs over kilobytes.
+- ENCODING fans back out: the learned merge ranks broadcast to an
+  Arrow-batched kernel that greedily applies them per word with a
+  per-batch word-level memo — corpus-sized, partition-parallel.
+
+Determinism: merge selection breaks count ties lexicographically on
+the (left, right) pair, so the same corpus always yields the same
+merge table; ``tests/test_bpe.py`` pins parity against an independent
+reference implementation and the golden merge sequence.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from finance_pipeline_spark.logging_utils import get_logger
+
+log = get_logger(__name__)
+
+_EOW = "</w>"  # end-of-word marker (the classic BPE word boundary)
+
+
+def word_frequencies(docs: DataFrame, top_words: int) -> list[tuple[str, int]]:
+    """The distributed pass: lowercased whitespace word counts over the
+    corpus, capped to the top-``top_words`` types (count desc, word asc
+    — deterministic). Returns driver-side [(word, count)]; the cap
+    bounds this at tokenizer-training size regardless of corpus size."""
+    toks = F.explode(
+        F.filter(
+            F.split(F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))), " "),
+            lambda x: x != F.lit(""),
+        )
+    ).alias("w")
+    counts = (
+        docs.select(toks)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("w").asc())
+        .limit(top_words)
+    )
+    return [(r["w"], int(r["n"])) for r in counts.collect()]
+
+
+def train_merges(
+    word_freqs: list[tuple[str, int]], n_merges: int
+) -> list[tuple[str, str]]:
+    """Classic BPE on a word-frequency table: start from characters
+    (+ ``</w>``), repeatedly merge the most-frequent adjacent symbol
+    pair (ties broken lexicographically), ``n_merges`` times or until
+    no pair repeats. Pure function — the parity tests run it against
+    an independent reference."""
+    words: list[tuple[list[str], int]] = [
+        (list(w) + [_EOW], n) for w, n in word_freqs
+    ]
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pair_counts: dict[tuple[str, str], int] = {}
+        for sym, n in words:
+            for a, b in zip(sym, sym[1:]):
+                pair_counts[(a, b)] = pair_counts.get((a, b), 0) + n
+        if not pair_counts:
+            break
+        best_count = max(pair_counts.values())
+        if best_count < 2:
+            break  # nothing repeats — further merges are memorization
+        # deterministic: max count, ties to the lexicographically
+        # smallest (left, right) pair
+        pair = min(p for p, c in pair_counts.items() if c == best_count)
+        merges.append(pair)
+        merged = pair[0] + pair[1]
+        next_words = []
+        for sym, n in words:
+            out = []
+            i = 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == pair[0] and sym[i + 1] == pair[1]:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            next_words.append((out, n))
+        words = next_words
+    return merges
+
+
+def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Greedy lowest-rank-first BPE encode of one word (the published
+    algorithm): repeatedly merge the present pair with the smallest
+    merge rank until none applies."""
+    sym = list(word) + [_EOW]
+    while len(sym) > 1:
+        best_rank, best_i = None, None
+        for i, (a, b) in enumerate(zip(sym, sym[1:])):
+            r = ranks.get((a, b))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_i is None:
+            break
+        sym[best_i : best_i + 2] = [sym[best_i] + sym[best_i + 1]]
+    return sym
+
+
+def bpe_encode_docs(docs: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
+    """(doc_id, n_words, n_tokens_bpe, n_chars): Arrow-batched greedy
+    encode with the merge ranks broadcast in the closure and a
+    per-batch word memo (natural-language batches repeat words
+    heavily, so the memo turns per-instance cost into per-type)."""
+    import pandas as pd
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    def kernel(it):
+        for pdf in it:
+            memo: dict[str, int] = {}
+            n_words, n_tokens, n_chars = [], [], []
+            for t in pdf["text"]:
+                text = ("" if t is None else t).lower().strip()
+                words = [w for w in text.split(" ") if w]
+                total = 0
+                for w in words:
+                    if w not in memo:
+                        memo[w] = len(encode_word(w, ranks))
+                    total += memo[w]
+                n_words.append(len(words))
+                n_tokens.append(total)
+                n_chars.append(len(text))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "n_words": n_words,
+                    "n_tokens_bpe": n_tokens,
+                    "n_chars": n_chars,
+                }
+            )
+
+    from finance_pipeline_spark.operators.multimodal import (
+        _spread_for_python_kernel,
+    )
+
+    return _spread_for_python_kernel(docs.select("doc_id", "text")).mapInPandas(
+        kernel, "doc_id bigint, n_words bigint, n_tokens_bpe bigint, n_chars bigint"
+    )
+
+
+def train_and_save(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_path: str | Path,
+    n_merges: int = 200,
+    top_words: int = 5000,
+) -> dict:
+    """Train on the corpus and persist the tokenizer asset (merge
+    table + config) as JSON — the artifact a training pipeline ships
+    alongside its shards. Returns accounting."""
+    freqs = word_frequencies(docs, top_words)
+    merges = train_merges(freqs, n_merges)
+    out = Path(out_path)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    tmp = out.with_suffix(".tmp")
+    tmp.write_text(
+        json.dumps(
+            {
+                "version": 1,
+                "eow": _EOW,
+                "n_merges_requested": n_merges,
+                "top_words": top_words,
+                "merges": [[a, b] for a, b in merges],
+            }
+        )
+    )
+    import os
+
+    os.replace(tmp, out)
+    log.info("bpe: trained %d merges from %d word types -> %s",
+             len(merges), len(freqs), out)
+    return {"word_types": len(freqs), "merges": len(merges), "out": str(out)}
+
+
+def load_merges(path: str | Path) -> list[tuple[str, str]]:
+    data = json.loads(Path(path).read_text())
+    if data.get("version") != 1 or data.get("eow") != _EOW:
+        raise ValueError(f"unsupported BPE asset {path}")
+    return [(a, b) for a, b in data["merges"]]

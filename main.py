@@ -96,6 +96,23 @@ def corpus_main(argv: list[str]) -> int:
     p.add_argument("--key-col", default="doc_id")
     p.add_argument("--format", choices=("parquet", "jsonl"), default="jsonl")
 
+    p = sub.add_parser(
+        "bpe-train",
+        help="learn a BPE merge table from a corpus (tokenizer asset)",
+    )
+    p.add_argument("--source-dir", required=True, help="docs parquet dir")
+    p.add_argument("--out", required=True, help="merges.json path")
+    p.add_argument("--n-merges", type=int, default=200)
+    p.add_argument("--top-words", type=int, default=5000)
+
+    p = sub.add_parser(
+        "bpe-encode",
+        help="BPE-encode a batch with a trained merge table",
+    )
+    p.add_argument("--merges", required=True, help="merges.json from bpe-train")
+    p.add_argument("--input", required=True, help="parquet of (doc_id, text)")
+    p.add_argument("--out", default=None, help="counts parquet dir (optional)")
+
     p = sub.add_parser("lm-add", help="fold a batch into the stored corpus LM")
     p.add_argument("--index", required=True, help="CorpusLmIndex root")
     p.add_argument("--input", required=True, help="parquet of (doc_id, text, ...)")
@@ -211,6 +228,48 @@ def corpus_main(argv: list[str]) -> int:
         n = out.count()
         n_hosts = out.select("source").distinct().count()
         print(json.dumps({"docs": n, "hosts": n_hosts, "out": args.out}))
+        return 0
+    if args.cmd == "bpe-train":
+        from finance_pipeline_spark.pipelines.bpe_tokenizer import train_and_save
+
+        stats = train_and_save(
+            spark,
+            spark.read.parquet(args.source_dir),
+            args.out,
+            n_merges=args.n_merges,
+            top_words=args.top_words,
+        )
+        print(json.dumps(stats))
+        return 0
+    if args.cmd == "bpe-encode":
+        from pyspark.sql import functions as F
+
+        from finance_pipeline_spark.pipelines.bpe_tokenizer import (
+            bpe_encode_docs,
+            load_merges,
+        )
+
+        counts = bpe_encode_docs(
+            spark.read.parquet(args.input), load_merges(args.merges)
+        )
+        if args.out:
+            counts.write.mode("overwrite").parquet(args.out)
+            counts = spark.read.parquet(args.out)
+        agg = counts.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_tokens_bpe").alias("tokens"),
+            F.sum("n_chars").alias("chars"),
+        ).collect()[0]
+        print(
+            json.dumps(
+                {
+                    "docs": agg["n"],
+                    "bpe_tokens": agg["tokens"],
+                    "chars": agg["chars"],
+                    "out": args.out,
+                }
+            )
+        )
         return 0
     if args.cmd == "lm-add":
         from finance_pipeline_spark.pipelines.lm_index import CorpusLmIndex

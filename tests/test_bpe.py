@@ -1,0 +1,143 @@
+"""BPE tokenizer training/encoding: parity against an INDEPENDENT
+reference implementation (different data structures, same published
+algorithm), determinism, the greedy-encode consistency law
+(encoding with the learned merges reproduces training's final
+segmentation), and the Spark end-to-end."""
+
+from __future__ import annotations
+
+import collections
+import json
+
+import pytest
+
+from finance_pipeline_spark.pipelines.bpe_tokenizer import (
+    _EOW,
+    bpe_encode_docs,
+    encode_word,
+    load_merges,
+    train_and_save,
+    train_merges,
+    word_frequencies,
+)
+
+
+def _reference_bpe(word_freqs, n_merges):
+    """Independent reference: the textbook algorithm over a
+    Counter-of-tuples representation (vs the module's list-of-lists)."""
+    vocab = collections.Counter()
+    for w, n in word_freqs:
+        vocab[tuple(list(w) + [_EOW])] += n
+    merges = []
+    for _ in range(n_merges):
+        pairs = collections.Counter()
+        for sym, n in vocab.items():
+            for i in range(len(sym) - 1):
+                pairs[(sym[i], sym[i + 1])] += n
+        if not pairs:
+            break
+        best = max(pairs.values())
+        if best < 2:
+            break
+        pair = min(p for p, c in pairs.items() if c == best)
+        merges.append(pair)
+        new_vocab = collections.Counter()
+        for sym, n in vocab.items():
+            out, i = [], 0
+            while i < len(sym):
+                if (
+                    i + 1 < len(sym)
+                    and (sym[i], sym[i + 1]) == pair
+                ):
+                    out.append(sym[i] + sym[i + 1])
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            new_vocab[tuple(out)] += n
+        vocab = new_vocab
+    return merges, vocab
+
+
+CORPUS = [
+    ("low", 5), ("lower", 2), ("newest", 6), ("widest", 3),
+    ("newer", 4), ("wide", 2), ("low-key", 1),
+]
+
+
+def test_train_matches_independent_reference():
+    for k in (1, 5, 10, 40):
+        assert train_merges(CORPUS, k) == _reference_bpe(CORPUS, k)[0]
+
+
+def test_training_stops_when_nothing_repeats():
+    merges = train_merges([("ab", 1), ("cd", 1)], 50)
+    # every pair is unique (count 1): no merge is ever made
+    assert merges == []
+
+
+def test_greedy_encode_reproduces_training_segmentation():
+    """The BPE consistency law: encoding a training word with the
+    learned ranks yields the same symbols the training loop left for
+    that word."""
+    merges, final_vocab = _reference_bpe(CORPUS, 30)
+    ranks = {p: i for i, p in enumerate(merges)}
+    trained = {"".join(sym).replace(_EOW, ""): list(sym) for sym in final_vocab}
+    for w, _ in CORPUS:
+        assert encode_word(w, ranks) == trained[w], w
+
+
+def test_encode_word_handles_oov_and_empty():
+    merges = train_merges(CORPUS, 20)
+    ranks = {p: i for i, p in enumerate(merges)}
+    assert encode_word("", ranks) == [_EOW]
+    oov = encode_word("zzz", ranks)
+    assert "".join(oov) == "zzz" + _EOW  # falls back toward characters
+
+
+def test_spark_end_to_end_train_save_encode(spark, tmp_path):
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat ate the rat"),
+        (3, "THE CAT   the cat"),  # case + runs of spaces normalize
+        (4, None),
+        (5, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    asset = tmp_path / "bpe" / "merges.json"
+    stats = train_and_save(spark, docs, asset, n_merges=30, top_words=100)
+    assert stats["merges"] > 0 and asset.exists()
+
+    # the distributed word-frequency pass matches a local count
+    local = collections.Counter()
+    for _, t in rows:
+        for w in (t or "").lower().strip().split(" "):
+            if w:
+                local[w] += 1
+    got = dict(word_frequencies(docs, 100))
+    assert got == dict(local)
+
+    merges = load_merges(asset)
+    ranks = {p: i for i, p in enumerate(merges)}
+    out = {r.doc_id: r for r in bpe_encode_docs(docs, merges).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}
+    for doc_id, t in rows:
+        text = (t or "").lower().strip()
+        words = [w for w in text.split(" ") if w]
+        expect = sum(len(encode_word(w, ranks)) for w in words)
+        assert (out[doc_id].n_words, out[doc_id].n_tokens_bpe) == (
+            len(words),
+            expect,
+        ), doc_id
+    # merges learned: common words compress below character count
+    the_len = len(encode_word("the", ranks))
+    assert the_len < len("the") + 1
+
+
+def test_asset_round_trip_and_version_guard(tmp_path):
+    from pathlib import Path
+
+    p = tmp_path / "m.json"
+    p.write_text(json.dumps({"version": 2, "eow": _EOW, "merges": []}))
+    with pytest.raises(ValueError, match="unsupported"):
+        load_merges(p)
