@@ -1520,19 +1520,18 @@ def mm_phash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hamming-banded NEAR-dup form (``phash_hamming_pairs``) shares the
     same hash column; its robustness to pixel noise is pytest-pinned
     (SQL can't express a DCT oracle honestly)."""
+    from pyspark.sql import Window as W
+
     hashed = with_phash(load(spark, sf_dir, "documents"))
-    grouped = hashed.groupBy("phash").agg(
-        F.min("doc_id").alias("dup_of"),
-        F.count(F.lit(1)).alias("group_size"),
-    )
-    return (
-        hashed.join(grouped, "phash")
-        .select(
-            "doc_id",
-            "dup_of",
-            "group_size",
-            (F.col("doc_id") != F.col("dup_of")).alias("is_dup"),
-        )
+    # one shuffle, one kernel pass: a groupBy+self-join would re-run
+    # the Python hash kernel for each side; the window computes both
+    # group aggregates in the same partition pass
+    g = W.partitionBy("phash")
+    return hashed.select(
+        "doc_id",
+        F.min("doc_id").over(g).alias("dup_of"),
+        F.count(F.lit(1)).over(g).alias("group_size"),
+        (F.col("doc_id") != F.min("doc_id").over(g)).alias("is_dup"),
     )
 
 
