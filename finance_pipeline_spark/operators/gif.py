@@ -314,6 +314,8 @@ def _decode_frames(
         pos += 3 * n
     frames: list[np.ndarray] = []
     pal_sizes: list[int] = []
+    any_partial = False
+    bg_rgb = gct[_bg] if gct is not None and _bg < gct.shape[0] else None
     while True:
         if pos >= len(payload):
             raise ValueError("truncated GIF (no trailer)")
@@ -362,10 +364,31 @@ def _decode_frames(
             idx = deinter
         if int(idx.max(initial=0)) >= pal.shape[0]:
             raise ValueError("GIF pixel index beyond color table")
-        frames.append(pal[idx])  # (ih, iw, 3) uint8
+        raster = pal[idx]  # (ih, iw, 3) uint8
+        if (ix, iy, iw, ih) != (0, 0, w, h):
+            # composite the sub-image onto the logical screen at its
+            # declared offset (T.81 counterpart: a raster's dims must
+            # MATCH the reported (w, h) — returning the patch with
+            # screen dims was the r12 review finding). Background is
+            # the LSD's background color when a GCT provides it.
+            any_partial = True
+            screen = np.zeros((h, w, 3), dtype=np.uint8)
+            if bg_rgb is not None:
+                screen[:, :] = bg_rgb
+            screen[iy : iy + ih, ix : ix + iw] = raster
+            raster = screen
+        frames.append(raster)
         pal_sizes.append(int(pal.shape[0]))
     if not frames:
         raise ValueError("GIF has no image data")
+    if any_partial and len(frames) > 1:
+        # optimized animations paint frame deltas with disposal rules;
+        # without disposal compositing the later frames would be wrong
+        # — reject loudly (the envelope rule, like progressive JPEG)
+        raise ValueError(
+            "animated GIF with partial frames needs disposal "
+            "compositing (unsupported)"
+        )
     return w, h, frames, pal_sizes
 
 

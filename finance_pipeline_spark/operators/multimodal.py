@@ -1451,11 +1451,17 @@ _PHASH_SCHEMA = "doc_id bigint, phash bigint"
 
 def with_phash(df: DataFrame) -> DataFrame:
     """(doc_id, phash): synthesize the 32×32 gray fixture raster per
-    document (UTF-8 bytes cycled to 1024 — identical text ⇒ identical
-    raster ⇒ identical pHash) and hash it. One batched DCT einsum per
-    Arrow batch, not per image."""
+    document and hash it. The raster is a counter-mode SHA-256
+    expansion of the FULL text's digest — identical text ⇒ identical
+    raster ⇒ identical pHash, and distinct texts get independent
+    pseudorandom rasters, so the oracle's text-equality grouping can't
+    be broken by structural aliasing (a cycled-bytes fixture would
+    alias t with t+t and truncate long docs — review finding r12).
+    One batched DCT einsum per Arrow batch, not per image."""
 
     def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
         import numpy as np
 
         d = _dct32()
@@ -1463,10 +1469,11 @@ def with_phash(df: DataFrame) -> DataFrame:
             rasters = []
             for t in pdf["text"]:
                 tb = ("" if t is None else t).encode("utf-8")
-                need = 1024
-                body = (
-                    (tb * (-(-need // len(tb))))[:need] if tb else bytes(need)
-                )
+                dg = hashlib.sha256(tb).digest()
+                body = b"".join(
+                    hashlib.sha256(dg + i.to_bytes(4, "big")).digest()
+                    for i in range(32)
+                )  # 32 x 32 B = 1024 B
                 rasters.append(
                     np.frombuffer(body, dtype=np.uint8).reshape(32, 32)
                 )
@@ -1491,13 +1498,16 @@ def with_phash(df: DataFrame) -> DataFrame:
 
 @query(
     "mm_phash_groups",
-    # The fixture raster is a pure function of the text, and the
-    # empirical pre-check found ZERO cross-text pHash collisions on
-    # the corpus — so equal-hash groups ARE equal-text groups, and the
-    # oracle can verify the perceptual-hash grouping from text
-    # equality WITHOUT computing a DCT in SQL. A hash bug (wrong DCT,
-    # wrong median, bit-order slip) splits or merges groups and
-    # mismatches; the near-Hamming behavior SQL can't see is pinned by
+    # The fixture raster is a pure function of the FULL text (a
+    # counter-mode SHA-256 expansion — no truncation or cycle
+    # aliasing), so equal-hash groups ARE equal-text groups up to a
+    # 64-bit pHash birthday collision over independent pseudorandom
+    # rasters (~1e-10 at 10^5 docs; a production corpus at 10^9 docs
+    # would widen the group key to two hash variants). The oracle can
+    # therefore verify the perceptual-hash grouping from text equality
+    # WITHOUT computing a DCT in SQL; a hash bug (wrong DCT, wrong
+    # median, bit-order slip) splits or merges groups and mismatches;
+    # the near-Hamming behavior SQL can't see is pinned by
     # tests/test_multimodal.py's planted-noise pairs.
     oracle="""
     SELECT doc_id,

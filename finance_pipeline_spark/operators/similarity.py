@@ -60,13 +60,9 @@ _QUERY_FETCH_CAP = 100_000  # max query vectors held driver-side AT ONCE;
 # processed in cap-sized batches — one corpus pass per batch — instead
 # of the hard failure this replaces (or the OOM the failure prevented).
 
-_ADC_BYTE_BUDGET = 64 << 20  # per-chunk cap on query ADC-table bytes
-# (driver buffer AND executor broadcast). A query's table is
-# m x k_eff doubles, so the row cap is budget // (m*k_eff*8): the k=8
-# oracle family stays at _QUERY_FETCH_CAP (256 B/row), the scaled
-# 256-code tier drops to ~8k queries/chunk (8 KB/row) — the cap moves
-# with capacity instead of letting a constant sized for one family
-# OOM the other (advisor r9).
+# (The r9-r11 _ADC_BYTE_BUDGET chunking constant is gone: ivfpq_serve
+# now builds ADC tables executor-side in an Arrow kernel, so no driver
+# buffer or per-chunk broadcast exists to budget.)
 
 
 def _query_batches(spark: SparkSession, sf_dir: str):

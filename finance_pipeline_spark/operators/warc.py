@@ -60,22 +60,33 @@ def _gzip_members(buf: bytes) -> Iterator[bytes]:
     """Split a concatenation of gzip members (the CC per-record
     layout) via sequential ``decompressobj`` reads — each member's end
     is found from ``unused_data``, so members never need to be
-    length-prefixed. The tail is handed to zlib as a ``memoryview``
-    slice — a zero-copy bytes-like — so a segment with hundreds of
-    thousands of per-record members (the real Common Crawl shape)
-    costs O(total bytes), not O(members × file size)."""
+    length-prefixed. Input is fed in bounded chunks (zero-copy
+    ``memoryview`` slices): handing zlib the whole remaining tail
+    would make ``unused_data`` materialize a bytes copy of everything
+    after each member — O(members × file size) for a real Common
+    Crawl segment with hundreds of thousands of per-record members.
+    Chunked, ``unused_data`` is at most one chunk and the walk costs
+    O(total bytes)."""
     view = memoryview(buf)
+    chunk_size = 1 << 18
     pos = 0
     while pos < len(buf):
         d = zlib.decompressobj(wbits=31)
+        out = bytearray()
+        fed = pos
         try:
-            chunk = d.decompress(view[pos:])
+            while not d.eof:
+                if fed >= len(buf):
+                    raise ValueError("truncated gzip member in WARC")
+                piece = view[fed : fed + chunk_size]
+                fed += len(piece)
+                out += d.decompress(piece)
         except zlib.error as e:
-            raise ValueError(f"bad gzip member in WARC at byte {pos}: {e}") from None
-        if not d.eof:
-            raise ValueError("truncated gzip member in WARC")
-        yield chunk
-        pos = len(buf) - len(d.unused_data)
+            raise ValueError(
+                f"bad gzip member in WARC at byte {pos}: {e}"
+            ) from None
+        yield bytes(out)
+        pos = fed - len(d.unused_data)
 
 
 def parse_warc(payload: bytes) -> list[dict]:

@@ -135,7 +135,11 @@ def bpe_encode_docs(docs: DataFrame, merges: list[tuple[str, str]]) -> DataFrame
             memo: dict[str, int] = {}
             n_words, n_tokens, n_chars = [], [], []
             for t in pdf["text"]:
-                text = ("" if t is None else t).lower().strip()
+                # strip SPACES only — Spark's F.trim in word_frequencies
+                # strips spaces, not all whitespace; a trailing \t/\n
+                # must stay part of its word on BOTH sides or training
+                # and encoding segment differently
+                text = ("" if t is None else t).lower().strip(" ")
                 words = [w for w in text.split(" ") if w]
                 total = 0
                 for w in words:

@@ -300,6 +300,16 @@ class CorpusLmIndex:
             .agg(F.count(F.lit(1)).alias("n"))
             .withColumn("token", F.lit(token))
         )
+        # a SENTINEL row (empty-string grams — impossible for real
+        # triples, lm_clean filters empty tokens) records this add in
+        # tri/ even when no doc has 3 tokens: perplexity3's coverage
+        # check compares bi-vs-tri token sets, and a legitimately
+        # trigram-less batch must not read as missing coverage
+        sentinel = self.spark.createDataFrame(
+            [("und", "", "", "", token, 0)],
+            "lang string, w1 string, w2 string, w3 string, "
+            "token string, n bigint",
+        )
         tri = (
             textops.lm_triples(clean, ("lang",))
             .groupBy(
@@ -310,6 +320,7 @@ class CorpusLmIndex:
             )
             .agg(F.count(F.lit(1)).alias("n"))
             .withColumn("token", F.lit(token))
+            .unionByName(sentinel)
         )
         u = self.uni.merge(uni.select("lang", "w", "token", "n"))
         b = self.bi.merge(bi.select("lang", "w1", "w2", "token", "n"))
@@ -355,6 +366,7 @@ class CorpusLmIndex:
             stored = stored.filter(F.col("token") != exclude_token)
         return (
             self._norm_lang(stored)
+            .filter(F.col("w1") != "")  # drop add-coverage sentinels
             .groupBy("lang", "w1", "w2", "w3")
             .agg(F.sum("n").alias("n"))
         )
@@ -548,11 +560,13 @@ class CorpusLmIndex:
         finite). The seen path reproduces the batch operator
         bit-for-bit (greatest() and coalesce() are no-ops there).
 
-        COVERAGE CAVEAT: the tri/ table exists only for adds made
-        after the trigram upgrade — an index whose corpus predates it
-        has bigram counts with no matching trigram counts, and this
-        method raises rather than score against the partial model
-        (rebuild or re-add the corpus)."""
+        COVERAGE CONTRACT (r12 review finding): a pre-upgrade index
+        plus one post-upgrade add would otherwise SILENTLY score
+        against trigram counts covering only the new add. Every add
+        stamps a sentinel row into tri/, so coverage is checkable:
+        this method raises unless the bi table's add-tokens are a
+        subset of tri's (and a folded bi implies a folded tri) —
+        rebuild or re-add the corpus when it refuses."""
         tri = self._folded_tri()
         if tri is None:
             raise ValueError(
@@ -560,6 +574,29 @@ class CorpusLmIndex:
                 "counts — the corpus was added before the trigram "
                 "upgrade (or never); re-add it or rebuild the index"
             )
+        bi_stored = self.bi.read()
+        tri_stored = self.tri.read()
+        if bi_stored is not None and tri_stored is not None:
+            bi_tokens = {
+                r["token"]
+                for r in bi_stored.select("token").distinct().collect()
+            }
+            tri_tokens = {
+                r["token"]
+                for r in tri_stored.select("token").distinct().collect()
+            }
+            bi_adds = {t for t in bi_tokens if t.startswith("add-")}
+            tri_adds = {t for t in tri_tokens if t.startswith("add-")}
+            missing = bi_adds - tri_adds
+            bi_folded = bool(bi_tokens - bi_adds)
+            tri_folded = bool(tri_tokens - tri_adds)
+            if missing or (bi_folded and not tri_folded):
+                raise ValueError(
+                    "CorpusLmIndex.perplexity3: trigram counts do not "
+                    "cover every stored add (pre-upgrade corpus + "
+                    "post-upgrade adds) — re-add the corpus or rebuild "
+                    f"the index; uncovered add tokens: {sorted(missing)[:5]}"
+                )
         kn_d = textops._KN_D
         c3 = (
             tri.groupBy("w1", "w2", "w3")
@@ -575,6 +612,11 @@ class CorpusLmIndex:
         )
         uni3 = cont23.groupBy("w3").agg(F.count(F.lit(1)).alias("ku"))
         u = float(cont23.count())
+        if u == 0:
+            raise ValueError(
+                "CorpusLmIndex.perplexity3: the stored corpus has no "
+                "trigrams to model (every added doc was under 3 tokens)"
+            )
         trips = textops.lm_triples(
             lm_clean(batch.select("doc_id", "text"))
         ).select(

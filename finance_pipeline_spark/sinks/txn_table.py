@@ -1187,15 +1187,23 @@ class TxnKeyedTable:
             snap = current_snapshot(self.path, version)
             ck = _checkpoint_file(self.path, version)
             ck_tmp = ck.with_name(f"_ck_{uuid.uuid4().hex}.json.tmp")
-            ck_tmp.write_text(
-                json.dumps(
-                    {
-                        "version": version,
-                        "files": list(snap.files),
-                        "stats": snap.stats,
-                    }
-                )
-            )
+            ck_payload = json.dumps(
+                {
+                    "version": version,
+                    "files": list(snap.files),
+                    "stats": snap.stats,
+                }
+            ).encode()
+            ck_fd = os.open(ck_tmp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            try:
+                # fsync BEFORE the rename — a power loss may persist the
+                # rename but not un-synced data, and a torn checkpoint in
+                # the [0-9]*.checkpoint.json namespace bricks every
+                # subsequent replay (same rule as the commit file above)
+                os.write(ck_fd, ck_payload)
+                os.fsync(ck_fd)
+            finally:
+                os.close(ck_fd)
             # rename is atomic on POSIX; checkpoints are idempotent
             # re-derivations of the log, so last-writer-wins is fine.
             os.replace(ck_tmp, ck)

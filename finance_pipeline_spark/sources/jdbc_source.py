@@ -84,6 +84,11 @@ def _seed_orders_slice(spark: SparkSession, sf_dir: str) -> tuple[str, int, int]
         / hashlib.sha1(str(sf_dir).encode()).hexdigest()[:16]
     )
     db_dir.parent.mkdir(parents=True, exist_ok=True)
+    # Derby writes derby.log into the process cwd unless told otherwise
+    # — route it under the db tree so runs don't litter the repo root
+    spark.sparkContext._jvm.System.setProperty(
+        "derby.stream.error.file", str(db_dir.parent / "derby.log")
+    )
     url = derby_url(db_dir)
     slice_df = (
         load(spark, sf_dir, "orders")

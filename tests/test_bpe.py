@@ -102,6 +102,9 @@ def test_spark_end_to_end_train_save_encode(spark, tmp_path):
         (3, "THE CAT   the cat"),  # case + runs of spaces normalize
         (4, None),
         (5, ""),
+        # non-space whitespace stays PART of its word on both the
+        # training and the encoding side (F.trim ↔ .strip(' ') parity)
+        (6, " the cat\tsat\n the mat\n"),
     ]
     docs = spark.createDataFrame(rows, "doc_id bigint, text string")
     asset = tmp_path / "bpe" / "merges.json"
@@ -111,7 +114,7 @@ def test_spark_end_to_end_train_save_encode(spark, tmp_path):
     # the distributed word-frequency pass matches a local count
     local = collections.Counter()
     for _, t in rows:
-        for w in (t or "").lower().strip().split(" "):
+        for w in (t or "").lower().strip(" ").split(" "):
             if w:
                 local[w] += 1
     got = dict(word_frequencies(docs, 100))
@@ -120,9 +123,9 @@ def test_spark_end_to_end_train_save_encode(spark, tmp_path):
     merges = load_merges(asset)
     ranks = {p: i for i, p in enumerate(merges)}
     out = {r.doc_id: r for r in bpe_encode_docs(docs, merges).collect()}
-    assert set(out) == {1, 2, 3, 4, 5}
+    assert set(out) == {1, 2, 3, 4, 5, 6}
     for doc_id, t in rows:
-        text = (t or "").lower().strip()
+        text = (t or "").lower().strip(" ")
         words = [w for w in text.split(" ") if w]
         expect = sum(len(encode_word(w, ranks)) for w in words)
         assert (out[doc_id].n_words, out[doc_id].n_tokens_bpe) == (

@@ -582,3 +582,32 @@ def test_stored_kn3_unseen_probe_backs_off_and_legacy_index_refuses(
         idx2.perplexity3(probe)
     # the bigram serving path is unaffected
     assert idx2.perplexity(probe).count() == 3
+
+    # PARTIAL coverage (r12 review finding): a post-upgrade add on top
+    # of the tri-less history recreates tri/ covering only itself —
+    # perplexity3 must refuse, not score against the partial model
+    idx2.add(
+        _docs(spark, [(50 + i, "wholly new words arriving here now") for i in range(3)])
+    )
+    with pytest.raises(ValueError, match="do not cover"):
+        idx2.perplexity3(probe)
+
+
+def test_stored_kn3_sentinel_covers_trigramless_batches(spark, tmp_path):
+    """A batch whose docs all have <3 tokens adds NO trigrams but must
+    still count as covered (the sentinel row) — and a corpus that is
+    ALL such batches refuses with the no-trigrams message rather than
+    dividing by zero."""
+    import pytest
+
+    idx = CorpusLmIndex(spark, str(tmp_path / "lm"))
+    idx.add(_docs(spark, [(1, "two words"), (2, "also short")]))
+    with pytest.raises(ValueError, match="no trigrams"):
+        idx.perplexity3(_docs(spark, [(9, "a probe with many tokens here")]))
+    # now a real corpus lands; the earlier trigram-less add must not
+    # read as missing coverage
+    idx.add(_docs(spark, [(3, "the quick brown fox jumps over the fence")]))
+    out = idx.perplexity3(
+        _docs(spark, [(9, "the quick brown fox jumps over")])
+    ).collect()
+    assert len(out) == 1 and out[0].n_trigrams == 4

@@ -501,6 +501,44 @@ def test_gif_codec_round_trip_and_rejects():
         decode_gif(good[: 6 + 7 + 12] + b"\x99" + good[6 + 7 + 12 :])
 
 
+def test_gif_sub_screen_frame_composites_at_its_offset():
+    """A real-world GIF whose image doesn't fill the logical screen:
+    the decoder must return a SCREEN-sized raster with the sub-image
+    composited at its declared (ix, iy) over the background color —
+    not a patch-sized raster with screen dims (r12 review finding).
+    Partial frames inside an ANIMATION need disposal compositing and
+    are rejected loudly instead."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from finance_pipeline_spark.operators.gif import (
+        decode_gif,
+        decode_gif_frames,
+        encode_gif,
+        encode_gif_animation,
+    )
+
+    pal = np.array(
+        [[9, 9, 9], [200, 10, 10], [10, 200, 10], [10, 10, 200]], np.uint8
+    )
+    idx = np.arange(16, dtype=np.uint8).reshape(4, 4) % 4
+    payload = bytearray(encode_gif(idx, pal))
+    payload[6:10] = struct.pack("<HH", 10, 8)  # widen the logical screen
+    desc = 6 + 7 + 3 * 4 + 1  # image descriptor body (after 0x2C)
+    payload[desc : desc + 4] = struct.pack("<HH", 3, 2)  # ix, iy
+    w, h, out = decode_gif(bytes(payload))
+    assert (w, h) == (10, 8) and out.shape == (8, 10, 3)
+    assert np.array_equal(out[2:6, 3:7], pal[idx])
+    assert np.array_equal(out[0, 0], pal[0])  # background color fill
+
+    anim = bytearray(encode_gif_animation([idx, idx], pal))
+    anim[6:10] = struct.pack("<HH", 10, 8)
+    with pytest.raises(ValueError, match="disposal"):
+        decode_gif_frames(bytes(anim))
+
+
 def test_gif_animation_round_trips_all_frames():
     import numpy as np
 
