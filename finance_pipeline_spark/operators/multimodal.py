@@ -1545,6 +1545,125 @@ def mm_phash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PHASH_PLANT_OFFSET = 2_000_000_000  # planted ids, disjoint from doc_ids
+# two flipped bits in DIFFERENT 16-bit bands (5 → band 0, 37 → band 2):
+# Hamming(source, plant) is exactly 2, and bands 1 and 3 still match, so
+# the pigeonhole candidate guarantee holds with margin
+_PHASH_PLANT_MASK = (1 << 5) | (1 << 37)
+
+
+@query(
+    "mm_phash_planted_pairs",
+    # The driver-checkable bound for the Hamming-banded near-dup path
+    # (r12 verdict item 4 — phash_hamming_pairs was pytest-only): for
+    # every probe doc, plant a copy whose HASH is the source's with
+    # exactly two bits flipped (one per band 0/2 — deterministic
+    # Hamming 2, bands 1/3 intact). The banded join MUST pair every
+    # plant with its source at hamming=2, and no plant may pair with a
+    # different-text partner (unrelated fixture pHashes measure 26-36
+    # bits apart; verified collision-free at both SFs, and static data
+    # keeps that deterministic). A banding bug — wrong shift, wrong
+    # 16-bit mask, popcount slip, cap evicting the plant, join
+    # asymmetry — flips found_planted/stray_pairs and hash-mismatches.
+    oracle="""
+    SELECT doc_id AS query_doc,
+           TRUE AS found_planted,
+           CAST(2 AS BIGINT) AS hamming_to_source,
+           CAST(0 AS BIGINT) AS stray_pairs
+    FROM documents WHERE doc_id % 100 = 0
+    """,
+    tags=("multimodal", "dedup", "phash", "lsh", "bound"),
+)
+def mm_phash_planted_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted-pair retrieval bound through ``phash_hamming_pairs``
+    (the banded-LSH image near-dup path): hash the corpus once
+    (``with_phash``), plant a 2-bit-flipped copy of every probe doc's
+    hash under an id past the doc_id domain, and verify each plant
+    pairs with its source — and with nothing of different text. The
+    plant perturbs the HASH, not the pixels, so the bound is exact by
+    construction; pixel-noise robustness (0-6 bit envelope) stays
+    pinned by tests/test_multimodal.py's DCT-level planted test."""
+    docs = load(spark, sf_dir, "documents")
+    # one kernel pass: the hash frame feeds both union branches below
+    hashed = with_phash(docs).localCheckpoint(eager=True)
+    probes = hashed.filter(F.col("doc_id") % 100 == 0)
+    plants = probes.select(
+        (F.col("doc_id") + F.lit(_PHASH_PLANT_OFFSET)).alias("doc_id"),
+        F.col("phash").bitwiseXOR(F.lit(_PHASH_PLANT_MASK)).alias("phash"),
+    )
+    pairs = phash_hamming_pairs(hashed.unionByName(plants), max_hamming=2)
+
+    # source↔plant hits: plant ids are offset past every real id, so
+    # the ordered pair is always (source, source + OFFSET)
+    hits = pairs.filter(
+        F.col("doc_b") == F.col("doc_a") + F.lit(_PHASH_PLANT_OFFSET)
+    ).select(F.col("doc_a").alias("query_doc"), F.col("hamming"))
+
+    # stray pairs: any pair touching a plant whose two sides carry
+    # DIFFERENT text (same-text partners — exact dups of the source,
+    # or other plants of the same text — are legitimate near-dups)
+    texts = docs.select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("t")
+    )
+    texts_all = texts.unionByName(
+        texts.filter(F.col("doc_id") % 100 == 0).select(
+            (F.col("doc_id") + F.lit(_PHASH_PLANT_OFFSET)).alias("doc_id"),
+            "t",
+        )
+    )
+    pp = (
+        pairs.join(
+            texts_all.select(
+                F.col("doc_id").alias("doc_a"), F.col("t").alias("ta")
+            ),
+            "doc_a",
+        )
+        .join(
+            texts_all.select(
+                F.col("doc_id").alias("doc_b"), F.col("t").alias("tb")
+            ),
+            "doc_b",
+        )
+    )
+    strays = (
+        pp.filter(F.col("ta") != F.col("tb"))
+        .select(
+            F.explode(
+                F.filter(
+                    F.array("doc_a", "doc_b"),
+                    lambda x: x >= F.lit(_PHASH_PLANT_OFFSET),
+                )
+            ).alias("pid")
+        )
+        .groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("n_stray"))
+    )
+    return (
+        probes.select(F.col("doc_id").alias("query_doc"))
+        .join(hits, "query_doc", "left")
+        .join(
+            strays.select(
+                (F.col("pid") - F.lit(_PHASH_PLANT_OFFSET)).alias(
+                    "query_doc"
+                ),
+                "n_stray",
+            ),
+            "query_doc",
+            "left",
+        )
+        .select(
+            "query_doc",
+            F.col("hamming").isNotNull().alias("found_planted"),
+            F.coalesce(F.col("hamming"), F.lit(-1))
+            .cast("bigint")
+            .alias("hamming_to_source"),
+            F.coalesce(F.col("n_stray"), F.lit(0))
+            .cast("bigint")
+            .alias("stray_pairs"),
+        )
+    )
+
+
 # --- quarantine decode (dead-letter routing — the 100 TB failure mode) --------
 
 

@@ -1173,34 +1173,42 @@ def _pq_build(spark: SparkSession, sf_dir: str):
         )
     )
 
-    # Query distance tables, built in driver-capped chunks: the query
-    # scan streams via toLocalIterator (one partition in flight) and
-    # each ≤_QUERY_FETCH_CAP slice becomes its own qdf — the serve
-    # side unions one scoring join per chunk, the same
-    # batches-partition-the-query-ids recipe as ann_cosine_topk, so a
-    # query set past the cap costs extra passes, never an OOM or a
-    # hard failure.
-    tab_cols = ", ".join(f"t{s} array<double>" for s in range(_PQ_M))
-    qdfs: list[DataFrame] = []
-    qdata: list = []
+    # Query distance tables, built EXECUTOR-SIDE (r12 verdict item 1:
+    # this was the last driver-side per-query loop in the repo — a
+    # toLocalIterator over 1% of the corpus computing every table in
+    # single-threaded Python before any executor ran, so driver work
+    # scaled linearly with corpus size). Same recipe as the scaled
+    # tier's ``ivfpq_serve`` tab_kernel: an Arrow-batched mapInPandas
+    # against the broadcast codebook evaluates the SAME float64
+    # expression per query, so values are bit-identical and the DuckDB
+    # oracle is unchanged. The tables now live as a distributed frame
+    # instead of driver-chunked literals — no _QUERY_FETCH_CAP, no
+    # union-of-chunks on the serve side.
+    tab_schema = "query_id bigint, " + ", ".join(
+        f"t{s} array<double>" for s in range(_PQ_M)
+    )
+    bc_cb = spark.sparkContext.broadcast(cents1)
 
-    def flush():
-        if qdata:
-            qdfs.append(
-                spark.createDataFrame(qdata, f"query_id bigint, {tab_cols}")
-            )
-            qdata.clear()
+    def tab_kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cb = bc_cb.value  # (m, k, dsub)
+        for pdf in it:
+            out: dict = {"query_id": []}
+            for s in range(_PQ_M):
+                out[f"t{s}"] = []
+            for qid, emb in zip(pdf["vec_id"], pdf["embedding"]):
+                qv = np.asarray(emb, dtype=np.float64).reshape(
+                    _PQ_M, _PQ_DSUB
+                )
+                tabs = ((qv[:, None, :] - cb) ** 2).sum(axis=2)  # (m, k) RAW
+                out["query_id"].append(int(qid))
+                for s in range(_PQ_M):
+                    out[f"t{s}"].append([float(x) for x in tabs[s]])
+            yield pd.DataFrame(out)
 
-    for r in e.filter(F.col("vec_id") % 100 == 0).toLocalIterator():
-        qv = np.asarray(r["embedding"], dtype=np.float64).reshape(_PQ_M, _PQ_DSUB)
-        tabs = ((qv[:, None, :] - cents1) ** 2).sum(axis=2)  # (m, k) RAW
-        qdata.append(
-            (int(r["vec_id"]), *[[float(x) for x in tabs[s]] for s in range(_PQ_M)])
-        )
-        if len(qdata) >= _QUERY_FETCH_CAP:
-            flush()
-    flush()
-    return e, codes, qdfs
+    q_tabs = e.filter(F.col("vec_id") % 100 == 0).mapInPandas(
+        tab_kernel, schema=tab_schema
+    )
+    return e, codes, q_tabs
 
 
 def _pq_serve(spark: SparkSession, sf_dir: str, cell_pruned: bool) -> DataFrame:
@@ -1208,7 +1216,7 @@ def _pq_serve(spark: SparkSession, sf_dir: str, cell_pruned: bool) -> DataFrame:
     query to its own coarse cell (label column), FAISS ``IVFPQ``
     nprobe=1 — the candidate set shrinks ~|cells|x BEFORE the lookup
     scan, on top of the 128x code compression."""
-    e, codes, qdfs = _pq_build(spark, sf_dir)
+    e, codes, q_tabs = _pq_build(spark, sf_dir)
 
     term = lambda s: F.round(  # noqa: E731 — per-subspace 4-dp round, oracle parity
         F.element_at(F.col(f"t{s}"), F.col(f"c{s}").cast("int") + 1), 4
@@ -1222,26 +1230,18 @@ def _pq_serve(spark: SparkSession, sf_dir: str, cell_pruned: bool) -> DataFrame:
         qlab = labels.select(
             F.col("vec_id").alias("query_id"), F.col("label").alias("q_label")
         )
-        qdfs = [q.join(qlab, "query_id") for q in qdfs]
+        q_tabs = q_tabs.join(qlab, "query_id")
         cond = cond & (F.col("label") == F.col("q_label"))
 
-    out_schema = "query_id bigint, corpus_id bigint, adist double"
-    parts = [
-        codes.join(F.broadcast(q), cond).select(
-            "query_id",
-            F.col("vec_id").alias("corpus_id"),
-            adist.alias("adist"),
-        )
-        for q in qdfs
-    ]
-    if not parts:
-        scored = spark.createDataFrame([], out_schema)
-    else:
-        scored = parts[0]
-        for p in parts[1:]:
-            scored = scored.unionByName(p)
-    # chunks partition the QUERY ids, so the single global rank below
-    # is exact — no cross-chunk re-rank needed
+    # the flat ADC scan IS a corpus x query product — the broadcast
+    # nested-loop join against the distributed table frame is the
+    # intended plan here (the scaled/IVF tiers are the candidate-cut
+    # path; this entry is the FAISS IndexPQ/flat baseline)
+    scored = codes.join(F.broadcast(q_tabs), cond).select(
+        "query_id",
+        F.col("vec_id").alias("corpus_id"),
+        adist.alias("adist"),
+    )
     return (
         scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= _TOPK)
@@ -1351,7 +1351,7 @@ def ivfpq_probe_topk(
     codes scan (4 B/vector) with its cell id, broadcasts the
     (query, probe-cell, ADC-table) list, and scans ~nprobe/k of the
     corpus codes per query — all-JVM lookups after one broadcast."""
-    e, codes, qdfs = _pq_build(spark, sf_dir)
+    e, codes, q_tabs = _pq_build(spark, sf_dir)
     cents, assignments = kmeans_fit(spark, e, _KMEANS_K, rounds=1)
     q = e.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
@@ -1364,27 +1364,18 @@ def ivfpq_probe_topk(
     )
     adist = F.round(term(0) + term(1) + term(2) + term(3), 4)
     w = W.partitionBy("query_id").orderBy(F.col("adist").asc(), F.col("corpus_id"))
-    out_schema = "query_id bigint, corpus_id bigint, adist double"
-    parts = []
-    for qdf in qdfs:
-        qp = qdf.join(probes, "query_id").withColumnRenamed("cluster", "p_cluster")
-        parts.append(
-            codes_c.join(
-                F.broadcast(qp),
-                (F.col("cluster") == F.col("p_cluster"))
-                & (F.col("vec_id") != F.col("query_id")),
-            ).select(
-                "query_id",
-                F.col("vec_id").alias("corpus_id"),
-                adist.alias("adist"),
-            )
-        )
-    if not parts:
-        scored = spark.createDataFrame([], out_schema)
-    else:
-        scored = parts[0]
-        for p in parts[1:]:
-            scored = scored.unionByName(p)
+    # candidate generation broadcasts only the tiny (query, probe-cell)
+    # list; the ADC tables attach by query_id equi-join AFTERWARD — the
+    # same no-duplication rule as ivfpq_serve (pre-joining tables to
+    # the probe list would copy each m x k table once per probed cell)
+    cand = codes_c.join(
+        F.broadcast(probes.withColumnRenamed("cluster", "p_cluster")),
+        (F.col("cluster") == F.col("p_cluster"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select("query_id", F.col("vec_id").alias("corpus_id"), "c0", "c1", "c2", "c3")
+    scored = cand.join(q_tabs, "query_id").select(
+        "query_id", "corpus_id", adist.alias("adist")
+    )
     return (
         scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= keep)

@@ -333,6 +333,86 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_encode_oracle() -> str:
+    """DuckDB replay of the FROZEN BPE merge table: each word becomes
+    a chr(31)-separated symbol string (chars + '</w>'), each merge is
+    one replace() applying left-to-right non-overlapping — the
+    sequential rank-order form that equals the kernel's greedy
+    lowest-rank-first encode (standard BPE equivalence; verified
+    word-for-word over both SFs' vocabularies). Token count per word =
+    separator count - 1."""
+    from finance_pipeline_spark.pipelines.bpe_tokenizer import (
+        FROZEN_MERGES_V1,
+    )
+
+    def lit(s: str) -> str:
+        # SQL literal for a symbol, chr(31)-fenced on both sides
+        body = s.replace("'", "''")
+        return f"chr(31) || '{body}' || chr(31)"
+
+    expr = (
+        "chr(31) || array_to_string(regexp_split_to_array(word, ''), "
+        "chr(31)) || chr(31) || '</w>' || chr(31)"
+    )
+    for a, b in FROZEN_MERGES_V1:
+        a_sql = a.replace("'", "''")
+        b_sql = b.replace("'", "''")
+        pat = f"chr(31) || '{a_sql}' || chr(31) || '{b_sql}' || chr(31)"
+        rep = lit(a + b)
+        expr = f"replace({expr}, {pat}, {rep})"
+    return f"""
+    WITH base AS (
+        SELECT doc_id,
+               trim(lower(coalesce(text, '')), ' ') AS t
+        FROM documents
+    ), ws AS (
+        SELECT doc_id,
+               CAST(length(t) AS BIGINT) AS n_chars,
+               list_filter(string_split(t, ' '), w -> w <> '') AS words
+        FROM base
+    ), per_word AS (
+        SELECT doc_id, unnest(words) AS word FROM ws
+    ), toks AS (
+        SELECT doc_id,
+               (length(s) - length(replace(s, chr(31), ''))) - 1 AS n
+        FROM (SELECT doc_id, {expr} AS s FROM per_word)
+    ), agg AS (
+        SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens
+        FROM toks GROUP BY doc_id
+    )
+    SELECT ws.doc_id,
+           CAST(len(ws.words) AS BIGINT) AS n_words,
+           coalesce(agg.n_tokens, 0) AS n_tokens_bpe,
+           ws.n_chars
+    FROM ws LEFT JOIN agg USING (doc_id)
+    """
+
+
+@query(
+    "text_bpe_encode",
+    oracle=_bpe_encode_oracle,
+    tags=("text", "tokens", "bpe"),
+)
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BPE encoding under the frozen merge table
+    (``pipelines.bpe_tokenizer.FROZEN_MERGES_V1``) — the serving half
+    of the tokenizer-training pipeline, driver-oracle-checked (r12
+    verdict item 5: training is iterative and stays pytest-pinned;
+    encoding with frozen ranks is pure Arrow-batched map work). Runs
+    the SAME greedy lowest-rank-first kernel production encoding uses
+    (``bpe_encode_docs``: broadcast ranks, per-batch word memo, no
+    shuffle); the oracle replays the merges as nested replace()
+    literals."""
+    from finance_pipeline_spark.pipelines.bpe_tokenizer import (
+        FROZEN_MERGES_V1,
+        bpe_encode_docs,
+    )
+
+    return bpe_encode_docs(
+        load(spark, sf_dir, "documents"), list(FROZEN_MERGES_V1)
+    )
+
+
 @query(
     "text_gopher_rules",
     oracle=lambda: f"""

@@ -39,6 +39,24 @@ log = get_logger(__name__)
 
 _EOW = "</w>"  # end-of-word marker (the classic BPE word boundary)
 
+# A FROZEN tokenizer asset (r12 verdict item 5): the first 24 merges
+# train_merges learns from the sf0.01 documents corpus, pinned as a
+# literal the way a production pipeline ships tokenizer.json. Training
+# stays iterative (pytest-pinned, rows-only territory); ENCODING with
+# a frozen table is pure map work, so the registry's
+# ``text_bpe_encode`` drives the real greedy encoder against a DuckDB
+# oracle that replays these exact merges as nested replace() literals
+# (greedy lowest-rank-first == sequential rank-order application, the
+# standard BPE equivalence — verified word-for-word over both SFs).
+FROZEN_MERGES_V1: tuple[tuple[str, str], ...] = (
+    ("e", "r"), ("e", "</w>"), ("n", "</w>"), ("er", "</w>"),
+    ("o", "w"), ("ow", "</w>"), ("o", "r"), ("s", "t"),
+    ("h", "</w>"), ("a", "t"), ("l", "u"), ("i", "n"),
+    ("a", "</w>"), ("g", "</w>"), ("y", "</w>"), ("a", "r"),
+    ("p", "ar"), ("t", "</w>"), ("i", "n</w>"), ("j", "o"),
+    ("jo", "in</w>"), ("a", "s"), ("as", "h</w>"), ("h", "ash</w>"),
+)
+
 
 def word_frequencies(docs: DataFrame, top_words: int) -> list[tuple[str, int]]:
     """The distributed pass: lowercased whitespace word counts over the

@@ -358,6 +358,87 @@ class CorpusLmIndex:
             .agg(F.sum("n").alias("n"))
         )
 
+    # -- trigram coverage state (r13 advisor fix) -----------------------
+
+    def _tri_coverage_path(self):
+        from pathlib import Path
+
+        return Path(self.root) / "tri_coverage.json"
+
+    def _read_tri_coverage(self) -> bool | None:
+        """Persisted coverage verdict, or None when no fold has
+        recorded one yet (index predates the marker, or was never
+        optimized)."""
+        import json
+
+        try:
+            return bool(
+                json.loads(self._tri_coverage_path().read_text())["covered"]
+            )
+        except (FileNotFoundError, ValueError, KeyError):
+            return None
+
+    def _write_tri_coverage(self, covered: bool) -> None:
+        import json
+        import os
+
+        tmp = self._tri_coverage_path().with_suffix(".json.tmp")
+        tmp.write_text(json.dumps({"covered": covered}))
+        os.replace(tmp, self._tri_coverage_path())
+
+    def _tri_covered(self) -> tuple[bool, list[str]]:
+        """Does the stored trigram table cover every count in the
+        stored bigram table? Returns (covered, missing_add_tokens).
+
+        The r12 token-shape heuristic alone could be LAUNDERED by
+        ``optimize()`` (r13 advisor, medium): with a pre-upgrade
+        corpus (bi folded, tri absent) plus one post-upgrade add,
+        the shapes correctly read uncovered — but a fold consolidates
+        every token into one ``fold-*`` row per table, after which
+        ``tri_folded=True`` and ``missing=∅`` read as covered even
+        though the trigram counts span only the post-upgrade adds.
+        So the verdict is now PERSISTED: ``_optimize_locked`` computes
+        it on the pre-fold state (while the token evidence is intact)
+        and writes ``tri_coverage.json`` atomically BEFORE folding;
+        once recorded, the marker supersedes the shape heuristic.
+        Precedence here:
+
+        1. no bi counts → vacuously covered;
+        2. bi counts but no tri table → uncovered (pre-upgrade);
+        3. a bi add-token absent from tri → uncovered regardless of
+           the marker (an add crashed between its bi and tri merges —
+           replaying the add repairs it, so this is checked live);
+        4. marker present → its verdict (fold shapes are no evidence
+           after a fold, and a fold crash-window leaves bi folded
+           while tri isn't even on a genuinely covered index);
+        5. no marker → the r12 shape heuristic (a folded bi whose tri
+           never folded means tri missed the folded history).
+        """
+        bi_stored = self.bi.read()
+        if bi_stored is None:
+            return True, []
+        tri_stored = self.tri.read()
+        if tri_stored is None:
+            return False, []
+        bi_tokens = {
+            r["token"] for r in bi_stored.select("token").distinct().collect()
+        }
+        tri_tokens = {
+            r["token"]
+            for r in tri_stored.select("token").distinct().collect()
+        }
+        bi_adds = {t for t in bi_tokens if t.startswith("add-")}
+        tri_adds = {t for t in tri_tokens if t.startswith("add-")}
+        missing = sorted(bi_adds - tri_adds)
+        if missing:
+            return False, missing
+        marker = self._read_tri_coverage()
+        if marker is not None:
+            return marker, []
+        bi_folded = bool(bi_tokens - bi_adds)
+        tri_folded = bool(tri_tokens - tri_adds)
+        return not (bi_folded and not tri_folded), []
+
     def _folded_tri(self, exclude_token: str | None = None) -> DataFrame | None:
         stored = self.tri.read()
         if stored is None:
@@ -560,13 +641,15 @@ class CorpusLmIndex:
         finite). The seen path reproduces the batch operator
         bit-for-bit (greatest() and coalesce() are no-ops there).
 
-        COVERAGE CONTRACT (r12 review finding): a pre-upgrade index
-        plus one post-upgrade add would otherwise SILENTLY score
-        against trigram counts covering only the new add. Every add
-        stamps a sentinel row into tri/, so coverage is checkable:
-        this method raises unless the bi table's add-tokens are a
-        subset of tri's (and a folded bi implies a folded tri) —
-        rebuild or re-add the corpus when it refuses."""
+        COVERAGE CONTRACT (r12 review finding, hardened r13): a
+        pre-upgrade index plus one post-upgrade add would otherwise
+        SILENTLY score against trigram counts covering only the new
+        add. Every add stamps a sentinel row into tri/, so coverage
+        is checkable; ``_tri_covered`` holds the full verdict logic,
+        and — because a fold consolidates tokens and would otherwise
+        launder the shape evidence (r13 advisor) — ``optimize()``
+        persists the pre-fold verdict to ``tri_coverage.json``, which
+        this method honors over the shapes."""
         tri = self._folded_tri()
         if tri is None:
             raise ValueError(
@@ -574,29 +657,17 @@ class CorpusLmIndex:
                 "counts — the corpus was added before the trigram "
                 "upgrade (or never); re-add it or rebuild the index"
             )
-        bi_stored = self.bi.read()
-        tri_stored = self.tri.read()
-        if bi_stored is not None and tri_stored is not None:
-            bi_tokens = {
-                r["token"]
-                for r in bi_stored.select("token").distinct().collect()
-            }
-            tri_tokens = {
-                r["token"]
-                for r in tri_stored.select("token").distinct().collect()
-            }
-            bi_adds = {t for t in bi_tokens if t.startswith("add-")}
-            tri_adds = {t for t in tri_tokens if t.startswith("add-")}
-            missing = bi_adds - tri_adds
-            bi_folded = bool(bi_tokens - bi_adds)
-            tri_folded = bool(tri_tokens - tri_adds)
-            if missing or (bi_folded and not tri_folded):
-                raise ValueError(
-                    "CorpusLmIndex.perplexity3: trigram counts do not "
-                    "cover every stored add (pre-upgrade corpus + "
-                    "post-upgrade adds) — re-add the corpus or rebuild "
-                    f"the index; uncovered add tokens: {sorted(missing)[:5]}"
-                )
+        covered, missing = self._tri_covered()
+        if not covered:
+            raise ValueError(
+                "CorpusLmIndex.perplexity3: trigram counts do not "
+                "cover every stored count (pre-upgrade corpus + "
+                "post-upgrade adds, or an add crashed between its "
+                "bigram and trigram merges) — replay the in-flight "
+                "add if the uncovered-token list below is non-empty, "
+                "otherwise rebuild the index; uncovered add tokens: "
+                f"{missing[:5]}"
+            )
         kn_d = textops._KN_D
         c3 = (
             tri.groupBy("w1", "w2", "w3")
@@ -744,6 +815,16 @@ class CorpusLmIndex:
         # new one — rmtree-ing an unreplayed committed journal here
         # would permanently lose the folded counts
         self._recover_folds()
+        # PIN the trigram-coverage verdict BEFORE folding (r13 advisor,
+        # medium): the fold consolidates every add-token into one
+        # fold row per table, destroying the token-shape evidence
+        # perplexity3's guard reads — a pre-upgrade corpus plus one
+        # post-upgrade add would read as covered after the fold. The
+        # verdict is computed here on the intact pre-fold state and
+        # written atomically; _tri_covered honors the marker from then
+        # on. Recovery above ran first, so a crashed fold's journaled
+        # tri rows are merged before we judge the shapes.
+        self._write_tri_coverage(self._tri_covered()[0])
         out = {}
         for name, tbl, keys in (
             ("uni", self.uni, ["lang", "w"]),

@@ -59,6 +59,7 @@ data).
 
 from __future__ import annotations
 
+import errno
 import json
 import os
 import shutil
@@ -116,6 +117,26 @@ def _commit_file(path: str, version: int) -> Path:
 
 def _checkpoint_file(path: str, version: int) -> Path:
     return _log_dir(path) / f"{version:08d}.checkpoint.json"
+
+
+def _fsync_dir(d: Path) -> None:
+    """Make a just-created/renamed DIRENT durable: fsyncing the file
+    alone persists its bytes, not the directory entry pointing at
+    them — on power loss an acknowledged commit could vanish (r13
+    advisor). Best-effort: some filesystems/platforms reject opening
+    a directory for fsync; there the dirent guarantee is whatever the
+    OS gives, and swallowing the error is strictly no worse than the
+    pre-fix behavior."""
+    try:
+        fd = os.open(d, os.O_RDONLY)
+    except OSError:
+        return
+    try:
+        os.fsync(fd)
+    except OSError:
+        pass
+    finally:
+        os.close(fd)
 
 
 # -- file-level min/max stats (the data-skipping substrate) -------------
@@ -1167,9 +1188,10 @@ class TxnKeyedTable:
         # prefix — invisible to the [0-9]* log globs), fsyncs, and
         # os.link claims the version name: link(2) is atomic, so a
         # visible commit file ALWAYS carries its full JSON, and EEXIST
-        # is the lost-race signal. Same guarantee a crash needs: a
-        # writer killed mid-commit leaves only a tmp, never a torn
-        # version file.
+        # is the lost-race signal. A writer killed mid-commit leaves
+        # only a tmp, never a torn version file; the directory fsync
+        # below extends the guarantee from process crashes to power
+        # loss (the dirent itself made durable — r13 advisor).
         tmp = target.with_name(f"_commit_{uuid.uuid4().hex}.json.tmp")
         fd = os.open(tmp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         try:
@@ -1180,9 +1202,33 @@ class TxnKeyedTable:
         try:
             os.link(tmp, target)
         except FileExistsError:
-            return False
-        finally:
             tmp.unlink(missing_ok=True)
+            return False
+        except OSError as e:
+            # filesystem without hard-link support (r13 advisor): fall
+            # back to exists-probe + rename. rename(2) is just as
+            # atomic for READERS (no torn commit file), but silently
+            # overwrites, so the duplicate-version race detection is
+            # only probe-strength here — acceptable on single-writer
+            # exotic mounts, and strictly better than failing the
+            # commit outright. Only the links-not-supported errnos
+            # take this path; anything else (EIO, ...) propagates as
+            # the crash it is, with the tmp cleaned up.
+            if e.errno not in (
+                errno.EPERM,
+                errno.EOPNOTSUPP,
+                errno.ENOSYS,
+                errno.ENOTSUP,
+            ):
+                tmp.unlink(missing_ok=True)
+                raise
+            if target.exists():
+                tmp.unlink(missing_ok=True)
+                return False
+            os.replace(tmp, target)
+        else:
+            tmp.unlink(missing_ok=True)
+        _fsync_dir(_log_dir(self.path))
         if version % CHECKPOINT_EVERY == 0 and version > 0:
             snap = current_snapshot(self.path, version)
             ck = _checkpoint_file(self.path, version)
@@ -1207,6 +1253,7 @@ class TxnKeyedTable:
             # rename is atomic on POSIX; checkpoints are idempotent
             # re-derivations of the log, so last-writer-wins is fine.
             os.replace(ck_tmp, ck)
+            _fsync_dir(_log_dir(self.path))
         return True
 
     def _revalidate(

@@ -27,6 +27,7 @@ URL-agnostic.
 from __future__ import annotations
 
 import hashlib
+import os
 import tempfile
 from pathlib import Path
 
@@ -77,11 +78,22 @@ def _seed_orders_slice(spark: SparkSession, sf_dir: str) -> tuple[str, int, int]
     """Stage a deterministic orders slice (o_orderkey % 100 == 0) into
     an embedded Derby database keyed by the source dir — the 'real
     RDBMS' the scan query reads back. Returns (url, min_key, max_key).
-    Re-seeding is an overwrite, so repeated runs are idempotent."""
+    Re-seeding is an overwrite, so repeated runs are idempotent.
+
+    The db dir is scoped PER PROCESS (pid suffix — r13 advisor):
+    embedded Derby takes a single-JVM boot lock, so two concurrent
+    sessions (dual-scale gates in parallel, two developers on one
+    host) sharing an sf_dir-keyed path would collide — the second
+    boot dies with XSDB6, or an overwrite races a concurrent read.
+    With the pid in the key, each driver JVM owns its database;
+    within one process the seed→read sequence is single-JVM by
+    construction (Spark local mode), and re-entry overwrites its own
+    copy. Stale pid dirs are bounded-size (one orders slice) and live
+    under the system tempdir."""
     db_dir = (
         Path(tempfile.gettempdir())
         / "spark_graft_derby"
-        / hashlib.sha1(str(sf_dir).encode()).hexdigest()[:16]
+        / f"{hashlib.sha1(str(sf_dir).encode()).hexdigest()[:16]}-{os.getpid()}"
     )
     db_dir.parent.mkdir(parents=True, exist_ok=True)
     # Derby writes derby.log into the process cwd unless told otherwise

@@ -592,6 +592,32 @@ def test_stored_kn3_unseen_probe_backs_off_and_legacy_index_refuses(
     with pytest.raises(ValueError, match="do not cover"):
         idx2.perplexity3(probe)
 
+    # LAUNDERING guard (r13 advisor, medium): optimize() folds every
+    # token into one fold row per table, which used to erase the
+    # shape evidence the check above reads — after the fold the index
+    # would SILENTLY score against trigram counts covering only the
+    # post-upgrade adds. The fold now pins the pre-fold verdict in
+    # tri_coverage.json, so the refusal must survive the fold (and a
+    # reopen), while the bigram path keeps serving.
+    idx2.optimize()
+    with pytest.raises(ValueError, match="do not cover"):
+        idx2.perplexity3(probe)
+    idx3 = CorpusLmIndex(spark, str(tmp_path / "lm"))
+    with pytest.raises(ValueError, match="do not cover"):
+        idx3.perplexity3(probe)
+    assert idx3.perplexity(probe).count() == 3
+
+    # and a GENUINELY covered index must keep scoring after its folds
+    # (the marker records covered=True, not a blanket refusal)
+    idx4 = CorpusLmIndex(spark, str(tmp_path / "lm4"))
+    idx4.add(corpus)
+    idx4.add(_docs(spark, [(200, "an extra covered batch of words here")]))
+    pre = {r.doc_id: r for r in idx4.perplexity3(probe).collect()}
+    idx4.optimize()
+    got4 = {r.doc_id: r for r in idx4.perplexity3(probe).collect()}
+    assert set(got4) == {100, 101, 102}
+    assert got4[100].ppl == pre[100].ppl  # fold is count-preserving
+
 
 def test_stored_kn3_sentinel_covers_trigramless_batches(spark, tmp_path):
     """A batch whose docs all have <3 tokens adds NO trigrams but must

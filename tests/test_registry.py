@@ -153,6 +153,38 @@ def test_driver_window_covers_every_family():
         assert set(swap["out"]) <= proven, (rnd, "out entries lack prior evidence")
 
 
+def test_documented_rotation_counts_match_rotation_log():
+    """r13 advisor: README/SURVEY rotation counts drifted from the
+    ROTATION_LOG tuples (three mutually disagreeing numbers for r12).
+    Every 'N in / M out' claim that names a ROTATION_LOG round in the
+    docs must equal len(log['in']) / len(log['out'])."""
+    import re
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[1]
+    # two documented phrasings: `ROTATION_LOG["rN"]`, ... K in / M out
+    # (README) and 'Rotation rN** (K in / M out' / 'K-in/M-out' (SURVEY)
+    pats = [
+        re.compile(
+            r'ROTATION_LOG\["(r\d+)"\]`,\s*(\d+) in / (\d+) out'
+        ),
+        re.compile(r"Rotation (r\d+)\*\* \((\d+) in / (\d+) out"),
+    ]
+    checked = 0
+    for doc in ("README.md", "SURVEY.md"):
+        text = (root / doc).read_text()
+        for pat in pats:
+            for rnd, n_in, n_out in pat.findall(text):
+                log = registry.ROTATION_LOG.get(rnd)
+                assert log is not None, (doc, rnd)
+                assert (int(n_in), int(n_out)) == (
+                    len(log["in"]),
+                    len(log["out"]),
+                ), (doc, rnd, n_in, n_out, len(log["in"]), len(log["out"]))
+                checked += 1
+    assert checked >= 6, f"doc-count patterns matched only {checked} claims"
+
+
 def test_oracle_constants_stay_in_sync_with_spark_path(monkeypatch):
     """The r6-flagged foot-gun: an oracle f-string that captures a
     module constant at import while the Spark path reads it at call

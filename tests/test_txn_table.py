@@ -606,6 +606,51 @@ def test_restore_rolls_back_as_a_new_commit(spark, tmp_path):
         t.restore(999)
 
 
+def test_commit_publication_survives_no_hardlink_filesystem(tmp_path):
+    """os.link fails with EPERM on filesystems without hard-link
+    support (r13 advisor): _try_commit must fall back to the atomic
+    rename path — commit succeeds, payload is complete JSON, and a
+    duplicate version is still refused (probe-strength there)."""
+    import errno
+    import os as _os
+    from unittest import mock
+
+    from finance_pipeline_spark.sinks.txn_table import (
+        TxnKeyedTable,
+        _commit_file,
+        current_snapshot,
+    )
+
+    path = str(tmp_path / "t")
+
+    class _PathOnly:
+        def __init__(self, p):
+            self.path = p
+
+    fake = _PathOnly(path)
+    real_link = _os.link
+
+    def no_link(*a, **k):
+        raise OSError(errno.EPERM, "hard links not supported")
+
+    with mock.patch("os.link", side_effect=no_link):
+        assert TxnKeyedTable._try_commit(fake, 1, ["a.parquet"], 1)
+        # payload readable + complete
+        body = json.loads(_commit_file(path, 1).read_text())
+        assert body["adds"] == ["a.parquet"] and body["version"] == 1
+        # duplicate version refused via the exists-probe
+        assert not TxnKeyedTable._try_commit(fake, 1, ["b.parquet"], 1)
+    assert _os.link is real_link
+    # the log replays normally afterwards
+    snap = current_snapshot(path)
+    assert snap.version == 1 and list(snap.files) == ["a.parquet"]
+    # no tmp litter left behind
+    leftovers = [
+        p for p in (tmp_path / "t" / "_txnlog").iterdir() if "tmp" in p.name
+    ]
+    assert leftovers == []
+
+
 def test_restore_rejects_negative_version(spark, tmp_path):
     """restore(-1) must raise, not truncate: the empty pre-table
     snapshot also carries version -1, so without the explicit guard
