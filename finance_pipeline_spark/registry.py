@@ -282,6 +282,62 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # re-enter the evaluated window this round; "out" entries move past the
 # fold carrying the named prior round's hash-green driver evidence.
 ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
+    "r13": {
+        "in": (
+            # the full r9-evidence cohort save one (42 - 1 queries; the
+            # oldest driver rows in the registry — mandatory under the
+            # ≤3-round evidence contract, r12 verdict item 2).
+            # DISCLOSED DEFERRAL: a1_count (r9-green) waits for r14 —
+            # the window ran out of slots after the changed-code and
+            # new-query holds; it is the most trivial entry (COUNT(*))
+            # and the agg family keeps nine reps in-window.
+            "text_decontaminate", "user_gap_stats", "text_vocab_topk",
+            "text_repetition_stats", "dedup_incremental",
+            "kmeans_train_assign", "agg_exact_median",
+            "fuzzy_match_blocked", "anomaly_zscore_flags",
+            "dq_referential_audit", "text_chunk_dedup",
+            "agg_incremental_maintain", "agg_minmax_distinct",
+            "agg_variance_exact", "agg_rollup", "agg_cube", "agg_pivot",
+            "agg_unpivot", "win_running_sum", "join_multiway_region",
+            "u1_union_dedup", "o1_topk_multikey", "p1_projection",
+            "p4_comparison_filter", "p5_null_drop", "p6_exact_dedup",
+            "p7_keyed_dedup", "p9_arity_guard", "d1_parse_coerce",
+            "d3_tz_convert", "d5_format_render", "d7_text_to_double",
+            "d9_map_explode", "d9b_json_map_parse", "d11_month_offset",
+            "dedup_exact_by_digest", "dedup_keyed_pick",
+            "mm_frame_sample", "text_langid", "text_quality_score",
+            "udf_embedding_norm",
+            # changed code in r13 (flat-PQ query ADC tables moved
+            # executor-side — r12 verdict item 1): re-earn from the fold
+            "ann_pq_topk", "ann_ivfpq_topk",
+            # (ann_ivfpq_multiprobe + ann_ivfpq_rerank share the changed
+            # _pq_build and were already in-window — they hold slots)
+            # new r13 operators earning first driver evidence:
+            "mm_phash_planted_pairs",  # Hamming-banded pHash near-dup
+            # planted bound (r12 verdict item 4 — was pytest-only)
+            "text_bpe_encode",  # frozen-merge BPE encoding (r12 verdict
+            # item 5 — the tokenizer tier's first driver oracle row)
+        ),
+        "out": (  # all hash-green in CORRECTNESS_r12.json
+            "ann_planted_recall", "ann_serve_parity", "mm_decode_jpeg",
+            "mm_video_frames", "text_warc_extract", "mm_decode_gif",
+            "mm_gif_frames", "mm_phash_groups", "text_kn3_perplexity",
+            "s6_jdbc_scan", "ann_ivf_multiprobe", "dedup_connected_star",
+            "win_sliding", "d8_trim", "profile_columns",
+            "hist_value_buckets", "ts_moving_features",
+            "win_distribution_family", "affinity_part_pairs",
+            "metric_rolling_active", "winsorize_values",
+            "ts_resample_ffill", "attribution_first_last",
+            "dedup_dropped_accounting", "text_tfidf_topk",
+            "stream_decode_quarantine", "dedup_minhash_lsh",
+            "dedup_bloom_screen", "text_pii_scrub", "text_source_quota",
+            "win_session", "cdc_latest_state", "scd2_order_status",
+            "d4_custom_format_parse", "u2_anti_join", "a3_affected_rows",
+            "grouped_user_gaps", "stream_session_counts", "stream_dedup",
+            "mm_binary_meta", "o2_topk_single", "p8_watermark_filter",
+            "s6_sql_table_scan", "join_skew_enrich", "join_asof",
+        ),
+    },
     "r12": {
         "in": (
             # the 17 r8-evidence deferrals named in ROTATION_LOG r11 —
@@ -846,26 +902,77 @@ PRIORITY: tuple[str, ...] = (
     "agg_pricing_summary",
     # rows-only BY DESIGN (data-dependent capacity) — window-pinned
     # forever; their driver-checkable evidence is the two bound queries
-    # below (ann_planted_recall / ann_serve_parity)
+    # (ann_planted_recall / ann_serve_parity, r12-green, folded)
     "ann_ivfpq_scaled",
     "ann_index_serve",
-    # changed code in r12 — hold their slots to re-earn on the new code
-    "ann_planted_recall",  # ivfpq_serve ADC tables now executor-side
-    "ann_serve_parity",  # (r11 verdict item 1) serve == batch identity
-    "mm_decode_jpeg",  # single-spread fix + jpeg codec edge fixes
-    "mm_video_frames",  # single-spread fix (same advisor finding)
-    "text_warc_extract",  # zero-copy gzip-member walk (advisor r11)
-    # new r12 operators — first driver evidence
-    "mm_decode_gif",  # real GIF87a/89a + LZW codec, dead-letter routed
-    "mm_gif_frames",  # ANIMATED GIF demux + per-frame explode
-    "mm_phash_groups",  # perceptual-hash (DCT pHash) image dedup
-    "text_kn3_perplexity",  # interpolated KN TRIGRAM perplexity
-    "s6_jdbc_scan",  # TRUE spark.read.jdbc scan vs embedded Derby
-    # the 17 r8-evidence deferrals (ROTATION_LOG r11) — mandatory
-    # re-earns under the ≤3-round evidence contract
-    "ann_ivf_multiprobe",
+    # changed code in r13 — the flat-PQ/multiprobe family's query ADC
+    # tables moved executor-side (_pq_build tab_kernel, r12 verdict
+    # item 1); each must re-earn driver evidence on the new code
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
     "ann_ivfpq_multiprobe",
     "ann_ivfpq_rerank",
+    # new r13 operators — first driver evidence
+    "mm_phash_planted_pairs",  # banded pHash Hamming near-dup bound
+    "text_bpe_encode",  # frozen-merge BPE encode (tokenizer serving)
+    # the r9-evidence cohort (41 of 42) — mandatory re-earns under the
+    # ≤3-round evidence contract (r12 verdict item 2); a1_count is the
+    # single disclosed r14 deferral (trivial count; the agg family keeps
+    # nine reps in-window)
+    "text_decontaminate",
+    "user_gap_stats",
+    "text_vocab_topk",
+    "text_repetition_stats",
+    "dedup_incremental",
+    "kmeans_train_assign",
+    "agg_exact_median",
+    "fuzzy_match_blocked",
+    "anomaly_zscore_flags",
+    "dq_referential_audit",
+    "text_chunk_dedup",
+    "agg_incremental_maintain",
+    "agg_minmax_distinct",
+    "agg_variance_exact",
+    "agg_rollup",
+    "agg_cube",
+    "agg_pivot",
+    "agg_unpivot",
+    "win_running_sum",
+    "join_multiway_region",
+    "u1_union_dedup",
+    "o1_topk_multikey",
+    "p1_projection",
+    "p4_comparison_filter",
+    "p5_null_drop",
+    "p6_exact_dedup",
+    "p7_keyed_dedup",
+    "p9_arity_guard",
+    "d1_parse_coerce",
+    "d3_tz_convert",
+    "d5_format_render",
+    "d7_text_to_double",
+    "d9_map_explode",
+    "d9b_json_map_parse",
+    "d11_month_offset",
+    "dedup_exact_by_digest",
+    "dedup_keyed_pick",
+    "mm_frame_sample",
+    "text_langid",
+    "text_quality_score",
+    "udf_embedding_norm",
+    # ---- fold: position 51+ — prior-round hash-green driver evidence ----
+    # r12-green cohort, rotated out r13 (newest evidence first)
+    "ann_planted_recall",
+    "ann_serve_parity",
+    "mm_decode_jpeg",
+    "mm_video_frames",
+    "text_warc_extract",
+    "mm_decode_gif",
+    "mm_gif_frames",
+    "mm_phash_groups",
+    "text_kn3_perplexity",
+    "s6_jdbc_scan",
+    "ann_ivf_multiprobe",
     "dedup_connected_star",
     "win_sliding",
     "d8_trim",
@@ -880,30 +987,27 @@ PRIORITY: tuple[str, ...] = (
     "attribution_first_last",
     "dedup_dropped_accounting",
     "text_tfidf_topk",
-    # family-coverage anchors held from the r11 window (r11-green;
-    # they fold with fresh evidence in r13)
-    "stream_decode_quarantine",  # streaming + codec dead-letter
-    "dedup_minhash_lsh",  # fuzzy dedup anchor
-    "dedup_bloom_screen",  # corpus-screen anchor
-    "text_pii_scrub",  # text-scrub anchor
-    "text_source_quota",  # mixture/quota anchor
-    "win_session",  # sessionizing window anchor
-    "cdc_latest_state",  # CDC anchor
-    "scd2_order_status",  # SCD2 anchor
-    "d4_custom_format_parse",  # derivation-parse anchor
-    "u2_anti_join",  # setop anchor
-    "a3_affected_rows",  # accounting anchor
-    "grouped_user_gaps",  # sessionization anchor
-    "stream_session_counts",  # streaming-agg anchor
-    "stream_dedup",  # streaming-dedup anchor
-    "mm_binary_meta",  # multimodal-scan anchor
-    "o2_topk_single",  # sort anchor
-    "p8_watermark_filter",  # projection/filter anchor
-    "s6_sql_table_scan",  # scan anchor
-    "join_skew_enrich",  # skew-join anchor
-    "join_asof",  # as-of join anchor
-    # ---- fold: position 51+ — prior-round hash-green driver evidence ----
-    # r11-green cohort, rotated out r12 (newest evidence first)
+    "stream_decode_quarantine",
+    "dedup_minhash_lsh",
+    "dedup_bloom_screen",
+    "text_pii_scrub",
+    "text_source_quota",
+    "win_session",
+    "cdc_latest_state",
+    "scd2_order_status",
+    "d4_custom_format_parse",
+    "u2_anti_join",
+    "a3_affected_rows",
+    "grouped_user_gaps",
+    "stream_session_counts",
+    "stream_dedup",
+    "mm_binary_meta",
+    "o2_topk_single",
+    "p8_watermark_filter",
+    "s6_sql_table_scan",
+    "join_skew_enrich",
+    "join_asof",
+    # r11-green cohort, rotated out r12
     "rollup_time_multi",
     "d10_current_date",
     "funnel_conversion",
@@ -917,8 +1021,6 @@ PRIORITY: tuple[str, ...] = (
     "text_kn_perplexity",
     "text_url_canonicalize",
     "dedup_url_keyed",
-    "ann_pq_topk",
-    "ann_ivfpq_topk",
     "dedup_chunk_minhash",
     "dedup_connected_groups",
     "text_dup_spans",
@@ -970,49 +1072,8 @@ PRIORITY: tuple[str, ...] = (
     "cohort_retention",
     "event_transition_counts",
     "merge_upsert_orders",
-    # r9-green cohort, rotated out r10
-    "text_decontaminate",
-    "user_gap_stats",
-    "text_vocab_topk",
-    "text_repetition_stats",
-    "dedup_incremental",
-    "kmeans_train_assign",
-    "agg_exact_median",
-    "fuzzy_match_blocked",
-    "anomaly_zscore_flags",
-    "dq_referential_audit",
-    "text_chunk_dedup",
-    "agg_incremental_maintain",
-    "agg_minmax_distinct",
-    "agg_variance_exact",
-    "agg_rollup",
-    "agg_cube",
-    "agg_pivot",
-    "agg_unpivot",
-    "win_running_sum",
-    "join_multiway_region",
-    "u1_union_dedup",
-    "o1_topk_multikey",
+    # r9-green, deferred from the r13 rotation to r14 (disclosed above)
     "a1_count",
-    "p1_projection",
-    "p4_comparison_filter",
-    "p5_null_drop",
-    "p6_exact_dedup",
-    "p7_keyed_dedup",
-    "p9_arity_guard",
-    "d1_parse_coerce",
-    "d3_tz_convert",
-    "d5_format_render",
-    "d7_text_to_double",
-    "d9_map_explode",
-    "d9b_json_map_parse",
-    "d11_month_offset",
-    "dedup_exact_by_digest",
-    "dedup_keyed_pick",
-    "mm_frame_sample",
-    "text_langid",
-    "text_quality_score",
-    "udf_embedding_norm",
 )
 
 DRIVER_WINDOW = 50  # observed driver evaluation cap (r1 + r2)

@@ -66,49 +66,42 @@ def test_driver_window_covers_every_family():
     window = list(ordered)[: registry.DRIVER_WINDOW]
 
     must_be_in_window = {
-        # queries whose implementation changed in r12 — each must earn
-        # driver evidence on the new code
-        "ann_planted_recall", "ann_serve_parity",  # ivfpq_serve ADC
-        # tables moved executor-side (r11 verdict item 1)
-        "mm_decode_jpeg", "mm_video_frames",  # single-spread fix +
-        # jpeg codec edge fixes (advisor r11)
-        "text_warc_extract",  # zero-copy gzip-member walk (advisor r11)
-        # new r12 operators earning first driver evidence
-        "mm_decode_gif",  # real GIF87a/89a + LZW codec (verdict item 5)
-        "mm_gif_frames",  # animated GIF demux + per-frame explode
-        "mm_phash_groups",  # perceptual-hash image dedup
-        "text_kn3_perplexity",  # KN trigram perplexity (verdict item 6)
-        "s6_jdbc_scan",  # true spark.read.jdbc vs embedded Derby
+        # queries whose implementation changed in r13 — each must earn
+        # driver evidence on the new code (flat-PQ query ADC tables
+        # moved executor-side, r12 verdict item 1)
+        "ann_pq_topk", "ann_ivfpq_topk",
+        "ann_ivfpq_multiprobe", "ann_ivfpq_rerank",
+        # new r13 operators earning first driver evidence
+        "mm_phash_planted_pairs",  # banded pHash near-dup bound
+        "text_bpe_encode",  # frozen-merge BPE encode
         # rows-only by design — window-pinned (can never earn fold
         # evidence under the hash-green rule)
         "ann_ivfpq_scaled", "ann_index_serve",
         # flagship
         "agg_pricing_summary",
-        # the 17 r8-evidence deferrals (ROTATION_LOG r11) — mandatory
-        # under the ≤3-round evidence contract
-        "ann_ivf_multiprobe", "ann_ivfpq_multiprobe", "ann_ivfpq_rerank",
-        "dedup_connected_star", "win_sliding", "d8_trim",
-        "profile_columns", "hist_value_buckets", "ts_moving_features",
-        "win_distribution_family", "affinity_part_pairs",
-        "metric_rolling_active", "winsorize_values", "ts_resample_ffill",
-        "attribution_first_last", "dedup_dropped_accounting",
-        "text_tfidf_topk",
-        # family-coverage anchors (one-plus representative per family)
-        "dedup_minhash_lsh", "dedup_bloom_screen",  # dedup
-        "win_session",  # windows (aggregates-misc covered by the
-        # incoming profile/hist/winsorize/metric_rolling r8 re-earns)
-        "join_skew_enrich", "join_asof", "u2_anti_join",  # joins / setop
-        "o2_topk_single",  # sort
-        "p8_watermark_filter",  # P-family (projection/filter rows)
-        "d4_custom_format_parse",  # derivation (plus the incoming
-        # d8_trim r8 re-earn)
-        "stream_decode_quarantine", "stream_session_counts",  # streaming
-        "stream_dedup",
-        "text_pii_scrub", "text_source_quota",  # text
-        "scd2_order_status", "cdc_latest_state",  # temporal
-        "grouped_user_gaps",  # sessionization
-        "mm_binary_meta",  # multimodal scan
-        "a3_affected_rows", "s6_sql_table_scan",  # scan / accounting
+        # the r9-evidence cohort (41 of 42; a1_count is the single
+        # disclosed r14 deferral) — mandatory under the ≤3-round
+        # evidence contract (r12 verdict item 2). Family coverage this
+        # round comes FROM the cohort itself (agg x9, text x6, dedup x3,
+        # P x6, D x7, join x2, window, kmeans, multimodal, udf); the
+        # usual streaming/temporal anchors are r12-green and fold for
+        # one round to make room — they re-enter r14 with the r10
+        # cohort.
+        "text_decontaminate", "user_gap_stats", "text_vocab_topk",
+        "text_repetition_stats", "dedup_incremental",
+        "kmeans_train_assign", "agg_exact_median", "fuzzy_match_blocked",
+        "anomaly_zscore_flags", "dq_referential_audit",
+        "text_chunk_dedup", "agg_incremental_maintain",
+        "agg_minmax_distinct", "agg_variance_exact", "agg_rollup",
+        "agg_cube", "agg_pivot", "agg_unpivot", "win_running_sum",
+        "join_multiway_region", "u1_union_dedup", "o1_topk_multikey",
+        "p1_projection", "p4_comparison_filter", "p5_null_drop",
+        "p6_exact_dedup", "p7_keyed_dedup", "p9_arity_guard",
+        "d1_parse_coerce", "d3_tz_convert", "d5_format_render",
+        "d7_text_to_double", "d9_map_explode", "d9b_json_map_parse",
+        "d11_month_offset", "dedup_exact_by_digest", "dedup_keyed_pick",
+        "mm_frame_sample", "text_langid", "text_quality_score",
+        "udf_embedding_norm",
     }
     missing = must_be_in_window - set(window)
     assert not missing, f"fell out of the driver window: {sorted(missing)}"
@@ -131,6 +124,7 @@ def test_driver_window_covers_every_family():
         "CORRECTNESS_r09.json",
         "CORRECTNESS_r10.json",
         "CORRECTNESS_r11.json",
+        "CORRECTNESS_r12.json",
     ):
         p = Path(__file__).resolve().parents[1] / f
         if p.exists():
