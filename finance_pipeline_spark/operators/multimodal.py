@@ -1573,6 +1573,7 @@ _PHASH_PLANT_MASK = (1 << 5) | (1 << 37)
     FROM documents WHERE doc_id % 100 = 0
     """,
     tags=("multimodal", "dedup", "phash", "lsh", "bound"),
+    bench=True,
 )
 def mm_phash_planted_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Planted-pair retrieval bound through ``phash_hamming_pairs``

@@ -392,6 +392,7 @@ def _bpe_encode_oracle() -> str:
     "text_bpe_encode",
     oracle=_bpe_encode_oracle,
     tags=("text", "tokens", "bpe"),
+    bench=True,
 )
 def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL BPE encoding under the frozen merge table
