@@ -90,7 +90,11 @@ def _query_batches(spark: SparkSession, sf_dir: str):
         keep = nrm > 0.0
         return ids[keep], mat[keep], nrm[keep]
 
-    for row in qdf.toLocalIterator():
+    # prefetchPartitions overlaps the next partition's fetch with the
+    # driver-side buffering below — the staging stays OOM-bounded (one
+    # batch + the in-flight partitions) but is no longer strictly
+    # serialized (r12 verdict note on this seam)
+    for row in qdf.toLocalIterator(prefetchPartitions=True):
         ids_buf.append(row.vec_id)
         emb_buf.append(row.embedding)
         if len(ids_buf) >= _QUERY_FETCH_CAP:
