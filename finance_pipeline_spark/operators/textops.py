@@ -714,6 +714,112 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _split_leakage_oracle() -> str:
+    """Near-dup pairs (the full MinHash-LSH oracle chain) joined to
+    each side's deterministic split bucket — a leak is a verified pair
+    straddling splits."""
+    from finance_pipeline_spark.operators.dedup import (
+        _MINHASH_BUCKET_CAP,
+        _bands_cte,
+    )
+
+    return f"""
+    WITH {_bands_cte()}, capped AS (
+        SELECT doc_id, band_key FROM (
+            SELECT doc_id, band_key,
+                   count(*) OVER (PARTITION BY band_key) AS n
+            FROM bands
+        ) WHERE n <= {_MINHASH_BUCKET_CAP}
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM capped a JOIN capped b
+          ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ), pairs AS (
+        SELECT doc_a, doc_b, jaccard FROM (
+            SELECT c.doc_a, c.doc_b,
+                   round(CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)
+                         / len(list_distinct(list_concat(sa.ss, sb.ss))), 4)
+                     AS jaccard
+            FROM cand c
+            JOIN strs sa ON sa.doc_id = c.doc_a
+            JOIN strs sb ON sb.doc_id = c.doc_b
+        ) WHERE jaccard >= 0.5
+    ), sp AS (
+        SELECT doc_id,
+               CASE WHEN pm < 980 THEN 'train'
+                    WHEN pm < 990 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+            SELECT doc_id,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+                     % 1000 AS pm
+            FROM documents
+        )
+    )
+    SELECT p.doc_a, p.doc_b, p.jaccard,
+           sa.split AS split_a, sb.split AS split_b,
+           sa.split <> sb.split AS leaks
+    FROM pairs p
+    JOIN sp sa ON sa.doc_id = p.doc_a
+    JOIN sp sb ON sb.doc_id = p.doc_b
+    """
+
+
+@query(
+    "text_split_leakage_audit",
+    oracle=_split_leakage_oracle,
+    tags=("text", "dedup", "sampling", "audit"),
+)
+def text_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-leakage audit — every verified near-dup pair annotated
+    with both sides' train/val/test assignment and a ``leaks`` flag
+    for pairs that straddle splits. This is the eval-integrity check a
+    pretraining pipeline runs AFTER splitting: ``text_decontaminate``
+    catches shingle overlap against the eval slice, but a near-dup
+    pair split across train and test is the stronger (and more
+    embarrassing) leak — the model trains on a paraphrase of its test
+    set. Composes two proven primitives verbatim: ``minhash_pairs``
+    (the full LSH chain, exact dups included — identical texts verify
+    at jaccard 1.0; the corpus has no sub-shingle-length docs, and the
+    exact-dedup family screens those upstream anyway) and
+    ``text_split_assign``'s deterministic md5-permille bucket.
+
+    Scale shape: inherits the LSH chain's (band-key shuffle, capped
+    buckets, verify-on-survivors); the split join adds two broadcast-
+    sized probes of an md5 expression over bare doc_ids — no new
+    corpus-sized shuffle."""
+    from finance_pipeline_spark.operators.dedup import minhash_pairs
+
+    d = load(spark, sf_dir, "documents")
+    pairs = minhash_pairs(d)
+    pm = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("bigint")
+        % 1000
+    )
+    sp = d.select(
+        "doc_id",
+        F.when(pm < 980, "train")
+        .when(pm < 990, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    return (
+        pairs.join(
+            sp.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")),
+            "doc_a",
+        )
+        .join(
+            sp.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a", "doc_b", "jaccard", "split_a", "split_b",
+            (F.col("split_a") != F.col("split_b")).alias("leaks"),
+        )
+    )
+
+
 # PII patterns shared verbatim between the Spark plan and the DuckDB
 # oracle. Both engines' regex dialects (java.util.regex / RE2) agree on
 # this subset: char classes, bounded repeats, \b, \d. Redaction order

@@ -284,13 +284,15 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
     "r13": {
         "in": (
-            # the full r9-evidence cohort save one (42 - 1 queries; the
+            # the full r9-evidence cohort save two (42 - 2 queries; the
             # oldest driver rows in the registry — mandatory under the
             # ≤3-round evidence contract, r12 verdict item 2).
-            # DISCLOSED DEFERRAL: a1_count (r9-green) waits for r14 —
-            # the window ran out of slots after the changed-code and
-            # new-query holds; it is the most trivial entry (COUNT(*))
-            # and the agg family keeps nine reps in-window.
+            # DISCLOSED DEFERRALS: a1_count and d5_format_render
+            # (both r9-green) wait for r14 — the window ran out of
+            # slots after the changed-code and new-query holds; they
+            # are the most trivial entries (COUNT(*) / date_format
+            # render), the agg family keeps nine reps and the D family
+            # six in-window.
             "text_decontaminate", "user_gap_stats", "text_vocab_topk",
             "text_repetition_stats", "dedup_incremental",
             "kmeans_train_assign", "agg_exact_median",
@@ -302,7 +304,7 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
             "u1_union_dedup", "o1_topk_multikey", "p1_projection",
             "p4_comparison_filter", "p5_null_drop", "p6_exact_dedup",
             "p7_keyed_dedup", "p9_arity_guard", "d1_parse_coerce",
-            "d3_tz_convert", "d5_format_render", "d7_text_to_double",
+            "d3_tz_convert", "d7_text_to_double",
             "d9_map_explode", "d9b_json_map_parse", "d11_month_offset",
             "dedup_exact_by_digest", "dedup_keyed_pick",
             "mm_frame_sample", "text_langid", "text_quality_score",
@@ -317,6 +319,9 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
             # planted bound (r12 verdict item 4 — was pytest-only)
             "text_bpe_encode",  # frozen-merge BPE encoding (r12 verdict
             # item 5 — the tokenizer tier's first driver oracle row)
+            "text_split_leakage_audit",  # near-dup pairs straddling
+            # the train/val/test split — the eval-integrity audit
+            # (composes minhash_pairs + the md5-permille bucket)
         ),
         "out": (  # all hash-green in CORRECTNESS_r12.json
             "ann_planted_recall", "ann_serve_parity", "mm_decode_jpeg",
@@ -915,10 +920,12 @@ PRIORITY: tuple[str, ...] = (
     # new r13 operators — first driver evidence
     "mm_phash_planted_pairs",  # banded pHash Hamming near-dup bound
     "text_bpe_encode",  # frozen-merge BPE encode (tokenizer serving)
-    # the r9-evidence cohort (41 of 42) — mandatory re-earns under the
-    # ≤3-round evidence contract (r12 verdict item 2); a1_count is the
-    # single disclosed r14 deferral (trivial count; the agg family keeps
-    # nine reps in-window)
+    "text_split_leakage_audit",  # near-dup pairs straddling splits
+    # the r9-evidence cohort (40 of 42) — mandatory re-earns under the
+    # ≤3-round evidence contract (r12 verdict item 2); a1_count and
+    # d5_format_render are the two disclosed r14 deferrals (trivial
+    # count / format render; the agg family keeps nine reps and the D
+    # family six in-window)
     "text_decontaminate",
     "user_gap_stats",
     "text_vocab_topk",
@@ -949,7 +956,6 @@ PRIORITY: tuple[str, ...] = (
     "p9_arity_guard",
     "d1_parse_coerce",
     "d3_tz_convert",
-    "d5_format_render",
     "d7_text_to_double",
     "d9_map_explode",
     "d9b_json_map_parse",
@@ -1074,6 +1080,7 @@ PRIORITY: tuple[str, ...] = (
     "merge_upsert_orders",
     # r9-green, deferred from the r13 rotation to r14 (disclosed above)
     "a1_count",
+    "d5_format_render",
 )
 
 DRIVER_WINDOW = 50  # observed driver evaluation cap (r1 + r2)

@@ -74,13 +74,15 @@ def test_driver_window_covers_every_family():
         # new r13 operators earning first driver evidence
         "mm_phash_planted_pairs",  # banded pHash near-dup bound
         "text_bpe_encode",  # frozen-merge BPE encode
+        "text_split_leakage_audit",  # split-straddling near-dup audit
         # rows-only by design — window-pinned (can never earn fold
         # evidence under the hash-green rule)
         "ann_ivfpq_scaled", "ann_index_serve",
         # flagship
         "agg_pricing_summary",
-        # the r9-evidence cohort (41 of 42; a1_count is the single
-        # disclosed r14 deferral) — mandatory under the ≤3-round
+        # the r9-evidence cohort (40 of 42; a1_count and
+        # d5_format_render are the two disclosed r14 deferrals) —
+        # mandatory under the ≤3-round
         # evidence contract (r12 verdict item 2). Family coverage this
         # round comes FROM the cohort itself (agg x9, text x6, dedup x3,
         # P x6, D x7, join x2, window, kmeans, multimodal, udf); the
@@ -97,7 +99,7 @@ def test_driver_window_covers_every_family():
         "join_multiway_region", "u1_union_dedup", "o1_topk_multikey",
         "p1_projection", "p4_comparison_filter", "p5_null_drop",
         "p6_exact_dedup", "p7_keyed_dedup", "p9_arity_guard",
-        "d1_parse_coerce", "d3_tz_convert", "d5_format_render",
+        "d1_parse_coerce", "d3_tz_convert",
         "d7_text_to_double", "d9_map_explode", "d9b_json_map_parse",
         "d11_month_offset", "dedup_exact_by_digest", "dedup_keyed_pick",
         "mm_frame_sample", "text_langid", "text_quality_score",
