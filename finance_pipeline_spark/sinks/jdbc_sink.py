@@ -110,10 +110,16 @@ def append_new_keys(
         .drop("_rn")
     )
     if table_exists(df.sparkSession, url, table, driver=driver):
+        # column-pruned key scan; NO forced broadcast — the existing
+        # key set grows with the table, so a broadcast hint here would
+        # blow past the driver at real scale. AQE picks a runtime
+        # broadcast while the table is small and a shuffled anti-join
+        # once it isn't (the same rule as text_decontaminate's eval
+        # side).
         existing = read_jdbc_table(
             df.sparkSession, url, table, driver=driver
         ).select(*keys)
-        fresh = first_wins.join(F.broadcast(existing), keys, "left_anti")
+        fresh = first_wins.join(existing, keys, "left_anti")
     else:
         fresh = first_wins
     n_fresh = fresh.count()
