@@ -334,34 +334,36 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bpe_encode_oracle() -> str:
-    """DuckDB replay of the FROZEN BPE merge table: each word becomes
-    a chr(31)-separated symbol string (chars + '</w>'), each merge is
-    one replace() applying left-to-right non-overlapping — the
-    sequential rank-order form that equals the kernel's greedy
-    lowest-rank-first encode (standard BPE equivalence; verified
-    word-for-word over both SFs' vocabularies). Token count per word =
-    separator count - 1."""
+    """DuckDB replay of GREEDY lowest-rank-first BPE under the frozen
+    merge table — a recursive CTE that performs exactly one merge per
+    step (the lowest-rank pair present, leftmost on ties), precisely
+    ``encode_word``'s loop. An earlier draft used nested single-pass
+    ``replace()`` per merge (the sequential rank-order form); a
+    property sweep showed that form DIVERGES from greedy on
+    boundary-sharing occurrence chains (``aeae`` needs a second pass;
+    identical-symbol runs like ``aaaaa`` disagree under ANY pass
+    count, because a pass's non-overlapping skip takes a4a5 where
+    greedy's rescan takes a3a4) — it only hash-passed because the
+    driver corpus vocabulary happens to contain no such words. The
+    recursive form is exact for every input; adversarial words are
+    pinned in tests/test_bpe.py. Recursion depth ≤ word length; rows
+    ≤ docs × words × depth — trivial at oracle SF."""
     from finance_pipeline_spark.pipelines.bpe_tokenizer import (
         FROZEN_MERGES_V1,
     )
 
     def lit(s: str) -> str:
-        # SQL literal for a symbol, chr(31)-fenced on both sides
-        body = s.replace("'", "''")
-        return f"chr(31) || '{body}' || chr(31)"
+        # rank-map key literal: left || chr(31) || right (no real
+        # symbol contains the separator)
+        return "'" + s.replace("'", "''").replace(
+            "\x1f", "' || chr(31) || '"
+        ) + "'"
 
-    expr = (
-        "chr(31) || array_to_string(regexp_split_to_array(word, ''), "
-        "chr(31)) || chr(31) || '</w>' || chr(31)"
-    )
-    for a, b in FROZEN_MERGES_V1:
-        a_sql = a.replace("'", "''")
-        b_sql = b.replace("'", "''")
-        pat = f"chr(31) || '{a_sql}' || chr(31) || '{b_sql}' || chr(31)"
-        rep = lit(a + b)
-        expr = f"replace({expr}, {pat}, {rep})"
+    keys = ", ".join(lit(a + "\x1f" + b) for a, b in FROZEN_MERGES_V1)
+    ranks = ", ".join(str(i) for i in range(len(FROZEN_MERGES_V1)))
     return f"""
-    WITH base AS (
+    WITH RECURSIVE m AS (SELECT MAP([{keys}], [{ranks}]) AS mm),
+    base AS (
         SELECT doc_id,
                trim(lower(coalesce(text, '')), ' ') AS t
         FROM documents
@@ -370,15 +372,43 @@ def _bpe_encode_oracle() -> str:
                CAST(length(t) AS BIGINT) AS n_chars,
                list_filter(string_split(t, ' '), w -> w <> '') AS words
         FROM base
-    ), per_word AS (
-        SELECT doc_id, unnest(words) AS word FROM ws
-    ), toks AS (
-        SELECT doc_id,
-               (length(s) - length(replace(s, chr(31), ''))) - 1 AS n
-        FROM (SELECT doc_id, {expr} AS s FROM per_word)
+    ), words0 AS (
+        SELECT doc_id, wid,
+               list_append(regexp_split_to_array(word, ''), '</w>') AS sym
+        FROM (
+            SELECT doc_id, generate_subscripts(words, 1) AS wid,
+                   unnest(words) AS word
+            FROM ws
+        )
+    ), enc AS (
+        SELECT doc_id, wid, sym, 0 AS it FROM words0
+        UNION ALL
+        SELECT doc_id, wid,
+               list_concat(
+                   list_concat(sym[1:bi-1], [sym[bi] || sym[bi+1]]),
+                   sym[bi+2:]
+               ) AS sym,
+               it + 1
+        FROM (
+            SELECT doc_id, wid, sym, it,
+                   list_min(pr) AS br,
+                   list_position(pr, list_min(pr)) AS bi
+            FROM (
+                SELECT doc_id, wid, sym, it,
+                       [coalesce(map_extract(mm,
+                            sym[i] || chr(31) || sym[i+1])[1], 999999)
+                        FOR i IN range(1, len(sym))] AS pr
+                FROM enc, m
+            )
+        ) WHERE br < 999999
+    ), term AS (
+        SELECT doc_id, wid, sym,
+               row_number() OVER (PARTITION BY doc_id, wid
+                                  ORDER BY it DESC) AS rn
+        FROM enc
     ), agg AS (
-        SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens
-        FROM toks GROUP BY doc_id
+        SELECT doc_id, CAST(sum(len(sym)) AS BIGINT) AS n_tokens
+        FROM term WHERE rn = 1 GROUP BY doc_id
     )
     SELECT ws.doc_id,
            CAST(len(ws.words) AS BIGINT) AS n_words,

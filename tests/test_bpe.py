@@ -144,3 +144,99 @@ def test_asset_round_trip_and_version_guard(tmp_path):
     p.write_text(json.dumps({"version": 2, "eow": _EOW, "merges": []}))
     with pytest.raises(ValueError, match="unsupported"):
         load_merges(p)
+
+
+def test_recursive_oracle_matches_greedy_property():
+    """The exactness claim text_bpe_encode's DuckDB oracle rests on
+    (r13): the recursive-CTE form (one lowest-rank leftmost merge per
+    step) reproduces greedy encode_word for EVERY input — including
+    the boundary-sharing chains (aeae) and identical-symbol runs
+    (aaaaa) where the rejected nested-replace() draft diverges.
+    Property-tested over random words and coherent random merge
+    tables by running the real SQL against DuckDB."""
+    import duckdb
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def oracle_sym(words, merges):
+        def lit(s):
+            return "'" + s.replace("'", "''").replace(
+                "\x1f", "' || chr(31) || '"
+            ) + "'"
+
+        if merges:
+            keys = ", ".join(lit(a + "\x1f" + b) for a, b in merges)
+            ranks = ", ".join(str(i) for i in range(len(merges)))
+            map_lit = f"MAP([{keys}], [{ranks}])"
+        else:
+            map_lit = "MAP([''], [999999])"  # no-op rank map
+        wl = ", ".join("'" + w.replace("'", "''") + "'" for w in words)
+        sql = f"""
+        WITH RECURSIVE m AS (SELECT {map_lit} AS mm),
+        words0 AS (
+            SELECT wid, list_append(regexp_split_to_array(word, ''), '</w>') AS sym
+            FROM (SELECT generate_subscripts([{wl}], 1) AS wid,
+                         unnest([{wl}]) AS word)
+        ), enc AS (
+            SELECT wid, sym, 0 AS it FROM words0
+            UNION ALL
+            SELECT wid,
+                   list_concat(list_concat(sym[1:bi-1],
+                       [sym[bi] || sym[bi+1]]), sym[bi+2:]) AS sym,
+                   it + 1
+            FROM (
+                SELECT wid, sym, it, list_min(pr) AS br,
+                       list_position(pr, list_min(pr)) AS bi
+                FROM (
+                    SELECT wid, sym, it,
+                           [coalesce(map_extract(mm,
+                                sym[i] || chr(31) || sym[i+1])[1], 999999)
+                            FOR i IN range(1, len(sym))] AS pr
+                    FROM enc, m
+                )
+            ) WHERE br < 999999
+        )
+        SELECT wid, sym FROM (
+            SELECT wid, sym,
+                   row_number() OVER (PARTITION BY wid ORDER BY it DESC) AS rn
+            FROM enc
+        ) WHERE rn = 1 ORDER BY wid
+        """
+        return [list(s) for _, s in duckdb.connect().execute(sql).fetchall()]
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        corpus=st.lists(
+            st.text(alphabet="abc", min_size=1, max_size=8),
+            min_size=1, max_size=12,
+        ),
+        probes=st.lists(
+            st.text(alphabet="abc", min_size=1, max_size=12),
+            min_size=1, max_size=4,
+        ),
+        n_merges=st.integers(min_value=0, max_value=15),
+    )
+    def check(corpus, probes, n_merges):
+        freqs = list(collections.Counter(corpus).items())
+        merges = train_merges(freqs, n_merges)
+        ranks = {p: i for i, p in enumerate(merges)}
+        got = oracle_sym(probes, merges)
+        want = [encode_word(w, ranks) for w in probes]
+        assert got == want, (probes, merges)
+
+    check()
+
+    # the adversarial shapes that killed the nested-replace draft,
+    # against the FROZEN production table + an (a,a)-style table
+    from finance_pipeline_spark.pipelines.bpe_tokenizer import (
+        FROZEN_MERGES_V1,
+    )
+
+    for merges in (list(FROZEN_MERGES_V1), [("a", "a"), ("e", "r")]):
+        ranks = {p: i for i, p in enumerate(merges)}
+        words = ["aeae", "aaaaa", "aaaa", "aaaaaaa", "erer", "ererer",
+                 "hashhash", "the", "a"]
+        assert oracle_sym(words, merges) == [
+            encode_word(w, ranks) for w in words
+        ]
