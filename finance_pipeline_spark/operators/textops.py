@@ -1238,6 +1238,116 @@ def text_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MIX_TOKEN_BUDGET = 800  # default per-source token budget (demo SFs)
+
+
+def token_budget_mix(
+    docs: DataFrame, budget: int = _MIX_TOKEN_BUDGET
+) -> DataFrame:
+    """Token-budget mixture — the "data recipe" operator: per source,
+    take documents in (quality DESC, doc_id) order until the running
+    TOKEN total reaches ``budget`` (the doc that crosses the boundary
+    is taken — greedy take-until-reached). ``text_source_quota`` caps
+    by document COUNT; real pretraining mixes are specified in tokens
+    ("30B tokens of source X"), which this computes. Returns every doc
+    annotated: (source, doc_id, n_tokens, quality, taken).
+
+    Scale shape — deliberately NOT a per-source running-sum window
+    over the corpus (at 100 TB one giant source would serialize
+    through a single reducer). Instead the ``text_quality_prune``
+    histogram-cut recipe one level up: (1) one map-side-combined
+    groupBy to (source, quality) token subtotals — quality is 4-dp
+    rounded, so the histogram is bounded by price levels, not corpus
+    size; (2) a window over that HISTOGRAM finds each source's
+    boundary quality level q* and the tokens consumed before it;
+    (3) the cutoffs broadcast back against the corpus — docs strictly
+    above q* are taken, strictly below are not, with no per-doc
+    window at all; (4) only the boundary BUCKET's docs (one quality
+    level per source) run the exact within-bucket running sum. The
+    corpus-sized data crosses the wire once (the groupBy); the
+    running-sum window touches a sliver.
+
+    Boundary semantics match the naive per-source cumulative sum
+    exactly (property-tested against it in tests/test_textops_extra.py):
+    taken ⇔ (sum of tokens of all docs strictly ahead in the order)
+    < budget."""
+    from pyspark.sql import Window as W
+
+    if budget < 1:
+        raise ValueError(f"token_budget_mix: budget must be >= 1, got {budget}")
+    toks = _tokens()
+    n_tokens = F.size(toks).cast("bigint")
+    n_t_d = n_tokens.cast("double")
+    n_unique = F.size(F.array_distinct(toks)).cast("double")
+    # coalesce: a zero-token doc's ratio is 0/0 = null — score it 0.0
+    # so it sorts last deterministically instead of null-ordering
+    quality = F.coalesce(
+        F.round(
+            F.least(n_t_d / 100.0, F.lit(1.0)) * (n_unique / n_t_d), 4
+        ),
+        F.lit(0.0),
+    )
+    base = docs.select(
+        "source",
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        quality.alias("quality"),
+    )
+    hist = base.groupBy("source", "quality").agg(
+        F.sum("n_tokens").alias("bucket_toks")
+    )
+    wh = (
+        W.partitionBy("source")
+        .orderBy(F.col("quality").desc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    hist2 = hist.withColumn("cum_incl", F.sum("bucket_toks").over(wh)).withColumn(
+        "cum_before", F.col("cum_incl") - F.col("bucket_toks")
+    )
+    # the boundary bucket: first quality level where the budget runs
+    # out; absent when the source's total is under budget (all taken)
+    cut = hist2.filter(
+        (F.col("cum_before") < budget) & (F.col("cum_incl") >= budget)
+    ).select(
+        "source",
+        F.col("quality").alias("q_star"),
+        F.col("cum_before").alias("cut_before"),
+    )
+    j = base.join(F.broadcast(cut), "source", "left")
+    off_boundary = j.filter(
+        F.col("q_star").isNull() | (F.col("quality") != F.col("q_star"))
+    ).select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        "quality",
+        (F.col("q_star").isNull() | (F.col("quality") > F.col("q_star"))).alias(
+            "taken"
+        ),
+    )
+    wb = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    boundary = (
+        j.filter(F.col("quality") == F.col("q_star"))
+        .withColumn(
+            "cum_before_doc",
+            F.col("cut_before")
+            + F.coalesce(F.sum("n_tokens").over(wb), F.lit(0)),
+        )
+        .select(
+            "source",
+            "doc_id",
+            "n_tokens",
+            "quality",
+            (F.col("cum_before_doc") < budget).alias("taken"),
+        )
+    )
+    return off_boundary.unionByName(boundary)
+
+
 _CHUNK_TOKENS = 32  # context-window size (tokens per training chunk)
 _CHUNK_OVERLAP = 8  # tokens shared between consecutive chunks
 _CHUNK_STRIDE = _CHUNK_TOKENS - _CHUNK_OVERLAP

@@ -443,3 +443,68 @@ def test_kn_perplexity_flags_gibberish_higher(spark, tmp_path):
         for r in registry.QUERIES["text_kn_perplexity"].fn(spark, sf).collect()
     }
     assert got[100] > 2 * got[0], got
+
+
+def test_token_budget_mix_matches_naive_running_sum(spark, tmp_path):
+    """The histogram-cut form (bounded-size window + boundary-bucket
+    sliver) must reproduce the NAIVE per-source running-sum semantics
+    exactly: taken ⇔ tokens strictly ahead in (quality DESC, doc_id)
+    order < budget. Random corpus with quality ties (shared texts) so
+    boundary buckets hold several docs, swept over budgets including
+    1, mid, exact-total, and over-total."""
+    import random
+
+    import pandas as pd
+    import pytest
+
+    from finance_pipeline_spark.operators.textops import token_budget_mix
+
+    rng = random.Random(77)
+    words = ["alpha", "beta", "gamma", "delta", "eps"]
+    rows = []
+    did = 0
+    for src in ("s0", "s1", "s2"):
+        for _ in range(rng.randint(5, 14)):
+            # duplicate texts on purpose: identical quality → shared
+            # boundary buckets exercising the within-bucket window
+            n = rng.choice([1, 2, 3, 3, 5, 5, 8])
+            text = " ".join(rng.choice(words) for _ in range(n))
+            for _ in range(rng.randint(1, 2)):
+                rows.append((did, text, src))
+                did += 1
+    pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in rows],
+            "text": [r[1] for r in rows],
+            "lang": ["en"] * len(rows),
+            "source": [r[2] for r in rows],
+            "n_chars": [len(r[1]) for r in rows],
+        }
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+    docs = spark.read.parquet(str(tmp_path / "documents.parquet"))
+
+    total = sum(len(r[1].split()) for r in rows)
+    for budget in (1, 5, 17, 40, total, total + 100):
+        got = token_budget_mix(docs, budget=budget).toPandas()
+        assert len(got) == len(rows)
+        # naive reference over the operator's own per-doc columns
+        ref = got.sort_values(["source", "quality", "doc_id"],
+                              ascending=[True, False, True]).copy()
+        ref["cum_before"] = (
+            ref.groupby("source")["n_tokens"].cumsum() - ref["n_tokens"]
+        )
+        want = dict(
+            zip(ref["doc_id"], (ref["cum_before"] < budget).tolist())
+        )
+        have = dict(zip(got["doc_id"], got["taken"].tolist()))
+        assert have == want, (budget, {
+            d: (have[d], want[d]) for d in have if have[d] != want[d]
+        })
+
+    # budget must bite: at budget 17 some taken, some not, per source
+    got = token_budget_mix(docs, budget=17).toPandas()
+    by_src = got.groupby("source")["taken"]
+    assert (by_src.sum() > 0).all() and (by_src.sum() < by_src.count()).all()
+
+    with pytest.raises(ValueError, match="budget"):
+        token_budget_mix(docs, budget=0)
