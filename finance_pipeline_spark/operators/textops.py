@@ -1348,6 +1348,39 @@ def token_budget_mix(
     return off_boundary.unionByName(boundary)
 
 
+def _token_budget_oracle(budget: int = _MIX_TOKEN_BUDGET) -> str:
+    """DuckDB replica of ``token_budget_mix`` — the NAIVE per-source
+    running-sum form (the oracle needn't be scale-shaped): taken ⇔
+    cumulative tokens strictly ahead in (quality DESC, doc_id) order
+    < budget. Staged for the r14 window (r13's 50 slots are spoken
+    for); parity with the histogram-cut Spark plan is already pinned
+    by tests/test_textops_extra.py, including a DuckDB run of this
+    exact SQL."""
+    return f"""
+    WITH t AS (
+        SELECT source, doc_id,
+               CAST(len({_sql_tokens()}) AS BIGINT) AS n_tokens,
+               coalesce(round(
+                   least(CAST(len({_sql_tokens()}) AS DOUBLE) / 100.0, 1.0)
+                   * (CAST(len(list_distinct({_sql_tokens()})) AS DOUBLE)
+                      / CAST(len({_sql_tokens()}) AS DOUBLE)), 4), 0.0)
+                 AS quality
+        FROM documents
+    ), c AS (
+        SELECT source, doc_id, n_tokens, quality,
+               sum(n_tokens) OVER (
+                   PARTITION BY source
+                   ORDER BY quality DESC, doc_id
+                   ROWS UNBOUNDED PRECEDING
+               ) - n_tokens AS cum_before
+        FROM t
+    )
+    SELECT source, doc_id, n_tokens, quality,
+           cum_before < {budget} AS taken
+    FROM c
+    """
+
+
 _CHUNK_TOKENS = 32  # context-window size (tokens per training chunk)
 _CHUNK_OVERLAP = 8  # tokens shared between consecutive chunks
 _CHUNK_STRIDE = _CHUNK_TOKENS - _CHUNK_OVERLAP

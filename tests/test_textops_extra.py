@@ -508,3 +508,34 @@ def test_token_budget_mix_matches_naive_running_sum(spark, tmp_path):
 
     with pytest.raises(ValueError, match="budget"):
         token_budget_mix(docs, budget=0)
+
+
+def test_token_budget_oracle_sql_matches_spark(spark, tmp_path):
+    """The staged r14 oracle (_token_budget_oracle) run on DuckDB must
+    equal token_budget_mix row-for-row on the driver corpus shape —
+    so r14 registration is a one-line @query with the parity already
+    pinned."""
+    import duckdb
+
+    from finance_pipeline_spark.operators.textops import (
+        _token_budget_oracle,
+        token_budget_mix,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    got = sorted(
+        (r.source, r.doc_id, r.n_tokens, round(r.quality, 4), r.taken)
+        for r in token_budget_mix(docs, budget=200).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    want = sorted(
+        (s, d, n, round(q, 4), t)
+        for s, d, n, q, t in con.execute(
+            _token_budget_oracle(budget=200)
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0
