@@ -170,6 +170,26 @@ def corpus_main(argv: list[str]) -> int:
     p.add_argument("--out", default=None, help="hits parquet dir (optional)")
 
     p = sub.add_parser(
+        "leakage-audit",
+        help="flag near-dup pairs straddling the train/val/test split",
+    )
+    p.add_argument(
+        "--source-dir", required=True,
+        help="dir containing documents.parquet (sf_dir layout)",
+    )
+    p.add_argument("--out", default=None, help="pairs parquet dir (optional)")
+
+    p = sub.add_parser(
+        "mix-budget",
+        help="per-source token-budget mixture: annotate docs taken "
+        "in quality order until the budget is reached",
+    )
+    p.add_argument("--source-dir", required=True)
+    p.add_argument("--budget", type=int, default=None,
+                   help="tokens per source (default: operator default)")
+    p.add_argument("--out", default=None, help="annotated parquet dir")
+
+    p = sub.add_parser(
         "curate",
         help="batch curation: screen -> LM screen -> dedup -> scrub -> "
         "decontaminate -> sharded export",
@@ -228,6 +248,54 @@ def corpus_main(argv: list[str]) -> int:
         n = out.count()
         n_hosts = out.select("source").distinct().count()
         print(json.dumps({"docs": n, "hosts": n_hosts, "out": args.out}))
+        return 0
+    if args.cmd == "leakage-audit":
+        from pyspark.sql import functions as F
+
+        from finance_pipeline_spark.operators.textops import (
+            text_split_leakage_audit,
+        )
+
+        pairs = text_split_leakage_audit(spark, args.source_dir)
+        if args.out:
+            pairs.write.mode("overwrite").parquet(args.out)
+            pairs = spark.read.parquet(args.out)
+        agg = pairs.agg(
+            F.count(F.lit(1)).alias("pairs"),
+            F.sum(F.col("leaks").cast("int")).alias("leaking"),
+        ).collect()[0]
+        print(json.dumps({
+            "pairs": int(agg["pairs"] or 0),
+            "leaking": int(agg["leaking"] or 0),
+            "out": args.out,
+        }))
+        return 0
+    if args.cmd == "mix-budget":
+        from pyspark.sql import functions as F
+
+        from finance_pipeline_spark.operators.textops import (
+            token_budget_mix,
+        )
+
+        kwargs = {} if args.budget is None else {"budget": args.budget}
+        mixed = token_budget_mix(
+            spark.read.parquet(f"{args.source_dir}/documents.parquet"),
+            **kwargs,
+        )
+        if args.out:
+            mixed.write.mode("overwrite").parquet(args.out)
+            mixed = spark.read.parquet(args.out)
+        per_src = {
+            r["source"]: {"taken": r["taken_n"], "tokens": r["tok"]}
+            for r in mixed.filter("taken")
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("taken_n"),
+                F.sum("n_tokens").alias("tok"),
+            )
+            .collect()
+        }
+        print(json.dumps({"sources": per_src, "out": args.out}))
         return 0
     if args.cmd == "bpe-train":
         from finance_pipeline_spark.pipelines.bpe_tokenizer import train_and_save
