@@ -953,3 +953,57 @@ def test_codecs_decode_real_files_via_binaryfile_source(spark, tmp_path):
             assert d0 == shape[0]
         else:
             assert (d0, d1) == (shape[0], shape[1])
+
+
+def test_phash_hamming_pairs_matches_bruteforce_property(spark):
+    """Banding completeness + filter exactness, property-style: for
+    random 64-bit hash sets (clustered so near pairs actually occur),
+    the banded join must return EXACTLY the brute-force pairs with
+    Hamming <= max_hamming — the pigeonhole guarantee (<= 3 bits over
+    4 bands leaves one band intact) plus the popcount filter, with no
+    bucket over the cap. Signed-bigint reinterpretation (hashes with
+    the top bit set) is covered by construction."""
+    import itertools
+    import random
+
+    from finance_pipeline_spark.operators.multimodal import (
+        phash_hamming_pairs,
+    )
+
+    rng = random.Random(913)
+    for trial in range(4):
+        # seed hashes, then noisy copies at 1-3 flipped bits and
+        # unrelated values — top bit forced on for half (negative
+        # bigints through the shift/xor/popcount path)
+        seeds = [rng.getrandbits(64) for _ in range(6)]
+        hashes = {}
+        nid = 0
+        for h in seeds:
+            hashes[nid] = h; nid += 1
+            for _ in range(rng.randint(1, 3)):
+                flips = rng.sample(range(64), rng.randint(1, 3))
+                h2 = h
+                for b in flips:
+                    h2 ^= 1 << b
+                hashes[nid] = h2; nid += 1
+        for _ in range(8):
+            hashes[nid] = rng.getrandbits(64); nid += 1
+
+        def signed(v):
+            return v - (1 << 64) if v >= (1 << 63) else v
+
+        df = spark.createDataFrame(
+            [(int(k), signed(v)) for k, v in hashes.items()],
+            "doc_id bigint, phash bigint",
+        )
+        for mh in (2, 3):
+            got = {
+                (r.doc_a, r.doc_b, r.hamming)
+                for r in phash_hamming_pairs(df, max_hamming=mh).collect()
+            }
+            want = set()
+            for a, b in itertools.combinations(sorted(hashes), 2):
+                d = bin(hashes[a] ^ hashes[b]).count("1")
+                if d <= mh:
+                    want.add((a, b, d))
+            assert got == want, (trial, mh, got ^ want)
