@@ -293,6 +293,47 @@ def curate_corpus(
     n_final = final.count()
     log("decontaminate", kept=n_final, dropped=n_scrub - n_final)
 
+    # 4b. Residual split-leakage audit — an INVARIANT check, not a
+    # filter: near-dedup ran BEFORE the split, so no verified near-dup
+    # pair should survive into the export at all, let alone straddle
+    # train/eval. A nonzero count means a stage reordering or a dedup
+    # regression let a paraphrase of the eval set into train — the
+    # failure a dataset team wants printed on every run, cheap at one
+    # extra LSH pass over the already-shrunk final universe (the
+    # registry's ``text_split_leakage_audit`` is the standalone form
+    # over raw corpora).
+    leak_pairs = minhash_pairs(final)
+    sp = final.select("doc_id", "split")
+    residual = (
+        leak_pairs.join(
+            sp.select(
+                F.col("doc_id").alias("doc_a"), F.col("split").alias("sa")
+            ),
+            "doc_a",
+        )
+        .join(
+            sp.select(
+                F.col("doc_id").alias("doc_b"), F.col("split").alias("sb")
+            ),
+            "doc_b",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("pairs"),
+            F.sum((F.col("sa") != F.col("sb")).cast("int")).alias("leaks"),
+        )
+        .collect()[0]
+    )
+    residual_pairs = int(residual["pairs"] or 0)
+    residual_leaks = int(residual["leaks"] or 0)
+    log("leak_audit", residual_pairs=residual_pairs, leaking=residual_leaks)
+    if residual_leaks:
+        logger.warning(
+            "curation: %d near-dup pair(s) STRADDLE splits in the "
+            "export — eval integrity is compromised; investigate the "
+            "dedup stage before training on this corpus",
+            residual_leaks,
+        )
+
     # 5. Sharded export — md5-mod shard assignment + integrity manifest
     # (write_training_shards re-verifies per-shard digests on read).
     manifest = write_training_shards(final, out_dir, n_shards, key_col="doc_id")
@@ -312,6 +353,7 @@ def curate_corpus(
         "lm_buckets": lm_buckets,
         "n_after_scrub": n_scrub,
         "n_exported": n_final,
+        "residual_leak_pairs": residual_leaks,
         "splits": splits,
         "manifest": manifest,
         "stage_secs": stage_secs,

@@ -40,6 +40,9 @@ def test_curate_corpus_on_driver_testdata(spark, tmp_path):
     }
     # Exact-dedup guarantee: no two exported rows share text
     assert df.select("text").distinct().count() == stats["n_exported"]
+    # Eval-integrity invariant (r13): near-dedup ran BEFORE the split,
+    # so no verified near-dup pair may straddle splits in the export
+    assert stats["residual_leak_pairs"] == 0
 
 
 def test_curate_corpus_collapses_planted_duplicates(spark, tmp_path):
