@@ -532,3 +532,32 @@ def test_url_keyed_dedup_plants_real_groups(spark, sf_dir):
         assert all(
             r.verdict == ("keep" if r.kept else "drop_url_dup") for r in g
         )
+
+
+def test_py_shingles_matches_sql_twin_on_adversarial_texts():
+    """Three implementations must agree (JVM _word_shingles is pinned
+    by the oracle gate; this pins the Python kernel twin against the
+    DuckDB CTE form) — adversarially: double spaces (empty tokens are
+    KEPT by split-on-space in all three), leading/trailing spaces,
+    tabs/newlines (NOT trimmed — only spaces are), unicode case, the
+    sub-n short path, empty and NULL text, and repeated-token runs."""
+    import duckdb
+
+    from finance_pipeline_spark.operators.dedup import _py_shingles
+
+    con = duckdb.connect()
+    sql = """
+    SELECT CASE WHEN len(t) >= 3 THEN
+      list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                     FOR i IN range(1, greatest(len(t) - 1, 1))])
+      ELSE [] END
+    FROM (SELECT string_split(trim(lower(?)), ' ') AS t)
+    """
+    cases = [
+        "a  b c d", "  x y z  ", "A\tB C D E", "a b c", "ab", "",
+        None, "a b  c d e", "ümlaut WORT drei vier", "a b c d\n",
+        "x " * 6, " ", "a b c  ", "\n a b c",
+    ]
+    for c in cases:
+        got = set(con.execute(sql, [c]).fetchone()[0] or [])
+        assert got == _py_shingles(c), repr(c)
