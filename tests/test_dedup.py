@@ -561,3 +561,59 @@ def test_py_shingles_matches_sql_twin_on_adversarial_texts():
     for c in cases:
         got = set(con.execute(sql, [c]).fetchone()[0] or [])
         assert got == _py_shingles(c), repr(c)
+
+
+def test_dedup_simhash_matches_bruteforce_on_random_corpora(spark, tmp_path):
+    """End-to-end banding exactness for SimHash: on random small
+    corpora (token soups with planted near-identical docs so hamming
+    <= 3 pairs actually exist), dedup_simhash must return EXACTLY the
+    brute-force pairs over independently computed Python signatures —
+    pinning the signature kernel, the 4x16 pigeonhole banding, and the
+    popcount filter together on adversarial data rather than the
+    driver corpus."""
+    import itertools
+    import random
+
+    from tests.conftest import write_documents
+
+    from finance_pipeline_spark import registry
+    from finance_pipeline_spark.operators.dedup import _hash64
+
+    def py_simhash(text: str) -> int:
+        toks = set(text.strip(" ").lower().split(" "))
+        votes = [0] * 64
+        for t in toks:
+            h = _hash64(t.encode("utf-8"))
+            for k in range(64):
+                votes[k] += 1 if (h >> k) & 1 else -1
+        return sum(1 << k for k in range(64) if votes[k] > 0)
+
+    rng = random.Random(4242)
+    words = [f"w{i}" for i in range(40)]
+    rows = []
+    did = 0
+    for _ in range(6):
+        base = rng.sample(words, rng.randint(8, 14))
+        rows.append((did, " ".join(base))); did += 1
+        # near copies: swap 1 token (signatures land within a few bits)
+        for _ in range(rng.randint(1, 2)):
+            mod = list(base)
+            mod[rng.randrange(len(mod))] = rng.choice(words)
+            rows.append((did, " ".join(mod))); did += 1
+    for _ in range(6):  # unrelated noise docs
+        rows.append((did, " ".join(rng.sample(words, rng.randint(5, 9)))))
+        did += 1
+
+    sf = write_documents(tmp_path, rows)
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in registry.QUERIES["dedup_simhash"].fn(spark, sf).collect()
+    }
+    sigs = {d: py_simhash(t) for d, t in rows}
+    want = set()
+    for a, b in itertools.combinations(sorted(sigs), 2):
+        h = bin(sigs[a] ^ sigs[b]).count("1")
+        if h <= 3:
+            want.add((a, b, h))
+    assert got == want, got ^ want
+    assert want, "corpus produced no <=3-bit pairs — planting failed"
