@@ -432,8 +432,10 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     encoding with frozen ranks is pure Arrow-batched map work). Runs
     the SAME greedy lowest-rank-first kernel production encoding uses
     (``bpe_encode_docs``: broadcast ranks, per-batch word memo, no
-    shuffle); the oracle replays the merges as nested replace()
-    literals."""
+    shuffle); the oracle replays the greedy loop EXACTLY as a recursive
+    CTE (one lowest-rank merge per recursion step — nested replace()
+    is not equivalent; it diverges on boundary-sharing chains like
+    "aeae", r13 property sweep)."""
     from finance_pipeline_spark.pipelines.bpe_tokenizer import (
         FROZEN_MERGES_V1,
         bpe_encode_docs,

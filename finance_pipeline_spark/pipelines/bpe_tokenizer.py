@@ -45,9 +45,11 @@ _EOW = "</w>"  # end-of-word marker (the classic BPE word boundary)
 # stays iterative (pytest-pinned, rows-only territory); ENCODING with
 # a frozen table is pure map work, so the registry's
 # ``text_bpe_encode`` drives the real greedy encoder against a DuckDB
-# oracle that replays these exact merges as nested replace() literals
-# (greedy lowest-rank-first == sequential rank-order application, the
-# standard BPE equivalence — verified word-for-word over both SFs).
+# oracle that replays the SAME greedy loop as a recursive CTE — one
+# lowest-rank merge applied per recursion step. NB: the earlier
+# nested-replace() draft (sequential rank-order application) is NOT
+# equivalent to greedy BPE — it diverges on boundary-sharing chains
+# like "aeae"/"aaaaa" (caught by the r13 hypothesis sweep, 7ac6e39).
 FROZEN_MERGES_V1: tuple[tuple[str, str], ...] = (
     ("e", "r"), ("e", "</w>"), ("n", "</w>"), ("er", "</w>"),
     ("o", "w"), ("ow", "</w>"), ("o", "r"), ("s", "t"),

@@ -296,10 +296,16 @@ def curate_corpus(
     # 4b. Residual split-leakage audit — an INVARIANT check, not a
     # filter: near-dedup ran BEFORE the split, so no verified near-dup
     # pair should survive into the export at all, let alone straddle
-    # train/eval. A nonzero count means a stage reordering or a dedup
-    # regression let a paraphrase of the eval set into train — the
-    # failure a dataset team wants printed on every run, cheap at one
-    # extra LSH pass over the already-shrunk final universe (the
+    # train/eval. A nonzero count USUALLY means a stage reordering or
+    # a dedup regression let a paraphrase of the eval set into train —
+    # but two benign causes exist (r13 advisor): (1) docs the dedup
+    # LSH bucket cap excluded from pairing (the `docs_excluded` ledger
+    # in the dedup stage log) were never compared, so their pairs can
+    # legitimately survive on cap-heavy corpora; (2) the span/PII
+    # scrub stages MUTATE text after dedup, so two post-scrub texts
+    # can converge above the jaccard threshold. The warning names
+    # both so a nonzero count is triaged, not auto-paged. Cheap at
+    # one extra LSH pass over the already-shrunk final universe (the
     # registry's ``text_split_leakage_audit`` is the standalone form
     # over raw corpora).
     leak_pairs = minhash_pairs(final)
@@ -329,8 +335,13 @@ def curate_corpus(
     if residual_leaks:
         logger.warning(
             "curation: %d near-dup pair(s) STRADDLE splits in the "
-            "export — eval integrity is compromised; investigate the "
-            "dedup stage before training on this corpus",
+            "export — possible eval-integrity breach. Triage before "
+            "training: if the dedup stage's docs_excluded ledger is "
+            "nonzero (LSH bucket cap) or the pairs' texts changed in "
+            "the span/PII scrub stages, the pairs were never "
+            "comparable at dedup time and this is a capacity/scrub "
+            "artifact; otherwise investigate the dedup stage — a "
+            "paraphrase of the eval set is in train",
             residual_leaks,
         )
 

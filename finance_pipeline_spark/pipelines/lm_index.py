@@ -824,7 +824,30 @@ class CorpusLmIndex:
         # written atomically; _tri_covered honors the marker from then
         # on. Recovery above ran first, so a crashed fold's journaled
         # tri rows are merged before we judge the shapes.
-        self._write_tri_coverage(self._tri_covered()[0])
+        covered, missing = self._tri_covered()
+        if missing and not self._is_legacy_layout():
+            # REFUSE to fold (r13 advisor, low): these add tokens have
+            # bigram counts but no trigram counts — an add crashed
+            # between its bigram and trigram merges. Folding now would
+            # consolidate the gap into fold rows, pin the coverage
+            # marker False forever, and destroy the replay-the-add
+            # repair path perplexity3's error message recommends. The
+            # pre-fold state is replayable: re-run add() for the named
+            # batches, then optimize() again. (The legacy-layout
+            # MIGRATION fold is exempt: legacy bi tokens digest text
+            # only while tri tokens digest (lang, text), so the token
+            # comparison is cross-format noise there, and blocking
+            # would wedge add() — which migrates via this fold. The
+            # shape heuristic still pins the post-migration verdict.)
+            raise ValueError(
+                "CorpusLmIndex.optimize: refusing to fold — "
+                f"{len(missing)} add token(s) have bigram counts but "
+                "no trigram counts (an add crashed between its bigram "
+                "and trigram merges). Folding would make the gap "
+                "permanent; replay the in-flight add(s) first, then "
+                f"optimize. Uncovered add tokens: {missing[:5]}"
+            )
+        self._write_tri_coverage(covered)
         out = {}
         for name, tbl, keys in (
             ("uni", self.uni, ["lang", "w"]),

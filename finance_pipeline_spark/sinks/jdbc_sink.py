@@ -64,11 +64,50 @@ def write_jdbc_table(
     )
 
 
+# SQLStates that mean "the table/view does not exist" (ANSI class 42 +
+# the engine-specific codes): Derby 42X05, Postgres 42P01, SQL-standard
+# 42S02 (MySQL/SQLServer/H2). Anything else — connection refused, auth,
+# timeout — is NOT a missing table and must propagate: treating a
+# transient read error as "missing" would make append_new_keys skip its
+# anti-join and blind-append duplicates.
+_MISSING_TABLE_SQLSTATES = ("42X05", "42P01", "42S02", "42704")
+
+
+def _names_missing_table(exc: BaseException, table: str) -> bool:
+    """True only when the exception chain carries a missing-table
+    SQLState (or Spark's own UNRESOLVED/TABLE_OR_VIEW_NOT_FOUND text
+    naming the probed table)."""
+    seen: set[int] = set()
+    cur: BaseException | None = exc
+    while cur is not None and id(cur) not in seen:
+        seen.add(id(cur))
+        state = getattr(cur, "getSQLState", None)
+        if callable(state):
+            try:
+                if str(state()) in _MISSING_TABLE_SQLSTATES:
+                    return True
+            except Exception:  # noqa: BLE001 — Py4J gateway quirks
+                pass
+        msg = str(cur)
+        if any(s in msg for s in _MISSING_TABLE_SQLSTATES):
+            return True
+        if (
+            "TABLE_OR_VIEW_NOT_FOUND" in msg
+            or ("does not exist" in msg and table.upper() in msg.upper())
+        ):
+            return True
+        cur = cur.__cause__ or cur.__context__
+    return False
+
+
 def table_exists(
     spark, url: str, table: str, *, driver: str = DERBY_DRIVER
 ) -> bool:
     """Probe the external engine for the table — a zero-row pushdown
-    query; any error that names the missing table reads as False."""
+    query. Only a missing-table error (SQLState 42X05/42P01/42S02, or
+    Spark's not-found error naming the table) reads as False;
+    connectivity/auth/timeout errors RE-RAISE so callers never mistake
+    a down database for an absent table (round-13 advisory)."""
     try:
         (
             spark.read.format("jdbc")
@@ -79,8 +118,10 @@ def table_exists(
             .schema
         )
         return True
-    except Exception:  # noqa: BLE001 — driver-specific missing-table errors
-        return False
+    except Exception as exc:  # noqa: BLE001 — classified below
+        if _names_missing_table(exc, table):
+            return False
+        raise
 
 
 def append_new_keys(
@@ -95,20 +136,30 @@ def append_new_keys(
     """INSERT-or-ignore through the seam (the reference's
     ignore-duplicates upsert, services/supabase.py:23-39): read the
     existing key set back from the engine (column-pruned to ``keys``),
-    anti-join the batch, append only unseen rows. First-wins within
-    the batch too (matching ``sinks/keyed_writer``): intra-batch dups
-    are collapsed by lowest-ordering row before the anti-join.
+    anti-join the batch, append only unseen rows. Intra-batch dups are
+    collapsed deterministically — the surviving row is the one with the
+    lowest-ordering NON-KEY values (same rule as ``sinks/keyed_writer``:
+    ordering by the partition keys would be constant within each group
+    and the pick arbitrary, round-13 advisory). When every column is a
+    key the rows are identical and ``dropDuplicates`` suffices.
     Returns {attempted, inserted, skipped} accounting."""
     from pyspark.sql import Window as W
 
     n_attempted = df.count()
-    first_wins = (
-        df.withColumn(
-            "_rn", F.row_number().over(W.partitionBy(*keys).orderBy(*keys))
+    value_cols = [c for c in df.columns if c not in keys]
+    if value_cols:
+        first_wins = (
+            df.withColumn(
+                "_rn",
+                F.row_number().over(
+                    W.partitionBy(*keys).orderBy(*value_cols)
+                ),
+            )
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
         )
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    else:
+        first_wins = df.dropDuplicates(keys)
     if table_exists(df.sparkSession, url, table, driver=driver):
         # column-pruned key scan; NO forced broadcast — the existing
         # key set grows with the table, so a broadcast hint here would

@@ -105,3 +105,38 @@ def test_table_exists_probe(spark, url):
     assert not table_exists(spark, url, "NOPE")
     write_jdbc_table(_orders_slice(spark, 3), url, "YEP", mode="overwrite")
     assert table_exists(spark, url, "YEP")
+
+
+def test_table_exists_reraises_connectivity_errors(spark, tmp_path):
+    """A down/unreachable database must NOT read as 'table missing'
+    (r13 advisor): treating a connection error as absence would make
+    append_new_keys skip its anti-join and blind-append duplicates.
+    A Derby URL without create=true against a nonexistent database
+    raises a boot error (SQLState XJ004), not a missing-table error —
+    table_exists must propagate it."""
+    bad_url = f"jdbc:derby:{tmp_path / 'never_created_db'}"
+    with pytest.raises(Exception) as ei:
+        table_exists(spark, bad_url, "ANY")
+    # and the raised error is the boot failure, not swallowed as False
+    assert "XJ004" in str(ei.value) or "not found" in str(ei.value).lower()
+
+
+def test_append_new_keys_intra_batch_pick_is_deterministic(spark, url):
+    """When duplicate keys carry DIFFERENT non-key values, the survivor
+    is the lowest-ordering row over the value columns (keyed_writer's
+    rule) — not an arbitrary partition-dependent pick (r13 advisor,
+    medium). Same data under different partitionings must land the
+    same row in the engine."""
+    rows = [(1, "b", 9.0), (1, "a", 5.0), (2, "z", 1.0), (2, "z", 0.5)]
+    cols = ["k", "name", "val"]
+    for i, parts in enumerate((1, 7)):
+        table = f"DET{i}"
+        df = spark.createDataFrame(rows, cols).repartition(parts)
+        acc = append_new_keys(df, url, table, ["k"])
+        assert acc == {"attempted": 4, "inserted": 2, "skipped": 2}
+        got = {
+            (r["k"], r["name"], r["val"])
+            for r in read_jdbc_table(spark, url, table).collect()
+        }
+        # min over (name, val) within each key group
+        assert got == {(1, "a", 5.0), (2, "z", 0.5)}

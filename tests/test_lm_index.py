@@ -592,20 +592,44 @@ def test_stored_kn3_unseen_probe_backs_off_and_legacy_index_refuses(
     with pytest.raises(ValueError, match="do not cover"):
         idx2.perplexity3(probe)
 
-    # LAUNDERING guard (r13 advisor, medium): optimize() folds every
-    # token into one fold row per table, which used to erase the
-    # shape evidence the check above reads — after the fold the index
-    # would SILENTLY score against trigram counts covering only the
-    # post-upgrade adds. The fold now pins the pre-fold verdict in
-    # tri_coverage.json, so the refusal must survive the fold (and a
-    # reopen), while the bigram path keeps serving.
+    # REPLAY-PATH guard (r14, r13-advisor low): while an add token has
+    # bigram counts but no trigram counts (an add crashed between its
+    # bi and tri merges — here, the tri-less history), optimize() must
+    # REFUSE to fold: consolidating would make the gap permanent and
+    # destroy the replay repair perplexity3's message recommends.
+    with pytest.raises(ValueError, match="refusing to fold"):
+        idx2.optimize()
+    # the index stayed replayable: re-adding the original corpus is a
+    # token-idempotent merge that inserts ONLY its missing trigram
+    # rows, after which the fold proceeds and order-3 serving works
+    idx2.add(corpus)
     idx2.optimize()
+    assert idx2.perplexity3(probe).count() == 3
+
+    # LAUNDERING guard (r13 advisor, medium): when the uncovered state
+    # is NOT replay-repairable (pre-upgrade history folded before tri
+    # ever existed — no add token to replay), the fold proceeds and
+    # must pin the pre-fold verdict in tri_coverage.json, so the
+    # refusal survives folds and reopens while bigram serving works.
+    lm5 = str(tmp_path / "lm5")
+    idx5 = CorpusLmIndex(spark, lm5)
+    idx5.add(corpus)
+    idx5.add(_docs(spark, [(300, "another covered batch of words here")]))
+    shutil.rmtree(tmp_path / "lm5" / "tri", ignore_errors=True)
+    idx5 = CorpusLmIndex(spark, lm5)
+    idx5.optimize()  # tri table absent entirely: missing=[], folds, pins False
+    idx5.add(
+        _docs(spark, [(60 + i, "wholly new words arriving here now") for i in range(3)])
+    )
     with pytest.raises(ValueError, match="do not cover"):
-        idx2.perplexity3(probe)
-    idx3 = CorpusLmIndex(spark, str(tmp_path / "lm"))
+        idx5.perplexity3(probe)
+    idx5.optimize()  # missing=[] (history is fold rows) → folds, re-pins False
     with pytest.raises(ValueError, match="do not cover"):
-        idx3.perplexity3(probe)
-    assert idx3.perplexity(probe).count() == 3
+        idx5.perplexity3(probe)
+    idx5b = CorpusLmIndex(spark, lm5)
+    with pytest.raises(ValueError, match="do not cover"):
+        idx5b.perplexity3(probe)
+    assert idx5b.perplexity(probe).count() == 3
 
     # and a GENUINELY covered index must keep scoring after its folds
     # (the marker records covered=True, not a blanket refusal)
