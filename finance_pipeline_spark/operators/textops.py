@@ -1383,6 +1383,164 @@ def _token_budget_oracle(budget: int = _MIX_TOKEN_BUDGET) -> str:
     """
 
 
+@query(
+    "token_budget_mix",
+    oracle=_token_budget_oracle,
+    tags=("text", "curation", "mixture", "training-prep"),
+    bench=True,
+)
+def token_budget_mix_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form of ``token_budget_mix`` over the documents
+    table at the default per-source budget — the "data recipe"
+    operator's driver oracle row (r13 verdict item 2; function, staged
+    oracle, and pytest parity landed in r13, this is the registration).
+    The oracle is the naive per-source running sum; the Spark plan is
+    the histogram-cut (see ``token_budget_mix``'s scale-shape note)."""
+    return token_budget_mix(load(spark, sf_dir, "documents"))
+
+
+_UNIMAX_EPOCH_CAP = 4  # per-language epoch ceiling (UniMax's N)
+_UNIMAX_BUDGET_EPOCHS = 3  # total token budget = this × corpus tokens
+
+
+def unimax_alloc(
+    docs: DataFrame,
+    epoch_cap: int = _UNIMAX_EPOCH_CAP,
+    budget_epochs: int = _UNIMAX_BUDGET_EPOCHS,
+) -> DataFrame:
+    """UniMax language-budget allocation (Chung et al. 2023, public):
+    spread a total token budget as UNIFORMLY as possible across
+    languages, subject to a per-language epoch ceiling — the
+    principled alternative to temperature sampling for multilingual
+    pretraining mixes. The budget is ``budget_epochs ×`` the corpus
+    token count; each language's cap is ``epoch_cap × its tokens``.
+
+    Closed form instead of the paper's greedy loop: water-filling.
+    Sort languages by cap ascending; language k is capped iff
+    ``cap_k·(L−k) + cumsum(cap₁..cap_k) ≤ B`` (monotone in k), the
+    first K languages saturate their caps and the rest share the
+    remainder evenly at level ``U = (B − cumsum(cap₁..cap_K))/(L−K)``.
+    Every decision is BIGINT-exact and the two divisions are IEEE
+    doubles of exact integers, so the DuckDB oracle is bit-identical —
+    no pow()/exp() (whose rounding is engine-specific) anywhere.
+
+    Scale shape: ONE map-side-combined groupBy reduces the corpus to
+    a language histogram; every window after that runs on a frame
+    bounded by language cardinality (~hundreds), so the unpartitioned
+    windows are type-sized by construction, never corpus-sized."""
+    from pyspark.sql import Window as W
+
+    per_lang = (
+        docs.select(
+            F.coalesce(F.col("lang"), F.lit("und")).alias("lang"),
+            F.size(_tokens()).cast("bigint").alias("nt"),
+        )
+        .groupBy("lang")
+        .agg(F.sum("nt").alias("n_tokens"))
+        .withColumn("cap_tokens", F.lit(int(epoch_cap)) * F.col("n_tokens"))
+    )
+    w_ord = W.orderBy("cap_tokens", "lang")
+    w_run = w_ord.rowsBetween(W.unboundedPreceding, W.currentRow)
+    w_all = W.partitionBy()
+    c = (
+        per_lang.withColumn("rk", F.row_number().over(w_ord))
+        .withColumn("cum", F.sum("cap_tokens").over(w_run))
+        .withColumn("n_langs", F.count(F.lit(1)).over(w_all))
+        .withColumn(
+            "budget",
+            F.lit(int(budget_epochs)) * F.sum("n_tokens").over(w_all),
+        )
+        .withColumn(
+            "is_capped",
+            F.col("cap_tokens") * (F.col("n_langs") - F.col("rk"))
+            + F.col("cum")
+            <= F.col("budget"),
+        )
+    )
+    k = c.withColumn(
+        "k_capped",
+        F.max(F.when(F.col("is_capped"), F.col("rk")).otherwise(0)).over(w_all),
+    ).withColumn(
+        "cum_k",
+        F.max(F.when(F.col("is_capped"), F.col("cum")).otherwise(0)).over(w_all),
+    )
+    alloc = F.when(
+        F.col("rk") <= F.col("k_capped"), F.col("cap_tokens").cast("double")
+    ).otherwise(
+        (F.col("budget") - F.col("cum_k"))
+        / (F.col("n_langs") - F.col("k_capped"))
+    )
+    return k.select(
+        "lang",
+        "n_tokens",
+        "cap_tokens",
+        (F.col("rk") <= F.col("k_capped")).alias("capped"),
+        alloc.alias("alloc_tokens"),
+        (alloc / F.col("n_tokens")).alias("epochs"),
+    )
+
+
+def _unimax_oracle(
+    epoch_cap: int = _UNIMAX_EPOCH_CAP,
+    budget_epochs: int = _UNIMAX_BUDGET_EPOCHS,
+) -> str:
+    """DuckDB replica of ``unimax_alloc`` — the SAME water-filling
+    closed form (bigint condition, two integer-exact IEEE divisions),
+    so the match is bit-exact rather than tolerance-based."""
+    return f"""
+    WITH per AS (
+        SELECT coalesce(lang, 'und') AS lang,
+               CAST(sum(len({_sql_tokens()})) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY 1
+    ), c AS (
+        SELECT lang, n_tokens,
+               {int(epoch_cap)} * n_tokens AS cap_tokens,
+               row_number() OVER (
+                   ORDER BY {int(epoch_cap)} * n_tokens, lang) AS rk,
+               sum({int(epoch_cap)} * n_tokens) OVER (
+                   ORDER BY {int(epoch_cap)} * n_tokens, lang
+                   ROWS UNBOUNDED PRECEDING) AS cum,
+               count(*) OVER () AS n_langs,
+               {int(budget_epochs)} * sum(n_tokens) OVER () AS budget
+        FROM per
+    ), f AS (
+        SELECT *,
+               cap_tokens * (n_langs - rk) + cum <= budget AS is_capped
+        FROM c
+    ), g AS (
+        SELECT *,
+               max(CASE WHEN is_capped THEN rk ELSE 0 END) OVER () AS k_capped,
+               max(CASE WHEN is_capped THEN cum ELSE 0 END) OVER () AS cum_k
+        FROM f
+    )
+    SELECT lang, n_tokens, cap_tokens,
+           rk <= k_capped AS capped,
+           CASE WHEN rk <= k_capped THEN CAST(cap_tokens AS DOUBLE)
+                ELSE CAST(budget - cum_k AS DOUBLE) / (n_langs - k_capped)
+           END AS alloc_tokens,
+           CASE WHEN rk <= k_capped THEN CAST(cap_tokens AS DOUBLE)
+                ELSE CAST(budget - cum_k AS DOUBLE) / (n_langs - k_capped)
+           END / n_tokens AS epochs
+    FROM g
+    """
+
+
+@query(
+    "text_unimax_alloc",
+    oracle=_unimax_oracle,
+    tags=("text", "curation", "mixture", "training-prep"),
+    bench=True,
+)
+def text_unimax_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax water-filling language allocation over the documents
+    table: budget = 3 epochs of the corpus, per-language cap = 4
+    epochs — at both demo SFs the four smaller languages saturate
+    their caps and English absorbs the remainder, so the closed form's
+    both regimes carry driver-checked signal. See ``unimax_alloc``
+    for the exactness and scale-shape notes."""
+    return unimax_alloc(load(spark, sf_dir, "documents"))
+
+
 _CHUNK_TOKENS = 32  # context-window size (tokens per training chunk)
 _CHUNK_OVERLAP = 8  # tokens shared between consecutive chunks
 _CHUNK_STRIDE = _CHUNK_TOKENS - _CHUNK_OVERLAP

@@ -282,6 +282,67 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # re-enter the evaluated window this round; "out" entries move past the
 # fold carrying the named prior round's hash-green driver evidence.
 ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
+    "r14": {
+        "in": (
+            # the full r10-evidence cohort (43 — the oldest driver
+            # rows in the registry, mandatory under the standing
+            # evidence contract; r13 verdict item 1). NB
+            # dedup_ngram_jaccard additionally carries CHANGED CODE
+            # this round (content-derived shingle-band blocking key,
+            # r13 verdict item 5) — oracle updated in lockstep, so its
+            # window slot re-earns the new code.
+            "text_lm_familiarity", "text_lm_buckets",
+            "text_quality_classifier", "text_bpe_token_count",
+            "text_fingerprint", "agg_corr_exact", "a2_empty_probe",
+            "win_tumbling", "win_topk_per_group", "join_agg_revenue",
+            "join_range_bands", "u3_semi_join", "o3_dynamic_sort",
+            "o4_global_index", "p2_drop_column", "p3_date_window",
+            "d2_interval_shift", "d6_literal_columns", "dedup_exact",
+            "dedup_ngram_jaccard", "dedup_simhash",
+            "dedup_group_decisions", "dedup_embedding_cosine",
+            "dedup_semantic_clusters", "ann_cosine_topk",
+            "ann_lsh_topk", "ann_ivf_topk", "ann_quantized_topk",
+            "emb_quantize_int8", "stream_tumbling_counts",
+            "stream_static_join", "stateful_user_totals",
+            "text_token_count", "text_gopher_rules",
+            "text_pack_sequences", "text_split_assign",
+            "text_mixture_sample", "text_ngram_profile",
+            "text_chunk_overlap", "text_quality_prune",
+            "cohort_retention", "event_transition_counts",
+            "merge_upsert_orders",
+            # the two disclosed r13 deferrals (r9-green — the oldest
+            # evidence anywhere; r13 verdict item 1)
+            "a1_count", "d5_format_render",
+            # new driver rows earning first evidence:
+            "token_budget_mix",  # the "data recipe" operator —
+            # function/oracle/parity landed r13, registered r14
+            # (r13 verdict item 2)
+            "text_unimax_alloc",  # UniMax water-filling language
+            # allocation (closed form, bigint-exact oracle) — new r14
+        ),
+        "out": (  # all hash-green in CORRECTNESS_r13.json
+            "ann_pq_topk", "ann_ivfpq_topk", "ann_ivfpq_multiprobe",
+            "ann_ivfpq_rerank", "mm_phash_planted_pairs",
+            "text_bpe_encode", "text_split_leakage_audit",
+            "text_decontaminate", "user_gap_stats", "text_vocab_topk",
+            "text_repetition_stats", "dedup_incremental",
+            "kmeans_train_assign", "agg_exact_median",
+            "fuzzy_match_blocked", "anomaly_zscore_flags",
+            "dq_referential_audit", "text_chunk_dedup",
+            "agg_incremental_maintain", "agg_minmax_distinct",
+            "agg_variance_exact", "agg_rollup", "agg_cube",
+            "agg_pivot", "agg_unpivot", "win_running_sum",
+            "join_multiway_region", "u1_union_dedup",
+            "o1_topk_multikey", "p1_projection",
+            "p4_comparison_filter", "p5_null_drop", "p6_exact_dedup",
+            "p7_keyed_dedup", "p9_arity_guard", "d1_parse_coerce",
+            "d3_tz_convert", "d7_text_to_double", "d9_map_explode",
+            "d9b_json_map_parse", "d11_month_offset",
+            "dedup_exact_by_digest", "dedup_keyed_pick",
+            "mm_frame_sample", "text_langid", "text_quality_score",
+            "udf_embedding_norm",
+        ),
+    },
     "r13": {
         "in": (
             # the full r9-evidence cohort save two (42 - 2 queries; the
@@ -910,22 +971,72 @@ PRIORITY: tuple[str, ...] = (
     # (ann_planted_recall / ann_serve_parity, r12-green, folded)
     "ann_ivfpq_scaled",
     "ann_index_serve",
-    # changed code in r13 — the flat-PQ/multiprobe family's query ADC
-    # tables moved executor-side (_pq_build tab_kernel, r12 verdict
-    # item 1); each must re-earn driver evidence on the new code
+    # new driver rows earning first evidence in r14
+    "token_budget_mix",  # the "data recipe" operator (r13 verdict
+    # item 2 — function/oracle/pytest-parity landed r13)
+    "text_unimax_alloc",  # UniMax water-filling language allocation
+    # (closed-form, bigint-exact oracle — new r14 operator)
+    # the r10-evidence cohort (43) — mandatory re-earns under the
+    # standing evidence contract (r13 verdict item 1).
+    # dedup_ngram_jaccard additionally re-earns CHANGED CODE this
+    # round (content-derived shingle-band blocking key, r13 verdict
+    # item 5; oracle updated in lockstep).
+    "text_lm_familiarity",
+    "text_lm_buckets",
+    "text_quality_classifier",
+    "text_bpe_token_count",
+    "text_fingerprint",
+    "agg_corr_exact",
+    "a2_empty_probe",
+    "win_tumbling",
+    "win_topk_per_group",
+    "join_agg_revenue",
+    "join_range_bands",
+    "u3_semi_join",
+    "o3_dynamic_sort",
+    "o4_global_index",
+    "p2_drop_column",
+    "p3_date_window",
+    "d2_interval_shift",
+    "d6_literal_columns",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_group_decisions",
+    "dedup_embedding_cosine",
+    "dedup_semantic_clusters",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "ann_quantized_topk",
+    "emb_quantize_int8",
+    "stream_tumbling_counts",
+    "stream_static_join",
+    "stateful_user_totals",
+    "text_token_count",
+    "text_gopher_rules",
+    "text_pack_sequences",
+    "text_split_assign",
+    "text_mixture_sample",
+    "text_ngram_profile",
+    "text_chunk_overlap",
+    "text_quality_prune",
+    "cohort_retention",
+    "event_transition_counts",
+    "merge_upsert_orders",
+    # the two disclosed r13 deferrals (r9-green — oldest evidence in
+    # the registry; r13 verdict item 1)
+    "a1_count",
+    "d5_format_render",
+    # ---- fold: position 51+ — prior-round hash-green driver evidence ----
+    # r13-green cohort, rotated out r14 (newest evidence first)
     "ann_pq_topk",
     "ann_ivfpq_topk",
     "ann_ivfpq_multiprobe",
     "ann_ivfpq_rerank",
-    # new r13 operators — first driver evidence
-    "mm_phash_planted_pairs",  # banded pHash Hamming near-dup bound
-    "text_bpe_encode",  # frozen-merge BPE encode (tokenizer serving)
-    "text_split_leakage_audit",  # near-dup pairs straddling splits
-    # the r9-evidence cohort (40 of 42) — mandatory re-earns under the
-    # ≤3-round evidence contract (r12 verdict item 2); a1_count and
-    # d5_format_render are the two disclosed r14 deferrals (trivial
-    # count / format render; the agg family keeps nine reps and the D
-    # family six in-window)
+    "mm_phash_planted_pairs",
+    "text_bpe_encode",
+    "text_split_leakage_audit",
     "text_decontaminate",
     "user_gap_stats",
     "text_vocab_topk",
@@ -966,8 +1077,7 @@ PRIORITY: tuple[str, ...] = (
     "text_langid",
     "text_quality_score",
     "udf_embedding_norm",
-    # ---- fold: position 51+ — prior-round hash-green driver evidence ----
-    # r12-green cohort, rotated out r13 (newest evidence first)
+    # r12-green cohort, rotated out r13
     "ann_planted_recall",
     "ann_serve_parity",
     "mm_decode_jpeg",
@@ -1034,53 +1144,6 @@ PRIORITY: tuple[str, ...] = (
     "emb_outlier_prune",
     "win_rank_family",
     "stream_stream_join",
-    # r10-green cohort, rotated out r11
-    "text_lm_familiarity",
-    "text_lm_buckets",
-    "text_quality_classifier",
-    "text_bpe_token_count",
-    "text_fingerprint",
-    "agg_corr_exact",
-    "a2_empty_probe",
-    "win_tumbling",
-    "win_topk_per_group",
-    "join_agg_revenue",
-    "join_range_bands",
-    "u3_semi_join",
-    "o3_dynamic_sort",
-    "o4_global_index",
-    "p2_drop_column",
-    "p3_date_window",
-    "d2_interval_shift",
-    "d6_literal_columns",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_group_decisions",
-    "dedup_embedding_cosine",
-    "dedup_semantic_clusters",
-    "ann_cosine_topk",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "ann_quantized_topk",
-    "emb_quantize_int8",
-    "stream_tumbling_counts",
-    "stream_static_join",
-    "stateful_user_totals",
-    "text_token_count",
-    "text_gopher_rules",
-    "text_pack_sequences",
-    "text_split_assign",
-    "text_mixture_sample",
-    "text_ngram_profile",
-    "text_chunk_overlap",
-    "text_quality_prune",
-    "cohort_retention",
-    "event_transition_counts",
-    "merge_upsert_orders",
-    # r9-green, deferred from the r13 rotation to r14 (disclosed above)
-    "a1_count",
-    "d5_format_render",
 )
 
 DRIVER_WINDOW = 50  # observed driver evaluation cap (r1 + r2)

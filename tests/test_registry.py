@@ -66,44 +66,39 @@ def test_driver_window_covers_every_family():
     window = list(ordered)[: registry.DRIVER_WINDOW]
 
     must_be_in_window = {
-        # queries whose implementation changed in r13 — each must earn
-        # driver evidence on the new code (flat-PQ query ADC tables
-        # moved executor-side, r12 verdict item 1)
-        "ann_pq_topk", "ann_ivfpq_topk",
-        "ann_ivfpq_multiprobe", "ann_ivfpq_rerank",
-        # new r13 operators earning first driver evidence
-        "mm_phash_planted_pairs",  # banded pHash near-dup bound
-        "text_bpe_encode",  # frozen-merge BPE encode
-        "text_split_leakage_audit",  # split-straddling near-dup audit
+        # new driver rows earning first evidence in r14
+        "token_budget_mix",  # the "data recipe" operator (r13 item 2)
+        "text_unimax_alloc",  # UniMax water-filling allocation (new)
         # rows-only by design — window-pinned (can never earn fold
         # evidence under the hash-green rule)
         "ann_ivfpq_scaled", "ann_index_serve",
         # flagship
         "agg_pricing_summary",
-        # the r9-evidence cohort (40 of 42; a1_count and
-        # d5_format_render are the two disclosed r14 deferrals) —
-        # mandatory under the ≤3-round
-        # evidence contract (r12 verdict item 2). Family coverage this
-        # round comes FROM the cohort itself (agg x9, text x6, dedup x3,
-        # P x6, D x7, join x2, window, kmeans, multimodal, udf); the
-        # usual streaming/temporal anchors are r12-green and fold for
-        # one round to make room — they re-enter r14 with the r10
-        # cohort.
-        "text_decontaminate", "user_gap_stats", "text_vocab_topk",
-        "text_repetition_stats", "dedup_incremental",
-        "kmeans_train_assign", "agg_exact_median", "fuzzy_match_blocked",
-        "anomaly_zscore_flags", "dq_referential_audit",
-        "text_chunk_dedup", "agg_incremental_maintain",
-        "agg_minmax_distinct", "agg_variance_exact", "agg_rollup",
-        "agg_cube", "agg_pivot", "agg_unpivot", "win_running_sum",
-        "join_multiway_region", "u1_union_dedup", "o1_topk_multikey",
-        "p1_projection", "p4_comparison_filter", "p5_null_drop",
-        "p6_exact_dedup", "p7_keyed_dedup", "p9_arity_guard",
-        "d1_parse_coerce", "d3_tz_convert",
-        "d7_text_to_double", "d9_map_explode", "d9b_json_map_parse",
-        "d11_month_offset", "dedup_exact_by_digest", "dedup_keyed_pick",
-        "mm_frame_sample", "text_langid", "text_quality_score",
-        "udf_embedding_norm",
+        # the full r10-evidence cohort (43) — the registry's oldest
+        # driver rows, mandatory under the standing evidence contract
+        # (r13 verdict item 1). dedup_ngram_jaccard additionally
+        # carries r14 CHANGED CODE (content-derived blocking key).
+        # Family coverage comes FROM the cohort (text x12, dedup x6,
+        # ann x4, stream x3, agg/join/window/P/D reps); the r9
+        # deferrals a1_count + d5_format_render close their ledger.
+        "text_lm_familiarity", "text_lm_buckets",
+        "text_quality_classifier", "text_bpe_token_count",
+        "text_fingerprint", "agg_corr_exact", "a2_empty_probe",
+        "win_tumbling", "win_topk_per_group", "join_agg_revenue",
+        "join_range_bands", "u3_semi_join", "o3_dynamic_sort",
+        "o4_global_index", "p2_drop_column", "p3_date_window",
+        "d2_interval_shift", "d6_literal_columns", "dedup_exact",
+        "dedup_ngram_jaccard", "dedup_simhash", "dedup_group_decisions",
+        "dedup_embedding_cosine", "dedup_semantic_clusters",
+        "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
+        "ann_quantized_topk", "emb_quantize_int8",
+        "stream_tumbling_counts", "stream_static_join",
+        "stateful_user_totals", "text_token_count", "text_gopher_rules",
+        "text_pack_sequences", "text_split_assign",
+        "text_mixture_sample", "text_ngram_profile",
+        "text_chunk_overlap", "text_quality_prune", "cohort_retention",
+        "event_transition_counts", "merge_upsert_orders",
+        "a1_count", "d5_format_render",
     }
     missing = must_be_in_window - set(window)
     assert not missing, f"fell out of the driver window: {sorted(missing)}"
@@ -127,6 +122,7 @@ def test_driver_window_covers_every_family():
         "CORRECTNESS_r10.json",
         "CORRECTNESS_r11.json",
         "CORRECTNESS_r12.json",
+        "CORRECTNESS_r13.json",
     ):
         p = Path(__file__).resolve().parents[1] / f
         if p.exists():

@@ -539,3 +539,88 @@ def test_token_budget_oracle_sql_matches_spark(spark, tmp_path):
         ).fetchall()
     )
     assert got == want and len(got) > 0
+
+
+def test_unimax_alloc_matches_naive_water_filling(spark, tmp_path):
+    """The closed-form water-filling (sorted-caps threshold condition)
+    must reproduce the NAIVE iterative UniMax loop — repeatedly give
+    every uncapped language an equal share, saturate any language
+    whose cap is hit, redistribute the surplus — across budget regimes
+    (nothing capped / mixed / everything capped / budget over total
+    caps) and adversarial token distributions (ties, one dominant
+    language, single language)."""
+    import math
+
+    import pandas as pd
+
+    from finance_pipeline_spark.operators.textops import unimax_alloc
+
+    def naive_unimax(n_by_lang: dict, epoch_cap: int, budget: int):
+        caps = {l: epoch_cap * n for l, n in n_by_lang.items()}
+        alloc = {}
+        remaining = float(budget)
+        live = sorted(caps)
+        while live:
+            share = remaining / len(live)
+            hit = [l for l in live if caps[l] <= share]
+            if not hit:
+                for l in live:
+                    alloc[l] = share
+                return alloc
+            for l in hit:
+                alloc[l] = float(caps[l])
+                remaining -= caps[l]
+                live.remove(l)
+        return alloc  # budget exceeds total caps: all saturated
+
+    cases = [
+        {"en": 100, "de": 30, "fr": 31, "zh": 30},   # ties on caps
+        {"en": 1000, "de": 3, "fr": 5, "zh": 8},     # dominant language
+        {"en": 7},                                    # single language
+        {"a": 10, "b": 20, "c": 30, "d": 40, "e": 50},
+    ]
+    for n_by_lang in cases:
+        rows, did = [], 0
+        for lang, n_toks in n_by_lang.items():
+            # split the language's tokens across a few docs
+            left = n_toks
+            while left:
+                take = min(left, 7)
+                rows.append((did, " ".join(["w"] * take), lang))
+                did, left = did + 1, left - take
+        pd.DataFrame(
+            {
+                "doc_id": [r[0] for r in rows],
+                "text": [r[1] for r in rows],
+                "lang": [r[2] for r in rows],
+                "source": ["s"] * len(rows),
+                "n_chars": [len(r[1]) for r in rows],
+            }
+        ).to_parquet(str(tmp_path / "documents.parquet"))
+        docs = spark.read.parquet(str(tmp_path / "documents.parquet"))
+        total = sum(n_by_lang.values())
+        for epoch_cap, budget_epochs in ((4, 1), (4, 3), (4, 4), (2, 10)):
+            got = {
+                r.lang: r
+                for r in unimax_alloc(
+                    docs, epoch_cap=epoch_cap, budget_epochs=budget_epochs
+                ).collect()
+            }
+            want = naive_unimax(n_by_lang, epoch_cap, budget_epochs * total)
+            assert set(got) == set(want), (n_by_lang, epoch_cap, budget_epochs)
+            for lang, w in want.items():
+                g = got[lang]
+                assert math.isclose(g.alloc_tokens, w, rel_tol=1e-12), (
+                    lang, g.alloc_tokens, w, epoch_cap, budget_epochs,
+                )
+                if g.capped:
+                    assert g.alloc_tokens == float(g.cap_tokens)
+                else:
+                    assert g.alloc_tokens <= g.cap_tokens * (1 + 1e-12)
+                assert g.epochs == g.alloc_tokens / g.n_tokens
+            # invariant: total allocation == min(budget, total caps)
+            assert math.isclose(
+                sum(r.alloc_tokens for r in got.values()),
+                min(budget_epochs * total, epoch_cap * total),
+                rel_tol=1e-12,
+            )
