@@ -647,22 +647,20 @@ def minhash_dropped_buckets(band_rows: DataFrame) -> DataFrame:
 
 
 def ngram_dropped_blocks(docs: DataFrame) -> DataFrame:
-    """Docs past ``_NGRAM_BLOCK_CAP`` in their (lang, len_bucket)
+    """Posting rows past ``_NGRAM_BLOCK_CAP`` in their md5 band-key
     block — the rows ``dedup_ngram_jaccard``'s row_number cap never
-    admits to pairing."""
+    admits to pairing (r14: keys are content-derived bottom-k md5
+    trigram digests, see ``ngram_band_rows``; a doc shut out of one
+    over-full boilerplate key can still pair via its other
+    ``_NGRAM_BANDS − 1`` keys, so the accounting is per-block like
+    the minhash ledger)."""
     return (
-        hashed_shingle_rows(docs)
-        .groupBy("lang", "len_bucket")
+        ngram_band_rows(docs)
+        .groupBy("band_key")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") > _NGRAM_BLOCK_CAP)
         .select(
-            # F.concat (NULL-propagating, matching the oracle's ||),
-            # NOT concat_ws (which silently skips a NULL lang and
-            # would emit a differently-keyed ledger row than the
-            # dedup_dropped_accounting oracle defines)
-            F.concat(
-                F.col("lang"), F.lit("/"), F.col("len_bucket").cast("string")
-            ).alias("block_key"),
+            F.col("band_key").alias("block_key"),
             (F.col("n") - _NGRAM_BLOCK_CAP).alias("n_docs_dropped"),
         )
     )
@@ -707,15 +705,18 @@ def cosine_dropped_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT band_key, count(*) AS n FROM bands GROUP BY band_key
         ) WHERE n > {_MINHASH_BUCKET_CAP}
         UNION ALL
-        SELECT 'ngram', lang || '/' || CAST(len_bucket AS VARCHAR),
-               n - {_NGRAM_BLOCK_CAP}
+        SELECT 'ngram', band_key, n - {_NGRAM_BLOCK_CAP}
         FROM (
-            SELECT lang, CAST(len(t) // 32 AS INTEGER) AS len_bucket,
-                   count(*) AS n
-            FROM (SELECT doc_id, lang, string_split(trim(lower(text)), ' ') AS t
-                  FROM documents)
-            WHERE len(t) >= 3
-            GROUP BY 1, 2
+            SELECT band_key, count(*) AS n
+            FROM (
+                SELECT unnest(list_sort(list_distinct(
+                         [md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                          FOR i IN range(1, greatest(len(t) - 1, 1))]
+                       ))[1:{_NGRAM_BANDS}]) AS band_key
+                FROM (SELECT string_split(trim(lower(text)), ' ') AS t
+                      FROM documents)
+                WHERE len(t) >= 3
+            ) GROUP BY band_key
         ) WHERE n > {_NGRAM_BLOCK_CAP}
         UNION ALL
         SELECT 'cosine', CAST(label AS VARCHAR), n - {_COSINE_BLOCK_CAP}
@@ -1597,8 +1598,8 @@ def hashed_shingle_rows(df: DataFrame) -> DataFrame:
     )
 
 
-_NGRAM_BLOCK_CAP = 512  # docs per (lang, len_bucket) block admitted to
-# pairing — the same boilerplate guard as _BUCKET_CAP in minhash/SRP-LSH:
+_NGRAM_BLOCK_CAP = 512  # docs per band-key block admitted to pairing —
+# the same boilerplate guard as _BUCKET_CAP in minhash/SRP-LSH:
 # candidate pairs are bounded by |blocks| × CAP²/2 no matter how the
 # corpus grows, instead of O(n²/|blocks|).
 #
@@ -1608,33 +1609,101 @@ _NGRAM_BLOCK_CAP = 512  # docs per (lang, len_bucket) block admitted to
 # monkeypatch it to exercise the cap cheaply) therefore changes BOTH
 # engines together (pinned by test_registry's oracle-sync test).
 
+_NGRAM_BANDS = 4  # bottom-k band keys per doc: the k smallest distinct
+# md5(trigram) digests. CONTENT-DERIVED blocking (r13 verdict item 5 —
+# the old (lang, len_bucket) key saturated at the 100× probe: 16
+# monster blocks, 40,568/50k docs past the cap). Block count now grows
+# with content diversity, so blocks stay small as the corpus grows;
+# md5 is engine-identical, so the oracle forms the SAME blocks.
+
+
+def _ngram_tris(t):
+    """Trigram strings of a token array column (1-indexed transform —
+    identical construction to the oracle's list comprehension and to
+    ``hashed_shingle_rows``'s Python kernel)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.size(t) - F.lit(2)),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(t, i),
+            F.element_at(t, i + F.lit(1)),
+            F.element_at(t, i + F.lit(2)),
+        ),
+    )
+
+
+def ngram_band_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, text)+ → exploded (doc_id, band_key) posting rows:
+    each doc posts its ``_NGRAM_BANDS`` smallest distinct
+    md5(trigram) digests. A bottom-k sketch as LSH — two docs share a
+    band key with probability ≈ 1−(1−J)^k, so near-identical docs
+    (the dedup target) collide almost surely while unrelated docs
+    almost never do. Everything is JVM built-ins (split/transform/
+    md5/array_sort/slice — whole-stage codegen, no Python), and md5
+    is engine-identical so the DuckDB oracle derives the same keys."""
+    t = F.split(F.trim(F.lower(F.col("text"))), " ", -1)
+    return (
+        docs.select("doc_id", t.alias("t"))
+        .filter(F.size("t") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.slice(
+                    F.array_sort(
+                        F.array_distinct(
+                            F.transform(_ngram_tris(F.col("t")), F.md5)
+                        )
+                    ),
+                    1,
+                    _NGRAM_BANDS,
+                )
+            ).alias("band_key"),
+        )
+    )
+
+
+# the shared trigram/shingle CTE: token split + engine-local int64
+# shingle hashes + the engine-identical bottom-k md5 band keys
+def _ngram_sh_cte() -> str:
+    return f"""sh AS (
+        SELECT doc_id,
+               list_distinct(
+                 [hash(t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                  FOR i IN range(1, greatest(len(t) - 1, 1))]
+               ) AS shingles,
+               list_sort(list_distinct(
+                 [md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                  FOR i IN range(1, greatest(len(t) - 1, 1))]
+               ))[1:{_NGRAM_BANDS}] AS bks
+        FROM (SELECT doc_id, string_split(trim(lower(text)), ' ') AS t
+              FROM documents)
+        WHERE len(t) >= 3
+    )"""
+
 
 @query(
     "dedup_ngram_jaccard",
     oracle=lambda: f"""
-    WITH sh AS (
-        SELECT doc_id, lang,
-               CAST(len(t) // 32 AS INTEGER) AS len_bucket,
-               list_distinct(
-                 [hash(t[i] || ' ' || t[i+1] || ' ' || t[i+2])
-                  FOR i IN range(1, greatest(len(t) - 1, 1))]
-               ) AS shingles
-        FROM (SELECT doc_id, lang, text, string_split(trim(lower(text)), ' ') AS t
-              FROM documents)
-        WHERE len(t) >= 3
-    ), capped AS (
-        SELECT doc_id, lang, len_bucket, shingles FROM (
-            SELECT sh.*, row_number() OVER (PARTITION BY lang, len_bucket
-                                            ORDER BY doc_id) AS rn
-            FROM sh
+    WITH {_ngram_sh_cte()}, capped AS (
+        SELECT doc_id, band_key FROM (
+            SELECT doc_id, band_key,
+                   row_number() OVER (PARTITION BY band_key
+                                      ORDER BY doc_id) AS rn
+            FROM (SELECT doc_id, unnest(bks) AS band_key FROM sh)
         ) WHERE rn <= {_NGRAM_BLOCK_CAP}
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM capped a JOIN capped b
+          ON a.band_key = b.band_key AND a.doc_id < b.doc_id
     )
     SELECT doc_a, doc_b, round(jac_raw, 4) AS jaccard FROM (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-                 / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jac_raw
-        FROM capped a JOIN capped b
-          ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+        SELECT doc_a, doc_b,
+               CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                 / (len(sa.shingles) + len(sb.shingles)
+                    - len(list_intersect(sa.shingles, sb.shingles))) AS jac_raw
+        FROM cand
+        JOIN sh sa ON sa.doc_id = cand.doc_a
+        JOIN sh sb ON sb.doc_id = cand.doc_b
     ) WHERE jac_raw >= 0.2
     """,
     tags=("dedup", "jaccard"),
@@ -1642,73 +1711,84 @@ _NGRAM_BLOCK_CAP = 512  # docs per (lang, len_bucket) block admitted to
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked n-gram Jaccard near-dup pairs — trigram shingle sets,
-    blocking on (lang, length-bucket), exact Jaccard ≥ 0.2. The one
-    SQL-expressible fuzzy variant, so it carries the oracle for the
-    family (shingles hashed to int64 independently on each engine —
-    Jaccard *counts* are hash-agnostic, see ``hashed_shingle_rows``).
+    CONTENT-DERIVED blocking (bottom-``_NGRAM_BANDS`` md5 trigram
+    digests per doc), exact Jaccard ≥ 0.2 over the candidates. The
+    one fully-SQL-expressible fuzzy variant, so it carries the oracle
+    for the family (shingles hashed to int64 independently on each
+    engine — Jaccard *counts* are hash-agnostic, see
+    ``hashed_shingle_rows``; band KEYS are md5, engine-identical, so
+    both engines form the same blocks).
 
-    Scale shape (replaces the r2 exhaustive-within-block self-join):
+    Scale shape (r14, replacing the saturating (lang, len_bucket)
+    key — r13 verdict item 5):
 
-    - **Inverted-index similarity join.** Shingles explode to postings
-      and pairs form per (block, shingle) posting list, so two docs
-      meet only if they *share* a shingle — J ≥ 0.2 implies ≥1 shared
-      shingle, making the prune lossless while the all-pairs space
-      (overwhelmingly zero-overlap pairs) never materializes.
-      |A∩B| = postings-join match count; |A∪B| = |A| + |B| − |A∩B|
-      from per-doc set sizes carried on the posting. Work scales with
-      Σ|posting list|², not Σ|block|², and the shuffle key
-      (lang, len_bucket, shingle) is high-cardinality — no salting
-      needed, skew spreads naturally.
+    - **Bottom-k sketch as blocking.** Keys derive from CONTENT, so
+      block cardinality grows with corpus diversity instead of being
+      fixed at |langs|×|len buckets| — the 100× failure mode (16
+      saturated blocks, 40,568/50k docs shut out by the cap) cannot
+      recur: a bigger corpus makes MORE blocks, not fuller ones.
+      Recall is the bottom-k collision property ≈ 1−(1−J)^k (J≈0.9
+      near-dups: ≥0.9999; J=0.2 borderline pairs: ~0.6) — the
+      full-recall path at threshold stays ``dedup_minhash_lsh``.
+    - **ID-pairs-before-payload.** The band shuffle carries bare
+      (doc_id, 16-byte key) rows; candidate ID pairs are deduped
+      BEFORE the shingle arrays are joined in for the exact-Jaccard
+      verify, so array payloads cross the wire once per surviving
+      candidate, not once per posting (the minhash_pairs discipline).
     - **Deterministic block cap.** Only the ``_NGRAM_BLOCK_CAP``
-      lowest doc_ids per block are admitted (mirrored exactly in the
-      oracle's row_number), bounding the worst case — a boilerplate
-      shingle shared by a whole block — at CAP²/2 pairs per block,
-      like the minhash/SRP bucket caps. The rank is a per-block sort
-      (linear straggler on a monster block, never quadratic).
-
-    The cap engages from sf0.1 up (largest block there is 745 docs;
-    sf0.01 tops out at 82, so the oracle row is cap-exercised at the
-    bench SF and cap-free at the gate SF — both mirrored exactly); the
-    full-recall scale path for over-full blocks remains
-    ``dedup_minhash_lsh``."""
-    sh = hashed_shingle_rows(load(spark, sf_dir, "documents"))
-    w = W.partitionBy("lang", "len_bucket").orderBy("doc_id")
+      lowest doc_ids per band key are admitted (mirrored exactly in
+      the oracle's row_number), bounding a boilerplate key — every
+      doc opening with the same header shares its minimum trigram —
+      at CAP²/2 pairs. Over-cap remainders are observable in
+      ``dedup_dropped_accounting``, never silent.
+    """
+    docs = load(spark, sf_dir, "documents")
+    w = W.partitionBy("band_key").orderBy("doc_id")
     capped = (
-        sh.withColumn("rn", F.row_number().over(w))
+        ngram_band_rows(docs)
+        .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _NGRAM_BLOCK_CAP)
-        .select(
-            "doc_id", "lang", "len_bucket", "shingles",
-            F.size("shingles").alias("n_sh"),
+        .select("doc_id", "band_key")
+    )
+    cand = (
+        capped.alias("a")
+        .join(
+            capped.alias("b"),
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
     )
-    # Materialize the inverted index ONCE before the self-join.
-    # Catalyst's self-join disambiguation re-aliases one side, which
-    # defeats exchange/stage reuse (measured: the Arrow shingle kernel
-    # and the documents scan run twice without this) — and at scale
-    # you'd materialize the index anyway rather than recompute it per
-    # join side. localCheckpoint storage lives in the executor block
-    # manager and is freed with the DataFrame (same lifecycle as the
-    # label-propagation rounds below).
-    postings = capped.select(
-        "lang", "len_bucket", "doc_id", "n_sh", F.explode("shingles").alias("shingle")
-    ).localCheckpoint(eager=True)
-    a = postings.select(
-        "lang", "len_bucket", "shingle",
-        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("sa"),
+    # Shingle arrays join in once per surviving candidate pair. The
+    # Arrow kernel runs once: localCheckpoint materializes it before
+    # the two-sided join (Catalyst's self-join re-aliasing otherwise
+    # re-executes the kernel per side — same note as minhash_pairs).
+    sh = (
+        hashed_shingle_rows(docs)
+        .select("doc_id", "shingles")
+        .localCheckpoint(eager=True)
     )
-    b = postings.select(
-        "lang", "len_bucket", "shingle",
-        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("sb"),
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    jac = inter / (
+        F.size("sh_a").cast("double") + F.size("sh_b") - inter
     )
-    common = (
-        a.join(b, ["lang", "len_bucket", "shingle"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b", "sa", "sb")
-        .agg(F.count(F.lit(1)).cast("double").alias("common"))
-    )
-    jac = F.col("common") / (F.col("sa") + F.col("sb") - F.col("common"))
     return (
-        common.withColumn("jac_raw", jac)
+        cand.join(
+            sh.select(
+                F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            sh.select(
+                F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+            ),
+            "doc_b",
+        )
+        .withColumn("jac_raw", jac)
         .filter(F.col("jac_raw") >= 0.2)
         .select("doc_a", "doc_b", F.round("jac_raw", 4).alias("jaccard"))
     )

@@ -718,7 +718,9 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     large scale. Shuffle hash beats sort-merge here: the smaller eval
     side builds the hash map per partition with no sort of the huge
     train side, and the join key is high-cardinality so skew spreads
-    naturally (same argument as dedup_ngram_jaccard's postings join).
+    naturally (the shingle-postings-join argument — shared with the
+    minhash band shuffle; dedup_ngram_jaccard now blocks on bottom-k
+    md5 band keys rather than a postings join).
     At small SFs AQE is free to locally pick a broadcast exchange if
     the eval side measures tiny at runtime — the *static* plan no
     longer bakes in a claim that stops being true at 100 TB."""

@@ -102,7 +102,10 @@ def test_ngram_jaccard_matches_python_sets(spark, tmp_path):
         for r in spark.read.parquet(f"{sf}/documents.parquet").collect()
     )
     got = {(r.doc_a, r.doc_b): r.jaccard for r in rows}
-    # Planted pairs share length bucket and language → must be found.
+    # Planted pairs (J ≈ 0.9) collide on a bottom-k md5 band key with
+    # P ≈ 1-(1-J)^k ≥ 0.9999 per pair — and the pipeline is
+    # deterministic (seeded corpus, seed-free md5), so this either
+    # always passes or always fails.
     for pair in planted:
         assert pair in got, f"missing planted pair {pair}"
     for (a_id, b_id), jac in got.items():
@@ -111,26 +114,33 @@ def test_ngram_jaccard_matches_python_sets(spark, tmp_path):
 
 
 def test_ngram_jaccard_block_cap_bounds_skewed_block(spark, tmp_path, monkeypatch):
-    """A monster block (every doc same lang + length bucket, all
-    near-identical) must not go quadratic: only the CAP lowest doc_ids
-    are admitted to pairing, so candidate count is bounded at
-    CAP·(CAP−1)/2 per block no matter the corpus size."""
+    """A monster block (30 EXACT copies → identical bottom-k band
+    keys, so every key's block holds all 30 docs) must not go
+    quadratic: only the CAP lowest doc_ids are admitted per band key,
+    so candidate count is bounded at CAP·(CAP−1)/2 no matter the
+    corpus size — and identical copies make the admitted set the same
+    10 lowest ids in EVERY key's block, deterministically."""
     from finance_pipeline_spark.operators import dedup as D
 
     rng = random.Random(11)
     base = random_doc(rng, n_tokens=40)
-    # 30 near-copies of one doc → one block, all pairs above threshold.
-    sf = write_documents(
-        tmp_path, [(i, perturb_doc(rng, base, n_edits=1)) for i in range(30)]
-    )
+    sf = write_documents(tmp_path, [(i, base) for i in range(30)])
     monkeypatch.setattr(D, "_NGRAM_BLOCK_CAP", 10)
     rows = registry.QUERIES["dedup_ngram_jaccard"].fn(spark, sf).collect()
     ids = {r.doc_a for r in rows} | {r.doc_b for r in rows}
     # deterministic admission: exactly the 10 smallest doc_ids pair up
     assert ids <= set(range(10)), f"cap admitted unexpected ids: {sorted(ids)}"
     assert len(rows) <= 10 * 9 // 2
-    # and with every pair a near-dup, the admitted block is fully paired
+    # exact copies: the admitted block is fully paired at jaccard 1.0
     assert len(rows) == 10 * 9 // 2
+    assert all(r.jaccard == 1.0 for r in rows)
+    # and the over-cap remainder is observable, never silent: every
+    # band-key block reports the 20 docs past the cap
+    ledger = D.ngram_dropped_blocks(
+        spark.read.parquet(f"{sf}/documents.parquet")
+    ).collect()
+    assert len(ledger) == D._NGRAM_BANDS
+    assert all(r.n_docs_dropped == 20 for r in ledger)
 
 
 def test_minhash_oracle_mulmod_emulation_matches_python():
@@ -418,12 +428,17 @@ def test_ngram_and_cosine_dropped_block_accounting(spark, tmp_path, monkeypatch)
 
     monkeypatch.setattr(D, "_NGRAM_BLOCK_CAP", 5)
     rng = random.Random(47)
+    base = random_doc(rng)
     docs = spark.createDataFrame(
-        [(i, "en", random_doc(rng)) for i in range(9)],  # one (en, bucket-1) block
+        # 9 exact copies → identical bottom-k band keys → each of the
+        # _NGRAM_BANDS key blocks holds 9 postings, 4 past the cap
+        [(i, "en", base) for i in range(9)],
         "doc_id bigint, lang string, text string",
     )
     ng = D.ngram_dropped_blocks(docs).collect()
-    assert [(r.block_key, r.n_docs_dropped) for r in ng] == [("en/1", 4)]
+    assert len(ng) == D._NGRAM_BANDS
+    assert all(r.n_docs_dropped == 4 for r in ng)
+    assert len({r.block_key for r in ng}) == D._NGRAM_BANDS  # distinct keys
 
     # cosine: 20 same-label vectors at %10 ids vs cap 16 -> 4 dropped
     mat = np.random.default_rng(7).standard_normal((20, 64))
