@@ -895,16 +895,96 @@ def _ivf_multiprobe_oracle(nprobe: int) -> str:
 
 
 
+# r14 PREP, r15 flip (r13 verdict item 4): when True, _probe_cells
+# selects cells in an executor-side Arrow kernel instead of the
+# queries × cells crossJoin + window rank — the remaining row-heavy
+# shape at the scaled tier. Default-OFF this round: flipping changes
+# the physical plan of the whole IVF family (6 registered queries),
+# whose rotation-window re-earns belong to r15. The kernel is
+# bit-parity-pinned against the JVM fold by
+# tests/test_similarity.py::test_probe_cells_kernel_bit_parity.
+_PROBE_CELLS_KERNEL = False
+
+
+def _probe_cells_kernel(cents, q: DataFrame, nprobe: int) -> DataFrame:
+    """Executor-side multi-probe cell selection: one mapInPandas pass
+    over the query partitions with the (driver-sized) centroid matrix
+    captured in the closure — no crossJoin row blow-up, no window
+    shuffle; each task emits exactly nprobe rows per query.
+
+    Bit-parity with the JVM recipe, term by term:
+    - cast-then-subtract: embeddings promote float32→float64 BEFORE
+      the diff, like zip_with's ``x.cast("double") - c``;
+    - ``np.add.accumulate(sq)[…, -1]`` is a strict sequential left
+      fold (running sum), the same addition order as ``F.aggregate``'s
+      acc + x chain — NOT np.sum, whose pairwise summation would
+      differ in ulps;
+    - rounding replays Spark's Round(HALF_UP on the shortest decimal
+      repr, i.e. BigDecimal.valueOf): Decimal(repr(x)).quantize(1e-4,
+      ROUND_HALF_UP);
+    - ties on the rounded distance break by cluster asc, the window's
+      orderBy."""
+    import numpy as np
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    cmat = np.asarray([[float(x) for x in c] for c in cents], dtype=np.float64)
+    # fresh StructType — StructType.add MUTATES the instance, and
+    # q.schema hands back the frame's cached schema object, so .add
+    # would corrupt q's own analysis
+    out_schema = StructType(
+        q.schema.fields + [StructField("cluster", LongType())]
+    )
+
+    def kernel(batches):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        quant = Decimal("0.0001")
+
+        def round4(v: float) -> float:
+            return float(
+                Decimal(repr(v)).quantize(quant, rounding=ROUND_HALF_UP)
+            )
+
+        k = cmat.shape[0]
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            qm = np.asarray(
+                [np.asarray(e, dtype=np.float64) for e in pdf["q_emb"]]
+            )
+            d4 = np.empty((n, k), dtype=np.float64)
+            for c in range(k):  # k is driver-sized; memory stays n×dim
+                sq = qm - cmat[c]
+                sq *= sq
+                seq = np.add.accumulate(sq, axis=1)[:, -1]
+                d4[:, c] = [round4(v) for v in seq]
+            # per query: nprobe smallest by (rounded distance, cluster)
+            order = np.argsort(d4, axis=1, kind="stable")[:, :nprobe]
+            rep = pdf.iloc[np.repeat(np.arange(n), order.shape[1])].copy()
+            rep["cluster"] = order.reshape(-1).astype("int64")
+            yield rep
+
+    return q.mapInPandas(kernel, out_schema)
+
+
 def _probe_cells(
     spark: SparkSession, cents, q: DataFrame, nprobe: int
 ) -> DataFrame:
     """Per query, the ``nprobe`` nearest k-means cells by centroid
     distance — the shared multi-probe selection recipe (4-dp-rounded
-    JVM sequential fold + cluster tie-break, the exact ``kmeans_fit``
-    assignment semantics, so both IVF families and every oracle agree
-    on cell choice). ``q`` must carry (query_id, q_emb); extra columns
-    ride through. Centroids are driver-sized, broadcast as a k-row
-    cross join."""
+    sequential-fold distance + cluster tie-break, the exact
+    ``kmeans_fit`` assignment semantics, so both IVF families and
+    every oracle agree on cell choice). ``q`` must carry (query_id,
+    q_emb); extra columns ride through. Centroids are driver-sized.
+
+    Two physical strategies, same semantics (bit-parity-pinned):
+    the JVM k-row broadcast crossJoin + window rank (default), or the
+    executor-side Arrow kernel (``_PROBE_CELLS_KERNEL`` — r15 flip;
+    see ``_probe_cells_kernel``)."""
+    if _PROBE_CELLS_KERNEL:
+        return _probe_cells_kernel(cents, q, nprobe)
     cent_df = spark.createDataFrame(
         [(int(c), [float(x) for x in cents[c]]) for c in range(len(cents))],
         "cluster bigint, cent array<double>",

@@ -394,3 +394,58 @@ def test_ivfpq_scaled_recall_vs_exact_and_nprobe_dial(spark, tmp_path):
     assert r_derived >= 0.7, f"recall@10 {r_derived} at nprobe={derived}"
     assert r_derived >= r_np1, (r_derived, r_np1)
     assert r_wide >= r_derived - 1e-9, (r_wide, r_derived)
+
+
+def test_probe_cells_kernel_bit_parity(spark, monkeypatch):
+    """r14 prep for the r15 _probe_cells flip (r13 verdict item 4):
+    the executor-side Arrow kernel must select EXACTLY the cells the
+    JVM crossJoin+window recipe selects — same sequential-fold
+    distance (np.add.accumulate vs F.aggregate's acc+x chain), same
+    HALF_UP-on-shortest-repr rounding (Decimal(repr) vs Spark Round's
+    BigDecimal.valueOf), same cluster-asc tie-break — over random
+    float32 queries plus crafted tie centroids (an exact duplicate
+    and a 1e-9 perturbation that collapses at 4 dp). The flag stays
+    default-OFF this round, so every registered query still runs the
+    JVM path."""
+    import numpy as np
+
+    from finance_pipeline_spark.operators import similarity as S
+
+    assert S._PROBE_CELLS_KERNEL is False  # r14 contract: default off
+
+    rng = np.random.default_rng(13)
+    dim, k = 16, 7
+    cents = rng.standard_normal((k, dim))
+    cents[3] = cents[1] + 1e-9  # rounds to the same 4-dp distance
+    cents[5] = cents[2]  # exact duplicate: pure cluster tie-break
+    q = spark.createDataFrame(
+        [
+            (i, rng.standard_normal(dim).astype("float32").tolist(), float(i) / 7)
+            for i in range(200)
+        ],
+        "query_id bigint, q_emb array<float>, q_nrm double",
+    )
+    for nprobe in (1, 2, 3):
+        jvm = sorted(
+            (r.query_id, r.cluster, r.q_nrm)
+            for r in S._probe_cells(spark, cents, q, nprobe).collect()
+        )
+        kern = sorted(
+            (r.query_id, r.cluster, r.q_nrm)
+            for r in S._probe_cells_kernel(cents, q, nprobe).collect()
+        )
+        assert jvm == kern, f"nprobe={nprobe}: first diff " + str(
+            next(iter(set(jvm) ^ set(kern)))
+        )
+        assert len(jvm) == 200 * nprobe
+    # the flag routes _probe_cells to the kernel when flipped (r15)
+    baseline = sorted(
+        (r.query_id, r.cluster)
+        for r in S._probe_cells(spark, cents, q, 2).collect()
+    )
+    monkeypatch.setattr(S, "_PROBE_CELLS_KERNEL", True)
+    flipped = sorted(
+        (r.query_id, r.cluster)
+        for r in S._probe_cells(spark, cents, q, 2).collect()
+    )
+    assert flipped == baseline
