@@ -190,6 +190,17 @@ def corpus_main(argv: list[str]) -> int:
     p.add_argument("--out", default=None, help="annotated parquet dir")
 
     p = sub.add_parser(
+        "unimax-alloc",
+        help="UniMax language-budget allocation: water-fill a total "
+        "token budget across languages under a per-language epoch cap",
+    )
+    p.add_argument("--source-dir", required=True)
+    p.add_argument("--epoch-cap", type=int, default=None,
+                   help="per-language epoch ceiling (default: operator default)")
+    p.add_argument("--budget-epochs", type=int, default=None,
+                   help="total budget as corpus-epoch multiples (default: operator default)")
+
+    p = sub.add_parser(
         "curate",
         help="batch curation: screen -> LM screen -> dedup -> scrub -> "
         "decontaminate -> sharded export",
@@ -296,6 +307,30 @@ def corpus_main(argv: list[str]) -> int:
             .collect()
         }
         print(json.dumps({"sources": per_src, "out": args.out}))
+        return 0
+    if args.cmd == "unimax-alloc":
+        from finance_pipeline_spark.operators.textops import unimax_alloc
+
+        kwargs = {}
+        if args.epoch_cap is not None:
+            kwargs["epoch_cap"] = args.epoch_cap
+        if args.budget_epochs is not None:
+            kwargs["budget_epochs"] = args.budget_epochs
+        rows = unimax_alloc(
+            spark.read.parquet(f"{args.source_dir}/documents.parquet"),
+            **kwargs,
+        ).collect()  # language-cardinality frame: driver-safe by design
+        print(json.dumps({
+            "languages": {
+                r["lang"]: {
+                    "n_tokens": r["n_tokens"],
+                    "alloc_tokens": r["alloc_tokens"],
+                    "epochs": round(r["epochs"], 4),
+                    "capped": r["capped"],
+                }
+                for r in rows
+            }
+        }))
         return 0
     if args.cmd == "bpe-train":
         from finance_pipeline_spark.pipelines.bpe_tokenizer import train_and_save

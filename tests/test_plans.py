@@ -323,3 +323,42 @@ def test_url_canonicalize_and_warc_extract_plans(spark):
     assert "Exchange" not in plan
     plan = plan_of(spark, "text_warc_extract")
     assert plan.count("Exchange") == 1 and "hashpartitioning" in plan
+
+
+def test_ngram_band_cap_plans_group_limit_and_stays_codegen(spark):
+    """The r14 content-derived banding's scale contracts: (1) the
+    row_number ≤ CAP per band key plans as WindowGroupLimit with a
+    Partial mode before the exchange (a boilerplate key's postings are
+    pre-trimmed map-side, the text_source_quota property); (2) the
+    band-key derivation (split/transform/md5/array_sort/slice) is pure
+    JVM — the ONLY Python in the plan is the Arrow shingle kernel
+    (mapInPandas), no row-at-a-time BatchEvalPython anywhere; (3) no
+    CartesianProduct — the self-join is keyed on band_key."""
+    plan = plan_of(spark, "dedup_ngram_jaccard")
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_token_budget_mix_has_no_corpus_sized_window(spark):
+    """The data-recipe operator's scale shape: the only window runs
+    over the (source, 4-dp-quality) HISTOGRAM and the boundary-bucket
+    sliver — the corpus-sized frame itself is never window-ranked.
+    Checked structurally: the per-source cutoffs re-join the corpus as
+    a BROADCAST (the explicit F.broadcast(cut)), and the plan is pure
+    codegen (no Python)."""
+    plan = plan_of(spark, "token_budget_mix")
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan and "PythonUDF" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_unimax_alloc_single_scan_pure_codegen(spark):
+    """UniMax water-filling reads the corpus ONCE (one parquet scan
+    feeding the language-histogram groupBy); every window after runs
+    on the language-cardinality frame. No Python anywhere (the whole
+    closed form is JVM arithmetic)."""
+    plan = plan_of(spark, "text_unimax_alloc")
+    assert plan.count("Scan parquet") == 1, plan.count("Scan parquet")
+    assert "EvalPython" not in plan and "PythonUDF" not in plan
