@@ -1401,6 +1401,131 @@ def token_budget_mix_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_budget_mix(load(spark, sf_dir, "documents"))
 
 
+_OVERLAP_N = 8  # n-gram order for the eval-overlap contamination report
+
+
+def eval_overlap_report(docs: DataFrame) -> DataFrame:
+    """Eval-contamination OVERLAP REPORT (GPT-3/PaLM appendix style,
+    staged for r15 registration): for every val/test document, the
+    fraction of its distinct ``_OVERLAP_N``-gram spans that appear
+    anywhere in the train split — the number a model card publishes
+    next to its benchmark table. ``text_decontaminate`` DROPS
+    contaminated train docs before training; this is the complementary
+    audit that MEASURES residual eval-side overlap after the fact
+    (they disagree exactly when contamination enters via docs the
+    dedup/decontamination thresholds let through).
+
+    Split = the ``text_split_assign`` md5-permille recipe (98/1/1), so
+    the report is reproducible across re-runs with no stored state.
+
+    Exactness: grams are counted as distinct SETS, so each engine may
+    hash them independently (Spark xxhash64 vs the oracle's raw
+    strings — equality-join counts are hash-agnostic modulo 64-bit
+    collisions, the ``hashed_shingle_rows`` argument); the one
+    division is exact-integer → IEEE double, bit-identical.
+
+    Scale shape: the train side stays (gram-hash) posting rows —
+    distinct'd, never collected, never broadcast-hinted (it grows with
+    the corpus; AQE may still pick broadcast while it's small). The
+    semi-join key is a high-cardinality 64-bit hash, so skew spreads;
+    eval postings are ~2% of the corpus by construction. Output is
+    |eval| rows."""
+    t = _tokens()
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("bigint")
+        % 1000
+    )
+    n = F.size(F.col("t"))
+    grams = F.when(
+        n >= _OVERLAP_N,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - F.lit(_OVERLAP_N - 1)),
+                lambda i: F.xxhash64(
+                    F.concat_ws(" ", F.slice(F.col("t"), i, _OVERLAP_N))
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    base = docs.select(
+        "doc_id", bucket.alias("pm"), t.alias("t")
+    ).select("doc_id", "pm", grams.alias("grams"))
+    ev = base.filter(F.col("pm") >= 980).select(
+        "doc_id",
+        F.when(F.col("pm") < 990, "val").otherwise("test").alias("split"),
+        "grams",
+        F.size("grams").cast("bigint").alias("n_grams"),
+    )
+    train_grams = (
+        base.filter(F.col("pm") < 980)
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    matched = (
+        ev.select("doc_id", F.explode("grams").alias("gram"))
+        .join(train_grams, "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    return (
+        ev.drop("grams")
+        .join(matched, "doc_id", "left")
+        .select(
+            "doc_id",
+            "split",
+            "n_grams",
+            F.coalesce("n_matched", F.lit(0)).cast("bigint").alias("n_matched"),
+            F.when(
+                F.col("n_grams") > 0,
+                F.coalesce("n_matched", F.lit(0)).cast("double")
+                / F.col("n_grams"),
+            ).alias("overlap_frac"),
+        )
+    )
+
+
+def _eval_overlap_oracle() -> str:
+    """DuckDB replica of ``eval_overlap_report`` over raw gram strings
+    (counts are hash-agnostic). Staged for the r15 window — parity is
+    pinned by tests/test_textops_extra.py at both demo SFs until the
+    registration lands."""
+    np = _OVERLAP_N - 1
+    return f"""
+    WITH t AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+                 % 1000 AS pm,
+               string_split(trim(lower(text)), ' ') AS toks
+        FROM documents
+    ), g AS (
+        SELECT doc_id, pm,
+               list_distinct(
+                 [list_aggregate(toks[i:i+{np}], 'string_agg', ' ')
+                  FOR i IN range(1, greatest(len(toks) - {np - 1}, 1))]
+               ) AS grams
+        FROM t
+    ), ev AS (
+        SELECT doc_id, pm, grams FROM g WHERE pm >= 980
+    ), tr AS (
+        SELECT DISTINCT unnest(grams) AS gram FROM g WHERE pm < 980
+    ), post AS (
+        SELECT doc_id, unnest(grams) AS gram FROM ev
+    ), m AS (
+        SELECT p.doc_id, count(*) AS n_matched
+        FROM post p JOIN tr USING (gram) GROUP BY 1
+    )
+    SELECT ev.doc_id,
+           CASE WHEN ev.pm < 990 THEN 'val' ELSE 'test' END AS split,
+           CAST(len(ev.grams) AS BIGINT) AS n_grams,
+           CAST(coalesce(m.n_matched, 0) AS BIGINT) AS n_matched,
+           CASE WHEN len(ev.grams) > 0
+                THEN CAST(coalesce(m.n_matched, 0) AS DOUBLE) / len(ev.grams)
+                ELSE NULL END AS overlap_frac
+    FROM ev LEFT JOIN m USING (doc_id)
+    """
+
+
 _UNIMAX_EPOCH_CAP = 4  # per-language epoch ceiling (UniMax's N)
 _UNIMAX_BUDGET_EPOCHS = 3  # total token budget = this × corpus tokens
 

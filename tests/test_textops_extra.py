@@ -624,3 +624,76 @@ def test_unimax_alloc_matches_naive_water_filling(spark, tmp_path):
                 min(budget_epochs * total, epoch_cap * total),
                 rel_tol=1e-12,
             )
+
+
+def test_eval_overlap_report_matches_duckdb_and_planted(spark, tmp_path):
+    """The staged r15 oracle (_eval_overlap_oracle) must equal
+    eval_overlap_report row-for-row on the driver corpus shape AND on
+    a synthetic corpus with planted contamination: an eval doc that
+    copies a train doc scores overlap 1.0, a disjoint-vocabulary eval
+    doc scores 0.0, and a short (<N tokens) eval doc reports 0 grams
+    with a NULL fraction."""
+    import hashlib
+
+    import duckdb
+    import pandas as pd
+
+    from finance_pipeline_spark.operators.textops import (
+        _eval_overlap_oracle,
+        eval_overlap_report,
+    )
+
+    def pm(i: int) -> int:
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:6], 16) % 1000
+
+    def compare(sf_dir):
+        got = sorted(
+            (r.doc_id, r.split, r.n_grams, r.n_matched,
+             None if r.overlap_frac is None else r.overlap_frac)
+            for r in eval_overlap_report(
+                spark.read.parquet(f"{sf_dir}/documents.parquet")
+            ).collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{sf_dir}/documents.parquet'"
+        )
+        want = sorted(map(tuple, con.execute(_eval_overlap_oracle()).fetchall()))
+        assert got == want
+        return got
+
+    # 1) real testdata shape (val/test docs exist at sf0.001: 500 ids)
+    rows = compare("/root/testdata/sf0.001")
+    assert len(rows) > 0
+
+    # 2) planted: train ids (pm < 980) vs eval ids (pm >= 980)
+    train_ids = [i for i in range(4000) if pm(i) < 980][:3]
+    eval_ids = [i for i in range(4000) if pm(i) >= 980][:3]
+    long_text = " ".join(f"tok{j}" for j in range(30))
+    rows_df = pd.DataFrame(
+        {
+            "doc_id": train_ids + eval_ids,
+            "text": [
+                long_text,                                  # train original
+                "completely different training words " * 6,  # train filler
+                "yet another unrelated training doc " * 6,   # train filler
+                long_text,                                   # eval: full copy
+                "zz qq ww ee rr tt yy uu ii oo pp aa ss dd", # eval: disjoint
+                "too short",                                 # eval: <N tokens
+            ],
+            "lang": ["en"] * 6,
+            "source": ["s"] * 6,
+            "n_chars": [0] * 6,
+        }
+    )
+    rows_df.to_parquet(str(tmp_path / "documents.parquet"))
+    got = {r[0]: r for r in compare(str(tmp_path))}
+    assert set(got) == set(eval_ids)
+    copy_row = got[eval_ids[0]]
+    assert copy_row[2] == 30 - 7 and copy_row[3] == copy_row[2]
+    assert copy_row[4] == 1.0
+    disjoint_row = got[eval_ids[1]]
+    assert disjoint_row[3] == 0 and disjoint_row[4] == 0.0
+    short_row = got[eval_ids[2]]
+    assert short_row[2] == 0 and short_row[4] is None
