@@ -1652,12 +1652,13 @@ def _unimax_oracle(
     """
 
 
-@query(
-    "text_unimax_alloc",
-    oracle=_unimax_oracle,
-    tags=("text", "curation", "mixture", "training-prep"),
-    bench=True,
-)
+# STAGED for the r15 window (the token_budget_mix r13 pattern): the
+# r14 window's last slot went to dedup_dropped_accounting's
+# changed-code re-earn (its ngram ledger section moved to band keys
+# in lockstep with dedup_ngram_jaccard). Verified hash-green at both
+# SFs by tools/check_oracle.py in r14; registration is one @query
+# line: @query("text_unimax_alloc", oracle=_unimax_oracle,
+# tags=("text","curation","mixture","training-prep"), bench=True).
 def text_unimax_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UniMax water-filling language allocation over the documents
     table: budget = 3 epochs of the corpus, per-language cap = 4

@@ -313,12 +313,20 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
             # the two disclosed r13 deferrals (r9-green — the oldest
             # evidence anywhere; r13 verdict item 1)
             "a1_count", "d5_format_render",
-            # new driver rows earning first evidence:
+            # new driver row earning first evidence:
             "token_budget_mix",  # the "data recipe" operator —
             # function/oracle/parity landed r13, registered r14
             # (r13 verdict item 2)
-            "text_unimax_alloc",  # UniMax water-filling language
-            # allocation (closed form, bigint-exact oracle) — new r14
+            # changed code in r14: the ledger's ngram section moved to
+            # band keys in lockstep with dedup_ngram_jaccard's
+            # content-derived blocking — the r13 fold evidence was
+            # earned on the OLD oracle, so it re-earns in-window
+            "dedup_dropped_accounting",
+            # (the round's OTHER new operator, text_unimax_alloc, is
+            # STAGED instead — function, bit-exact oracle, property
+            # tests, CLI all landed; registration takes an r15 slot,
+            # the token_budget_mix r13 pattern. The window's last slot
+            # had to go to the changed-code ledger re-earn above.)
         ),
         "out": (  # all hash-green in CORRECTNESS_r13.json
             "ann_pq_topk", "ann_ivfpq_topk", "ann_ivfpq_multiprobe",
@@ -971,11 +979,13 @@ PRIORITY: tuple[str, ...] = (
     # (ann_planted_recall / ann_serve_parity, r12-green, folded)
     "ann_ivfpq_scaled",
     "ann_index_serve",
-    # new driver rows earning first evidence in r14
+    # new driver row earning first evidence in r14
     "token_budget_mix",  # the "data recipe" operator (r13 verdict
     # item 2 — function/oracle/pytest-parity landed r13)
-    "text_unimax_alloc",  # UniMax water-filling language allocation
-    # (closed-form, bigint-exact oracle — new r14 operator)
+    # changed code in r14 — the ledger's ngram section moved to band
+    # keys in lockstep with dedup_ngram_jaccard (its r13 fold evidence
+    # was earned on the OLD oracle): re-earn from the fold
+    "dedup_dropped_accounting",
     # the r10-evidence cohort (43) — mandatory re-earns under the
     # standing evidence contract (r13 verdict item 1).
     # dedup_ngram_jaccard additionally re-earns CHANGED CODE this
@@ -1101,7 +1111,6 @@ PRIORITY: tuple[str, ...] = (
     "winsorize_values",
     "ts_resample_ffill",
     "attribution_first_last",
-    "dedup_dropped_accounting",
     "text_tfidf_topk",
     "stream_decode_quarantine",
     "dedup_minhash_lsh",

@@ -358,7 +358,16 @@ def test_unimax_alloc_single_scan_pure_codegen(spark):
     """UniMax water-filling reads the corpus ONCE (one parquet scan
     feeding the language-histogram groupBy); every window after runs
     on the language-cardinality frame. No Python anywhere (the whole
-    closed form is JVM arithmetic)."""
-    plan = plan_of(spark, "text_unimax_alloc")
+    closed form is JVM arithmetic). (Staged for r15 registration —
+    plan checked on the function directly.)"""
+    from finance_pipeline_spark.operators.textops import text_unimax_alloc
+
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    plan = (
+        text_unimax_alloc(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
     assert plan.count("Scan parquet") == 1, plan.count("Scan parquet")
     assert "EvalPython" not in plan and "PythonUDF" not in plan

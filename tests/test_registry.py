@@ -66,9 +66,11 @@ def test_driver_window_covers_every_family():
     window = list(ordered)[: registry.DRIVER_WINDOW]
 
     must_be_in_window = {
-        # new driver rows earning first evidence in r14
+        # new driver row earning first evidence in r14
         "token_budget_mix",  # the "data recipe" operator (r13 item 2)
-        "text_unimax_alloc",  # UniMax water-filling allocation (new)
+        # changed code in r14 — ngram ledger section moved to band
+        # keys in lockstep with dedup_ngram_jaccard; re-earns in-window
+        "dedup_dropped_accounting",
         # rows-only by design — window-pinned (can never earn fold
         # evidence under the hash-green rule)
         "ann_ivfpq_scaled", "ann_index_serve",
