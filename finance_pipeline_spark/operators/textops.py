@@ -333,21 +333,25 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_encode_oracle() -> str:
-    """DuckDB replay of GREEDY lowest-rank-first BPE under the frozen
-    merge table — a recursive CTE that performs exactly one merge per
-    step (the lowest-rank pair present, leftmost on ties), precisely
-    ``encode_word``'s loop. An earlier draft used nested single-pass
-    ``replace()`` per merge (the sequential rank-order form); a
-    property sweep showed that form DIVERGES from greedy on
-    boundary-sharing occurrence chains (``aeae`` needs a second pass;
-    identical-symbol runs like ``aaaaa`` disagree under ANY pass
-    count, because a pass's non-overlapping skip takes a4a5 where
-    greedy's rescan takes a3a4) — it only hash-passed because the
-    driver corpus vocabulary happens to contain no such words. The
+def _bpe_encode_cte() -> str:
+    """The shared DuckDB CTE chain replaying GREEDY lowest-rank-first
+    BPE under the frozen merge table — a recursive CTE that performs
+    exactly one merge per step (the lowest-rank pair present, leftmost
+    on ties), precisely ``encode_word``'s loop. An earlier draft used
+    nested single-pass ``replace()`` per merge (the sequential
+    rank-order form); a property sweep showed that form DIVERGES from
+    greedy on boundary-sharing occurrence chains (``aeae`` needs a
+    second pass; identical-symbol runs like ``aaaaa`` disagree under
+    ANY pass count, because a pass's non-overlapping skip takes a4a5
+    where greedy's rescan takes a3a4) — it only hash-passed because
+    the driver corpus vocabulary happens to contain no such words. The
     recursive form is exact for every input; adversarial words are
     pinned in tests/test_bpe.py. Recursion depth ≤ word length; rows
-    ≤ docs × words × depth — trivial at oracle SF."""
+    ≤ docs × words × depth — trivial at oracle SF.
+
+    Ends with the per-doc ``agg`` CTE; consumers append their own
+    final SELECT over ``ws``/``agg`` (``_bpe_encode_oracle`` per doc,
+    ``_bpe_fertility_oracle`` per language)."""
     from finance_pipeline_spark.pipelines.bpe_tokenizer import (
         FROZEN_MERGES_V1,
     )
@@ -409,13 +413,46 @@ def _bpe_encode_oracle() -> str:
     ), agg AS (
         SELECT doc_id, CAST(sum(len(sym)) AS BIGINT) AS n_tokens
         FROM term WHERE rn = 1 GROUP BY doc_id
-    )
+    )"""
+
+
+def _bpe_encode_oracle() -> str:
+    """Per-doc BPE token counts — the ``text_bpe_encode`` driver
+    oracle (see ``_bpe_encode_cte`` for the greedy-replay notes)."""
+    return (
+        _bpe_encode_cte()
+        + """
     SELECT ws.doc_id,
            CAST(len(ws.words) AS BIGINT) AS n_words,
            coalesce(agg.n_tokens, 0) AS n_tokens_bpe,
            ws.n_chars
     FROM ws LEFT JOIN agg USING (doc_id)
     """
+    )
+
+
+def _bpe_fertility_oracle() -> str:
+    """Per-language tokenizer-fertility report (staged for r15): the
+    same greedy-encode CTE chain aggregated per language with the
+    exact-integer sums divided once (IEEE double of exact ints —
+    bit-identical)."""
+    return (
+        _bpe_encode_cte()
+        + """
+    SELECT coalesce(d.lang, 'und') AS lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(ws.words)) AS BIGINT) AS n_words,
+           CAST(sum(coalesce(agg.n_tokens, 0)) AS BIGINT) AS n_tokens_bpe,
+           CASE WHEN sum(len(ws.words)) > 0
+                THEN CAST(sum(coalesce(agg.n_tokens, 0)) AS DOUBLE)
+                     / sum(len(ws.words))
+                ELSE NULL END AS fertility
+    FROM ws
+    LEFT JOIN agg USING (doc_id)
+    JOIN documents d USING (doc_id)
+    GROUP BY coalesce(d.lang, 'und')
+    """
+    )
 
 
 @query(
@@ -442,6 +479,55 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return bpe_encode_docs(
+        load(spark, sf_dir, "documents"), list(FROZEN_MERGES_V1)
+    )
+
+
+def bpe_fertility_report(docs: DataFrame, merges) -> DataFrame:
+    """Tokenizer FERTILITY per language — BPE tokens per word, the
+    multilingual tokenizer-equity metric (a language whose fertility
+    runs 2× English's pays 2× the compute per word and fits half the
+    content per context window; UniMax-style budget decisions read
+    this table next to the allocation one). Composes the served
+    encoder (``bpe_encode_docs``: Arrow kernel, broadcast ranks,
+    per-batch word memo) with one lang-keyed agg — sums of exact
+    bigints, one exact-int→IEEE-double division, so the staged DuckDB
+    oracle (``_bpe_fertility_oracle``) is bit-identical. Output is
+    |languages| rows."""
+    from finance_pipeline_spark.pipelines.bpe_tokenizer import (
+        bpe_encode_docs,
+    )
+
+    enc = bpe_encode_docs(docs, merges)
+    j = enc.join(
+        docs.select(
+            "doc_id", F.coalesce(F.col("lang"), F.lit("und")).alias("lang")
+        ),
+        "doc_id",
+    )
+    words = F.sum("n_words")
+    toks = F.sum("n_tokens_bpe")
+    return j.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        words.cast("bigint").alias("n_words"),
+        toks.cast("bigint").alias("n_tokens_bpe"),
+        F.when(words > 0, toks.cast("double") / words).alias("fertility"),
+    )
+
+
+# STAGED for the r15 window (same pattern as text_unimax_alloc /
+# eval_overlap_report — r14's 50 slots are spoken for). Registration:
+# @query("text_bpe_fertility", oracle=_bpe_fertility_oracle,
+# tags=("text","tokens","bpe","mixture")) over
+# bpe_fertility_report(load(...), list(FROZEN_MERGES_V1)).
+def text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language fertility under the frozen merge table — see
+    ``bpe_fertility_report``."""
+    from finance_pipeline_spark.pipelines.bpe_tokenizer import (
+        FROZEN_MERGES_V1,
+    )
+
+    return bpe_fertility_report(
         load(spark, sf_dir, "documents"), list(FROZEN_MERGES_V1)
     )
 

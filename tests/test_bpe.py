@@ -240,3 +240,52 @@ def test_recursive_oracle_matches_greedy_property():
         assert oracle_sym(words, merges) == [
             encode_word(w, ranks) for w in words
         ]
+
+
+def test_bpe_fertility_report_matches_duckdb_and_semantics(spark, tmp_path):
+    """The staged r15 fertility oracle must equal bpe_fertility_report
+    row-for-row on the driver corpus shape, and the metric must behave:
+    a planted high-fertility language (words the frozen merges never
+    compress — every char + </w> stays a token) scores strictly above
+    a language of merge-friendly words, and fertility == tokens/words
+    exactly per language."""
+    import duckdb
+    import pandas as pd
+
+    from finance_pipeline_spark.operators.textops import (
+        _bpe_fertility_oracle,
+        text_bpe_fertility,
+    )
+
+    def compare(sf_dir):
+        got = sorted(
+            (r.lang, r.n_docs, r.n_words, r.n_tokens_bpe, r.fertility)
+            for r in text_bpe_fertility(spark, sf_dir).collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{sf_dir}/documents.parquet'"
+        )
+        want = sorted(map(tuple, con.execute(_bpe_fertility_oracle()).fetchall()))
+        assert got == want and len(got) > 0
+        return dict((g[0], g) for g in got)
+
+    compare("/root/testdata/sf0.001")
+
+    # planted: 'xx' words are merge-hostile (no frozen merge touches
+    # q/x pairs beyond singles), 'zz' words are built FROM the merges
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": ["xqv qvx vxq xqv", "in in in in"],  # 4 words each
+            "lang": ["xx", "zz"],
+            "source": ["s", "s"],
+            "n_chars": [15, 11],
+        }
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+    got = compare(str(tmp_path))
+    assert got["xx"][2] == 4 and got["zz"][2] == 4
+    assert got["xx"][4] == got["xx"][3] / got["xx"][2]
+    # 'in' merges to one token + </w> handling per FROZEN_MERGES_V1
+    assert got["xx"][4] > got["zz"][4]
