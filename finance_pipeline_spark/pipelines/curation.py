@@ -57,6 +57,7 @@ def curate_corpus(
     out_dir: str,
     n_shards: int = 4,
     warc_dir: str | None = None,
+    token_budget: int | None = None,
 ) -> dict:
     """Run the full curation pass over ``sf_dir``'s documents table and
     export train-ready shards under ``out_dir``. Returns a stats dict
@@ -65,7 +66,13 @@ def curate_corpus(
     parquet table (``operators/warc.warc_dir_to_docs`` — the Common
     Crawl first mile), and ``sf_dir`` is ignored; every downstream
     stage is identical, which is the point of normalizing at the
-    entry."""
+    entry. With ``token_budget``, a per-source token-budget mixture
+    stage (``operators/textops.token_budget_mix`` — the "data recipe")
+    runs AFTER decontamination and BEFORE export, keeping only TRAIN
+    docs taken within the budget (val/test ride through untouched:
+    the recipe shapes what the model trains on, never the eval sets);
+    default None = stage off, byte-identical to the pre-r14
+    pipeline."""
     import time
 
     logger = get_logger()
@@ -345,6 +352,33 @@ def curate_corpus(
             residual_leaks,
         )
 
+    # 4c. Optional token-budget mixture ("data recipe") — per source,
+    # keep TRAIN docs in quality order until the budget is reached;
+    # val/test pass through untouched (a recipe must never thin the
+    # eval sets). The histogram-cut plan touches the corpus once; the
+    # taken-ID set grows with train, so it joins by doc_id with NO
+    # broadcast hint — AQE decides (the standing rule).
+    n_budgeted = None
+    if token_budget is not None:
+        from finance_pipeline_spark.operators.textops import token_budget_mix
+
+        train_side = final.filter(F.col("split") == "train")
+        taken = (
+            token_budget_mix(
+                train_side.select("doc_id", "source", "text"),
+                budget=int(token_budget),
+            )
+            .filter(F.col("taken"))
+            .select("doc_id")
+        )
+        final = (
+            train_side.join(taken, "doc_id")
+            .unionByName(final.filter(F.col("split") != "train"))
+            .localCheckpoint(eager=True)
+        )
+        n_budgeted = final.count()
+        log("mix_budget", kept=n_budgeted, budget_per_source=token_budget)
+
     # 5. Sharded export — md5-mod shard assignment + integrity manifest
     # (write_training_shards re-verifies per-shard digests on read).
     manifest = write_training_shards(final, out_dir, n_shards, key_col="doc_id")
@@ -363,7 +397,9 @@ def curate_corpus(
         "n_docs_in_dropped_buckets": n_dropped_docs,
         "lm_buckets": lm_buckets,
         "n_after_scrub": n_scrub,
-        "n_exported": n_final,
+        "n_exported": n_budgeted if n_budgeted is not None else n_final,
+        "n_decontaminated": n_final,
+        "n_after_budget": n_budgeted,
         "residual_leak_pairs": residual_leaks,
         "splits": splits,
         "manifest": manifest,

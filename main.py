@@ -215,6 +215,10 @@ def corpus_main(argv: list[str]) -> int:
     )
     p.add_argument("--out", required=True)
     p.add_argument("--n-shards", type=int, default=4)
+    p.add_argument("--token-budget", type=int, default=None,
+                   help="optional per-source token budget for the "
+                   "train split (the data-recipe stage; val/test "
+                   "untouched)")
     args = ap.parse_args(argv)
     if args.cmd == "curate" and not (args.source_dir or args.warc_dir):
         ap.error("curate requires --source-dir or --warc-dir")
@@ -473,7 +477,7 @@ def corpus_main(argv: list[str]) -> int:
 
         stats = curate_corpus(
             spark, args.source_dir, args.out, args.n_shards,
-            warc_dir=args.warc_dir,
+            warc_dir=args.warc_dir, token_budget=args.token_budget,
         )
         stats["manifest"] = {
             k: stats["manifest"][k] for k in ("n_rows", "n_shards")

@@ -449,3 +449,39 @@ def test_probe_cells_kernel_bit_parity(spark, monkeypatch):
         for r in S._probe_cells(spark, cents, q, 2).collect()
     )
     assert flipped == baseline
+
+
+def test_probe_cells_rounding_replays_spark_round_exactly(spark):
+    """The kernel's Decimal(repr(x)).quantize(HALF_UP) must replay
+    Spark's Round(double, 4) (BigDecimal.valueOf semantics) on
+    adversarial values: exact .00005 decimal boundaries, binary
+    near-boundaries from both sides, negative values, huge/tiny
+    magnitudes, and a dense random sweep. One ulp of disagreement
+    here would flip a distance tie and change cell selection."""
+    import random
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from pyspark.sql import functions as F
+
+    def py_round4(v: float) -> float:
+        return float(
+            Decimal(repr(v)).quantize(Decimal("0.0001"), ROUND_HALF_UP)
+        )
+
+    rng = random.Random(99)
+    vals = []
+    for k in range(2000):
+        base = rng.randint(0, 10_000_000) / 1000.0
+        vals.append(base)
+    # exact decimal half-boundaries and their binary neighbors
+    import math
+    for n in range(0, 500):
+        b = n / 10000.0 + 0.00005
+        vals += [b, math.nextafter(b, 0.0), math.nextafter(b, 1e9)]
+    vals += [0.0, 1e-12, 123456.78905, 0.00004999999999, 2.00005]
+    vals += [-v for v in vals[:200]]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = [r.y for r in df.select(F.round("x", 4).alias("y")).collect()]
+    want = [py_round4(v) for v in vals]
+    diffs = [(v, g, w) for v, g, w in zip(vals, got, want) if g != w]
+    assert not diffs, f"{len(diffs)} disagreements, first: {diffs[:3]}"

@@ -697,3 +697,74 @@ def test_eval_overlap_report_matches_duckdb_and_planted(spark, tmp_path):
     assert disjoint_row[3] == 0 and disjoint_row[4] == 0.0
     short_row = got[eval_ids[2]]
     assert short_row[2] == 0 and short_row[4] is None
+
+
+def test_unimax_closed_form_matches_naive_hypothesis(spark, tmp_path):
+    """Hypothesis sweep of the water-filling threshold against the
+    naive iterative loop: random language token counts (ties and
+    dominants included), random epoch caps and budgets. The closed
+    form's capped set and allocations must match exactly (same
+    arithmetic: integer caps, one exact division)."""
+    import math
+
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from finance_pipeline_spark.operators.textops import unimax_alloc
+
+    def naive(n_by_lang, cap_e, budget):
+        caps = {l: cap_e * n for l, n in n_by_lang.items()}
+        alloc, remaining, live = {}, float(budget), sorted(caps)
+        while live:
+            share = remaining / len(live)
+            hit = [l for l in live if caps[l] <= share]
+            if not hit:
+                for l in live:
+                    alloc[l] = share
+                return alloc
+            for l in hit:
+                alloc[l] = float(caps[l])
+                remaining -= caps[l]
+                live.remove(l)
+        return alloc
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        counts=st.lists(st.integers(1, 40), min_size=1, max_size=6),
+        cap_e=st.integers(1, 5),
+        budget_e=st.integers(1, 8),
+    )
+    def check(counts, cap_e, budget_e):
+        n_by_lang = {f"l{i}": c * 7 for i, c in enumerate(counts)}
+        rows, did = [], 0
+        for lang, n in n_by_lang.items():
+            left = n
+            while left:
+                take = min(left, 7)
+                rows.append((did, " ".join(["w"] * take), lang))
+                did, left = did + 1, left - take
+        pd.DataFrame(
+            {
+                "doc_id": [r[0] for r in rows],
+                "text": [r[1] for r in rows],
+                "lang": [r[2] for r in rows],
+                "source": ["s"] * len(rows),
+                "n_chars": [0] * len(rows),
+            }
+        ).to_parquet(str(tmp_path / "documents.parquet"))
+        docs = spark.read.parquet(str(tmp_path / "documents.parquet"))
+        got = {
+            r.lang: r.alloc_tokens
+            for r in unimax_alloc(
+                docs, epoch_cap=cap_e, budget_epochs=budget_e
+            ).collect()
+        }
+        want = naive(n_by_lang, cap_e, budget_e * sum(n_by_lang.values()))
+        assert set(got) == set(want)
+        for lang in want:
+            assert math.isclose(got[lang], want[lang], rel_tol=1e-12), (
+                lang, got[lang], want[lang], counts, cap_e, budget_e,
+            )
+
+    check()
