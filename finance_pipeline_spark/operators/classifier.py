@@ -278,3 +278,68 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         score.alias("score"),
         (score >= F.lit(0.5)).alias("ref_like"),
     )
+
+
+def _clf_calibration_oracle() -> str:
+    """Calibration-bin replica (staged for r15): the full training
+    chain nested as a CTE (DuckDB allows a WITH inside a CTE body),
+    then decile bins over the 6-dp score. Exactness: the score is
+    6-dp-rounded, so score×10⁶ rounds to an EXACT bigint — the bin,
+    the per-bin sum, and both divisions are exact-int arithmetic with
+    deterministic IEEE division, never an order-dependent double
+    sum."""
+    refs = ", ".join(f"'{s}'" for s in _REF_SOURCES)
+    return f"""
+    WITH pred AS ({_classifier_oracle()}),
+    lab AS (
+        SELECT p.doc_id,
+               CAST(round(p.score * 1000000) AS BIGINT) AS micro,
+               CAST(d.source IN ({refs}) AS INT) AS y
+        FROM pred p JOIN documents d USING (doc_id)
+    )
+    SELECT least(micro // 100000, 9) AS bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(y) AS BIGINT) AS n_ref,
+           CAST(sum(micro) AS DOUBLE) / count(*) / 1000000 AS mean_score,
+           CAST(sum(y) AS DOUBLE) / count(*) AS ref_rate
+    FROM lab
+    GROUP BY least(micro // 100000, 9)
+    """
+
+
+# STAGED for the r15 window (r14's 50 slots are spoken for; same
+# pattern as text_unimax_alloc / eval_overlap_report /
+# text_bpe_fertility). Registration: @query("clf_calibration_bins",
+# oracle=_clf_calibration_oracle, tags=("text","quality","classifier",
+# "calibration")).
+def clf_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier CALIBRATION REPORT — the reliability table an ML-ops
+    review reads before trusting a quality filter at 100 TB: per score
+    decile, how many documents landed there, the mean predicted score,
+    and the OBSERVED reference rate. A well-calibrated filter shows
+    ref_rate tracking mean_score; divergence says the threshold the
+    curation pipeline applies (``ref_like``) doesn't mean what it
+    claims. Composes the registered classifier chain (one run) with a
+    10-row aggregation; all arithmetic is exact-integer (the 6-dp
+    score lifts to an exact micro-integer) so the oracle matches
+    bit-for-bit."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "source")
+    pred = text_quality_classifier(spark, sf_dir)
+    micro = F.round(F.col("score") * 1000000).cast("bigint")
+    lab = (
+        pred.join(d, "doc_id")
+        .select(
+            micro.alias("micro"),
+            F.col("source").isin(*_REF_SOURCES).cast("int").alias("y"),
+        )
+        .withColumn("bin", F.least(F.expr("micro div 100000"), F.lit(9)))
+    )
+    n = F.count(F.lit(1))
+    return lab.groupBy("bin").agg(
+        n.cast("bigint").alias("n_docs"),
+        F.sum("y").cast("bigint").alias("n_ref"),
+        (F.sum("micro").cast("double") / n / F.lit(1000000)).alias(
+            "mean_score"
+        ),
+        (F.sum("y").cast("double") / n).alias("ref_rate"),
+    )

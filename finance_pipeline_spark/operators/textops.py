@@ -658,6 +658,87 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pack_efficiency_oracle() -> str:
+    """Per-stream packing diagnostics (staged for r15): the same
+    running-sum CTE as ``text_pack_sequences``, aggregated per
+    (lang, shard) stream. All exact-integer arithmetic; the one
+    ratio is an exact-int→IEEE-double division."""
+    return f"""
+    WITH sized AS (
+        SELECT doc_id, lang,
+               CAST(doc_id % {_PACK_SHARDS} AS INTEGER) AS shard,
+               CAST(len({_sql_tokens()}) AS BIGINT) AS n_tokens
+        FROM documents
+    ), packed AS (
+        SELECT doc_id, lang, shard, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+        FROM sized
+    )
+    SELECT lang, shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST((max(cum) + {_PACK_CTX} - 1) // {_PACK_CTX} AS BIGINT)
+             AS n_packs,
+           CAST(sum(n_tokens) AS DOUBLE)
+             / (((max(cum) + {_PACK_CTX} - 1) // {_PACK_CTX})
+                * {_PACK_CTX}) AS fill_frac,
+           CAST(sum(CASE WHEN n_tokens > 0 AND
+                     (cum - 1) // {_PACK_CTX} > (cum - n_tokens) // {_PACK_CTX}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_boundary_docs
+    FROM packed
+    GROUP BY lang, shard
+    """
+
+
+# STAGED for the r15 window (r14's slots are spoken for). Registration:
+# @query("text_pack_efficiency", oracle=_pack_efficiency_oracle,
+# tags=("text","packing")).
+def text_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency report — per (lang, shard) stream: document
+    and token totals, context windows consumed, FILL fraction (tokens
+    over window capacity — the tail of each stream is the only waste
+    in the document-splitting pack model), and how many documents
+    straddle a window boundary (the fragmentation count motivating
+    best-fit packing research; every boundary doc costs one attention
+    discontinuity). Same single-shuffle running-sum plan as
+    ``text_pack_sequences``, aggregated to a |lang|×|shards| frame;
+    bigint-exact, one exact division."""
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id",
+        "lang",
+        F.pmod("doc_id", F.lit(_PACK_SHARDS)).cast("int").alias("shard"),
+        F.size(_tokens()).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        W.partitionBy("lang", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    packed = sized.withColumn("cum", F.sum("n_tokens").over(w))
+    crosses = (
+        (F.col("n_tokens") > 0)
+        & (
+            F.expr(f"(cum - 1) div {_PACK_CTX}")
+            > F.expr(f"(cum - n_tokens) div {_PACK_CTX}")
+        )
+    ).cast("int")
+    n_packs = F.expr(f"(max(cum) + {_PACK_CTX} - 1) div {_PACK_CTX}")
+    return packed.groupBy("lang", "shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        n_packs.cast("bigint").alias("n_packs"),
+        (
+            F.sum("n_tokens").cast("double")
+            / (n_packs * F.lit(_PACK_CTX))
+        ).alias("fill_frac"),
+        F.sum(crosses).cast("bigint").alias("n_boundary_docs"),
+    )
+
+
 @query(
     "text_split_assign",
     oracle="""

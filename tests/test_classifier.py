@@ -90,3 +90,34 @@ def test_registered_query_scores_every_document(spark):
     assert sorted((r.doc_id, r.score) for r in rows) == sorted(
         (r.doc_id, r.score) for r in again
     )
+
+
+def test_clf_calibration_bins_matches_duckdb(spark):
+    """The staged r15 calibration oracle equals clf_calibration_bins
+    row-for-row (exact micro-integer arithmetic end-to-end), the bins
+    tile [0,1] sanely, and counts reconcile with the corpus."""
+    import duckdb
+
+    from finance_pipeline_spark.operators.classifier import (
+        _clf_calibration_oracle,
+        clf_calibration_bins,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        (r.bin, r.n_docs, r.n_ref, r.mean_score, r.ref_rate)
+        for r in clf_calibration_bins(spark, sf).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    want = sorted(map(tuple, con.execute(_clf_calibration_oracle()).fetchall()))
+    assert got == want and len(got) > 0
+    assert all(0 <= b <= 9 for b, *_ in got)
+    n_docs = spark.read.parquet(f"{sf}/documents.parquet").count()
+    assert sum(r[1] for r in got) == n_docs
+    # a bin's mean predicted score sits inside the bin's range
+    for b, n, nref, mean, rate in got:
+        assert b / 10 - 1e-9 <= mean <= (b + 1) / 10 + 1e-9 or b == 9
+        assert 0.0 <= rate <= 1.0

@@ -768,3 +768,64 @@ def test_unimax_closed_form_matches_naive_hypothesis(spark, tmp_path):
             )
 
     check()
+
+
+def test_pack_efficiency_matches_duckdb_and_invariants(spark, tmp_path):
+    """The staged r15 packing-efficiency oracle equals
+    text_pack_efficiency row-for-row, and the metrics obey the pack
+    model: fill ≤ 1, windows cover the stream, boundary count matches
+    a Python replay of the concatenated-stream cut."""
+    import duckdb
+    import pandas as pd
+
+    from finance_pipeline_spark.operators import textops as T
+
+    def compare(sf_dir):
+        got = sorted(
+            (r.lang, r.shard, r.n_docs, r.total_tokens, r.n_packs,
+             r.fill_frac, r.n_boundary_docs)
+            for r in T.text_pack_efficiency(spark, sf_dir).collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{sf_dir}/documents.parquet'"
+        )
+        want = sorted(
+            map(tuple, con.execute(T._pack_efficiency_oracle()).fetchall())
+        )
+        assert got == want and len(got) > 0
+        return got
+
+    rows = compare("/root/testdata/sf0.001")
+    for lang, shard, n_docs, total, n_packs, fill, n_cross in rows:
+        assert 0 < fill <= 1.0
+        assert n_packs * T._PACK_CTX >= total > (n_packs - 1) * T._PACK_CTX
+        assert 0 <= n_cross <= n_docs
+
+    # planted single-stream replay: one lang, shard 0 only (doc_ids
+    # multiples of _PACK_SHARDS), known lengths against a Python cut
+    ctx = T._PACK_CTX
+    lens = [ctx - 5, 10, ctx, 3, 2 * ctx + 1]
+    ids = [i * T._PACK_SHARDS for i in range(len(lens))]
+    pd.DataFrame(
+        {
+            "doc_id": ids,
+            "text": [" ".join(["w"] * n) for n in lens],
+            "lang": ["en"] * len(ids),
+            "source": ["s"] * len(ids),
+            "n_chars": [0] * len(ids),
+        }
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+    got = compare(str(tmp_path))
+    assert len(got) == 1
+    lang, shard, n_docs, total, n_packs, fill, n_cross = got[0]
+    assert (lang, shard, n_docs, total) == ("en", 0, 5, sum(lens))
+    # python replay of the stream cut
+    start, crossings = 0, 0
+    for n in lens:
+        if n > 0 and (start + n - 1) // ctx > start // ctx:
+            crossings += 1
+        start += n
+    assert n_packs == (sum(lens) + ctx - 1) // ctx
+    assert n_cross == crossings == 3  # docs 2, 3, 5 straddle a cut (doc5 two)
