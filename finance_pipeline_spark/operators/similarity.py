@@ -2208,3 +2208,166 @@ def emb_outlier_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dist") > F.lit(float(_OUTLIER_X)) * F.col("label_mean_dist")
         ).alias("outlier"),
     )
+
+
+_TRUNC_WIDTHS = (8, 16, 32)  # audit widths; full = the stored 64 dims
+
+
+def _trunc_recall_oracle() -> str:
+    """DuckDB replica of ``ann_dim_truncation_recall`` — identical
+    arithmetic (double-cast then sequential dot/norm, 4-dp rounding,
+    (cosine DESC, corpus_id) tie-break), widths via unnest so the
+    slice length is data, exactly like the Spark dynamic slice."""
+    widths = ", ".join(str(w) for w in _TRUNC_WIDTHS)
+    return f"""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        FROM embeddings
+    ), w AS (
+        SELECT unnest([{widths}, 64]) AS trunc_dim
+    ), q AS (
+        SELECT vec_id AS query_id, emb AS q_emb FROM v
+        WHERE vec_id % 100 = 0
+    ), scored AS (
+        SELECT q.query_id, c.vec_id AS corpus_id, w.trunc_dim,
+               round(
+                   list_dot_product(q.q_emb[1:w.trunc_dim],
+                                    c.emb[1:w.trunc_dim])
+                   / (sqrt(list_sum([x * x FOR x IN q.q_emb[1:w.trunc_dim]]))
+                      * sqrt(list_sum([x * x FOR x IN c.emb[1:w.trunc_dim]]))),
+                   4) AS cosine
+        FROM q CROSS JOIN w CROSS JOIN v c
+        WHERE c.vec_id <> q.query_id
+          AND list_sum([x * x FOR x IN q.q_emb[1:w.trunc_dim]]) > 0
+          AND list_sum([x * x FOR x IN c.emb[1:w.trunc_dim]]) > 0
+    ), ranked AS (
+        SELECT query_id, corpus_id, trunc_dim FROM (
+            SELECT query_id, corpus_id, trunc_dim,
+                   row_number() OVER (PARTITION BY query_id, trunc_dim
+                                      ORDER BY cosine DESC, corpus_id) AS rnk
+            FROM scored
+        ) WHERE rnk <= {_TOPK}
+    ), full_set AS (
+        SELECT query_id, corpus_id FROM ranked WHERE trunc_dim = 64
+    ), n_full AS (
+        SELECT query_id, count(*) AS n_full FROM full_set GROUP BY 1
+    ), hits AS (
+        SELECT r.query_id, r.trunc_dim, count(*) AS n_overlap
+        FROM ranked r JOIN full_set f
+          ON f.query_id = r.query_id AND f.corpus_id = r.corpus_id
+        WHERE r.trunc_dim <> 64
+        GROUP BY 1, 2
+    )
+    SELECT q2.query_id,
+           CAST(w2.trunc_dim AS BIGINT) AS trunc_dim,
+           CAST(coalesce(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+           CAST(nf.n_full AS BIGINT) AS n_full,
+           CAST(coalesce(h.n_overlap, 0) AS DOUBLE) / nf.n_full AS recall
+    FROM (SELECT DISTINCT query_id FROM full_set) q2
+    CROSS JOIN (SELECT unnest([{widths}]) AS trunc_dim) w2
+    JOIN n_full nf ON nf.query_id = q2.query_id
+    LEFT JOIN hits h ON h.query_id = q2.query_id
+                    AND h.trunc_dim = w2.trunc_dim
+    """
+
+
+# STAGED for the r15 window (r14's slots are spoken for; same pattern
+# as the other r14 stagings). Registration:
+# @query("ann_dim_truncation_recall", oracle=_trunc_recall_oracle,
+# tags=("similarity","ann","matryoshka","audit")).
+def ann_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style DIMENSION-TRUNCATION recall audit: for each
+    query, brute-force cosine top-10 using only the first 8/16/32
+    dims vs the full 64 — the table that tells a serving team how
+    much recall a truncated (4×-cheaper) embedding costs BEFORE they
+    flip the index to it. Offline audit over the standard %100 query
+    sample; the serving path stays IVF/PQ.
+
+    Exactness: double-cast-then-sequential dot and norms (the shared
+    ``dot``/fold idiom), 4-dp rounding, (cosine DESC, corpus_id)
+    tie-break — all mirrored 1:1 in the oracle, including truncated
+    zero-norm exclusion per width (a vector whose first w dims are
+    all zero has no cosine at that width).
+
+    Scale shape: widths explode FIRST (one row per (pair, width)), so
+    one broadcast of the query sample against one corpus scan covers
+    every width — no per-width corpus passes; the rank window keys on
+    (query_id, trunc_dim), high-cardinality and skew-free."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    widths = list(_TRUNC_WIDTHS) + [64]
+    pairs = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("corpus_id"),
+            "q_emb",
+            "embedding",
+            F.explode(F.array(*[F.lit(w) for w in widths])).alias("trunc_dim"),
+        )
+    )
+    qs = F.slice(F.col("q_emb"), 1, F.col("trunc_dim"))
+    cs = F.slice(F.col("embedding"), 1, F.col("trunc_dim"))
+    q_sq = F.aggregate(
+        F.transform(qs, lambda p: p.cast("double") * p.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    c_sq = F.aggregate(
+        F.transform(cs, lambda p: p.cast("double") * p.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    cos = F.round(dot(qs, cs) / (F.sqrt(q_sq) * F.sqrt(c_sq)), 4)
+    scored = pairs.filter((q_sq > 0) & (c_sq > 0)).select(
+        "query_id", "corpus_id", "trunc_dim", cos.alias("cosine")
+    )
+    wv = W.partitionBy("query_id", "trunc_dim").orderBy(
+        F.col("cosine").desc(), F.col("corpus_id")
+    )
+    ranked = (
+        scored.withColumn("rnk", F.row_number().over(wv))
+        .filter(F.col("rnk") <= _TOPK)
+        .select("query_id", "corpus_id", "trunc_dim")
+        .localCheckpoint(eager=True)  # full + truncated branches below
+    )
+    full_set = ranked.filter(F.col("trunc_dim") == 64).select(
+        "query_id", "corpus_id"
+    )
+    n_full = full_set.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_full")
+    )
+    hits = (
+        ranked.filter(F.col("trunc_dim") != 64)
+        .join(full_set, ["query_id", "corpus_id"])
+        .groupBy("query_id", "trunc_dim")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    grid = (
+        full_set.select("query_id")
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                spark.createDataFrame(
+                    [(w,) for w in _TRUNC_WIDTHS], "trunc_dim int"
+                )
+            )
+        )
+    )
+    return (
+        grid.join(n_full, "query_id")
+        .join(hits, ["query_id", "trunc_dim"], "left")
+        .select(
+            "query_id",
+            F.col("trunc_dim").cast("bigint").alias("trunc_dim"),
+            F.coalesce("n_overlap", F.lit(0)).cast("bigint").alias("n_overlap"),
+            F.col("n_full").cast("bigint").alias("n_full"),
+            (
+                F.coalesce("n_overlap", F.lit(0)).cast("double")
+                / F.col("n_full")
+            ).alias("recall"),
+        )
+    )

@@ -485,3 +485,45 @@ def test_probe_cells_rounding_replays_spark_round_exactly(spark):
     want = [py_round4(v) for v in vals]
     diffs = [(v, g, w) for v, g, w in zip(vals, got, want) if g != w]
     assert not diffs, f"{len(diffs)} disagreements, first: {diffs[:3]}"
+
+
+def test_dim_truncation_recall_matches_duckdb_and_monotone(spark):
+    """The staged r15 truncation-recall oracle equals
+    ann_dim_truncation_recall row-for-row, and the audit behaves:
+    every query reports all widths, recall ∈ [0,1], and MEAN recall
+    is non-decreasing in width (more dims can only help on average
+    for these random embeddings)."""
+    import duckdb
+
+    from finance_pipeline_spark.operators.similarity import (
+        _TRUNC_WIDTHS,
+        _trunc_recall_oracle,
+        ann_dim_truncation_recall,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = ann_dim_truncation_recall(spark, sf).collect()
+    got = sorted(
+        (r.query_id, r.trunc_dim, r.n_overlap, r.n_full, r.recall)
+        for r in rows
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'"
+    )
+    want = sorted(map(tuple, con.execute(_trunc_recall_oracle()).fetchall()))
+    assert got == want and len(got) > 0
+
+    by_q: dict[int, dict[int, float]] = {}
+    for qid, w, n, nf, rec in got:
+        assert 0.0 <= rec <= 1.0 and 0 <= n <= nf
+        by_q.setdefault(qid, {})[w] = rec
+    for qid, per_w in by_q.items():
+        assert set(per_w) == set(_TRUNC_WIDTHS)
+    means = {
+        w: sum(per_w[w] for per_w in by_q.values()) / len(by_q)
+        for w in _TRUNC_WIDTHS
+    }
+    ws = sorted(_TRUNC_WIDTHS)
+    for a, b in zip(ws, ws[1:]):
+        assert means[a] <= means[b] + 1e-9, means
