@@ -1693,6 +1693,159 @@ def _eval_overlap_oracle() -> str:
     """
 
 
+def _dataset_card_oracle() -> str:
+    """DuckDB replica of ``text_dataset_card`` (staged for r15) — all
+    exact arithmetic: bigint counts/sums, the 4-dp quality lifted to
+    an exact micro-integer for the mean, the lower-median
+    histogram-rank cut on integer token counts, integer-permille
+    token share, and exact duplicate counting by text digest."""
+    return f"""
+    WITH per AS (
+        SELECT doc_id, coalesce(source, 'unknown') AS source,
+               coalesce(lang, 'und') AS lang,
+               md5(coalesce(text, '')) AS digest,
+               CAST(len({_sql_tokens()}) AS BIGINT) AS n_tokens,
+               CAST(round(coalesce(round(
+                   least(CAST(len({_sql_tokens()}) AS DOUBLE) / 100.0, 1.0)
+                   * (CAST(len(list_distinct({_sql_tokens()})) AS DOUBLE)
+                      / CAST(len({_sql_tokens()}) AS DOUBLE)), 4), 0.0)
+                   * 10000) AS BIGINT) AS q_micro
+        FROM documents
+    ), dupd AS (
+        SELECT digest FROM per GROUP BY digest HAVING count(*) > 1
+    ), flagged AS (
+        SELECT per.*, per.digest IN (SELECT digest FROM dupd) AS is_dup
+        FROM per
+    ), med AS (
+        SELECT source, lang, min(n_tokens) AS median_doc_tokens FROM (
+            SELECT source, lang, n_tokens,
+                   sum(n) OVER (PARTITION BY source, lang
+                                ORDER BY n_tokens) AS cum_n,
+                   sum(n) OVER (PARTITION BY source, lang) AS tot
+            FROM (SELECT source, lang, n_tokens, count(*) AS n
+                  FROM flagged GROUP BY 1, 2, 3)
+        ) WHERE cum_n >= (tot + 1) // 2
+        GROUP BY source, lang
+    ), g AS (
+        SELECT source, lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+               CAST(sum(q_micro) AS DOUBLE) / count(*) / 10000
+                 AS mean_quality,
+               CAST(sum(CAST(is_dup AS INT)) AS BIGINT) AS n_dup_docs
+        FROM flagged GROUP BY 1, 2
+    )
+    SELECT g.source, g.lang, g.n_docs, g.n_tokens,
+           CAST(med.median_doc_tokens AS BIGINT) AS median_doc_tokens,
+           g.mean_quality,
+           CAST(g.n_dup_docs AS DOUBLE) / g.n_docs AS dup_frac,
+           CAST((g.n_tokens * 1000)
+                // (sum(g.n_tokens) OVER ()) AS BIGINT)
+             AS token_share_permille
+    FROM g JOIN med USING (source, lang)
+    """
+
+
+# STAGED for the r15 window (r14's slots are spoken for). Registration:
+# @query("text_dataset_card", oracle=_dataset_card_oracle,
+# tags=("text","curation","datasheet")).
+def text_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset DATASHEET — the per-(source, language) composition table
+    a dataset release publishes (Datasheets for Datasets; every model
+    card's "training data" section): document and token counts, exact
+    lower-median document length, mean quality score, exact-duplicate
+    fraction, and integer-permille token share of the corpus.
+
+    Exactness: counts/sums are bigint; the 4-dp quality lifts to an
+    exact micro-integer so the mean is exact-int arithmetic with two
+    deterministic divisions; the median is the histogram-rank cut
+    (``agg_exact_median``'s recipe — shuffle bounded by groups ×
+    distinct lengths, never a per-group sort); duplicate docs are
+    md5-digest groups with >1 member; token share is integer permille
+    (``(tokens × 1000) div total``).
+
+    Scale shape: ONE corpus scan feeds a per-doc projection; the
+    digest dup-set is a groupBy on 16-byte keys semi-joined back
+    (never broadcast-hinted — it grows with the corpus); everything
+    after is group-cardinality-sized."""
+    from pyspark.sql import Window as W
+
+    toks = _tokens()
+    n_t = F.size(toks).cast("bigint")
+    n_t_d = n_t.cast("double")
+    quality = F.coalesce(
+        F.round(
+            F.least(n_t_d / 100.0, F.lit(1.0))
+            * (F.size(F.array_distinct(toks)).cast("double") / n_t_d),
+            4,
+        ),
+        F.lit(0.0),
+    )
+    per = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.coalesce("source", F.lit("unknown")).alias("source"),
+        F.coalesce("lang", F.lit("und")).alias("lang"),
+        F.md5(F.coalesce("text", F.lit(""))).alias("digest"),
+        n_t.alias("n_tokens"),
+        F.round(quality * 10000).cast("bigint").alias("q_micro"),
+    )
+    dupd = (
+        per.groupBy("digest")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .select("digest", F.lit(True).alias("is_dup"))
+    )
+    flagged = per.join(dupd, "digest", "left").withColumn(
+        "is_dup", F.coalesce("is_dup", F.lit(False))
+    )
+    hist = flagged.groupBy("source", "lang", "n_tokens").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wcum = (
+        W.partitionBy("source", "lang")
+        .orderBy("n_tokens")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wall = W.partitionBy("source", "lang")
+    med = (
+        hist.withColumn("cum_n", F.sum("n").over(wcum))
+        .withColumn("tot", F.sum("n").over(wall))
+        .filter(F.col("cum_n") >= F.expr("(tot + 1) div 2"))
+        .groupBy("source", "lang")
+        .agg(F.min("n_tokens").cast("bigint").alias("median_doc_tokens"))
+    )
+    n = F.count(F.lit(1))
+    g = flagged.groupBy("source", "lang").agg(
+        n.cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        (F.sum("q_micro").cast("double") / n / F.lit(10000)).alias(
+            "mean_quality"
+        ),
+        F.sum(F.col("is_dup").cast("int")).cast("bigint").alias("n_dup_docs"),
+    )
+    return (
+        g.join(med, ["source", "lang"])
+        .withColumn(
+            "token_share_permille",
+            F.expr("(n_tokens * 1000) div (sum(n_tokens) over ())").cast(
+                "bigint"
+            ),
+        )
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            "n_tokens",
+            "median_doc_tokens",
+            "mean_quality",
+            (F.col("n_dup_docs").cast("double") / F.col("n_docs")).alias(
+                "dup_frac"
+            ),
+            "token_share_permille",
+        )
+    )
+
+
 _UNIMAX_EPOCH_CAP = 4  # per-language epoch ceiling (UniMax's N)
 _UNIMAX_BUDGET_EPOCHS = 3  # total token budget = this × corpus tokens
 

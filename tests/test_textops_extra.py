@@ -829,3 +829,53 @@ def test_pack_efficiency_matches_duckdb_and_invariants(spark, tmp_path):
         start += n
     assert n_packs == (sum(lens) + ctx - 1) // ctx
     assert n_cross == crossings == 3  # docs 2, 3, 5 straddle a cut (doc5 two)
+
+
+def test_dataset_card_matches_duckdb_and_planted(spark, tmp_path):
+    """The staged r15 datasheet oracle equals text_dataset_card
+    row-for-row on the driver corpus shape AND on a planted corpus
+    with known composition (exact dup pair, odd/even median, token
+    share permille that must sum to ≤1000 with integer floors)."""
+    import duckdb
+    import pandas as pd
+
+    from finance_pipeline_spark.operators.textops import (
+        _dataset_card_oracle,
+        text_dataset_card,
+    )
+
+    def compare(sf_dir):
+        got = sorted(
+            tuple(r) for r in text_dataset_card(spark, sf_dir).collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{sf_dir}/documents.parquet'"
+        )
+        want = sorted(map(tuple, con.execute(_dataset_card_oracle()).fetchall()))
+        assert got == want and len(got) > 0
+        return {(g[0], g[1]): g for g in got}
+
+    rows = compare("/root/testdata/sf0.001")
+    assert sum(r[7] for r in rows.values()) <= 1000  # integer floors
+
+    # planted: srcA/en has 3 docs (lengths 2, 4, 6 -> lower median 4),
+    # two of them exact duplicates; srcB/de has 1 doc of 8 tokens
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": ["a b", "c d e f", "c d e f", "w x y z " * 2],
+            "lang": ["en", "en", "en", "de"],
+            "source": ["srcA", "srcA", "srcA", "srcB"],
+            "n_chars": [0] * 4,
+        }
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+    got = compare(str(tmp_path))
+    a = got[("srcA", "en")]
+    b = got[("srcB", "de")]
+    assert (a[2], a[3], a[4]) == (3, 10, 4)  # docs, tokens, median
+    assert abs(a[6] - 2 / 3) < 1e-12  # dup_frac: docs 2 and 3
+    assert (b[2], b[4], b[6]) == (1, 8, 0.0)
+    # integer permille of 10/18 and 8/18
+    assert a[7] == 10 * 1000 // 18 and b[7] == 8 * 1000 // 18
