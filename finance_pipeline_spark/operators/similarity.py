@@ -2371,3 +2371,116 @@ def ann_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# STAGED for the r15 window (round-14 extended session): embedding-space
+# eval-contamination audit — the semantic complement of textops'
+# eval_overlap_report (8-gram overlap catches verbatim leakage; max
+# train-cosine catches paraphrased / re-encoded leakage).
+# ---------------------------------------------------------------------------
+
+
+def ann_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space EVAL-CONTAMINATION audit (staged for r15): for
+    every val/test vector (the text_split_assign md5-permille recipe,
+    98/1/1, applied to vec_id), the maximum cosine against ANY train
+    vector and the nearest train neighbor's id. This is the model-card
+    appendix number that n-gram decontamination cannot produce —
+    near-duplicate eval items that were paraphrased or re-encoded
+    share no 8-grams but sit at cosine ≈ 1 in embedding space.
+
+    Exactness: cosine = sequential zip_with/aggregate dot over per-row
+    precomputed norms, rounded to 4 dp — bit-identical to DuckDB's
+    list_dot_product/list_sum left-to-right folds (the
+    dedup_embedding_cosine argument); the nearest id is min train
+    vec_id among the max-cosine ties, made well-defined by the 4-dp
+    rounding and resolved via a single lexicographic struct-max.
+    Zero-norm vectors are excluded on both sides in both engines.
+
+    Scale shape: the EVAL side is ~2% of the table by construction and
+    in practice a fixed small benchmark set — it broadcasts; the train
+    side streams through one scan with a partial max-aggregate per
+    eval id, so the whole audit is one pass over the corpus with no
+    shuffle of train rows. Output is |eval| rows."""
+    e = load(spark, sf_dir, "embeddings")
+    pm = (
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 6), 16, 10)
+        .cast("bigint")
+        % 1000
+    )
+    v = e.select(
+        "vec_id", pm.alias("pm"), "embedding", l2norm(F.col("embedding")).alias("nrm")
+    ).filter(F.col("nrm") > 0)
+    ev = v.filter(F.col("pm") >= 980).select(
+        F.col("vec_id").alias("eval_vec"),
+        F.when(F.col("pm") < 990, "val").otherwise("test").alias("split"),
+        F.col("embedding").alias("ev_emb"),
+        F.col("nrm").alias("ev_nrm"),
+    )
+    tr = v.filter(F.col("pm") < 980).select(
+        F.col("vec_id").alias("train_vec"),
+        F.col("embedding").alias("tr_emb"),
+        F.col("nrm").alias("tr_nrm"),
+    )
+    cos = F.round(
+        dot(F.col("tr_emb"), F.col("ev_emb"))
+        / (F.col("tr_nrm") * F.col("ev_nrm")),
+        4,
+    )
+    best = (
+        tr.join(F.broadcast(ev), how="cross")
+        .select(
+            "eval_vec",
+            "split",
+            F.struct(
+                cos.alias("cosine"), (-F.col("train_vec")).alias("neg_id")
+            ).alias("sc"),
+        )
+        .groupBy("eval_vec", "split")
+        .agg(F.max("sc").alias("best"))
+    )
+    return best.select(
+        "eval_vec",
+        "split",
+        F.col("best.cosine").alias("max_cosine"),
+        (-F.col("best.neg_id")).cast("bigint").alias("nn_train_vec"),
+    )
+
+
+def _eval_contamination_oracle() -> str:
+    """DuckDB replica of ``ann_eval_contamination`` — identical
+    left-to-right double folds, 4-dp rounding, and min-id tie-break."""
+    return """
+    WITH v AS (
+        SELECT vec_id,
+               ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 6))::BIGINT
+                 % 1000 AS pm,
+               CAST(embedding AS DOUBLE[]) AS emb,
+               sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                              FOR x IN embedding])) AS nrm
+        FROM embeddings
+    ), vv AS (
+        SELECT * FROM v WHERE nrm > 0
+    ), ev AS (
+        SELECT vec_id AS eval_vec,
+               CASE WHEN pm < 990 THEN 'val' ELSE 'test' END AS split,
+               emb, nrm
+        FROM vv WHERE pm >= 980
+    ), tr AS (
+        SELECT vec_id AS train_vec, emb, nrm FROM vv WHERE pm < 980
+    ), pairs AS (
+        SELECT ev.eval_vec, ev.split, tr.train_vec,
+               round(list_dot_product(tr.emb, ev.emb)
+                     / (tr.nrm * ev.nrm), 4) AS cosine
+        FROM tr CROSS JOIN ev
+    ), mx AS (
+        SELECT eval_vec, split, max(cosine) AS max_cosine
+        FROM pairs GROUP BY 1, 2
+    )
+    SELECT m.eval_vec, m.split, m.max_cosine,
+           CAST(min(p.train_vec) AS BIGINT) AS nn_train_vec
+    FROM mx m JOIN pairs p
+      ON p.eval_vec = m.eval_vec AND p.cosine = m.max_cosine
+    GROUP BY 1, 2, 3
+    """

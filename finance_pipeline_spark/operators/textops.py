@@ -3123,3 +3123,349 @@ def text_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         kept.alias("kept_port"),
         n_tracked.cast("bigint").alias("n_tracking_stripped"),
     )
+
+
+# ---------------------------------------------------------------------------
+# STAGED for the r15 window (second batch, round-14 extended session):
+# corpus self-overlap novelty, cross-source provenance overlap, and
+# stratified eval-set sampling. Functions + bit-exact oracles + planted
+# pytest parity land now; registration takes r15 slots (the
+# token_budget_mix r13 pattern).
+# ---------------------------------------------------------------------------
+
+_NOVELTY_N = 3  # shingle order for the corpus self-overlap metrics.
+# Trigrams, deliberately matching text_decontaminate's unit: the
+# synthetic corpus has a ~40-word vocabulary, so 8-grams only ever
+# collide through true duplication (zero signal at the gate SF) while
+# trigrams give every doc a measurable shared fraction.
+
+
+def _novelty_grams(docs: DataFrame, *carry: str) -> DataFrame:
+    """Per-doc DISTINCT ``_NOVELTY_N``-gram 64-bit hashes (plus carried
+    columns) — the shared front end of the novelty and source-overlap
+    staged operators. Pure JVM expressions; one corpus scan."""
+    t = _tokens()
+    n = F.size(F.col("t"))
+    grams = F.when(
+        n >= _NOVELTY_N,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - F.lit(_NOVELTY_N - 1)),
+                lambda i: F.xxhash64(
+                    F.concat_ws(" ", F.slice(F.col("t"), i, _NOVELTY_N))
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return docs.select(*carry, t.alias("t")).select(
+        *carry, grams.alias("grams")
+    )
+
+
+def _sql_novelty_grams(np: int = _NOVELTY_N - 1) -> str:
+    """DuckDB list expression producing the same distinct gram STRINGS
+    from a ``toks`` list column (counts are hash-agnostic, the
+    ``hashed_shingle_rows`` argument shared by every shingle oracle)."""
+    return (
+        f"list_distinct([list_aggregate(toks[i:i+{np}], 'string_agg', ' ') "
+        f"FOR i IN range(1, greatest(len(toks) - {np - 1}, 1))])"
+    )
+
+
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus SELF-OVERLAP per document (staged for r15) — for every
+    doc, the fraction of its distinct trigrams that also appear in at
+    least one OTHER document. The diversity/memorization-pressure
+    diagnostic a curation pass reads next to the dedup ledger: a
+    shared_frac near 1.0 marks boilerplate-heavy or near-duplicate
+    docs that the pairwise dedup thresholds let through; the corpus
+    histogram of this number is the "how templated is this source"
+    chart in a dataset audit.
+
+    Exactness: grams are distinct SETS per doc, so each engine hashes
+    independently (Spark xxhash64 vs the oracle's raw strings —
+    equality-join counts are hash-agnostic modulo 64-bit collisions);
+    the one division is exact-integer → IEEE double.
+
+    Scale shape: the gram doc-frequency table is a map-side-combined
+    groupBy bounded by shingle vocabulary, not corpus size; the join
+    back is a semi-join on a high-cardinality 64-bit key (skew
+    spreads). Never a broadcast hint on the postings side (it grows
+    with the corpus). Output is |docs| rows. The declarative DAG
+    references the shingle front-end three times (postings twice +
+    per-doc stats) and Catalyst recomputes each branch — fine at
+    demo scale where shingling is cheap; a 100 TB run persists the
+    postings frame once (O(corpus) storage, the standard trade) so
+    the audit costs one text scan plus two vocab-bounded shuffles."""
+    base = _novelty_grams(load(spark, sf_dir, "documents"), "doc_id")
+    post = base.select("doc_id", F.explode("grams").alias("gram"))
+    shared_grams = (
+        post.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("gram")
+    )
+    m = (
+        post.join(shared_grams, "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    n_grams = F.size("grams").cast("bigint")
+    return (
+        base.select("doc_id", n_grams.alias("n_grams"))
+        .join(m, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_shared", F.lit(0)).cast("bigint").alias("n_shared"),
+            F.when(
+                F.col("n_grams") > 0,
+                F.coalesce("n_shared", F.lit(0)).cast("double")
+                / F.col("n_grams"),
+            ).alias("shared_frac"),
+        )
+    )
+
+
+def _ngram_novelty_oracle() -> str:
+    """DuckDB replica of ``text_ngram_novelty`` over raw gram strings."""
+    return f"""
+    WITH t AS (
+        SELECT doc_id, {_sql_tokens()} AS toks FROM documents
+    ), g AS (
+        SELECT doc_id, {_sql_novelty_grams()} AS grams FROM t
+    ), post AS (
+        SELECT doc_id, unnest(grams) AS gram FROM g
+    ), c AS (
+        SELECT gram FROM post GROUP BY gram HAVING count(*) > 1
+    ), m AS (
+        SELECT doc_id, count(*) AS n_shared
+        FROM post JOIN c USING (gram) GROUP BY 1
+    )
+    SELECT g.doc_id,
+           CAST(len(g.grams) AS BIGINT) AS n_grams,
+           CAST(coalesce(m.n_shared, 0) AS BIGINT) AS n_shared,
+           CASE WHEN len(g.grams) > 0
+                THEN CAST(coalesce(m.n_shared, 0) AS DOUBLE) / len(g.grams)
+                ELSE NULL END AS shared_frac
+    FROM g LEFT JOIN m USING (doc_id)
+    """
+
+
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source PROVENANCE OVERLAP matrix (staged for r15) — for
+    every pair of sources, the number of distinct trigrams present in
+    both and the exact Jaccard of their shingle vocabularies. This is
+    the dataset-forensics table that surfaces mirrored crawls and
+    re-packaged dumps (e.g. a Common-Crawl-derived source vs C4)
+    BEFORE per-document dedup: two sources with high vocabulary
+    Jaccard get routed into the same dedup scope; near-disjoint
+    sources can be deduped independently.
+
+    Exactness: intersect/total counts over distinct (source, gram)
+    postings are hash-agnostic; Jaccard is one exact-int → IEEE
+    double division.
+
+    Scale shape: postings dedupe to (gram, source) — vocabulary ×
+    source-incidence bounded, with map-side combine; the self-join on
+    the 64-bit gram key fans out at most C(|sources|, 2) pairs per
+    gram, and the OUTPUT is inherently |sources|² — this operator is
+    sized by source cardinality (dozens to hundreds in a real training
+    mix), not corpus bytes. Per-source totals are a tiny broadcast.
+    As with the novelty audit, a 100 TB run persists the deduped
+    postings once so the text is shingled a single time."""
+    base = _novelty_grams(
+        load(spark, sf_dir, "documents").select(
+            F.coalesce("source", F.lit("unknown")).alias("source"), "text"
+        ),
+        "source",
+    )
+    post = (
+        base.select("source", F.explode("grams").alias("gram")).distinct()
+    )
+    totals = post.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams")
+    )
+    a, b = post.alias("a"), post.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_grams"))
+    )
+    ta = totals.select(
+        F.col("source").alias("source_a"), F.col("n_grams").alias("ga")
+    )
+    tb = totals.select(
+        F.col("source").alias("source_b"), F.col("n_grams").alias("gb")
+    )
+    union_sz = F.col("ga") + F.col("gb") - F.col("n_shared_grams")
+    return (
+        shared.join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared_grams",
+            (F.col("n_shared_grams").cast("double") / union_sz).alias(
+                "jaccard"
+            ),
+        )
+    )
+
+
+def _source_overlap_oracle() -> str:
+    """DuckDB replica of ``source_overlap_matrix`` over raw grams."""
+    return f"""
+    WITH t AS (
+        SELECT coalesce(source, 'unknown') AS source,
+               {_sql_tokens()} AS toks
+        FROM documents
+    ), g AS (
+        SELECT source, {_sql_novelty_grams()} AS grams FROM t
+    ), post AS (
+        SELECT DISTINCT source, unnest(grams) AS gram FROM g
+    ), totals AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_grams
+        FROM post GROUP BY 1
+    ), shared AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(count(*) AS BIGINT) AS n_shared_grams
+        FROM post a JOIN post b
+          ON a.gram = b.gram AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT s.source_a, s.source_b, s.n_shared_grams,
+           CAST(s.n_shared_grams AS DOUBLE)
+             / (ta.n_grams + tb.n_grams - s.n_shared_grams) AS jaccard
+    FROM shared s
+    JOIN totals ta ON ta.source = s.source_a
+    JOIN totals tb ON tb.source = s.source_b
+    """
+
+
+_STRAT_TOTAL = 100  # target eval-set size for the stratified sampler
+
+
+def stratified_sample(docs: DataFrame, k: int = _STRAT_TOTAL) -> DataFrame:
+    """Stratified sampling core over an arbitrary documents frame —
+    see ``text_stratified_sample`` for semantics."""
+    from pyspark.sql import Window as W
+
+    d = docs.select(
+        "doc_id",
+        F.coalesce("source", F.lit("unknown")).alias("source"),
+        F.coalesce("lang", F.lit("und")).alias("lang"),
+    )
+    strata = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    w_all = W.partitionBy(F.lit(1))
+    w_rk = W.partitionBy(F.lit(1)).orderBy(
+        F.col("rem").desc(), "source", "lang"
+    )
+    strata = (
+        strata.withColumn("total", F.sum("n").over(w_all))
+        .withColumn("base", F.expr(f"(CAST({k} AS BIGINT) * n) div total"))
+        .withColumn("rem", F.expr(f"(CAST({k} AS BIGINT) * n) % total"))
+    )
+    strata = strata.withColumn(
+        "leftover", F.lit(k).cast("bigint") - F.sum("base").over(w_all)
+    ).withColumn("rrk", F.row_number().over(w_rk))
+    alloc = F.least(
+        F.col("base")
+        + F.when(F.col("rrk") <= F.col("leftover"), 1).otherwise(0),
+        F.col("n"),
+    )
+    a = strata.select(
+        "source", "lang", alloc.cast("bigint").alias("alloc")
+    )
+    w_pick = W.partitionBy("source", "lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    # the LITERAL k conjunct is redundant (alloc <= k by construction)
+    # but it is what lets Catalyst infer WindowGroupLimit: rank-limit
+    # pushdown needs a constant bound, so each task keeps only its top
+    # k rows per stratum BEFORE the exchange instead of sorting whole
+    # strata through the shuffle.
+    return (
+        d.join(F.broadcast(a), ["source", "lang"])
+        .withColumn("pick_rank", F.row_number().over(w_pick).cast("bigint"))
+        .filter(
+            (F.col("pick_rank") <= F.lit(k).cast("bigint"))
+            & (F.col("pick_rank") <= F.col("alloc"))
+        )
+        .select("source", "lang", "alloc", "doc_id", "pick_rank")
+    )
+
+
+def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified eval-set sampling (staged for r15) — draw exactly
+    ``_STRAT_TOTAL`` documents allocated across (source, language)
+    strata proportionally to their document counts by the
+    largest-remainder (Hamilton) method, then pick each stratum's
+    quota deterministically by md5(doc_id) order. This is how a
+    held-out human-eval or benchmark-seed set gets built: every
+    stratum is represented in exact proportion (floors + the K -
+    Σfloor leftovers to the largest fractional remainders, ties by
+    stratum key), and membership depends only on doc_id — re-runs and
+    backfills reproduce the same sample with no stored state.
+
+    Exactness: quotas are pure bigint arithmetic ((K·n) div N, (K·n)
+    mod N — no doubles anywhere); the md5 pick order is identical hex
+    in both engines. Allocations are capped at the stratum size
+    (relevant only when K approaches N).
+
+    Scale shape: the strata table is |sources|×|langs| rows — every
+    window after the one corpus-scan groupBy runs on that tiny table;
+    the allocation joins back as a broadcast, and the per-stratum pick
+    is a rank ≤ k window that Spark executes as WindowGroupLimit
+    (partial top-k before the exchange), never a full per-stratum
+    sort-materialize."""
+    return stratified_sample(load(spark, sf_dir, "documents"))
+
+
+def _stratified_sample_oracle(k: int = _STRAT_TOTAL) -> str:
+    """DuckDB replica of ``text_stratified_sample`` — identical bigint
+    quota arithmetic and md5 hex pick order."""
+    return f"""
+    WITH d AS (
+        SELECT doc_id, coalesce(source, 'unknown') AS source,
+               coalesce(lang, 'und') AS lang
+        FROM documents
+    ), s AS (
+        SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+        FROM d GROUP BY 1, 2
+    ), s2 AS (
+        SELECT *, sum(n) OVER () AS total FROM s
+    ), s3 AS (
+        SELECT *, (CAST({k} AS BIGINT) * n) // total AS base,
+               (CAST({k} AS BIGINT) * n) % total AS rem
+        FROM s2
+    ), s4 AS (
+        SELECT *, CAST({k} AS BIGINT) - sum(base) OVER () AS leftover,
+               row_number() OVER (ORDER BY rem DESC, source, lang) AS rrk
+        FROM s3
+    ), a AS (
+        SELECT source, lang,
+               CAST(least(base + CASE WHEN rrk <= leftover
+                                      THEN 1 ELSE 0 END, n) AS BIGINT)
+                 AS alloc
+        FROM s4
+    ), r AS (
+        SELECT d.source, d.lang, a.alloc, d.doc_id,
+               CAST(row_number() OVER (
+                   PARTITION BY d.source, d.lang
+                   ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id
+               ) AS BIGINT) AS pick_rank
+        FROM d JOIN a USING (source, lang)
+    )
+    SELECT source, lang, alloc, doc_id, pick_rank
+    FROM r WHERE pick_rank <= alloc
+    """

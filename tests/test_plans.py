@@ -371,3 +371,67 @@ def test_unimax_alloc_single_scan_pure_codegen(spark):
     )
     assert plan.count("Scan parquet") == 1, plan.count("Scan parquet")
     assert "EvalPython" not in plan and "PythonUDF" not in plan
+
+
+def _direct_plan(spark, df):
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_ngram_novelty_codegen_and_pruned(spark):
+    """Corpus self-overlap (staged r15): pure-JVM shingling (no
+    Python), no cartesian anywhere, and every text scan pruned to the
+    referenced columns only."""
+    from finance_pipeline_spark.operators.textops import text_ngram_novelty
+
+    plan = _direct_plan(spark, text_ngram_novelty(spark, SF))
+    assert "EvalPython" not in plan and "PythonUDF" not in plan
+    assert "CartesianProduct" not in plan
+    for s in read_schemas(plan):
+        assert set(s.split(",")) <= {"doc_id:bigint", "text:string"}, s
+
+
+def test_source_overlap_matrix_codegen_and_pruned(spark):
+    """Provenance overlap (staged r15): the postings self-join is an
+    equi-join on the gram key (never a cartesian), totals join back as
+    broadcasts, no Python, scans pruned to (text, source)."""
+    from finance_pipeline_spark.operators.textops import source_overlap_matrix
+
+    plan = _direct_plan(spark, source_overlap_matrix(spark, SF))
+    assert "EvalPython" not in plan and "PythonUDF" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # the tiny per-source totals
+    for s in read_schemas(plan):
+        assert set(s.split(",")) <= {"text:string", "source:string"}, s
+
+
+def test_stratified_sample_group_limit_and_broadcast_alloc(spark):
+    """Stratified sampler (staged r15): the literal-k conjunct must
+    plan the per-stratum pick as WindowGroupLimit (partial top-k
+    before the exchange — without it Spark sorts whole strata), and
+    the stratum allocation joins back as a broadcast."""
+    from finance_pipeline_spark.operators.textops import (
+        text_stratified_sample,
+    )
+
+    plan = _direct_plan(spark, text_stratified_sample(spark, SF))
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_eval_contamination_broadcasts_eval_side_only(spark):
+    """Embedding contamination audit (staged r15): the ~2% eval side
+    broadcasts into a nested-loop join (the deliberate broadcast
+    cross — one scan over train, no train-row shuffle), all-JVM
+    cosine folds, scans pruned to (vec_id, embedding)."""
+    from finance_pipeline_spark.operators.similarity import (
+        ann_eval_contamination,
+    )
+
+    plan = _direct_plan(spark, ann_eval_contamination(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "EvalPython" not in plan and "PythonUDF" not in plan
+    for s in read_schemas(plan):
+        assert s.startswith("vec_id:bigint,embedding:array<float"), s

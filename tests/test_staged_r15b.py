@@ -1,0 +1,228 @@
+"""Parity + planted-fixture pins for the second batch of r15-staged
+operators (round-14 extended session): trigram corpus-novelty,
+cross-source provenance overlap, stratified eval sampling, and the
+embedding-space eval-contamination audit.
+
+Each test runs the Spark operator AND its staged DuckDB oracle on the
+driver corpus shape (sf0.001) and on a planted corpus with hand-computed
+expectations — the same pattern that pinned every earlier staged op
+until its registration landed.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _duck(sf_dir: str, sql: str, table: str = "documents"):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW {table} AS SELECT * FROM '{sf_dir}/{table}.parquet'"
+    )
+    return sorted(map(tuple, con.execute(sql).fetchall()))
+
+
+def _got(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_ngram_novelty_matches_duckdb_and_planted(spark, tmp_path):
+    """shared_frac counts exactly the distinct trigrams present in at
+    least one OTHER document."""
+    from finance_pipeline_spark.operators.textops import (
+        _ngram_novelty_oracle,
+        text_ngram_novelty,
+    )
+
+    got = _got(text_ngram_novelty(spark, SF))
+    want = _duck(SF, _ngram_novelty_oracle())
+    assert got == want and len(got) > 0
+    # real signal at the corpus shape: some doc shares, none is all-new
+    assert any(r[2] > 0 for r in got)
+
+    # planted: doc1/doc2 share exactly one trigram ("a b c"); doc3 is
+    # disjoint; doc4 is too short for any trigram.
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": ["a b c d", "x a b c", "p q r s", "u v"],
+            "lang": ["en"] * 4,
+            "source": ["s"] * 4,
+            "n_chars": [0] * 4,
+        }
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+    got = {r[0]: r for r in _got(text_ngram_novelty(spark, str(tmp_path)))}
+    assert got == {
+        r[0]: r for r in _duck(str(tmp_path), _ngram_novelty_oracle())
+    }
+    assert got[1] == (1, 2, 1, 0.5)  # "a b c","b c d" -> one shared
+    assert got[2] == (2, 2, 1, 0.5)  # "x a b","a b c"
+    assert got[3] == (3, 2, 0, 0.0)
+    assert got[4][1:] == (0, 0, None)  # no trigram -> NULL fraction
+
+
+def test_source_overlap_matrix_matches_duckdb_and_planted(spark, tmp_path):
+    """Pairwise shared-trigram counts and exact vocabulary Jaccard."""
+    from finance_pipeline_spark.operators.textops import (
+        _source_overlap_oracle,
+        source_overlap_matrix,
+    )
+
+    got = _got(source_overlap_matrix(spark, SF))
+    want = _duck(SF, _source_overlap_oracle())
+    assert got == want and len(got) > 0
+    for sa, sb, n, j in got:
+        assert sa < sb and n >= 1 and 0 < j <= 1.0
+
+    # planted: srcA = {a b c, b c d} (docs overlap internally),
+    # srcB = {a b c} only, srcC disjoint from both.
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["a b c d", "a b c", "p q r s"],
+            "lang": ["en"] * 3,
+            "source": ["srcA", "srcB", "srcC"],
+            "n_chars": [0] * 3,
+        }
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+    got = _got(source_overlap_matrix(spark, str(tmp_path)))
+    assert got == _duck(str(tmp_path), _source_overlap_oracle())
+    # only the A-B pair survives (C shares nothing -> no row)
+    assert got == [("srcA", "srcB", 1, 0.5)]  # |A|=2,|B|=1,shared=1
+
+
+def test_stratified_sample_matches_duckdb_and_planted(spark, tmp_path):
+    """Largest-remainder quotas are exact and the sample is exactly K
+    docs picked in md5 order."""
+    from finance_pipeline_spark.operators.textops import (
+        _STRAT_TOTAL,
+        _stratified_sample_oracle,
+        stratified_sample,
+        text_stratified_sample,
+    )
+
+    got = _got(text_stratified_sample(spark, SF))
+    want = _duck(SF, _stratified_sample_oracle())
+    assert got == want
+    assert len(got) == _STRAT_TOTAL  # exact total, no rounding drift
+    for _s, _l, alloc, _id, rk in got:
+        assert 1 <= rk <= alloc
+
+    # planted largest-remainder: counts 5/3/2 of K=7 over N=10 ->
+    # quotas 3.5/2.1/1.4, floors 3/2/1 (sum 6), the one leftover goes
+    # to the largest remainder .5 -> stratum a gets 4.
+    rows = (
+        [("a", i) for i in range(5)]
+        + [("b", 10 + i) for i in range(3)]
+        + [("c", 20 + i) for i in range(2)]
+    )
+    pd.DataFrame(
+        {
+            "doc_id": [i for _, i in rows],
+            "text": ["w"] * 10,
+            "lang": ["en"] * 10,
+            "source": [s for s, _ in rows],
+            "n_chars": [0] * 10,
+        }
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+    from finance_pipeline_spark.registry import load
+
+    got = _got(stratified_sample(load(spark, str(tmp_path), "documents"), k=7))
+    assert got == _duck(str(tmp_path), _stratified_sample_oracle(k=7))
+    per = {}
+    for s, _l, alloc, _id, _rk in got:
+        per[s] = alloc
+    assert per == {"a": 4, "b": 2, "c": 1} and len(got) == 7
+
+
+def test_stratified_sample_k_exceeds_stratum(spark, tmp_path):
+    """When K approaches N the per-stratum cap keeps alloc <= n."""
+    from finance_pipeline_spark.operators.textops import (
+        _stratified_sample_oracle,
+        stratified_sample,
+    )
+    from finance_pipeline_spark.registry import load
+
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": ["w"] * 4,
+            "lang": ["en"] * 4,
+            "source": ["a", "a", "a", "b"],
+            "n_chars": [0] * 4,
+        }
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+    got = _got(stratified_sample(load(spark, str(tmp_path), "documents"), k=4))
+    assert got == _duck(str(tmp_path), _stratified_sample_oracle(k=4))
+    assert len(got) == 4  # every doc sampled, no stratum over-drawn
+
+
+def test_eval_contamination_matches_duckdb_and_planted(spark, tmp_path):
+    """Max train-cosine per eval vector with min-id tie-break, planted
+    exact-duplicate caught at cosine 1.0."""
+    from finance_pipeline_spark.operators.similarity import (
+        _eval_contamination_oracle,
+        ann_eval_contamination,
+    )
+
+    got = _got(ann_eval_contamination(spark, SF))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SF}/embeddings.parquet'"
+    )
+    want = sorted(
+        map(tuple, con.execute(_eval_contamination_oracle()).fetchall())
+    )
+    assert got == want and len(got) > 0
+    for _v, split, mc, _nn in got:
+        assert split in ("val", "test") and -1.0 <= mc <= 1.0
+
+    # planted: find ids landing in each split bucket, plant an exact
+    # duplicate pair across the split and an orthogonal eval vector.
+    import hashlib
+
+    def pm(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:6], 16) % 1000
+
+    train_id = next(i for i in range(1, 500) if pm(i) < 980)
+    dup_eval = next(i for i in range(1, 500) if pm(i) >= 980)
+    far_eval = next(
+        i for i in range(dup_eval + 1, 2000) if pm(i) >= 980
+    )
+    pd.DataFrame(
+        {
+            "vec_id": [train_id, dup_eval, far_eval],
+            "embedding": [[1.0, 0.0], [1.0, 0.0], [0.0, 1.0]],
+            "label": [0, 0, 1],
+        }
+    ).to_parquet(str(tmp_path / "embeddings.parquet"))
+    got = {r[0]: r for r in _got(ann_eval_contamination(spark, str(tmp_path)))}
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{tmp_path}/embeddings.parquet'"
+    )
+    want = {
+        r[0]: tuple(r)
+        for r in con.execute(_eval_contamination_oracle()).fetchall()
+    }
+    assert got == want
+    assert got[dup_eval][2:] == (1.0, train_id)  # duplicate caught
+    assert got[far_eval][2] == 0.0  # orthogonal -> zero cosine
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["text_ngram_novelty", "source_overlap_matrix", "text_stratified_sample"],
+)
+def test_staged_ops_are_not_registered_yet(name):
+    """The r14 window is sealed — these ship as staged functions only;
+    registration is an explicit r15 act."""
+    from finance_pipeline_spark import registry
+
+    registry.load_all()
+    assert name not in registry.QUERIES
