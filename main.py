@@ -201,6 +201,39 @@ def corpus_main(argv: list[str]) -> int:
                    help="total budget as corpus-epoch multiples (default: operator default)")
 
     p = sub.add_parser(
+        "datasheet",
+        help="per-(source, language) dataset datasheet: docs, tokens, "
+        "median length, mean quality, dup fraction, token share",
+    )
+    p.add_argument("--source-dir", required=True)
+
+    p = sub.add_parser(
+        "source-overlap",
+        help="pairwise shared-trigram counts + vocabulary Jaccard "
+        "between sources (mirrored-crawl forensics)",
+    )
+    p.add_argument("--source-dir", required=True)
+    p.add_argument("--top", type=int, default=10,
+                   help="pairs to print, highest Jaccard first")
+
+    p = sub.add_parser(
+        "novelty",
+        help="corpus self-overlap summary: per-doc shared-trigram "
+        "fraction distribution (templated-source diagnostic)",
+    )
+    p.add_argument("--source-dir", required=True)
+
+    p = sub.add_parser(
+        "sample-eval",
+        help="stratified eval sample: largest-remainder allocation "
+        "over (source, lang), deterministic md5 pick",
+    )
+    p.add_argument("--source-dir", required=True)
+    p.add_argument("--k", type=int, default=100)
+    p.add_argument("--out", default=None,
+                   help="optional parquet path for the sampled rows")
+
+    p = sub.add_parser(
         "curate",
         help="batch curation: screen -> LM screen -> dedup -> scrub -> "
         "decontaminate -> sharded export",
@@ -334,6 +367,88 @@ def corpus_main(argv: list[str]) -> int:
                 }
                 for r in rows
             }
+        }))
+        return 0
+    if args.cmd == "datasheet":
+        from finance_pipeline_spark.operators.textops import text_dataset_card
+
+        rows = text_dataset_card(spark, args.source_dir).collect()
+        print(json.dumps({  # strata-sized frame: driver-safe by design
+            f"{r['source']}/{r['lang']}": {
+                "docs": r["n_docs"], "tokens": r["n_tokens"],
+                "median_doc_tokens": r["median_doc_tokens"],
+                "mean_quality": round(r["mean_quality"], 4),
+                "dup_frac": round(r["dup_frac"], 4),
+                "token_share_permille": r["token_share_permille"],
+            } for r in rows
+        }))
+        return 0
+    if args.cmd == "source-overlap":
+        from pyspark.sql import functions as F
+
+        from finance_pipeline_spark.operators.textops import (
+            source_overlap_matrix,
+        )
+
+        rows = (  # sources^2 frame: driver-safe by design
+            source_overlap_matrix(spark, args.source_dir)
+            .orderBy(F.col("jaccard").desc(), "source_a", "source_b")
+            .limit(args.top)
+            .collect()
+        )
+        print(json.dumps({"pairs": [
+            {"a": r["source_a"], "b": r["source_b"],
+             "shared_grams": r["n_shared_grams"],
+             "jaccard": round(r["jaccard"], 4)} for r in rows
+        ]}))
+        return 0
+    if args.cmd == "novelty":
+        from pyspark.sql import functions as F
+
+        from finance_pipeline_spark.operators.textops import (
+            text_ngram_novelty,
+        )
+
+        s = text_ngram_novelty(spark, args.source_dir).agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.avg("shared_frac").alias("mean_frac"),
+            F.sum(
+                F.when(F.col("shared_frac") >= 0.9, 1).otherwise(0)
+            ).alias("templated"),
+            F.sum(
+                F.when(F.col("shared_frac") == 0.0, 1).otherwise(0)
+            ).alias("all_novel"),
+        ).collect()[0]
+        print(json.dumps({
+            "docs": s["docs"],
+            "mean_shared_frac": round(s["mean_frac"] or 0.0, 4),
+            "docs_templated_ge_90pct": s["templated"],
+            "docs_fully_novel": s["all_novel"],
+        }))
+        return 0
+    if args.cmd == "sample-eval":
+        from pyspark.sql import functions as F
+
+        from finance_pipeline_spark.operators.textops import (
+            stratified_sample,
+        )
+
+        sample = stratified_sample(
+            spark.read.parquet(f"{args.source_dir}/documents.parquet"),
+            k=args.k,
+        )
+        if args.out:
+            sample.write.mode("overwrite").parquet(args.out)
+            sample = spark.read.parquet(args.out)
+        per = {  # strata-sized after the agg: driver-safe
+            f"{r['source']}/{r['lang']}": r["n"]
+            for r in sample.groupBy("source", "lang")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        print(json.dumps({
+            "k": args.k, "sampled": sum(per.values()),
+            "strata": per, "out": args.out,
         }))
         return 0
     if args.cmd == "bpe-train":

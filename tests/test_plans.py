@@ -420,18 +420,21 @@ def test_stratified_sample_group_limit_and_broadcast_alloc(spark):
     assert "EvalPython" not in plan and "PythonUDF" not in plan
 
 
-def test_eval_contamination_broadcasts_eval_side_only(spark):
-    """Embedding contamination audit (staged r15): the ~2% eval side
-    broadcasts into a nested-loop join (the deliberate broadcast
-    cross — one scan over train, no train-row shuffle), all-JVM
-    cosine folds, scans pruned to (vec_id, embedding)."""
+def test_eval_contamination_arrow_kernel_no_pair_shuffle(spark):
+    """Embedding contamination audit (staged r15): the ann_cosine_topk
+    kernel shape — the broadcast eval matrix is scored against train
+    Arrow batches inside MapInPandas (each batch pre-reduces to
+    |eval| rows × ties, so no train-row or pair-row shuffle exists),
+    never a cartesian/nested-loop pair join, and no row-at-a-time
+    Python. Scans pruned to (vec_id, embedding)."""
     from finance_pipeline_spark.operators.similarity import (
         ann_eval_contamination,
     )
 
     plan = _direct_plan(spark, ann_eval_contamination(spark, SF))
-    assert "BroadcastNestedLoopJoin" in plan
-    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
-    assert "EvalPython" not in plan and "PythonUDF" not in plan
+    assert "MapInPandas" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan  # Arrow-batched only
     for s in read_schemas(plan):
         assert s.startswith("vec_id:bigint,embedding:array<float"), s
