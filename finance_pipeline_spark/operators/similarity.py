@@ -2548,3 +2548,99 @@ def _eval_contamination_oracle() -> str:
       ON p.eval_vec = m.eval_vec AND p.cosine = m.max_cosine
     GROUP BY 1, 2, 3
     """
+
+
+def emb_label_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label DOMAIN-FINGERPRINT similarity matrix (staged for
+    r15): the exact centroid of every label's embedding cloud (labels
+    are the domain/cluster key throughout the similarity family) and
+    the pairwise cosine between centroids. This is the mixture-design
+    table a curation pass reads before deciding which domains to
+    merge, cap, or sample together — two labels at centroid cosine
+    ≈ 1 are one domain wearing two names; the ANN side uses the same
+    signal to co-locate cells.
+
+    Exactness: per-(label, dim) sums run as ``round(x, 9) →
+    decimal(38,12)`` — exact and ORDER-FREE (the engine's standard
+    distributed-float-sum trick, the classifier-gradient recipe), so
+    the centroid is identical no matter how Spark partitions the
+    corpus; the two divisions and the final cosine fold are IEEE ops
+    in dim order on both engines, rounded to 4 dp.
+
+    Scale shape: one scan → posexplode to (corpus × dim) rows, but
+    the groupBy's PARTIAL aggregate reduces each task to |labels| ×
+    dim rows before the exchange; everything after (array assembly,
+    pair join) is label-cardinality-sized. Output C(|labels|, 2)
+    rows."""
+    e = load(spark, sf_dir, "embeddings").select(
+        F.coalesce("label", F.lit(-1)).alias("label"),
+        F.posexplode("embedding").alias("dim", "raw"),
+    )
+    cent = e.groupBy("label", "dim").agg(
+        (
+            F.sum(
+                F.round(F.col("raw").cast("double"), 9).cast("decimal(38,12)")
+            ).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("c")
+    )
+    lab = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "c"))),
+            lambda s: s["c"],
+        ).alias("emb")
+    )
+    lab = lab.select("label", "emb", l2norm(F.col("emb")).alias("nrm")).filter(
+        F.col("nrm") > 0
+    )
+    # the label-pair self-join references this |labels|-row frame twice;
+    # Catalyst's self-join disambiguation defeats exchange reuse, so
+    # without truncation the whole scan→explode→agg pipeline runs twice
+    # (the _cosine_capped rationale — and at scale you'd materialize the
+    # centroid table anyway)
+    lab = lab.localCheckpoint()
+    a, b = lab.alias("a"), lab.alias("b")
+    cos = F.round(
+        dot(F.col("a.emb"), F.col("b.emb")) / (F.col("a.nrm") * F.col("b.nrm")),
+        4,
+    )
+    return (
+        a.join(b, F.col("a.label") < F.col("b.label"))
+        .select(
+            F.col("a.label").cast("bigint").alias("label_a"),
+            F.col("b.label").cast("bigint").alias("label_b"),
+            cos.alias("centroid_cosine"),
+        )
+    )
+
+
+def _label_centroid_oracle() -> str:
+    """DuckDB replica of ``emb_label_centroid_cosine`` — identical
+    round-9 decimal lift, exact order-free sums, dim-ordered folds."""
+    return """
+    WITH x AS (
+        SELECT coalesce(label, -1) AS label,
+               unnest(range(0, len(emb))) AS dim,
+               unnest([CAST(round(v, 9) AS DECIMAL(38,12))
+                       FOR v IN emb]) AS v
+        FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS emb
+              FROM embeddings) t
+    ), cent AS (
+        SELECT label, dim,
+               CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS c
+        FROM x GROUP BY 1, 2
+    ), lab0 AS (
+        SELECT label, list(c ORDER BY dim) AS emb FROM cent GROUP BY label
+    ), lab AS (
+        SELECT label, emb,
+               sqrt(list_sum([ci * ci FOR ci IN emb])) AS nrm
+        FROM lab0
+    ), lv AS (
+        SELECT * FROM lab WHERE nrm > 0
+    )
+    SELECT CAST(a.label AS BIGINT) AS label_a,
+           CAST(b.label AS BIGINT) AS label_b,
+           round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 4)
+             AS centroid_cosine
+    FROM lv a JOIN lv b ON a.label < b.label
+    """

@@ -438,3 +438,47 @@ def test_eval_contamination_arrow_kernel_no_pair_shuffle(spark):
     assert "BatchEvalPython" not in plan  # Arrow-batched only
     for s in read_schemas(plan):
         assert s.startswith("vec_id:bigint,embedding:array<float"), s
+
+
+def test_label_centroid_checkpointed_self_join_single_scan(spark):
+    """Domain-fingerprint matrix (staged r15): the centroid frame is
+    localCheckpoint-ed before its self-join, so the FINAL plan joins
+    two ExistingRDD reads of the |labels|-row table and contains NO
+    parquet scan at all — the scan→explode→agg pipeline ran exactly
+    once, inside the eager checkpoint (without truncation Catalyst's
+    self-join disambiguation runs it twice). The checkpoint pipeline
+    itself must be Python-free and prune to (label, embedding)."""
+    from finance_pipeline_spark.operators.similarity import (
+        emb_label_centroid_cosine,
+    )
+
+    plan = _direct_plan(spark, emb_label_centroid_cosine(spark, SF))
+    assert plan.count("Scan parquet") == 0  # both sides read the ckpt
+    assert plan.count("Scan ExistingRDD") == 2
+    assert "EvalPython" not in plan and "PythonUDF" not in plan
+
+    # the pre-checkpoint pipeline: one pruned scan, partial agg, no
+    # Python (inspect the un-truncated lineage directly)
+    from finance_pipeline_spark.operators.similarity import l2norm
+    from finance_pipeline_spark.registry import load
+    from pyspark.sql import functions as F
+
+    e = load(spark, SF, "embeddings").select(
+        F.coalesce("label", F.lit(-1)).alias("label"),
+        F.posexplode("embedding").alias("dim", "raw"),
+    )
+    cent = e.groupBy("label", "dim").agg(
+        (
+            F.sum(
+                F.round(F.col("raw").cast("double"), 9).cast("decimal(38,12)")
+            ).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("c")
+    )
+    pre = _direct_plan(spark, cent)
+    assert pre.count("Scan parquet") == 1
+    assert "HashAggregate" in pre and "EvalPython" not in pre
+    # pruned: vec_id never read (read_schemas truncates inside the
+    # nested array<float> generic, so check the raw plan text)
+    m = re.search(r"ReadSchema: struct<[^\n]*", pre)
+    assert m and "vec_id" not in m.group(0), m

@@ -1,7 +1,8 @@
 """Parity + planted-fixture pins for the second batch of r15-staged
 operators (round-14 extended session): trigram corpus-novelty,
-cross-source provenance overlap, stratified eval sampling, and the
-embedding-space eval-contamination audit.
+cross-source provenance overlap, stratified eval sampling, the
+embedding-space eval-contamination audit, and the label-centroid
+domain-fingerprint matrix.
 
 Each test runs the Spark operator AND its staged DuckDB oracle on the
 driver corpus shape (sf0.001) and on a planted corpus with hand-computed
@@ -217,7 +218,13 @@ def test_eval_contamination_matches_duckdb_and_planted(spark, tmp_path):
 
 @pytest.mark.parametrize(
     "name",
-    ["text_ngram_novelty", "source_overlap_matrix", "text_stratified_sample"],
+    [
+        "text_ngram_novelty",
+        "source_overlap_matrix",
+        "text_stratified_sample",
+        "ann_eval_contamination",
+        "emb_label_centroid_cosine",
+    ],
 )
 def test_staged_ops_are_not_registered_yet(name):
     """The r14 window is sealed — these ship as staged functions only;
@@ -226,3 +233,44 @@ def test_staged_ops_are_not_registered_yet(name):
 
     registry.load_all()
     assert name not in registry.QUERIES
+
+
+def test_label_centroid_cosine_matches_duckdb_and_planted(spark, tmp_path):
+    """Exact order-free centroids (round-9 decimal lift) and 4-dp
+    pairwise cosine; zero-norm centroids excluded on both sides."""
+    from finance_pipeline_spark.operators.similarity import (
+        _label_centroid_oracle,
+        emb_label_centroid_cosine,
+    )
+
+    def compare(sf_dir):
+        got = sorted(
+            tuple(r) for r in emb_label_centroid_cosine(spark, sf_dir).collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM "
+            f"'{sf_dir}/embeddings.parquet'"
+        )
+        want = sorted(
+            map(tuple, con.execute(_label_centroid_oracle()).fetchall())
+        )
+        assert got == want
+        return got
+
+    got = compare(SF)
+    assert len(got) == 45  # C(10,2) label pairs, none zero-norm
+    for a, b, c in got:
+        assert a < b and -1.0 <= c <= 1.0
+
+    # planted: label 0 centroid (.5,.5); label 1 centroid (1,0);
+    # label 2 is the zero vector -> zero-norm centroid, excluded.
+    pd.DataFrame(
+        {
+            "vec_id": [1, 2, 3, 4],
+            "embedding": [[1.0, 0.0], [0.0, 1.0], [2.0, 0.0], [0.0, 0.0]],
+            "label": [0, 0, 1, 2],
+        }
+    ).to_parquet(str(tmp_path / "embeddings.parquet"))
+    got = compare(str(tmp_path))
+    assert got == [(0, 1, 0.7071)]  # cos((.5,.5),(1,0)) = 1/sqrt(2)
