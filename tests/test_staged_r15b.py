@@ -274,3 +274,150 @@ def test_label_centroid_cosine_matches_duckdb_and_planted(spark, tmp_path):
     ).to_parquet(str(tmp_path / "embeddings.parquet"))
     got = compare(str(tmp_path))
     assert got == [(0, 1, 0.7071)]  # cos((.5,.5),(1,0)) = 1/sqrt(2)
+
+
+# --- hypothesis property sweeps -------------------------------------------
+# These drive the DUCKDB oracles against independent Python brute-force
+# implementations over randomized corpora. Spark <-> oracle parity is
+# pinned by the tests above, so oracle <-> brute-force transitively pins
+# the Spark operators without paying a Spark job per example.
+
+
+def test_stratified_allocation_matches_naive_hamilton_hypothesis():
+    """Largest-remainder quotas and the md5 pick order, vs a from-
+    scratch Python Hamilton allocator (dict loop, not SQL windows):
+    same floors, same +1 recipients in (remainder desc, stratum key)
+    order, same capped totals, and the sampled ids are exactly each
+    stratum's first alloc docs by md5 hex."""
+    import hashlib
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from finance_pipeline_spark.operators.textops import (
+        _stratified_sample_oracle,
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        counts=st.lists(st.integers(1, 9), min_size=1, max_size=6),
+        k=st.integers(1, 40),
+    )
+    def check(counts, k):
+        strata = [(f"s{i}", "en" if i % 2 else "de") for i in range(len(counts))]
+        rows, did = [], 0
+        for (src, lang), n in zip(strata, counts):
+            for _ in range(n):
+                rows.append((did, src, lang))
+                did += 1
+        df = pd.DataFrame(
+            {
+                "doc_id": [r[0] for r in rows],
+                "text": ["w"] * len(rows),
+                "lang": [r[2] for r in rows],
+                "source": [r[1] for r in rows],
+                "n_chars": [0] * len(rows),
+            }
+        )
+        con = duckdb.connect()
+        con.register("documents", df)
+        got = sorted(
+            map(tuple, con.execute(_stratified_sample_oracle(k=k)).fetchall())
+        )
+
+        # independent Hamilton: floors, then +1 by (rem desc, key)
+        total = sum(counts)
+        base = {s: (k * n) // total for s, n in zip(strata, counts)}
+        rem = {s: (k * n) % total for s, n in zip(strata, counts)}
+        leftover = k - sum(base.values())
+        order = sorted(strata, key=lambda s: (-rem[s], s[0], s[1]))
+        alloc = dict(base)
+        for s in order[:leftover]:
+            alloc[s] += 1
+        alloc = {
+            s: min(a, n) for (s, a), n in zip(alloc.items(), counts)
+        }
+        want = []
+        for (src, lang), n in zip(strata, counts):
+            ids = [r[0] for r in rows if (r[1], r[2]) == (src, lang)]
+            ids.sort(key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+            for rk, i in enumerate(ids[: alloc[(src, lang)]], start=1):
+                want.append((src, lang, alloc[(src, lang)], i, rk))
+        assert got == sorted(want)
+        if k <= total:
+            assert sum(alloc.values()) == k  # no rounding drift
+
+    check()
+
+
+def test_novelty_and_overlap_match_bruteforce_hypothesis():
+    """Trigram novelty counts and the source-overlap matrix vs plain
+    Python set arithmetic over randomized word-soup corpora (short and
+    empty docs included)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from finance_pipeline_spark.operators.textops import (
+        _ngram_novelty_oracle,
+        _source_overlap_oracle,
+    )
+
+    word = st.sampled_from(["a", "b", "c", "d", "e"])
+    doc = st.lists(word, min_size=0, max_size=8).map(" ".join)
+
+    @settings(max_examples=25, deadline=None)
+    @given(texts=st.lists(doc, min_size=1, max_size=8),
+           srcs=st.lists(st.sampled_from(["x", "y", "z"]), min_size=8,
+                         max_size=8))
+    def check(texts, srcs):
+        df = pd.DataFrame(
+            {
+                "doc_id": range(len(texts)),
+                "text": texts,
+                "lang": ["en"] * len(texts),
+                "source": srcs[: len(texts)],
+                "n_chars": [0] * len(texts),
+            }
+        )
+        con = duckdb.connect()
+        con.register("documents", df)
+
+        def grams(t):
+            toks = t.strip().lower().split(" ")
+            return {
+                " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+            } if len(toks) >= 3 else set()
+
+        gs = [grams(t) for t in texts]
+        # novelty: per doc, grams present in any OTHER doc
+        want_nov = []
+        for i, g in enumerate(gs):
+            others = set().union(*(gs[:i] + gs[i + 1 :])) if len(gs) > 1 else set()
+            shared = len(g & others)
+            want_nov.append(
+                (i, len(g), shared,
+                 shared / len(g) if g else None)
+            )
+        got_nov = sorted(
+            map(tuple, con.execute(_ngram_novelty_oracle()).fetchall())
+        )
+        assert got_nov == sorted(want_nov)
+
+        # overlap matrix: per source, union of its docs' grams
+        per_src: dict = {}
+        for g, s in zip(gs, srcs):
+            per_src.setdefault(s, set()).update(g)
+        want_ov = []
+        ss = sorted(per_src)
+        for i, a in enumerate(ss):
+            for b in ss[i + 1 :]:
+                inter = len(per_src[a] & per_src[b])
+                if inter:
+                    uni = len(per_src[a] | per_src[b])
+                    want_ov.append((a, b, inter, inter / uni))
+        got_ov = sorted(
+            map(tuple, con.execute(_source_overlap_oracle()).fetchall())
+        )
+        assert got_ov == sorted(want_ov)
+
+    check()
