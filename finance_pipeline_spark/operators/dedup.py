@@ -2394,3 +2394,144 @@ def dedup_url_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("verdict"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# STAGED for the r15 window (round-14 extended session): source-level
+# dedup scoping — the routing decision the cross-source overlap
+# forensics exist to inform.
+# ---------------------------------------------------------------------------
+
+_SCOPE_MIN_SHARED = 1  # shared verbatim digests before two sources are
+# routed into one dedup scope (1 = any actual replication links them;
+# raise on corpora where single shared docs are license boilerplate)
+
+
+def _source_scope_components(edges: DataFrame) -> DataFrame:
+    """Min-label propagation over an undirected SOURCE-pair list →
+    (u, comp) per edge-bearing source, with STRING labels (lexicographic
+    min — the dedup_connected_groups loop shape, kept separate so the
+    registered bigint helper stays untouched). The graph is
+    |sources|-sized by construction, so every round is a tiny job."""
+    e = (
+        edges.union(
+            edges.select(F.col("sb").alias("sa"), F.col("sa").alias("sb"))
+        )
+        .toDF("u", "w")
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        e.select("u").distinct().withColumn("comp", F.col("u"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(60):  # diameter cap; sources are few by nature
+        neighbor_min = (
+            e.join(labels.withColumnRenamed("u", "w"), "w")
+            .groupBy("u")
+            .agg(F.min("comp").alias("n_comp"))
+        )
+        new_comp = F.least(
+            F.col("comp"), F.coalesce(F.col("n_comp"), F.col("comp"))
+        )
+        with_flag = (
+            labels.join(neighbor_min, "u", "left")
+            .select(
+                "u",
+                new_comp.alias("new_comp"),
+                (new_comp != F.col("comp")).alias("chg"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        labels = with_flag.select("u", F.col("new_comp").alias("comp"))
+        if with_flag.filter("chg").limit(1).isEmpty():
+            return labels
+    raise RuntimeError(
+        "source_dedup_scopes: min-label propagation did not converge "
+        "within 60 rounds (source-graph diameter > 60)"
+    )
+
+
+def source_dedup_scopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level DEDUP SCOPES (staged for r15): sources that share
+    at least ``_SCOPE_MIN_SHARED`` verbatim text digests are routed
+    into one scope (connected components over the shared-digest
+    graph, scope id = lexicographically-min member). This is the
+    routing table the per-document dedup passes consume — mirrored
+    dumps land in one scope and dedupe against each other; disjoint
+    sources dedupe independently, which is what lets a 100 TB dedup
+    run partition into per-scope jobs instead of one global pass.
+
+    Exactness: digest postings are md5 (engine-identical), shared
+    counts are integers, the component fixpoint is the
+    `dedup_connected_groups` recursive-CTE semantics with string
+    (lexicographic) min labels. Sources with no shared content scope
+    to themselves on both engines.
+
+    Scale shape: postings dedupe to (digest, source) with map-side
+    combine; the digest self-join fans ≤ C(|sources-per-digest|, 2)
+    per digest (a digest lives in few sources); the component loop
+    runs on the |sources|-sized graph — every round a tiny job. One
+    corpus scan total."""
+    post = (
+        load(spark, sf_dir, "documents")
+        .select(
+            F.coalesce("source", F.lit("unknown")).alias("source"),
+            F.md5(F.coalesce("text", F.lit(""))).alias("digest"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # postings feed the self-join AND
+        # the source universe; self-join disambiguation would re-scan
+    )
+    a, b = post.alias("a"), post.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.digest") == F.col("b.digest"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("sa"), F.col("b.source").alias("sb")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= _SCOPE_MIN_SHARED)
+        .select("sa", "sb")
+    )
+    comp = _source_scope_components(edges)
+    return (
+        post.select("source")
+        .distinct()
+        .join(comp.withColumnRenamed("u", "source"), "source", "left")
+        .select(
+            "source",
+            F.coalesce("comp", F.col("source")).alias("scope"),
+        )
+    )
+
+
+def _source_scopes_oracle() -> str:
+    """DuckDB replica of ``source_dedup_scopes`` — same digest-edge
+    construction, recursive-CTE min-label fixpoint, singleton union."""
+    return f"""
+    WITH RECURSIVE post AS (
+        SELECT DISTINCT coalesce(source, 'unknown') AS source,
+               md5(coalesce(text, '')) AS digest
+        FROM documents
+    ), pairs AS (
+        SELECT a.source AS sa, b.source AS sb
+        FROM post a JOIN post b
+          ON a.digest = b.digest AND a.source < b.source
+        GROUP BY 1, 2 HAVING count(*) >= {_SCOPE_MIN_SHARED}
+    ), edges AS (
+        SELECT sa AS u, sb AS w FROM pairs
+        UNION SELECT sb, sa FROM pairs
+    ), labels(u, comp) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT e.u, l.comp FROM edges e JOIN labels l ON l.u = e.w
+    ), cc AS (
+        SELECT u, min(comp) AS comp FROM labels GROUP BY u
+    )
+    SELECT s.source, coalesce(cc.comp, s.source) AS scope
+    FROM (SELECT DISTINCT source FROM post) s
+    LEFT JOIN cc ON cc.u = s.source
+    """

@@ -421,3 +421,43 @@ def test_novelty_and_overlap_match_bruteforce_hypothesis():
         assert got_ov == sorted(want_ov)
 
     check()
+
+
+def test_source_dedup_scopes_matches_duckdb_and_planted(spark, tmp_path):
+    """Connected components over the shared-digest source graph:
+    transitive chains merge (A-B and B-C share docs -> one scope even
+    though A and C share nothing), disjoint sources scope to
+    themselves."""
+    from finance_pipeline_spark.operators.dedup import (
+        _source_scopes_oracle,
+        source_dedup_scopes,
+    )
+
+    got = _got(source_dedup_scopes(spark, SF))
+    want = _duck(SF, _source_scopes_oracle())
+    assert got == want and len(got) == 20
+    for s, sc in got:
+        assert sc <= s  # scope is the lexicographic min member
+
+    # planted: docs "p" in A+B, "q" in B+C (chain), D disjoint,
+    # E+F share "r" (second component)
+    rows = [
+        (1, "p", "A"), (2, "p", "B"), (3, "q", "B"), (4, "q", "C"),
+        (5, "z", "D"), (6, "r", "E"), (7, "r", "F"),
+    ]
+    pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in rows],
+            "text": [r[1] for r in rows],
+            "lang": ["en"] * len(rows),
+            "source": [r[2] for r in rows],
+            "n_chars": [0] * len(rows),
+        }
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+    got = dict(_got(source_dedup_scopes(spark, str(tmp_path))))
+    assert got == dict(_duck(str(tmp_path), _source_scopes_oracle()))
+    assert got == {
+        "A": "A", "B": "A", "C": "A",  # transitive chain
+        "D": "D",                      # singleton
+        "E": "E", "F": "E",            # second component
+    }

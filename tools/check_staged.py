@@ -34,6 +34,7 @@ def _staged():
     emptiness at end of r15 is the done-check.
     """
     from finance_pipeline_spark.operators import classifier as C
+    from finance_pipeline_spark.operators import dedup as D
     from finance_pipeline_spark.operators import similarity as S
     from finance_pipeline_spark.operators import textops as T
 
@@ -75,6 +76,10 @@ def _staged():
         "emb_label_centroid_cosine": (
             S.emb_label_centroid_cosine,
             S._label_centroid_oracle,
+        ),
+        "source_dedup_scopes": (
+            D.source_dedup_scopes,
+            D._source_scopes_oracle,
         ),
     }
 
