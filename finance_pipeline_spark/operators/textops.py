@@ -1989,6 +1989,150 @@ def text_unimax_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unimax_alloc(load(spark, sf_dir, "documents"))
 
 
+_TEMP_HALVINGS = 1  # α = 0.5 ** _TEMP_HALVINGS (1 → α=0.5, 2 → α=0.25):
+# only exponents reachable by repeated IEEE square roots keep the two
+# engines bit-identical — sqrt is correctly rounded on both, pow() is
+# not. XLM-R's α=0.3 is NOT representable this way; 0.25/0.5 bracket it.
+_TEMP_W_SCALE = 1_000_000  # micro-integer weight quantization. The
+# bigint Hamilton products are bounded by min(B, Σu)·max(u) < 2^63,
+# which holds through ~4e8-token corpora at micro scale; the 100 TB
+# form drops to milli quantization (or lifts the two products to
+# decimal(38,0)) — the quantization level is part of the mixture spec
+# and must match between planner and trainer either way.
+
+
+def temperature_alloc(
+    docs: DataFrame,
+    halvings: int = _TEMP_HALVINGS,
+    w_scale: int = _TEMP_W_SCALE,
+) -> DataFrame:
+    """Temperature-based multilingual mixture allocation (the
+    p_i ∝ n_i^α sampling of mBERT/XLM-R, public: Conneau et al. 2020
+    §3; the baseline UniMax's paper argues against — shipping both
+    lets the mixture designer read the two tables side by side):
+    re-split the corpus token budget across languages proportionally
+    to n_i^α, flattening the head and boosting the tail.
+
+    Exactness: n_i is a bigint histogram; w_i = floor(n_i^α · scale)
+    with n_i^α computed as ``halvings`` repeated IEEE square roots —
+    every step correctly rounded on BOTH engines (pinned by a 38k-value
+    cross-engine sweep in tests), so w_i is an engine-identical bigint.
+    The budget B = Σ n_i then splits by exact largest-remainder
+    (Hamilton) arithmetic over the integer weights: quota_i =
+    ⌊B·w_i/Σw⌋ computed overflow-split as (B//Σw)·w_i +
+    ⌊(B%Σw)·w_i/Σw⌋, leftovers to the largest remainders (ties by
+    lang ascending). Σ alloc_tokens == B exactly, on both engines.
+
+    Scale shape: ONE map-side-combined groupBy reduces the corpus to
+    the language histogram; every window after that is bounded by
+    language cardinality (~hundreds) — the unimax_alloc discipline."""
+    from pyspark.sql import Window as W
+
+    per_lang = (
+        docs.select(
+            F.coalesce(F.col("lang"), F.lit("und")).alias("lang"),
+            F.size(_tokens()).cast("bigint").alias("nt"),
+        )
+        .groupBy("lang")
+        .agg(F.sum("nt").alias("n_tokens"))
+    )
+    w = F.col("n_tokens").cast("double")
+    for _ in range(int(halvings)):
+        w = F.sqrt(w)
+    w_all = W.partitionBy()
+    c = (
+        per_lang.withColumn(
+            "weight_micro",
+            F.floor(w * F.lit(float(w_scale))).cast("bigint"),
+        )
+        .withColumn("budget", F.sum("n_tokens").over(w_all))
+        .withColumn("w_sum", F.sum("weight_micro").over(w_all))
+    )
+    # overflow-split exact floor(B*w/Σw): (B//Σw)*w + (B%Σw)*w // Σw —
+    # `div` is Spark's INTEGRAL division, so every step stays bigint
+    # (no double round-trip that would go lossy past 2^53)
+    quota = F.expr(
+        "(budget div w_sum) * weight_micro"
+        " + ((budget % w_sum) * weight_micro) div w_sum"
+    )
+    rem = F.expr("((budget % w_sum) * weight_micro) % w_sum")
+    q = (
+        c.withColumn("quota", quota.cast("bigint"))
+        .withColumn("rem", rem)
+        .withColumn("short", (F.col("budget") - F.sum("quota").over(w_all)))
+        .withColumn(
+            "rk",
+            F.row_number().over(W.orderBy(F.col("rem").desc(), "lang")),
+        )
+    )
+    alloc = F.col("quota") + (F.col("rk") <= F.col("short")).cast("bigint")
+    return q.withColumn("alloc_tokens", alloc).select(
+        "lang",
+        "n_tokens",
+        "weight_micro",
+        "alloc_tokens",
+        # exact integer permille: how many thousandths of an epoch of
+        # language i the mixture consumes (upsampled tails read >1000)
+        F.expr("(alloc_tokens * 1000) div n_tokens").alias(
+            "epochs_permille"
+        ),
+    )
+
+
+def _temperature_oracle(
+    halvings: int = _TEMP_HALVINGS, w_scale: int = _TEMP_W_SCALE
+) -> str:
+    """DuckDB replica of ``temperature_alloc`` — same repeated-sqrt
+    micro-weights, same overflow-split bigint Hamilton, so the match
+    is bit-exact rather than tolerance-based."""
+    w = "CAST(n_tokens AS DOUBLE)"
+    for _ in range(int(halvings)):
+        w = f"sqrt({w})"
+    return f"""
+    WITH per AS (
+        SELECT coalesce(lang, 'und') AS lang,
+               CAST(sum(len({_sql_tokens()})) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY 1
+    ), c AS (
+        SELECT lang, n_tokens,
+               CAST(floor({w} * {int(w_scale)}.0) AS BIGINT) AS weight_micro,
+               sum(n_tokens) OVER () AS budget,
+               sum(CAST(floor({w} * {int(w_scale)}.0) AS BIGINT))
+                   OVER () AS w_sum
+        FROM per
+    ), q AS (
+        SELECT *,
+               (budget // w_sum) * weight_micro
+                 + ((budget % w_sum) * weight_micro) // w_sum AS quota,
+               ((budget % w_sum) * weight_micro) % w_sum AS rem
+        FROM c
+    ), r AS (
+        SELECT *,
+               budget - sum(quota) OVER () AS short,
+               row_number() OVER (ORDER BY rem DESC, lang) AS rk
+        FROM q
+    )
+    SELECT lang, n_tokens, weight_micro,
+           CAST(quota + CASE WHEN rk <= short THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc_tokens,
+           ((quota + CASE WHEN rk <= short THEN 1 ELSE 0 END) * 1000)
+               // n_tokens AS epochs_permille
+    FROM r
+    """
+
+
+# STAGED for r15 (same contract as text_unimax_alloc below): the
+# temperature-sampling counterpart table, registered as one @query
+# line once the r15 window budget is settled.
+def text_temperature_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature mixture allocation (α=0.5) over the documents
+    table — the head-flattening/tail-boosting re-split the UniMax
+    table is the alternative to; reading both fixes the mixture
+    debate with numbers. See ``temperature_alloc`` for exactness and
+    scale-shape notes."""
+    return temperature_alloc(load(spark, sf_dir, "documents"))
+
+
 _CHUNK_TOKENS = 32  # context-window size (tokens per training chunk)
 _CHUNK_OVERLAP = 8  # tokens shared between consecutive chunks
 _CHUNK_STRIDE = _CHUNK_TOKENS - _CHUNK_OVERLAP

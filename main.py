@@ -201,6 +201,16 @@ def corpus_main(argv: list[str]) -> int:
                    help="total budget as corpus-epoch multiples (default: operator default)")
 
     p = sub.add_parser(
+        "temp-alloc",
+        help="temperature mixture allocation (p ∝ n^α): re-split the "
+        "corpus token budget across languages by repeated-sqrt "
+        "weights — the table read next to unimax-alloc",
+    )
+    p.add_argument("--source-dir", required=True)
+    p.add_argument("--halvings", type=int, default=None,
+                   help="α = 0.5^halvings (default 1 → α=0.5; 2 → α=0.25)")
+
+    p = sub.add_parser(
         "datasheet",
         help="per-(source, language) dataset datasheet: docs, tokens, "
         "median length, mean quality, dup fraction, token share",
@@ -364,6 +374,29 @@ def corpus_main(argv: list[str]) -> int:
                     "alloc_tokens": r["alloc_tokens"],
                     "epochs": round(r["epochs"], 4),
                     "capped": r["capped"],
+                }
+                for r in rows
+            }
+        }))
+        return 0
+    if args.cmd == "temp-alloc":
+        from finance_pipeline_spark.operators.textops import (
+            temperature_alloc,
+        )
+
+        kwargs = {}
+        if args.halvings is not None:
+            kwargs["halvings"] = args.halvings
+        rows = temperature_alloc(
+            spark.read.parquet(f"{args.source_dir}/documents.parquet"),
+            **kwargs,
+        ).collect()  # language-cardinality frame: driver-safe by design
+        print(json.dumps({
+            "languages": {
+                r["lang"]: {
+                    "n_tokens": r["n_tokens"],
+                    "alloc_tokens": r["alloc_tokens"],
+                    "epochs_permille": r["epochs_permille"],
                 }
                 for r in rows
             }

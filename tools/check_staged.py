@@ -44,6 +44,10 @@ def _staged():
     return {
         # --- first r14 batch (staged before the snapshot commit) ---
         "text_unimax_alloc": (T.text_unimax_alloc, T._unimax_oracle),
+        "text_temperature_alloc": (
+            T.text_temperature_alloc,
+            T._temperature_oracle,
+        ),
         "eval_overlap_report": (eval_overlap, T._eval_overlap_oracle),
         "text_bpe_fertility": (T.text_bpe_fertility, T._bpe_fertility_oracle),
         "clf_calibration_bins": (
