@@ -2133,6 +2133,199 @@ def text_temperature_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_alloc(load(spark, sf_dir, "documents"))
 
 
+_DSIR_BUCKETS = 4096  # hashed-feature dimensionality (the paper's
+# hashing trick: collisions are part of the estimator, so BOTH engines
+# must hash identically — md5 makes that a given)
+_DSIR_TARGET_LANG = "en"  # the stand-in "target domain" corpus: the
+# docs whose hashed-bigram distribution raw docs are scored against.
+# In production this is the small curated target set (e.g. Wikipedia);
+# a lang slice is the strongest deterministic proxy this schema offers.
+_DSIR_K = 100  # resample size: how many raw docs the selection keeps
+
+
+def dsir_select(
+    docs: DataFrame,
+    n_buckets: int = _DSIR_BUCKETS,
+    target_lang: str = _DSIR_TARGET_LANG,
+    k: int = _DSIR_K,
+) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.
+    2023, public): score every document by how much more likely its
+    hashed-bigram bag is under the TARGET distribution than under the
+    RAW distribution, and select the raw docs that lean target.
+
+    Estimator: bigram occurrences hash into ``n_buckets`` md5 buckets;
+    target/raw bucket models are add-1-smoothed multinomials
+    p(b) = (c_b + 1) / (T + n_buckets); a doc's log importance weight
+    is Σ over its bigram OCCURRENCES of log p_t(b) − log p_r(b). The
+    paper resamples ``k`` docs with Gumbel noise; the deterministic
+    variant here takes the top-``k`` NON-target docs by logw (ties by
+    doc_id), which keeps the operator reproducible and
+    oracle-checkable. (A fixed logw > 0 cut is the wrong rule: the
+    raw-usage-weighted mean log-ratio is a −KL quantity, so absolute
+    logw is systematically negative and only the RANKING carries the
+    selection signal.)
+
+    Exactness (the KN-scorer recipe): every count is bigint; each of
+    the two per-bucket logs rounds to 6 dp and lifts to decimal(38,6)
+    BEFORE the subtraction, so the per-doc aggregate is an exact
+    order-free decimal sum; logw is that sum cast to double once. Docs
+    under 2 tokens carry zero features, logw = 0, never selected.
+
+    Scale shape: one corpus scan builds both bucket tables in a single
+    map-side-combined groupBy (cr = all, ct = target-filtered — no
+    second pass over the corpus); the ratio table is n_buckets-sized
+    and BROADCASTS into the scoring join, so the only corpus-sized
+    shuffle keys on doc_id for the per-doc sum. No windows over corpus
+    frames; the totals window runs on the n_buckets-sized table; the
+    top-k plans as TakeOrderedAndProject (per-partition heads merged
+    on the driver, k-bounded) and the selected flag joins back as a
+    k-row broadcast."""
+    from pyspark.sql import Window as W
+
+    base = docs.select(
+        "doc_id",
+        (F.coalesce("lang", F.lit("und")) == F.lit(target_lang)).alias(
+            "is_target"
+        ),
+        "text",
+    )
+    pairs = lm_pairs(
+        lm_clean(base, carry=("doc_id", "is_target")),
+        carry=("doc_id", "is_target"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws(" ", "w1a", "w2a")), 1, 6), 16, 10
+        ).cast("bigint")
+        % F.lit(int(n_buckets))
+    )
+    grams = pairs.select("doc_id", "is_target", bucket.alias("b"))
+    bt = grams.groupBy("b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cr"),
+        F.sum(F.col("is_target").cast("bigint")).alias("ct"),
+    )
+    w_all = W.partitionBy()
+    smooth = F.lit(int(n_buckets))
+
+    def _logp(c: Column, total: Column) -> Column:
+        return F.round(
+            F.log((c + F.lit(1)).cast("double") / (total + smooth).cast("double")),
+            6,
+        ).cast("decimal(38,6)")
+
+    ratio = bt.select(
+        "b",
+        (
+            _logp(F.col("ct"), F.sum("ct").over(w_all))
+            - _logp(F.col("cr"), F.sum("cr").over(w_all))
+        ).alias("lratio"),
+    )
+    scored = (
+        grams.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_feats"),
+            F.sum("lratio").alias("lw"),
+        )
+    )
+    all_docs = (
+        base.select("doc_id", "is_target")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            "is_target",
+            F.coalesce("n_feats", F.lit(0)).cast("bigint").alias("n_feats"),
+            F.coalesce(F.col("lw"), F.lit(0).cast("decimal(38,6)")).alias(
+                "lw"
+            ),
+        )
+    )
+    # featureless docs (under 2 tokens) carry no evidence: their 0
+    # score must not outrank scored docs whose logw is negative
+    topk = (
+        all_docs.filter((~F.col("is_target")) & (F.col("n_feats") > 0))
+        .orderBy(F.col("lw").desc(), "doc_id")
+        .limit(int(k))
+        .select("doc_id", F.lit(True).alias("sel"))
+    )
+    return all_docs.join(F.broadcast(topk), "doc_id", "left").select(
+        "doc_id",
+        "is_target",
+        "n_feats",
+        F.col("lw").cast("double").alias("logw"),
+        F.coalesce("sel", F.lit(False)).alias("selected"),
+    )
+
+
+def _dsir_oracle(
+    n_buckets: int = _DSIR_BUCKETS,
+    target_lang: str = _DSIR_TARGET_LANG,
+    k: int = _DSIR_K,
+) -> str:
+    """DuckDB replica of ``dsir_select`` — identical md5 bucketing,
+    add-1 bucket models, round-to-6dp decimal log-ratio sums."""
+    return f"""
+    WITH base AS (
+        SELECT doc_id,
+               coalesce(lang, 'und') = '{target_lang}' AS is_target,
+               list_filter({_sql_tokens()}, x -> x <> '') AS toks
+        FROM documents
+    ), clean AS (
+        SELECT * FROM base WHERE len(toks) >= 2
+    ), fanned AS (
+        SELECT doc_id, is_target, toks,
+               unnest(generate_series(1, len(toks) - 1)) AS i
+        FROM clean
+    ), grams AS (
+        SELECT doc_id, is_target,
+               ('0x' || substr(md5(toks[i] || ' ' || toks[i + 1]), 1, 6))
+                   ::BIGINT % {int(n_buckets)} AS b
+        FROM fanned
+    ), bt AS (
+        SELECT b, CAST(count(*) AS BIGINT) AS cr,
+               CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END)
+                    AS BIGINT) AS ct
+        FROM grams GROUP BY 1
+    ), ratio AS (
+        SELECT b,
+               CAST(round(ln(CAST(ct + 1 AS DOUBLE)
+                   / CAST(sum(ct) OVER () + {int(n_buckets)} AS DOUBLE)), 6)
+                   AS DECIMAL(38,6))
+             - CAST(round(ln(CAST(cr + 1 AS DOUBLE)
+                   / CAST(sum(cr) OVER () + {int(n_buckets)} AS DOUBLE)), 6)
+                   AS DECIMAL(38,6)) AS lratio
+        FROM bt
+    ), scored AS (
+        SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+               sum(r.lratio) AS lw
+        FROM grams g JOIN ratio r USING (b) GROUP BY 1
+    ), alldocs AS (
+        SELECT d.doc_id,
+               coalesce(d.lang, 'und') = '{target_lang}' AS is_target,
+               coalesce(s.n_feats, 0) AS n_feats,
+               coalesce(s.lw, 0) AS lw
+        FROM documents d LEFT JOIN scored s USING (doc_id)
+    ), topk AS (
+        SELECT doc_id FROM alldocs WHERE NOT is_target AND n_feats > 0
+        ORDER BY lw DESC, doc_id LIMIT {int(k)}
+    )
+    SELECT a.doc_id, a.is_target, a.n_feats,
+           CAST(a.lw AS DOUBLE) AS logw,
+           a.doc_id IN (SELECT doc_id FROM topk) AS selected
+    FROM alldocs a
+    """
+
+
+# STAGED for r15 (same contract as the mixture tables above).
+def text_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance-resampling selection over the documents table,
+    target = the English slice: raw docs whose hashed-bigram profile
+    leans English-like are selected. See ``dsir_select`` for the
+    estimator, exactness, and scale-shape notes."""
+    return dsir_select(load(spark, sf_dir, "documents"))
+
+
 _CHUNK_TOKENS = 32  # context-window size (tokens per training chunk)
 _CHUNK_OVERLAP = 8  # tokens shared between consecutive chunks
 _CHUNK_STRIDE = _CHUNK_TOKENS - _CHUNK_OVERLAP

@@ -211,6 +211,16 @@ def corpus_main(argv: list[str]) -> int:
                    help="α = 0.5^halvings (default 1 → α=0.5; 2 → α=0.25)")
 
     p = sub.add_parser(
+        "dsir-select",
+        help="DSIR importance resampling: rank raw docs by hashed-"
+        "bigram target/raw log-likelihood ratio, keep the top k",
+    )
+    p.add_argument("--source-dir", required=True)
+    p.add_argument("--target-lang", default=None,
+                   help="language slice standing in for the target corpus")
+    p.add_argument("--k", type=int, default=None, help="resample size")
+
+    p = sub.add_parser(
         "datasheet",
         help="per-(source, language) dataset datasheet: docs, tokens, "
         "median length, mean quality, dup fraction, token share",
@@ -400,6 +410,31 @@ def corpus_main(argv: list[str]) -> int:
                 }
                 for r in rows
             }
+        }))
+        return 0
+    if args.cmd == "dsir-select":
+        from pyspark.sql import functions as F
+
+        from finance_pipeline_spark.operators.textops import dsir_select
+
+        kwargs = {}
+        if args.target_lang is not None:
+            kwargs["target_lang"] = args.target_lang
+        if args.k is not None:
+            kwargs["k"] = args.k
+        out = dsir_select(
+            spark.read.parquet(f"{args.source_dir}/documents.parquet"),
+            **kwargs,
+        )
+        sel = out.filter("selected").select("doc_id", "logw")
+        picked = sel.orderBy(F.col("logw").desc(), "doc_id").collect()
+        # k-row frame: driver-safe by design
+        print(json.dumps({
+            "selected": len(picked),
+            "top": [
+                {"doc_id": r["doc_id"], "logw": round(r["logw"], 6)}
+                for r in picked[:20]
+            ],
         }))
         return 0
     if args.cmd == "datasheet":

@@ -133,6 +133,190 @@ def test_temperature_alloc_tracks_float_reference(spark, tmp_path):
         assert allocs == sorted(allocs)
 
 
+def test_dsir_select_matches_duckdb_and_planted(spark, tmp_path):
+    """DSIR importance resampling: engine parity on the corpus shape,
+    then a planted corpus where the target-like raw doc must win the
+    k=1 resample over the disjoint-vocabulary one."""
+    from finance_pipeline_spark.operators.textops import (
+        _dsir_oracle,
+        dsir_select,
+        text_dsir_select,
+    )
+    from finance_pipeline_spark.registry import load
+
+    got = _got(text_dsir_select(spark, SF))
+    want = _duck(SF, _dsir_oracle())
+    assert got == want and len(got) == 500
+    # the resample never touches target docs, and fills its k budget
+    assert sum(1 for r in got if r[4]) == 100
+    assert not any(r[1] and r[4] for r in got)
+    # ranking signal: target-language docs read more target-like than
+    # the rest on average (logw separates the slices)
+    en = [r[3] for r in got if r[1]]
+    non = [r[3] for r in got if not r[1]]
+    assert sum(en) / len(en) > sum(non) / len(non)
+
+    # planted: en target = {"the cat sat", "the cat ran"}; raw doc 10
+    # (fr) shares its bigrams with target, raw doc 11 (fr) is
+    # vocabulary-disjoint, doc 12 is featureless (1 token). k=1 must
+    # pick doc 10; the featureless doc must never be selected.
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 10, 11, 12],
+            "text": [
+                "the cat sat",
+                "the cat ran",
+                "the cat sat",
+                "xx yy zz",
+                "w",
+            ],
+            "lang": ["en", "en", "fr", "fr", "fr"],
+            "source": ["s"] * 5,
+            "n_chars": [0] * 5,
+        }
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+    rows = {
+        r["doc_id"]: r
+        for r in dsir_select(load(spark, str(tmp_path), "documents"), k=1)
+        .collect()
+    }
+    assert _got(
+        dsir_select(load(spark, str(tmp_path), "documents"), k=1)
+    ) == _duck(str(tmp_path), _dsir_oracle(k=1))
+    assert rows[10]["selected"] and not rows[11]["selected"]
+    assert rows[10]["logw"] > rows[11]["logw"]
+    assert rows[12]["n_feats"] == 0 and rows[12]["logw"] == 0.0
+    assert not rows[12]["selected"]
+    assert not rows[1]["selected"] and not rows[2]["selected"]
+
+
+def test_dsir_select_plan_contract(spark):
+    """The ratio table broadcasts into the scoring join, the resample
+    plans as TakeOrderedAndProject (k-bounded, no global sort
+    materialization), and nothing falls back to Python or a cartesian
+    product."""
+    from finance_pipeline_spark.operators.textops import text_dsir_select
+
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    plan = (
+        text_dsir_select(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan and "PythonUDF" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_temperature_and_dsir_oracles_match_bruteforce_hypothesis():
+    """Both staged oracles vs independent plain-Python brute force
+    over randomized corpora: a from-scratch integer Hamilton allocator
+    for the temperature table, and a Counter/Decimal DSIR scorer
+    (md5 buckets, HALF_UP 6-dp log rounding, top-k by (-logw, id))."""
+    import hashlib
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from finance_pipeline_spark.operators.textops import (
+        _dsir_oracle,
+        _temperature_oracle,
+    )
+
+    def r6(x: float) -> Decimal:
+        return Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+
+    def brute_temp(texts, langs):
+        counts = Counter()
+        for t, l in zip(texts, langs):
+            counts[l or "und"] += len(t.strip().lower().split(" "))
+        w = {l: math.floor(math.sqrt(n) * 1e6) for l, n in counts.items()}
+        b, u = sum(counts.values()), sum(w.values())
+        q = {l: (b // u) * wi + ((b % u) * wi) // u for l, wi in w.items()}
+        rem = {l: ((b % u) * wi) % u for l, wi in w.items()}
+        order = sorted(counts, key=lambda l: (-rem[l], l))
+        for l in order[: b - sum(q.values())]:
+            q[l] += 1
+        return sorted(
+            (l, counts[l], w[l], q[l], (q[l] * 1000) // counts[l])
+            for l in counts
+        )
+
+    def brute_dsir(texts, langs, k=3, nb=4096, target="en"):
+        def toks(t):
+            return [x for x in t.strip().lower().split(" ") if x]
+
+        def bkt(g):
+            return int(hashlib.md5(g.encode()).hexdigest()[:6], 16) % nb
+
+        docs, ct, cr = [], Counter(), Counter()
+        for i, (t, l) in enumerate(zip(texts, langs)):
+            ts = toks(t)
+            bs = (
+                [bkt(f"{ts[j]} {ts[j+1]}") for j in range(len(ts) - 1)]
+                if len(ts) >= 2
+                else []
+            )
+            is_t = (l or "und") == target
+            docs.append((i, is_t, bs))
+            for x in bs:
+                cr[x] += 1
+                if is_t:
+                    ct[x] += 1
+        tt, tr = sum(ct.values()), sum(cr.values())
+        lr = {
+            x: r6(math.log((ct[x] + 1) / (tt + nb)))
+            - r6(math.log((cr[x] + 1) / (tr + nb)))
+            for x in cr
+        }
+        scored = [
+            (i, is_t, len(bs), sum((lr[x] for x in bs), Decimal(0)))
+            for i, is_t, bs in docs
+        ]
+        pool = sorted(
+            (r for r in scored if not r[1] and r[2] > 0),
+            key=lambda r: (-r[3], r[0]),
+        )
+        top = {r[0] for r in pool[:k]}
+        return sorted(
+            (i, is_t, n, float(lw), i in top) for i, is_t, n, lw in scored
+        )
+
+    word = st.sampled_from(["a", "b", "c", "dd", "ee"])
+    doc = st.lists(word, min_size=0, max_size=8).map(" ".join)
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        texts=st.lists(doc, min_size=1, max_size=10),
+        langs=st.lists(
+            st.sampled_from(["en", "fr", "zh"]), min_size=10, max_size=10
+        ),
+    )
+    def check(texts, langs):
+        langs = langs[: len(texts)]
+        df = pd.DataFrame(
+            {
+                "doc_id": range(len(texts)),
+                "text": texts,
+                "lang": langs,
+                "source": ["s"] * len(texts),
+                "n_chars": [0] * len(texts),
+            }
+        )
+        con = duckdb.connect()
+        con.register("documents", df)
+        got_t = sorted(map(tuple, con.execute(_temperature_oracle()).fetchall()))
+        assert got_t == brute_temp(texts, langs)
+        got_d = sorted(map(tuple, con.execute(_dsir_oracle(k=3)).fetchall()))
+        assert got_d == brute_dsir(texts, langs, k=3)
+
+    check()
+
+
 def test_temperature_alloc_single_scan_pure_codegen(spark):
     """Plan contract (the unimax discipline): ONE parquet scan feeds
     the language-histogram groupBy with a partial (map-side) aggregate;

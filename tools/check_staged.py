@@ -48,6 +48,7 @@ def _staged():
             T.text_temperature_alloc,
             T._temperature_oracle,
         ),
+        "text_dsir_select": (T.text_dsir_select, T._dsir_oracle),
         "eval_overlap_report": (eval_overlap, T._eval_overlap_oracle),
         "text_bpe_fertility": (T.text_bpe_fertility, T._bpe_fertility_oracle),
         "clf_calibration_bins": (
