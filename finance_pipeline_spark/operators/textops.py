@@ -2148,6 +2148,7 @@ def dsir_select(
     n_buckets: int = _DSIR_BUCKETS,
     target_lang: str = _DSIR_TARGET_LANG,
     k: int = _DSIR_K,
+    gumbel_seed: str | None = None,
 ) -> DataFrame:
     """DSIR — Data Selection via Importance Resampling (Xie et al.
     2023, public): score every document by how much more likely its
@@ -2158,13 +2159,18 @@ def dsir_select(
     target/raw bucket models are add-1-smoothed multinomials
     p(b) = (c_b + 1) / (T + n_buckets); a doc's log importance weight
     is Σ over its bigram OCCURRENCES of log p_t(b) − log p_r(b). The
-    paper resamples ``k`` docs with Gumbel noise; the deterministic
-    variant here takes the top-``k`` NON-target docs by logw (ties by
+    paper resamples ``k`` docs via Gumbel top-k; the default here is
+    the deterministic top-``k`` NON-target docs by logw (ties by
     doc_id), which keeps the operator reproducible and
     oracle-checkable. (A fixed logw > 0 cut is the wrong rule: the
     raw-usage-weighted mean log-ratio is a −KL quantity, so absolute
     logw is systematically negative and only the RANKING carries the
-    selection signal.)
+    selection signal.) Passing ``gumbel_seed`` opts into the paper's
+    actual sampling-without-replacement ∝ exp(logw): the resample key
+    becomes logw + Gumbel(0,1) noise derived from
+    md5(seed:doc_id) — u = (h₂₄ + 0.5)/2²⁴, g = −ln(−ln(u)) rounded
+    to 6 dp and lifted to decimal — so the draw is seeded,
+    reproducible, engine-replicable, and re-seedable per epoch.
 
     Exactness (the KN-scorer recipe): every count is bigint; each of
     the two per-bucket logs rounds to 6 dp and lifts to decimal(38,6)
@@ -2241,11 +2247,33 @@ def dsir_select(
             ),
         )
     )
+    if gumbel_seed is not None:
+        h24 = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.lit(str(gumbel_seed)),
+                        F.col("doc_id").cast("string"),
+                    )
+                ),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        u = (h24.cast("double") + F.lit(0.5)) / F.lit(16777216.0)
+        key = F.col("lw") + F.round(-F.log(-F.log(u)), 6).cast(
+            "decimal(38,6)"
+        )
+    else:
+        key = F.col("lw")
     # featureless docs (under 2 tokens) carry no evidence: their 0
     # score must not outrank scored docs whose logw is negative
     topk = (
         all_docs.filter((~F.col("is_target")) & (F.col("n_feats") > 0))
-        .orderBy(F.col("lw").desc(), "doc_id")
+        .orderBy(key.desc(), "doc_id")
         .limit(int(k))
         .select("doc_id", F.lit(True).alias("sel"))
     )
@@ -2262,9 +2290,19 @@ def _dsir_oracle(
     n_buckets: int = _DSIR_BUCKETS,
     target_lang: str = _DSIR_TARGET_LANG,
     k: int = _DSIR_K,
+    gumbel_seed: str | None = None,
 ) -> str:
     """DuckDB replica of ``dsir_select`` — identical md5 bucketing,
-    add-1 bucket models, round-to-6dp decimal log-ratio sums."""
+    add-1 bucket models, round-to-6dp decimal log-ratio sums, and the
+    same seeded md5-Gumbel resample key when ``gumbel_seed`` is set."""
+    if gumbel_seed is not None:
+        key = (
+            "lw + CAST(round(-ln(-ln((('0x' || substr(md5("
+            f"'{gumbel_seed}:' || CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT"
+            " + 0.5) / 16777216.0)), 6) AS DECIMAL(38,6))"
+        )
+    else:
+        key = "lw"
     return f"""
     WITH base AS (
         SELECT doc_id,
@@ -2308,7 +2346,7 @@ def _dsir_oracle(
         FROM documents d LEFT JOIN scored s USING (doc_id)
     ), topk AS (
         SELECT doc_id FROM alldocs WHERE NOT is_target AND n_feats > 0
-        ORDER BY lw DESC, doc_id LIMIT {int(k)}
+        ORDER BY {key} DESC, doc_id LIMIT {int(k)}
     )
     SELECT a.doc_id, a.is_target, a.n_feats,
            CAST(a.lw AS DOUBLE) AS logw,

@@ -219,6 +219,9 @@ def corpus_main(argv: list[str]) -> int:
     p.add_argument("--target-lang", default=None,
                    help="language slice standing in for the target corpus")
     p.add_argument("--k", type=int, default=None, help="resample size")
+    p.add_argument("--gumbel-seed", default=None,
+                   help="opt into the paper's Gumbel top-k resample, "
+                   "seeded + reproducible (default: deterministic top-k)")
 
     p = sub.add_parser(
         "datasheet",
@@ -422,6 +425,8 @@ def corpus_main(argv: list[str]) -> int:
             kwargs["target_lang"] = args.target_lang
         if args.k is not None:
             kwargs["k"] = args.k
+        if args.gumbel_seed is not None:
+            kwargs["gumbel_seed"] = args.gumbel_seed
         out = dsir_select(
             spark.read.parquet(f"{args.source_dir}/documents.parquet"),
             **kwargs,

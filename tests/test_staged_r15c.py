@@ -190,6 +190,39 @@ def test_dsir_select_matches_duckdb_and_planted(spark, tmp_path):
     assert not rows[1]["selected"] and not rows[2]["selected"]
 
 
+def test_dsir_gumbel_resample_seeded_and_engine_stable(spark):
+    """The opt-in Gumbel top-k mode (the paper's actual resampling):
+    same seed → identical draw on both engines; different seeds →
+    different draws that still concentrate on high-logw docs (the
+    noise perturbs the tail, not the head)."""
+    from finance_pipeline_spark.operators.textops import (
+        _dsir_oracle,
+        dsir_select,
+    )
+    from finance_pipeline_spark.registry import load
+
+    det = _got(dsir_select(load(spark, SF, "documents")))
+    det_sel = {r[0] for r in det if r[4]}
+    head = {
+        r[0]
+        for r in sorted(
+            (r for r in det if not r[1] and r[2] > 0),
+            key=lambda r: (-r[3], r[0]),
+        )[:20]
+    }
+    draws = []
+    for seed in ("s1", "epoch-7"):
+        got = _got(
+            dsir_select(load(spark, SF, "documents"), gumbel_seed=seed)
+        )
+        assert got == _duck(SF, _dsir_oracle(gumbel_seed=seed))
+        sel = {r[0] for r in got if r[4]}
+        assert len(sel) == 100 and sel != det_sel  # noise moved the tail
+        assert head <= sel  # ...but the head survives the draw
+        draws.append(sel)
+    assert draws[0] != draws[1]  # seeds are independent draws
+
+
 def test_dsir_select_plan_contract(spark):
     """The ratio table broadcasts into the scoring join, the resample
     plans as TakeOrderedAndProject (k-bounded, no global sort
