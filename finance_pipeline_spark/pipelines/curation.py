@@ -58,6 +58,8 @@ def curate_corpus(
     n_shards: int = 4,
     warc_dir: str | None = None,
     token_budget: int | None = None,
+    dsir_k: int | None = None,
+    dsir_seed: str | None = None,
 ) -> dict:
     """Run the full curation pass over ``sf_dir``'s documents table and
     export train-ready shards under ``out_dir``. Returns a stats dict
@@ -72,7 +74,11 @@ def curate_corpus(
     docs taken within the budget (val/test ride through untouched:
     the recipe shapes what the model trains on, never the eval sets);
     default None = stage off, byte-identical to the pre-r14
-    pipeline."""
+    pipeline. With ``dsir_k``, a DSIR importance-resampling stage
+    (``operators/textops.dsir_select``) runs LAST before export: the
+    TRAIN split shrinks to the target-language slice plus the ``k``
+    most target-like other docs (optionally a seeded Gumbel draw via
+    ``dsir_seed``); val/test again ride through untouched."""
     import time
 
     logger = get_logger()
@@ -379,6 +385,34 @@ def curate_corpus(
         n_budgeted = final.count()
         log("mix_budget", kept=n_budgeted, budget_per_source=token_budget)
 
+    # 4d. Optional DSIR importance resampling — train shrinks to the
+    # target slice plus the k most target-like raw docs (exp(logw)-
+    # proportional Gumbel draw when seeded). The kept-ID set includes
+    # the whole target slice (corpus-scaled, not k-row), so it joins
+    # by doc_id with NO broadcast hint — AQE decides (standing rule);
+    # val/test never thin.
+    n_dsir = None
+    if dsir_k is not None:
+        from finance_pipeline_spark.operators.textops import dsir_select
+
+        train_side = final.filter(F.col("split") == "train")
+        picks = (
+            dsir_select(
+                train_side.select("doc_id", "lang", "text"),
+                k=int(dsir_k),
+                gumbel_seed=dsir_seed,
+            )
+            .filter(F.col("is_target") | F.col("selected"))
+            .select("doc_id")
+        )
+        final = (
+            train_side.join(picks, "doc_id")
+            .unionByName(final.filter(F.col("split") != "train"))
+            .localCheckpoint(eager=True)
+        )
+        n_dsir = final.count()
+        log("dsir", kept=n_dsir, k=dsir_k, seeded=dsir_seed is not None)
+
     # 5. Sharded export — md5-mod shard assignment + integrity manifest
     # (write_training_shards re-verifies per-shard digests on read).
     manifest = write_training_shards(final, out_dir, n_shards, key_col="doc_id")
@@ -397,9 +431,14 @@ def curate_corpus(
         "n_docs_in_dropped_buckets": n_dropped_docs,
         "lm_buckets": lm_buckets,
         "n_after_scrub": n_scrub,
-        "n_exported": n_budgeted if n_budgeted is not None else n_final,
+        "n_exported": (
+            n_dsir
+            if n_dsir is not None
+            else (n_budgeted if n_budgeted is not None else n_final)
+        ),
         "n_decontaminated": n_final,
         "n_after_budget": n_budgeted,
+        "n_after_dsir": n_dsir,
         "residual_leak_pairs": residual_leaks,
         "splits": splits,
         "manifest": manifest,

@@ -275,6 +275,11 @@ def corpus_main(argv: list[str]) -> int:
                    help="optional per-source token budget for the "
                    "train split (the data-recipe stage; val/test "
                    "untouched)")
+    p.add_argument("--dsir-k", type=int, default=None,
+                   help="optional DSIR resample: shrink train to the "
+                   "target slice + k most target-like docs")
+    p.add_argument("--dsir-seed", default=None,
+                   help="seed the DSIR stage's Gumbel draw")
     args = ap.parse_args(argv)
     if args.cmd == "curate" and not (args.source_dir or args.warc_dir):
         ap.error("curate requires --source-dir or --warc-dir")
@@ -666,6 +671,7 @@ def corpus_main(argv: list[str]) -> int:
         stats = curate_corpus(
             spark, args.source_dir, args.out, args.n_shards,
             warc_dir=args.warc_dir, token_budget=args.token_budget,
+            dsir_k=args.dsir_k, dsir_seed=args.dsir_seed,
         )
         stats["manifest"] = {
             k: stats["manifest"][k] for k in ("n_rows", "n_shards")

@@ -288,3 +288,60 @@ def test_curate_corpus_optional_token_budget_stage(spark, tmp_path):
     )
     want_taken = {r.doc_id for r in ann.filter("taken").collect()}
     assert tr1 == want_taken
+
+
+def test_curate_corpus_optional_dsir_stage(spark, tmp_path):
+    """dsir_k shrinks ONLY the train split to the target-language
+    slice plus the k most target-like docs; val/test ride through
+    byte-identical; the kept set replays exactly from the operator run
+    on the un-DSIR'd export (deterministic and seeded modes)."""
+    base = curate_corpus(spark, SF_DIR, str(tmp_path / "c0"), n_shards=2)
+    assert base["n_after_dsir"] is None
+
+    k = 25
+    stats = curate_corpus(
+        spark, SF_DIR, str(tmp_path / "c1"), n_shards=2, dsir_k=k
+    )
+    assert stats["n_after_dsir"] == stats["n_exported"] < base["n_exported"]
+    assert sum(stats["splits"].values()) == stats["n_exported"]
+    assert stats["manifest"]["n_rows"] == stats["n_exported"]
+
+    df0 = spark.read.parquet(f"{tmp_path}/c0/data")
+    df1 = spark.read.parquet(f"{tmp_path}/c1/data")
+    ev = lambda df: sorted(  # noqa: E731
+        (r.doc_id, r.split) for r in df.filter("split != 'train'").collect()
+    )
+    assert ev(df0) == ev(df1)  # eval sets never thin
+
+    # exact replay: the operator on c0's train docs must reproduce the
+    # kept set (target slice + k selected)
+    from finance_pipeline_spark.operators.textops import dsir_select
+
+    ann = dsir_select(
+        df0.filter("split = 'train'").select("doc_id", "lang", "text"), k=k
+    )
+    want = {
+        r.doc_id
+        for r in ann.filter("is_target or selected").collect()
+    }
+    tr1 = {r.doc_id for r in df1.filter("split = 'train'").collect()}
+    assert tr1 == want
+    n_target = ann.filter("is_target").count()
+    assert len(tr1) == n_target + k  # enough raw docs at this SF
+
+    # seeded Gumbel mode: same replay contract, different draw
+    stats_g = curate_corpus(
+        spark, SF_DIR, str(tmp_path / "c2"), n_shards=2,
+        dsir_k=k, dsir_seed="epoch-0",
+    )
+    dfg = spark.read.parquet(f"{tmp_path}/c2/data")
+    trg = {r.doc_id for r in dfg.filter("split = 'train'").collect()}
+    ann_g = dsir_select(
+        df0.filter("split = 'train'").select("doc_id", "lang", "text"),
+        k=k, gumbel_seed="epoch-0",
+    )
+    want_g = {
+        r.doc_id for r in ann_g.filter("is_target or selected").collect()
+    }
+    assert trg == want_g and trg != tr1
+    assert stats_g["n_after_dsir"] == len(trg) + len(ev(dfg))
