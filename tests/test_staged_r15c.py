@@ -279,12 +279,18 @@ def test_temperature_and_dsir_oracles_match_bruteforce_hypothesis():
             for l in counts
         )
 
-    def brute_dsir(texts, langs, k=3, nb=4096, target="en"):
+    def brute_dsir(texts, langs, k=3, nb=4096, target="en", seed=None):
         def toks(t):
             return [x for x in t.strip().lower().split(" ") if x]
 
         def bkt(g):
             return int(hashlib.md5(g.encode()).hexdigest()[:6], 16) % nb
+
+        def gumbel(i):
+            h = int(
+                hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:6], 16
+            )
+            return r6(-math.log(-math.log((h + 0.5) / 16777216.0)))
 
         docs, ct, cr = [], Counter(), Counter()
         for i, (t, l) in enumerate(zip(texts, langs)):
@@ -312,7 +318,10 @@ def test_temperature_and_dsir_oracles_match_bruteforce_hypothesis():
         ]
         pool = sorted(
             (r for r in scored if not r[1] and r[2] > 0),
-            key=lambda r: (-r[3], r[0]),
+            key=lambda r: (
+                -(r[3] + gumbel(r[0])) if seed is not None else -r[3],
+                r[0],
+            ),
         )
         top = {r[0] for r in pool[:k]}
         return sorted(
@@ -346,6 +355,10 @@ def test_temperature_and_dsir_oracles_match_bruteforce_hypothesis():
         assert got_t == brute_temp(texts, langs)
         got_d = sorted(map(tuple, con.execute(_dsir_oracle(k=3)).fetchall()))
         assert got_d == brute_dsir(texts, langs, k=3)
+        got_g = sorted(
+            map(tuple, con.execute(_dsir_oracle(k=3, gumbel_seed="hx")).fetchall())
+        )
+        assert got_g == brute_dsir(texts, langs, k=3, seed="hx")
 
     check()
 
