@@ -345,3 +345,37 @@ def test_curate_corpus_optional_dsir_stage(spark, tmp_path):
     }
     assert trg == want_g and trg != tr1
     assert stats_g["n_after_dsir"] == len(trg) + len(ev(dfg))
+
+
+def test_curate_corpus_budget_then_dsir_compose(spark, tmp_path):
+    """Both optional train-thinning stages together: the budget stage
+    runs first, DSIR resamples the POST-budget train universe — the
+    kept set replays exactly from dsir_select over the budget-only
+    export's train split, and eval splits survive both stages."""
+    budget, k = 120, 10
+    only_budget = curate_corpus(
+        spark, SF_DIR, str(tmp_path / "b"), n_shards=2, token_budget=budget
+    )
+    both = curate_corpus(
+        spark, SF_DIR, str(tmp_path / "bd"), n_shards=2,
+        token_budget=budget, dsir_k=k,
+    )
+    assert both["n_after_budget"] == only_budget["n_after_budget"]
+    assert both["n_after_dsir"] == both["n_exported"]
+    assert both["n_exported"] < only_budget["n_exported"]
+
+    dfb = spark.read.parquet(f"{tmp_path}/b/data")
+    dfbd = spark.read.parquet(f"{tmp_path}/bd/data")
+    ev = lambda df: sorted(  # noqa: E731
+        (r.doc_id, r.split) for r in df.filter("split != 'train'").collect()
+    )
+    assert ev(dfb) == ev(dfbd)
+
+    from finance_pipeline_spark.operators.textops import dsir_select
+
+    ann = dsir_select(
+        dfb.filter("split = 'train'").select("doc_id", "lang", "text"), k=k
+    )
+    want = {r.doc_id for r in ann.filter("is_target or selected").collect()}
+    got = {r.doc_id for r in dfbd.filter("split = 'train'").collect()}
+    assert got == want
