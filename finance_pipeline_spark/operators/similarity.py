@@ -1748,6 +1748,36 @@ def _pq_assign_rows(
     return src.mapInPandas(kern, "vec_id bigint, sub bigint, code bigint")
 
 
+def _pq_recon_error(
+    spark: SparkSession, src: DataFrame, c_now: "np.ndarray"
+) -> DataFrame:
+    """(vec_id, err) per-vector squared PQ reconstruction error under
+    codebooks ``c_now`` — Σ over subspaces of the winning centroid's
+    squared distance (the same 4-dp-rounded distances the assignment
+    kernel ranks, so drift numbers are consistent with the codes the
+    index actually stores). One Arrow kernel pass, no shuffle: the
+    quantization-drift monitor's workhorse."""
+    bc = spark.sparkContext.broadcast(c_now)
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c_mat = bc.value  # (m, k, dsub)
+        m = c_mat.shape[0]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            x = _emb_matrix(pdf["embedding"]).reshape(len(pdf), m, _PQ_DSUB)
+            d = np.round(
+                ((x[:, :, None, :] - c_mat[None, :, :, :]) ** 2).sum(axis=3),
+                4,
+            )
+            yield pd.DataFrame(
+                {"vec_id": ids, "err": d.min(axis=2).sum(axis=1)}
+            )
+
+    return src.mapInPandas(kern, "vec_id bigint, err double")
+
+
 def _pq_assign_codes(
     spark: SparkSession, src: DataFrame, c_now: "np.ndarray"
 ) -> DataFrame:

@@ -53,6 +53,7 @@ from finance_pipeline_spark.operators.similarity import (
     _PQ_M,
     _RERANK_N,
     _pq_assign_codes,
+    _pq_recon_error,
     _pq_train_encode_scaled,
     _train_sample,
     coarse_assign,
@@ -141,7 +142,19 @@ class CorpusAnnIndex:
         if self.codes.exists():
             self.codes.drop()
         merged = self.codes.merge(self._encode(e, cents, cents1))
-        meta = dict(p, n_built=n, dim=_PQ_M * _PQ_DSUB)
+        # drift baseline: mean squared PQ reconstruction error over the
+        # (bounded) training sample — the number incoming batches are
+        # compared against to decide when the frozen codebooks have
+        # gone stale. None on an empty build (nothing to baseline).
+        base = (
+            _pq_recon_error(self.spark, sample, cents1)
+            .agg(F.avg("err").alias("e"), F.count(F.lit(1)).alias("n"))
+            .collect()[0]
+        )
+        base_err = round(float(base["e"]), 6) if base["n"] else None
+        meta = dict(
+            p, n_built=n, dim=_PQ_M * _PQ_DSUB, base_recon_err=base_err
+        )
         _write_atomic(
             self._meta_path(), json.dumps(meta, sort_keys=True).encode()
         )
@@ -162,6 +175,47 @@ class CorpusAnnIndex:
             self._encode(batch.select("vec_id", "embedding"), cents, cents1)
         )
         return {"codes_inserted": merged.inserted}
+
+    def drift(self, batch: DataFrame, threshold: float = 1.5) -> dict:
+        """Quantization-drift monitor: how well do the FROZEN codebooks
+        still fit an incoming (vec_id, embedding) batch? Returns the
+        batch's mean squared PQ reconstruction error, the build-time
+        baseline, their ratio, and ``rebuild_recommended`` (ratio >
+        ``threshold``). This is the measurable trigger for the
+        class-docstring contract that distribution drift is answered
+        by a re-``build`` — without it, "rebuild on drift" is a policy
+        nobody can act on. One Arrow kernel pass over the batch, no
+        shuffle, index state untouched."""
+        meta, _cents, cents1 = self._load_state()
+        base = meta.get("base_recon_err")
+        if base is None:
+            raise ValueError(
+                "index has no drift baseline (built empty or by a "
+                "pre-baseline version) — rebuild() on the current "
+                "corpus to enable drift monitoring"
+            )
+        r = (
+            _pq_recon_error(
+                self.spark, batch.select("vec_id", "embedding"), cents1
+            )
+            .agg(F.avg("err").alias("e"), F.count(F.lit(1)).alias("n"))
+            .collect()[0]
+        )
+        if not r["n"]:
+            raise ValueError("drift() needs a non-empty batch")
+        err = round(float(r["e"]), 6)
+        if base > 0:
+            ratio = round(err / base, 4)
+        else:  # degenerate baseline (sample sat exactly on centroids)
+            ratio = 1.0 if err == 0 else float("inf")
+        return {
+            "n_vectors": int(r["n"]),
+            "batch_recon_err": err,
+            "base_recon_err": base,
+            "ratio": ratio,
+            "threshold": threshold,
+            "rebuild_recommended": bool(ratio > threshold),
+        }
 
     # -- serve -----------------------------------------------------------
 

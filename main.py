@@ -155,6 +155,15 @@ def corpus_main(argv: list[str]) -> int:
     p.add_argument("--input", required=True)
 
     p = sub.add_parser(
+        "ann-drift",
+        help="quantization-drift monitor: batch reconstruction error "
+        "vs the build baseline; recommends rebuild past the threshold",
+    )
+    p.add_argument("--index", required=True)
+    p.add_argument("--input", required=True)
+    p.add_argument("--threshold", type=float, default=1.5)
+
+    p = sub.add_parser(
         "ann-search", help="top-k neighbors vs the stored codes"
     )
     p.add_argument("--index", required=True)
@@ -649,6 +658,14 @@ def corpus_main(argv: list[str]) -> int:
 
         stats = CorpusAnnIndex(spark, args.index).add(
             spark.read.parquet(args.input)
+        )
+        print(json.dumps(stats))
+        return 0
+    if args.cmd == "ann-drift":
+        from finance_pipeline_spark.pipelines.ann_index import CorpusAnnIndex
+
+        stats = CorpusAnnIndex(spark, args.index).drift(
+            spark.read.parquet(args.input), threshold=args.threshold
         )
         print(json.dumps(stats))
         return 0

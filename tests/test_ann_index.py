@@ -267,3 +267,42 @@ def test_search_with_missing_codes_returns_empty_not_crash(spark, tmp_path):
     verd = idx.screen(e.limit(3), e, threshold=0.5)
     assert verd.count() == 3
     assert all(r.verdict == "keep" for r in verd.collect())
+
+
+def test_drift_monitor_triggers_on_distribution_shift(spark, tmp_path):
+    """drift(): in-distribution batches read ratio ≈ 1 (no rebuild);
+    a shifted batch's reconstruction error blows past the threshold
+    and recommends the rebuild the class docstring promises. The
+    baseline lands in meta.json at build; pre-baseline/empty indexes
+    refuse with the rebuild instruction; empty batches refuse."""
+    from finance_pipeline_spark.registry import load
+
+    sf, _, rng = _clustered(tmp_path)
+    e = load(spark, sf, "embeddings").select("vec_id", "embedding")
+    idx = CorpusAnnIndex(spark, str(tmp_path / "ann"))
+    meta = idx.build(e)
+    assert meta["base_recon_err"] and meta["base_recon_err"] > 0
+
+    # in-distribution: the corpus itself (superset of the train sample)
+    ok = idx.drift(e)
+    assert ok["n_vectors"] == e.count()
+    assert ok["ratio"] < 1.5 and not ok["rebuild_recommended"]
+
+    # shifted distribution: same cloud pushed far outside every blob
+    shifted = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x + F.lit(25.0)).alias(
+            "embedding"
+        ),
+    )
+    bad = idx.drift(shifted)
+    assert bad["ratio"] > 5.0 and bad["rebuild_recommended"]
+    assert bad["base_recon_err"] == ok["base_recon_err"]
+
+    # refusals: empty batch; pre-baseline index
+    with pytest.raises(ValueError, match="non-empty"):
+        idx.drift(e.filter(F.lit(False)))
+    idx2 = CorpusAnnIndex(spark, str(tmp_path / "ann2"))
+    idx2.build(e.filter(F.lit(False)))  # empty build: no baseline
+    with pytest.raises(ValueError, match="no drift baseline"):
+        idx2.drift(e)
