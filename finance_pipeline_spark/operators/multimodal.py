@@ -618,6 +618,113 @@ def mm_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# STAGED for r15 (the staged-gate contract): the RESIZE leg of the
+# multimodal quartet (decode / feature-extract / RESIZE / frame-
+# sample) as an exact area downsample.
+def thumbnail_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: (doc_id, payload) in, 2×2 box-thumbnail
+    out — real PNG decode, channel-collapsed integer block sums,
+    ONE integer division per output pixel (so the value is exact and
+    SQL-replicable, never a float mean)."""
+    import numpy as np
+
+    for pdf in it:
+        rows = {
+            "doc_id": [], "width": [], "height": [], "n_channels": [],
+            "q00": [], "q01": [], "q10": [], "q11": [],
+        }
+        for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+            w, h, arr = decode_png(bytes(p))
+            ch = int(arr.shape[2])
+            a = arr.astype(np.int64).sum(axis=2)  # (h, w) channel sum
+            h2, w2 = h // 2, w // 2
+
+            def q(y0, y1, x0, x1):
+                blk = a[y0:y1, x0:x1]
+                return int(blk.sum()) // (blk.size * ch)
+
+            rows["doc_id"].append(int(doc_id))
+            rows["width"].append(w)
+            rows["height"].append(h)
+            rows["n_channels"].append(ch)
+            rows["q00"].append(q(0, h2, 0, w2))
+            rows["q01"].append(q(0, h2, w2, w))
+            rows["q10"].append(q(h2, h, 0, w2))
+            rows["q11"].append(q(h2, h, w2, w))
+        yield pd.DataFrame(rows)
+
+
+def _mm_thumbnail_oracle() -> str:
+    """DuckDB replica of ``mm_thumbnail``: rebuild the raster from the
+    cycled-bytes synthesis (the decode_png round-trip guarantee) and
+    compute the same channel-collapsed integer-division block means."""
+    quad = {
+        "q00": "(i // ch) // w <  h // 2 AND (i // ch) % w <  w // 2",
+        "q01": "(i // ch) // w <  h // 2 AND (i // ch) % w >= w // 2",
+        "q10": "(i // ch) // w >= h // 2 AND (i // ch) % w <  w // 2",
+        "q11": "(i // ch) // w >= h // 2 AND (i // ch) % w >= w // 2",
+    }
+    size = {
+        "q00": "(h // 2) * (w // 2)",
+        "q01": "(h // 2) * (w - w // 2)",
+        "q10": "(h - h // 2) * (w // 2)",
+        "q11": "(h - h // 2) * (w - w // 2)",
+    }
+    cols = ",\n           ".join(
+        f"""CAST(list_sum([CASE WHEN n = 0 THEN 0 ELSE
+               ('0x' || substr(hx, 2 * ((i % n) + 1) - 1, 2))::INT END
+               FOR i IN range(0, w * h * ch) IF {cond}])
+             // ({size[k]} * ch) AS BIGINT) AS {k}"""
+        for k, cond in quad.items()
+    )
+    return f"""
+    WITH b AS (
+        SELECT doc_id,
+               octet_length(encode(coalesce(text, ''))) AS n,
+               hex(encode(coalesce(text, ''))) AS hx
+        FROM documents
+    ), dims AS (
+        SELECT doc_id, n, hx,
+               3 + (n % 9) AS w, 3 + ((n * 5) % 7) AS h,
+               CASE n % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS ch
+        FROM b
+    )
+    SELECT doc_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(ch AS INTEGER) AS n_channels,
+           {cols}
+    FROM dims
+    """
+
+
+def mm_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESIZE over compressed image payloads — the missing leg of the
+    multimodal quartet (decode / features / resize / frame-sample):
+    decode each PNG and area-downsample it to a 2×2 box thumbnail
+    (the spatial-pooling primitive every thumbnail/feature pyramid
+    builds on; a different output size or bilinear weights changes
+    the KERNEL's arithmetic, not the plan). Each output pixel is the
+    channel-collapsed block mean computed as ONE integer division of
+    exact integer sums, so the value is bit-identical to the SQL
+    oracle's reconstruction — the ``mm_decode_png`` exactness
+    contract extended through the resample.
+
+    Scale shape: identical to the decode family — payload synthesis
+    and decode+resize run in Arrow-batched ``mapInPandas`` over the
+    spread partitioning (Python-kernel partition rule), no shuffle at
+    all; output is 4 bigints + dims per image regardless of raster
+    size, so the resize STEP is also the egress-compression step."""
+    d = with_png_payload(load(spark, sf_dir, "documents"))
+    return d.select("doc_id", "payload").mapInPandas(
+        thumbnail_batches,
+        schema=(
+            "doc_id bigint, width int, height int, n_channels int, "
+            "q00 bigint, q01 bigint, q10 bigint, q11 bigint"
+        ),
+    )
+
+
 # --- WAV (audio — extends the multimodal tier beyond images) -----------------
 
 

@@ -363,6 +363,75 @@ def test_temperature_and_dsir_oracles_match_bruteforce_hypothesis():
     check()
 
 
+def test_mm_thumbnail_matches_duckdb_and_bruteforce(spark, tmp_path):
+    """The resize leg of the multimodal quartet: Spark kernel ==
+    DuckDB oracle on the corpus shape, and both == an independent
+    pure-Python box-downsample over crafted texts (empty, 1-byte,
+    multi-byte UTF-8, long) replaying the fixture rule from scratch."""
+    from finance_pipeline_spark.operators.multimodal import (
+        _mm_thumbnail_oracle,
+        mm_thumbnail,
+    )
+
+    got = _got(mm_thumbnail(spark, SF))
+    want = _duck(SF, _mm_thumbnail_oracle())
+    assert got == want and len(got) == 500
+
+    texts = ["", "a", "ab", "héllo wörld", "x" * 40, None]
+    pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["s"] * len(texts),
+            "n_chars": [0] * len(texts),
+        }
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+    got = _got(mm_thumbnail(spark, str(tmp_path)))
+    assert got == _duck(str(tmp_path), _mm_thumbnail_oracle())
+
+    def brute(text):
+        tb = ("" if text is None else text).encode("utf-8")
+        n = len(tb)
+        w, h = 3 + n % 9, 3 + (n * 5) % 7
+        ch = (1, 3, 4)[n % 3]
+        need = w * h * ch
+        body = (tb * (-(-need // n)))[:need] if n else bytes(need)
+
+        def px(y, x):  # channel-collapsed pixel sum
+            return sum(body[(y * w + x) * ch + c] for c in range(ch))
+
+        def q(y0, y1, x0, x1):
+            s = sum(px(y, x) for y in range(y0, y1) for x in range(x0, x1))
+            return s // ((y1 - y0) * (x1 - x0) * ch)
+
+        h2, w2 = h // 2, w // 2
+        return (
+            w, h, ch,
+            q(0, h2, 0, w2), q(0, h2, w2, w),
+            q(h2, h, 0, w2), q(h2, h, w2, w),
+        )
+
+    assert {r[0]: r[1:] for r in got} == {
+        i: brute(t) for i, t in enumerate(texts)
+    }
+
+
+def test_mm_thumbnail_plan_contract(spark):
+    """Resize rides the decode family's plan: Arrow mapInPandas over
+    the spread partitioning, no shuffle/exchange after the kernel, no
+    cartesian product."""
+    from finance_pipeline_spark.operators.multimodal import mm_thumbnail
+
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    plan = (
+        mm_thumbnail(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("MapInPandas") == 2  # synth + decode/resize
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_temperature_alloc_single_scan_pure_codegen(spark):
     """Plan contract (the unimax discipline): ONE parquet scan feeds
     the language-histogram groupBy with a partial (map-side) aggregate;

@@ -35,6 +35,7 @@ def _staged():
     """
     from finance_pipeline_spark.operators import classifier as C
     from finance_pipeline_spark.operators import dedup as D
+    from finance_pipeline_spark.operators import multimodal as M
     from finance_pipeline_spark.operators import similarity as S
     from finance_pipeline_spark.operators import textops as T
 
@@ -49,6 +50,7 @@ def _staged():
             T._temperature_oracle,
         ),
         "text_dsir_select": (T.text_dsir_select, T._dsir_oracle),
+        "mm_thumbnail": (M.mm_thumbnail, M._mm_thumbnail_oracle),
         "eval_overlap_report": (eval_overlap, T._eval_overlap_oracle),
         "text_bpe_fertility": (T.text_bpe_fertility, T._bpe_fertility_oracle),
         "clf_calibration_bins": (
