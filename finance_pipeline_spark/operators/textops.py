@@ -56,6 +56,81 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_REGEX_TOK = r"[a-z]+|[0-9]+|[^a-z0-9\s]+"  # the lookahead-free core of
+# the GPT-2 pre-tokenizer: letter runs, digit runs, symbol runs. The
+# three branches are DISJOINT character classes, so Java-regex (Spark)
+# and RE2 (DuckDB) produce identical matches even though their
+# alternation strategies differ — and RE2 has no lookahead, so the
+# paper pattern's contraction clauses ('s, 't, …) are deliberately out
+# of scope; they'd silently diverge. Input is lowercased first, the
+# BPE trainer's normalization.
+
+
+# STAGED for r15 (the staged-gate contract): the brief's second token
+# counter — "BPE-ish regex" next to the whitespace one — giving the
+# tokens-per-word fertility a pre-BPE denominator.
+def text_regex_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex (GPT-2-style pre-tokenizer) token counting next to the
+    whitespace counter: letter/digit/symbol runs over the lowercased
+    text, per-class counts, and the regex/whitespace ratio as an exact
+    integer permille (how much the pre-tokenizer fragments the corpus
+    before any merges — the number that sizes a BPE training run).
+
+    Exactness: counts are bigints from identical regex matches (see
+    ``_REGEX_TOK`` for why the pattern is engine-safe); the ratio is
+    integer division. Scale shape: pure map work on the scan — no
+    shuffle, no Python, whole-stage codegen end to end."""
+    d = load(spark, sf_dir, "documents")
+    low = F.lower(F.coalesce("text", F.lit("")))
+    # patterns stay Python-side Column literals — embedding them in a
+    # SQL expr string would hit Spark's backslash-escaping of '\s'
+    all_runs = F.regexp_extract_all(low, F.lit(_REGEX_TOK), F.lit(0))
+    alpha = F.regexp_extract_all(low, F.lit("[a-z]+"), F.lit(0))
+    digit = F.regexp_extract_all(low, F.lit("[0-9]+"), F.lit(0))
+    ws = F.size(F.split(F.trim(low), " ", -1)).cast("bigint")
+    return d.select(
+        "doc_id",
+        ws.alias("n_ws_tokens"),
+        F.size(all_runs).cast("bigint").alias("n_regex_tokens"),
+        F.size(alpha).cast("bigint").alias("n_alpha_runs"),
+        F.size(digit).cast("bigint").alias("n_digit_runs"),
+        (F.size(all_runs).cast("bigint") - F.size(alpha) - F.size(digit))
+        .cast("bigint")
+        .alias("n_symbol_runs"),
+    ).withColumn(
+        "frag_permille",
+        F.expr("(n_regex_tokens * 1000) div n_ws_tokens"),
+    )
+
+
+def _regex_token_oracle() -> str:
+    """DuckDB replica of ``text_regex_token_count`` — same RE2/Java-
+    safe pattern, same integer arithmetic. Standard-SQL single-quoted
+    literals do NOT escape backslashes, so the pattern embeds
+    verbatim ('\\s' reaches RE2 as backslash-s)."""
+    pat = _REGEX_TOK
+    return f"""
+    WITH t AS (
+        SELECT doc_id, lower(coalesce(text, '')) AS low FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(string_split(trim(low), ' ')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(low, '{pat}')) AS BIGINT)
+               AS n_regex_tokens,
+           CAST(len(regexp_extract_all(low, '[a-z]+')) AS BIGINT)
+               AS n_alpha_runs,
+           CAST(len(regexp_extract_all(low, '[0-9]+')) AS BIGINT)
+               AS n_digit_runs,
+           CAST(len(regexp_extract_all(low, '{pat}'))
+                - len(regexp_extract_all(low, '[a-z]+'))
+                - len(regexp_extract_all(low, '[0-9]+')) AS BIGINT)
+               AS n_symbol_runs,
+           CAST(len(regexp_extract_all(low, '{pat}')) AS BIGINT) * 1000
+               // len(string_split(trim(low), ' ')) AS frag_permille
+    FROM t
+    """
+
+
 @query(
     "text_quality_score",
     oracle=lambda: f"""

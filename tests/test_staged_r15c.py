@@ -417,6 +417,64 @@ def test_mm_thumbnail_matches_duckdb_and_bruteforce(spark, tmp_path):
     }
 
 
+def test_regex_token_count_matches_duckdb_and_planted(spark, tmp_path):
+    """The 'BPE-ish regex' token counter: engine parity on the corpus
+    shape and on adversarial texts (unicode letters outside [a-z],
+    tabs/newlines, pure punctuation, None, empty) — the disjoint
+    character classes make Java-regex and RE2 agree match-for-match."""
+    from finance_pipeline_spark.operators.textops import (
+        _regex_token_oracle,
+        text_regex_token_count,
+    )
+
+    got = _got(text_regex_token_count(spark, SF))
+    want = _duck(SF, _regex_token_oracle())
+    assert got == want and len(got) == 500
+    # counts compose: every run is alpha, digit, or symbol
+    assert all(r[2] == r[3] + r[4] + r[5] for r in got)
+
+    texts = [
+        "", "abc123!!", "a1b2 c3?d4", "héllo, wörld! 42",
+        "tabs\tand\nnewlines x9", None, "...", "a " * 5,
+    ]
+    pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["s"] * len(texts),
+            "n_chars": [0] * len(texts),
+        }
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+    got = _got(text_regex_token_count(spark, str(tmp_path)))
+    assert got == _duck(str(tmp_path), _regex_token_oracle())
+    by_id = {r[0]: r[1:] for r in got}
+    # hand-checks: "héllo, wörld! 42" → alpha h/llo/w/rld, digit 42,
+    # symbols é/,/ö/! ; "abc123!!" → 3 runs over 1 ws token = 3000‰
+    assert by_id[3] == (3, 9, 4, 1, 4, 3000)
+    assert by_id[1] == (1, 3, 1, 1, 1, 3000)
+    assert by_id[0] == (1, 0, 0, 0, 0, 0)  # empty: 1 ws token, 0 runs
+
+
+def test_regex_token_count_plan_contract(spark):
+    """Pure map work on the scan: single parquet scan, no exchange,
+    no Python, whole-stage codegen."""
+    from finance_pipeline_spark.operators.textops import (
+        text_regex_token_count,
+    )
+
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    plan = (
+        text_regex_token_count(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan parquet") == 1
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan and "PythonUDF" not in plan
+
+
 def test_mm_thumbnail_plan_contract(spark):
     """Resize rides the decode family's plan: Arrow mapInPandas over
     the spread partitioning, no shuffle/exchange after the kernel, no

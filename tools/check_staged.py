@@ -51,6 +51,10 @@ def _staged():
         ),
         "text_dsir_select": (T.text_dsir_select, T._dsir_oracle),
         "mm_thumbnail": (M.mm_thumbnail, M._mm_thumbnail_oracle),
+        "text_regex_token_count": (
+            T.text_regex_token_count,
+            T._regex_token_oracle,
+        ),
         "eval_overlap_report": (eval_overlap, T._eval_overlap_oracle),
         "text_bpe_fertility": (T.text_bpe_fertility, T._bpe_fertility_oracle),
         "clf_calibration_bins": (
