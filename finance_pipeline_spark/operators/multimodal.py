@@ -1873,3 +1873,215 @@ def mm_decode_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _spread_for_python_kernel(d.select("doc_id", "text")).mapInPandas(
         kernel, schema=schema
     )
+
+
+# ---------------------------------------------------------------------------
+# STAGED for r15/r16 (third extended-session batch): the audio
+# FEATURE-EXTRACT and DEDUP legs. The WAV entry above is decode-only;
+# these complete the audio side of the multimodal quartet the image
+# tier already has (decode / features / resize / frame-sample):
+# framewise energy + zero-crossing features, and a banded-energy
+# content fingerprint for duplicate detection. Reference scope: the
+# reference pipeline has no audio tier at all — this is beyond-ref
+# LLM-training-data surface (audio corpora dedup/quality screens).
+# ---------------------------------------------------------------------------
+
+_AUDIO_FRAME = 32  # samples per analysis frame (non-overlapping hop)
+_AUDIO_ACTIVE_ENERGY = 32_000_000  # frame energy gate: mean square > 1e6
+
+
+def audio_features(docs: DataFrame) -> DataFrame:
+    """(doc_id, sample_rate, n_frames, zero_crossings, total_energy,
+    max_frame_energy, active_frames) — framewise audio features over
+    REAL RIFF/WAVE payloads decoded by ``decode_wav`` inside
+    Arrow-batched ``mapInPandas``. Every statistic is EXACT integer
+    arithmetic (energies are int64 sums of squared int16 samples;
+    zero crossings count strict sign changes), so the staged DuckDB
+    oracle reproduces each value bit-identically from the cycled-bytes
+    synthesis — the ``mm_decode_wav`` exactness contract extended
+    through the feature extractor.
+
+    Scale shape: identical to the decode family — synthesis + decode +
+    features in one Python kernel pass over the spread partitioning,
+    no shuffle, constant 7-column egress per clip regardless of
+    duration. A real MFCC/spectrogram extractor swaps the numpy body;
+    the plan (and the 100 TB story) is unchanged."""
+    import numpy as np
+
+    d = with_wav_payload(docs)
+    schema = (
+        "doc_id bigint, sample_rate int, n_frames int, "
+        "zero_crossings bigint, total_energy bigint, "
+        "max_frame_energy bigint, active_frames int"
+    )
+    FR = _AUDIO_FRAME
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {
+                "doc_id": [], "sample_rate": [], "n_frames": [],
+                "zero_crossings": [], "total_energy": [],
+                "max_frame_energy": [], "active_frames": [],
+            }
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                rate, _, s = decode_wav(bytes(p))
+                x = s.astype(np.int64)
+                nf = len(x) // FR
+                frames = x[: nf * FR].reshape(nf, FR)
+                energies = (frames * frames).sum(axis=1)
+                zc = int(((x[:-1] * x[1:]) < 0).sum())
+                rows["doc_id"].append(int(doc_id))
+                rows["sample_rate"].append(rate)
+                rows["n_frames"].append(nf)
+                rows["zero_crossings"].append(zc)
+                rows["total_energy"].append(int((x * x).sum()))
+                rows["max_frame_energy"].append(int(energies.max()))
+                rows["active_frames"].append(
+                    int((energies > _AUDIO_ACTIVE_ENERGY).sum())
+                )
+            yield pd.DataFrame(rows)
+
+    return d.select("doc_id", "payload").mapInPandas(kernel, schema=schema)
+
+
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return audio_features(load(spark, sf_dir, "documents"))
+
+
+# The samples CTE shared by both audio oracles: rebuild the synthesized
+# int16 sample list exactly as `with_wav_payload` writes it (the
+# decode_wav round-trip guarantee, same recipe as mm_decode_wav).
+_SQL_WAV_SAMPLES = """
+    b AS (
+        SELECT doc_id,
+               octet_length(encode(coalesce(text, ''))) AS n,
+               hex(encode(coalesce(text, ''))) AS hx
+        FROM documents
+    ), dims AS (
+        SELECT doc_id, n, hx,
+               100 + (n % 57) AS ns,
+               8000 + (n % 3) * 4000 AS rate
+        FROM b
+    ), s AS (
+        SELECT doc_id, ns, rate,
+               CASE WHEN n = 0 THEN [0 FOR i IN range(0, ns)] ELSE
+                 [CASE WHEN v >= 32768 THEN v - 65536 ELSE v END
+                  FOR v IN [('0x' || substr(hx, 2 * (((2 * i) % n) + 1) - 1, 2))::INT
+                            + 256 * ('0x' || substr(hx, 2 * (((2 * i + 1) % n) + 1) - 1, 2))::INT
+                            FOR i IN range(0, ns)]]
+               END AS samples
+        FROM dims
+    )
+"""
+
+
+def _audio_features_oracle() -> str:
+    """DuckDB replica of ``mm_audio_features``: exact-integer frame
+    energies, strict-sign-change crossings, same frame/gate constants."""
+    FR, GATE = _AUDIO_FRAME, _AUDIO_ACTIVE_ENERGY
+    return f"""
+    WITH {_SQL_WAV_SAMPLES}, f AS (
+        SELECT doc_id, ns, rate, samples,
+               [list_sum([CAST(samples[f * {FR} + i] AS BIGINT)
+                          * samples[f * {FR} + i]
+                          FOR i IN range(1, {FR} + 1)])
+                FOR f IN range(0, ns // {FR})] AS energies
+        FROM s
+    )
+    SELECT doc_id,
+           CAST(rate AS INTEGER) AS sample_rate,
+           CAST(ns // {FR} AS INTEGER) AS n_frames,
+           CAST(coalesce(list_sum(
+             [CASE WHEN samples[i] * samples[i + 1] < 0 THEN 1 ELSE 0 END
+              FOR i IN range(1, ns)]), 0) AS BIGINT) AS zero_crossings,
+           CAST(list_sum([CAST(x AS BIGINT) * x FOR x IN samples])
+             AS BIGINT) AS total_energy,
+           CAST(list_max(energies) AS BIGINT) AS max_frame_energy,
+           CAST(len([e FOR e IN energies IF e > {GATE}])
+             AS INTEGER) AS active_frames
+    FROM f
+    """
+
+
+def audio_fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, sig, group_size) for EVERY document — the audio DEDUP
+    leg as a fingerprint table (duplicate groups are the
+    ``group_size > 1`` slice; emitting all rows keeps the sf0.01
+    oracle check non-vacuous — the dup-only slice is empty there).
+    Fingerprint = md5 of ``rate:b1,b2,...`` where ``b_f`` is the frame
+    energy quantized to its 3 most significant DECIMAL digits plus its
+    digit count (an exact-integer mantissa/exponent band, ~0.04 dB at
+    the mantissa edge): copies with identical PCM collide by
+    construction, while clips with different envelopes separate.
+    Quantization width is measured, not guessed: at sf0.1 the corpus
+    has 16 byte-identical-audio docs; 3-digit bands flag 38 docs in 19
+    groups (all 16 true dups + near-identical envelopes), vs 3,676
+    at 2 digits (saturated) and 18 at 4 (an exact hash in disguise).
+    Swapping in a spectral peak-pair hash (Shazam-family) changes only
+    the kernel body; the plan — per-clip constant-size signature, one
+    shuffle on a 32-byte key — is the 100 TB dedup shape."""
+    import hashlib
+
+    import numpy as np
+    from pyspark.sql import Window
+
+    d = with_wav_payload(docs)
+    FR = _AUDIO_FRAME
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, sigs = [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                rate, _, s = decode_wav(bytes(p))
+                x = s.astype(np.int64)
+                nf = len(x) // FR
+                frames = x[: nf * FR].reshape(nf, FR)
+                energies = (frames * frames).sum(axis=1)
+                bands = ",".join(
+                    f"{str(int(e) + 1)[:3]}e{len(str(int(e) + 1))}"
+                    for e in energies
+                )
+                ids.append(int(doc_id))
+                sigs.append(
+                    hashlib.md5(f"{rate}:{bands}".encode()).hexdigest()
+                )
+            yield pd.DataFrame({"doc_id": ids, "sig": sigs})
+
+    per_doc = d.select("doc_id", "payload").mapInPandas(
+        kernel, schema="doc_id bigint, sig string"
+    )
+    w = Window.partitionBy("sig")
+    return per_doc.select(
+        "doc_id", "sig", F.count("*").over(w).cast("bigint").alias("group_size")
+    )
+
+
+def mm_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return audio_fingerprints(load(spark, sf_dir, "documents"))
+
+
+def _audio_fingerprint_oracle() -> str:
+    """DuckDB replica of ``mm_audio_fingerprint`` — same frame
+    energies, 3-digit mantissa/exponent banding, md5 signature,
+    group filter."""
+    FR = _AUDIO_FRAME
+    return f"""
+    WITH {_SQL_WAV_SAMPLES}, f AS (
+        SELECT doc_id, rate,
+               [list_sum([CAST(samples[f * {FR} + i] AS BIGINT)
+                          * samples[f * {FR} + i]
+                          FOR i IN range(1, {FR} + 1)])
+                FOR f IN range(0, ns // {FR})] AS energies
+        FROM s
+    ), sig AS (
+        SELECT doc_id,
+               md5(rate || ':' || array_to_string(
+                 [substr(CAST(e + 1 AS VARCHAR), 1, 3) || 'e'
+                  || length(CAST(e + 1 AS VARCHAR)) FOR e IN energies],
+                 ',')) AS sig
+        FROM f
+    )
+    SELECT doc_id, sig,
+           CAST(count(*) OVER (PARTITION BY sig) AS BIGINT) AS group_size
+    FROM sig
+    """

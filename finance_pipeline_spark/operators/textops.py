@@ -3919,3 +3919,143 @@ def _stratified_sample_oracle(k: int = _STRAT_TOTAL) -> str:
     SELECT source, lang, alloc, doc_id, pick_rank
     FROM r WHERE pick_rank <= alloc
     """
+
+
+# ---------------------------------------------------------------------------
+# STAGED for r15/r16 (third extended-session batch): winnowing
+# fingerprint selection — the canonical document-fingerprint algorithm
+# (Schleimer, Wilkerson, Aiken, "Winnowing: Local Algorithms for
+# Document Fingerprinting", SIGMOD 2003 — the MOSS selector). The
+# registered ``text_fingerprint`` is ONE rolling hash per document;
+# winnowing keeps a position-robust SUBSET of shingle hashes with the
+# guarantee that any shared run of >= _WINNOW_W + _WINNOW_K - 1 tokens
+# between two documents shares at least one selected fingerprint.
+# ---------------------------------------------------------------------------
+
+_WINNOW_K = 3  # shingle width (word trigrams, the repo's dedup shingle)
+_WINNOW_W = 4  # winnowing window (guarantee threshold t = W + K - 1 = 6)
+
+
+def winnow_fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_grams, n_fingerprints, fp_min, fp_sum) — winnowing
+    over word-trigram md5 hashes, entirely JVM array expressions (zero
+    shuffle, zero Python): per window of ``_WINNOW_W`` consecutive
+    shingle hashes keep the minimum, breaking ties RIGHTMOST (the
+    paper's rule — it maximizes position overlap between adjacent
+    windows so the selected set stays small). Documents shorter than
+    one window degrade to a single whole-document window; documents
+    with no trigram emit an empty fingerprint set (NULL min/sum).
+
+    The fingerprint SET is summarized to exact scalars (count of
+    distinct selected hashes, min, sum) so the staged oracle compares
+    bit-identical bigints; the set itself is what a plagiarism /
+    near-dup index would store.
+
+    Scale shape: pure map work — one scan, per-doc O(n_grams * W)
+    integer compares inside codegen'd array expressions, constant
+    four-column egress. The 48-bit hash (12 md5 hex digits) keeps
+    fp_sum far inside int64 for any realistic document."""
+    K, W = _WINNOW_K, _WINNOW_W
+    toks = _tokens()
+    n = F.size(toks)
+    gram_at = lambda i: F.concat_ws(  # noqa: E731
+        " ",
+        F.element_at(toks, i + 1),
+        F.element_at(toks, i + 2),
+        F.element_at(toks, i + 3),
+    )
+    grams = F.when(
+        n >= K,
+        F.transform(F.sequence(F.lit(0), n - K), gram_at),
+    ).otherwise(F.array().cast("array<string>"))
+    with_h = docs.select(
+        "doc_id",
+        F.transform(
+            grams,
+            lambda g: F.conv(F.substring(F.md5(g), 1, 12), 16, 10).cast(
+                "bigint"
+            ),
+        ).alias("h"),
+    )
+    h = F.col("h")
+    nh = F.size(h)
+    nwin = (
+        F.when(nh == 0, F.lit(0))
+        .when(nh < W, F.lit(1))
+        .otherwise(nh - W + 1)
+    )
+
+    def sel_at(j):  # rightmost index of the window minimum
+        wend = F.least(j + W - 1, nh)
+        m = F.array_min(F.slice(h, j, wend - j + 1))
+        return F.array_max(
+            F.filter(F.sequence(j, wend), lambda i: F.element_at(h, i) == m)
+        )
+
+    pos = F.when(
+        nwin >= 1,
+        F.array_distinct(F.transform(F.sequence(F.lit(1), nwin), sel_at)),
+    ).otherwise(F.array().cast("array<int>"))
+    with_fps = with_h.select(
+        "doc_id",
+        nh.cast("bigint").alias("n_grams"),
+        F.array_distinct(
+            F.transform(pos, lambda p: F.element_at(h, p))
+        ).alias("fps"),
+    )
+    fps = F.col("fps")
+    return with_fps.select(
+        "doc_id",
+        "n_grams",
+        F.size(fps).cast("bigint").alias("n_fingerprints"),
+        F.array_min(fps).alias("fp_min"),
+        F.when(
+            F.size(fps) > 0,
+            F.aggregate(fps, F.lit(0).cast("bigint"), lambda a, x: a + x),
+        ).alias("fp_sum"),
+    )
+
+
+def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return winnow_fingerprints(load(spark, sf_dir, "documents"))
+
+
+def _winnow_oracle() -> str:
+    """DuckDB replica of ``text_winnow_fingerprint`` — same trigram
+    construction, 12-hex-digit md5 hash, rightmost-tie window minima."""
+    K, W = _WINNOW_K, _WINNOW_W
+    return f"""
+    WITH t AS (
+        SELECT doc_id, {_sql_tokens()} AS t FROM documents
+    ), g AS (
+        SELECT doc_id,
+               CASE WHEN len(t) >= {K} THEN
+                 [t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]
+                  FOR i IN range(1, len(t) - {K - 2})]
+               ELSE CAST([] AS VARCHAR[]) END AS grams
+        FROM t
+    ), h AS (
+        SELECT doc_id,
+               [('0x' || substr(md5(g), 1, 12))::BIGINT FOR g IN grams] AS h
+        FROM g
+    ), w AS (
+        SELECT doc_id, h, len(h) AS nh,
+               CASE WHEN len(h) = 0 THEN 0
+                    WHEN len(h) < {W} THEN 1
+                    ELSE len(h) - {W} + 1 END AS nwin
+        FROM h
+    ), sel AS (
+        SELECT doc_id, nh,
+               list_distinct([h[p] FOR p IN list_distinct([
+                 list_max([i FOR i IN range(j, least(j + {W} - 1, nh) + 1)
+                           IF h[i] = list_min(h[j : least(j + {W} - 1, nh)])])
+                 FOR j IN range(1, nwin + 1)])]) AS fps
+        FROM w
+    )
+    SELECT doc_id,
+           CAST(nh AS BIGINT) AS n_grams,
+           CAST(len(fps) AS BIGINT) AS n_fingerprints,
+           CAST(list_min(fps) AS BIGINT) AS fp_min,
+           CAST(list_sum(fps) AS BIGINT) AS fp_sum
+    FROM sel
+    """

@@ -1,0 +1,379 @@
+"""Parity + planted-fixture + brute-force pins for the fourth batch of
+r15/r16-staged operators (round-14 third extended session): winnowing
+fingerprint selection (Schleimer et al. 2003) and the audio
+feature-extract / fingerprint-dedup legs.
+
+Same contract as test_staged_r15/_r15b/_r15c: each operator runs
+against its staged DuckDB oracle on the driver corpus shape (sf0.001)
+AND on planted corpora with independently-computed expectations, plus
+a from-scratch Python brute force for the algorithmic core.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import duckdb
+import pandas as pd
+
+SF = "/root/testdata/sf0.001"
+
+_WINNOW_K, _WINNOW_W = 3, 4
+
+
+def _duck(sf_dir: str, sql: str, table: str = "documents"):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW {table} AS SELECT * FROM '{sf_dir}/{table}.parquet'"
+    )
+    return sorted(map(tuple, con.execute(sql).fetchall()))
+
+
+def _got(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _write_docs(tmp_path, texts):
+    pd.DataFrame(
+        [(i, t, "en", "s", len(t or "")) for i, t in enumerate(texts)],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+# --- independent Python brute forces (no Spark, no repo kernels) -------------
+
+
+def _brute_winnow(text):
+    """From-scratch winnowing: word trigrams, 12-hex-digit md5 hash,
+    window minima with the RIGHTMOST tie rule."""
+    toks = [] if text is None else text.strip().lower().split(" ")
+    grams = [
+        " ".join(toks[i : i + _WINNOW_K])
+        for i in range(len(toks) - _WINNOW_K + 1)
+    ]
+    h = [
+        int(hashlib.md5(g.encode()).hexdigest()[:12], 16) for g in grams
+    ]
+    if not h:
+        return 0, 0, None, None
+    windows = (
+        [h] if len(h) < _WINNOW_W
+        else [h[j : j + _WINNOW_W] for j in range(len(h) - _WINNOW_W + 1)]
+    )
+    sel = set()
+    for j, w in enumerate(windows):
+        m = min(w)
+        # rightmost occurrence of the minimum
+        sel.add(j + max(i for i, v in enumerate(w) if v == m))
+    fps = sorted({h[p] for p in sel})
+    return len(h), len(fps), fps[0], sum(fps)
+
+
+def _brute_audio(text, frame=32):
+    """From-scratch audio replay: cycled utf-8 bytes -> int16 LE
+    samples -> framewise energies, without touching the repo's
+    encode_wav/decode_wav round trip."""
+    tb = ("" if text is None else text).encode("utf-8")
+    n = len(tb)
+    ns = 100 + n % 57
+    rate = 8000 + (n % 3) * 4000
+    samples = []
+    for i in range(ns):
+        if n == 0:
+            samples.append(0)
+            continue
+        lo, hi = tb[(2 * i) % n], tb[(2 * i + 1) % n]
+        v = lo + 256 * hi
+        samples.append(v - 65536 if v >= 32768 else v)
+    nf = ns // frame
+    energies = [
+        sum(x * x for x in samples[f * frame : (f + 1) * frame])
+        for f in range(nf)
+    ]
+    zc = sum(
+        1 for a, b in zip(samples, samples[1:]) if a * b < 0
+    )
+    return {
+        "rate": rate,
+        "n_frames": nf,
+        "zc": zc,
+        "total": sum(x * x for x in samples),
+        "max_frame": max(energies),
+        "active": sum(1 for e in energies if e > 32_000_000),
+        "energies": energies,
+    }
+
+
+def _brute_audio_sig(text):
+    b = _brute_audio(text)
+    bands = ",".join(
+        f"{str(e + 1)[:3]}e{len(str(e + 1))}" for e in b["energies"]
+    )
+    return hashlib.md5(f"{b['rate']}:{bands}".encode()).hexdigest()
+
+
+# --- winnowing ---------------------------------------------------------------
+
+
+def test_winnow_matches_duckdb_and_bruteforce(spark):
+    from finance_pipeline_spark.operators.textops import (
+        _winnow_oracle,
+        text_winnow_fingerprint,
+    )
+
+    got = _got(text_winnow_fingerprint(spark, SF))
+    assert got == _duck(SF, _winnow_oracle())
+    # independent brute force over the same corpus
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM '{SF}/documents.parquet'"
+    ).fetchall()
+    want = sorted(
+        (int(i), *map(lambda v: v, _brute_winnow(t))) for i, t in docs
+    )
+    want = [
+        (i, int(ng), int(nf), mn, sm)
+        for i, ng, nf, mn, sm in want
+    ]
+    assert got == want
+    # signal: real docs select a proper subset (winnowing compresses)
+    assert all(r[2] < r[1] for r in got if r[1] > _WINNOW_W)
+
+
+def test_winnow_planted_edges(spark, tmp_path):
+    """Tie-heavy, sub-window, and empty documents — the paper's edge
+    cases: all-identical grams collapse to one fingerprint; fewer
+    grams than a window degrade to one whole-doc window; no grams
+    emit an empty set (NULL min/sum)."""
+    from finance_pipeline_spark.operators.textops import (
+        _winnow_oracle,
+        text_winnow_fingerprint,
+    )
+
+    d = _write_docs(
+        tmp_path,
+        [
+            "a a a a a a a a a a",  # 8 identical trigram hashes
+            "one two",  # 0 trigrams
+            "",  # empty
+            "x y z",  # exactly one trigram
+            "p q r s t",  # 3 trigrams < W=4 -> single window
+            "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        ],
+    )
+    got = _got(text_winnow_fingerprint(spark, d))
+    assert got == _duck(d, _winnow_oracle())
+    by_id = {r[0]: r[1:] for r in got}
+    assert by_id[0][1] == 1  # ties collapse to one fingerprint
+    assert by_id[1] == (0, 0, None, None)
+    assert by_id[2] == (0, 0, None, None)
+    ng, nf, mn, sm = by_id[3]
+    assert (ng, nf) == (1, 1) and mn == sm  # one gram -> itself
+    assert by_id[4][0] == 3 and by_id[4][1] == 1  # sub-window: min only
+    for i in range(6):
+        assert by_id[i] == _brute_winnow(
+            [
+                "a a a a a a a a a a",
+                "one two",
+                "",
+                "x y z",
+                "p q r s t",
+                "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+            ][i]
+        )
+
+
+def test_winnow_guarantee_shared_run_shares_fingerprint(spark, tmp_path):
+    """The winnowing theorem: two documents sharing a token run of
+    length >= W + K - 1 (= 6) share at least one selected fingerprint
+    hash. Planted: a common 8-token passage embedded in different
+    contexts. Verified on the independent brute force (fingerprint
+    SETS), then the op's scalar summaries are pinned to that brute
+    force through the oracle parity above."""
+    shared = "the quick brown fox jumps over lazy dogs"
+    doc_a = "intro words here " + shared + " trailing stuff"
+    doc_b = "completely different opening " + shared
+    fps_a = _fps_set(doc_a)
+    fps_b = _fps_set(doc_b)
+    assert fps_a & fps_b, "shared run must share a fingerprint"
+    # and genuinely different docs don't collide
+    assert not (_fps_set("red green blue cyan") & _fps_set("one two three four"))
+
+
+def _fps_set(text):
+    toks = text.strip().lower().split(" ")
+    grams = [
+        " ".join(toks[i : i + _WINNOW_K])
+        for i in range(len(toks) - _WINNOW_K + 1)
+    ]
+    h = [int(hashlib.md5(g.encode()).hexdigest()[:12], 16) for g in grams]
+    if not h:
+        return set()
+    windows = (
+        [h] if len(h) < _WINNOW_W
+        else [h[j : j + _WINNOW_W] for j in range(len(h) - _WINNOW_W + 1)]
+    )
+    sel = set()
+    for j, w in enumerate(windows):
+        m = min(w)
+        sel.add(j + max(i for i, v in enumerate(w) if v == m))
+    return {h[p] for p in sel}
+
+
+def test_winnow_plan_contract(spark):
+    """Pure map work: single parquet scan, no exchange, no Python —
+    the whole selection is JVM array expressions."""
+    from finance_pipeline_spark.operators.textops import (
+        text_winnow_fingerprint,
+    )
+
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    plan = (
+        text_winnow_fingerprint(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan parquet") == 1
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan and "PythonUDF" not in plan
+
+
+# --- audio features ----------------------------------------------------------
+
+
+def test_audio_features_matches_duckdb_and_bruteforce(spark):
+    from finance_pipeline_spark.operators.multimodal import (
+        _audio_features_oracle,
+        mm_audio_features,
+    )
+
+    got = _got(mm_audio_features(spark, SF))
+    assert got == _duck(SF, _audio_features_oracle())
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM '{SF}/documents.parquet'"
+    ).fetchall()
+    want = []
+    for i, t in docs:
+        b = _brute_audio(t)
+        want.append(
+            (
+                int(i), b["rate"], b["n_frames"], b["zc"],
+                b["total"], b["max_frame"], b["active"],
+            )
+        )
+    assert got == sorted(want)
+    # signal checks: non-constant columns. (zero_crossings is 0 on an
+    # all-ASCII corpus — every sample's high byte is 0x20..0x7e, so
+    # samples never go negative; the planted test below drives it.)
+    assert len({r[1] for r in got}) > 1  # rates vary
+    assert len({r[4] for r in got}) > 10  # energies vary
+
+
+def test_audio_features_planted(spark, tmp_path):
+    """Hand-checkable payloads: empty text -> all-zero samples (zero
+    energy, zero crossings); an alternating-sign unicode pattern
+    drives crossings."""
+    from finance_pipeline_spark.operators.multimodal import (
+        _audio_features_oracle,
+        mm_audio_features,
+    )
+
+    texts = ["", "abc", "ÿÿ" * 10, None, "aÿ"]
+    d = _write_docs(tmp_path, texts)
+    got = _got(mm_audio_features(spark, d))
+    assert got == _duck(d, _audio_features_oracle())
+    by_id = {r[0]: r[1:] for r in got}
+    # empty + None text -> silent clip
+    for i in (0, 3):
+        rate, nf, zc, tot, mx, act = by_id[i]
+        assert (zc, tot, mx, act) == (0, 0, 0, 0) and nf == 3
+    # "aÿ" cycles 3 bytes through 2-byte samples: the high byte
+    # alternates 0xc3/0x61/0xbf -> sign flips -> real crossings
+    assert by_id[4][2] > 0
+    for i, t in enumerate(texts):
+        b = _brute_audio(t)
+        assert by_id[i] == (
+            b["rate"], b["n_frames"], b["zc"],
+            b["total"], b["max_frame"], b["active"],
+        )
+
+
+def test_audio_features_plan_contract(spark):
+    """Decode-family plan: synth + feature kernels as MapInPandas, no
+    join, no post-kernel exchange beyond the spread repartition."""
+    from finance_pipeline_spark.operators.multimodal import mm_audio_features
+
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    plan = (
+        mm_audio_features(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("MapInPandas") == 2  # synth + features
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+# --- audio fingerprint -------------------------------------------------------
+
+
+def test_audio_fingerprint_matches_duckdb_and_bruteforce(spark):
+    from finance_pipeline_spark.operators.multimodal import (
+        _audio_fingerprint_oracle,
+        mm_audio_fingerprint,
+    )
+
+    got = _got(mm_audio_fingerprint(spark, SF))
+    assert got == _duck(SF, _audio_fingerprint_oracle())
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM '{SF}/documents.parquet'"
+    ).fetchall()
+    sigs = {int(i): _brute_audio_sig(t) for i, t in docs}
+    from collections import Counter
+
+    counts = Counter(sigs.values())
+    want = sorted(
+        (i, s, counts[s]) for i, s in sigs.items()
+    )
+    assert got == want
+
+
+def test_audio_fingerprint_planted_groups(spark, tmp_path):
+    """Byte-identical audio MUST collide; disjoint envelopes MUST
+    separate. Planted: two copies of one text (identical PCM), one
+    near-variant, one silent clip."""
+    from finance_pipeline_spark.operators.multimodal import (
+        _audio_fingerprint_oracle,
+        mm_audio_fingerprint,
+    )
+
+    dup = "repeated clip text payload"
+    d = _write_docs(tmp_path, [dup, dup, "another clip entirely", ""])
+    got = _got(mm_audio_fingerprint(spark, d))
+    assert got == _duck(d, _audio_fingerprint_oracle())
+    by_id = {r[0]: (r[1], r[2]) for r in got}
+    assert by_id[0] == by_id[1] and by_id[0][1] == 2  # true dup group
+    assert by_id[2][1] == 1 and by_id[3][1] == 1
+    assert len({by_id[i][0] for i in (0, 2, 3)}) == 3  # all distinct sigs
+
+
+def test_audio_fingerprint_plan_contract(spark):
+    """Constant-size signature per clip, ONE shuffle on the 32-byte
+    key for the group count — the 100 TB dedup shape."""
+    from finance_pipeline_spark.operators.multimodal import (
+        mm_audio_fingerprint,
+    )
+
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    plan = (
+        mm_audio_fingerprint(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("MapInPandas") == 2  # synth + signature
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan

@@ -92,6 +92,16 @@ def _staged():
             D.source_dedup_scopes,
             D._source_scopes_oracle,
         ),
+        # --- third r14 batch (second extended session) ---
+        "text_winnow_fingerprint": (
+            T.text_winnow_fingerprint,
+            T._winnow_oracle,
+        ),
+        "mm_audio_features": (M.mm_audio_features, M._audio_features_oracle),
+        "mm_audio_fingerprint": (
+            M.mm_audio_fingerprint,
+            M._audio_fingerprint_oracle,
+        ),
     }
 
 
