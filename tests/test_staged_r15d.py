@@ -222,8 +222,9 @@ def _fps_set(text):
 
 
 def test_winnow_plan_contract(spark):
-    """Pure map work: single parquet scan, no exchange, no Python —
-    the whole selection is JVM array expressions."""
+    """Map-only work: single parquet scan, JVM tokenization, ONE Arrow
+    kernel for gram-hash + window select, and no exchange beyond the
+    Python-kernel partition spread (no join, no aggregation)."""
     from finance_pipeline_spark.operators.textops import (
         text_winnow_fingerprint,
     )
@@ -236,8 +237,9 @@ def test_winnow_plan_contract(spark):
         .toString()
     )
     assert plan.count("Scan parquet") == 1
-    assert "Exchange" not in plan
-    assert "EvalPython" not in plan and "PythonUDF" not in plan
+    assert plan.count("MapInPandas") == 1
+    assert plan.count("Exchange") <= 1  # the kernel partition spread
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
 
 
 # --- audio features ----------------------------------------------------------
