@@ -3936,6 +3936,39 @@ _WINNOW_K = 3  # shingle width (word trigrams, the repo's dedup shingle)
 _WINNOW_W = 4  # winnowing window (guarantee threshold t = W + K - 1 = 6)
 
 
+def winnow_doc(tokens):
+    """The per-document winnowing core, factored out of the Spark
+    kernel so property sweeps can drive it without a session:
+    tokens -> (n_grams, sorted distinct selected 48-bit hashes).
+    Rightmost-tie window minima per the paper; sub-window documents
+    degrade to one whole-document window."""
+    import hashlib
+
+    import numpy as np
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    K, W = _WINNOW_K, _WINNOW_W
+    grams = [
+        " ".join(tokens[i : i + K]) for i in range(len(tokens) - K + 1)
+    ]
+    if not grams:
+        return 0, np.empty(0, dtype=np.int64)
+    h = np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(g.encode()).digest()[:6], "big")
+            for g in grams
+        ),
+        dtype=np.int64,
+        count=len(grams),
+    )
+    if len(h) < W:
+        pos = np.array([len(h) - 1 - h[::-1].argmin()])
+    else:
+        rev = sliding_window_view(h, W)[:, ::-1]
+        pos = np.arange(len(h) - W + 1) + (W - 1) - rev.argmin(axis=1)
+    return len(h), np.unique(h[np.unique(pos)])
+
+
 def winnow_fingerprints(docs: DataFrame) -> DataFrame:
     """(doc_id, n_grams, n_fingerprints, fp_min, fp_sum) — winnowing
     over word-trigram md5 hashes: per window of ``_WINNOW_W``
@@ -3962,17 +3995,12 @@ def winnow_fingerprints(docs: DataFrame) -> DataFrame:
     for this kernel. Zero shuffle beyond the Python-kernel partition
     spread, constant four-column egress; the 48-bit hash (12 md5 hex
     digits) keeps fp_sum far inside int64."""
-    import hashlib
-
-    import numpy as np
     import pandas as pd
-    from numpy.lib.stride_tricks import sliding_window_view
 
     from finance_pipeline_spark.operators.multimodal import (
         _spread_for_python_kernel,
     )
 
-    K, W = _WINNOW_K, _WINNOW_W
     with_toks = docs.select("doc_id", _tokens().alias("t"))
 
     def kernel(it):
@@ -3980,37 +4008,14 @@ def winnow_fingerprints(docs: DataFrame) -> DataFrame:
             ids, ngs, nfs, mns, sms = [], [], [], [], []
             for doc_id, toks in zip(pdf["doc_id"], pdf["t"]):
                 ids.append(int(doc_id))
-                toks = list(toks) if toks is not None else []
-                grams = [
-                    " ".join(toks[i : i + K])
-                    for i in range(len(toks) - K + 1)
-                ]
-                if not grams:
-                    ngs.append(0), nfs.append(0)
-                    mns.append(None), sms.append(None)
-                    continue
-                h = np.fromiter(
-                    (
-                        int.from_bytes(
-                            hashlib.md5(g.encode()).digest()[:6], "big"
-                        )
-                        for g in grams
-                    ),
-                    dtype=np.int64,
-                    count=len(grams),
+                nh, fps = winnow_doc(
+                    list(toks) if toks is not None else []
                 )
-                if len(h) < W:
-                    pos = np.array([len(h) - 1 - h[::-1].argmin()])
+                ngs.append(nh), nfs.append(len(fps))
+                if len(fps):
+                    mns.append(int(fps[0])), sms.append(int(fps.sum()))
                 else:
-                    rev = sliding_window_view(h, W)[:, ::-1]
-                    pos = (
-                        np.arange(len(h) - W + 1)
-                        + (W - 1)
-                        - rev.argmin(axis=1)
-                    )
-                fps = np.unique(h[np.unique(pos)])
-                ngs.append(len(h)), nfs.append(len(fps))
-                mns.append(int(fps[0])), sms.append(int(fps.sum()))
+                    mns.append(None), sms.append(None)
             yield pd.DataFrame(
                 {
                     "doc_id": ids,

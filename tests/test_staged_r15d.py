@@ -379,3 +379,34 @@ def test_audio_fingerprint_plan_contract(spark):
     )
     assert plan.count("MapInPandas") == 2  # synth + signature
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_winnow_doc_hypothesis_vs_spec():
+    """Property sweep of the factored kernel core against an
+    independent spec implementation of the paper's definition
+    (per-window rightmost argmin over explicit window slices) —
+    tie-heavy alphabets (2 symbols) force the rightmost rule to
+    matter; long docs exercise the strided path, short ones the
+    sub-window degenerate."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from finance_pipeline_spark.operators.textops import winnow_doc
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        st.lists(
+            st.sampled_from(["a", "b", "xy", "longword", "ÿ"]),
+            min_size=0,
+            max_size=40,
+        )
+    )
+    def prop(toks):
+        ng, fps = winnow_doc(toks)
+        exp_ng, exp_fps = _brute_winnow(" ".join(toks))[0], sorted(
+            _fps_set(" ".join(toks)) if toks else set()
+        )
+        assert ng == exp_ng
+        assert list(fps) == exp_fps
+
+    prop()
