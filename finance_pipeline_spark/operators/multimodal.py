@@ -2085,3 +2085,81 @@ def _audio_fingerprint_oracle() -> str:
            CAST(count(*) OVER (PARTITION BY sig) AS BIGINT) AS group_size
     FROM sig
     """
+
+
+def audio_downsample(docs: DataFrame) -> DataFrame:
+    """(doc_id, sample_rate, n_out, out_zero_crossings,
+    out_total_energy, out_max_abs) — 2× box downsample over WAV
+    payloads, the audio RESIZE leg mirroring ``mm_thumbnail``'s
+    contract on the image side: each output sample is the pair mean
+    computed as ONE truncating integer division (trunc matches both
+    the PCM mixing convention and DuckDB's ``//``; numpy's ``//``
+    floors, so the kernel uses sign(t)*(|t|//2) — the parity trap is
+    documented because it bit-diverges on odd negative sums). A
+    trailing odd sample is dropped (n_out = ns // 2). Output stats
+    are the same exact-int64 features ``mm_audio_features`` computes,
+    taken over the downsampled signal, so a resampler regression
+    (phase shift, wrong pairing, float mean) blows the oracle hash.
+
+    Scale shape: decode-family — synthesis + decode + resample in one
+    Arrow kernel pass, no shuffle, constant egress per clip."""
+    import numpy as np
+
+    d = with_wav_payload(docs)
+    schema = (
+        "doc_id bigint, sample_rate int, n_out bigint, "
+        "out_zero_crossings bigint, out_total_energy bigint, "
+        "out_max_abs bigint"
+    )
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {
+                "doc_id": [], "sample_rate": [], "n_out": [],
+                "out_zero_crossings": [], "out_total_energy": [],
+                "out_max_abs": [],
+            }
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                rate, _, s = decode_wav(bytes(p))
+                x = s.astype(np.int64)
+                no = len(x) // 2
+                t = x[: 2 * no].reshape(no, 2).sum(axis=1)
+                out = np.sign(t) * (np.abs(t) // 2)  # truncating mean
+                rows["doc_id"].append(int(doc_id))
+                rows["sample_rate"].append(rate)
+                rows["n_out"].append(no)
+                rows["out_zero_crossings"].append(
+                    int(((out[:-1] * out[1:]) < 0).sum())
+                )
+                rows["out_total_energy"].append(int((out * out).sum()))
+                rows["out_max_abs"].append(int(np.abs(out).max()))
+            yield pd.DataFrame(rows)
+
+    return d.select("doc_id", "payload").mapInPandas(kernel, schema=schema)
+
+
+def mm_audio_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return audio_downsample(load(spark, sf_dir, "documents"))
+
+
+def _audio_downsample_oracle() -> str:
+    """DuckDB replica of ``mm_audio_downsample`` — pair sums with
+    DuckDB's native truncating ``//``, then the same exact stats."""
+    return f"""
+    WITH {_SQL_WAV_SAMPLES}, ds AS (
+        SELECT doc_id, rate, ns // 2 AS no,
+               [(samples[2 * i + 1] + samples[2 * i + 2]) // 2
+                FOR i IN range(0, ns // 2)] AS o
+        FROM s
+    )
+    SELECT doc_id,
+           CAST(rate AS INTEGER) AS sample_rate,
+           CAST(no AS BIGINT) AS n_out,
+           CAST(coalesce(list_sum(
+             [CASE WHEN o[i] * o[i + 1] < 0 THEN 1 ELSE 0 END
+              FOR i IN range(1, no)]), 0) AS BIGINT) AS out_zero_crossings,
+           CAST(list_sum([CAST(x AS BIGINT) * x FOR x IN o])
+             AS BIGINT) AS out_total_energy,
+           CAST(list_max([abs(x) FOR x IN o]) AS BIGINT) AS out_max_abs
+    FROM ds
+    """

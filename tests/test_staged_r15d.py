@@ -410,3 +410,86 @@ def test_winnow_doc_hypothesis_vs_spec():
         assert list(fps) == exp_fps
 
     prop()
+
+
+# --- audio downsample --------------------------------------------------------
+
+
+def _brute_downsample(text):
+    b = _brute_audio(text)
+    tb = ("" if text is None else text).encode("utf-8")
+    n = len(tb)
+    ns = 100 + n % 57
+    s = []
+    for i in range(ns):
+        if n == 0:
+            s.append(0)
+            continue
+        v = tb[(2 * i) % n] + 256 * tb[(2 * i + 1) % n]
+        s.append(v - 65536 if v >= 32768 else v)
+    no = ns // 2
+    out = [int((s[2 * i] + s[2 * i + 1]) / 2) for i in range(no)]  # trunc
+    return (
+        b["rate"], no,
+        sum(1 for a, c in zip(out, out[1:]) if a * c < 0),
+        sum(x * x for x in out),
+        max(abs(x) for x in out),
+    )
+
+
+def test_audio_downsample_matches_duckdb_and_bruteforce(spark):
+    from finance_pipeline_spark.operators.multimodal import (
+        _audio_downsample_oracle,
+        mm_audio_downsample,
+    )
+
+    got = _got(mm_audio_downsample(spark, SF))
+    assert got == _duck(SF, _audio_downsample_oracle())
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM '{SF}/documents.parquet'"
+    ).fetchall()
+    want = sorted((int(i), *_brute_downsample(t)) for i, t in docs)
+    assert got == want
+
+
+def test_audio_downsample_trunc_vs_floor_trap(spark, tmp_path):
+    """The parity trap the docstring documents: odd NEGATIVE pair sums
+    divide differently under floor (numpy //) and trunc (DuckDB //).
+    'zÿ' synthesizes 17 odd-negative pair sums per clip — a floored
+    kernel would be off by one on every one of them."""
+    from finance_pipeline_spark.operators.multimodal import (
+        _audio_downsample_oracle,
+        mm_audio_downsample,
+    )
+
+    texts = ["zÿ", "aÿbÿc", "~ÿÿ", "", "plain ascii text"]
+    d = _write_docs(tmp_path, texts)
+    got = _got(mm_audio_downsample(spark, d))
+    assert got == _duck(d, _audio_downsample_oracle())
+    for i, t in enumerate(texts):
+        assert got[i] == (i, *_brute_downsample(t))
+    # and the trap is actually exercised: floor != trunc on this corpus
+    tb = "zÿ".encode()
+    s = []
+    for j in range(100 + len(tb) % 57):
+        v = tb[(2 * j) % len(tb)] + 256 * tb[(2 * j + 1) % len(tb)]
+        s.append(v - 65536 if v >= 32768 else v)
+    pairs = [s[2 * j] + s[2 * j + 1] for j in range((100 + len(tb) % 57) // 2)]
+    assert any(p < 0 and p % 2 != 0 for p in pairs)
+
+
+def test_audio_downsample_plan_contract(spark):
+    from finance_pipeline_spark.operators.multimodal import (
+        mm_audio_downsample,
+    )
+
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    plan = (
+        mm_audio_downsample(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("MapInPandas") == 2  # synth + resample
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan

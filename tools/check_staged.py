@@ -102,6 +102,10 @@ def _staged():
             M.mm_audio_fingerprint,
             M._audio_fingerprint_oracle,
         ),
+        "mm_audio_downsample": (
+            M.mm_audio_downsample,
+            M._audio_downsample_oracle,
+        ),
     }
 
 
