@@ -2163,3 +2163,211 @@ def _audio_downsample_oracle() -> str:
            CAST(list_max([abs(x) FOR x IN o]) AS BIGINT) AS out_max_abs
     FROM ds
     """
+
+
+# --- IMA ADPCM (lossy compressed audio codec) --------------------------------
+# The compressed-audio answer to the WebP/MP3 container disclosure:
+# MP3/AAC need native libs, but IMA/DVI ADPCM (the WAV format-tag-0x11
+# codec, IMA "Recommended Practices for Enhancing Digital Audio
+# Compatibility" 1992) is a pure-integer 4:1 state machine — REAL,
+# standard, and exactly replicable in SQL (the decoder's state mirrors
+# the encoder's step for step, so one recursive-CTE replay of the
+# encoder yields the reconstructed signal bit-exactly).
+
+_ADPCM_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_ADPCM_IDX = [-1, -1, -1, -1, 2, 4, 6, 8]
+_ADPCM_MAGIC = b"ADP1"
+
+
+def encode_adpcm(samples) -> bytes:
+    """REAL IMA ADPCM encoder — 4 bits per 16-bit sample, initial
+    predictor/index 0 (single-block form; WAV's per-block headers are
+    a framing wrapper around exactly this loop). Payload: 4-byte
+    magic + u32 LE sample count + packed nibbles (low nibble first,
+    the IMA/WAV convention)."""
+    import struct
+
+    pred, idx, nibs = 0, 0, []
+    for s in samples:
+        s = int(s)
+        step = _ADPCM_STEPS[idx]
+        diff = s - pred
+        nib = 0
+        if diff < 0:
+            nib = 8
+            diff = -diff
+        if diff >= step:
+            nib |= 4
+            diff -= step
+        if diff >= step >> 1:
+            nib |= 2
+            diff -= step >> 1
+        if diff >= step >> 2:
+            nib |= 1
+        dq = step >> 3
+        if nib & 4:
+            dq += step
+        if nib & 2:
+            dq += step >> 1
+        if nib & 1:
+            dq += step >> 2
+        pred = pred - dq if nib & 8 else pred + dq
+        pred = max(-32768, min(32767, pred))
+        idx = max(0, min(88, idx + _ADPCM_IDX[nib & 7]))
+        nibs.append(nib)
+    if len(nibs) % 2:
+        nibs.append(0)  # pad nibble, never decoded (count bounds it)
+    packed = bytes(nibs[i] | (nibs[i + 1] << 4) for i in range(0, len(nibs), 2))
+    return _ADPCM_MAGIC + struct.pack("<I", len(samples)) + packed
+
+
+def decode_adpcm(payload: bytes):
+    """REAL IMA ADPCM decoder: validates magic + declared count
+    against payload size, unpacks nibbles (low first), replays the
+    step-size state machine. Rejects loudly on bad magic or
+    truncation. Returns an int16 numpy array."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 8 or payload[:4] != _ADPCM_MAGIC:
+        raise ValueError("not an ADP1 payload")
+    (n,) = struct.unpack("<I", payload[4:8])
+    body = payload[8:]
+    if len(body) < (n + 1) // 2:
+        raise ValueError("truncated ADPCM body")
+    pred, idx, out = 0, 0, []
+    for k in range(n):
+        b = body[k // 2]
+        nib = (b >> 4) if k % 2 else (b & 0x0F)
+        step = _ADPCM_STEPS[idx]
+        dq = step >> 3
+        if nib & 4:
+            dq += step
+        if nib & 2:
+            dq += step >> 1
+        if nib & 1:
+            dq += step >> 2
+        pred = pred - dq if nib & 8 else pred + dq
+        pred = max(-32768, min(32767, pred))
+        idx = max(0, min(88, idx + _ADPCM_IDX[nib & 7]))
+        out.append(pred)
+    return np.asarray(out, dtype=np.int16)
+
+
+def mm_decode_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossy compressed-audio round trip chaining THREE real codecs in
+    one Arrow kernel pass: synthesized RIFF/WAVE → ``decode_wav`` →
+    ``encode_adpcm`` (4:1) → ``decode_adpcm`` → exact-integer
+    reconstruction stats. The DuckDB oracle replays the encoder's
+    state machine as a recursive CTE over the cycled-bytes synthesis —
+    bit-exact because IMA ADPCM is pure integer arithmetic and the
+    decoder's state provably mirrors the encoder's (both apply the
+    same dequant/clamp/index update per nibble), so EVERY column
+    hash-compares: a quantizer, packing-order, clamp, or step-table
+    regression diverges on the first affected sample.
+
+    Columns: n_samples; n_pcm_bytes vs n_adpcm_bytes (the exact 4:1
+    story, +8 header); sum_abs_err (total reconstruction error —
+    honest lossy-codec evidence, large on entropy-like cycled text,
+    small on smooth signals, pinned either way); final_pred (the
+    decoder's end state).
+
+    Scale shape: decode-family — zero shuffle, constant egress."""
+    d = with_wav_payload(load(spark, sf_dir, "documents"))
+    schema = (
+        "doc_id bigint, n_samples bigint, n_pcm_bytes bigint, "
+        "n_adpcm_bytes bigint, sum_abs_err bigint, final_pred int"
+    )
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            rows = {
+                "doc_id": [], "n_samples": [], "n_pcm_bytes": [],
+                "n_adpcm_bytes": [], "sum_abs_err": [], "final_pred": [],
+            }
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                _, _, pcm = decode_wav(bytes(p))
+                adp = encode_adpcm(pcm)
+                rec = decode_adpcm(adp)
+                err = np.abs(
+                    pcm.astype(np.int64) - rec.astype(np.int64)
+                ).sum()
+                rows["doc_id"].append(int(doc_id))
+                rows["n_samples"].append(len(pcm))
+                rows["n_pcm_bytes"].append(2 * len(pcm))
+                rows["n_adpcm_bytes"].append(len(adp))
+                rows["sum_abs_err"].append(int(err))
+                rows["final_pred"].append(int(rec[-1]) if len(rec) else 0)
+            yield pd.DataFrame(rows)
+
+    return d.select("doc_id", "payload").mapInPandas(kernel, schema=schema)
+
+
+def _adpcm_oracle() -> str:
+    """DuckDB replica of ``mm_decode_adpcm``: recursive-CTE replay of
+    the IMA encoder state machine (which IS the reconstructed signal)
+    over the cycled-bytes synthesis."""
+    steps = str(_ADPCM_STEPS)
+    return f"""
+    WITH RECURSIVE {_SQL_WAV_SAMPLES}, st AS (
+        SELECT doc_id, 0 AS i, 0 AS pred, 0 AS idx,
+               CAST(0 AS BIGINT) AS abs_err
+        FROM s
+        UNION ALL
+        SELECT doc_id, i + 1,
+               greatest(-32768, least(32767,
+                 CASE WHEN sign8 THEN pred - dq ELSE pred + dq END)) AS pred,
+               greatest(0, least(88, idx + CASE nib7
+                 WHEN 4 THEN 2 WHEN 5 THEN 4 WHEN 6 THEN 6 WHEN 7 THEN 8
+                 ELSE -1 END)) AS idx,
+               abs_err + abs(sv - greatest(-32768, least(32767,
+                 CASE WHEN sign8 THEN pred - dq ELSE pred + dq END)))
+        FROM (
+            SELECT doc_id, i, pred, idx, abs_err, sv, sign8,
+                   4 * CAST(b4 AS INT) + 2 * CAST(b2 AS INT)
+                     + CAST(b1 AS INT) AS nib7,
+                   (step // 8) + CASE WHEN b4 THEN step ELSE 0 END
+                     + CASE WHEN b2 THEN step // 2 ELSE 0 END
+                     + CASE WHEN b1 THEN step // 4 ELSE 0 END AS dq
+            FROM (
+                SELECT *,
+                       ad - CASE WHEN b4 THEN step ELSE 0 END
+                          - CASE WHEN b2 THEN step // 2 ELSE 0 END
+                         >= step // 4 AS b1
+                FROM (
+                    SELECT *,
+                           ad - CASE WHEN b4 THEN step ELSE 0 END
+                             >= step // 2 AS b2
+                    FROM (
+                        SELECT st.doc_id, st.i, st.pred, st.idx,
+                               st.abs_err,
+                               s.samples[st.i + 1] AS sv,
+                               s.samples[st.i + 1] - st.pred < 0 AS sign8,
+                               abs(s.samples[st.i + 1] - st.pred) AS ad,
+                               ({steps})[st.idx + 1] AS step
+                        FROM st JOIN s USING (doc_id)
+                        WHERE st.i < s.ns
+                    ), LATERAL (SELECT ad >= step AS b4) b4t
+                )
+            )
+        )
+    )
+    SELECT st.doc_id,
+           CAST(s.ns AS BIGINT) AS n_samples,
+           CAST(2 * s.ns AS BIGINT) AS n_pcm_bytes,
+           CAST(8 + (s.ns + 1) // 2 AS BIGINT) AS n_adpcm_bytes,
+           st.abs_err AS sum_abs_err,
+           CAST(st.pred AS INTEGER) AS final_pred
+    FROM st JOIN s USING (doc_id) WHERE st.i = s.ns
+    """

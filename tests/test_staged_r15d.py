@@ -493,3 +493,137 @@ def test_audio_downsample_plan_contract(spark):
     )
     assert plan.count("MapInPandas") == 2  # synth + resample
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+# --- IMA ADPCM ---------------------------------------------------------------
+
+
+def _brute_adpcm_replay(samples):
+    """Independent IMA encoder replay (spec-from-paper, not the repo
+    code): returns (reconstructed list, final pred)."""
+    STEPS = [7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,41,45,50,
+        55,60,66,73,80,88,97,107,118,130,143,157,173,190,209,230,253,279,
+        307,337,371,408,449,494,544,598,658,724,796,876,963,1060,1166,
+        1282,1411,1552,1707,1878,2066,2272,2499,2749,3024,3327,3660,4026,
+        4428,4871,5358,5894,6484,7132,7845,8630,9493,10442,11487,12635,
+        13899,15289,16818,18500,20350,22385,24623,27086,29794,32767]
+    IDX = [-1, -1, -1, -1, 2, 4, 6, 8]
+    pred, idx, out = 0, 0, []
+    for s in samples:
+        step = STEPS[idx]
+        diff = s - pred
+        nib = 0
+        if diff < 0:
+            nib, diff = 8, -diff
+        if diff >= step:
+            nib |= 4
+            diff -= step
+        if diff >= step >> 1:
+            nib |= 2
+            diff -= step >> 1
+        if diff >= step >> 2:
+            nib |= 1
+        dq = step >> 3
+        if nib & 4:
+            dq += step
+        if nib & 2:
+            dq += step >> 1
+        if nib & 1:
+            dq += step >> 2
+        pred = pred - dq if nib & 8 else pred + dq
+        pred = max(-32768, min(32767, pred))
+        idx = max(0, min(88, idx + IDX[nib & 7]))
+        out.append(pred)
+    return out, pred
+
+
+def test_adpcm_codec_roundtrip_hypothesis():
+    """decode(encode(x)) must equal the spec replay for arbitrary
+    int16 signals — packing order (low nibble first), odd-count pad,
+    clamps, and the step-index walk all under test."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from finance_pipeline_spark.operators.multimodal import (
+        decode_adpcm,
+        encode_adpcm,
+    )
+
+    @settings(max_examples=100, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=-32768, max_value=32767),
+            min_size=0,
+            max_size=130,
+        )
+    )
+    def prop(sig):
+        rec = list(decode_adpcm(encode_adpcm(sig)))
+        want, _ = _brute_adpcm_replay(sig)
+        assert rec == want
+
+    prop()
+
+
+def test_adpcm_codec_rejects_garbage():
+    import pytest
+
+    from finance_pipeline_spark.operators.multimodal import (
+        decode_adpcm,
+        encode_adpcm,
+    )
+
+    with pytest.raises(ValueError, match="ADP1"):
+        decode_adpcm(b"RIFFxxxx")
+    good = encode_adpcm([1, 2, 3, 4, 5])
+    with pytest.raises(ValueError, match="truncated"):
+        decode_adpcm(good[:-1])
+
+
+def test_adpcm_tracks_smooth_signals():
+    """The codec is REAL: on a smooth ramp it tracks within a few
+    steps (mean abs err tiny vs amplitude); on white-noise-like jumps
+    it degrades — both are properties of IMA ADPCM, not bugs."""
+    from finance_pipeline_spark.operators.multimodal import (
+        decode_adpcm,
+        encode_adpcm,
+    )
+
+    ramp = [min(32767, 40 * i) for i in range(400)]
+    rec = list(decode_adpcm(encode_adpcm(ramp)))
+    errs = [abs(a - b) for a, b in zip(ramp, rec)]
+    assert sum(errs) / len(errs) < 10  # measured 3.1; huge headroom
+    # a sawtooth with 8000-unit cliffs lags at each cliff (adaptive
+    # step needs samples to grow) — that's IMA behavior, pinned loosely
+    saw = [int(8000 * (i % 50) / 50) for i in range(400)]
+    rec2 = list(decode_adpcm(encode_adpcm(saw)))
+    errs2 = [abs(a - b) for a, b in zip(saw, rec2)]
+    assert sum(errs2) / len(errs2) < 1000  # measured 416
+
+
+def test_mm_decode_adpcm_matches_oracle_and_ratio(spark):
+    from finance_pipeline_spark.operators.multimodal import (
+        _adpcm_oracle,
+        mm_decode_adpcm,
+    )
+
+    got = _got(mm_decode_adpcm(spark, SF))
+    assert got == _duck(SF, _adpcm_oracle())
+    for _, ns, pcm_b, adp_b, err, _fp in got:
+        assert pcm_b == 2 * ns
+        assert adp_b == 8 + (ns + 1) // 2  # the exact 4:1 + header
+        assert err >= 0
+
+
+def test_mm_decode_adpcm_plan_contract(spark):
+    from finance_pipeline_spark.operators.multimodal import mm_decode_adpcm
+
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    plan = (
+        mm_decode_adpcm(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("MapInPandas") == 2  # synth + codec chain
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan

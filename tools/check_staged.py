@@ -106,6 +106,7 @@ def _staged():
             M.mm_audio_downsample,
             M._audio_downsample_oracle,
         ),
+        "mm_decode_adpcm": (M.mm_decode_adpcm, M._adpcm_oracle),
     }
 
 
