@@ -4078,3 +4078,135 @@ def _winnow_oracle() -> str:
            CAST(list_sum(fps) AS BIGINT) AS fp_sum
     FROM sel
     """
+
+
+# ---------------------------------------------------------------------------
+# STAGED for r16 (fourth extended-session batch): Count-Min Sketch
+# heavy hitters (Cormode & Muthukrishnan 2005) — the mergeable-sketch
+# member of the approx family (GK quantiles and Spark HLL are already
+# registered). The sketch is the 100 TB shape for frequency tracking:
+# counters merge by ADDITION, so map-side combine reduces any corpus
+# to a fixed d×w int64 grid regardless of scale.
+# ---------------------------------------------------------------------------
+
+_CMS_D = 4  # hash rows
+# Buckets per row — deliberately UNDERSIZED for the corpus's 31-token
+# vocabulary so the sketch actually pays collision noise here (at
+# w=1024 every overestimate was 0 and the >= invariant was vacuous;
+# at w=16/d=4, 14 of 31 tokens overestimate, and d=4's min-over-rows
+# visibly beats d=2's 22 — measured before sizing). A production
+# sketch sizes w ~ e/eps >> vocabulary; the MATH is identical.
+_CMS_W = 16
+
+
+def _cms_bucket(r: int):
+    """Bucket of the ``tok`` column under hash row r — md5-derived so
+    both engines compute it identically."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{r}:"), F.col("tok"))), 1, 12),
+        16,
+        10,
+    ).cast("bigint") % _CMS_W
+
+
+def text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(token, exact_count, cms_estimate, overestimate) for the true
+    top-20 tokens — a Count-Min Sketch built over the corpus, read
+    back next to exact truth so the sketch's defining guarantee
+    (estimate >= exact, ALWAYS) is an oracle-checked invariant and
+    the overestimate column shows the collision noise a 4×1024 sketch
+    actually pays on this vocabulary.
+
+    Plan: one exploded-token scan feeds ONE exact groupBy(token)
+    (map-side combined — the only corpus-sized shuffle); the sketch is
+    then built FROM the frequency vector (counter(r,b) = sum of counts
+    of tokens hashing there — identical to streaming every token, at
+    vocabulary cost instead of corpus cost), so the d×w counter grid
+    (≤4,096 rows) and the top-20 (TakeOrderedAndProject) are both
+    type-sized. Estimates come from exploding the top-20 into
+    (token, row, bucket) and a broadcast join against the counter
+    grid, min over rows. At 100 TB nothing but the first groupBy
+    grows; the sketch itself is 32 KiB."""
+    d = load(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(_tokens()).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    ).localCheckpoint(eager=False)
+
+    grid = (
+        counts.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("r"), _cms_bucket(r).alias("b")
+                        )
+                        for r in range(_CMS_D)
+                    ]
+                )
+            ).alias("rb"),
+            "c",
+        )
+        .groupBy(F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
+        .agg(F.sum("c").alias("counter"))
+    )
+
+    top = counts.orderBy(F.col("c").desc(), F.col("tok").asc()).limit(20)
+    probes = top.select(
+        "tok",
+        F.col("c").alias("exact_count"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(r).alias("r"), _cms_bucket(r).alias("b"))
+                    for r in range(_CMS_D)
+                ]
+            )
+        ).alias("rb"),
+    ).select("tok", "exact_count", F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
+    est = (
+        probes.join(F.broadcast(grid), ["r", "b"])
+        .groupBy("tok", "exact_count")
+        .agg(F.min("counter").alias("cms_estimate"))
+    )
+    return est.select(
+        F.col("tok").alias("token"),
+        F.col("exact_count").cast("bigint"),
+        F.col("cms_estimate").cast("bigint"),
+        (F.col("cms_estimate") - F.col("exact_count"))
+        .cast("bigint")
+        .alias("overestimate"),
+    )
+
+
+def _cms_oracle() -> str:
+    """DuckDB replica of ``text_cms_heavy_hitters`` — same md5 bucket
+    derivation, frequency-vector sketch build, min-over-rows read."""
+    d, w = _CMS_D, _CMS_W
+    return f"""
+    WITH counts AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT unnest({_sql_tokens()}) AS tok FROM documents)
+        GROUP BY tok
+    ), grid AS (
+        SELECT r, ('0x' || substr(md5(r || ':' || tok), 1, 12))::BIGINT
+                 % {w} AS b,
+               sum(c) AS counter
+        FROM counts, range(0, {d}) t(r)
+        GROUP BY 1, 2
+    ), top AS (
+        SELECT tok, c FROM counts ORDER BY c DESC, tok ASC LIMIT 20
+    ), probes AS (
+        SELECT tok, c, r,
+               ('0x' || substr(md5(r || ':' || tok), 1, 12))::BIGINT
+                 % {w} AS b
+        FROM top, range(0, {d}) t(r)
+    )
+    SELECT p.tok AS token,
+           CAST(p.c AS BIGINT) AS exact_count,
+           CAST(min(g.counter) AS BIGINT) AS cms_estimate,
+           CAST(min(g.counter) - p.c AS BIGINT) AS overestimate
+    FROM probes p JOIN grid g USING (r, b)
+    GROUP BY p.tok, p.c
+    """

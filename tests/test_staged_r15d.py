@@ -627,3 +627,106 @@ def test_mm_decode_adpcm_plan_contract(spark):
     )
     assert plan.count("MapInPandas") == 2  # synth + codec chain
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+# --- Count-Min Sketch heavy hitters -------------------------------------------
+
+
+def _brute_cms(token_counts, d=4, w=16):
+    """Independent CMS build + read from a frequency dict."""
+    grid = {}
+    for t, c in token_counts.items():
+        for r in range(d):
+            b = int(hashlib.md5(f"{r}:{t}".encode()).hexdigest()[:12], 16) % w
+            grid[(r, b)] = grid.get((r, b), 0) + c
+    est = {}
+    for t in token_counts:
+        est[t] = min(
+            grid[
+                (
+                    r,
+                    int(hashlib.md5(f"{r}:{t}".encode()).hexdigest()[:12], 16)
+                    % w,
+                )
+            ]
+            for r in range(d)
+        )
+    return est
+
+
+def test_cms_matches_duckdb_and_invariant(spark):
+    from finance_pipeline_spark.operators.textops import (
+        _cms_oracle,
+        text_cms_heavy_hitters,
+    )
+
+    got = _got(text_cms_heavy_hitters(spark, SF))
+    assert got == _duck(SF, _cms_oracle())
+    assert len(got) == 20
+    # the CMS theorem: estimate >= exact, always
+    assert all(r[2] >= r[1] and r[3] == r[2] - r[1] for r in got)
+    # the sketch is sized to actually collide on this corpus
+    assert any(r[3] > 0 for r in got)
+    # and against an independent Python CMS over the exact counts
+    con = duckdb.connect()
+    counts = dict(
+        con.execute(
+            "SELECT tok, count(*) FROM (SELECT unnest(string_split(trim("
+            f"lower(text)), ' ')) tok FROM '{SF}/documents.parquet') GROUP BY tok"
+        ).fetchall()
+    )
+    est = _brute_cms(counts)
+    for tok, exact, cms, _over in got:
+        assert counts[tok] == exact and est[tok] == cms
+
+
+def test_cms_hypothesis_random_corpora():
+    """Property sweep of the sketch math itself (no Spark): for random
+    frequency vectors, the min-over-rows estimate is >= truth and
+    equals the brute grid read — including single-token and
+    all-colliding (w=1) degenerate sketches."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=100, deadline=None)
+    @given(
+        st.dictionaries(
+            st.text(
+                alphabet="abcdefgh ÿ",
+                min_size=1,
+                max_size=6,
+            ).map(lambda s: s.replace(" ", "_")),
+            st.integers(min_value=1, max_value=10_000),
+            min_size=1,
+            max_size=60,
+        ),
+        st.sampled_from([1, 2, 16]),
+    )
+    def prop(counts, w):
+        est = _brute_cms(counts, w=w)
+        assert all(est[t] >= c for t, c in counts.items())
+        if w == 1:  # every row is one bucket: estimate == total mass
+            total = sum(counts.values())
+            assert all(v == total for v in est.values())
+
+    prop()
+
+
+def test_cms_plan_contract(spark):
+    """ONE corpus-sized shuffle (the exact token groupBy with partial
+    agg); top-20 plans as TakeOrderedAndProject; the counter grid
+    joins broadcast."""
+    from finance_pipeline_spark.operators.textops import (
+        text_cms_heavy_hitters,
+    )
+
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    plan = (
+        text_cms_heavy_hitters(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan

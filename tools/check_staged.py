@@ -107,6 +107,10 @@ def _staged():
             M._audio_downsample_oracle,
         ),
         "mm_decode_adpcm": (M.mm_decode_adpcm, M._adpcm_oracle),
+        "text_cms_heavy_hitters": (
+            T.text_cms_heavy_hitters,
+            T._cms_oracle,
+        ),
     }
 
 
