@@ -266,6 +266,20 @@ def corpus_main(argv: list[str]) -> int:
                    help="optional parquet path for the sampled rows")
 
     p = sub.add_parser(
+        "heavy-hitters",
+        help="top-20 tokens: exact counts vs Count-Min Sketch reads "
+        "(the estimate >= exact invariant, with collision noise)",
+    )
+    p.add_argument("--source-dir", required=True)
+
+    p = sub.add_parser(
+        "audio-stats",
+        help="audio-tier summary: framewise features, duplicate "
+        "signature groups, ADPCM compression + reconstruction error",
+    )
+    p.add_argument("--source-dir", required=True)
+
+    p = sub.add_parser(
         "curate",
         help="batch curation: screen -> LM screen -> dedup -> scrub -> "
         "decontaminate -> sharded export",
@@ -488,6 +502,71 @@ def corpus_main(argv: list[str]) -> int:
              "shared_grams": r["n_shared_grams"],
              "jaccard": round(r["jaccard"], 4)} for r in rows
         ]}))
+        return 0
+    if args.cmd == "heavy-hitters":
+        from finance_pipeline_spark.operators.textops import (
+            text_cms_heavy_hitters,
+        )
+
+        rows = sorted(
+            text_cms_heavy_hitters(spark, args.source_dir).collect(),
+            key=lambda r: (-r["exact_count"], r["token"]),
+        )
+        print(json.dumps({
+            "tokens": [
+                {
+                    "token": r["token"],
+                    "exact": r["exact_count"],
+                    "cms": r["cms_estimate"],
+                    "over": r["overestimate"],
+                }
+                for r in rows
+            ],
+            "invariant_holds": all(
+                r["cms_estimate"] >= r["exact_count"] for r in rows
+            ),
+        }))
+        return 0
+    if args.cmd == "audio-stats":
+        from pyspark.sql import functions as F
+
+        from finance_pipeline_spark.operators.multimodal import (
+            audio_features,
+            audio_fingerprints,
+            mm_decode_adpcm,
+        )
+
+        docs = spark.read.parquet(f"{args.source_dir}/documents.parquet")
+        feat = audio_features(docs).agg(
+            F.count(F.lit(1)).alias("clips"),
+            F.sum("n_frames").alias("frames"),
+            F.sum("active_frames").alias("active"),
+            F.sum(
+                F.when(F.col("zero_crossings") > 0, 1).otherwise(0)
+            ).alias("clips_with_crossings"),
+        ).collect()[0]
+        dup = audio_fingerprints(docs).filter(
+            F.col("group_size") > 1
+        ).agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.countDistinct("sig").alias("groups"),
+        ).collect()[0]
+        adp = mm_decode_adpcm(spark, args.source_dir).agg(
+            F.sum("n_pcm_bytes").alias("pcm"),
+            F.sum("n_adpcm_bytes").alias("adpcm"),
+            F.sum("sum_abs_err").alias("err"),
+            F.sum("n_samples").alias("samples"),
+        ).collect()[0]
+        print(json.dumps({
+            "clips": feat["clips"],
+            "frames": feat["frames"],
+            "active_frames": feat["active"],
+            "clips_with_crossings": feat["clips_with_crossings"],
+            "dup_docs": dup["docs"],
+            "dup_groups": dup["groups"],
+            "adpcm_ratio": round(adp["pcm"] / adp["adpcm"], 2),
+            "adpcm_mean_abs_err": round(adp["err"] / adp["samples"], 1),
+        }))
         return 0
     if args.cmd == "novelty":
         from pyspark.sql import functions as F

@@ -730,3 +730,31 @@ def test_cms_plan_contract(spark):
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+# --- CLI ----------------------------------------------------------------------
+
+
+def test_cli_heavy_hitters_and_audio_stats(capsys):
+    """The corpus CLI wraps the new staged ops: JSON out, invariant
+    flag true, audio dup groups empty on the tiny corpus (truth floor
+    is sf0.1)."""
+    import json
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    import main as cli
+
+    rc = cli.main(["corpus", "heavy-hitters", "--source-dir", SF])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(out["tokens"]) == 20 and out["invariant_holds"]
+    assert any(t["over"] > 0 for t in out["tokens"])
+
+    rc = cli.main(["corpus", "audio-stats", "--source-dir", SF])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["clips"] == 500
+    assert out["adpcm_ratio"] > 3  # ~4:1 minus the 8-byte header
+    assert out["dup_docs"] == 0  # no byte-identical audio at sf0.001
