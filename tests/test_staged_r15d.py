@@ -1,7 +1,8 @@
 """Parity + planted-fixture + brute-force pins for the fourth batch of
-r15/r16-staged operators (round-14 third extended session): winnowing
-fingerprint selection (Schleimer et al. 2003) and the audio
-feature-extract / fingerprint-dedup legs.
+staged operators (round-14 fourth extended session): winnowing
+fingerprint selection (Schleimer et al. 2003), the audio
+feature-extract / fingerprint-dedup / resize legs, the IMA ADPCM
+codec, Count-Min Sketch heavy hitters, and their CLI wrappers.
 
 Same contract as test_staged_r15/_r15b/_r15c: each operator runs
 against its staged DuckDB oracle on the driver corpus shape (sf0.001)
