@@ -1,7 +1,7 @@
-"""Synthesize a 10× scale-probe dataset from sf0.1 — the cheapest way
-to catch super-linear plans before a real 100× ever happens (round-5
-verdict item 8). NOT driver testdata: correctness still runs against
-/root/testdata; this dir exists only so bench queries can be timed one
+"""Synthesize a 10× scale-probe dataset — the cheapest way to catch
+super-linear plans before a real 100× ever happens (round-5 verdict
+item 8). NOT driver testdata: correctness still runs against
+/root/testdata; these dirs exist only so bench queries can be timed a
 scale tier up and their scaling factors recorded in the README gate
 note.
 
@@ -28,8 +28,31 @@ Scaling rules (distribution-faithful, not naive copies):
   same per-capita structure a larger real corpus has).
 - every other table: copied as-is (dimension-like for these probes).
 
-Usage: python tools/make_scale_probe.py [out_dir]   (default
-.scale_probe/sf1; skips work if the output already exists)
+COMPOSABLE LEVELS (the 1000×-of-sf0.01 tier): ``--level 2`` replicates
+an already-replicated probe dir one more decade. Two level-aware rules
+keep the structure honest:
+- Token suffixes at level ≥ 2 are separated by a LETTER (``x3``, not
+  ``3``): level-1 suffixes are bare digits, so a second bare-digit
+  suffix would COLLIDE — base token ``tok`` under (r1=0, r2=1) becomes
+  ``tok1``, byte-identical to replica (r1=1, r2=0)'s tokens, i.e. the
+  whole second-level replica 1 of the original slice would be an EXACT
+  duplicate of level-1 replica 1, quadratically inflating every dedup
+  family. The letter separator keeps all 100 replica vocabularies
+  pairwise disjoint.
+- Key strides multiply by 10 per level (level-1 doc_ids reach r·10⁸ +
+  base < 10⁹, so level 2 strides doc_id by 10⁹, orderkey by 10¹⁰,
+  custkey by 10⁸, vec_id by 10⁹, label by 10⁴), preserving uniqueness
+  and FK consistency.
+
+Usage:
+    python tools/make_scale_probe.py [out_dir] [--src DIR] [--level N]
+
+Defaults: out .scale_probe/sf1, src /root/testdata/sf0.1, level 1.
+The 1000×-of-sf0.01 tier used by the .probe_*_1000x records:
+    python tools/make_scale_probe.py .scale_probe/sf1
+    python tools/make_scale_probe.py .scale_probe/sf10 \
+        --src .scale_probe/sf1 --level 2
+Skips work if the output already exists.
 """
 
 from __future__ import annotations
@@ -40,30 +63,31 @@ from pathlib import Path
 
 import duckdb
 
-SRC = Path("/root/testdata/sf0.1")
+DEFAULT_SRC = Path("/root/testdata/sf0.1")
 REPLICAS = 10
 
 
-def build(out_dir: Path) -> None:
+def build(out_dir: Path, src: Path = DEFAULT_SRC, level: int = 1) -> None:
     out_dir.mkdir(parents=True, exist_ok=True)
     con = duckdb.connect()
-    con.execute(f"SET threads TO 16")
+    con.execute("SET threads TO 16")
 
+    mult = 10 ** (level - 1)
+    # Level-1 suffixes are bare digits; deeper levels prefix a letter so
+    # replica vocabularies never collide across levels (see module doc).
+    sep = "" if level == 1 else "x"
+
+    suffixed = f"""list_aggregate(
+        [t || '{sep}' || CAST(r AS VARCHAR) FOR t IN string_split(text, ' ')],
+        'string_agg', ' ')"""
     docs_sql = f"""
     COPY (
-        SELECT doc_id + r * 100000000 AS doc_id,
-               CASE WHEN r = 0 THEN text
-                    ELSE list_aggregate(
-                        [t || CAST(r AS VARCHAR) FOR t IN string_split(text, ' ')],
-                        'string_agg', ' ')
-               END AS text,
+        SELECT doc_id + r * {100000000 * mult} AS doc_id,
+               CASE WHEN r = 0 THEN text ELSE {suffixed} END AS text,
                lang, source,
-               CAST(length(CASE WHEN r = 0 THEN text
-                    ELSE list_aggregate(
-                        [t || CAST(r AS VARCHAR) FOR t IN string_split(text, ' ')],
-                        'string_agg', ' ')
-               END) AS BIGINT) AS n_chars
-        FROM read_parquet('{SRC}/documents.parquet'),
+               CAST(length(CASE WHEN r = 0 THEN text ELSE {suffixed} END)
+                    AS BIGINT) AS n_chars
+        FROM read_parquet('{src}/documents.parquet'),
              unnest(range(0, {REPLICAS})) AS reps(r)
     ) TO '{out_dir}/documents.parquet' (FORMAT PARQUET)
     """
@@ -72,11 +96,11 @@ def build(out_dir: Path) -> None:
     con.execute(
         f"""
     COPY (
-        SELECT l_orderkey + r * 1000000000 AS l_orderkey,
+        SELECT l_orderkey + r * {1000000000 * mult} AS l_orderkey,
                l_partkey, l_suppkey, l_linenumber, l_quantity,
                l_extendedprice, l_discount, l_tax, l_returnflag,
                l_linestatus, l_shipdate
-        FROM read_parquet('{SRC}/lineitem.parquet'),
+        FROM read_parquet('{src}/lineitem.parquet'),
              unnest(range(0, {REPLICAS})) AS reps(r)
     ) TO '{out_dir}/lineitem.parquet' (FORMAT PARQUET)
     """
@@ -85,10 +109,10 @@ def build(out_dir: Path) -> None:
     con.execute(
         f"""
     COPY (
-        SELECT o_orderkey + r * 1000000000 AS o_orderkey,
-               o_custkey + r * 10000000 AS o_custkey,
+        SELECT o_orderkey + r * {1000000000 * mult} AS o_orderkey,
+               o_custkey + r * {10000000 * mult} AS o_custkey,
                o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
-        FROM read_parquet('{SRC}/orders.parquet'),
+        FROM read_parquet('{src}/orders.parquet'),
              unnest(range(0, {REPLICAS})) AS reps(r)
     ) TO '{out_dir}/orders.parquet' (FORMAT PARQUET)
     """
@@ -97,9 +121,9 @@ def build(out_dir: Path) -> None:
     con.execute(
         f"""
     COPY (
-        SELECT c_custkey + r * 10000000 AS c_custkey,
+        SELECT c_custkey + r * {10000000 * mult} AS c_custkey,
                c_name, c_nationkey, c_acctbal, c_mktsegment
-        FROM read_parquet('{SRC}/customer.parquet'),
+        FROM read_parquet('{src}/customer.parquet'),
              unnest(range(0, {REPLICAS})) AS reps(r)
     ) TO '{out_dir}/customer.parquet' (FORMAT PARQUET)
     """
@@ -108,10 +132,10 @@ def build(out_dir: Path) -> None:
     con.execute(
         f"""
     COPY (
-        SELECT vec_id + r * 100000000 AS vec_id,
+        SELECT vec_id + r * {100000000 * mult} AS vec_id,
                embedding,
-               label + r * 1000 AS label
-        FROM read_parquet('{SRC}/embeddings.parquet'),
+               label + r * {1000 * mult} AS label
+        FROM read_parquet('{src}/embeddings.parquet'),
              unnest(range(0, {REPLICAS})) AS reps(r)
     ) TO '{out_dir}/embeddings.parquet' (FORMAT PARQUET)
     """
@@ -120,13 +144,24 @@ def build(out_dir: Path) -> None:
     for t in ("region", "nation", "supplier", "part", "events"):
         dst = out_dir / f"{t}.parquet"
         if not dst.exists():
-            shutil.copyfile(SRC / f"{t}.parquet", dst)
+            shutil.copyfile(src / f"{t}.parquet", dst)
 
 
 if __name__ == "__main__":
-    out = Path(sys.argv[1] if len(sys.argv) > 1 else ".scale_probe/sf1")
+    argv = list(sys.argv[1:])
+    src = DEFAULT_SRC
+    level = 1
+    if "--src" in argv:
+        i = argv.index("--src")
+        src = Path(argv[i + 1])
+        del argv[i : i + 2]
+    if "--level" in argv:
+        i = argv.index("--level")
+        level = int(argv[i + 1])
+        del argv[i : i + 2]
+    out = Path(argv[0] if argv else ".scale_probe/sf1")
     if (out / "documents.parquet").exists():
         print(f"scale probe already at {out}")
     else:
-        build(out)
+        build(out, src=src, level=level)
         print(f"scale probe written to {out}")

@@ -1,0 +1,83 @@
+"""Read-only multi-tier scale probe for REGISTERED queries — the tool
+behind the ``.probe_registered_1000x_*.json`` records (previous batches
+ran the same protocol ad-hoc; this commits it).
+
+For each named query, runs the registered callable at each tier with a
+full-plan force (noop-format write — Catalyst cannot eliminate work the
+sink consumes, the lesson from the r14b staged probes where a bare
+``count()`` let the optimizer drop a left join and time a degenerate
+plan), records wall seconds + output rows, and emits the small-vs-big
+wall ratio. One un-timed warm query runs first so the initial entry
+doesn't pay JVM/codegen init.
+
+Strictly read-only: registered code paths are invoked, never modified —
+safe mid-round when the driver window's evidence must stay valid.
+
+Usage:
+    python tools/probe_registered_scale.py OUT.json q1 q2 ... \
+        [--small /root/testdata/sf0.01] [--big .scale_probe/sf10] \
+        [--big-label sf10_1000x] [--ratio-key wall_ratio_1000x]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from finance_pipeline_spark import registry  # noqa: E402
+from finance_pipeline_spark.session import get_session  # noqa: E402
+
+
+def _pop(argv: list[str], flag: str, default: str) -> str:
+    if flag in argv:
+        i = argv.index(flag)
+        val = argv[i + 1]
+        del argv[i : i + 2]
+        return val
+    return default
+
+
+def main() -> int:
+    argv = list(sys.argv[1:])
+    small = _pop(argv, "--small", "/root/testdata/sf0.01")
+    big = _pop(argv, "--big", ".scale_probe/sf10")
+    big_label = _pop(argv, "--big-label", "sf10_1000x")
+    ratio_key = _pop(argv, "--ratio-key", "wall_ratio_1000x")
+    out_path, names = Path(argv[0]), argv[1:]
+
+    registry.load_all()
+    spark = get_session("scale_probe")
+    # Warm the JVM/codegen path once so the first probe isn't inflated.
+    spark.range(1_000_000).selectExpr("sum(id)").write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    record: dict[str, dict] = {}
+    for name in names:
+        spec = registry.QUERIES[name]
+        entry: dict[str, dict | float] = {}
+        for label, sf_dir in (("sf0.01", small), (big_label, big)):
+            t0 = time.time()
+            df = spec.fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            secs = round(time.time() - t0, 3)
+            rows = spec.fn(spark, sf_dir).count()
+            entry[label] = {"rows": rows, "secs": secs}
+            print(f"{name} @ {label}: {rows} rows in {secs}s", flush=True)
+        entry[ratio_key] = round(
+            entry[big_label]["secs"] / max(entry["sf0.01"]["secs"], 1e-9), 2
+        )
+        record[name] = entry
+
+    out_path.write_text(json.dumps(record, indent=1) + "\n")
+    print(f"wrote {out_path}")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
