@@ -1576,7 +1576,7 @@ def ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # check on the registered query.
 
 
-def scaled_ann_params(n: int) -> dict:
+def scaled_ann_params(n: int, train_cap: int | None = None) -> dict:
     """Corpus-sized IVFPQ capacity for an N-vector corpus:
 
     - ``k_cells`` = round(sqrt(N)), clamped [4, 4096] — the classic
@@ -1590,17 +1590,33 @@ def scaled_ann_params(n: int) -> dict:
       cell count, so the probed corpus FRACTION (nprobe/k_cells)
       shrinks as N grows while absolute candidate count still rises.
     - ``train_target`` = 256 * k_cells — the coarse/PQ trainers see a
-      deterministic sample of about this many vectors, bounding
-      training cost independent of corpus size."""
+      deterministic sample of about this many vectors (the FAISS
+      ``max_points_per_centroid`` default), so training cost grows
+      with sqrt(N) via the cell count, not with N.
+    - ``train_cap`` (optional, default None = today's behavior
+      bit-for-bit) puts an ABSOLUTE bound on the training sample — the
+      FAISS large-index practice (train on a fixed-size sample no
+      matter how big the corpus). The r14 200k-vector probe measured
+      build wall 18-23x for 10x N precisely because 256/centroid at
+      sqrt(N) cells kept the sample near N itself at that tier; a cap
+      bounds it. Floored at 39 * k_cells — FAISS's minimum-points
+      warning threshold — because a cap that starves centroids
+      silently trades recall, and that floor is the honest limit
+      (pass a smaller cap and you get the floor, not the cap).
+      Default-off r14 prep; the scaled family flips in r15 alongside
+      the ``_PROBE_CELLS_KERNEL`` re-earns."""
     n = max(int(n), 1)
     k_cells = max(4, min(4096, int(round(math.sqrt(n)))))
     k_pq = max(8, min(256, n // 32))
     nprobe = max(2, int(round(math.sqrt(k_cells))))
+    train_target = 256 * k_cells
+    if train_cap is not None:
+        train_target = max(min(train_target, int(train_cap)), 39 * k_cells)
     return {
         "k_cells": k_cells,
         "k_pq": k_pq,
         "nprobe": nprobe,
-        "train_target": 256 * k_cells,
+        "train_target": train_target,
     }
 
 
@@ -1799,6 +1815,7 @@ def ivfpq_scaled_topk(
     sf_dir: str,
     nprobe: int | None = None,
     queries: DataFrame | None = None,
+    train_cap: int | None = None,
 ) -> DataFrame:
     """IVFPQ with CORPUS-SIZED capacity + exact re-rank: sqrt(N)
     coarse cells and an up-to-256-code codebook (``scaled_ann_params``)
@@ -1808,15 +1825,20 @@ def ivfpq_scaled_topk(
     at the capacity a real corpus needs rather than the oracle-sized
     k=8 constants of ``ann_ivfpq_rerank``.
 
-    Scale shape: training cost is bounded by ``train_target``
-    regardless of N; corpus encode is one vectorized argmin kernel
+    Scale shape: the trainers see at most ``train_target`` vectors —
+    256/centroid by default (which still tracks sqrt(N) through the
+    cell count; the r14 200k probe measured build wall 18-23x for 10x
+    N from exactly that), or an absolute bound when ``train_cap`` is
+    passed (the FAISS fixed-sample practice, floored at 39/centroid —
+    default-off until the r15 scaled-family re-earn); corpus encode
+    is one vectorized argmin kernel
     pass (n x m assignment rows, not an n x m x k fan-out); cell
     assignment and probe selection are broadcast-centroid JVM folds;
     serving scans ~nprobe/k_cells of the corpus codes per query and
     fetches 5k raw vectors per query for the refine."""
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     n = e.count()
-    p = scaled_ann_params(n)
+    p = scaled_ann_params(n, train_cap=train_cap)
     if nprobe is None:
         nprobe = p["nprobe"]
     sample = _train_sample(e, n, p["train_target"]).localCheckpoint(

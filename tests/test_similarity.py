@@ -330,6 +330,102 @@ def test_scaled_ann_params_track_corpus_size():
     assert scaled_ann_params(0)["k_cells"] == 4  # degenerate-safe
 
 
+def test_scaled_ann_params_train_cap_default_off_and_floored():
+    """r14 prep for the r15 bounded-train-sample flip (the 200k probe's
+    'training dominates' finding): ``train_cap`` must be byte-inert
+    when absent — every registered scaled-family query runs the default
+    path until the r15 re-earn — and, when passed, an absolute sample
+    bound floored at FAISS's 39-points-per-centroid warning threshold
+    (a smaller cap would silently trade recall, so it yields the floor,
+    not the cap)."""
+    from finance_pipeline_spark.operators.similarity import scaled_ann_params
+
+    for n in (0, 1, 50, 2000, 200_000, 16_777_216, 10**10):
+        p_default = scaled_ann_params(n)
+        assert p_default == scaled_ann_params(n, train_cap=None)
+        assert p_default["train_target"] == 256 * p_default["k_cells"]
+
+    p = scaled_ann_params(200_000, train_cap=20_000)
+    assert p["k_cells"] == 447 and p["train_target"] == 20_000
+    # cap below the 39/centroid floor -> the floor wins
+    p = scaled_ann_params(200_000, train_cap=1_000)
+    assert p["train_target"] == 39 * 447
+    # cap above the default 256/centroid target -> no-op
+    p = scaled_ann_params(2_000, train_cap=10**9)
+    assert p["train_target"] == 256 * p["k_cells"]
+    # everything except train_target is cap-independent
+    for n in (2_000, 200_000):
+        a, b = scaled_ann_params(n), scaled_ann_params(n, train_cap=10_000)
+        assert {k: a[k] for k in ("k_cells", "k_pq", "nprobe")} == {
+            k: b[k] for k in ("k_cells", "k_pq", "nprobe")
+        }
+
+
+def test_ivfpq_scaled_train_cap_holds_recall(spark, tmp_path):
+    """The capped trainer must still index well: on a clustered corpus
+    big enough for the cap to actually bite (N=8009 -> 89 cells, floor
+    39*89=3471, cap 4000 -> the hash-gated sample halves), recall@10 vs
+    the exact float baseline stays high. Guards the r15 flip: a cap
+    that broke seeding or the Lloyd round would crater this long before
+    production scale."""
+    from finance_pipeline_spark.operators.similarity import (
+        _train_sample,
+        ivfpq_scaled_topk,
+        scaled_ann_params,
+    )
+
+    rng = np.random.default_rng(29)
+    n_blobs, per_blob = 80, 100  # N=8000 corpus + queries
+    centers = 6.0 * rng.standard_normal((n_blobs, _DIM))
+    mat = np.vstack(
+        [
+            centers[b] + 0.4 * rng.standard_normal((per_blob, _DIM))
+            for b in range(n_blobs)
+        ]
+    )
+    ids = []
+    nid = 1
+    for _ in range(len(mat)):
+        if nid % 100 == 0:
+            nid += 1  # non-query corpus ids
+        ids.append(nid)
+        nid += 1
+    q_idx = list(range(0, len(mat), 400))
+    q_ids = [(k + 1) * 100 for k in range(len(q_idx))]
+    q_mat = mat[q_idx] + 0.1 * rng.standard_normal((len(q_idx), _DIM))
+    sf = write_embeddings(tmp_path, ids + q_ids, np.vstack([mat, q_mat]))
+
+    all_ids = np.array(ids + q_ids)
+    all_mat = np.vstack([mat, q_mat]).astype(np.float32).astype(np.float64)
+    q64 = q_mat.astype(np.float32).astype(np.float64)
+    exact = {}
+    for k, qid in enumerate(q_ids):
+        d = ((all_mat - q64[k]) ** 2).sum(axis=1)
+        order = np.lexsort((all_ids, d))
+        top = [int(all_ids[j]) for j in order if int(all_ids[j]) != qid][:10]
+        exact[qid] = set(top)
+
+    n = len(all_ids)
+    cap = 4_000
+    p = scaled_ann_params(n, train_cap=cap)
+    assert p["train_target"] == cap  # the cap, not the floor, is active
+    # the hash-gated sample actually shrinks under the cap
+    from finance_pipeline_spark.registry import load
+
+    e = load(spark, sf, "embeddings").select("vec_id", "embedding")
+    n_sampled = _train_sample(e, n, p["train_target"]).count()
+    assert n_sampled < n, (n_sampled, n)
+
+    rows = ivfpq_scaled_topk(spark, sf, train_cap=cap).collect()
+    got: dict[int, set] = {}
+    for r in rows:
+        got.setdefault(r.query_id, set()).add(r.corpus_id)
+    recall = sum(
+        len(got.get(q, set()) & exact[q]) / 10 for q in exact
+    ) / len(exact)
+    assert recall >= 0.7, f"capped recall@10 {recall}"
+
+
 def test_ivfpq_scaled_recall_vs_exact_and_nprobe_dial(spark, tmp_path):
     """Corpus-capacity IVFPQ earns its parameters: on a clustered
     corpus (the regime IVF assumes), recall@10 vs the exact float

@@ -9,6 +9,10 @@ rather than decay — the measurement the r8 verdict asked for before
 trusting the scaled constants.
 
 Usage: python tools/probe_ann_scale.py [--n 2000] [--queries 20]
+                                       [--train-cap N]
+``--train-cap`` passes an absolute training-sample bound through to
+``ivfpq_scaled_topk`` (the r14 default-off prep for the r15 flip) so
+the build-cost/recall trade is measured, not guessed.
 Prints one JSON line with per-size {params, recall_at10, secs}.
 """
 
@@ -83,10 +87,13 @@ def _make_corpus(root: Path, n: int, n_queries: int, seed: int):
 def main() -> int:
     n = 2000
     n_queries = 20
+    train_cap = None
     if "--n" in sys.argv:
         n = int(sys.argv[sys.argv.index("--n") + 1])
     if "--queries" in sys.argv:
         n_queries = int(sys.argv[sys.argv.index("--queries") + 1])
+    if "--train-cap" in sys.argv:
+        train_cap = int(sys.argv[sys.argv.index("--train-cap") + 1])
 
     from finance_pipeline_spark.operators.similarity import (
         ivfpq_scaled_topk,
@@ -94,18 +101,20 @@ def main() -> int:
     )
 
     spark = get_session("probe-ann")
-    out = {"dim": _DIM, "sizes": {}}
+    out = {"dim": _DIM, "train_cap": train_cap, "sizes": {}}
     for mult, label in ((1, "n"), (10, "n10x")):
         size = n * mult
         with tempfile.TemporaryDirectory() as td:
             root = Path(td)
             exact, n_actual = _make_corpus(root, size, n_queries, seed=23)
             # warm pass (JVM/codegen), then timed
-            ivfpq_scaled_topk(spark, str(root)).write.format("noop").mode(
-                "overwrite"
-            ).save()
+            ivfpq_scaled_topk(
+                spark, str(root), train_cap=train_cap
+            ).write.format("noop").mode("overwrite").save()
             t0 = time.time()
-            rows = ivfpq_scaled_topk(spark, str(root)).collect()
+            rows = ivfpq_scaled_topk(
+                spark, str(root), train_cap=train_cap
+            ).collect()
             secs = round(time.time() - t0, 3)
             got: dict[int, set] = {}
             for r in rows:
@@ -118,7 +127,7 @@ def main() -> int:
             # finding r9: blob rounding undershoots the target)
             out["sizes"][label] = {
                 "n": n_actual,
-                "params": scaled_ann_params(n_actual),
+                "params": scaled_ann_params(n_actual, train_cap=train_cap),
                 "recall_at10": round(recall, 4),
                 "secs": secs,
             }
