@@ -829,7 +829,7 @@ def kmeans_fit(
             .join(e, "vec_id")
             .select("cluster", F.posexplode("embedding").alias("pos", "xf"))
             .groupBy("cluster", "pos")
-            .agg(F.round(F.avg(F.col("xf").cast("double")), 6).alias("c"))
+            .agg(_mean_6dp(F.col("xf")).alias("c"))
             .collect()
         )
         nxt = cents.copy()  # empty clusters keep their centroid (oracle COALESCE)
@@ -904,6 +904,32 @@ def _ivf_multiprobe_oracle(nprobe: int) -> str:
 # bit-parity-pinned against the JVM fold by
 # tests/test_similarity.py::test_probe_cells_kernel_bit_parity.
 _PROBE_CELLS_KERNEL = False
+
+# r14 fifth-session prep for the r15 similarity-kernel spread: the
+# Lloyd mean updates in kmeans_fit/_pq_train_encode_scaled currently
+# round a float AVG, whose summation order depends on partitioning —
+# safe only because kernel inputs inherit a stable partitioning today.
+# Spreading the inputs (the 4.4x assign-pass win measured in
+# .probe_ann_cap_r14.json) needs the mean to be partitioning-
+# independent first: pre-round each value to 9 dp, sum as
+# decimal(38,12) (exact, order-free — the classifier-gradient
+# recipe), divide once, round to the same 6 dp. Default-OFF: flipping
+# can move a centroid's 6th decimal on round-boundary values, so it
+# belongs with the r15 scaled-family oracle-lockstep re-earns.
+# Near-parity + partitioning-independence pinned by
+# tests/test_similarity.py::test_kmeans_decimal_means_*.
+_KMEANS_DECIMAL_MEANS = False
+
+
+def _mean_6dp(col: Column) -> Column:
+    """The Lloyd centroid mean at 6 dp — float AVG by default, the
+    exact-decimal order-free form under ``_KMEANS_DECIMAL_MEANS``."""
+    if _KMEANS_DECIMAL_MEANS:
+        total = F.sum(
+            F.round(col.cast("double"), 9).cast("decimal(38,12)")
+        )
+        return F.round(total.cast("double") / F.count(F.lit(1)), 6)
+    return F.round(F.avg(col.cast("double")), 6)
 
 
 def _probe_cells_kernel(cents, q: DataFrame, nprobe: int) -> DataFrame:
@@ -1239,7 +1265,7 @@ def _pq_build(spark: SparkSession, sf_dir: str):
         .select("sub", "code", F.posexplode("embedding").alias("pos", "xf"))
         .filter(F.expr(f"pos div {_PQ_DSUB}") == F.col("sub"))
         .groupBy("sub", "code", (F.col("pos") % _PQ_DSUB).alias("lpos"))
-        .agg(F.round(F.avg(F.col("xf").cast("double")), 6).alias("c"))
+        .agg(_mean_6dp(F.col("xf")).alias("c"))
         .collect()
     )
     cents1 = cents.copy()  # empty codes keep their seed (oracle COALESCE)
@@ -1668,7 +1694,7 @@ def _pq_train_encode_scaled(
         .select("sub", "code", F.posexplode("embedding").alias("pos", "xf"))
         .filter(F.expr(f"pos div {_PQ_DSUB}") == F.col("sub"))
         .groupBy("sub", "code", (F.col("pos") % _PQ_DSUB).alias("lpos"))
-        .agg(F.round(F.avg(F.col("xf").cast("double")), 6).alias("c"))
+        .agg(_mean_6dp(F.col("xf")).alias("c"))
         .collect()
     )
     cents1 = cents.copy()  # empty codes keep their seed

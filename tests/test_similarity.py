@@ -492,6 +492,41 @@ def test_ivfpq_scaled_recall_vs_exact_and_nprobe_dial(spark, tmp_path):
     assert r_wide >= r_derived - 1e-9, (r_wide, r_derived)
 
 
+def test_kmeans_decimal_means_partitioning_independent(spark, monkeypatch):
+    """r14 prep for the r15 similarity-kernel spread: with
+    ``_KMEANS_DECIMAL_MEANS`` on, the Lloyd centroid update is exact
+    and order-free (9-dp pre-round -> decimal(38,12) sum -> one divide
+    -> 6-dp round), so ANY input partitioning yields bit-identical
+    centroids — the property the spread needs before it can land.
+    Also pins the flag's default (off) and near-parity with the float
+    AVG path (<= one 6-dp ulp per coordinate)."""
+    import numpy as np
+
+    from finance_pipeline_spark.operators import similarity as sim
+
+    assert sim._KMEANS_DECIMAL_MEANS is False  # registered surface
+
+    rng = np.random.default_rng(41)
+    mat = rng.standard_normal((600, _DIM)).astype(np.float32)
+    rows = [
+        (int(i + 1), [float(x) for x in mat[i]]) for i in range(len(mat))
+    ]
+    e = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+    cents_float, _ = sim.kmeans_fit(spark, e, 8, rounds=2)
+
+    monkeypatch.setattr(sim, "_KMEANS_DECIMAL_MEANS", True)
+    cents_a, _ = sim.kmeans_fit(spark, e.repartition(1), 8, rounds=2)
+    cents_b, _ = sim.kmeans_fit(spark, e.repartition(13), 8, rounds=2)
+    assert np.array_equal(cents_a, cents_b), "decimal means must be order-free"
+
+    # near-parity with the default float path: both round the same mean
+    # to 6 dp, so coordinates agree except at round-boundary values,
+    # where they differ by exactly one 6-dp step
+    diff = np.abs(cents_a - cents_float).max()
+    assert diff <= 1.000001e-6, f"decimal vs float mean drifted {diff}"
+
+
 def test_probe_cells_kernel_bit_parity(spark, monkeypatch):
     """r14 prep for the r15 _probe_cells flip (r13 verdict item 4):
     the executor-side Arrow kernel must select EXACTLY the cells the
