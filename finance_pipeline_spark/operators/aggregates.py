@@ -30,6 +30,97 @@ def _dec(col: str | F.Column) -> F.Column:
     return c.cast("decimal(38,6)")
 
 
+# r14 fifth-session prep (default-OFF, the _PROBE_CELLS_KERNEL
+# pattern): the flagship's decimal(38,6) sums pay an 8.8x tax at the
+# 60M-row probe tier — precision>18 decimals aggregate through
+# byte-array BigDecimal updates instead of Spark's compact-long path
+# (interleaved A/B min: double sums 0.90 s, decimal sums 7.93 s,
+# .probe_registered_1000x_b4_r14.json). The micro form keeps exactness
+# at 2.3x less wall: quantize each value to bigint MICROS (the house
+# micro-integer recipe), partial-sum as codegen long adds per
+# (group, spark_partition_id), then finish the tiny partial table as
+# decimal(38,0) — order-free, and overflow-safe at any corpus size
+# (a 128 MB partition holds ~2M rows x ~1e10 micros ~ 2e16 << 2^63;
+# the unbounded cross-partition total happens in decimal). Quantum
+# nuance, why the flip needs its oracle moved in lockstep: the micro
+# path rounds round(x*1e6) on the double product, the decimal path
+# rounds the decimal conversion of x — they can differ on 1-ulp edge
+# values (none exist in testdata: parity pinned value-identical at
+# both SFs by tests/test_aggregates.py::test_pricing_micro_agg_parity).
+_PRICING_MICRO_AGG = False
+
+# The DuckDB oracle that matches the micro path bit-for-bit, staged
+# next to the flag so the r15/r16 flip is one constant change plus an
+# oracle swap (pre-verified by the parity test against live DuckDB).
+_PRICING_MICRO_ORACLE = """
+    WITH f AS (
+        SELECT l_returnflag, l_linestatus,
+               CAST(round(l_quantity * 1000000) AS BIGINT)      AS m_qty,
+               CAST(round(l_extendedprice * 1000000) AS BIGINT) AS m_ep,
+               CAST(round(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT) AS m_dp,
+               CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000) AS BIGINT) AS m_ch,
+               CAST(round(l_discount * 1000000) AS BIGINT)      AS m_di
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+    )
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(m_qty AS DECIMAL(38,0))) / 1000000 AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(m_ep AS DECIMAL(38,0))) / 1000000 AS DOUBLE)  AS sum_base_price,
+           CAST(SUM(CAST(m_dp AS DECIMAL(38,0))) / 1000000 AS DOUBLE)  AS sum_disc_price,
+           CAST(SUM(CAST(m_ch AS DECIMAL(38,0))) / 1000000 AS DOUBLE)  AS sum_charge,
+           CAST(SUM(CAST(m_qty AS DECIMAL(38,0))) / 1000000 AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(m_ep AS DECIMAL(38,0))) / 1000000 AS DOUBLE) / COUNT(*)  AS avg_price,
+           CAST(SUM(CAST(m_di AS DECIMAL(38,0))) / 1000000 AS DOUBLE) / COUNT(*)  AS avg_disc,
+           COUNT(*) AS count_order
+    FROM f
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def _pricing_summary_micro(li: DataFrame) -> DataFrame:
+    """The flagship's two-level exact-micros formulation (see
+    ``_PRICING_MICRO_AGG``): level 1 long-sums per (group, partition)
+    inside whole-stage codegen, level 2 finishes in decimal."""
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    micros = {
+        "qty": F.col("l_quantity"),
+        "ep": F.col("l_extendedprice"),
+        "dp": disc_price,
+        "ch": charge,
+        "di": F.col("l_discount"),
+    }
+    lvl1 = li.groupBy(
+        "l_returnflag", "l_linestatus", F.spark_partition_id().alias("_p")
+    ).agg(
+        *[
+            F.sum(F.round(c.cast("double") * 1000000).cast("bigint")).alias(
+                f"m_{k}"
+            )
+            for k, c in micros.items()
+        ],
+        F.count(F.lit(1)).alias("_n"),
+    )
+    mega = F.lit(1000000).cast("decimal(7,0)")
+
+    def total(k: str) -> F.Column:
+        return (
+            F.sum(F.col(f"m_{k}").cast("decimal(38,0)")) / mega
+        ).cast("double")
+
+    n = F.sum("_n")
+    return lvl1.groupBy("l_returnflag", "l_linestatus").agg(
+        total("qty").alias("sum_qty"),
+        total("ep").alias("sum_base_price"),
+        total("dp").alias("sum_disc_price"),
+        total("ch").alias("sum_charge"),
+        (total("qty") / n).alias("avg_qty"),
+        (total("ep") / n).alias("avg_price"),
+        (total("di") / n).alias("avg_disc"),
+        n.alias("count_order"),
+    )
+
+
 @query(
     "agg_pricing_summary",
     oracle="""
@@ -57,6 +148,8 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp")
     )
+    if _PRICING_MICRO_AGG:
+        return _pricing_summary_micro(li)
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     n = F.count(F.lit(1))

@@ -47,6 +47,51 @@ def test_pricing_summary_internal_consistency(spark, sf_dir):
         assert abs(r.avg_price - r.sum_base_price / r.count_order) < 1e-6
 
 
+def test_pricing_micro_agg_parity(spark, monkeypatch):
+    """r14 prep for the flagship's two-level exact-micros flip (the
+    8.8x decimal-aggregation tax measured at the 60M-row tier,
+    .probe_registered_1000x_b4_r14.json): with ``_PRICING_MICRO_AGG``
+    on, values must equal the registered decimal path exactly on
+    testdata at BOTH gate SFs, the staged micro oracle must equal the
+    micro path against live DuckDB, and the micro plan must carry no
+    precision>18 decimal aggregation. Default stays off (pinned)."""
+    import duckdb
+
+    from finance_pipeline_spark.operators import aggregates as agg
+
+    assert agg._PRICING_MICRO_AGG is False  # registered surface
+
+    fn = registry.QUERIES["agg_pricing_summary"].fn
+    for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        base = sorted(map(tuple, fn(spark, sf).collect()))
+        monkeypatch.setattr(agg, "_PRICING_MICRO_AGG", True)
+        micro_df = fn(spark, sf)
+        micro = sorted(map(tuple, micro_df.collect()))
+        monkeypatch.setattr(agg, "_PRICING_MICRO_AGG", False)
+        assert len(base) > 0 and [r[:2] for r in base] == [r[:2] for r in micro]
+        for rb, rm in zip(base, micro):
+            for vb, vm in zip(rb[2:], rm[2:]):
+                assert float(vb) == float(vm), (rb, rm)
+
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW lineitem AS SELECT * FROM '{sf}/lineitem.parquet'"
+        )
+        want = sorted(map(tuple, con.execute(agg._PRICING_MICRO_ORACLE).fetchall()))
+        for rm, rw in zip(micro, want):
+            assert rm[:2] == rw[:2]
+            for vm, vw in zip(rm[2:], rw[2:]):
+                assert float(vm) == float(vw), (rm, rw)
+
+    # plan contract: the micro path aggregates in longs + a tiny
+    # decimal finish — no precision>18 decimal in the partial (level-1)
+    # aggregate that sees corpus-sized input
+    plan = micro_df._jdf.queryExecution().executedPlan().toString()
+    assert "spark_partition_id" in plan.lower()
+    first_agg = plan[plan.rindex("HashAggregate"):]  # innermost = level 1
+    assert "decimal(38,6)" not in first_agg
+
+
 def test_approx_quantile_tracks_exact_percentiles(spark):
     """The query's emitted rank-error bands must all hold, and the raw
     sketch values (recomputed here) must track the exact percentiles
