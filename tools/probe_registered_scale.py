@@ -16,7 +16,14 @@ safe mid-round when the driver window's evidence must stay valid.
 Usage:
     python tools/probe_registered_scale.py OUT.json q1 q2 ... \
         [--small /root/testdata/sf0.01] [--big .scale_probe/sf10] \
-        [--big-label sf10_1000x] [--ratio-key wall_ratio_1000x]
+        [--big-label sf10_1000x] [--ratio-key wall_ratio_1000x] \
+        [--repeat N] [--touch]
+
+``--repeat N`` times each query N times and records the min (default 1
+— the b1-b3 record methodology). ``--touch`` pre-reads every parquet
+file in both tiers before any timing, so the first query doesn't eat
+the cold page-cache read (the b4 lesson: a 352 MB first touch on a
+contended disk inflated two entries ~8x).
 """
 
 from __future__ import annotations
@@ -47,6 +54,14 @@ def main() -> int:
     big = _pop(argv, "--big", ".scale_probe/sf10")
     big_label = _pop(argv, "--big-label", "sf10_1000x")
     ratio_key = _pop(argv, "--ratio-key", "wall_ratio_1000x")
+    repeat = 1
+    if "--repeat" in argv:
+        i = argv.index("--repeat")
+        repeat = int(argv[i + 1])
+        del argv[i : i + 2]
+    touch = "--touch" in argv
+    if touch:
+        argv.remove("--touch")
     out_path, names = Path(argv[0]), argv[1:]
 
     registry.load_all()
@@ -55,18 +70,27 @@ def main() -> int:
     spark.range(1_000_000).selectExpr("sum(id)").write.format("noop").mode(
         "overwrite"
     ).save()
+    if touch:
+        for d in (small, big):
+            for f in sorted(Path(d).glob("*.parquet")):
+                f.read_bytes()  # pull into page cache, driver-side
 
     record: dict[str, dict] = {}
     for name in names:
         spec = registry.QUERIES[name]
         entry: dict[str, dict | float] = {}
         for label, sf_dir in (("sf0.01", small), (big_label, big)):
-            t0 = time.time()
-            df = spec.fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            secs = round(time.time() - t0, 3)
+            runs = []
+            for _ in range(repeat):
+                t0 = time.time()
+                df = spec.fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                runs.append(round(time.time() - t0, 3))
+            secs = min(runs)
             rows = spec.fn(spark, sf_dir).count()
             entry[label] = {"rows": rows, "secs": secs}
+            if repeat > 1:
+                entry[label]["runs"] = runs
             print(f"{name} @ {label}: {rows} rows in {secs}s", flush=True)
         entry[ratio_key] = round(
             entry[big_label]["secs"] / max(entry["sf0.01"]["secs"], 1e-9), 2
