@@ -26,6 +26,11 @@ Scaling rules (distribution-faithful, not naive copies):
   blocks at the original per-block density (vectors repeat across
   replicas, but label blocking keeps replicas mutually invisible, the
   same per-capita structure a larger real corpus has).
+- events ×10: replica r offsets event_id by r·10⁸ and user_id by
+  r·10⁵, timestamps UNCHANGED — the realistic growth shape for an
+  event stream (more users over the same period, so per-user session
+  structure, window population, and as-of join density stay
+  per-capita constant while watermark-window state grows 10×).
 - every other table: copied as-is (dimension-like for these probes).
 
 COMPOSABLE LEVELS (the 1000×-of-sf0.01 tier): ``--level 2`` replicates
@@ -141,7 +146,20 @@ def build(out_dir: Path, src: Path = DEFAULT_SRC, level: int = 1) -> None:
     """
     )
 
-    for t in ("region", "nation", "supplier", "part", "events"):
+    con.execute(
+        f"""
+    COPY (
+        SELECT event_id + r * {100000000 * mult} AS event_id,
+               ts,
+               user_id + r * {100000 * mult} AS user_id,
+               event_type, value, props
+        FROM read_parquet('{src}/events.parquet'),
+             unnest(range(0, {REPLICAS})) AS reps(r)
+    ) TO '{out_dir}/events.parquet' (FORMAT PARQUET)
+    """
+    )
+
+    for t in ("region", "nation", "supplier", "part"):
         dst = out_dir / f"{t}.parquet"
         if not dst.exists():
             shutil.copyfile(src / f"{t}.parquet", dst)
