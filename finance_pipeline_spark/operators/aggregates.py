@@ -30,24 +30,27 @@ def _dec(col: str | F.Column) -> F.Column:
     return c.cast("decimal(38,6)")
 
 
-# r14 fifth-session prep (default-OFF, the _PROBE_CELLS_KERNEL
-# pattern): the flagship's decimal(38,6) sums pay an 8.8x tax at the
-# 60M-row probe tier — precision>18 decimals aggregate through
-# byte-array BigDecimal updates instead of Spark's compact-long path
-# (interleaved A/B min: double sums 0.90 s, decimal sums 7.93 s,
+# FLIPPED ON in r15 (prepped default-off in r14): the flagship's
+# decimal(38,6) sums paid an 8.8x tax at the 60M-row probe tier —
+# precision>18 decimals aggregate through byte-array BigDecimal
+# updates instead of Spark's compact-long path (interleaved A/B min:
+# double sums 0.90 s, decimal sums 7.93 s,
 # .probe_registered_1000x_b4_r14.json). The micro form keeps exactness
 # at 2.3x less wall: quantize each value to bigint MICROS (the house
 # micro-integer recipe), partial-sum as codegen long adds per
 # (group, spark_partition_id), then finish the tiny partial table as
-# decimal(38,0) — order-free, and overflow-safe at any corpus size
-# (a 128 MB partition holds ~2M rows x ~1e10 micros ~ 2e16 << 2^63;
-# the unbounded cross-partition total happens in decimal). Quantum
-# nuance, why the flip needs its oracle moved in lockstep: the micro
+# decimal(38,0) — order-free. Overflow is LOUD, not silent (r14
+# advisor): the level-1 partials use try_sum (NULL on long overflow
+# even with ANSI off) and the finish raises on any NULL partial, so a
+# caller-coalesced giant partition fails the job instead of wrapping
+# past 2^63 (a 128 MB scan partition holds ~2M rows x ~1e10 micros ~
+# 2e16 << 2^63 — the guard only fires on pathological partitionings).
+# Quantum nuance, why the flip moved its oracle in lockstep: the micro
 # path rounds round(x*1e6) on the double product, the decimal path
 # rounds the decimal conversion of x — they can differ on 1-ulp edge
 # values (none exist in testdata: parity pinned value-identical at
 # both SFs by tests/test_aggregates.py::test_pricing_micro_agg_parity).
-_PRICING_MICRO_AGG = False
+_PRICING_MICRO_AGG = True
 
 # The DuckDB oracle that matches the micro path bit-for-bit, staged
 # next to the flag so the r15/r16 flip is one constant change plus an
@@ -93,10 +96,13 @@ def _pricing_summary_micro(li: DataFrame) -> DataFrame:
     lvl1 = li.groupBy(
         "l_returnflag", "l_linestatus", F.spark_partition_id().alias("_p")
     ).agg(
+        # try_sum: NULL instead of a silent wrap if a pathological
+        # partitioning ever pushes a per-(group, partition) micro sum
+        # past 2^63 (ANSI is off session-wide; plain sum would wrap)
         *[
-            F.sum(F.round(c.cast("double") * 1000000).cast("bigint")).alias(
-                f"m_{k}"
-            )
+            F.try_sum(
+                F.round(c.cast("double") * 1000000).cast("bigint")
+            ).alias(f"m_{k}")
             for k, c in micros.items()
         ],
         F.count(F.lit(1)).alias("_n"),
@@ -104,9 +110,21 @@ def _pricing_summary_micro(li: DataFrame) -> DataFrame:
     mega = F.lit(1000000).cast("decimal(7,0)")
 
     def total(k: str) -> F.Column:
-        return (
-            F.sum(F.col(f"m_{k}").cast("decimal(38,0)")) / mega
-        ).cast("double")
+        # loud overflow guard: a NULL partial can only mean try_sum
+        # overflowed (the inputs are non-null), so fail the job with a
+        # diagnosable message rather than emit a wrong total
+        checked = F.when(
+            F.col(f"m_{k}").isNull(),
+            F.raise_error(
+                F.lit(
+                    f"pricing micro partial sum m_{k} overflowed bigint: "
+                    "a single scan partition held too many rows — keep "
+                    "partitions near maxPartitionBytes or repartition "
+                    "the input"
+                )
+            ).cast("bigint"),
+        ).otherwise(F.col(f"m_{k}"))
+        return (F.sum(checked.cast("decimal(38,0)")) / mega).cast("double")
 
     n = F.sum("_n")
     return lvl1.groupBy("l_returnflag", "l_linestatus").agg(
@@ -121,9 +139,9 @@ def _pricing_summary_micro(li: DataFrame) -> DataFrame:
     )
 
 
-@query(
-    "agg_pricing_summary",
-    oracle="""
+# The decimal-path oracle (the pre-r15 registered form), kept for the
+# parity pin and for anyone running the flag off.
+_PRICING_DECIMAL_ORACLE = """
     SELECT l_returnflag, l_linestatus,
            CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)                        AS sum_qty,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)                   AS sum_base_price,
@@ -136,7 +154,16 @@ def _pricing_summary_micro(li: DataFrame) -> DataFrame:
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
     GROUP BY l_returnflag, l_linestatus
-    """,
+"""
+
+
+@query(
+    "agg_pricing_summary",
+    # callable: the oracle tracks the flag at ACCESS time (the r6
+    # lockstep rule), so the Spark path and the SQL can never desync
+    oracle=lambda: (
+        _PRICING_MICRO_ORACLE if _PRICING_MICRO_AGG else _PRICING_DECIMAL_ORACLE
+    ),
     tags=("agg", "flagship"),
     bench=True,
 )

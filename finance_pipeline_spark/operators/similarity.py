@@ -712,7 +712,11 @@ def kmeans_lloyd_ctes() -> str:
                unnest(v.emb) AS x
         FROM a1 JOIN v USING (vec_id)
     ), c1m AS (
-        SELECT cluster, pos, round(avg(x), 6) AS c
+        -- the _KMEANS_DECIMAL_MEANS recipe in lockstep: 9-dp pre-round,
+        -- exact decimal(38,12) sum (order-free), one divide, 6-dp round
+        SELECT cluster, pos,
+               round(CAST(sum(CAST(round(x, 9) AS DECIMAL(38,12))) AS DOUBLE)
+                     / count(*), 6) AS c
         FROM upd GROUP BY cluster, pos
     ), c1g AS (
         SELECT cluster, list(c ORDER BY pos) AS emb FROM c1m GROUP BY cluster
@@ -781,7 +785,9 @@ def kmeans_fit(
     4-dp rounded distances with cluster-id tie-break, 6-dp rounded
     means, empty clusters keep their previous centroid — so a re-run
     (or another engine following the recipe) reproduces every round
-    bit-for-bit."""
+    bit-for-bit — including across the input spread, because the
+    decimal mean update is order-free."""
+    e = _spread_vectors(e)
     seeds = e.orderBy("vec_id").limit(k).collect()
     cents = np.array(
         [np.asarray(r["embedding"], dtype=np.float64) for r in seeds],
@@ -895,30 +901,45 @@ def _ivf_multiprobe_oracle(nprobe: int) -> str:
 
 
 
-# r14 PREP, r15 flip (r13 verdict item 4): when True, _probe_cells
-# selects cells in an executor-side Arrow kernel instead of the
-# queries × cells crossJoin + window rank — the remaining row-heavy
-# shape at the scaled tier. Default-OFF this round: flipping changes
-# the physical plan of the whole IVF family (6 registered queries),
-# whose rotation-window re-earns belong to r15. The kernel is
+# FLIPPED ON in r15 (prepped default-off in r14, r13 verdict item 4):
+# _probe_cells selects cells in an executor-side Arrow kernel instead
+# of the queries × cells crossJoin + window rank — the remaining
+# row-heavy shape at the scaled tier (measured 9.25 s → 2.09 s on the
+# 200k coarse-assign pass with the spread). The kernel is
 # bit-parity-pinned against the JVM fold by
-# tests/test_similarity.py::test_probe_cells_kernel_bit_parity.
-_PROBE_CELLS_KERNEL = False
+# tests/test_similarity.py::test_probe_cells_kernel_bit_parity, and
+# the whole IVF family re-earned its driver window slots on the new
+# plan in r15 (dual-scale dry-run 8/8 in r14 before the flip).
+_PROBE_CELLS_KERNEL = True
 
-# r14 fifth-session prep for the r15 similarity-kernel spread: the
-# Lloyd mean updates in kmeans_fit/_pq_train_encode_scaled currently
-# round a float AVG, whose summation order depends on partitioning —
-# safe only because kernel inputs inherit a stable partitioning today.
-# Spreading the inputs (the 4.4x assign-pass win measured in
-# .probe_ann_cap_r14.json) needs the mean to be partitioning-
-# independent first: pre-round each value to 9 dp, sum as
-# decimal(38,12) (exact, order-free — the classifier-gradient
-# recipe), divide once, round to the same 6 dp. Default-OFF: flipping
-# can move a centroid's 6th decimal on round-boundary values, so it
-# belongs with the r15 scaled-family oracle-lockstep re-earns.
-# Near-parity + partitioning-independence pinned by
+# FLIPPED ON in r15 (prepped default-off in r14): the Lloyd mean
+# updates in kmeans_fit/_pq_build/_pq_train_encode_scaled are exact
+# and order-free — pre-round each value to 9 dp, sum as
+# decimal(38,12), divide once, round to the same 6 dp — so the
+# similarity-kernel input spread (``_spread_vectors``, the 4.4x
+# assign-pass win measured in .probe_ann_cap_r14.json) cannot move a
+# centroid through float-AVG summation order. The DuckDB oracles
+# (``kmeans_lloyd_ctes``, ``_pq_subspace_cte``) carry the SAME
+# decimal recipe in lockstep. Near-parity with the old float path
+# (<= one 6-dp ulp) + partitioning-independence pinned by
 # tests/test_similarity.py::test_kmeans_decimal_means_*.
-_KMEANS_DECIMAL_MEANS = False
+_KMEANS_DECIMAL_MEANS = True
+
+
+def _spread_vectors(df: DataFrame) -> DataFrame:
+    """Spread (vec_id, embedding)-shaped kernel inputs across the
+    cores before an Arrow kernel pass. Python-bound mapInPandas
+    wall-clock is set by the PARTITION count, not the row count:
+    parquet row-group skew left ~4 busy tasks on the 200k-vector
+    probe tier (coarse_assign 9.25 s → 2.09 s after the spread — the
+    multimodal/text kernels already do this). Safe on every result:
+    the kernels are per-row deterministic and the Lloyd means are
+    order-free under ``_KMEANS_DECIMAL_MEANS``. At real scale
+    maxPartitionBytes splits the scan anyway and this collapses to a
+    no-op-sized shuffle of narrow (id, vector) rows."""
+    spark = df.sparkSession
+    key = "vec_id" if "vec_id" in df.columns else df.columns[0]
+    return df.repartition(spark.sparkContext.defaultParallelism, key)
 
 
 def _mean_6dp(col: Column) -> Column:
@@ -954,6 +975,7 @@ def _probe_cells_kernel(cents, q: DataFrame, nprobe: int) -> DataFrame:
 
     from pyspark.sql.types import LongType, StructField, StructType
 
+    q = _spread_vectors(q)
     cmat = np.asarray([[float(x) for x in c] for c in cents], dtype=np.float64)
     # fresh StructType — StructType.add MUTATES the instance, and
     # q.schema hands back the frame's cached schema object, so .add
@@ -1128,7 +1150,11 @@ def _pq_subspace_cte(s: int) -> str:
                unnest(v.emb[{lo}:{hi}]) AS x
         FROM a_{s} a JOIN v USING (vec_id)
     ), cm_{s} AS (
-        SELECT cluster, pos, round(avg(x), 6) AS c
+        -- the _KMEANS_DECIMAL_MEANS recipe in lockstep (see
+        -- kmeans_lloyd_ctes): order-free exact-decimal mean at 6 dp
+        SELECT cluster, pos,
+               round(CAST(sum(CAST(round(x, 9) AS DECIMAL(38,12))) AS DOUBLE)
+                     / count(*), 6) AS c
         FROM upd_{s} GROUP BY cluster, pos
     ), cg_{s} AS (
         SELECT cluster, list(c ORDER BY pos) AS emb FROM cm_{s} GROUP BY cluster
@@ -1213,7 +1239,9 @@ def _pq_build(spark: SparkSession, sf_dir: str):
     codebooks are driver-sized (4×8×16 doubles). Scoring broadcasts the
     per-query distance tables as literal arrays — the corpus side is
     one codes scan + element_at lookups, all codegen."""
-    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = _spread_vectors(
+        load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
     seeds = e.orderBy("vec_id").limit(_PQ_K).collect()
     seed_mat = np.array(
         [np.asarray(r["embedding"], dtype=np.float64) for r in seeds]
@@ -1602,6 +1630,19 @@ def ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # check on the registered query.
 
 
+# r15 default for the scaled-tier training-sample bound (the FAISS
+# fixed-sample practice; r14 prepped, measured recall-neutral at the
+# 200k probe tier — recall@10 = 1.0 at both 19.9k and 199.8k vectors —
+# while the within-run 10x-N build ratio dropped 18.15x → 7.52x,
+# .probe_ann_cap_r14.json). ~73/centroid at sqrt(200k) cells; always
+# floored at 39/centroid inside scaled_ann_params so no corpus can be
+# silently starved. scaled_ann_params itself keeps default None (pure
+# capacity math); the OPERATOR entry points (ivfpq_scaled_topk,
+# CorpusAnnIndex.build) apply this cap so batch and stored-index
+# builds stay row-identical for ann_serve_parity.
+_SCALED_TRAIN_CAP = 32_768
+
+
 def scaled_ann_params(n: int, train_cap: int | None = None) -> dict:
     """Corpus-sized IVFPQ capacity for an N-vector corpus:
 
@@ -1629,8 +1670,8 @@ def scaled_ann_params(n: int, train_cap: int | None = None) -> dict:
       warning threshold — because a cap that starves centroids
       silently trades recall, and that floor is the honest limit
       (pass a smaller cap and you get the floor, not the cap).
-      Default-off r14 prep; the scaled family flips in r15 alongside
-      the ``_PROBE_CELLS_KERNEL`` re-earns."""
+      This function keeps default None (pure capacity math); the
+      operator entry points pass ``_SCALED_TRAIN_CAP`` since r15."""
     n = max(int(n), 1)
     k_cells = max(4, min(4096, int(round(math.sqrt(n)))))
     k_pq = max(8, min(256, n // 32))
@@ -1727,6 +1768,7 @@ def coarse_assign(
     disagreeing cell falls outside nprobe), no oracle touches this
     path, and the recall tests + 10x probe measure through it — but
     the two paths are near-parity, not bit-parity."""
+    e = _spread_vectors(e)
     c_mat = np.asarray(cents, dtype=np.float64)
     bc = spark.sparkContext.broadcast(c_mat)
 
@@ -1763,6 +1805,7 @@ def _pq_assign_rows(
     pass (4-dp-rounded distance, lowest code on ties — the family's
     oracle-parity rule). Shared by the trainer's Lloyd update, corpus
     encoding, and the stored index's incremental ``add``."""
+    src = _spread_vectors(src)
     bc = spark.sparkContext.broadcast(c_now)
 
     def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1797,8 +1840,9 @@ def _pq_recon_error(
     codebooks ``c_now`` — Σ over subspaces of the winning centroid's
     squared distance (the same 4-dp-rounded distances the assignment
     kernel ranks, so drift numbers are consistent with the codes the
-    index actually stores). One Arrow kernel pass, no shuffle: the
-    quantization-drift monitor's workhorse."""
+    index actually stores). One Arrow kernel pass (plus the input
+    spread): the quantization-drift monitor's workhorse."""
+    src = _spread_vectors(src)
     bc = spark.sparkContext.broadcast(c_now)
 
     def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1841,7 +1885,7 @@ def ivfpq_scaled_topk(
     sf_dir: str,
     nprobe: int | None = None,
     queries: DataFrame | None = None,
-    train_cap: int | None = None,
+    train_cap: int | None = _SCALED_TRAIN_CAP,
 ) -> DataFrame:
     """IVFPQ with CORPUS-SIZED capacity + exact re-rank: sqrt(N)
     coarse cells and an up-to-256-code codebook (``scaled_ann_params``)
@@ -1854,9 +1898,10 @@ def ivfpq_scaled_topk(
     Scale shape: the trainers see at most ``train_target`` vectors —
     256/centroid by default (which still tracks sqrt(N) through the
     cell count; the r14 200k probe measured build wall 18-23x for 10x
-    N from exactly that), or an absolute bound when ``train_cap`` is
-    passed (the FAISS fixed-sample practice, floored at 39/centroid —
-    default-off until the r15 scaled-family re-earn); corpus encode
+    N from exactly that), bounded by ``_SCALED_TRAIN_CAP`` by default
+    since r15 (the FAISS fixed-sample practice, floored at
+    39/centroid; recall-neutral at the 200k probe tier — pass
+    ``train_cap=None`` for the unbounded form); corpus encode
     is one vectorized argmin kernel
     pass (n x m assignment rows, not an n x m x k fan-out); cell
     assignment and probe selection are broadcast-centroid JVM folds;
@@ -2087,8 +2132,16 @@ def ann_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     src = Path(sf_dir) / "embeddings.parquet"
     st = src.stat()
+    # the cache key carries the build RECIPE alongside the corpus
+    # identity: a stale on-disk index built under an older recipe
+    # (different train cap, float-vs-decimal means, probe kernel)
+    # would otherwise serve pre-flip state and break ann_serve_parity
+    recipe = (
+        f"v2-cap{_SCALED_TRAIN_CAP}-dm{int(_KMEANS_DECIMAL_MEANS)}"
+        f"-pk{int(_PROBE_CELLS_KERNEL)}"
+    )
     key = hashlib.sha256(
-        f"{src.resolve()}-{st.st_mtime_ns}-{st.st_size}".encode()
+        f"{src.resolve()}-{st.st_mtime_ns}-{st.st_size}-{recipe}".encode()
     ).hexdigest()[:16]
     root = _ANN_INDEX_CACHE.get(key) or str(
         Path(tempfile.gettempdir()) / f"spark_graft_ann_{key}"

@@ -52,6 +52,7 @@ from finance_pipeline_spark.operators.similarity import (
     _PQ_DSUB,
     _PQ_M,
     _RERANK_N,
+    _SCALED_TRAIN_CAP,
     _pq_assign_codes,
     _pq_recon_error,
     _pq_train_encode_scaled,
@@ -118,7 +119,10 @@ class CorpusAnnIndex:
         one — never a half-built state a reader would trust."""
         e = e.select("vec_id", "embedding")
         n = e.count()
-        p = scaled_ann_params(n)
+        # the same bounded training sample the batch operator uses —
+        # build and ivfpq_scaled_topk must train identically or
+        # ann_serve_parity breaks
+        p = scaled_ann_params(n, train_cap=_SCALED_TRAIN_CAP)
         sample = _train_sample(e, n, p["train_target"]).localCheckpoint(
             eager=True
         )

@@ -51,23 +51,27 @@ def test_pricing_micro_agg_parity(spark, monkeypatch):
     """r14 prep for the flagship's two-level exact-micros flip (the
     8.8x decimal-aggregation tax measured at the 60M-row tier,
     .probe_registered_1000x_b4_r14.json): with ``_PRICING_MICRO_AGG``
-    on, values must equal the registered decimal path exactly on
-    testdata at BOTH gate SFs, the staged micro oracle must equal the
-    micro path against live DuckDB, and the micro plan must carry no
-    precision>18 decimal aggregation. Default stays off (pinned)."""
+    on (the r15 registered surface), values must equal the pre-r15
+    decimal path exactly on testdata at BOTH gate SFs, the registered
+    micro oracle must equal the micro path against live DuckDB, and
+    the micro plan must carry no precision>18 decimal aggregation."""
     import duckdb
 
     from finance_pipeline_spark.operators import aggregates as agg
 
-    assert agg._PRICING_MICRO_AGG is False  # registered surface
+    assert agg._PRICING_MICRO_AGG is True  # r15 registered surface
+    # oracle lockstep: the registered oracle follows the flag
+    assert registry.QUERIES["agg_pricing_summary"].oracle_text() == (
+        agg._PRICING_MICRO_ORACLE
+    )
 
     fn = registry.QUERIES["agg_pricing_summary"].fn
     for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        monkeypatch.setattr(agg, "_PRICING_MICRO_AGG", False)
         base = sorted(map(tuple, fn(spark, sf).collect()))
         monkeypatch.setattr(agg, "_PRICING_MICRO_AGG", True)
         micro_df = fn(spark, sf)
         micro = sorted(map(tuple, micro_df.collect()))
-        monkeypatch.setattr(agg, "_PRICING_MICRO_AGG", False)
         assert len(base) > 0 and [r[:2] for r in base] == [r[:2] for r in micro]
         for rb, rm in zip(base, micro):
             for vb, vm in zip(rb[2:], rm[2:]):

@@ -331,11 +331,11 @@ def test_scaled_ann_params_track_corpus_size():
 
 
 def test_scaled_ann_params_train_cap_default_off_and_floored():
-    """r14 prep for the r15 bounded-train-sample flip (the 200k probe's
-    'training dominates' finding): ``train_cap`` must be byte-inert
-    when absent — every registered scaled-family query runs the default
-    path until the r15 re-earn — and, when passed, an absolute sample
-    bound floored at FAISS's 39-points-per-centroid warning threshold
+    """``scaled_ann_params`` is pure capacity math: ``train_cap`` must
+    be byte-inert when absent (the OPERATOR entry points pass
+    ``_SCALED_TRAIN_CAP`` since the r15 flip) and, when passed, an
+    absolute sample bound floored at FAISS's 39-points-per-centroid
+    warning threshold
     (a smaller cap would silently trade recall, so it yields the floor,
     not the cap)."""
     from finance_pipeline_spark.operators.similarity import scaled_ann_params
@@ -498,13 +498,14 @@ def test_kmeans_decimal_means_partitioning_independent(spark, monkeypatch):
     and order-free (9-dp pre-round -> decimal(38,12) sum -> one divide
     -> 6-dp round), so ANY input partitioning yields bit-identical
     centroids — the property the spread needs before it can land.
-    Also pins the flag's default (off) and near-parity with the float
-    AVG path (<= one 6-dp ulp per coordinate)."""
+    Also pins the flag's default (ON since the r15 flip) and
+    near-parity with the float AVG path (<= one 6-dp ulp per
+    coordinate)."""
     import numpy as np
 
     from finance_pipeline_spark.operators import similarity as sim
 
-    assert sim._KMEANS_DECIMAL_MEANS is False  # registered surface
+    assert sim._KMEANS_DECIMAL_MEANS is True  # r15 registered surface
 
     rng = np.random.default_rng(41)
     mat = rng.standard_normal((600, _DIM)).astype(np.float32)
@@ -513,6 +514,7 @@ def test_kmeans_decimal_means_partitioning_independent(spark, monkeypatch):
     ]
     e = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
 
+    monkeypatch.setattr(sim, "_KMEANS_DECIMAL_MEANS", False)
     cents_float, _ = sim.kmeans_fit(spark, e, 8, rounds=2)
 
     monkeypatch.setattr(sim, "_KMEANS_DECIMAL_MEANS", True)
@@ -535,14 +537,15 @@ def test_probe_cells_kernel_bit_parity(spark, monkeypatch):
     HALF_UP-on-shortest-repr rounding (Decimal(repr) vs Spark Round's
     BigDecimal.valueOf), same cluster-asc tie-break — over random
     float32 queries plus crafted tie centroids (an exact duplicate
-    and a 1e-9 perturbation that collapses at 4 dp). The flag stays
-    default-OFF this round, so every registered query still runs the
-    JVM path."""
+    and a 1e-9 perturbation that collapses at 4 dp). The flag is
+    default-ON since the r15 flip: registered queries run the Arrow
+    kernel, and this test keeps it pinned bit-identical to the JVM
+    reference recipe."""
     import numpy as np
 
     from finance_pipeline_spark.operators import similarity as S
 
-    assert S._PROBE_CELLS_KERNEL is False  # r14 contract: default off
+    assert S._PROBE_CELLS_KERNEL is True  # r15 contract: kernel is live
 
     rng = np.random.default_rng(13)
     dim, k = 16, 7
@@ -556,6 +559,7 @@ def test_probe_cells_kernel_bit_parity(spark, monkeypatch):
         ],
         "query_id bigint, q_emb array<float>, q_nrm double",
     )
+    monkeypatch.setattr(S, "_PROBE_CELLS_KERNEL", False)
     for nprobe in (1, 2, 3):
         jvm = sorted(
             (r.query_id, r.cluster, r.q_nrm)
@@ -569,7 +573,7 @@ def test_probe_cells_kernel_bit_parity(spark, monkeypatch):
             next(iter(set(jvm) ^ set(kern)))
         )
         assert len(jvm) == 200 * nprobe
-    # the flag routes _probe_cells to the kernel when flipped (r15)
+    # the flag (default since r15) routes _probe_cells to the kernel
     baseline = sorted(
         (r.query_id, r.cluster)
         for r in S._probe_cells(spark, cents, q, 2).collect()
