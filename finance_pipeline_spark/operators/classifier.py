@@ -307,11 +307,13 @@ def _clf_calibration_oracle() -> str:
     """
 
 
-# STAGED for the r15 window (r14's 50 slots are spoken for; same
-# pattern as text_unimax_alloc / eval_overlap_report /
-# text_bpe_fertility). Registration: @query("clf_calibration_bins",
-# oracle=_clf_calibration_oracle, tags=("text","quality","classifier",
-# "calibration")).
+# Registered in r15 from the staged gate (dual-scale oracle-proven in
+# r14).
+@query(
+    "clf_calibration_bins",
+    oracle=lambda: _clf_calibration_oracle(),
+    tags=("text", "quality", "classifier", "calibration"),
+)
 def clf_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classifier CALIBRATION REPORT — the reliability table an ML-ops
     review reads before trusting a quality filter at 100 TB: per score

@@ -2277,9 +2277,15 @@ def _semantic_oracle() -> str:
     """
 
 
+def _semantic_oracle_mat() -> str:
+    from finance_pipeline_spark.operators.similarity import _mat
+
+    return _mat(_semantic_oracle())
+
+
 @query(
     "dedup_semantic_clusters",
-    oracle=_semantic_oracle,
+    oracle=_semantic_oracle_mat,
     tags=("dedup", "embedding", "kmeans", "semdedup"),
 )
 def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2451,8 +2457,13 @@ def _source_scope_components(edges: DataFrame) -> DataFrame:
     )
 
 
+@query(
+    "source_dedup_scopes",
+    oracle=lambda: _source_scopes_oracle(),
+    tags=("dedup", "curation", "forensics"),
+)
 def source_dedup_scopes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Source-level DEDUP SCOPES (staged for r15): sources that share
+    """Source-level DEDUP SCOPES (registered in r15): sources that share
     at least ``_SCOPE_MIN_SHARED`` verbatim text digests are routed
     into one scope (connected components over the shared-digest
     graph, scope id = lexicographically-min member). This is the

@@ -698,6 +698,11 @@ def _mm_thumbnail_oracle() -> str:
     """
 
 
+@query(
+    "mm_thumbnail",
+    oracle=lambda: _mm_thumbnail_oracle(),
+    tags=("multimodal", "image", "resize"),
+)
 def mm_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RESIZE over compressed image payloads — the missing leg of the
     multimodal quartet (decode / features / resize / frame-sample):

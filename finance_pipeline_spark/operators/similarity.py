@@ -684,6 +684,19 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KMEANS_K = 8  # coarse-quantizer cells; seeds = the K smallest vec_ids
 
 
+def _mat(sql: str) -> str:
+    """Pin every CTE in an oracle to ``AS MATERIALIZED``. DuckDB 1.0
+    inlines CTEs by default, and the PQ/IVF oracle chains (30+
+    interdependent CTEs, each tiny) then explode its join-order
+    optimizer: ann_ivfpq_topk's oracle at sf0.1 (2,000 vectors!) ran
+    45+ minutes at >20 GB before this, 1.0 s after. Materialization is
+    semantics-neutral — same rows, linear plan — so only the oracle's
+    wall changes, never a comparison."""
+    import re
+
+    return re.sub(r"\bAS \(", "AS MATERIALIZED (", sql)
+
+
 def kmeans_lloyd_ctes() -> str:
     """The shared one-Lloyd-round SQL chain (seeds -> assign -> 6-dp
     mean update -> re-score), referencing a caller-provided ``v``
@@ -733,7 +746,7 @@ def kmeans_lloyd_ctes() -> str:
 
 @query(
     "kmeans_train_assign",
-    oracle=lambda: f"""
+    oracle=lambda: _mat(f"""
     WITH v AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
     ), {kmeans_lloyd_ctes()}
@@ -743,7 +756,7 @@ def kmeans_lloyd_ctes() -> str:
                                   ORDER BY d, cluster) AS rnk
         FROM s2
     ) WHERE rnk = 1
-    """,
+    """),
     tags=("similarity", "kmeans", "ann"),
     bench=True,
 )
@@ -1106,7 +1119,7 @@ def ivf_probe_topk(
 
 @query(
     "ann_ivf_multiprobe",
-    oracle=lambda: _ivf_multiprobe_oracle(_IVF_NPROBE),
+    oracle=lambda: _mat(_ivf_multiprobe_oracle(_IVF_NPROBE)),
     tags=("similarity", "ann", "ivf", "multiprobe"),
     bench=True,
 )
@@ -1388,7 +1401,7 @@ def _pq_serve(spark: SparkSession, sf_dir: str, cell_pruned: bool) -> DataFrame:
 
 @query(
     "ann_pq_topk",
-    oracle=_pq_oracle,
+    oracle=lambda: _mat(_pq_oracle()),
     tags=("similarity", "ann", "pq"),
     bench=True,
 )
@@ -1401,7 +1414,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ann_ivfpq_topk",
-    oracle=lambda: _pq_oracle(cell_pruned=True),
+    oracle=lambda: _mat(_pq_oracle(cell_pruned=True)),
     tags=("similarity", "ann", "pq", "ivf"),
 )
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1522,7 +1535,7 @@ def ivfpq_probe_topk(
 
 @query(
     "ann_ivfpq_multiprobe",
-    oracle=lambda: _ivfpq_multiprobe_oracle(_IVF_NPROBE),
+    oracle=lambda: _mat(_ivfpq_multiprobe_oracle(_IVF_NPROBE)),
     tags=("similarity", "ann", "pq", "ivf", "multiprobe"),
 )
 def ann_ivfpq_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1566,7 +1579,7 @@ def _ivfpq_rerank_oracle(nprobe: int, rerank_n: int) -> str:
 
 @query(
     "ann_ivfpq_rerank",
-    oracle=lambda: _ivfpq_rerank_oracle(_IVF_NPROBE, _RERANK_N),
+    oracle=lambda: _mat(_ivfpq_rerank_oracle(_IVF_NPROBE, _RERANK_N)),
     tags=("similarity", "ann", "pq", "ivf", "rerank"),
 )
 def ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2402,10 +2415,13 @@ def _trunc_recall_oracle() -> str:
     """
 
 
-# STAGED for the r15 window (r14's slots are spoken for; same pattern
-# as the other r14 stagings). Registration:
-# @query("ann_dim_truncation_recall", oracle=_trunc_recall_oracle,
-# tags=("similarity","ann","matryoshka","audit")).
+# Registered in r15 from the staged gate (dual-scale oracle-proven in
+# r14).
+@query(
+    "ann_dim_truncation_recall",
+    oracle=lambda: _trunc_recall_oracle(),
+    tags=("similarity", "ann", "matryoshka", "audit"),
+)
 def ann_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matryoshka-style DIMENSION-TRUNCATION recall audit: for each
     query, brute-force cosine top-10 using only the first 8/16/32
@@ -2539,8 +2555,13 @@ def _vec_batches(df: DataFrame):
         yield finish()
 
 
+@query(
+    "ann_eval_contamination",
+    oracle=lambda: _eval_contamination_oracle(),
+    tags=("similarity", "embeddings", "contamination", "eval"),
+)
 def ann_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-space EVAL-CONTAMINATION audit (staged for r15): for
+    """Embedding-space EVAL-CONTAMINATION audit (registered in r15): for
     every val/test vector (the text_split_assign md5-permille recipe,
     98/1/1, applied to vec_id), the maximum cosine against ANY train
     vector and the nearest train neighbor's id. This is the model-card
@@ -2681,8 +2702,13 @@ def _eval_contamination_oracle() -> str:
     """
 
 
+@query(
+    "emb_label_centroid_cosine",
+    oracle=lambda: _label_centroid_oracle(),
+    tags=("similarity", "embeddings", "mixture"),
+)
 def emb_label_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-label DOMAIN-FINGERPRINT similarity matrix (staged for
+    """Per-label DOMAIN-FINGERPRINT similarity matrix (registered in
     r15): the exact centroid of every label's embedding cloud (labels
     are the domain/cluster key throughout the similarity family) and
     the pairwise cosine between centroids. This is the mixture-design

@@ -66,9 +66,15 @@ _REGEX_TOK = r"[a-z]+|[0-9]+|[^a-z0-9\s]+"  # the lookahead-free core of
 # BPE trainer's normalization.
 
 
-# STAGED for r15 (the staged-gate contract): the brief's second token
-# counter — "BPE-ish regex" next to the whitespace one — giving the
-# tokens-per-word fertility a pre-BPE denominator.
+# Registered in r15 from the staged gate (dual-scale oracle-proven in
+# r14): the brief's second token counter — "BPE-ish regex" next to the
+# whitespace one — giving tokens-per-word fertility a pre-BPE
+# denominator.
+@query(
+    "text_regex_token_count",
+    oracle=lambda: _regex_token_oracle(),
+    tags=("text", "tokens"),
+)
 def text_regex_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regex (GPT-2-style pre-tokenizer) token counting next to the
     whitespace counter: letter/digit/symbol runs over the lowercased
@@ -590,11 +596,13 @@ def bpe_fertility_report(docs: DataFrame, merges) -> DataFrame:
     )
 
 
-# STAGED for the r15 window (same pattern as text_unimax_alloc /
-# eval_overlap_report — r14's 50 slots are spoken for). Registration:
-# @query("text_bpe_fertility", oracle=_bpe_fertility_oracle,
-# tags=("text","tokens","bpe","mixture")) over
-# bpe_fertility_report(load(...), list(FROZEN_MERGES_V1)).
+# Registered in r15 from the staged gate (dual-scale oracle-proven in
+# r14).
+@query(
+    "text_bpe_fertility",
+    oracle=lambda: _bpe_fertility_oracle(),
+    tags=("text", "tokens", "bpe", "mixture"),
+)
 def text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language fertility under the frozen merge table — see
     ``bpe_fertility_report``."""
@@ -1768,6 +1776,17 @@ def _eval_overlap_oracle() -> str:
     """
 
 
+@query(
+    "eval_overlap_report",
+    oracle=lambda: _eval_overlap_oracle(),
+    tags=("text", "curation", "contamination", "eval"),
+)
+def eval_overlap_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form of ``eval_overlap_report`` over the documents
+    table (registered in r15 from the staged gate)."""
+    return eval_overlap_report(load(spark, sf_dir, "documents"))
+
+
 def _dataset_card_oracle() -> str:
     """DuckDB replica of ``text_dataset_card`` (staged for r15) — all
     exact arithmetic: bigint counts/sums, the 4-dp quality lifted to
@@ -1821,9 +1840,13 @@ def _dataset_card_oracle() -> str:
     """
 
 
-# STAGED for the r15 window (r14's slots are spoken for). Registration:
-# @query("text_dataset_card", oracle=_dataset_card_oracle,
-# tags=("text","curation","datasheet")).
+# Registered in r15 from the staged gate (dual-scale oracle-proven in
+# r14).
+@query(
+    "text_dataset_card",
+    oracle=lambda: _dataset_card_oracle(),
+    tags=("text", "curation", "datasheet"),
+)
 def text_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset DATASHEET — the per-(source, language) composition table
     a dataset release publishes (Datasheets for Datasets; every model
@@ -2047,13 +2070,15 @@ def _unimax_oracle(
     """
 
 
-# STAGED for the r15 window (the token_budget_mix r13 pattern): the
-# r14 window's last slot went to dedup_dropped_accounting's
-# changed-code re-earn (its ngram ledger section moved to band keys
-# in lockstep with dedup_ngram_jaccard). Verified hash-green at both
-# SFs by tools/check_oracle.py in r14; registration is one @query
-# line: @query("text_unimax_alloc", oracle=_unimax_oracle,
-# tags=("text","curation","mixture","training-prep"), bench=True).
+# Registered in r15 from the staged gate (hash-green at both SFs via
+# tools/check_oracle.py in r14; the r14 window's last slot went to
+# dedup_dropped_accounting's changed-code re-earn).
+@query(
+    "text_unimax_alloc",
+    oracle=lambda: _unimax_oracle(),
+    tags=("text", "curation", "mixture", "training-prep"),
+    bench=True,
+)
 def text_unimax_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UniMax water-filling language allocation over the documents
     table: budget = 3 epochs of the corpus, per-language cap = 4
@@ -2190,15 +2215,19 @@ def _temperature_oracle(
     SELECT lang, n_tokens, weight_micro,
            CAST(quota + CASE WHEN rk <= short THEN 1 ELSE 0 END
                 AS BIGINT) AS alloc_tokens,
-           ((quota + CASE WHEN rk <= short THEN 1 ELSE 0 END) * 1000)
-               // n_tokens AS epochs_permille
+           CAST(((quota + CASE WHEN rk <= short THEN 1 ELSE 0 END) * 1000)
+               // n_tokens AS BIGINT) AS epochs_permille
     FROM r
     """
 
 
-# STAGED for r15 (same contract as text_unimax_alloc below): the
-# temperature-sampling counterpart table, registered as one @query
-# line once the r15 window budget is settled.
+# Registered in r15 from the staged gate: the temperature-sampling
+# counterpart of the UniMax table.
+@query(
+    "text_temperature_alloc",
+    oracle=lambda: _temperature_oracle(),
+    tags=("text", "curation", "mixture", "training-prep"),
+)
 def text_temperature_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature mixture allocation (α=0.5) over the documents
     table — the head-flattening/tail-boosting re-split the UniMax
@@ -2430,7 +2459,13 @@ def _dsir_oracle(
     """
 
 
-# STAGED for r15 (same contract as the mixture tables above).
+# Registered in r15 from the staged gate (same contract as the
+# mixture tables above).
+@query(
+    "text_dsir_select",
+    oracle=lambda: _dsir_oracle(),
+    tags=("text", "curation", "selection", "training-prep"),
+)
 def text_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance-resampling selection over the documents table,
     target = the English slice: raw docs whose hashed-bigram profile
@@ -3622,6 +3657,11 @@ def _sql_novelty_grams(np: int = _NOVELTY_N - 1) -> str:
     )
 
 
+@query(
+    "text_ngram_novelty",
+    oracle=lambda: _ngram_novelty_oracle(),
+    tags=("text", "curation", "diversity"),
+)
 def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus SELF-OVERLAP per document (staged for r15) — for every
     doc, the fraction of its distinct trigrams that also appear in at
@@ -3702,6 +3742,11 @@ def _ngram_novelty_oracle() -> str:
     """
 
 
+@query(
+    "source_overlap_matrix",
+    oracle=lambda: _source_overlap_oracle(),
+    tags=("text", "curation", "forensics", "dedup"),
+)
 def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source PROVENANCE OVERLAP matrix (staged for r15) — for
     every pair of sources, the number of distinct trigrams present in
@@ -3855,6 +3900,11 @@ def stratified_sample(docs: DataFrame, k: int = _STRAT_TOTAL) -> DataFrame:
     )
 
 
+@query(
+    "text_stratified_sample",
+    oracle=lambda: _stratified_sample_oracle(),
+    tags=("text", "curation", "sampling", "eval"),
+)
 def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified eval-set sampling (staged for r15) — draw exactly
     ``_STRAT_TOTAL`` documents allocated across (source, language)

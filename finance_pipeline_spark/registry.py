@@ -282,6 +282,69 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # re-enter the evaluated window this round; "out" entries move past the
 # fold carrying the named prior round's hash-green driver evidence.
 ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
+    "r15": {
+        "in": (
+            # the full r11-evidence cohort (20 — the oldest driver rows
+            # in the registry, mandatory under the standing evidence
+            # contract; pre-computed in the r14 plan)
+            "rollup_time_multi", "d10_current_date", "funnel_conversion",
+            "agg_approx_distinct", "agg_approx_quantile",
+            "dedup_bloom_ranged", "mm_decode_features", "mm_decode_png",
+            "mm_decode_wav", "mm_decode_quarantine", "text_kn_perplexity",
+            "text_url_canonicalize", "dedup_url_keyed",
+            "dedup_chunk_minhash", "dedup_connected_groups",
+            "text_dup_spans", "text_dup_scrub", "emb_outlier_prune",
+            "win_rank_family", "stream_stream_join",
+            # CHANGED CODE in r15 (the four flag flips: probe-cells
+            # Arrow kernel, order-free decimal k-means means + input
+            # spread, bounded training sample): every registered
+            # consumer of kmeans_fit/_pq_build/_probe_cells re-earns
+            # from the fold. (dedup_semantic_clusters, ann_ivf_topk,
+            # ann_quantized_topk were already in the r14 window and
+            # hold their slots; agg_pricing_summary — the micro-agg
+            # flip — is window-pinned as flagship.)
+            "kmeans_train_assign", "ann_ivf_multiprobe", "ann_pq_topk",
+            "ann_ivfpq_topk", "ann_ivfpq_multiprobe", "ann_ivfpq_rerank",
+            "ann_planted_recall", "ann_serve_parity",
+            # the r14 staged cohort registering this round (first
+            # driver evidence; each was dual-scale oracle-proven by
+            # tools/check_staged.py before the flip). The 17th staged
+            # op, text_pack_efficiency, is DEFERRED to r16 — the
+            # window held exactly 50 after the changed-code cohort
+            # grew by ann_pq_topk (a _pq_build/_mean_6dp consumer the
+            # r14 plan's "IVF 8" undercounted), and the r14 plan
+            # named pack-efficiency the lowest-signal deferral.
+            "text_unimax_alloc", "text_temperature_alloc",
+            "text_dsir_select", "mm_thumbnail", "text_regex_token_count",
+            "eval_overlap_report", "text_bpe_fertility",
+            "clf_calibration_bins", "ann_dim_truncation_recall",
+            "text_dataset_card", "text_ngram_novelty",
+            "source_overlap_matrix", "text_stratified_sample",
+            "ann_eval_contamination", "emb_label_centroid_cosine",
+            "source_dedup_scopes",
+        ),
+        "out": (  # all hash-green in CORRECTNESS_r14.json
+            "token_budget_mix", "dedup_dropped_accounting",
+            "text_lm_familiarity", "text_lm_buckets",
+            "text_quality_classifier", "text_bpe_token_count",
+            "text_fingerprint", "agg_corr_exact", "a2_empty_probe",
+            "win_tumbling", "win_topk_per_group", "join_agg_revenue",
+            "join_range_bands", "u3_semi_join", "o3_dynamic_sort",
+            "o4_global_index", "p2_drop_column", "p3_date_window",
+            "d2_interval_shift", "d6_literal_columns", "dedup_exact",
+            "dedup_ngram_jaccard", "dedup_simhash",
+            "dedup_group_decisions", "dedup_embedding_cosine",
+            "ann_cosine_topk", "ann_lsh_topk", "emb_quantize_int8",
+            "stream_tumbling_counts", "stream_static_join",
+            "stateful_user_totals", "text_token_count",
+            "text_gopher_rules", "text_pack_sequences",
+            "text_split_assign", "text_mixture_sample",
+            "text_ngram_profile", "text_chunk_overlap",
+            "text_quality_prune", "cohort_retention",
+            "event_transition_counts", "merge_upsert_orders",
+            "a1_count", "d5_format_render",
+        ),
+    },
     "r14": {
         "in": (
             # the full r10-evidence cohort (43 — the oldest driver
@@ -972,25 +1035,76 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
 
 PRIORITY: tuple[str, ...] = (
     # ---- window: positions 1-50, evaluated by the driver this round ----
-    # flagship
+    # flagship — r15 CHANGED CODE (micro-integer aggregation flip,
+    # oracle swapped in lockstep): the pinned slot re-earns it free
     "agg_pricing_summary",
     # rows-only BY DESIGN (data-dependent capacity) — window-pinned
     # forever; their driver-checkable evidence is the two bound queries
-    # (ann_planted_recall / ann_serve_parity, r12-green, folded)
+    # (ann_planted_recall / ann_serve_parity, re-earning in-window this
+    # round on the changed code). Both also carry r15 changed code
+    # (bounded training sample + decimal means + probe kernel).
     "ann_ivfpq_scaled",
     "ann_index_serve",
-    # new driver row earning first evidence in r14
-    "token_budget_mix",  # the "data recipe" operator (r13 verdict
-    # item 2 — function/oracle/pytest-parity landed r13)
-    # changed code in r14 — the ledger's ngram section moved to band
-    # keys in lockstep with dedup_ngram_jaccard (its r13 fold evidence
-    # was earned on the OLD oracle): re-earn from the fold
+    # the r11-evidence cohort (20) — mandatory re-earns under the
+    # standing evidence contract (pre-computed in the r14 plan)
+    "rollup_time_multi",
+    "d10_current_date",
+    "funnel_conversion",
+    "agg_approx_distinct",
+    "agg_approx_quantile",
+    "dedup_bloom_ranged",
+    "mm_decode_features",
+    "mm_decode_png",
+    "mm_decode_wav",
+    "mm_decode_quarantine",
+    "text_kn_perplexity",
+    "text_url_canonicalize",
+    "dedup_url_keyed",
+    "dedup_chunk_minhash",
+    "dedup_connected_groups",
+    "text_dup_spans",
+    "text_dup_scrub",
+    "emb_outlier_prune",
+    "win_rank_family",
+    "stream_stream_join",
+    # r15 CHANGED-CODE re-earns: every registered consumer of
+    # kmeans_fit / _pq_build / _probe_cells / the scaled trainers
+    # (the _PROBE_CELLS_KERNEL + _KMEANS_DECIMAL_MEANS + spread +
+    # train-cap flips; oracles updated in lockstep)
+    "kmeans_train_assign",
+    "dedup_semantic_clusters",
+    "ann_ivf_topk",
+    "ann_ivf_multiprobe",
+    "ann_quantized_topk",
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
+    "ann_ivfpq_multiprobe",
+    "ann_ivfpq_rerank",
+    "ann_planted_recall",
+    "ann_serve_parity",
+    # the r14 staged cohort, registered this round — first driver
+    # evidence (each dual-scale oracle-proven by tools/check_staged.py
+    # in r14; text_pack_efficiency deferred to r16, see ROTATION_LOG)
+    "text_unimax_alloc",
+    "text_temperature_alloc",
+    "text_dsir_select",
+    "mm_thumbnail",
+    "text_regex_token_count",
+    "eval_overlap_report",
+    "text_bpe_fertility",
+    "clf_calibration_bins",
+    "ann_dim_truncation_recall",
+    "text_dataset_card",
+    "text_ngram_novelty",
+    "source_overlap_matrix",
+    "text_stratified_sample",
+    "ann_eval_contamination",
+    "emb_label_centroid_cosine",
+    "source_dedup_scopes",
+    # ---- fold: position 51+ — prior-round hash-green driver evidence ----
+    # r14-green cohort, rotated out r15 (newest evidence first)
+    "token_budget_mix",
     "dedup_dropped_accounting",
-    # the r10-evidence cohort (43) — mandatory re-earns under the
-    # standing evidence contract (r13 verdict item 1).
-    # dedup_ngram_jaccard additionally re-earns CHANGED CODE this
-    # round (content-derived shingle-band blocking key, r13 verdict
-    # item 5; oracle updated in lockstep).
     "text_lm_familiarity",
     "text_lm_buckets",
     "text_quality_classifier",
@@ -1014,11 +1128,8 @@ PRIORITY: tuple[str, ...] = (
     "dedup_simhash",
     "dedup_group_decisions",
     "dedup_embedding_cosine",
-    "dedup_semantic_clusters",
     "ann_cosine_topk",
     "ann_lsh_topk",
-    "ann_ivf_topk",
-    "ann_quantized_topk",
     "emb_quantize_int8",
     "stream_tumbling_counts",
     "stream_static_join",
@@ -1034,16 +1145,11 @@ PRIORITY: tuple[str, ...] = (
     "cohort_retention",
     "event_transition_counts",
     "merge_upsert_orders",
-    # the two disclosed r13 deferrals (r9-green — oldest evidence in
-    # the registry; r13 verdict item 1)
     "a1_count",
     "d5_format_render",
-    # ---- fold: position 51+ — prior-round hash-green driver evidence ----
-    # r13-green cohort, rotated out r14 (newest evidence first)
-    "ann_pq_topk",
-    "ann_ivfpq_topk",
-    "ann_ivfpq_multiprobe",
-    "ann_ivfpq_rerank",
+    # r13-green cohort, rotated out r14 (minus the r15 changed-code
+    # re-entrants: ann_pq_topk, ann_ivfpq_topk, ann_ivfpq_multiprobe,
+    # ann_ivfpq_rerank, kmeans_train_assign)
     "mm_phash_planted_pairs",
     "text_bpe_encode",
     "text_split_leakage_audit",
@@ -1052,7 +1158,6 @@ PRIORITY: tuple[str, ...] = (
     "text_vocab_topk",
     "text_repetition_stats",
     "dedup_incremental",
-    "kmeans_train_assign",
     "agg_exact_median",
     "fuzzy_match_blocked",
     "anomaly_zscore_flags",
@@ -1087,9 +1192,9 @@ PRIORITY: tuple[str, ...] = (
     "text_langid",
     "text_quality_score",
     "udf_embedding_norm",
-    # r12-green cohort, rotated out r13
-    "ann_planted_recall",
-    "ann_serve_parity",
+    # r12-green cohort, rotated out r13 (minus the r15 changed-code
+    # re-entrants: ann_planted_recall, ann_serve_parity,
+    # ann_ivf_multiprobe)
     "mm_decode_jpeg",
     "mm_video_frames",
     "text_warc_extract",
@@ -1098,7 +1203,6 @@ PRIORITY: tuple[str, ...] = (
     "mm_phash_groups",
     "text_kn3_perplexity",
     "s6_jdbc_scan",
-    "ann_ivf_multiprobe",
     "dedup_connected_star",
     "win_sliding",
     "d8_trim",
@@ -1132,27 +1236,9 @@ PRIORITY: tuple[str, ...] = (
     "s6_sql_table_scan",
     "join_skew_enrich",
     "join_asof",
-    # r11-green cohort, rotated out r12
-    "rollup_time_multi",
-    "d10_current_date",
-    "funnel_conversion",
-    "agg_approx_distinct",
-    "agg_approx_quantile",
-    "dedup_bloom_ranged",
-    "mm_decode_features",
-    "mm_decode_png",
-    "mm_decode_wav",
-    "mm_decode_quarantine",
-    "text_kn_perplexity",
-    "text_url_canonicalize",
-    "dedup_url_keyed",
-    "dedup_chunk_minhash",
-    "dedup_connected_groups",
-    "text_dup_spans",
-    "text_dup_scrub",
-    "emb_outlier_prune",
-    "win_rank_family",
-    "stream_stream_join",
+    # (the r11-green cohort that closed this tuple through r14 — 20
+    # queries — re-entered the window in r15 as the mandatory re-earn
+    # cohort; see ROTATION_LOG["r15"]["in"].)
 )
 
 DRIVER_WINDOW = 50  # observed driver evaluation cap (r1 + r2)

@@ -66,41 +66,39 @@ def test_driver_window_covers_every_family():
     window = list(ordered)[: registry.DRIVER_WINDOW]
 
     must_be_in_window = {
-        # new driver row earning first evidence in r14
-        "token_budget_mix",  # the "data recipe" operator (r13 item 2)
-        # changed code in r14 — ngram ledger section moved to band
-        # keys in lockstep with dedup_ngram_jaccard; re-earns in-window
-        "dedup_dropped_accounting",
         # rows-only by design — window-pinned (can never earn fold
-        # evidence under the hash-green rule)
+        # evidence under the hash-green rule); both carry r15 changed
+        # code (bounded train sample + decimal means + probe kernel)
         "ann_ivfpq_scaled", "ann_index_serve",
-        # flagship
+        # flagship — r15 changed code (micro-integer aggregation)
         "agg_pricing_summary",
-        # the full r10-evidence cohort (43) — the registry's oldest
+        # the full r11-evidence cohort (20) — the registry's oldest
         # driver rows, mandatory under the standing evidence contract
-        # (r13 verdict item 1). dedup_ngram_jaccard additionally
-        # carries r14 CHANGED CODE (content-derived blocking key).
-        # Family coverage comes FROM the cohort (text x12, dedup x6,
-        # ann x4, stream x3, agg/join/window/P/D reps); the r9
-        # deferrals a1_count + d5_format_render close their ledger.
-        "text_lm_familiarity", "text_lm_buckets",
-        "text_quality_classifier", "text_bpe_token_count",
-        "text_fingerprint", "agg_corr_exact", "a2_empty_probe",
-        "win_tumbling", "win_topk_per_group", "join_agg_revenue",
-        "join_range_bands", "u3_semi_join", "o3_dynamic_sort",
-        "o4_global_index", "p2_drop_column", "p3_date_window",
-        "d2_interval_shift", "d6_literal_columns", "dedup_exact",
-        "dedup_ngram_jaccard", "dedup_simhash", "dedup_group_decisions",
-        "dedup_embedding_cosine", "dedup_semantic_clusters",
-        "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
-        "ann_quantized_topk", "emb_quantize_int8",
-        "stream_tumbling_counts", "stream_static_join",
-        "stateful_user_totals", "text_token_count", "text_gopher_rules",
-        "text_pack_sequences", "text_split_assign",
-        "text_mixture_sample", "text_ngram_profile",
-        "text_chunk_overlap", "text_quality_prune", "cohort_retention",
-        "event_transition_counts", "merge_upsert_orders",
-        "a1_count", "d5_format_render",
+        "rollup_time_multi", "d10_current_date", "funnel_conversion",
+        "agg_approx_distinct", "agg_approx_quantile",
+        "dedup_bloom_ranged", "mm_decode_features", "mm_decode_png",
+        "mm_decode_wav", "mm_decode_quarantine", "text_kn_perplexity",
+        "text_url_canonicalize", "dedup_url_keyed",
+        "dedup_chunk_minhash", "dedup_connected_groups",
+        "text_dup_spans", "text_dup_scrub", "emb_outlier_prune",
+        "win_rank_family", "stream_stream_join",
+        # r15 changed-code re-earns: every registered consumer of
+        # kmeans_fit / _pq_build / _probe_cells / the scaled trainers
+        # (the four r15 flag flips, oracles moved in lockstep)
+        "kmeans_train_assign", "dedup_semantic_clusters",
+        "ann_ivf_topk", "ann_ivf_multiprobe", "ann_quantized_topk",
+        "ann_pq_topk", "ann_ivfpq_topk", "ann_ivfpq_multiprobe",
+        "ann_ivfpq_rerank", "ann_planted_recall", "ann_serve_parity",
+        # the r14 staged cohort, registered r15 — first driver
+        # evidence (dual-scale oracle-proven pre-flip)
+        "text_unimax_alloc", "text_temperature_alloc",
+        "text_dsir_select", "mm_thumbnail", "text_regex_token_count",
+        "eval_overlap_report", "text_bpe_fertility",
+        "clf_calibration_bins", "ann_dim_truncation_recall",
+        "text_dataset_card", "text_ngram_novelty",
+        "source_overlap_matrix", "text_stratified_sample",
+        "ann_eval_contamination", "emb_label_centroid_cosine",
+        "source_dedup_scopes",
     }
     missing = must_be_in_window - set(window)
     assert not missing, f"fell out of the driver window: {sorted(missing)}"
@@ -125,6 +123,7 @@ def test_driver_window_covers_every_family():
         "CORRECTNESS_r11.json",
         "CORRECTNESS_r12.json",
         "CORRECTNESS_r13.json",
+        "CORRECTNESS_r14.json",
     ):
         p = Path(__file__).resolve().parents[1] / f
         if p.exists():

@@ -21,6 +21,7 @@ from pathlib import Path
 import duckdb
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from finance_pipeline_spark import registry  # noqa: E402
 from finance_pipeline_spark.session import get_session  # noqa: E402
@@ -29,70 +30,28 @@ from finance_pipeline_spark.session import get_session  # noqa: E402
 def _staged():
     """name → ((spark, sf_dir) -> DataFrame, () -> oracle SQL).
 
-    THE canonical list of r15-staged operators. A registration flip
-    removes the entry here and adds the @query decorator; this file's
-    emptiness at end of r15 is the done-check.
+    THE canonical list of staged (written + oracled but not yet
+    @query-registered) operators. A registration flip removes the
+    entry here and adds the @query decorator.
+
+    r15 executed the planned 17-op flip minus one: 16 of the r14
+    stagings registered (window math: 20 mandatory re-earns + 11
+    similarity changed-code re-earns + 3 pinned + 16 staged = 50);
+    text_pack_efficiency — named by the r14 plan as the lowest-signal
+    deferral candidate alongside calibration — moved to r16 with the
+    six fourth-batch ops below. This gate keeps all seven honest
+    meanwhile.
     """
-    from finance_pipeline_spark.operators import classifier as C
-    from finance_pipeline_spark.operators import dedup as D
     from finance_pipeline_spark.operators import multimodal as M
-    from finance_pipeline_spark.operators import similarity as S
     from finance_pipeline_spark.operators import textops as T
 
-    def eval_overlap(spark, sf_dir):
-        return T.eval_overlap_report(registry.load(spark, sf_dir, "documents"))
-
     return {
-        # --- first r14 batch (staged before the snapshot commit) ---
-        "text_unimax_alloc": (T.text_unimax_alloc, T._unimax_oracle),
-        "text_temperature_alloc": (
-            T.text_temperature_alloc,
-            T._temperature_oracle,
-        ),
-        "text_dsir_select": (T.text_dsir_select, T._dsir_oracle),
-        "mm_thumbnail": (M.mm_thumbnail, M._mm_thumbnail_oracle),
-        "text_regex_token_count": (
-            T.text_regex_token_count,
-            T._regex_token_oracle,
-        ),
-        "eval_overlap_report": (eval_overlap, T._eval_overlap_oracle),
-        "text_bpe_fertility": (T.text_bpe_fertility, T._bpe_fertility_oracle),
-        "clf_calibration_bins": (
-            C.clf_calibration_bins,
-            C._clf_calibration_oracle,
-        ),
+        # --- deferred from the r15 window (the one 17th flip) ---
         "text_pack_efficiency": (
             T.text_pack_efficiency,
             T._pack_efficiency_oracle,
         ),
-        "ann_dim_truncation_recall": (
-            S.ann_dim_truncation_recall,
-            S._trunc_recall_oracle,
-        ),
-        "text_dataset_card": (T.text_dataset_card, T._dataset_card_oracle),
-        # --- second r14 batch (extended session) ---
-        "text_ngram_novelty": (T.text_ngram_novelty, T._ngram_novelty_oracle),
-        "source_overlap_matrix": (
-            T.source_overlap_matrix,
-            T._source_overlap_oracle,
-        ),
-        "text_stratified_sample": (
-            T.text_stratified_sample,
-            T._stratified_sample_oracle,
-        ),
-        "ann_eval_contamination": (
-            S.ann_eval_contamination,
-            S._eval_contamination_oracle,
-        ),
-        "emb_label_centroid_cosine": (
-            S.emb_label_centroid_cosine,
-            S._label_centroid_oracle,
-        ),
-        "source_dedup_scopes": (
-            D.source_dedup_scopes,
-            D._source_scopes_oracle,
-        ),
-        # --- third r14 batch (second extended session) ---
+        # --- fourth r14 batch (r16 flips by default) ---
         "text_winnow_fingerprint": (
             T.text_winnow_fingerprint,
             T._winnow_oracle,
@@ -144,8 +103,19 @@ def main() -> int:
         tag = Path(d).name
         for name, (fn, osql) in staged.items():
             t0 = time.time()
-            got = sorted(tuple(r) for r in fn(spark, d).collect())
-            want = sorted(map(tuple, con.execute(osql()).fetchall()))
+            # TYPE-AWARE canon (r15 fix): plain tuple equality let a
+            # DuckDB double 1278.0 match a Spark bigint 1278 — Python
+            # int == float — and text_temperature_alloc then failed
+            # the driver-replica repr-canon at registration. Mirror
+            # check_oracle's canon so int-vs-float oracle drift is
+            # caught HERE, before a flip.
+            from check_oracle import _canon_val  # noqa: PLC0415
+
+            def crow(t):
+                return tuple(map(_canon_val, t))
+
+            got = sorted(crow(r) for r in fn(spark, d).collect())
+            want = sorted(crow(r) for r in con.execute(osql()).fetchall())
             ok = got == want
             n_fail += not ok
             out[f"{tag}:{name}"] = {

@@ -78,9 +78,16 @@ def build(out_dir: Path, src: Path = DEFAULT_SRC, level: int = 1) -> None:
     con.execute("SET threads TO 16")
 
     mult = 10 ** (level - 1)
-    # Level-1 suffixes are bare digits; deeper levels prefix a letter so
-    # replica vocabularies never collide across levels (see module doc).
-    sep = "" if level == 1 else "x"
+    # Level-1 suffixes are bare digits; deeper levels prefix a
+    # LEVEL-DERIVED letter ('x' at level 2, 'y' at 3, ...) so replica
+    # vocabularies stay pairwise disjoint at ANY depth — a
+    # level-invariant 'x' would make level-2 token 'tok1' + level-3
+    # suffix 'x2' collide with level-2 token 'tok1x2' kept at level-3
+    # r=0, reintroducing the exact-duplicate inflation the module doc
+    # warns about (r14 advisor finding).
+    sep = "" if level == 1 else chr(ord("x") + min(level - 2, 2))
+    if level > 4:
+        raise SystemExit("level > 4 would reuse suffix separators")
 
     suffixed = f"""list_aggregate(
         [t || '{sep}' || CAST(r AS VARCHAR) FOR t IN string_split(text, ' ')],
@@ -178,7 +185,17 @@ if __name__ == "__main__":
         level = int(argv[i + 1])
         del argv[i : i + 2]
     out = Path(argv[0] if argv else ".scale_probe/sf1")
-    if (out / "documents.parquet").exists():
+    # Skip only when EVERY produced table exists — keying on
+    # documents.parquet alone let probe dirs built before the
+    # replicated-events tier silently keep a stale copied-as-is
+    # events.parquet (r14 advisor finding).
+    produced = (
+        "documents.parquet",
+        "lineitem.parquet",
+        "embeddings.parquet",
+        "events.parquet",
+    )
+    if all((out / t).exists() for t in produced):
         print(f"scale probe already at {out}")
     else:
         build(out, src=src, level=level)
