@@ -226,13 +226,16 @@ def test_eval_contamination_matches_duckdb_and_planted(spark, tmp_path):
         "emb_label_centroid_cosine",
     ],
 )
-def test_staged_ops_are_not_registered_yet(name):
-    """The r14 window is sealed — these ship as staged functions only;
-    registration is an explicit r15 act."""
+def test_staged_ops_registered_in_r15(name):
+    """The explicit r15 act happened: these registered from the staged
+    gate with first driver evidence in the r15 window (each was
+    dual-scale oracle-proven pre-flip; see ROTATION_LOG['r15'])."""
     from finance_pipeline_spark import registry
 
     registry.load_all()
-    assert name not in registry.QUERIES
+    spec = registry.QUERIES[name]
+    assert spec.oracle is not None
+    assert name in registry.PRIORITY[: registry.DRIVER_WINDOW]
 
 
 def test_label_centroid_cosine_matches_duckdb_and_planted(spark, tmp_path):
