@@ -101,20 +101,25 @@ def main() -> int:
     )
 
     spark = get_session("probe-ann")
-    out = {"dim": _DIM, "train_cap": train_cap, "sizes": {}}
+    # --train-cap absent => probe the operator's SHIPPING default
+    # (_SCALED_TRAIN_CAP since r15), not an explicit None (uncapped);
+    # pass --train-cap 0 to force the uncapped path explicitly.
+    kw = {} if train_cap is None else {
+        "train_cap": None if train_cap == 0 else train_cap
+    }
+    out = {"dim": _DIM, "train_cap_arg": train_cap, "kwargs": str(kw),
+           "sizes": {}}
     for mult, label in ((1, "n"), (10, "n10x")):
         size = n * mult
         with tempfile.TemporaryDirectory() as td:
             root = Path(td)
             exact, n_actual = _make_corpus(root, size, n_queries, seed=23)
             # warm pass (JVM/codegen), then timed
-            ivfpq_scaled_topk(
-                spark, str(root), train_cap=train_cap
-            ).write.format("noop").mode("overwrite").save()
+            ivfpq_scaled_topk(spark, str(root), **kw).write.format(
+                "noop"
+            ).mode("overwrite").save()
             t0 = time.time()
-            rows = ivfpq_scaled_topk(
-                spark, str(root), train_cap=train_cap
-            ).collect()
+            rows = ivfpq_scaled_topk(spark, str(root), **kw).collect()
             secs = round(time.time() - t0, 3)
             got: dict[int, set] = {}
             for r in rows:
@@ -127,7 +132,13 @@ def main() -> int:
             # finding r9: blob rounding undershoots the target)
             out["sizes"][label] = {
                 "n": n_actual,
-                "params": scaled_ann_params(n_actual, train_cap=train_cap),
+                "params": scaled_ann_params(
+                    n_actual,
+                    train_cap=kw.get("train_cap", __import__(
+                        "finance_pipeline_spark.operators.similarity",
+                        fromlist=["_SCALED_TRAIN_CAP"],
+                    )._SCALED_TRAIN_CAP),
+                ),
                 "recall_at10": round(recall, 4),
                 "secs": secs,
             }
