@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from finance_pipeline_spark.registry import load, query
 
@@ -1669,67 +1670,55 @@ def eval_overlap_report(docs: DataFrame) -> DataFrame:
     the report is reproducible across re-runs with no stored state.
 
     Exactness: grams are counted as distinct SETS, so each engine may
-    hash them independently (Spark xxhash64 vs the oracle's raw
-    strings — equality-join counts are hash-agnostic modulo 64-bit
-    collisions, the ``hashed_shingle_rows`` argument); the one
-    division is exact-integer → IEEE double, bit-identical.
+    hash them independently (the Spark-side md5-polynomial kernel of
+    ``_gram_posting_rows`` vs the oracle's raw strings — equality-join
+    counts are hash-agnostic modulo 64-bit collisions, the
+    ``hashed_shingle_rows`` argument); the one division is
+    exact-integer → IEEE double, bit-identical.
 
-    Scale shape: the train side stays (gram-hash) posting rows —
-    distinct'd, never collected, never broadcast-hinted (it grows with
-    the corpus; AQE may still pick broadcast while it's small). The
-    semi-join key is a high-cardinality 64-bit hash, so skew spreads;
-    eval postings are ~2% of the corpus by construction. Output is
-    |eval| rows."""
-    t = _tokens()
+    Scale shape: the train side folds to a per-gram ``in_train`` flag
+    (one map-side-combined groupBy over the postings) — never
+    collected, never broadcast-hinted (it grows with the corpus; AQE
+    may still pick broadcast while it's small). The probe join key is
+    a high-cardinality 64-bit hash, so skew spreads; eval postings
+    are ~2% of the corpus by construction. The posting front end (an
+    Arrow kernel — see ``_gram_posting_rows``) is referenced twice:
+    flag build + eval probe. Output is |eval| rows."""
     bucket = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
         .cast("bigint")
         % 1000
     )
-    n = F.size(F.col("t"))
-    grams = F.when(
-        n >= _OVERLAP_N,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), n - F.lit(_OVERLAP_N - 1)),
-                lambda i: F.xxhash64(
-                    F.concat_ws(" ", F.slice(F.col("t"), i, _OVERLAP_N))
-                ),
-            )
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
-    base = docs.select(
-        "doc_id", bucket.alias("pm"), t.alias("t")
-    ).select("doc_id", "pm", grams.alias("grams"))
-    ev = base.filter(F.col("pm") >= 980).select(
+    post = _gram_posting_rows(
+        docs.select("doc_id", bucket.alias("pm"), "text"),
+        _OVERLAP_N,
         "doc_id",
-        F.when(F.col("pm") < 990, "val").otherwise("test").alias("split"),
-        "grams",
-        F.size("grams").cast("bigint").alias("n_grams"),
+        "pm",
     )
-    train_grams = (
-        base.filter(F.col("pm") < 980)
-        .select(F.explode("grams").alias("gram"))
-        .distinct()
+    gram_flags = post.groupBy("gram").agg(
+        F.max(
+            F.when(F.col("pm") < 980, F.lit(1)).otherwise(F.lit(0))
+        ).alias("in_train")
     )
-    matched = (
-        ev.select("doc_id", F.explode("grams").alias("gram"))
-        .join(train_grams, "gram", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_matched"))
-    )
+    n_matched = F.sum(
+        F.when(F.col("in_train") == 1, F.lit(1)).otherwise(F.lit(0))
+    ).cast("bigint")
     return (
-        ev.drop("grams")
-        .join(matched, "doc_id", "left")
+        post.filter(F.col("pm") >= 980)
+        .join(gram_flags, "gram", "left")
+        .groupBy("doc_id", "pm")
+        .agg(
+            F.count("gram").cast("bigint").alias("n_grams"),
+            n_matched.alias("n_matched"),
+        )
         .select(
             "doc_id",
-            "split",
+            F.when(F.col("pm") < 990, "val").otherwise("test").alias("split"),
             "n_grams",
-            F.coalesce("n_matched", F.lit(0)).cast("bigint").alias("n_matched"),
+            "n_matched",
             F.when(
                 F.col("n_grams") > 0,
-                F.coalesce("n_matched", F.lit(0)).cast("double")
-                / F.col("n_grams"),
+                F.col("n_matched").cast("double") / F.col("n_grams"),
             ).alias("overlap_frac"),
         )
     )
@@ -3625,26 +3614,103 @@ _NOVELTY_N = 3  # shingle order for the corpus self-overlap metrics.
 # trigrams give every doc a measurable shared fraction.
 
 
-def _novelty_grams(docs: DataFrame, *carry: str) -> DataFrame:
-    """Per-doc DISTINCT ``_NOVELTY_N``-gram 64-bit hashes (plus carried
-    columns) — the shared front end of the novelty and source-overlap
-    staged operators. Pure JVM expressions; one corpus scan."""
-    t = _tokens()
-    n = F.size(F.col("t"))
-    grams = F.when(
-        n >= _NOVELTY_N,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), n - F.lit(_NOVELTY_N - 1)),
-                lambda i: F.xxhash64(
-                    F.concat_ws(" ", F.slice(F.col("t"), i, _NOVELTY_N))
-                ),
-            )
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
-    return docs.select(*carry, t.alias("t")).select(
-        *carry, grams.alias("grams")
+_GRAM_POLY_C = 0x9E3779B97F4A7C15  # odd (invertible mod 2^64) mixing constant
+
+
+def _gram_posting_rows(docs: DataFrame, n: int, *carry: str) -> DataFrame:
+    """Distinct per-doc ``n``-gram 64-bit-hash POSTING rows
+    (carry..., gram bigint) — the shared Arrow front end of the
+    overlap-family audits (novelty, source-overlap, eval-overlap).
+    A doc with NO n-gram emits ONE sentinel row with gram NULL, so
+    per-doc counts that must include zero survive a groupBy (null
+    join keys never match, so sentinels are inert in every gram
+    join downstream).
+
+    Why a Python kernel and not Catalyst array lambdas: higher-order
+    functions don't codegen — the original per-position
+    slice+concat_ws+xxhash64 form was measured at 21.6 s for the
+    postings of 50k docs on this host vs 4.6 s for this kernel
+    (same ratio the winnowing op recorded, 108 s → 5 s at its 100×
+    tier). Tokenization stays the JVM ``split(trim(lower(text)))``
+    expression so the token boundary is the one every DuckDB oracle
+    already proves.
+
+    Hash recipe (hash-AGNOSTIC downstream — every consumer counts
+    distinct sets or equality-join matches, the ``hashed_shingle_rows``
+    argument): token → first 8 md5 bytes as uint64 (memoized per
+    Arrow batch — corpus vocabulary is Zipf-bounded, so md5 runs
+    per unique token, not per occurrence), gram → Σ h[i+k]·C^(n-1-k)
+    mod 2^64 with C odd, reinterpreted int64. Pairwise collision
+    odds stay ~2^-64, same as the xxhash64-over-string form this
+    replaces.
+
+    Scale shape: one corpus scan, spread across the cores before the
+    kernel (a single small parquet file would otherwise pin the whole
+    corpus to one Python worker), constant (carry + 8 B) egress per
+    distinct gram; at real scale maxPartitionBytes splits the input
+    and the spread collapses to a no-op-sized shuffle."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from finance_pipeline_spark.operators.multimodal import (
+        _spread_for_python_kernel,
     )
+
+    weights = [
+        pow(_GRAM_POLY_C, n - 1 - k, 1 << 64) for k in range(n)
+    ]
+    carry_fields = [docs.select(*carry).schema[c] for c in carry]
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in carry_fields]
+        + ["gram bigint"]
+    )
+    has_doc_id = "doc_id" in docs.columns
+    src_cols = list(carry) + (["doc_id"] if has_doc_id and "doc_id" not in carry else [])
+    src = docs.select(*src_cols, _tokens().alias("t"))
+    spread = (
+        _spread_for_python_kernel(src)
+        if "doc_id" in src.columns
+        else src.repartition(src.sparkSession.sparkContext.defaultParallelism)
+    )
+    if "doc_id" in src.columns and "doc_id" not in carry:
+        spread = spread.drop("doc_id")
+
+    def kernel(it):
+        memo: dict[str, int] = {}
+        w = [np.uint64(x) for x in weights]
+        for pdf in it:
+            out: dict[str, list] = {c: [] for c in carry}
+            grams_out: list = []
+            for row in zip(*(pdf[c] for c in carry), pdf["t"]):
+                *cv, toks = row
+                toks = list(toks) if toks is not None else []
+                if len(toks) < n:
+                    for c, v in zip(carry, cv):
+                        out[c].append(v)
+                    grams_out.append(None)
+                    continue
+                h64 = np.empty(len(toks), dtype=np.uint64)
+                for j, tok in enumerate(toks):
+                    h = memo.get(tok)
+                    if h is None:
+                        h = int.from_bytes(
+                            hashlib.md5(tok.encode()).digest()[:8], "big"
+                        )
+                        memo[tok] = h
+                    h64[j] = h
+                g = h64[: len(h64) - n + 1] * w[0]
+                for k in range(1, n):
+                    g = g + h64[k : len(h64) - n + 1 + k] * w[k]
+                uniq = np.unique(g.view(np.int64))
+                for c, v in zip(carry, cv):
+                    out[c].extend([v] * len(uniq))
+                grams_out.extend(uniq.tolist())
+            out["gram"] = pd.array(grams_out, dtype="Int64")
+            yield pd.DataFrame(out)
+
+    return spread.mapInPandas(kernel, schema=out_schema)
 
 
 def _sql_novelty_grams(np: int = _NOVELTY_N - 1) -> str:
@@ -3673,45 +3739,44 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     chart in a dataset audit.
 
     Exactness: grams are distinct SETS per doc, so each engine hashes
-    independently (Spark xxhash64 vs the oracle's raw strings —
-    equality-join counts are hash-agnostic modulo 64-bit collisions);
-    the one division is exact-integer → IEEE double.
+    independently (the Spark-side md5-polynomial kernel of
+    ``_gram_posting_rows`` vs the oracle's raw strings — equality-join
+    counts are hash-agnostic modulo 64-bit collisions); the one
+    division is exact-integer → IEEE double.
 
     Scale shape: the gram doc-frequency table is a map-side-combined
     groupBy bounded by shingle vocabulary, not corpus size; the join
-    back is a semi-join on a high-cardinality 64-bit key (skew
-    spreads). Never a broadcast hint on the postings side (it grows
-    with the corpus). Output is |docs| rows. The declarative DAG
-    references the shingle front-end three times (postings twice +
-    per-doc stats) and Catalyst recomputes each branch — fine at
-    demo scale where shingling is cheap; a 100 TB run persists the
-    postings frame once (O(corpus) storage, the standard trade) so
-    the audit costs one text scan plus two vocab-bounded shuffles."""
-    base = _novelty_grams(load(spark, sf_dir, "documents"), "doc_id")
-    post = base.select("doc_id", F.explode("grams").alias("gram"))
-    shared_grams = (
-        post.groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("nd"))
-        .filter(F.col("nd") > 1)
-        .select("gram")
+    back is an equi-join on a high-cardinality 64-bit key (skew
+    spreads). Never a broadcast hint on the doc-frequency side (it
+    grows with the vocabulary). Output is |docs| rows. The posting
+    front end is referenced TWICE (doc-frequency build + the join
+    probe) — down from three in the first-registered form, whose
+    per-doc stats branch now falls out of the probe-side groupBy
+    itself (sentinel rows carry the zero-gram docs through); a 100 TB
+    run persists the postings frame once (O(corpus) storage, the
+    standard trade) so the audit costs one text scan plus two
+    vocab-bounded shuffles."""
+    post = _gram_posting_rows(
+        load(spark, sf_dir, "documents"), _NOVELTY_N, "doc_id"
     )
-    m = (
-        post.join(shared_grams, "gram", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-    )
-    n_grams = F.size("grams").cast("bigint")
+    df_counts = post.groupBy("gram").agg(F.count(F.lit(1)).alias("nd"))
+    n_shared = F.sum(
+        F.when(F.col("nd") > 1, F.lit(1)).otherwise(F.lit(0))
+    ).cast("bigint")
     return (
-        base.select("doc_id", n_grams.alias("n_grams"))
-        .join(m, "doc_id", "left")
+        post.join(df_counts, "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("gram").cast("bigint").alias("n_grams"),
+            n_shared.alias("n_shared"),
+        )
         .select(
             "doc_id",
             "n_grams",
-            F.coalesce("n_shared", F.lit(0)).cast("bigint").alias("n_shared"),
+            "n_shared",
             F.when(
                 F.col("n_grams") > 0,
-                F.coalesce("n_shared", F.lit(0)).cast("double")
-                / F.col("n_grams"),
+                F.col("n_shared").cast("double") / F.col("n_grams"),
             ).alias("shared_frac"),
         )
     )
@@ -3761,57 +3826,109 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings are hash-agnostic; Jaccard is one exact-int → IEEE
     double division.
 
-    Scale shape: postings dedupe to (gram, source) — vocabulary ×
-    source-incidence bounded, with map-side combine; the self-join on
-    the 64-bit gram key fans out at most C(|sources|, 2) pairs per
-    gram, and the OUTPUT is inherently |sources|² — this operator is
-    sized by source cardinality (dozens to hundreds in a real training
-    mix), not corpus bytes. Per-source totals are a tiny broadcast.
-    As with the novelty audit, a 100 TB run persists the deduped
-    postings once so the text is shingled a single time."""
-    base = _novelty_grams(
-        load(spark, sf_dir, "documents").select(
-            F.coalesce("source", F.lit("unknown")).alias("source"), "text"
-        ),
-        "source",
+    Scale shape — ONE linear chain, every expensive frame computed
+    exactly once (the first-registered form self-joined the posting
+    table and re-derived it for totals; the r15 rewrite referenced the
+    Arrow posting kernel twice through a collect_set that measured
+    +68 s at the 1000× tier):
+
+    - sources fold to BIT positions in a single long (sorted source
+      list is a dimension-sized driver collect off the pruned source
+      column — the type-sized-metadata class of collect); per gram,
+      ``bit_or`` of the one-hot masks in whole-stage codegen with
+      map-side combine (bit_or is idempotent, so the posting rows
+      need NO pre-distinct — one shuffle replaces two);
+    - identical masks collapse (grams are interchangeable once their
+      source-incidence is known), so everything downstream is sized
+      by DISTINCT INCIDENCE PATTERNS (≤ 2^|sources|, practically
+      hundreds), not vocabulary;
+    - each mask row explodes to its singles + ordered pairs (tiny
+      arrays, interpreted-HOF cost nil) and per-source totals come
+      back via two window maxes over the diagonal rows — never a
+      join, so the chain has no diamond for Catalyst to recompute.
+
+    The OUTPUT is inherently |sources|²; this operator is sized by
+    source cardinality, not corpus bytes. A mix with more than 64
+    sources falls back to the same chain with the sorted source SET
+    (collect_set over strings) in place of the bitmask — identical
+    output, one aggregation tier slower."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.coalesce("source", F.lit("unknown")).alias("source"),
+        "text",
     )
-    post = (
-        base.select("source", F.explode("grams").alias("gram")).distinct()
+    post = _gram_posting_rows(docs, _NOVELTY_N, "source").filter(
+        F.col("gram").isNotNull()
     )
-    totals = post.groupBy("source").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_grams")
+    src_list = sorted(
+        r[0] for r in docs.select("source").distinct().collect()
     )
-    a, b = post.alias("a"), post.alias("b")
-    shared = (
-        a.join(
-            b,
-            (F.col("a.gram") == F.col("b.gram"))
-            & (F.col("a.source") < F.col("b.source")),
+    if len(src_list) <= 64:
+        mask_map = F.create_map(
+            *[
+                c
+                for i, s in enumerate(src_list)
+                # bit 63 is the long sign bit: lift to the signed
+                # two's-complement value so the literal fits.
+                for c in (
+                    F.lit(s),
+                    F.lit((1 << i) - ((1 << 64) if i == 63 else 0)).cast(
+                        "long"
+                    ),
+                )
+            ]
         )
-        .groupBy(
-            F.col("a.source").alias("source_a"),
-            F.col("b.source").alias("source_b"),
+        masks = (
+            post.select("gram", mask_map[F.col("source")].alias("m"))
+            .groupBy("gram")
+            .agg(F.bit_or("m").alias("mask"))
+            .groupBy("mask")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+            .withColumn(
+                "ss",
+                F.expr(
+                    "filter(sequence(0, 63), b -> (mask & shiftleft(1L, b)) != 0)"
+                ),
+            )
         )
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_grams"))
-    )
-    ta = totals.select(
-        F.col("source").alias("source_a"), F.col("n_grams").alias("ga")
-    )
-    tb = totals.select(
-        F.col("source").alias("source_b"), F.col("n_grams").alias("gb")
-    )
-    union_sz = F.col("ga") + F.col("gb") - F.col("n_shared_grams")
-    return (
-        shared.join(F.broadcast(ta), "source_a")
-        .join(F.broadcast(tb), "source_b")
-        .select(
-            "source_a",
-            "source_b",
-            "n_shared_grams",
-            (F.col("n_shared_grams").cast("double") / union_sz).alias(
-                "jaccard"
-            ),
+        name_of = F.array(*[F.lit(s) for s in src_list])
+        def to_name(c):
+            return F.element_at(name_of, c + F.lit(1))
+    else:
+        masks = (
+            post.groupBy("gram")
+            .agg(F.sort_array(F.collect_set("source")).alias("ss"))
+            .groupBy("ss")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
         )
+        def to_name(c):
+            return c
+    # Singles (a, a) carry per-source totals; ordered pairs (a, b),
+    # a before b in the sorted list, carry intersections.
+    pair_rows = masks.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ss, (a, i) -> concat("
+                "array(named_struct('ia', a, 'ib', a)), "
+                "transform(slice(ss, i + 2, size(ss)), "
+                "b2 -> named_struct('ia', a, 'ib', b2)))))"
+            )
+        ).alias("p"),
+        "cnt",
+    ).select(F.col("p.ia").alias("ia"), F.col("p.ib").alias("ib"), "cnt")
+    c = pair_rows.groupBy("ia", "ib").agg(
+        F.sum("cnt").cast("bigint").alias("n")
+    )
+    diag = F.max(F.when(F.col("ia") == F.col("ib"), F.col("n")))
+    c = c.withColumn("ga", diag.over(Window.partitionBy("ia"))).withColumn(
+        "gb", diag.over(Window.partitionBy("ib"))
+    )
+    union_sz = F.col("ga") + F.col("gb") - F.col("n")
+    return c.filter(F.col("ia") < F.col("ib")).select(
+        to_name(F.col("ia")).alias("source_a"),
+        to_name(F.col("ib")).alias("source_b"),
+        F.col("n").alias("n_shared_grams"),
+        (F.col("n").cast("double") / union_sz).alias("jaccard"),
     )
 
 

@@ -95,6 +95,29 @@ def test_source_overlap_matrix_matches_duckdb_and_planted(spark, tmp_path):
     # only the A-B pair survives (C shares nothing -> no row)
     assert got == [("srcA", "srcB", 1, 0.5)]  # |A|=2,|B|=1,shared=1
 
+    # >64 sources exercises the collect_set fallback (the bitmask
+    # fast path only holds to 64 one-hot bits in a long): 70 sources,
+    # each sharing its one trigram with source "hub" only.
+    n_src = 70
+    rows = [("hub", i, "t%d u%d v%d" % (i, i, i)) for i in range(n_src)]
+    rows += [("s%02d" % i, 1000 + i, "t%d u%d v%d" % (i, i, i)) for i in range(n_src)]
+    pd.DataFrame(
+        {
+            "doc_id": [r[1] for r in rows],
+            "text": [r[2] for r in rows],
+            "lang": ["en"] * len(rows),
+            "source": [r[0] for r in rows],
+            "n_chars": [0] * len(rows),
+        }
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+    got = _got(source_overlap_matrix(spark, str(tmp_path)))
+    assert got == _duck(str(tmp_path), _source_overlap_oracle())
+    # every spoke pair shares exactly its own trigram with hub;
+    # spoke-spoke pairs share nothing
+    assert len(got) == n_src
+    assert all(sa == "hub" and n == 1 for sa, _sb, n, _j in got)
+    assert got[0][3] == 1.0 / 70.0  # |hub|=70, |spoke|=1, shared=1
+
 
 def test_stratified_sample_matches_duckdb_and_planted(spark, tmp_path):
     """Largest-remainder quotas are exact and the sample is exactly K
