@@ -1689,26 +1689,49 @@ def eval_overlap_report(docs: DataFrame) -> DataFrame:
         .cast("bigint")
         % 1000
     )
+    # Shared gram partitioning: flag-build groupBy and eval-probe join
+    # reuse ONE exchange, so the Arrow kernel runs once (the
+    # text_ngram_novelty ReusedExchange recipe: sentinels leave before
+    # the exchange — zero-gram eval docs re-enter from a cheap
+    # tokenize-and-count scan — and the probe-side pm filter rides
+    # INSIDE the join condition, where predicate pushdown cannot carry
+    # it through the repartition and break subtree identity).
     post = _gram_posting_rows(
         docs.select("doc_id", bucket.alias("pm"), "text"),
         _OVERLAP_N,
         "doc_id",
         "pm",
-    )
+    ).filter(F.col("gram").isNotNull()).repartition("gram")
+    # The flag is a TRAIN-POSTING COUNT (count of non-null branches
+    # consumes doc_id, which keeps this branch's projection below the
+    # exchange identical to the probe's — [doc_id, pm, gram] — so the
+    # exchange is reused; a bare max(0/1) flag let column pruning drop
+    # doc_id here and the subtrees stopped matching).
     gram_flags = post.groupBy("gram").agg(
-        F.max(
-            F.when(F.col("pm") < 980, F.lit(1)).otherwise(F.lit(0))
-        ).alias("in_train")
+        F.count(
+            F.when(F.col("pm") < 980, F.col("doc_id"))
+        ).alias("n_train")
     )
     n_matched = F.sum(
-        F.when(F.col("in_train") == 1, F.lit(1)).otherwise(F.lit(0))
+        F.when(F.col("n_train") > 0, F.lit(1)).otherwise(F.lit(0))
     ).cast("bigint")
-    return (
-        post.filter(F.col("pm") >= 980)
-        .join(gram_flags, "gram", "left")
+    flags = gram_flags.select(
+        F.col("gram").alias("f_gram"), "n_train"
+    )
+    # The eval-side cut rides in the join condition as a disjunct that
+    # also references the flags side (in_train is 0/1, so the second
+    # arm is never true): a single-side conjunct would be split out by
+    # predicate pushdown, carried below the probe-side repartition,
+    # and the two exchange subtrees would stop being identical.
+    stats = (
+        post.join(
+            flags,
+            (F.col("gram") == F.col("f_gram"))
+            & ((F.col("pm") >= 980) | (F.col("n_train") < 0)),
+        )
         .groupBy("doc_id", "pm")
         .agg(
-            F.count("gram").cast("bigint").alias("n_grams"),
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
             n_matched.alias("n_matched"),
         )
         .select(
@@ -1716,10 +1739,23 @@ def eval_overlap_report(docs: DataFrame) -> DataFrame:
             F.when(F.col("pm") < 990, "val").otherwise("test").alias("split"),
             "n_grams",
             "n_matched",
-            F.when(
-                F.col("n_grams") > 0,
-                F.col("n_matched").cast("double") / F.col("n_grams"),
+            (
+                F.col("n_matched").cast("double") / F.col("n_grams")
             ).alias("overlap_frac"),
+        )
+    )
+    empties = docs.select(
+        "doc_id",
+        bucket.alias("pm"),
+        F.coalesce(F.size(_tokens()), F.lit(-1)).alias("nt"),
+    ).filter((F.col("pm") >= 980) & (F.col("nt") < _OVERLAP_N))
+    return stats.unionByName(
+        empties.select(
+            "doc_id",
+            F.when(F.col("pm") < 990, "val").otherwise("test").alias("split"),
+            F.lit(0).cast("bigint").alias("n_grams"),
+            F.lit(0).cast("bigint").alias("n_matched"),
+            F.lit(None).cast("double").alias("overlap_frac"),
         )
     )
 
@@ -3766,28 +3802,55 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     run persists the postings frame once (O(corpus) storage, the
     standard trade) so the audit costs one text scan plus two
     vocab-bounded shuffles."""
-    post = _gram_posting_rows(
-        load(spark, sf_dir, "documents"), _NOVELTY_N, "doc_id"
+    # The explicit gram repartition makes BOTH consumers' required
+    # partitioning (the doc-frequency groupBy and the probe join)
+    # already-satisfied on an IDENTICAL exchange subtree, so Catalyst
+    # plans one ReusedExchange and the Arrow kernel runs ONCE — the
+    # naive diamond re-ran kernel + scan per branch, and no extra
+    # shuffle is paid because both consumers needed hash(gram) anyway.
+    # For the subtrees to stay identical the sentinel rows must go
+    # BEFORE the exchange on both branches (a left join would infer
+    # isnotnull(gram) on its build side only); docs with no trigram
+    # re-enter from a cheap tokenize-and-count scan instead.
+    docs = load(spark, sf_dir, "documents")
+    post = (
+        _gram_posting_rows(docs, _NOVELTY_N, "doc_id")
+        .filter(F.col("gram").isNotNull())
+        .repartition("gram")
     )
-    df_counts = post.groupBy("gram").agg(F.count(F.lit(1)).alias("nd"))
+    # count(doc_id) not count(1): doc_id is never null so the value is
+    # identical, but it keeps the doc-frequency branch's projection
+    # [doc_id, gram] — otherwise column pruning drops doc_id below the
+    # exchange on this branch only and the subtrees stop matching.
+    df_counts = post.groupBy("gram").agg(F.count("doc_id").alias("nd"))
     n_shared = F.sum(
         F.when(F.col("nd") > 1, F.lit(1)).otherwise(F.lit(0))
     ).cast("bigint")
-    return (
-        post.join(df_counts, "gram", "left")
+    stats = (
+        post.join(df_counts, "gram")
         .groupBy("doc_id")
         .agg(
-            F.count("gram").cast("bigint").alias("n_grams"),
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
             n_shared.alias("n_shared"),
         )
         .select(
             "doc_id",
             "n_grams",
             "n_shared",
-            F.when(
-                F.col("n_grams") > 0,
-                F.col("n_shared").cast("double") / F.col("n_grams"),
-            ).alias("shared_frac"),
+            (F.col("n_shared").cast("double") / F.col("n_grams")).alias(
+                "shared_frac"
+            ),
+        )
+    )
+    empties = docs.select(
+        "doc_id", F.coalesce(F.size(_tokens()), F.lit(-1)).alias("nt")
+    ).filter(F.col("nt") < _NOVELTY_N)
+    return stats.unionByName(
+        empties.select(
+            "doc_id",
+            F.lit(0).cast("bigint").alias("n_grams"),
+            F.lit(0).cast("bigint").alias("n_shared"),
+            F.lit(None).cast("double").alias("shared_frac"),
         )
     )
 

@@ -383,15 +383,48 @@ def test_ngram_novelty_kernel_and_pruned(spark):
     posting kernel (mapInPandas — the interpreted-HOF shingle form it
     replaced was measured 4.7x slower on the posting front end), no
     row-at-a-time BatchEvalPython, no cartesian anywhere, and every
-    text scan pruned to the referenced columns only."""
+    text scan pruned to the referenced columns only. The kernel must
+    run ONCE: the doc-frequency and probe branches share an identical
+    gram repartition, so the executed plan carries a ReusedExchange
+    instead of a second kernel."""
     from finance_pipeline_spark.operators.textops import text_ngram_novelty
 
-    plan = _direct_plan(spark, text_ngram_novelty(spark, SF))
+    df = text_ngram_novelty(spark, SF)
+    plan = _direct_plan(spark, df)
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
     assert "CartesianProduct" not in plan
     for s in read_schemas(plan):
         assert set(s.split(",")) <= {"doc_id:bigint", "text:string"}, s
+    df.collect()  # finalize the adaptive plan on THIS QueryExecution
+    final = _direct_plan(spark, df)
+    i, j = final.find("== Final Plan =="), final.find("== Initial Plan ==")
+    final = final[i:j] if 0 <= i < j else final
+    assert final.count("MapInPandas") == 1, final
+    assert "ReusedExchange" in final, final
+
+
+def test_eval_overlap_kernel_runs_once(spark):
+    """Eval-contamination overlap report: same ReusedExchange contract
+    as the novelty audit — the flag-build groupBy and the eval-probe
+    join share one gram repartition, so the Arrow posting kernel runs
+    once in the executed plan (the eval-side pm cut rides in the join
+    condition as a both-side disjunct precisely so pushdown cannot
+    break the subtree identity)."""
+    from finance_pipeline_spark.operators.textops import (
+        eval_overlap_report_query,
+    )
+
+    df = eval_overlap_report_query(spark, SF)
+    plan = _direct_plan(spark, df)
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+    assert "CartesianProduct" not in plan
+    df.collect()
+    final = _direct_plan(spark, df)
+    i, j = final.find("== Final Plan =="), final.find("== Initial Plan ==")
+    final = final[i:j] if 0 <= i < j else final
+    assert final.count("MapInPandas") == 1, final
+    assert "ReusedExchange" in final, final
 
 
 def test_source_overlap_matrix_kernel_and_pruned(spark):
