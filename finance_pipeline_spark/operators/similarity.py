@@ -2496,7 +2496,7 @@ def ann_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if out:
                     yield pd.concat(out, ignore_index=True)
 
-        return e.mapInPandas(score, schema)
+        return _spread_vectors(e).mapInPandas(score, schema)
 
     def q_batches():
         for ids, mat, _nrm in _vec_batches(
