@@ -2677,7 +2677,7 @@ def ann_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if out:
                     yield pd.concat(out, ignore_index=True)
 
-        return tr.mapInPandas(score, schema)
+        return _spread_vectors(tr).mapInPandas(score, schema)
 
     parts = [
         scored_against(spark.sparkContext.broadcast(batch))
