@@ -3661,6 +3661,9 @@ _NOVELTY_N = 3  # shingle order for the corpus self-overlap metrics.
 
 
 _GRAM_POLY_C = 0x9E3779B97F4A7C15  # odd (invertible mod 2^64) mixing constant
+_BITMASK_MAX_SOURCES = 64  # source_overlap_matrix one-hot bits per long;
+# past this the op falls back to the collect_set chain (same output —
+# the property sweep in tests/test_kernel_properties.py pins the pair)
 
 
 def _gram_posting_rows(docs: DataFrame, n: int, *carry: str) -> DataFrame:
@@ -3936,7 +3939,7 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_list = sorted(
         r[0] for r in docs.select("source").distinct().collect()
     )
-    if len(src_list) <= 64:
+    if len(src_list) <= _BITMASK_MAX_SOURCES:
         mask_map = F.create_map(
             *[
                 c

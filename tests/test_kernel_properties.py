@@ -185,3 +185,48 @@ def test_trunc_recall_margin_matches_exact_brute_force(spark, tmp_path):
             assert g[4] == pytest.approx(w[4], abs=1e-12)
 
     run()
+
+
+def test_source_overlap_bitmask_and_fallback_agree(spark, tmp_path, monkeypatch):
+    """The <=64-source bitmask fast path and the collect_set fallback
+    of source_overlap_matrix must be output-identical on the SAME
+    corpus — forced by dropping _BITMASK_MAX_SOURCES to 0 for the
+    second run. Hypothesis varies source fan-out and shared-trigram
+    structure; a divergence in pair counts, totals, or jaccard
+    between the two aggregation strategies shrinks to a minimal
+    corpus."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from finance_pipeline_spark.operators import textops as T
+
+    doc_strategy = st.tuples(
+        st.integers(0, 5),  # source index
+        st.lists(st.sampled_from(_TOKENS), min_size=0, max_size=10),
+    )
+
+    @settings(max_examples=4, deadline=None)
+    @given(st.lists(doc_strategy, min_size=1, max_size=25))
+    def run(corpus):
+        d = tmp_path / "so"
+        d.mkdir(exist_ok=True)
+        pd.DataFrame(
+            {
+                "doc_id": range(len(corpus)),
+                "text": [" ".join(t) for _s, t in corpus],
+                "lang": ["en"] * len(corpus),
+                "source": [f"s{s}" for s, _t in corpus],
+                "n_chars": [0] * len(corpus),
+            }
+        ).to_parquet(str(d / "documents.parquet"))
+        fast = sorted(map(tuple, T.source_overlap_matrix(spark, str(d)).collect()))
+        monkeypatch.setattr(T, "_BITMASK_MAX_SOURCES", 0)
+        try:
+            slow = sorted(
+                map(tuple, T.source_overlap_matrix(spark, str(d)).collect())
+            )
+        finally:
+            monkeypatch.setattr(T, "_BITMASK_MAX_SOURCES", 64)
+        assert fast == slow
+
+    run()
