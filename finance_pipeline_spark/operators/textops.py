@@ -2335,9 +2335,25 @@ def dsir_select(
         ).cast("bigint")
         % F.lit(int(n_buckets))
     )
-    grams = pairs.select("doc_id", "is_target", bucket.alias("b"))
+    # The explicit bucket repartition makes the bucket-model build and
+    # the scoring probe share ONE byte-identical exchange subtree, so
+    # the corpus-sized pair explode (measured 11.4 s of the query's
+    # 24 s at the 1000× tier) runs once as a ReusedExchange instead of
+    # once per branch. Same three traps as the overlap family, same
+    # defusals: cr counts doc_id and the scored aggregate carries
+    # max(is_target) into the output's coalesce, so column pruning
+    # keeps both branch projections at [doc_id, is_target, b].
+    # Both null filters are no-ops on real data (md5-derived b and the
+    # doc_id PK are never null) but the scoring probe's joins INFER
+    # them on that branch only — stating them below the repartition
+    # keeps the subtrees byte-identical so the reuse fires.
+    grams = (
+        pairs.select("doc_id", "is_target", bucket.alias("b"))
+        .filter(F.col("b").isNotNull() & F.col("doc_id").isNotNull())
+        .repartition("b")
+    )
     bt = grams.groupBy("b").agg(
-        F.count(F.lit(1)).cast("bigint").alias("cr"),
+        F.count("doc_id").cast("bigint").alias("cr"),
         F.sum(F.col("is_target").cast("bigint")).alias("ct"),
     )
     w_all = W.partitionBy()
@@ -2362,6 +2378,9 @@ def dsir_select(
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_feats"),
             F.sum("lratio").alias("lw"),
+            # constant per doc; consumed by all_docs' coalesce so the
+            # probe branch keeps is_target below the shared exchange
+            F.max("is_target").alias("st"),
         )
     )
     all_docs = (
@@ -2369,7 +2388,7 @@ def dsir_select(
         .join(scored, "doc_id", "left")
         .select(
             "doc_id",
-            "is_target",
+            F.coalesce("st", F.col("is_target")).alias("is_target"),
             F.coalesce("n_feats", F.lit(0)).cast("bigint").alias("n_feats"),
             F.coalesce(F.col("lw"), F.lit(0).cast("decimal(38,6)")).alias(
                 "lw"
