@@ -1506,7 +1506,16 @@ def simhash_signatures(df: DataFrame) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 64-bit signature, 4×16-bit band blocking
     (hamming ≤ 3 ⇒ at least one identical 16-bit band by pigeonhole),
-    verify with bit_count(xor) ≤ 3 inside buckets only."""
+    verify with bit_count(xor) ≤ 3 inside buckets only.
+
+    PICKING A FAMILY (r14 diagnosis): SimHash's output is sensitive to
+    the HASH DRAW — near-threshold token-weight sums flip signature
+    bits under a different feature hash, so recall varies run-to-run
+    in a way MinHash-LSH's set-sampling does not. For large-corpus
+    near-dup dedup, ``dedup_minhash_lsh`` is the scale path; use
+    SimHash where its single-int64 signature footprint (8 B/doc vs a
+    MinHash band vector) is the binding constraint and threshold-edge
+    recall variance is acceptable."""
     d = simhash_signatures(load(spark, sf_dir, "documents"))
     banded = d.select(
         "doc_id",

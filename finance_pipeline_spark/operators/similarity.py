@@ -51,7 +51,15 @@ def l2norm(x: Column) -> Column:
 def _emb_matrix(col: pd.Series) -> np.ndarray:
     """Arrow list column → (n, dim) float64 matrix. float64 throughout:
     float32 matmul would perturb the 4-dp rounded score vs the oracle's
-    CAST AS DOUBLE arithmetic."""
+    CAST AS DOUBLE arithmetic.
+
+    An EMPTY batch returns a (0, _DIM) 2-D array: ``np.array([])`` is
+    1-D, and every kernel downstream does axis-1 work (norms, prefix
+    slices) BEFORE its own empty-batch guard can fire — a rare empty
+    Arrow batch would raise AxisError/IndexError instead of skipping
+    (advisor r15). Output-identical for every non-empty batch."""
+    if len(col) == 0:
+        return np.empty((0, _DIM), dtype=np.float64)
     return np.array([np.asarray(v, dtype=np.float64) for v in col], dtype=np.float64)
 
 
@@ -182,7 +190,14 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if out:
                     yield pd.concat(out, ignore_index=True)
 
-        return e.select("vec_id", "embedding").mapInPandas(score, schema)
+        # _spread_vectors before the kernel: Python-kernel wall-clock is
+        # set by the PARTITION count, and parquet row-group skew left ~4
+        # busy tasks of 32 on the 200k probe tier (the r15 deferral —
+        # same one-line fix that measured 1.8-14x on the truncation /
+        # contamination audits).
+        return _spread_vectors(e.select("vec_id", "embedding")).mapInPandas(
+            score, schema
+        )
 
     parts = [
         scored_against(spark.sparkContext.broadcast(batch))
@@ -246,9 +261,13 @@ def srp_signatures(df: DataFrame) -> DataFrame:
     """(vec_id, embedding) → (vec_id, sig): 64-bit sign-random-projection
     signature over the int8-quantized embedding, one numpy int64 matmul
     per Arrow batch against the deterministic integer hyperplane matrix.
-    Map-only — no shuffle, no model state. Zero vectors (quantization
-    scale 0) are dropped: no sign information, and cosine is undefined
-    for them anyway (the re-rank's nrm > 0 filter drops the same set).
+    No model state; the only movement is the narrow (id, vector)
+    ``_spread_vectors`` repartition that breaks parquet row-group skew
+    before the Python kernel (the r15 deferral — without it ~4 busy
+    tasks of 32 set the wall on the 200k probe tier). Zero vectors
+    (quantization scale 0) are dropped: no sign information, and cosine
+    is undefined for them anyway (the re-rank's nrm > 0 filter drops
+    the same set).
     """
     planes = _int_plane_matrix()
 
@@ -271,7 +290,7 @@ def srp_signatures(df: DataFrame) -> DataFrame:
             sig = (bits.astype(np.uint64) * weights).sum(axis=1, dtype=np.uint64)
             yield pd.DataFrame({"vec_id": ids, "sig": sig.view(np.int64)})
 
-    return df.select("vec_id", "embedding").mapInPandas(
+    return _spread_vectors(df.select("vec_id", "embedding")).mapInPandas(
         sign_batches, "vec_id bigint, sig bigint"
     )
 
@@ -1899,6 +1918,7 @@ def ivfpq_scaled_topk(
     nprobe: int | None = None,
     queries: DataFrame | None = None,
     train_cap: int | None = _SCALED_TRAIN_CAP,
+    pool: int | None = None,
 ) -> DataFrame:
     """IVFPQ with CORPUS-SIZED capacity + exact re-rank: sqrt(N)
     coarse cells and an up-to-256-code codebook (``scaled_ann_params``)
@@ -1966,7 +1986,9 @@ def ivfpq_scaled_topk(
     # the probe's top tie groups; the 1024 cap bounds the refine fetch
     # (FAISS k_factor territory) at real scale, where genuine
     # embedding spread breaks the ties long before the cap matters.
-    pool = max(_RERANK_N, min(1024, 2 * -(-n // p["k_cells"])))
+    if pool is None:  # default-inert override seam (ann_scaled_recall's
+        # exhaustive mode passes pool=N; every other caller leaves None)
+        pool = max(_RERANK_N, min(1024, 2 * -(-n // p["k_cells"])))
     return ivfpq_serve(spark, cents, cents1, codes_c, q, e, nprobe, pool)
 
 
@@ -2257,6 +2279,176 @@ def ann_serve_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ann_scaled_recall",
+    # r15 verdict item 4: the capacity-scaled IVFPQ stack's recall was
+    # pinned only by pytest + offline probes. This companion computes
+    # recall@10 vs EXACT brute-force squared-L2 IN THE SAME RUN, with
+    # the stack in EXHAUSTIVE mode (nprobe = every cell, pool = N) —
+    # the one configuration where recall is exactly 1.0 BY
+    # CONSTRUCTION on any corpus, because probing every cell with no
+    # pool cut makes the refine a brute-force pass over every assigned
+    # vector. The equality hits == n_true == least(10, N-1) therefore
+    # grades the PLUMBING end-to-end: any corpus vector lost or
+    # duplicated in coarse assignment / PQ encode / the codes join,
+    # any candidate-generation or self-exclusion bug, any refine or
+    # tie-break drift from the exact ordering → hash mismatch.
+    # Why not the SHIPPING nprobe: at the driver's 500-vector corpus,
+    # sqrt(N) capacity (22 cells, 15-code books) measures recall@10 ≈
+    # 0.46 even with every cell probed (ADC at this density, measured
+    # r16) — a recall oracle at driver SF would grade the data regime,
+    # not the code. The shipping-config recall claim (1.0 at 20k and
+    # 200k vectors) lives in .probe_ann_cap_r15.json + pytest, and the
+    # shipping ROUTING path is driver-bounded by ann_planted_recall,
+    # which holds by construction at any nprobe.
+    oracle="""
+    WITH n AS (SELECT count(*) AS c FROM embeddings)
+    SELECT CAST(vec_id AS BIGINT) AS query_id,
+           CAST(least(10, (SELECT c FROM n) - 1) AS BIGINT) AS n_true,
+           CAST(least(10, (SELECT c FROM n) - 1) AS BIGINT) AS hits
+    FROM embeddings WHERE vec_id % 100 = 0
+    """,
+    tags=("similarity", "ann", "pq", "ivf", "scaled", "bound"),
+)
+def ann_scaled_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of the corpus-capacity IVFPQ stack in exhaustive mode
+    (nprobe = k_cells, pool = N) vs exact brute force, per query — the
+    driver-checkable completeness bound for the two rows-only capacity
+    entries (``ann_ivfpq_scaled`` is this stack at shipping nprobe/
+    pool; ``ann_serve_parity`` extends the grade to the stored index
+    byte-for-byte; ``ann_planted_recall`` bounds shipping routing).
+
+    Truth side: exact squared-L2 top-10 under the SERVE PATH's exact
+    ordering (4-dp rounded zip_with fold, ties by corpus_id, self
+    excluded). One float64 matmul per Arrow corpus batch against the
+    broadcast query matrix pre-prunes to a batch-local k-th-best +
+    2e-4 margin superset (the ``ann_cosine_topk`` argument flipped to
+    distances: a raw gap > 2e-4 forces a 4-dp grid step, so every
+    dropped row is strictly below k batch rows even after rounding);
+    the exact fold + rank run JVM-side on the pruned candidates only.
+
+    Scale shape: queries are the standard 1% sample (user input at
+    real scale, not a corpus scan), the corpus is scanned once by the
+    pruning kernel on ``_spread_vectors`` partitioning, and the JVM
+    refine touches ~queries x ~k rows — no pair-sized shuffle. The
+    exhaustive ANN side is deliberately audit-shaped (it scans every
+    cell per query, the thing shipping nprobe exists to avoid); run it
+    on a query sample, never as the serving config."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n = e.count()
+    p = scaled_ann_params(n)
+    ann = ivfpq_scaled_topk(
+        spark, sf_dir, nprobe=p["k_cells"], pool=n
+    ).select("query_id", "corpus_id")
+
+    cand_schema = "query_id bigint, corpus_id bigint"
+
+    def scored_against(bq):
+        def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            q_ids, q_mat = bq.value
+            q_sq = np.einsum("ij,ij->i", q_mat, q_mat)
+            for pdf in batches:
+                ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+                mat = _emb_matrix(pdf["embedding"])
+                if len(ids) == 0:
+                    continue
+                c_sq = np.einsum("ij,ij->i", mat, mat)
+                d2 = c_sq[:, None] - 2.0 * (mat @ q_mat.T) + q_sq[None, :]
+                self_pair = ids[:, None] == q_ids[None, :]
+                d2[self_pair] = np.inf
+                k = min(_TOPK, d2.shape[0])
+                kth = np.partition(d2, k - 1, axis=0)[k - 1, :]
+                # inf <= inf is True: the explicit ~self_pair term keeps
+                # a tiny batch's self row out even when kth is inf
+                keep_c, keep_q = np.nonzero(
+                    (d2 <= kth[None, :] + 2e-4) & ~self_pair
+                )
+                if len(keep_c):
+                    yield pd.DataFrame(
+                        {
+                            "query_id": q_ids[keep_q],
+                            "corpus_id": ids[keep_c],
+                        }
+                    )
+
+        return _spread_vectors(e).mapInPandas(score, cand_schema)
+
+    def q_batches():
+        # no zero-norm drop (L2 is defined for every vector, and the
+        # oracle expects every %100 query id to appear)
+        ids_buf: list = []
+        emb_buf: list = []
+        qdf = e.filter(F.col("vec_id") % 100 == 0)
+        for row in qdf.toLocalIterator(prefetchPartitions=True):
+            ids_buf.append(row.vec_id)
+            emb_buf.append(row.embedding)
+            if len(ids_buf) >= _QUERY_FETCH_CAP:
+                yield np.asarray(ids_buf, dtype=np.int64), _emb_matrix(
+                    pd.Series(emb_buf)
+                )
+                ids_buf, emb_buf = [], []
+        if ids_buf:
+            yield np.asarray(ids_buf, dtype=np.int64), _emb_matrix(
+                pd.Series(emb_buf)
+            )
+
+    parts = [
+        scored_against(spark.sparkContext.broadcast(batch))
+        for batch in q_batches()
+    ]
+    if not parts:
+        cand = spark.createDataFrame([], cand_schema)
+    else:
+        cand = parts[0]
+        for p in parts[1:]:
+            cand = cand.unionByName(p)
+
+    # exact refine on the pruned candidates — the ivfpq_serve dist
+    # expression verbatim, so truth and serve order identically
+    qv_df = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    cv_df = e.select(
+        F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("c_emb")
+    )
+    dist = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("q_emb"),
+                F.col("c_emb"),
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        4,
+    )
+    wf = W.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("corpus_id")
+    )
+    truth = (
+        cand.join(cv_df, "corpus_id")
+        .join(qv_df, "query_id")
+        .withColumn("dist", dist)
+        .withColumn("rnk", F.row_number().over(wf))
+        .filter(F.col("rnk") <= _TOPK)
+        .select("query_id", "corpus_id")
+    )
+    graded = truth.join(
+        ann.withColumn("hit", F.lit(1)), ["query_id", "corpus_id"], "left"
+    )
+    per_q = graded.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_true"),
+        F.coalesce(F.sum("hit"), F.lit(0)).cast("bigint").alias("hits"),
+    )
+    return qv_df.select("query_id").join(per_q, "query_id", "left").select(
+        "query_id",
+        F.coalesce("n_true", F.lit(0)).cast("bigint").alias("n_true"),
+        F.coalesce("hits", F.lit(0)).cast("bigint").alias("hits"),
+    )
+
+
 _OUTLIER_X = 2  # flag vectors whose ||x-c||^2 exceeds X * their label's mean
 
 
@@ -2439,7 +2631,13 @@ def ann_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``ann_eval_contamination`` margin argument extended from max to
     k-th). Final 4-dp rounding (JVM BigDecimal HALF_UP = the oracle's
     round()) and the (cosine DESC, corpus_id) row_number run
-    JVM-side, so parity does not hinge on matmul summation order.
+    JVM-side. Residual risk, same accepted trade as
+    ``ann_eval_contamination`` (advisor r15): the raw float64 matmul
+    can differ from the oracle's sequential fold by a few ulps, so a
+    score straddling a .00005 HALF_UP boundary could in principle
+    round apart and flip top-k membership — measure-zero on real
+    data and never observed across the dual-SF gates, but the parity
+    is "rounded-ulp-robust", not summation-order-independent.
     Truncated zero-norm vectors are excluded per width in both
     engines (a vector whose first w dims are all zero has no cosine
     at that width). This replaced a crossJoin with per-(pair, width)

@@ -775,9 +775,13 @@ def _pack_efficiency_oracle() -> str:
     """
 
 
-# STAGED for the r15 window (r14's slots are spoken for). Registration:
-# @query("text_pack_efficiency", oracle=_pack_efficiency_oracle,
-# tags=("text","packing")).
+# Registered r16 (the r15 plan's named deferral — dual-scale
+# oracle-proven by tools/check_staged.py since r14).
+@query(
+    "text_pack_efficiency",
+    oracle=_pack_efficiency_oracle,
+    tags=("text", "packing"),
+)
 def text_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Packing-efficiency report — per (lang, shard) stream: document
     and token totals, context windows consumed, FILL fraction (tokens
@@ -4297,7 +4301,23 @@ def winnow_fingerprints(docs: DataFrame) -> DataFrame:
     )
 
 
+# Registered r16 (staged third batch; dual-scale oracle-proven by
+# tools/check_staged.py since r15). The oracle builder is defined
+# below, so the decorator takes the lambda form (resolved lazily by
+# QuerySpec.oracle_text()).
+@query(
+    "text_winnow_fingerprint",
+    oracle=lambda: _winnow_oracle(),
+    tags=("text", "fingerprint", "winnowing", "dedup"),
+)
 def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003, the MOSS algorithm): per doc, hash every k-gram, slide a
+    w-window over the hash sequence, keep each window's minimum
+    (rightmost tie-break) — a position-robust fingerprint set with a
+    guaranteed match on any shared run of length w + k - 1. Emits
+    per-doc fingerprint-set summaries (count, min, sum) the oracle
+    checks exactly."""
     return winnow_fingerprints(load(spark, sf_dir, "documents"))
 
 
@@ -4371,6 +4391,13 @@ def _cms_bucket(r: int):
     ).cast("bigint") % _CMS_W
 
 
+# Registered r16 (staged fourth batch; dual-scale oracle-proven by
+# tools/check_staged.py since r15). Lambda oracle: builder defined below.
+@query(
+    "text_cms_heavy_hitters",
+    oracle=lambda: _cms_oracle(),
+    tags=("text", "sketch", "approx", "heavy-hitters"),
+)
 def text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(token, exact_count, cms_estimate, overestimate) for the true
     top-20 tokens — a Count-Min Sketch built over the corpus, read

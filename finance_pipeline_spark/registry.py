@@ -12,7 +12,13 @@ so implementations must be **deterministic**:
 - every ORDER BY ... LIMIT has a unique final tie-break key;
 - double aggregations go through ``decimal(38,6)`` (exact, order-free)
   or a coarse ROUND — float summation order differs between Spark
-  partial aggregation and DuckDB.
+  partial aggregation and DuckDB;
+- any oracle with more than ~10 interdependent CTEs must pin them
+  ``AS MATERIALIZED`` (``operators/similarity._mat``): DuckDB inlines
+  CTEs by default and its join-order optimizer then explodes on deep
+  tiny-CTE chains (ann_ivfpq_topk's oracle hung 45 minutes at sf0.1,
+  2,000 vectors, until _mat() — r15). tools/check_staged.py warns on
+  this before a registration flip.
 """
 
 from __future__ import annotations
@@ -282,6 +288,71 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # re-enter the evaluated window this round; "out" entries move past the
 # fold carrying the named prior round's hash-green driver evidence.
 ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
+    "r16": {
+        "in": (
+            # the full r12-evidence cohort (41 — the oldest driver
+            # rows in the registry, mandatory under the standing
+            # evidence contract; pre-computed in the r15 plan)
+            "mm_decode_jpeg", "mm_video_frames", "text_warc_extract",
+            "mm_decode_gif", "mm_gif_frames", "mm_phash_groups",
+            "text_kn3_perplexity", "s6_jdbc_scan",
+            "dedup_connected_star", "win_sliding", "d8_trim",
+            "profile_columns", "hist_value_buckets",
+            "ts_moving_features", "win_distribution_family",
+            "affinity_part_pairs", "metric_rolling_active",
+            "winsorize_values", "ts_resample_ffill",
+            "attribution_first_last", "text_tfidf_topk",
+            "stream_decode_quarantine", "dedup_minhash_lsh",
+            "dedup_bloom_screen", "text_pii_scrub", "text_source_quota",
+            "win_session", "cdc_latest_state", "scd2_order_status",
+            "d4_custom_format_parse", "u2_anti_join", "a3_affected_rows",
+            "grouped_user_gaps", "stream_session_counts", "stream_dedup",
+            "mm_binary_meta", "o2_topk_single", "p8_watermark_filter",
+            "s6_sql_table_scan", "join_skew_enrich", "join_asof",
+            # CHANGED CODE in r16: the two deferred _spread_vectors
+            # fixes (r15 verdict item 2) — ann_cosine_topk's corpus
+            # pass and the SRP signature kernel now spread their
+            # embedding frames before the Arrow kernel; both
+            # re-enter from the fold to re-earn on the new code.
+            "ann_cosine_topk", "ann_lsh_topk",
+            # staged registrations earning first driver evidence
+            # (3 of the 7 remaining; each dual-scale oracle-proven by
+            # tools/check_staged.py pre-flip. The audio quartet holds
+            # for r17 — the window's free slots after the mandatory
+            # re-earns + changed-code re-entries + the new capacity
+            # bound below numbered exactly three, and multimodal
+            # already carries 8 driver-green family reps while winnow/
+            # CMS open new fingerprint/sketch ground.)
+            "text_pack_efficiency", "text_winnow_fingerprint",
+            "text_cms_heavy_hitters",
+            # NEW operator (r15 verdict item 4): exhaustive-mode
+            # recall-vs-brute-force bound for the two rows-only
+            # capacity entries, computed in the same run.
+            "ann_scaled_recall",
+        ),
+        "out": (  # all hash-green in CORRECTNESS_r15.json
+            "rollup_time_multi", "d10_current_date", "funnel_conversion",
+            "agg_approx_distinct", "agg_approx_quantile",
+            "dedup_bloom_ranged", "mm_decode_features", "mm_decode_png",
+            "mm_decode_wav", "mm_decode_quarantine", "text_kn_perplexity",
+            "text_url_canonicalize", "dedup_url_keyed",
+            "dedup_chunk_minhash", "dedup_connected_groups",
+            "text_dup_spans", "text_dup_scrub", "emb_outlier_prune",
+            "win_rank_family", "stream_stream_join",
+            "kmeans_train_assign", "dedup_semantic_clusters",
+            "ann_ivf_topk", "ann_ivf_multiprobe", "ann_quantized_topk",
+            "ann_pq_topk", "ann_ivfpq_topk", "ann_ivfpq_multiprobe",
+            "ann_ivfpq_rerank", "ann_planted_recall", "ann_serve_parity",
+            "text_unimax_alloc", "text_temperature_alloc",
+            "text_dsir_select", "mm_thumbnail", "text_regex_token_count",
+            "eval_overlap_report", "text_bpe_fertility",
+            "clf_calibration_bins", "ann_dim_truncation_recall",
+            "text_dataset_card", "text_ngram_novelty",
+            "source_overlap_matrix", "text_stratified_sample",
+            "ann_eval_contamination", "emb_label_centroid_cosine",
+            "source_dedup_scopes",
+        ),
+    },
     "r15": {
         "in": (
             # the full r11-evidence cohort (20 — the oldest driver rows
@@ -1035,18 +1106,75 @@ ROTATION_LOG: dict[str, dict[str, tuple[str, ...]]] = {
 
 PRIORITY: tuple[str, ...] = (
     # ---- window: positions 1-50, evaluated by the driver this round ----
-    # flagship — r15 CHANGED CODE (micro-integer aggregation flip,
-    # oracle swapped in lockstep): the pinned slot re-earns it free
+    # flagship — window-pinned
     "agg_pricing_summary",
     # rows-only BY DESIGN (data-dependent capacity) — window-pinned
-    # forever; their driver-checkable evidence is the two bound queries
-    # (ann_planted_recall / ann_serve_parity, re-earning in-window this
-    # round on the changed code). Both also carry r15 changed code
-    # (bounded training sample + decimal means + probe kernel).
+    # forever; their driver-checkable evidence: ann_scaled_recall
+    # (exhaustive-mode recall vs brute force, NEW r16, in-window),
+    # ann_planted_recall (shipping-routing bound, r15-green fold) and
+    # ann_serve_parity (stored-index byte-parity, r15-green fold).
     "ann_ivfpq_scaled",
     "ann_index_serve",
-    # the r11-evidence cohort (20) — mandatory re-earns under the
-    # standing evidence contract (pre-computed in the r14 plan)
+    # NEW r16 (r15 verdict item 4): recall@10 vs exact brute force
+    # computed in the same run, exhaustive mode — first driver evidence
+    "ann_scaled_recall",
+    # the r12-evidence cohort (41) — mandatory re-earns under the
+    # standing evidence contract (pre-computed in the r15 plan)
+    "mm_decode_jpeg",
+    "mm_video_frames",
+    "text_warc_extract",
+    "mm_decode_gif",
+    "mm_gif_frames",
+    "mm_phash_groups",
+    "text_kn3_perplexity",
+    "s6_jdbc_scan",
+    "dedup_connected_star",
+    "win_sliding",
+    "d8_trim",
+    "profile_columns",
+    "hist_value_buckets",
+    "ts_moving_features",
+    "win_distribution_family",
+    "affinity_part_pairs",
+    "metric_rolling_active",
+    "winsorize_values",
+    "ts_resample_ffill",
+    "attribution_first_last",
+    "text_tfidf_topk",
+    "stream_decode_quarantine",
+    "dedup_minhash_lsh",
+    "dedup_bloom_screen",
+    "text_pii_scrub",
+    "text_source_quota",
+    "win_session",
+    "cdc_latest_state",
+    "scd2_order_status",
+    "d4_custom_format_parse",
+    "u2_anti_join",
+    "a3_affected_rows",
+    "grouped_user_gaps",
+    "stream_session_counts",
+    "stream_dedup",
+    "mm_binary_meta",
+    "o2_topk_single",
+    "p8_watermark_filter",
+    "s6_sql_table_scan",
+    "join_skew_enrich",
+    "join_asof",
+    # r16 CHANGED-CODE re-earns: the two deferred _spread_vectors
+    # fixes (r15 verdict item 2) — ann_cosine_topk's corpus pass and
+    # the SRP signature kernel (ann_lsh_topk's only registered
+    # consumer) now spread before their Arrow kernels
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    # staged registrations, first driver evidence (3 of the 7
+    # remaining; dual-scale oracle-proven by tools/check_staged.py
+    # pre-flip; the audio quartet holds for r17 — see ROTATION_LOG)
+    "text_pack_efficiency",
+    "text_winnow_fingerprint",
+    "text_cms_heavy_hitters",
+    # ---- fold: position 51+ — prior-round hash-green driver evidence ----
+    # r15-green cohort, rotated out r16 (newest evidence first)
     "rollup_time_multi",
     "d10_current_date",
     "funnel_conversion",
@@ -1067,10 +1195,6 @@ PRIORITY: tuple[str, ...] = (
     "emb_outlier_prune",
     "win_rank_family",
     "stream_stream_join",
-    # r15 CHANGED-CODE re-earns: every registered consumer of
-    # kmeans_fit / _pq_build / _probe_cells / the scaled trainers
-    # (the _PROBE_CELLS_KERNEL + _KMEANS_DECIMAL_MEANS + spread +
-    # train-cap flips; oracles updated in lockstep)
     "kmeans_train_assign",
     "dedup_semantic_clusters",
     "ann_ivf_topk",
@@ -1082,9 +1206,6 @@ PRIORITY: tuple[str, ...] = (
     "ann_ivfpq_rerank",
     "ann_planted_recall",
     "ann_serve_parity",
-    # the r14 staged cohort, registered this round — first driver
-    # evidence (each dual-scale oracle-proven by tools/check_staged.py
-    # in r14; text_pack_efficiency deferred to r16, see ROTATION_LOG)
     "text_unimax_alloc",
     "text_temperature_alloc",
     "text_dsir_select",
@@ -1101,8 +1222,8 @@ PRIORITY: tuple[str, ...] = (
     "ann_eval_contamination",
     "emb_label_centroid_cosine",
     "source_dedup_scopes",
-    # ---- fold: position 51+ — prior-round hash-green driver evidence ----
-    # r14-green cohort, rotated out r15 (newest evidence first)
+    # r14-green cohort, rotated out r15 (minus the r16 changed-code
+    # re-entrants: ann_cosine_topk, ann_lsh_topk)
     "token_budget_mix",
     "dedup_dropped_accounting",
     "text_lm_familiarity",
@@ -1128,8 +1249,6 @@ PRIORITY: tuple[str, ...] = (
     "dedup_simhash",
     "dedup_group_decisions",
     "dedup_embedding_cosine",
-    "ann_cosine_topk",
-    "ann_lsh_topk",
     "emb_quantize_int8",
     "stream_tumbling_counts",
     "stream_static_join",
@@ -1192,53 +1311,10 @@ PRIORITY: tuple[str, ...] = (
     "text_langid",
     "text_quality_score",
     "udf_embedding_norm",
-    # r12-green cohort, rotated out r13 (minus the r15 changed-code
-    # re-entrants: ann_planted_recall, ann_serve_parity,
-    # ann_ivf_multiprobe)
-    "mm_decode_jpeg",
-    "mm_video_frames",
-    "text_warc_extract",
-    "mm_decode_gif",
-    "mm_gif_frames",
-    "mm_phash_groups",
-    "text_kn3_perplexity",
-    "s6_jdbc_scan",
-    "dedup_connected_star",
-    "win_sliding",
-    "d8_trim",
-    "profile_columns",
-    "hist_value_buckets",
-    "ts_moving_features",
-    "win_distribution_family",
-    "affinity_part_pairs",
-    "metric_rolling_active",
-    "winsorize_values",
-    "ts_resample_ffill",
-    "attribution_first_last",
-    "text_tfidf_topk",
-    "stream_decode_quarantine",
-    "dedup_minhash_lsh",
-    "dedup_bloom_screen",
-    "text_pii_scrub",
-    "text_source_quota",
-    "win_session",
-    "cdc_latest_state",
-    "scd2_order_status",
-    "d4_custom_format_parse",
-    "u2_anti_join",
-    "a3_affected_rows",
-    "grouped_user_gaps",
-    "stream_session_counts",
-    "stream_dedup",
-    "mm_binary_meta",
-    "o2_topk_single",
-    "p8_watermark_filter",
-    "s6_sql_table_scan",
-    "join_skew_enrich",
-    "join_asof",
-    # (the r11-green cohort that closed this tuple through r14 — 20
-    # queries — re-entered the window in r15 as the mandatory re-earn
-    # cohort; see ROTATION_LOG["r15"]["in"].)
+    # (the r12-green cohort that closed this tuple through r15 — 41
+    # queries — re-entered the window in r16 as the mandatory re-earn
+    # cohort, and the r11-green cohort re-earned in r15; see
+    # ROTATION_LOG["r16"]["in"] / ["r15"]["in"].)
 )
 
 DRIVER_WINDOW = 50  # observed driver evaluation cap (r1 + r2)

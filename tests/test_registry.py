@@ -67,38 +67,38 @@ def test_driver_window_covers_every_family():
 
     must_be_in_window = {
         # rows-only by design — window-pinned (can never earn fold
-        # evidence under the hash-green rule); both carry r15 changed
-        # code (bounded train sample + decimal means + probe kernel)
+        # evidence under the hash-green rule)
         "ann_ivfpq_scaled", "ann_index_serve",
-        # flagship — r15 changed code (micro-integer aggregation)
+        # flagship — window-pinned
         "agg_pricing_summary",
-        # the full r11-evidence cohort (20) — the registry's oldest
+        # NEW r16: exhaustive-mode recall bound for the two rows-only
+        # entries (r15 verdict item 4) — first driver evidence
+        "ann_scaled_recall",
+        # the full r12-evidence cohort (41) — the registry's oldest
         # driver rows, mandatory under the standing evidence contract
-        "rollup_time_multi", "d10_current_date", "funnel_conversion",
-        "agg_approx_distinct", "agg_approx_quantile",
-        "dedup_bloom_ranged", "mm_decode_features", "mm_decode_png",
-        "mm_decode_wav", "mm_decode_quarantine", "text_kn_perplexity",
-        "text_url_canonicalize", "dedup_url_keyed",
-        "dedup_chunk_minhash", "dedup_connected_groups",
-        "text_dup_spans", "text_dup_scrub", "emb_outlier_prune",
-        "win_rank_family", "stream_stream_join",
-        # r15 changed-code re-earns: every registered consumer of
-        # kmeans_fit / _pq_build / _probe_cells / the scaled trainers
-        # (the four r15 flag flips, oracles moved in lockstep)
-        "kmeans_train_assign", "dedup_semantic_clusters",
-        "ann_ivf_topk", "ann_ivf_multiprobe", "ann_quantized_topk",
-        "ann_pq_topk", "ann_ivfpq_topk", "ann_ivfpq_multiprobe",
-        "ann_ivfpq_rerank", "ann_planted_recall", "ann_serve_parity",
-        # the r14 staged cohort, registered r15 — first driver
-        # evidence (dual-scale oracle-proven pre-flip)
-        "text_unimax_alloc", "text_temperature_alloc",
-        "text_dsir_select", "mm_thumbnail", "text_regex_token_count",
-        "eval_overlap_report", "text_bpe_fertility",
-        "clf_calibration_bins", "ann_dim_truncation_recall",
-        "text_dataset_card", "text_ngram_novelty",
-        "source_overlap_matrix", "text_stratified_sample",
-        "ann_eval_contamination", "emb_label_centroid_cosine",
-        "source_dedup_scopes",
+        "mm_decode_jpeg", "mm_video_frames", "text_warc_extract",
+        "mm_decode_gif", "mm_gif_frames", "mm_phash_groups",
+        "text_kn3_perplexity", "s6_jdbc_scan", "dedup_connected_star",
+        "win_sliding", "d8_trim", "profile_columns",
+        "hist_value_buckets", "ts_moving_features",
+        "win_distribution_family", "affinity_part_pairs",
+        "metric_rolling_active", "winsorize_values",
+        "ts_resample_ffill", "attribution_first_last",
+        "text_tfidf_topk", "stream_decode_quarantine",
+        "dedup_minhash_lsh", "dedup_bloom_screen", "text_pii_scrub",
+        "text_source_quota", "win_session", "cdc_latest_state",
+        "scd2_order_status", "d4_custom_format_parse", "u2_anti_join",
+        "a3_affected_rows", "grouped_user_gaps",
+        "stream_session_counts", "stream_dedup", "mm_binary_meta",
+        "o2_topk_single", "p8_watermark_filter", "s6_sql_table_scan",
+        "join_skew_enrich", "join_asof",
+        # r16 changed-code re-earns: the two deferred _spread_vectors
+        # fixes (r15 verdict item 2)
+        "ann_cosine_topk", "ann_lsh_topk",
+        # staged registrations, first driver evidence (audio quartet
+        # holds for r17 — see ROTATION_LOG)
+        "text_pack_efficiency", "text_winnow_fingerprint",
+        "text_cms_heavy_hitters",
     }
     missing = must_be_in_window - set(window)
     assert not missing, f"fell out of the driver window: {sorted(missing)}"
@@ -124,6 +124,7 @@ def test_driver_window_covers_every_family():
         "CORRECTNESS_r12.json",
         "CORRECTNESS_r13.json",
         "CORRECTNESS_r14.json",
+        "CORRECTNESS_r15.json",
     ):
         p = Path(__file__).resolve().parents[1] / f
         if p.exists():

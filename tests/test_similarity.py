@@ -662,3 +662,25 @@ def test_dim_truncation_recall_matches_duckdb_and_monotone(spark):
     ws = sorted(_TRUNC_WIDTHS)
     for a, b in zip(ws, ws[1:]):
         assert means[a] <= means[b] + 1e-9, means
+
+
+def test_emb_matrix_empty_batch_is_2d():
+    """Advisor r15: an empty Arrow batch fed to the similarity kernels
+    used to build a 1-D empty array, so axis-1 work (norms, prefix
+    slices) raised before the kernels' own empty guards could fire.
+    _emb_matrix now returns a (0, _DIM) 2-D array on empty input and
+    stays byte-identical on non-empty input."""
+    import numpy as np
+    import pandas as pd
+
+    from finance_pipeline_spark.operators.similarity import _DIM, _emb_matrix
+
+    empty = _emb_matrix(pd.Series([], dtype=object))
+    assert empty.shape == (0, _DIM) and empty.dtype == np.float64
+    # the crash shapes from the advisor finding, now well-formed no-ops
+    assert np.linalg.norm(empty, axis=1).shape == (0,)
+    assert empty[:, :8].shape == (0, 8)
+
+    full = _emb_matrix(pd.Series([[1.0, 2.0], [3.5, -4.0]]))
+    assert full.shape == (2, 2) and full.dtype == np.float64
+    assert full.tolist() == [[1.0, 2.0], [3.5, -4.0]]

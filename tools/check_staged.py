@@ -34,28 +34,19 @@ def _staged():
     @query-registered) operators. A registration flip removes the
     entry here and adds the @query decorator.
 
-    r15 executed the planned 17-op flip minus one: 16 of the r14
-    stagings registered (window math: 20 mandatory re-earns + 11
-    similarity changed-code re-earns + 3 pinned + 16 staged = 50);
-    text_pack_efficiency — named by the r14 plan as the lowest-signal
-    deferral candidate alongside calibration — moved to r16 with the
-    six fourth-batch ops below. This gate keeps all seven honest
+    r16 registered three of the seven remaining stagings
+    (text_pack_efficiency — the r15 plan's named deferral — plus
+    winnow and CMS heavy hitters); the window's other free slots went
+    to the two _spread_vectors changed-code re-entries
+    (ann_cosine_topk / ann_lsh_topk) and the new ann_scaled_recall
+    capacity bound (r15 verdict items 2 and 4). The audio quartet
+    below holds for the r17 window — this gate keeps it honest
     meanwhile.
     """
     from finance_pipeline_spark.operators import multimodal as M
-    from finance_pipeline_spark.operators import textops as T
 
     return {
-        # --- deferred from the r15 window (the one 17th flip) ---
-        "text_pack_efficiency": (
-            T.text_pack_efficiency,
-            T._pack_efficiency_oracle,
-        ),
-        # --- fourth r14 batch (r16 flips by default) ---
-        "text_winnow_fingerprint": (
-            T.text_winnow_fingerprint,
-            T._winnow_oracle,
-        ),
+        # --- fourth r14 batch, audio quartet (r17 flips by default) ---
         "mm_audio_features": (M.mm_audio_features, M._audio_features_oracle),
         "mm_audio_fingerprint": (
             M.mm_audio_fingerprint,
@@ -66,10 +57,6 @@ def _staged():
             M._audio_downsample_oracle,
         ),
         "mm_decode_adpcm": (M.mm_decode_adpcm, M._adpcm_oracle),
-        "text_cms_heavy_hitters": (
-            T.text_cms_heavy_hitters,
-            T._cms_oracle,
-        ),
     }
 
 
@@ -103,6 +90,25 @@ def main() -> int:
         tag = Path(d).name
         for name, (fn, osql) in staged.items():
             t0 = time.time()
+            # CTE-inlining screen (r15 verdict item 7): DuckDB inlines
+            # CTEs by default and a >10-CTE oracle chain can explode
+            # its join-order optimizer (ann_ivfpq_topk's oracle hung
+            # 45 min at sf0.1 until _mat() pinned AS MATERIALIZED).
+            # Flag the hazard BEFORE a flip, not after a hang.
+            import re  # noqa: PLC0415
+
+            sql = osql()
+            n_cte = len(re.findall(r"(?i)\b[a-z_]\w*\s+AS\s*\(", sql))
+            n_mat = len(
+                re.findall(r"(?i)\bAS\s+MATERIALIZED\s*\(", sql)
+            )
+            if n_cte - n_mat > 10:
+                print(
+                    f"WARN  {tag}:{name}: {n_cte - n_mat} un-MATERIALIZED "
+                    f"CTEs (>10) — wrap the oracle in _mat() (the "
+                    f"similarity.py recipe) before registering, or the "
+                    f"DuckDB join-order optimizer may hang on it"
+                )
             # TYPE-AWARE canon (r15 fix): plain tuple equality let a
             # DuckDB double 1278.0 match a Spark bigint 1278 — Python
             # int == float — and text_temperature_alloc then failed
