@@ -528,3 +528,29 @@ def test_label_centroid_checkpointed_self_join_single_scan(spark):
     # nested array<float> generic, so check the raw plan text)
     m = re.search(r"ReadSchema: struct<[^\n]*", pre)
     assert m and "vec_id" not in m.group(0), m
+
+
+def test_spread_fix_plans_for_cosine_and_srp(spark):
+    """The r16 spread fixes (r15 verdict item 2): ann_cosine_topk's
+    corpus pass and the SRP signature kernel feed their Arrow kernels
+    from a _spread_vectors hashpartitioning exchange, so Python-kernel
+    wall-clock tracks the core count instead of parquet row-group
+    layout (1000x-tier A/B: cosine 19.09 -> 10.39 s;
+    .probe_spread_fix_1000x_r16.json). The exchange must sit UPSTREAM
+    of every MapInPandas — a kernel scanning raw scan partitions would
+    reintroduce the ~4-busy-task skew silently."""
+    plan = plan_of(spark, "ann_cosine_topk")
+    assert "MapInPandas" in plan and "hashpartitioning(vec_id" in plan, plan
+    # every kernel in the tree sees a spread input: each MapInPandas
+    # fragment (split on the operator) must already have seen an
+    # exchange later in the printed tree (executed plans print
+    # top-down, so upstream operators appear BELOW their consumers)
+    head, *kernels = plan.split("MapInPandas")
+    for frag in kernels:
+        assert "hashpartitioning(vec_id" in frag, frag[:400]
+
+    plan = plan_of(spark, "ann_lsh_topk")
+    assert "MapInPandas" in plan and "hashpartitioning(vec_id" in plan, plan
+    head, *kernels = plan.split("MapInPandas")
+    for frag in kernels:
+        assert "hashpartitioning(vec_id" in frag, frag[:400]
