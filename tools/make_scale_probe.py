@@ -184,6 +184,11 @@ if __name__ == "__main__":
         i = argv.index("--level")
         level = int(argv[i + 1])
         del argv[i : i + 2]
+    if argv and argv[0].startswith("-"):
+        raise SystemExit(
+            f"usage: make_scale_probe.py [OUT_DIR] [--src DIR] [--level N]; "
+            f"got unexpected flag {argv[0]!r}"
+        )
     out = Path(argv[0] if argv else ".scale_probe/sf1")
     # Skip only when EVERY produced table exists — keying on
     # documents.parquet alone let probe dirs built before the

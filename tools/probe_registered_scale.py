@@ -39,30 +39,25 @@ from finance_pipeline_spark import registry  # noqa: E402
 from finance_pipeline_spark.session import get_session  # noqa: E402
 
 
-def _pop(argv: list[str], flag: str, default: str) -> str:
-    if flag in argv:
-        i = argv.index(flag)
-        val = argv[i + 1]
-        del argv[i : i + 2]
-        return val
-    return default
-
-
 def main() -> int:
-    argv = list(sys.argv[1:])
-    small = _pop(argv, "--small", "/root/testdata/sf0.01")
-    big = _pop(argv, "--big", ".scale_probe/sf10")
-    big_label = _pop(argv, "--big-label", "sf10_1000x")
-    ratio_key = _pop(argv, "--ratio-key", "wall_ratio_1000x")
-    repeat = 1
-    if "--repeat" in argv:
-        i = argv.index("--repeat")
-        repeat = int(argv[i + 1])
-        del argv[i : i + 2]
-    touch = "--touch" in argv
-    if touch:
-        argv.remove("--touch")
-    out_path, names = Path(argv[0]), argv[1:]
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__.split("\n\n")[0])
+    ap.add_argument("out", help="output JSON path (must not start with '-')")
+    ap.add_argument("names", nargs="+", help="registered query names")
+    ap.add_argument("--small", default="/root/testdata/sf0.01")
+    ap.add_argument("--big", default=".scale_probe/sf10")
+    ap.add_argument("--big-label", default="sf10_1000x")
+    ap.add_argument("--ratio-key", default="wall_ratio_1000x")
+    ap.add_argument("--repeat", type=int, default=1)
+    ap.add_argument("--touch", action="store_true")
+    args = ap.parse_args()
+    if args.out.startswith("-"):
+        ap.error(f"output path {args.out!r} looks like a flag, refusing")
+    small, big = args.small, args.big
+    big_label, ratio_key = args.big_label, args.ratio_key
+    repeat, touch = args.repeat, args.touch
+    out_path, names = Path(args.out), args.names
 
     registry.load_all()
     spark = get_session("scale_probe")
