@@ -252,13 +252,15 @@ def test_eval_contamination_matches_duckdb_and_planted(spark, tmp_path):
 def test_staged_ops_registered_in_r15(name):
     """The explicit r15 act happened: these registered from the staged
     gate with first driver evidence in the r15 window (each was
-    dual-scale oracle-proven pre-flip; see ROTATION_LOG['r15'])."""
+    dual-scale oracle-proven pre-flip). Window membership is
+    round-specific — the r16 rotation moved them past the fold — so
+    the pin is the ROTATION_LOG record, not the current window."""
     from finance_pipeline_spark import registry
 
     registry.load_all()
     spec = registry.QUERIES[name]
     assert spec.oracle is not None
-    assert name in registry.PRIORITY[: registry.DRIVER_WINDOW]
+    assert name in registry.ROTATION_LOG["r15"]["in"]
 
 
 def test_label_centroid_cosine_matches_duckdb_and_planted(spark, tmp_path):
