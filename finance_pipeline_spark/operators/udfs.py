@@ -206,18 +206,23 @@ def grouped_user_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     The explicit ``repartition(n, user_id)`` pins the shuffle width:
     grouped-map output stats look tiny to AQE, which otherwise
     coalesces the exchange to ONE partition and serializes every
-    per-group Python call through a single task. Width is capped at 8:
-    with ~150 user groups the per-group pandas work is tiny, so wider
-    fan-out buys no parallelism but pays a Python worker startup per
-    extra task (measured at sf0.01: 32-way 4.8s cold / 1.3s warm vs
-    8-way 0.9s) — on a real cluster you'd size this to
-    min(cores, groups/4) the same way."""
+    per-group Python call through a single task. Width is data-aware:
+    at the small tier (~150 user groups, tiny per-group pandas work)
+    wider fan-out buys no parallelism but pays a Python worker startup
+    per extra task (measured at sf0.01: 32-way 4.8s cold / 1.3s warm
+    vs 8-way 0.9s), so the floor stays 8; past ~200k rows/partition
+    the per-group work dominates the startup constant and the width
+    grows toward every core (a fixed 8-way cap measured 88s at the
+    1000x probe tier — 24 idle cores; the same rows/task target is
+    how you'd size this on a real cluster)."""
     import math
     import os
 
     import numpy as np
 
-    n_part = min(8, int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8)))
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    n_rows = load(spark, sf_dir, "events").count()  # parquet metadata count
+    n_part = max(8, min(cpus, n_rows // 200_000 or 1))
     e = (
         load(spark, sf_dir, "events")
         .select("user_id", "ts", "event_id")
