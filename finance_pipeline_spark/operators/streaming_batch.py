@@ -50,6 +50,27 @@ def _stage_file(src: str, dst) -> bool:
     return True
 
 
+def _stream_shuffle_width(sf_dir: str) -> str:
+    """Shuffle-partition width for the drained-stream runs, sized to
+    the events source (pyarrow footer count — no Spark job). Stateful
+    operators keep one state store per shuffle partition per
+    micro-batch, so width is a trade: at the replay tiers a handful of
+    partitions avoids paying ~28 idle state-store commits per batch,
+    but a FIXED 4 serializes the state insert once the source grows
+    (stream_dedup measured 94.9 s at the 10M-row probe tier on 4
+    partitions — the grouped_user_gaps lesson in streaming form).
+    Target ~250k source rows per partition, floor 4 (sf0.01/sf0.1
+    behavior unchanged), cap at the core count — the same rows/store
+    target you'd size on a real cluster."""
+    import os
+
+    import pyarrow.dataset as pads
+
+    rows = pads.dataset(f"{sf_dir}/events.parquet").count_rows()
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    return str(max(4, min(cpus, rows // 250_000)))
+
+
 def _events_stream_source(
     spark: SparkSession,
     sf_dir: str,
@@ -284,7 +305,7 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # replay a handful of partitions is plenty. Scoped to this query —
     # the conf is captured at stream start and restored after.
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.shuffle.partitions", _stream_shuffle_width(sf_dir))
     try:
         q = (
             agg.writeStream.outputMode("complete")
@@ -323,7 +344,16 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the drained append-mode output must equal the clean batch counts.
     The watermark bounds the dedup state: keys older than the watermark
     are evicted, which is what makes streaming dedup viable at 100 TB
-    (unbounded-state dedup would OOM)."""
+    (unbounded-state dedup would OOM).
+
+    The deduped stream lands in a PARQUET file sink (executor-side,
+    fresh checkpoint per run so the whole replay is re-processed), and
+    the count-per-type runs as a batch aggregate over the drained
+    files. A memory sink here funnels every deduped row through the
+    driver — 83 s and a driver-heap hazard at the 10M-row probe tier
+    vs 4.7 s for the file sink (.probe_stream_width_r16.json); the
+    sink IS the scale design, not a test harness shortcut."""
+    import shutil
     from pathlib import Path
 
     load(spark, sf_dir, "events")  # pins session confs (nanos-as-long)
@@ -351,14 +381,22 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["event_id"])
         .select("event_id", "event_type")
     )
-    name = "stream_dedup_sink"
+    # Sink + checkpoint live in a SIBLING dir: the replay source reads
+    # ``stage`` with recursiveFileLookup, so anything written beneath
+    # it would be picked up as stream input (the checkpoint metadata
+    # file fails the parquet reader outright).
+    out_root = stage.parent / f"{stage.name}_out"
+    sink_dir, ckpt_dir = out_root / "dedup_out", out_root / "dedup_ckpt"
+    for d in (sink_dir, ckpt_dir):
+        shutil.rmtree(d, ignore_errors=True)
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.shuffle.partitions", _stream_shuffle_width(sf_dir))
     try:
         q = (
             deduped.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
+            .format("parquet")
+            .option("path", str(sink_dir))
+            .option("checkpointLocation", str(ckpt_dir))
             .start()
         )
         try:
@@ -367,8 +405,9 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    drained = spark.table(name).localCheckpoint(eager=True)
-    spark.catalog.dropTempView(name)
+    drained = spark.read.schema("event_id bigint, event_type string").parquet(
+        str(sink_dir)
+    )
     return drained.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
 
 
@@ -414,7 +453,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = "stream_static_join_sink"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.shuffle.partitions", _stream_shuffle_width(sf_dir))
     try:
         q = (
             enriched.writeStream.outputMode("complete")
@@ -462,7 +501,12 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     The replay arrives in one micro-batch, so every pair is matched
     before any eviction; the drained append-mode pairs aggregate to
     the exact batch interval-join counts, keeping a real end-to-end
-    streaming run oracle-checkable."""
+    streaming run oracle-checkable. Pairs land in a parquet file sink
+    projected to the one column the final aggregate needs — join
+    output can exceed the input (fan-out pairs), so a memory sink
+    here funnels a bigger-than-source row set through the driver (the
+    stream_dedup lesson, amplified)."""
+    import shutil
     from pathlib import Path
 
     load(spark, sf_dir, "events")  # pins session confs
@@ -496,14 +540,19 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("p_ts") >= F.col("c_ts"))
         & (F.col("p_ts") <= F.col("c_ts") + F.expr("interval 6 hours")),
     )
-    name = "stream_stream_join_sink"
+    out_root = stage.parent / f"{stage.name}_out"
+    sink_dir, ckpt_dir = out_root / "ssj_out", out_root / "ssj_ckpt"
+    for d in (sink_dir, ckpt_dir):
+        shutil.rmtree(d, ignore_errors=True)
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.shuffle.partitions", _stream_shuffle_width(sf_dir))
     try:
         q = (
-            pairs.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
+            pairs.select("c_user")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", str(sink_dir))
+            .option("checkpointLocation", str(ckpt_dir))
             .start()
         )
         try:
@@ -512,8 +561,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    drained = spark.table(name).localCheckpoint(eager=True)
-    spark.catalog.dropTempView(name)
+    drained = spark.read.schema("c_user bigint").parquet(str(sink_dir))
     return (
         drained.groupBy(F.col("c_user").alias("user_id"))
         .agg(F.count(F.lit(1)).alias("n_pairs"))
@@ -620,7 +668,7 @@ def stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = "stream_session_counts_sink"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.shuffle.partitions", _stream_shuffle_width(sf_dir))
     try:
         q = (
             agg.writeStream.outputMode("append")
@@ -735,7 +783,7 @@ def stream_decode_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = "stream_decode_quarantine_sink"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.shuffle.partitions", _stream_shuffle_width(sf_dir))
     try:
         q = (
             agg.writeStream.outputMode("complete")
