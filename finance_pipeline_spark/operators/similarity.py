@@ -63,6 +63,45 @@ def _emb_matrix(col: pd.Series) -> np.ndarray:
     return np.array([np.asarray(v, dtype=np.float64) for v in col], dtype=np.float64)
 
 
+def _spark_round_scaled(a: np.ndarray, dp: int) -> np.ndarray:
+    """Vectorized replica of Spark ``F.round(double, dp)`` returning the
+    EXACT INTEGER-SCALED result: a float64 array of integers ``m`` with
+    ``round_spark(a, dp) == m / 10**dp`` (every |m| here is far below
+    2**53, so the integers are exact).
+
+    Spark's Round on DoubleType is HALF_UP over ``BigDecimal.valueOf``
+    — i.e. the SHORTEST decimal repr of the double, which is also what
+    Python's ``repr(float)`` produces. The fast path
+    ``floor(|a|·10^dp + 0.5)`` agrees with that everywhere except within
+    a float-error band of a ``…5`` boundary, where the binary value and
+    its shortest repr can fall on opposite sides; those elements (a
+    measure-~0 fraction of real data) are resolved with
+    ``Decimal(repr(x)).quantize(HALF_UP)`` — the same recipe
+    ``_probe_cells_kernel`` uses per element, vectorized here so full
+    corpus passes can afford bit-parity rounding (guide §4.2: batch the
+    hot path, keep the slow exact path for the boundary sliver)."""
+    y = a * (10.0**dp)
+    ay = np.abs(y)
+    m = np.floor(ay + 0.5)
+    # band where float arithmetic could disagree with the shortest-repr
+    # HALF_UP decision: |frac - 0.5| within accumulated representation
+    # error (32 ulps covers the repr→binary gap plus the ×10^dp product)
+    band = np.abs(ay - np.floor(ay) - 0.5) <= (1e-6 + 32.0 * np.spacing(ay))
+    if band.any():
+        from decimal import ROUND_HALF_UP, Decimal
+
+        quant = Decimal(1).scaleb(-dp)
+        flat_a = a.ravel()
+        flat_m = m.ravel()
+        for i in np.flatnonzero(band.ravel()):
+            v = Decimal(repr(float(flat_a[i]))).quantize(
+                quant, rounding=ROUND_HALF_UP
+            )
+            flat_m[i] = abs(int(v.scaleb(dp)))
+        m = flat_m.reshape(a.shape)
+    return np.copysign(m, y)
+
+
 _QUERY_FETCH_CAP = 100_000  # max query vectors held driver-side AT ONCE;
 # at 384-dim float64 that is ~300 MB. A larger query workload is
 # processed in cap-sized batches — one corpus pass per batch — instead
@@ -804,20 +843,124 @@ def kmeans_train_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assignments
 
 
+def _lloyd_partials(
+    spark: SparkSession, e: DataFrame, cents_np: "np.ndarray"
+) -> DataFrame:
+    """One fused Lloyd-round pass: assign each vector to its cell
+    (4-dp Spark-parity-rounded squared L2, lowest cluster on ties —
+    bit-identical to the window form via ``_spark_round_scaled``) and
+    emit per-task PARTIAL mean sums ``(cluster, pos, psum, pcnt)``
+    instead of per-row assignment rows.
+
+    This is the guide §2.3 "aggregate before you shuffle" shape: the
+    old path shuffled n×k scored rows through a window rank, joined
+    the winners back to the vectors, and exploded n×dim value rows
+    into the mean shuffle — three corpus-sized exchanges per round.
+    Here ONE kernel pass emits ≤ k×dim rows per task, so the round's
+    shuffle is partition-count-bound, not corpus-bound. Exactness is
+    preserved end to end: per-element 9-dp Spark-parity rounds become
+    exact scaled integers, summed as unbounded Python ints per task
+    and as decimal(38,9) across tasks — the same order-free decimal
+    recipe ``_mean_6dp`` pins (sum of identical rationals ⇒ identical
+    double after the final cast/divide/round in the JVM)."""
+    bc = spark.sparkContext.broadcast(
+        np.ascontiguousarray(np.asarray(cents_np, dtype=np.float64))
+    )
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from decimal import Decimal
+
+        cm = bc.value
+        if cm.size == 0:  # empty quantizer (empty-corpus build): no-op
+            return
+        k, dim = cm.shape
+        acc = [[0] * dim for _ in range(k)]  # Python ints: exact, unbounded
+        cnt = [0] * k
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = _emb_matrix(pdf["embedding"])
+            # same raw-distance expression as the scores kernel (same
+            # float summation order), parity-rounded before the argmin
+            d = ((x[:, None, :] - cm[None, :, :]) ** 2).sum(axis=2)
+            cl = np.argmin(_spark_round_scaled(d, 4), axis=1)
+            xi = _spark_round_scaled(x, 9).astype(np.int64)
+            for c in np.unique(cl):
+                mask = cl == c
+                bs = xi[mask].sum(axis=0, dtype=object)  # exact int sum
+                row = acc[int(c)]
+                for j in range(dim):
+                    row[j] += int(bs[j])
+                cnt[int(c)] += int(mask.sum())
+        out: dict = {"cluster": [], "pos": [], "psum": [], "pcnt": []}
+        for c in range(k):
+            if cnt[c] == 0:
+                continue
+            for j in range(dim):
+                out["cluster"].append(c)
+                out["pos"].append(j)
+                out["psum"].append(Decimal(acc[c][j]).scaleb(-9))
+                out["pcnt"].append(cnt[c])
+        if out["cluster"]:
+            yield pd.DataFrame(out)
+
+    return e.mapInPandas(
+        kern, "cluster bigint, pos int, psum decimal(38,9), pcnt bigint"
+    )
+
+
+def _lloyd_assign_kernel(
+    spark: SparkSession, e: DataFrame, cents_np: "np.ndarray"
+) -> DataFrame:
+    """(vec_id, cluster, dist): rank-1 Lloyd assignment as one Arrow
+    kernel pass — bit-parity with the window form (Spark-parity 4-dp
+    round, argmin ties → lowest cluster, dist = the winner's rounded
+    distance as the identical double)."""
+    bc = spark.sparkContext.broadcast(
+        np.ascontiguousarray(np.asarray(cents_np, dtype=np.float64))
+    )
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cm = bc.value
+        if cm.size == 0:  # empty quantizer (empty-corpus build): no-op
+            return
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            x = _emb_matrix(pdf["embedding"])
+            d = ((x[:, None, :] - cm[None, :, :]) ** 2).sum(axis=2)
+            m4 = _spark_round_scaled(d, 4)
+            cl = np.argmin(m4, axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": ids,
+                    "cluster": cl.astype(np.int64),
+                    "dist": m4[np.arange(len(ids)), cl] / 1e4,
+                }
+            )
+
+    return e.mapInPandas(kern, "vec_id bigint, cluster bigint, dist double")
+
+
 def kmeans_fit(
     spark: SparkSession, e: DataFrame, k: int, rounds: int = 1
 ):
     """Lloyd's k-means over an (vec_id, embedding) frame — the
     reusable multi-round trainer behind ``kmeans_train_assign`` (whose
     oracle pins exactly rounds=1). Returns ``(centroids, assignments)``
-    with assignments = (vec_id, cluster, dist). Per round: one
-    broadcast-centroid scoring pass (vectorized kernel, n×k narrow
-    rows) + ONE (cluster, pos) mean shuffle; centroids stay
-    driver-side (k×dim). Deterministic end to end: min-vec_id seeds,
-    4-dp rounded distances with cluster-id tie-break, 6-dp rounded
-    means, empty clusters keep their previous centroid — so a re-run
-    (or another engine following the recipe) reproduces every round
-    bit-for-bit — including across the input spread, because the
+    with assignments = (vec_id, cluster, dist). Per round (under
+    ``_LLOYD_FUSED_KERNEL``, the r16 default): ONE broadcast-centroid
+    kernel pass emitting per-task partial mean sums — ≤ k×dim rows per
+    task — so nothing corpus-sized is shuffled; centroids stay
+    driver-side (k×dim). The pre-r16 window form (n×k scored rows →
+    window rank → join → posexplode → mean shuffle) is kept as the
+    flag-off path. Deterministic end to end and BIT-IDENTICAL across
+    the two paths: min-vec_id seeds, 4-dp Spark-parity rounded
+    distances with cluster-id tie-break, 6-dp rounded means over exact
+    decimal sums, empty clusters keep their previous centroid — so a
+    re-run (or another engine following the recipe) reproduces every
+    round bit-for-bit — including across the input spread, because the
     decimal mean update is order-free."""
     e = _spread_vectors(e)
     seeds = e.orderBy("vec_id").limit(k).collect()
@@ -825,6 +968,27 @@ def kmeans_fit(
         [np.asarray(r["embedding"], dtype=np.float64) for r in seeds],
         dtype=np.float64,
     )
+
+    if _LLOYD_FUSED_KERNEL:
+        for _ in range(rounds):
+            upd = (
+                _lloyd_partials(spark, e, cents)
+                .groupBy("cluster", "pos")
+                .agg(F.sum("psum").alias("s"), F.sum("pcnt").alias("n"))
+                .select(
+                    "cluster",
+                    "pos",
+                    F.round(
+                        F.col("s").cast("double") / F.col("n"), 6
+                    ).alias("c"),
+                )
+                .collect()
+            )
+            nxt = cents.copy()  # empty clusters keep their centroid
+            for r in upd:
+                nxt[r["cluster"], r["pos"]] = r["c"]
+            cents = nxt
+        return cents, _lloyd_assign_kernel(spark, e, cents)
 
     def scores(cents_np: np.ndarray) -> DataFrame:
         bc = spark.sparkContext.broadcast(cents_np)
@@ -943,6 +1107,26 @@ def _ivf_multiprobe_oracle(nprobe: int) -> str:
 # the whole IVF family re-earned its driver window slots on the new
 # plan in r15 (dual-scale dry-run 8/8 in r14 before the flip).
 _PROBE_CELLS_KERNEL = True
+
+# r16 optimization flip: kmeans_fit runs each Lloyd round as ONE fused
+# Arrow kernel pass (assign + per-task partial decimal mean sums) and
+# the final assignment as one argmin kernel — instead of shuffling n×k
+# scored rows through a window rank plus an n×dim posexplode into the
+# mean shuffle (three corpus-sized exchanges per round). Bit-parity
+# with the window form is pinned by
+# tests/test_similarity.py::test_lloyd_fused_matches_window_path; the
+# Spark-round replica lives in _spark_round_scaled.
+_LLOYD_FUSED_KERNEL = True
+
+# r16 optimization flip, same shape for the PQ family: the Lloyd mean
+# update and the corpus encode run as single fused kernel passes
+# (_pq_partials / _pq_codes_kernel) instead of the n×m×k distance
+# fan-out → window rank → join-back → posexplode mean shuffle →
+# groupBy pivot chain. _pq_build keeps Spark-parity rounding (its
+# DuckDB oracle rounds JVM-side); the scaled tier keeps its documented
+# numpy-round semantics — both value-identical to the flag-off paths
+# (tests/test_similarity.py::test_pq_fused_matches_row_path).
+_PQ_FUSED_KERNEL = True
 
 # FLIPPED ON in r15 (prepped default-off in r14): the Lloyd mean
 # updates in kmeans_fit/_pq_build/_pq_train_encode_scaled are exact
@@ -1319,29 +1503,37 @@ def _pq_build(spark: SparkSession, sf_dir: str):
             .select("vec_id", "sub", "code")
         )
 
-    upd = (
-        assign(cents)
-        .join(e, "vec_id")
-        .select("sub", "code", F.posexplode("embedding").alias("pos", "xf"))
-        .filter(F.expr(f"pos div {_PQ_DSUB}") == F.col("sub"))
-        .groupBy("sub", "code", (F.col("pos") % _PQ_DSUB).alias("lpos"))
-        .agg(_mean_6dp(F.col("xf")).alias("c"))
-        .collect()
-    )
-    cents1 = cents.copy()  # empty codes keep their seed (oracle COALESCE)
-    for r in upd:
-        cents1[r["sub"], r["code"], r["lpos"]] = r["c"]
-
-    codes = (
-        assign(cents1)
-        .groupBy("vec_id")
-        .agg(
-            *[
-                F.max(F.when(F.col("sub") == s, F.col("code"))).alias(f"c{s}")
-                for s in range(_PQ_M)
-            ]
+    if _PQ_FUSED_KERNEL:
+        # fused r16 path: one kernel pass per Lloyd step (Spark-parity
+        # rounding — bit-identical to the JVM window form below), no
+        # n×m×k fan-out, no window shuffle, no posexplode mean shuffle,
+        # no groupBy pivot
+        cents1 = _pq_mean_update(spark, e, cents, spark_parity=True)
+        codes = _pq_codes_kernel(spark, e, cents1, spark_parity=True)
+    else:
+        upd = (
+            assign(cents)
+            .join(e, "vec_id")
+            .select("sub", "code", F.posexplode("embedding").alias("pos", "xf"))
+            .filter(F.expr(f"pos div {_PQ_DSUB}") == F.col("sub"))
+            .groupBy("sub", "code", (F.col("pos") % _PQ_DSUB).alias("lpos"))
+            .agg(_mean_6dp(F.col("xf")).alias("c"))
+            .collect()
         )
-    )
+        cents1 = cents.copy()  # empty codes keep their seed (oracle COALESCE)
+        for r in upd:
+            cents1[r["sub"], r["code"], r["lpos"]] = r["c"]
+
+        codes = (
+            assign(cents1)
+            .groupBy("vec_id")
+            .agg(
+                *[
+                    F.max(F.when(F.col("sub") == s, F.col("code"))).alias(f"c{s}")
+                    for s in range(_PQ_M)
+                ]
+            )
+        )
 
     # Query distance tables, built EXECUTOR-SIDE (r12 verdict item 1:
     # this was the last driver-side per-query loop in the repo — a
@@ -1731,7 +1923,11 @@ def _train_sample(e: DataFrame, n: int, target: int) -> DataFrame:
 
 
 def _pq_train_encode_scaled(
-    spark: SparkSession, e: DataFrame, sample: DataFrame, k_pq: int
+    spark: SparkSession,
+    e: DataFrame,
+    sample: DataFrame,
+    k_pq: int,
+    coarse_cents: "np.ndarray | None" = None,
 ):
     """Parameterized PQ trainer/encoder (the ``_pq_build`` recipe with
     a corpus-sized codebook): seeds = the sample's ``k_pq`` smallest
@@ -1761,19 +1957,42 @@ def _pq_train_encode_scaled(
     k_eff = len(seed_mat)  # tiny corpora may have fewer rows than k_pq
     cents = seed_mat.reshape(k_eff, _PQ_M, _PQ_DSUB).transpose(1, 0, 2).copy()
 
-    upd = (
-        _pq_assign_rows(spark, sample, cents)
-        .join(sample, "vec_id")
-        .select("sub", "code", F.posexplode("embedding").alias("pos", "xf"))
-        .filter(F.expr(f"pos div {_PQ_DSUB}") == F.col("sub"))
-        .groupBy("sub", "code", (F.col("pos") % _PQ_DSUB).alias("lpos"))
-        .agg(_mean_6dp(F.col("xf")).alias("c"))
-        .collect()
-    )
-    cents1 = cents.copy()  # empty codes keep their seed
-    for r in upd:
-        cents1[r["sub"], r["code"], r["lpos"]] = r["c"]
+    if _PQ_FUSED_KERNEL:
+        # fused r16 path (numpy-round assignment, the scaled tier's
+        # documented semantics — values identical to the
+        # _pq_assign_rows → join → posexplode → mean chain below)
+        cents1 = _pq_mean_update(spark, sample, cents, spark_parity=False)
+    else:
+        upd = (
+            _pq_assign_rows(spark, sample, cents)
+            .join(sample, "vec_id")
+            .select("sub", "code", F.posexplode("embedding").alias("pos", "xf"))
+            .filter(F.expr(f"pos div {_PQ_DSUB}") == F.col("sub"))
+            .groupBy("sub", "code", (F.col("pos") % _PQ_DSUB).alias("lpos"))
+            .agg(_mean_6dp(F.col("xf")).alias("c"))
+            .collect()
+        )
+        cents1 = cents.copy()  # empty codes keep their seed
+        for r in upd:
+            cents1[r["sub"], r["code"], r["lpos"]] = r["c"]
 
+    if coarse_cents is not None:
+        if _PQ_FUSED_KERNEL:
+            # complete index row (vec_id, c0..c3, cluster) in ONE
+            # corpus pass — no second kernel, no vec_id glue join
+            return (
+                _pq_codes_kernel(
+                    spark, e, cents1, spark_parity=False,
+                    coarse_cents=coarse_cents,
+                ),
+                cents1,
+            )
+        return (
+            _pq_assign_codes(spark, e, cents1).join(
+                coarse_assign(spark, e, coarse_cents), "vec_id"
+            ),
+            cents1,
+        )
     return _pq_assign_codes(spark, e, cents1), cents1
 
 
@@ -1865,6 +2084,182 @@ def _pq_assign_rows(
     return src.mapInPandas(kern, "vec_id bigint, sub bigint, code bigint")
 
 
+def _pq_sub_assign(
+    x: "np.ndarray", c_mat: "np.ndarray", spark_parity: bool
+) -> "np.ndarray":
+    """(n, m) winning PQ code per (vector, subspace): 4-dp-rounded
+    squared L2 asc, lowest code on ties. ``spark_parity`` picks the
+    rounding replica: Spark ``F.round`` HALF_UP (``_spark_round_scaled``
+    — the oracle-checked ``_pq_build`` chain rounds JVM-side) vs numpy
+    banker's ``np.round`` (the scaled tier's documented near-parity
+    semantics, unchanged from ``_pq_assign_rows``). The raw-distance
+    expression is shared verbatim so float summation order never
+    drifts between the two."""
+    m = c_mat.shape[0]
+    xs = x.reshape(len(x), m, _PQ_DSUB)
+    d = ((xs[:, :, None, :] - c_mat[None, :, :, :]) ** 2).sum(axis=3)
+    if spark_parity:
+        return np.argmin(_spark_round_scaled(d, 4), axis=2)
+    return np.round(d, 4).argmin(axis=2)
+
+
+def _pq_partials(
+    spark: SparkSession,
+    src: DataFrame,
+    c_now: "np.ndarray",
+    spark_parity: bool,
+) -> DataFrame:
+    """One fused PQ-Lloyd-update pass: per-task partial mean sums
+    ``(sub, code, lpos, psum, pcnt)`` — the ``_lloyd_partials`` shape
+    per subspace. Replaces the assignment-rows → join-back → posexplode
+    → mean-shuffle chain (three corpus-sized exchanges) with ONE kernel
+    pass whose output is ≤ m×k×dsub rows per task. The 9-dp pre-round /
+    exact-decimal-sum mean recipe is preserved bit-for-bit
+    (``_spark_round_scaled`` at 9 dp ⇒ exact scaled integers, Python-int
+    task accumulators, decimal(38,9) across tasks)."""
+    src = _spread_vectors(src)
+    bc = spark.sparkContext.broadcast(
+        np.ascontiguousarray(np.asarray(c_now, dtype=np.float64))
+    )
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from decimal import Decimal
+
+        c_mat = bc.value  # (m, k, dsub)
+        if c_mat.size == 0:  # empty codebook (empty-corpus build): no-op
+            return
+        m, k, dsub = c_mat.shape
+        acc = [[[0] * dsub for _ in range(k)] for _ in range(m)]
+        cnt = [[0] * k for _ in range(m)]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = _emb_matrix(pdf["embedding"])
+            code = _pq_sub_assign(x, c_mat, spark_parity)  # (n, m)
+            xi = (
+                _spark_round_scaled(x, 9)
+                .astype(np.int64)
+                .reshape(len(x), m, dsub)
+            )
+            for s in range(m):
+                for c in np.unique(code[:, s]):
+                    mask = code[:, s] == c
+                    bs = xi[mask, s].sum(axis=0, dtype=object)
+                    row = acc[s][int(c)]
+                    for j in range(dsub):
+                        row[j] += int(bs[j])
+                    cnt[s][int(c)] += int(mask.sum())
+        out: dict = {"sub": [], "code": [], "lpos": [], "psum": [], "pcnt": []}
+        for s in range(len(acc)):
+            for c in range(len(acc[s])):
+                if cnt[s][c] == 0:
+                    continue
+                for j in range(len(acc[s][c])):
+                    out["sub"].append(s)
+                    out["code"].append(c)
+                    out["lpos"].append(j)
+                    out["psum"].append(Decimal(acc[s][c][j]).scaleb(-9))
+                    out["pcnt"].append(cnt[s][c])
+        if out["sub"]:
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(
+        kern,
+        "sub bigint, code bigint, lpos int, psum decimal(38,9), pcnt bigint",
+    )
+
+
+def _pq_mean_update(
+    spark: SparkSession,
+    src: DataFrame,
+    cents: "np.ndarray",
+    spark_parity: bool,
+) -> "np.ndarray":
+    """One PQ Lloyd mean update over ``src``: fused partials →
+    type-sized groupBy → 6-dp means; empty codes keep their seed."""
+    upd = (
+        _pq_partials(spark, src, cents, spark_parity)
+        .groupBy("sub", "code", "lpos")
+        .agg(F.sum("psum").alias("s"), F.sum("pcnt").alias("n"))
+        .select(
+            "sub",
+            "code",
+            "lpos",
+            F.round(F.col("s").cast("double") / F.col("n"), 6).alias("c"),
+        )
+        .collect()
+    )
+    cents1 = cents.copy()
+    for r in upd:
+        cents1[r["sub"], r["code"], r["lpos"]] = r["c"]
+    return cents1
+
+
+def _pq_codes_kernel(
+    spark: SparkSession,
+    src: DataFrame,
+    c_now: "np.ndarray",
+    spark_parity: bool,
+    coarse_cents: "np.ndarray | None" = None,
+) -> DataFrame:
+    """(vec_id, c0..c3[, cluster]) one-row-per-vector PQ codes as ONE
+    argmin kernel pass — replaces the (vec_id, sub, code) fan-out plus
+    the groupBy pivot shuffle (n×m rows through an exchange just to be
+    re-assembled into the row they started from).
+
+    With ``coarse_cents``, the coarse IVF cell rides along in the SAME
+    pass (the exact ``coarse_assign`` expression — expanded-form
+    squared L2, numpy 4-dp round, argmin), so the IVFPQ encode emits
+    the complete index row per vector: the old shape ran two separate
+    corpus kernels and shuffled BOTH outputs through a vec_id join
+    just to glue columns back together (guide §2.4 — remove shuffles
+    outright; this is how a one-pass FAISS encode behaves)."""
+    src = _spread_vectors(src)
+    bc = spark.sparkContext.broadcast(
+        np.ascontiguousarray(np.asarray(c_now, dtype=np.float64))
+    )
+    bc_coarse = (
+        spark.sparkContext.broadcast(
+            np.ascontiguousarray(np.asarray(coarse_cents, dtype=np.float64))
+        )
+        if coarse_cents is not None
+        else None
+    )
+    schema = "vec_id bigint, " + ", ".join(
+        f"c{s} bigint" for s in range(_PQ_M)
+    )
+    if bc_coarse is not None:
+        schema += ", cluster bigint"
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c_mat = bc.value
+        if c_mat.size == 0:  # empty codebook (empty-corpus build): no-op
+            return
+        cm = bc_coarse.value if bc_coarse is not None else None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            x = _emb_matrix(pdf["embedding"])
+            code = _pq_sub_assign(x, c_mat, spark_parity)
+            out = {"vec_id": ids}
+            for s in range(c_mat.shape[0]):
+                out[f"c{s}"] = code[:, s].astype(np.int64)
+            if cm is not None:
+                # coarse_assign's expression verbatim (expanded form,
+                # numpy round, lowest cluster on argmin ties)
+                d = np.round(
+                    (x * x).sum(axis=1)[:, None]
+                    - 2.0 * (x @ cm.T)
+                    + (cm * cm).sum(axis=1)[None, :],
+                    4,
+                )
+                out["cluster"] = d.argmin(axis=1).astype(np.int64)
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(kern, schema)
+
+
 def _pq_recon_error(
     spark: SparkSession, src: DataFrame, c_now: "np.ndarray"
 ) -> DataFrame:
@@ -1899,7 +2294,11 @@ def _pq_recon_error(
 def _pq_assign_codes(
     spark: SparkSession, src: DataFrame, c_now: "np.ndarray"
 ) -> DataFrame:
-    """(vec_id, c0..c3) one-row-per-vector PQ codes."""
+    """(vec_id, c0..c3) one-row-per-vector PQ codes — the direct
+    argmin kernel under ``_PQ_FUSED_KERNEL`` (no n×m fan-out + pivot
+    shuffle), the row-form pivot otherwise; values identical."""
+    if _PQ_FUSED_KERNEL:
+        return _pq_codes_kernel(spark, src, c_now, spark_parity=False)
     return (
         _pq_assign_rows(spark, src, c_now)
         .groupBy("vec_id")
@@ -1965,10 +2364,13 @@ def ivfpq_scaled_topk(
         F.xxhash64(F.col("vec_id")).alias("vec_id"), "embedding"
     )
     cents, _ = kmeans_fit(spark, hashed, p["k_cells"], rounds=2)
-    corpus_cells = coarse_assign(spark, e, cents)
 
-    codes, cents1 = _pq_train_encode_scaled(spark, e, sample, p["k_pq"])
-    codes_c = codes.join(corpus_cells, "vec_id")
+    # one corpus encode pass emits (vec_id, c0..c3, cluster) complete —
+    # the pre-r16 shape ran coarse_assign as a SECOND corpus kernel and
+    # shuffled both outputs through a vec_id join just to glue columns
+    codes_c, cents1 = _pq_train_encode_scaled(
+        spark, e, sample, p["k_pq"], coarse_cents=cents
+    )
 
     q = (
         queries

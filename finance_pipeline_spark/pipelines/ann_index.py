@@ -53,11 +53,10 @@ from finance_pipeline_spark.operators.similarity import (
     _PQ_M,
     _RERANK_N,
     _SCALED_TRAIN_CAP,
-    _pq_assign_codes,
+    _pq_codes_kernel,
     _pq_recon_error,
     _pq_train_encode_scaled,
     _train_sample,
-    coarse_assign,
     ivfpq_serve,
     kmeans_fit,
     scaled_ann_params,
@@ -165,8 +164,13 @@ class CorpusAnnIndex:
         return dict(meta, codes_inserted=merged.inserted)
 
     def _encode(self, e: DataFrame, cents, cents1) -> DataFrame:
-        cells = coarse_assign(self.spark, e, cents)
-        return _pq_assign_codes(self.spark, e, cents1).join(cells, "vec_id")
+        # one kernel pass emits the complete (vec_id, c0..c3, cluster)
+        # index row — same fusion as ivfpq_scaled_topk (r16): the old
+        # shape ran a second corpus kernel for the cells and shuffled
+        # both outputs through a vec_id glue join
+        return _pq_codes_kernel(
+            self.spark, e, cents1, spark_parity=False, coarse_cents=cents
+        )
 
     def add(self, batch: DataFrame) -> dict:
         """Encode a (vec_id, embedding) batch against the FROZEN

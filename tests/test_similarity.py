@@ -684,3 +684,99 @@ def test_emb_matrix_empty_batch_is_2d():
     full = _emb_matrix(pd.Series([[1.0, 2.0], [3.5, -4.0]]))
     assert full.shape == (2, 2) and full.dtype == np.float64
     assert full.tolist() == [[1.0, 2.0], [3.5, -4.0]]
+
+
+def test_spark_round_scaled_parity(spark):
+    """r16 fused-kernel foundation: ``_spark_round_scaled`` must equal
+    Spark ``F.round`` (HALF_UP over the shortest decimal repr) on every
+    element — random values plus crafted 4-dp/9-dp half-boundaries that
+    force the Decimal slow path — at both precisions the Lloyd/PQ
+    kernels use."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from finance_pipeline_spark.operators.similarity import (
+        _spark_round_scaled,
+    )
+
+    rng = np.random.default_rng(11)
+    vals = np.concatenate(
+        [
+            rng.uniform(-100, 100, 4000),
+            np.round(rng.uniform(-10, 10, 1000), 4),  # exact 4-dp values
+            np.round(rng.uniform(-10, 10, 1000), 5),  # 4-dp half-boundaries
+            np.round(rng.uniform(-1, 1, 500), 10),  # 9-dp half-boundaries
+            np.array([0.00005, -0.00005, 2.5e-5, -2.5e-10, 0.0, -0.0]),
+        ]
+    )
+    df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+    for dp in (4, 9):
+        got = _spark_round_scaled(vals, dp) / (10.0**dp)
+        exp = np.array([r[0] for r in df.select(F.round("x", dp)).collect()])
+        assert np.array_equal(got, exp), (
+            f"dp={dp}: first diff at "
+            f"{vals[np.flatnonzero(got != exp)[:3]]}"
+        )
+
+
+def test_lloyd_fused_matches_window_path(spark, monkeypatch):
+    """r16 optimization flip: the fused Lloyd kernel (one pass —
+    parity-rounded argmin assignment + per-task exact decimal partial
+    mean sums) must reproduce the window-form path BIT-FOR-BIT:
+    identical centroids after multiple rounds and identical
+    (vec_id, cluster, dist) assignment rows, across different input
+    partitionings."""
+    import numpy as np
+
+    from finance_pipeline_spark.operators import similarity as S
+
+    assert S._LLOYD_FUSED_KERNEL is True  # registered surface runs fused
+
+    rng = np.random.default_rng(23)
+    mat = rng.standard_normal((400, _DIM)).astype(np.float32)
+    mat[7] = mat[3]  # exact duplicate vectors: assignment tie pressure
+    rows = [(int(i + 1), [float(x) for x in mat[i]]) for i in range(len(mat))]
+    e = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+    for rounds in (1, 2):
+        monkeypatch.setattr(S, "_LLOYD_FUSED_KERNEL", False)
+        c_ref, a_ref = S.kmeans_fit(spark, e, 8, rounds=rounds)
+        ref = sorted(map(tuple, a_ref.collect()))
+        monkeypatch.setattr(S, "_LLOYD_FUSED_KERNEL", True)
+        c_new, a_new = S.kmeans_fit(spark, e.repartition(5), 8, rounds=rounds)
+        new = sorted(map(tuple, a_new.collect()))
+        assert np.array_equal(c_ref, c_new), f"rounds={rounds}: centroids drift"
+        assert ref == new, f"rounds={rounds}: assignments drift"
+
+
+def test_pq_fused_matches_row_path(spark, monkeypatch, tmp_path):
+    """r16 optimization flip for the PQ family: the fused mean-update /
+    codes kernels must reproduce the row-form chain exactly — both the
+    Spark-parity flavor (_pq_build, oracle-checked via ann_pq_topk) and
+    the numpy-round flavor (_pq_assign_codes / the scaled trainer)."""
+    import numpy as np
+
+    from finance_pipeline_spark.operators import similarity as S
+
+    assert S._PQ_FUSED_KERNEL is True  # registered surface runs fused
+
+    rng = np.random.default_rng(29)
+    n = 300
+    mat = rng.standard_normal((n, _DIM))
+    ids = list(range(1, n + 1))  # ids 100/200/300 become the queries
+    sf = write_embeddings(tmp_path, ids, mat)
+
+    monkeypatch.setattr(S, "_PQ_FUSED_KERNEL", False)
+    ref = sorted(map(tuple, S.ann_pq_topk(spark, sf).collect()))
+    monkeypatch.setattr(S, "_PQ_FUSED_KERNEL", True)
+    new = sorted(map(tuple, S.ann_pq_topk(spark, sf).collect()))
+    assert ref == new and len(ref) > 0
+
+    # numpy-round flavor: codes for a synthetic codebook
+    e = registry.load(spark, sf, "embeddings").select("vec_id", "embedding")
+    cents = rng.standard_normal((S._PQ_M, 8, S._PQ_DSUB))
+    monkeypatch.setattr(S, "_PQ_FUSED_KERNEL", False)
+    ref_codes = sorted(map(tuple, S._pq_assign_codes(spark, e, cents).collect()))
+    monkeypatch.setattr(S, "_PQ_FUSED_KERNEL", True)
+    new_codes = sorted(map(tuple, S._pq_assign_codes(spark, e, cents).collect()))
+    assert ref_codes == new_codes and len(ref_codes) == n
