@@ -1978,7 +1978,17 @@ def dedup_connected_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _min_label_components(pairs: DataFrame) -> DataFrame:
     """Min-label propagation over an undirected pair list → one
-    (vec_id, component_id) row per edge-bearing vertex."""
+    (vec_id, component_id) row per edge-bearing vertex.
+
+    r16 constant cut, fixpoint-identical: labels initialize directly
+    to ``min(u, min(neighbors))`` — which IS round 1's output from the
+    identity labeling — so the loop starts one full propagation round
+    ahead (one barrier fewer at any scale; same fixpoint, every
+    subsequent round unchanged). A pre-partition of the edge list by
+    the per-round join key was tried and REJECTED: ``localCheckpoint``
+    drops the hash-partitioning metadata (the round join plans an
+    Exchange on both sides regardless), so it only added an exchange
+    and widened every tiny loop stage to the full shuffle width."""
     edges = (
         pairs.union(
             pairs.select(F.col("vec_b").alias("vec_a"), F.col("vec_a").alias("vec_b"))
@@ -1987,9 +1997,9 @@ def _min_label_components(pairs: DataFrame) -> DataFrame:
         .localCheckpoint(eager=True)  # materialize once; tiny (edge list)
     )
     labels = (
-        edges.select("u")
-        .distinct()
-        .withColumn("comp", F.col("u"))
+        edges.groupBy("u")
+        .agg(F.min("w").alias("mw"))
+        .select("u", F.least(F.col("mw"), F.col("u")).alias("comp"))
         .localCheckpoint(eager=True)
     )
     converged = False
