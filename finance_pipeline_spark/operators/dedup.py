@@ -103,6 +103,30 @@ def _hash64_arr(strs: list):
     return vals[inv].view(np.int64)
 
 
+def _md5_pair_arr(strs: list):
+    """``_hash64_arr`` plus the full md5 HEX digest of each string,
+    from ONE digest computation per distinct value: returns
+    ``(int64 ndarray, S32-bytes ndarray)`` in occurrence order. The
+    int64 column is bit-identical to ``_hash64_arr`` (same
+    digest[:8] little-endian); the hex column is what
+    ``ngram_band_rows``'s JVM ``F.md5`` emits, so band keys derived
+    here block identically."""
+    import numpy as np
+    from hashlib import md5
+
+    if not len(strs):
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype="S32")
+    uniq, inv = np.unique(np.asarray(strs, dtype=object), return_inverse=True)
+    digests = [md5(s.encode("utf-8")).digest() for s in uniq]
+    vals = np.fromiter(
+        (int.from_bytes(d[:8], "little") for d in digests),
+        dtype=np.uint64,
+        count=len(digests),
+    )
+    hexes = np.array([d.hex() for d in digests], dtype="S32")
+    return vals[inv].view(np.int64), hexes[inv]
+
+
 def _segment_starts(counts: list):
     """Start offsets of per-doc segments in a flattened batch array —
     the ``indices`` argument ``np.{minimum,add}.reduceat`` needs."""
@@ -1560,14 +1584,24 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- n-gram Jaccard (oracle-checked) ----------------------------------------
 
 
-def hashed_shingle_rows(df: DataFrame) -> DataFrame:
+def hashed_shingle_rows(df: DataFrame, with_bands: bool = False) -> DataFrame:
     """(doc_id, lang, text) → (doc_id, lang, len_bucket, shingles):
     distinct trigram shingles as md5-64 int64s, built in an Arrow
     kernel. Jaccard *counts* are hash-function-agnostic: a within-pair
     64-bit collision (P ≈ |union|²/2⁶⁵ ≈ 1e-13) is the only way counts
     could diverge from string-set semantics, so the DuckDB oracle may
     use its own hash() and still agree — while set ops downstream run
-    over 8-byte ints instead of ~25-byte strings."""
+    over 8-byte ints instead of ~25-byte strings.
+
+    ``with_bands=True`` additionally emits ``band_keys``: the
+    ``_NGRAM_BANDS`` lexicographically-smallest distinct md5 HEX
+    digests of the doc's trigrams — byte-identical to
+    ``ngram_band_rows``'s JVM construction (md5 over the same trigram
+    strings, and lowercase-hex lexicographic order IS 128-bit numeric
+    order), but derived from the SAME digests this kernel already
+    computes, so ``dedup_ngram_jaccard`` reads the corpus once instead
+    of twice (r16: the second scan re-split, re-hashed and fully
+    re-sorted every doc's digest set JVM-side just to keep bottom-4)."""
     import numpy as np
     import pandas as pd
 
@@ -1595,16 +1629,24 @@ def hashed_shingle_rows(df: DataFrame) -> DataFrame:
                 rows["len_bucket"].append(len(toks) // 32)
                 counts.append(len(sh))
                 flat.extend(sh)
-            h = _hash64_arr(flat)
             starts, bounds = _segment_starts(counts)
+            if with_bands:
+                h, hexes = _md5_pair_arr(flat)
+                rows["band_keys"] = [
+                    [b.decode("ascii") for b in np.unique(hexes[s:e])[:_NGRAM_BANDS]]
+                    for s, e in zip(starts, bounds)
+                ]
+            else:
+                h = _hash64_arr(flat)
             rows["shingles"] = [
                 np.unique(h[s:e]).tolist() for s, e in zip(starts, bounds)
             ]
             yield pd.DataFrame(rows)
 
-    return _spread(df.select("doc_id", "lang", "text")).mapInPandas(
-        kernel, "doc_id bigint, lang string, len_bucket int, shingles array<bigint>"
-    )
+    schema = "doc_id bigint, lang string, len_bucket int, shingles array<bigint>"
+    if with_bands:
+        schema += ", band_keys array<string>"
+    return _spread(df.select("doc_id", "lang", "text")).mapInPandas(kernel, schema)
 
 
 _NGRAM_BLOCK_CAP = 512  # docs per band-key block admitted to pairing —
@@ -1750,11 +1792,28 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       doc opening with the same header shares its minimum trigram —
       at CAP²/2 pairs. Over-cap remainders are observable in
       ``dedup_dropped_accounting``, never silent.
+    - **One corpus pass (r16).** Band keys come out of the shingle
+      kernel itself (same md5 digests, bottom-k kept numpy-side), so
+      the corpus is scanned/tokenized/hashed ONCE — previously a
+      second JVM pass re-split every doc and fully sorted its digest
+      set just to keep the smallest ``_NGRAM_BANDS``.
     """
     docs = load(spark, sf_dir, "documents")
+    # ONE corpus pass: the shingle kernel also emits the bottom-k md5
+    # band keys (byte-identical to ngram_band_rows's JVM construction,
+    # from the digests it already computes — see hashed_shingle_rows).
+    # localCheckpoint materializes the kernel once for all three
+    # consumers below (band explode + both sides of the pair join;
+    # Catalyst's self-join re-aliasing otherwise re-executes the
+    # kernel per side — same note as minhash_pairs).
+    sh_bands = (
+        hashed_shingle_rows(docs, with_bands=True)
+        .select("doc_id", "shingles", "band_keys")
+        .localCheckpoint(eager=True)
+    )
     w = W.partitionBy("band_key").orderBy("doc_id")
     capped = (
-        ngram_band_rows(docs)
+        sh_bands.select("doc_id", F.explode("band_keys").alias("band_key"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _NGRAM_BLOCK_CAP)
         .select("doc_id", "band_key")
@@ -1771,15 +1830,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    # Shingle arrays join in once per surviving candidate pair. The
-    # Arrow kernel runs once: localCheckpoint materializes it before
-    # the two-sided join (Catalyst's self-join re-aliasing otherwise
-    # re-executes the kernel per side — same note as minhash_pairs).
-    sh = (
-        hashed_shingle_rows(docs)
-        .select("doc_id", "shingles")
-        .localCheckpoint(eager=True)
-    )
+    sh = sh_bands.select("doc_id", "shingles")
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     jac = inter / (
         F.size("sh_a").cast("double") + F.size("sh_b") - inter

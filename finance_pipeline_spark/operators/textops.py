@@ -3338,9 +3338,15 @@ def text_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     negligible.
 
     Scale shape: the count tables (c2/c1/n1p) grow with bigram TYPES
-    (sub-linear in corpus size) and broadcast onto the pair stream —
-    the instances are scanned, never shuffled, except the final
-    per-doc rollup. c2 is checkpointed once so its three derived
+    (sub-linear in corpus size). The probability is a function of the
+    bigram TYPE alone, so it is computed once per type — c1/n1p join
+    onto c2 type-side (type-sized joins) and the finished (w1, w2,
+    logp) table broadcasts onto the pair stream as the ONE
+    instance-side hash probe (r16: was three probes per instance plus
+    a per-instance log(); bit-identical because the per-type
+    expression is the exact per-instance expression over the same
+    integer inputs). Instances are scanned, never shuffled, except
+    the final per-doc rollup. c2 is checkpointed once so its derived
     tables and the probe join don't re-run the pair explode.
     BOUNDEDNESS CAVEAT: "type-sized" is sub-linear but not bounded —
     an open-vocabulary 100 TB corpus can reach billions of bigram
@@ -3370,14 +3376,17 @@ def text_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) + (
         (F.lit(_KN_D) * F.col("kf").cast("double")) / F.col("ctx").cast("double")
     ) * (F.col("kp").cast("double") / F.lit(t))
-    scored = (
-        pairs.join(F.broadcast(c2), ["w1", "w2"])
-        .join(F.broadcast(c1), "w1")
+    typed = (
+        c2.join(F.broadcast(c1), "w1")
         .join(F.broadcast(n1p), "w2")
         .select(
-            "doc_id",
+            "w1",
+            "w2",
             F.round(F.log(p), 6).cast("decimal(38,6)").alias("logp"),
         )
+    )
+    scored = pairs.join(F.broadcast(typed), ["w1", "w2"]).select(
+        "doc_id", "logp"
     )
     avg = F.col("sum_lp").cast("double") / F.col("n_bigrams")
     return (
@@ -3498,10 +3507,17 @@ def text_kn3_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the decimal sum cast once to double, ppl rounds at 3 dp.
 
     Scale shape: every table (c3/ctx12/cont23/mid2/uni) is TYPE-sized
-    (sub-linear in corpus size) and broadcasts onto the trigram
-    stream — instances are scanned, never shuffled, except the final
-    per-doc rollup; c3 is checkpointed once so its four derived tables
-    and the probe join don't re-run the triple explode. Same
+    (sub-linear in corpus size). The probability is a function of the
+    trigram TYPE alone, so it is computed once per type — the four
+    derived tables join back onto c3 type-side and the finished
+    (w1, w2, w3, logp) table broadcasts onto the trigram stream as
+    the ONE instance-side hash probe (r16: was five probes per
+    instance plus a per-instance log(); bit-identical because the
+    per-type expression is the exact per-instance expression over the
+    same integer inputs). Instances are scanned, never shuffled,
+    except the final per-doc rollup; c3 is checkpointed once so the
+    type-side joins and the probe join don't re-run the triple
+    explode. Same
     boundedness caveat + upgrade paths as the bigram entry (top-V
     vocab mapping, or un-hint the broadcasts and shuffle on the gram
     keys — KenLM prunes low-count n-grams for the same reason)."""
@@ -3537,16 +3553,20 @@ def text_kn3_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) + (
         (F.lit(_KN_D) * F.col("kf").cast("double")) / F.col("ctx").cast("double")
     ) * p2
-    scored = (
-        trips.join(F.broadcast(c3), ["w1", "w2", "w3"])
-        .join(F.broadcast(ctx12), ["w1", "w2"])
+    typed = (
+        c3.join(F.broadcast(ctx12), ["w1", "w2"])
         .join(F.broadcast(cont23), ["w2", "w3"])
         .join(F.broadcast(mid2), "w2")
         .join(F.broadcast(uni), "w3")
         .select(
-            "doc_id",
+            "w1",
+            "w2",
+            "w3",
             F.round(F.log(p3), 6).cast("decimal(38,6)").alias("logp"),
         )
+    )
+    scored = trips.join(F.broadcast(typed), ["w1", "w2", "w3"]).select(
+        "doc_id", "logp"
     )
     avg = F.col("sum_lp").cast("double") / F.col("n_trigrams")
     return (
