@@ -3129,6 +3129,15 @@ def lm_score(
         )
     )
     if gavg is None:
+        # Self-derived mean = a diamond: per_doc feeds BOTH the mean
+        # aggregate and the output join, and without materialization
+        # Catalyst re-runs the whole corpus pass (pair explode + vocab
+        # map + c2 probe + doc rollup) once per branch — measured as
+        # the duplicated Generate subtrees in the r16 plan audit.
+        # per_doc is DOC-sized (5 small columns), so checkpointing it
+        # is cheap at any scale; lazy, so plan-only consumers
+        # (explain, oracle registration) pay nothing.
+        per_doc = per_doc.localCheckpoint(eager=False)
         gavg = (
             per_doc.groupBy(*mean_keys)
             .agg(
