@@ -1922,30 +1922,15 @@ def _train_sample(e: DataFrame, n: int, target: int) -> DataFrame:
     return e.filter(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(ratio)) == 0)
 
 
-def _pq_train_encode_scaled(
-    spark: SparkSession,
-    e: DataFrame,
-    sample: DataFrame,
-    k_pq: int,
-    coarse_cents: "np.ndarray | None" = None,
-):
-    """Parameterized PQ trainer/encoder (the ``_pq_build`` recipe with
-    a corpus-sized codebook): seeds = the sample's ``k_pq`` smallest
-    vec_ids per subspace, one Lloyd round ON THE SAMPLE (assign →
-    6-dp-rounded mean update, empty codes keep their seed), then the
-    refined codebooks encode the FULL corpus. Returns
-    ``(codes_df, cents1)`` with codes = (vec_id, c0..c3).
-
-    Scale shape: codebooks are driver-sized (m x k_pq x dsub <= 4 x
-    256 x 16 doubles = 128 KiB) and broadcast; assignment is one
-    Arrow-batched vectorized kernel pass emitting the per-subspace
-    argmin directly (n x m rows, never the n x m x k distance
-    fan-out — at k=256 the fan-out would be 64x the corpus).
-
-    Seeds are drawn in xxhash64 order (deterministic pseudo-random),
-    not smallest-id order: id-correlated corpora would otherwise seed
-    every code from one neighborhood (see the coarse-quantizer note in
-    ``ivfpq_scaled_topk``)."""
+def _pq_train_scaled(
+    spark: SparkSession, sample: DataFrame, k_pq: int
+) -> "np.ndarray":
+    """The TRAINING half of ``_pq_train_encode_scaled``: seeds = the
+    sample's ``k_pq`` xxhash64-smallest vec_ids per subspace, one Lloyd
+    round ON THE SAMPLE (assign → 6-dp-rounded mean update, empty codes
+    keep their seed). Returns the refined (m, k_eff, dsub) codebooks.
+    Split out so the scaled build paths can overlap this training with
+    the (independent) coarse k-means — see ``_train_scaled_quantizers``."""
     seeds = (
         sample.orderBy(F.xxhash64(F.col("vec_id")), "vec_id")
         .limit(k_pq)
@@ -1961,20 +1946,76 @@ def _pq_train_encode_scaled(
         # fused r16 path (numpy-round assignment, the scaled tier's
         # documented semantics — values identical to the
         # _pq_assign_rows → join → posexplode → mean chain below)
-        cents1 = _pq_mean_update(spark, sample, cents, spark_parity=False)
-    else:
-        upd = (
-            _pq_assign_rows(spark, sample, cents)
-            .join(sample, "vec_id")
-            .select("sub", "code", F.posexplode("embedding").alias("pos", "xf"))
-            .filter(F.expr(f"pos div {_PQ_DSUB}") == F.col("sub"))
-            .groupBy("sub", "code", (F.col("pos") % _PQ_DSUB).alias("lpos"))
-            .agg(_mean_6dp(F.col("xf")).alias("c"))
-            .collect()
-        )
-        cents1 = cents.copy()  # empty codes keep their seed
-        for r in upd:
-            cents1[r["sub"], r["code"], r["lpos"]] = r["c"]
+        return _pq_mean_update(spark, sample, cents, spark_parity=False)
+    upd = (
+        _pq_assign_rows(spark, sample, cents)
+        .join(sample, "vec_id")
+        .select("sub", "code", F.posexplode("embedding").alias("pos", "xf"))
+        .filter(F.expr(f"pos div {_PQ_DSUB}") == F.col("sub"))
+        .groupBy("sub", "code", (F.col("pos") % _PQ_DSUB).alias("lpos"))
+        .agg(_mean_6dp(F.col("xf")).alias("c"))
+        .collect()
+    )
+    cents1 = cents.copy()  # empty codes keep their seed
+    for r in upd:
+        cents1[r["sub"], r["code"], r["lpos"]] = r["c"]
+    return cents1
+
+
+def _train_scaled_quantizers(
+    spark: SparkSession,
+    sample: DataFrame,
+    k_cells: int,
+    k_pq: int,
+):
+    """Train the coarse quantizer and the PQ codebooks CONCURRENTLY —
+    they are independent given the eagerly-checkpointed sample (coarse
+    trains on xxhash64-remapped ids, PQ on the subspace slices), so
+    their driver-side barriers (seed collects + Lloyd-round partial
+    collects) overlap instead of queueing (guide §2.6: submit
+    independent jobs from a small thread pool so the next job's tasks
+    back-fill the tail). Results are bit-identical to the sequential
+    order: each trainer's computation never reads the other's state,
+    and both are deterministic functions of the checkpointed sample."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    hashed = sample.select(
+        F.xxhash64(F.col("vec_id")).alias("vec_id"), "embedding"
+    )
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_coarse = pool.submit(kmeans_fit, spark, hashed, k_cells, 2)
+        f_pq = pool.submit(_pq_train_scaled, spark, sample, k_pq)
+        cents, _ = f_coarse.result()
+        cents1 = f_pq.result()
+    return cents, cents1
+
+
+def _pq_train_encode_scaled(
+    spark: SparkSession,
+    e: DataFrame,
+    sample: DataFrame,
+    k_pq: int,
+    coarse_cents: "np.ndarray | None" = None,
+    cents1: "np.ndarray | None" = None,
+):
+    """Parameterized PQ trainer/encoder (the ``_pq_build`` recipe with
+    a corpus-sized codebook): ``_pq_train_scaled``'s one-Lloyd-round
+    codebooks (or a pre-trained ``cents1`` from the overlapped path)
+    encode the FULL corpus. Returns ``(codes_df, cents1)`` with
+    codes = (vec_id, c0..c3).
+
+    Scale shape: codebooks are driver-sized (m x k_pq x dsub <= 4 x
+    256 x 16 doubles = 128 KiB) and broadcast; assignment is one
+    Arrow-batched vectorized kernel pass emitting the per-subspace
+    argmin directly (n x m rows, never the n x m x k distance
+    fan-out — at k=256 the fan-out would be 64x the corpus).
+
+    Seeds are drawn in xxhash64 order (deterministic pseudo-random),
+    not smallest-id order: id-correlated corpora would otherwise seed
+    every code from one neighborhood (see the coarse-quantizer note in
+    ``ivfpq_scaled_topk``)."""
+    if cents1 is None:
+        cents1 = _pq_train_scaled(spark, sample, k_pq)
 
     if coarse_cents is not None:
         if _PQ_FUSED_KERNEL:
@@ -2359,17 +2400,17 @@ def ivfpq_scaled_topk(
     # smallest" a deterministic pseudo-random draw across the corpus;
     # a second Lloyd round then polishes the spread seeds. The hashed
     # ids only feed seeding/assignment-internal keys — cents is all we
-    # consume.
-    hashed = sample.select(
-        F.xxhash64(F.col("vec_id")).alias("vec_id"), "embedding"
+    # consume. Coarse and PQ training overlap (independent given the
+    # checkpointed sample — _train_scaled_quantizers).
+    cents, cents1 = _train_scaled_quantizers(
+        spark, sample, p["k_cells"], p["k_pq"]
     )
-    cents, _ = kmeans_fit(spark, hashed, p["k_cells"], rounds=2)
 
     # one corpus encode pass emits (vec_id, c0..c3, cluster) complete —
     # the pre-r16 shape ran coarse_assign as a SECOND corpus kernel and
     # shuffled both outputs through a vec_id join just to glue columns
-    codes_c, cents1 = _pq_train_encode_scaled(
-        spark, e, sample, p["k_pq"], coarse_cents=cents
+    codes_c, _ = _pq_train_encode_scaled(
+        spark, e, sample, p["k_pq"], coarse_cents=cents, cents1=cents1
     )
 
     q = (

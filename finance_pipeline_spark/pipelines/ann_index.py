@@ -55,10 +55,9 @@ from finance_pipeline_spark.operators.similarity import (
     _SCALED_TRAIN_CAP,
     _pq_codes_kernel,
     _pq_recon_error,
-    _pq_train_encode_scaled,
     _train_sample,
+    _train_scaled_quantizers,
     ivfpq_serve,
-    kmeans_fit,
     scaled_ann_params,
 )
 from finance_pipeline_spark.sinks.txn_table import TxnKeyedTable
@@ -125,12 +124,11 @@ class CorpusAnnIndex:
         sample = _train_sample(e, n, p["train_target"]).localCheckpoint(
             eager=True
         )
-        hashed = sample.select(
-            F.xxhash64(F.col("vec_id")).alias("vec_id"), "embedding"
-        )
-        cents, _ = kmeans_fit(self.spark, hashed, p["k_cells"], rounds=2)
-        codes_df, cents1 = _pq_train_encode_scaled(
-            self.spark, e, sample, p["k_pq"]
+        # coarse and PQ training overlap (independent given the
+        # checkpointed sample) — the exact recipe the batch operator
+        # runs through the same helper, so parity is preserved
+        cents, cents1 = _train_scaled_quantizers(
+            self.spark, sample, p["k_cells"], p["k_pq"]
         )
 
         root = Path(self.root)
