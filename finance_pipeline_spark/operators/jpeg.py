@@ -235,12 +235,19 @@ class _BitReader:
         self.pos = pos
         self.acc = 0
         self.nbits = 0
+        # pre-fill byte positions of the most recent fills — lets
+        # align_and_skip_restart rewind whole UNCONSUMED buffered
+        # bytes so the eager 16-bit lookahead (see _fill_to) is
+        # position-invisible at restart boundaries, stuffed FF00
+        # included (the recorded position is the FF's)
+        self.fills = [0, 0, 0, 0]
 
     def _fill(self) -> None:
         b = self.buf
         if self.pos >= len(b):
             raise ValueError("truncated JPEG entropy stream")
         byte = b[self.pos]
+        before = self.pos
         if byte == 0xFF:
             if self.pos + 1 >= len(b):
                 raise ValueError("truncated JPEG entropy stream")
@@ -255,8 +262,17 @@ class _BitReader:
                 )
         else:
             self.pos += 1
-        self.acc = (self.acc << 8) | byte
+        # mask to the live bits on every append: consumed high bits are
+        # dead weight (every read masks to nbits), and without the trim
+        # acc grows 8 bits per fill for the WHOLE entropy segment — a
+        # latent quadratic that made a 120 KiB frame decode ~15x slower
+        # per byte than an 8 KiB one (fixture-sized streams never
+        # showed it; real frames would)
+        self.acc = ((self.acc << 8) | byte) & ((1 << (self.nbits + 8)) - 1)
         self.nbits += 8
+        f = self.fills
+        f[0], f[1], f[2] = f[1], f[2], f[3]
+        f[3] = before
 
     def read_bit(self) -> int:
         if not self.nbits:
@@ -264,7 +280,24 @@ class _BitReader:
         self.nbits -= 1
         return (self.acc >> self.nbits) & 1
 
+    def _fill_to(self, n: int) -> bool:
+        """Best-effort buffer of ≥ n bits. False when the stream ends
+        or a marker intervenes first — the caller falls back to the
+        per-bit path, which re-encounters the identical condition at
+        exactly the bit the original reader would have (a failed
+        ``_fill`` mutates nothing, so swallowing its exception here is
+        state-neutral)."""
+        while self.nbits < n:
+            try:
+                self._fill()
+            except (ValueError, _RestartMarker):
+                return False
+        return True
+
     def receive(self, n: int) -> int:
+        if n and self._fill_to(n):
+            self.nbits -= n
+            return (self.acc >> self.nbits) & ((1 << n) - 1)
         v = 0
         for _ in range(n):
             v = (v << 1) | self.read_bit()
@@ -272,6 +305,14 @@ class _BitReader:
 
     def align_and_skip_restart(self) -> None:
         """Consume a restart marker at a restart boundary."""
+        # undo the eager lookahead first: whole buffered-but-unconsumed
+        # bytes rewind to their pre-fill positions (the lazy reader
+        # never read them, and its pos — hence the marker check — sits
+        # before them; only the ≤7 sub-byte pad bits are discarded,
+        # exactly as before)
+        k = self.nbits // 8
+        if k:
+            self.pos = self.fills[4 - k]
         self.acc, self.nbits = 0, 0
         b = self.buf
         if (
@@ -290,6 +331,21 @@ class _RestartMarker(Exception):
 
 
 def _decode_symbol(r: _BitReader, table: dict) -> int:
+    if r._fill_to(16):
+        # fast path: one 16-bit peek, then pure int ops per candidate
+        # length — no per-bit refill bookkeeping. Identical symbol,
+        # identical bits consumed, identical invalid-code error.
+        window = (r.acc >> (r.nbits - 16)) & 0xFFFF
+        get = table.get
+        for length in range(1, 17):
+            sym = get((length, window >> (16 - length)))
+            if sym is not None:
+                r.nbits -= length
+                return sym
+        raise ValueError("invalid Huffman code in JPEG stream")
+    # boundary path (stream end / marker within 16 bits): the original
+    # per-bit walk, which raises truncation/marker exactly where the
+    # symbol actually needs the missing bit
     code, length = 0, 0
     while length < 16:
         code = (code << 1) | r.read_bit()
