@@ -184,6 +184,41 @@ def build_huffman(bits, vals):
     return encode, decode
 
 
+def _build_decode_lut(decode: dict) -> list:
+    """16-bit-window decode LUT: lut[w] = (sym << 5) | code_length for
+    the unique prefix code matching the high bits of the 16-bit window
+    ``w``, 0 where no code matches (invalid stream). Prefix-freeness
+    (build_huffman's canonical construction) makes the entry unique, so
+    one list index replaces the 1..16 per-length probe walk with the
+    identical symbol, consumed-bit count, and invalid-code error."""
+    lut = [0] * 65536
+    for (length, code), sym in decode.items():
+        span = 1 << (16 - length)
+        base = code * span
+        lut[base : base + span] = [(sym << 5) | length] * span
+    return lut
+
+
+# DHT-spec-keyed memo for decoder tables. The table build (dict + 64K
+# LUT) is pure in the (BITS, HUFFVAL) bytes; real corpora reuse a
+# handful of specs (overwhelmingly Annex-K), so the per-image rebuild
+# cost — which dominated tiny-image decode setup — amortizes to one
+# build per worker process. Capped so adversarial streams with
+# endlessly novel tables cannot grow it without bound.
+_DHT_MEMO: dict = {}
+
+
+def _huff_decode_cached(spec: bytes, bits, vals):
+    tabs = _DHT_MEMO.get(spec)
+    if tabs is None:
+        decode = build_huffman(bits, vals)[1]
+        tabs = (decode, _build_decode_lut(decode))
+        if len(_DHT_MEMO) >= 64:
+            _DHT_MEMO.clear()
+        _DHT_MEMO[spec] = tabs
+    return tabs
+
+
 def _category(v: int) -> int:
     """Bit category (SSSS) of a DC difference / AC coefficient."""
     return int(abs(v)).bit_length()
@@ -312,6 +347,11 @@ class _BitReader:
         # exactly as before)
         k = self.nbits // 8
         if k:
+            # the 4-slot fill ring covers the current max lookahead
+            # (_fill_to(16) ⇒ nbits ≤ 23 ⇒ k ≤ 2); fail loudly if a
+            # future wider lookahead outgrows it instead of silently
+            # rewinding to the wrong byte (advisor r16)
+            assert k <= len(self.fills), "fill ring smaller than lookahead"
             self.pos = self.fills[4 - k]
         self.acc, self.nbits = 0, 0
         b = self.buf
@@ -330,18 +370,17 @@ class _RestartMarker(Exception):
         self.marker = marker
 
 
-def _decode_symbol(r: _BitReader, table: dict) -> int:
+def _decode_symbol(r: _BitReader, table: tuple) -> int:
+    decode, lut = table
     if r._fill_to(16):
-        # fast path: one 16-bit peek, then pure int ops per candidate
-        # length — no per-bit refill bookkeeping. Identical symbol,
-        # identical bits consumed, identical invalid-code error.
-        window = (r.acc >> (r.nbits - 16)) & 0xFFFF
-        get = table.get
-        for length in range(1, 17):
-            sym = get((length, window >> (16 - length)))
-            if sym is not None:
-                r.nbits -= length
-                return sym
+        # fast path: one 16-bit peek resolved through the prefix-free
+        # LUT — one list index instead of up to 16 dict probes.
+        # Identical symbol, identical bits consumed, identical
+        # invalid-code error (lut entry 0 = no code matches).
+        e = lut[(r.acc >> (r.nbits - 16)) & 0xFFFF]
+        if e:
+            r.nbits -= e & 31
+            return e >> 5
         raise ValueError("invalid Huffman code in JPEG stream")
     # boundary path (stream end / marker within 16 bits): the original
     # per-bit walk, which raises truncation/marker exactly where the
@@ -350,7 +389,7 @@ def _decode_symbol(r: _BitReader, table: dict) -> int:
     while length < 16:
         code = (code << 1) | r.read_bit()
         length += 1
-        sym = table.get((length, code))
+        sym = decode.get((length, code))
         if sym is not None:
             return sym
     raise ValueError("invalid Huffman code in JPEG stream")
@@ -381,10 +420,21 @@ def _ycbcr_to_rgb(arr: np.ndarray) -> np.ndarray:
 
 
 def _pad_to(plane: np.ndarray, bh: int, bw: int) -> np.ndarray:
+    """Edge-replicate pad to (bh, bw) — hand-rolled np.pad(mode="edge"):
+    identical values, ~8x less per-call overhead (np.pad's generic
+    machinery was the single hottest line of tiny-image encode)."""
     h, w = plane.shape
-    return np.pad(
-        plane, ((0, bh - h), (0, bw - w)), mode="edge"
-    ) if (bh > h or bw > w) else plane
+    if bh <= h and bw <= w:
+        return plane
+    out = np.empty((bh, bw), dtype=plane.dtype)
+    out[:h, :w] = plane
+    if bh > h:
+        out[h:, :w] = plane[-1, :]
+    if bw > w:
+        out[:h, w:] = plane[:, -1][:, None]
+    if bh > h and bw > w:
+        out[h:, w:] = plane[-1, -1]
+    return out
 
 
 def _component_blocks(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
@@ -401,6 +451,250 @@ def _component_blocks(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
     # table so position k divides by its own quantizer
     zz = f.reshape(by, bx, 64)[:, :, ZIGZAG]
     return np.round(zz / q[ZIGZAG].reshape(1, 1, 64)).astype(np.int64)
+
+
+def _enc_tables_np():
+    """Annex-K encode tables as numpy LUTs indexed by symbol —
+    [(dc_code, dc_len, ac_code, ac_len)] for tsel 0 (luma) / 1
+    (chroma). Built once per process (encode_jpeg previously rebuilt
+    all four dict tables per call — a measurable constant at the
+    fixture's 8-48 px frame sizes)."""
+    tabs = []
+    for dcb, dcv, acb, acv in [
+        (_DC_LUMA_BITS, _DC_LUMA_VALS, _AC_LUMA_BITS, _AC_LUMA_VALS),
+        (_DC_CHROMA_BITS, _DC_CHROMA_VALS, _AC_CHROMA_BITS, _AC_CHROMA_VALS),
+    ]:
+        dc_enc = build_huffman(dcb, dcv)[0]
+        ac_enc = build_huffman(acb, acv)[0]
+        dc_code = np.zeros(17, dtype=np.int64)
+        dc_len = np.zeros(17, dtype=np.int64)
+        for sym, (code, length) in dc_enc.items():
+            dc_code[sym] = code
+            dc_len[sym] = length
+        ac_code = np.zeros(256, dtype=np.int64)
+        ac_len = np.zeros(256, dtype=np.int64)
+        for sym, (code, length) in ac_enc.items():
+            ac_code[sym] = code
+            ac_len[sym] = length
+        tabs.append((dc_code, dc_len, ac_code, ac_len))
+    return tabs
+
+
+_ENC_TABS: list | None = None
+
+
+def _bit_length_i64(v: np.ndarray) -> np.ndarray:
+    """Vectorized ``int.bit_length`` (SSSS category) for int64 JPEG
+    coefficients. log2 is exact in this range: |v| ≤ 2^16 keeps the
+    float64 mantissa far from the rounding boundary."""
+    out = np.zeros(v.shape, dtype=np.int64)
+    nz = v != 0
+    out[nz] = np.floor(np.log2(np.abs(v[nz]))).astype(np.int64) + 1
+    return out
+
+
+def _entropy_encode(all_blocks, comps, mcux, mcuy, restart_interval) -> bytes:
+    """Vectorized whole-scan entropy coder — byte-identical to the
+    per-coefficient ``_BitWriter``/``_encode_block`` walk (which stays
+    below as the reference implementation, test-pinned and used by the
+    differential-parity campaign).
+
+    Shape: every Huffman symbol of the scan becomes one (value, length)
+    entry in a flat array — DC code/extend per block, ZRL/AC-code/AC-
+    extend per nonzero coefficient, EOB per early-terminated block —
+    ordered by one stable integer-key argsort; restart padding and RSTn
+    markers are inserted as entries by vectorized index arithmetic; the
+    bit stream is packed by five byte-plane bincounts (each entry spans
+    ≤ 40 bits at its byte offset, disjoint bits ⇒ sum == OR); 0xFF
+    stuffing is a repeat/scatter over the packed bytes with marker
+    bytes masked out. Everything is O(output) with ~40 numpy calls
+    total, against ~5 Python-level calls per coefficient before."""
+    global _ENC_TABS
+    if _ENC_TABS is None:
+        _ENC_TABS = _enc_tables_np()
+    ncomp = len(comps)
+    n_mcu = mcux * mcuy
+    total_bpm = sum(c[1] * c[2] for c in comps)
+    nblocks = n_mcu * total_bpm
+
+    zz = np.empty((nblocks, 64), dtype=np.int64)
+    tsel = np.empty(nblocks, dtype=np.int64)
+    comp_of = np.empty(nblocks, dtype=np.int64)
+    mcu_idx = np.arange(n_mcu, dtype=np.int64)
+    my = mcu_idx // mcux
+    mx = mcu_idx % mcux
+    off = 0
+    for ci, (cid, hi, vi, qidx) in enumerate(comps):
+        blocks = all_blocks[ci]  # (mcuy*vi, mcux*hi, 64)
+        for v in range(vi):
+            for hh in range(hi):
+                seq = mcu_idx * total_bpm + off + v * hi + hh
+                zz[seq] = blocks[my * vi + v, mx * hi + hh]
+                tsel[seq] = 0 if ci == 0 else 1
+                comp_of[seq] = ci
+        off += hi * vi
+
+    if restart_interval:
+        seg_of_mcu = mcu_idx // restart_interval
+    else:
+        seg_of_mcu = np.zeros(n_mcu, dtype=np.int64)
+    seg = np.repeat(seg_of_mcu, total_bpm)
+    nseg = int(seg_of_mcu[-1]) + 1
+
+    # DC differentials: chained per component, reset per restart segment
+    dc = zz[:, 0]
+    diff = np.empty(nblocks, dtype=np.int64)
+    for ci in range(ncomp):
+        m = comp_of == ci
+        dcv = dc[m]
+        sg = seg[m]
+        prev = np.empty(len(dcv), dtype=np.int64)
+        prev[0] = 0
+        prev[1:] = dcv[:-1]
+        newseg = np.empty(len(dcv), dtype=bool)
+        newseg[0] = True
+        newseg[1:] = sg[1:] != sg[:-1]
+        prev[newseg] = 0
+        diff[m] = dcv - prev
+    dsize = _bit_length_i64(diff)
+
+    # AC nonzeros: np.nonzero is row-major ⇒ already (block, k)-sorted
+    bidx, kpos = np.nonzero(zz[:, 1:])
+    kpos = kpos + 1
+    val = zz[bidx, kpos]
+    nnz = len(bidx)
+    prevk = np.empty(nnz, dtype=np.int64)
+    if nnz:
+        prevk[0] = 0
+        prevk[1:] = kpos[:-1]
+        firstnz = np.empty(nnz, dtype=bool)
+        firstnz[0] = True
+        firstnz[1:] = bidx[1:] != bidx[:-1]
+        prevk[firstnz] = 0
+    run = kpos - prevk - 1
+    n_zrl = run >> 4
+    asize = _bit_length_i64(val)
+    if np.any(asize > 10):
+        # Annex-K AC tables only define sizes 1..10 (|coef| <= 1023) —
+        # same loud failure (and same first-in-stream offender) as the
+        # reference encoder
+        i = int(np.argmax(asize > 10))
+        raise ValueError(
+            f"AC coefficient {int(val[i])} exceeds the Annex-K Huffman "
+            f"envelope (category {int(asize[i])} > 10); lower the "
+            "quality setting"
+        )
+    acsym = ((run & 15) << 4) | asize
+
+    last_nz = np.zeros(nblocks, dtype=np.int64)
+    if nnz:
+        np.maximum.at(last_nz, bidx, kpos)
+    eob_b = np.nonzero(last_nz < 63)[0]
+
+    # symbol → (code, length) gathers
+    dc_code = np.empty(nblocks, dtype=np.int64)
+    dc_len = np.empty(nblocks, dtype=np.int64)
+    ac_code = np.empty(nnz, dtype=np.int64)
+    ac_len = np.empty(nnz, dtype=np.int64)
+    zrl_code = np.empty(nnz, dtype=np.int64)
+    zrl_len = np.empty(nnz, dtype=np.int64)
+    eob_code = np.empty(len(eob_b), dtype=np.int64)
+    eob_len = np.empty(len(eob_b), dtype=np.int64)
+    ac_tsel = tsel[bidx]
+    eob_tsel = tsel[eob_b]
+    for t in (0, 1):
+        dcc, dcl, acc, acl = _ENC_TABS[t]
+        m = tsel == t
+        dc_code[m] = dcc[dsize[m]]
+        dc_len[m] = dcl[dsize[m]]
+        m = ac_tsel == t
+        ac_code[m] = acc[acsym[m]]
+        ac_len[m] = acl[acsym[m]]
+        zrl_code[m] = acc[0xF0]
+        zrl_len[m] = acl[0xF0]
+        m = eob_tsel == t
+        eob_code[m] = acc[0x00]
+        eob_len[m] = acl[0x00]
+    dc_ext = np.where(diff >= 0, diff, diff + (1 << dsize) - 1)
+    ac_ext = np.where(val >= 0, val, val + (1 << asize) - 1)
+
+    # flat entry stream ordered by (block, zigzag pos, phase): phase 0
+    # = ZRL/EOB/DC-code, 1 = DC-extend/AC-code, 2 = AC-extend; DC rides
+    # k=0, EOB k=65 — one int64 key, one stable argsort
+    dce_b = np.nonzero(dsize > 0)[0]
+    zrl_rep = np.repeat(np.arange(nnz), n_zrl)
+    allb = np.arange(nblocks)
+    key = np.concatenate([
+        allb * 268,                                 # (b*67+0)*4+0: DC code
+        dce_b * 268 + 1,                            # DC extend
+        (bidx[zrl_rep] * 67 + kpos[zrl_rep]) * 4,   # ZRLs
+        (bidx * 67 + kpos) * 4 + 1,                 # AC codes
+        (bidx * 67 + kpos) * 4 + 2,                 # AC extends
+        (eob_b * 67 + 65) * 4,                      # EOBs
+    ])
+    ev = np.concatenate([dc_code, dc_ext[dce_b], zrl_code[zrl_rep],
+                         ac_code, ac_ext, eob_code])
+    el = np.concatenate([dc_len, dsize[dce_b], zrl_len[zrl_rep],
+                         ac_len, asize, eob_len])
+    order = np.argsort(key, kind="stable")
+    ev = ev[order]
+    el = el[order]
+    eseg = seg[(key[order] >> 2) // 67]
+
+    # restart padding + RSTn markers as inserted entries (the reference
+    # writer pads to a byte with 1-bits before each marker and at
+    # flush; pad lengths are derivable per segment because markers are
+    # byte-aligned, so everything before a segment starts on a byte)
+    E = len(ev)
+    bits_per_seg = np.bincount(
+        eseg, weights=el.astype(np.float64), minlength=nseg
+    ).astype(np.int64)
+    pad = (-bits_per_seg) % 8
+    has_pad = pad > 0
+    has_marker = np.zeros(nseg, dtype=bool)
+    has_marker[:-1] = True
+    extras_before = np.concatenate(
+        [[0], np.cumsum(has_pad.astype(np.int64) + has_marker)]
+    )[:-1]
+    total_e = E + int(has_pad.sum()) + int(has_marker.sum())
+    fv = np.empty(total_e, dtype=np.int64)
+    fl = np.empty(total_e, dtype=np.int64)
+    fv[np.arange(E) + extras_before[eseg]] = ev
+    fl[np.arange(E) + extras_before[eseg]] = el
+    seg_end = np.searchsorted(eseg, np.arange(nseg), side="right") + extras_before
+    pseg = np.nonzero(has_pad)[0]
+    fv[seg_end[pseg]] = (1 << pad[pseg]) - 1
+    fl[seg_end[pseg]] = pad[pseg]
+    mseg = np.nonzero(has_marker)[0]
+    mpos = seg_end[mseg] + has_pad[mseg]
+    fv[mpos] = 0xFFD0 + (mseg % 8)
+    fl[mpos] = 16
+
+    # bit packing: five byte-plane bincounts (disjoint bits ⇒ sum==OR)
+    end = np.cumsum(fl)
+    start = end - fl
+    nbytes = int(end[-1]) // 8
+    byte0 = start >> 3
+    v40 = fv << (40 - (start & 7) - fl)
+    acc = np.zeros(nbytes + 5, dtype=np.int64)
+    for k in range(5):
+        plane = (v40 >> (8 * (4 - k))) & 0xFF
+        acc += np.bincount(
+            byte0 + k, weights=plane.astype(np.float64), minlength=nbytes + 5
+        ).astype(np.int64)
+    arr = acc[:nbytes].astype(np.uint8)
+
+    # 0xFF byte stuffing, marker bytes excluded
+    is_marker = np.zeros(nbytes, dtype=bool)
+    if len(mpos):
+        mstart = start[mpos] >> 3
+        is_marker[mstart] = True
+        is_marker[mstart + 1] = True
+    ff = (arr == 0xFF) & ~is_marker
+    counts = np.ones(nbytes, dtype=np.int64) + ff
+    stuffed = np.repeat(arr, counts)
+    stuffed[(np.cumsum(counts) - counts)[ff] + 1] = 0
+    return stuffed.tobytes()
 
 
 def _encode_block(w: _BitWriter, zz: np.ndarray, pred: int, dc_enc, ac_enc) -> int:
@@ -485,10 +779,6 @@ def encode_jpeg(
     mcuy = -(-h // (8 * vmax))
 
     qtabs = [ql, qc] if nch == 3 else [ql]
-    dc_encs = [build_huffman(_DC_LUMA_BITS, _DC_LUMA_VALS)[0],
-               build_huffman(_DC_CHROMA_BITS, _DC_CHROMA_VALS)[0]]
-    ac_encs = [build_huffman(_AC_LUMA_BITS, _AC_LUMA_VALS)[0],
-               build_huffman(_AC_CHROMA_BITS, _AC_CHROMA_VALS)[0]]
 
     all_blocks = []
     for (cid, hi, vi, qidx), plane in zip(comps, planes):
@@ -499,30 +789,11 @@ def encode_jpeg(
             _component_blocks(plane - 128.0, qtabs[qidx])
         )
 
-    wtr = _BitWriter()
-    preds = [0] * len(comps)
-    mcu_count, rst_idx = 0, 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if (
-                restart_interval
-                and mcu_count
-                and mcu_count % restart_interval == 0
-            ):
-                wtr.restart(rst_idx)
-                rst_idx += 1
-                preds = [0] * len(comps)
-            mcu_count += 1
-            for ci, (cid, hi, vi, qidx) in enumerate(comps):
-                tsel = 0 if ci == 0 else 1
-                for v in range(vi):
-                    for hh in range(hi):
-                        zz = all_blocks[ci][my * vi + v, mx * hi + hh]
-                        preds[ci] = _encode_block(
-                            wtr, zz, preds[ci],
-                            dc_encs[tsel], ac_encs[tsel],
-                        )
-    entropy = wtr.flush()
+    # vectorized whole-scan entropy coder — byte-identical to the
+    # per-coefficient _BitWriter/_encode_block reference walk (pinned
+    # by the r17 differential-parity campaign and test_plans' codec
+    # parity tests)
+    entropy = _entropy_encode(all_blocks, comps, mcux, mcuy, restart_interval)
 
     out = bytearray(b"\xff\xd8")  # SOI
     jfif = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
@@ -615,7 +886,9 @@ def decode_jpeg(payload: bytes):
                 bits = list(seg[p + 1 : p + 17])
                 n = sum(bits)
                 vals = list(seg[p + 17 : p + 17 + n])
-                huff[(tc, th)] = build_huffman(bits, vals)[1]
+                huff[(tc, th)] = _huff_decode_cached(
+                    bytes(seg[p + 1 : p + 17 + n]), bits, vals
+                )
                 p += 17 + n
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
@@ -675,8 +948,13 @@ def _decode_scan(b, pos, sof, scan, qtabs, huff, restart_interval):
     vmax = max(c["v"] for c in comps)
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
-    planes = [
-        np.zeros((mcuy * 8 * c["v"], mcux * 8 * c["h"]), dtype=np.float64)
+    # per-component zigzag coefficient grids, filled during the
+    # (sequential, bit-serial) entropy decode and dequantized +
+    # IDCT-transformed in ONE batched numpy pass per component after
+    # the scan — the per-block zeros/fancy-index/8x8-matmul overhead
+    # was pure Python-call tax (same math per block, just batched)
+    zz_grids = [
+        np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int64)
         for c in comps
     ]
 
@@ -695,15 +973,18 @@ def _decode_scan(b, pos, sof, scan, qtabs, huff, restart_interval):
                             zz, preds[ci] = _decode_block(
                                 rdr, dct_tab, act_tab, preds[ci]
                             )
-                            f = np.zeros(64, dtype=np.float64)
-                            f[ZIGZAG] = zz * q[ZIGZAG]
-                            blk = _DCT.T @ f.reshape(8, 8) @ _DCT
-                            yy = (my * c["v"] + v) * 8
-                            xx = (mx * c["h"] + hh) * 8
-                            planes[ci][yy : yy + 8, xx : xx + 8] = blk
+                            zz_grids[ci][my * c["v"] + v, mx * c["h"] + hh] = zz
             except _RestartMarker:
                 raise ValueError("unexpected JPEG restart marker") from None
             mcu_count += 1
+
+    planes = []
+    for (c, dct_tab, act_tab, q), zzg in zip(order, zz_grids):
+        gy, gx = zzg.shape[:2]
+        f = np.zeros((gy, gx, 64), dtype=np.float64)
+        f[:, :, ZIGZAG] = zzg * q[ZIGZAG]
+        blk = _DCT.T @ f.reshape(gy, gx, 8, 8) @ _DCT
+        planes.append(blk.transpose(0, 2, 1, 3).reshape(gy * 8, gx * 8))
 
     out_planes = []
     for c, plane in zip(comps, planes):
@@ -728,7 +1009,7 @@ def _decode_block(rdr, dc_tab, ac_tab, pred):
     size = _decode_symbol(rdr, dc_tab)
     diff = _extend(rdr.receive(size), size) if size else 0
     dc = pred + diff
-    zz = np.zeros(64, dtype=np.int64)
+    zz = [0] * 64  # plain list: per-element stores beat ndarray scalar writes
     zz[0] = dc
     k = 1
     while k < 64:
