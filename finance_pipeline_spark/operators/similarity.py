@@ -79,8 +79,20 @@ def _spark_round_scaled(a: np.ndarray, dp: int) -> np.ndarray:
     ``Decimal(repr(x)).quantize(HALF_UP)`` — the same recipe
     ``_probe_cells_kernel`` uses per element, vectorized here so full
     corpus passes can afford bit-parity rounding (guide §4.2: batch the
-    hot path, keep the slow exact path for the boundary sliver)."""
+    hot path, keep the slow exact path for the boundary sliver).
+
+    Domain bound (advisor r16): the integer-exactness claim needs
+    ``|a|·10^dp < 2^53`` — past it the scaled float (and the float64
+    array the Decimal slow path writes back into) cannot hold the
+    exact integer, and parity with Spark's BigDecimal round silently
+    breaks (measured divergence onset at |a| ≥ 9.007e6 for dp=9).
+    Realistic embedding components sit many orders below the bound, so
+    the guard is a cheap assert, not a code path."""
     y = a * (10.0**dp)
+    assert not np.any(np.abs(y) >= 2.0**53), (
+        "_spark_round_scaled: |a|*10^dp >= 2^53 — scaled integers no "
+        "longer exact; route these values through the JVM window path"
+    )
     ay = np.abs(y)
     m = np.floor(ay + 0.5)
     # band where float arithmetic could disagree with the shortest-repr
@@ -943,6 +955,31 @@ def _lloyd_assign_kernel(
     return e.mapInPandas(kern, "vec_id bigint, cluster bigint, dist double")
 
 
+def _lloyd_round(
+    spark: SparkSession, e: DataFrame, cents: "np.ndarray"
+) -> "np.ndarray":
+    """One fused Lloyd mean update over an (already spread) frame:
+    partials → type-sized groupBy → 6-dp means; empty clusters keep
+    their centroid. Shared by ``kmeans_fit``'s round loop and the
+    scaled trainer's coarse round 2, so the recipe exists exactly
+    once."""
+    upd = (
+        _lloyd_partials(spark, e, cents)
+        .groupBy("cluster", "pos")
+        .agg(F.sum("psum").alias("s"), F.sum("pcnt").alias("n"))
+        .select(
+            "cluster",
+            "pos",
+            F.round(F.col("s").cast("double") / F.col("n"), 6).alias("c"),
+        )
+        .collect()
+    )
+    nxt = cents.copy()  # empty clusters keep their centroid
+    for r in upd:
+        nxt[r["cluster"], r["pos"]] = r["c"]
+    return nxt
+
+
 def kmeans_fit(
     spark: SparkSession, e: DataFrame, k: int, rounds: int = 1
 ):
@@ -971,23 +1008,7 @@ def kmeans_fit(
 
     if _LLOYD_FUSED_KERNEL:
         for _ in range(rounds):
-            upd = (
-                _lloyd_partials(spark, e, cents)
-                .groupBy("cluster", "pos")
-                .agg(F.sum("psum").alias("s"), F.sum("pcnt").alias("n"))
-                .select(
-                    "cluster",
-                    "pos",
-                    F.round(
-                        F.col("s").cast("double") / F.col("n"), 6
-                    ).alias("c"),
-                )
-                .collect()
-            )
-            nxt = cents.copy()  # empty clusters keep their centroid
-            for r in upd:
-                nxt[r["cluster"], r["pos"]] = r["c"]
-            cents = nxt
+            cents = _lloyd_round(spark, e, cents)
         return cents, _lloyd_assign_kernel(spark, e, cents)
 
     def scores(cents_np: np.ndarray) -> DataFrame:
@@ -1139,6 +1160,12 @@ _PQ_FUSED_KERNEL = True
 # decimal recipe in lockstep. Near-parity with the old float path
 # (<= one 6-dp ulp) + partitioning-independence pinned by
 # tests/test_similarity.py::test_kmeans_decimal_means_*.
+# NOTE (advisor r16): the FUSED kernels (_lloyd_partials /
+# _pq_partials / _fused_train_round — the _LLOYD_FUSED_KERNEL /
+# _PQ_FUSED_KERNEL defaults) pin the exact-decimal recipe
+# UNCONDITIONALLY; flipping this flag to False only changes the
+# flag-off window path's _mean_6dp. Treat the flag as documentation of
+# the recipe, not a runtime switch, unless the fused flags are off too.
 _KMEANS_DECIMAL_MEANS = True
 
 
@@ -1962,31 +1989,187 @@ def _pq_train_scaled(
     return cents1
 
 
+def _fused_train_round(
+    spark: SparkSession,
+    src: DataFrame,
+    cents_np: "np.ndarray",
+    pq_cents: "np.ndarray",
+):
+    """Coarse-Lloyd AND PQ-Lloyd round-1 mean updates in ONE kernel
+    pass over the (already spread) training sample — the r17 collapse
+    of the scaled trainer's barrier chain (guide §2.4: two operations
+    over the same input can share one pass; r16's 2-thread overlap
+    only HID the second chain's latency, this removes the chain).
+
+    The kernel body is the union of ``_lloyd_partials`` and
+    ``_pq_partials(spark_parity=False)`` verbatim — same raw-distance
+    expressions, same 9-dp Spark-parity pre-round, same exact
+    Python-int task sums carried as decimal(38,9) — with rows tagged
+    ``kind`` 0 (coarse: g1=cluster) / 1 (PQ: g1=sub, g2=code), so ONE
+    type-sized groupBy + ONE collect replace the two independent job
+    chains. Exactness makes the fusion bit-identical: each side's
+    accumulators never read the other's state, and the decimal mean
+    recipe is order-free, so partition/batch interleaving cannot move
+    a centroid (the ``_KMEANS_DECIMAL_MEANS`` invariant; the fused
+    kernels pin that recipe unconditionally — see the flag comment)."""
+    bc = spark.sparkContext.broadcast((
+        np.ascontiguousarray(np.asarray(cents_np, dtype=np.float64)),
+        np.ascontiguousarray(np.asarray(pq_cents, dtype=np.float64)),
+    ))
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from decimal import Decimal
+
+        cm, pq = bc.value
+        k, dim = cm.shape if cm.size else (0, 0)
+        m, kpq, dsub = pq.shape if pq.size else (0, 0, 0)
+        acc = [[0] * dim for _ in range(k)]
+        cnt = [0] * k
+        pacc = [[[0] * dsub for _ in range(kpq)] for _ in range(m)]
+        pcnt = [[0] * kpq for _ in range(m)]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = _emb_matrix(pdf["embedding"])
+            xi = _spark_round_scaled(x, 9).astype(np.int64)
+            if cm.size:
+                # _lloyd_partials' expression verbatim
+                d = ((x[:, None, :] - cm[None, :, :]) ** 2).sum(axis=2)
+                cl = np.argmin(_spark_round_scaled(d, 4), axis=1)
+                for c in np.unique(cl):
+                    mask = cl == c
+                    bs = xi[mask].sum(axis=0, dtype=object)
+                    row = acc[int(c)]
+                    for j in range(dim):
+                        row[j] += int(bs[j])
+                    cnt[int(c)] += int(mask.sum())
+            if pq.size:
+                # _pq_partials' expression verbatim (numpy-round tier)
+                code = _pq_sub_assign(x, pq, spark_parity=False)
+                xs = xi.reshape(len(x), m, dsub)
+                for s in range(m):
+                    for c in np.unique(code[:, s]):
+                        mask = code[:, s] == c
+                        bs = xs[mask, s].sum(axis=0, dtype=object)
+                        row = pacc[s][int(c)]
+                        for j in range(dsub):
+                            row[j] += int(bs[j])
+                        pcnt[s][int(c)] += int(mask.sum())
+        out: dict = {"kind": [], "g1": [], "g2": [], "pos": [],
+                     "psum": [], "pcnt": []}
+        for c in range(k):
+            if cnt[c] == 0:
+                continue
+            for j in range(dim):
+                out["kind"].append(0)
+                out["g1"].append(c)
+                out["g2"].append(0)
+                out["pos"].append(j)
+                out["psum"].append(Decimal(acc[c][j]).scaleb(-9))
+                out["pcnt"].append(cnt[c])
+        for s in range(m):
+            for c in range(kpq):
+                if pcnt[s][c] == 0:
+                    continue
+                for j in range(dsub):
+                    out["kind"].append(1)
+                    out["g1"].append(s)
+                    out["g2"].append(c)
+                    out["pos"].append(j)
+                    out["psum"].append(Decimal(pacc[s][c][j]).scaleb(-9))
+                    out["pcnt"].append(pcnt[s][c])
+        if out["kind"]:
+            yield pd.DataFrame(out)
+
+    upd = (
+        src.mapInPandas(
+            kern,
+            "kind int, g1 bigint, g2 bigint, pos int, "
+            "psum decimal(38,9), pcnt bigint",
+        )
+        .groupBy("kind", "g1", "g2", "pos")
+        .agg(F.sum("psum").alias("s"), F.sum("pcnt").alias("n"))
+        .select(
+            "kind", "g1", "g2", "pos",
+            F.round(F.col("s").cast("double") / F.col("n"), 6).alias("c"),
+        )
+        .collect()
+    )
+    cents = np.asarray(cents_np, dtype=np.float64).copy()
+    pq1 = np.asarray(pq_cents, dtype=np.float64).copy()
+    for r in upd:  # empty cells/codes keep their seed
+        if r["kind"] == 0:
+            cents[r["g1"], r["pos"]] = r["c"]
+        else:
+            pq1[r["g1"], r["g2"], r["pos"]] = r["c"]
+    return cents, pq1
+
+
 def _train_scaled_quantizers(
     spark: SparkSession,
     sample: DataFrame,
     k_cells: int,
     k_pq: int,
 ):
-    """Train the coarse quantizer and the PQ codebooks CONCURRENTLY —
-    they are independent given the eagerly-checkpointed sample (coarse
-    trains on xxhash64-remapped ids, PQ on the subspace slices), so
-    their driver-side barriers (seed collects + Lloyd-round partial
-    collects) overlap instead of queueing (guide §2.6: submit
-    independent jobs from a small thread pool so the next job's tasks
-    back-fill the tail). Results are bit-identical to the sequential
-    order: each trainer's computation never reads the other's state,
-    and both are deterministic functions of the checkpointed sample."""
-    from concurrent.futures import ThreadPoolExecutor
+    """Train the coarse quantizer and the PQ codebooks from the
+    eagerly-checkpointed sample in THREE driver barriers instead of
+    five (r17, VERDICT item 2):
 
-    hashed = sample.select(
-        F.xxhash64(F.col("vec_id")).alias("vec_id"), "embedding"
+    1. ONE seed collect serves both trainers — both seed orders are
+       prefixes of the same ``(xxhash64(vec_id), vec_id)`` ascending
+       order (coarse ordered by the hash because its ids ARE the
+       hashes; PQ ordered by (hash, id) explicitly), so one
+       top-max(k_cells, k_pq) collect yields both seed sets with the
+       previous semantics (identical modulo in-sample xxhash64
+       collisions, where the old single-key sort was itself
+       tie-unstable).
+    2. ONE fused kernel pass computes coarse round 1 AND the PQ
+       round's mean updates (``_fused_train_round``).
+    3. Coarse round 2 polishes the spread seeds (``_lloyd_round``).
+
+    The pre-r17 shape ran two independent chains (2 + 3 barriers)
+    overlapped from a 2-thread pool; overlap hides the shorter chain
+    but keeps 5 jobs' scheduling on the driver — at the bench tier the
+    ANN trainers ran FASTER on 8 cores than 32 (PERF_r16 scaling 0.82)
+    precisely because the wall is sequential driver jobs, not compute.
+    Results are bit-identical: both trainers are deterministic
+    functions of the checkpointed sample, the kernels reuse the
+    per-side expressions verbatim, and the decimal mean recipe is
+    order-free. The flag-off path keeps the overlapped form."""
+    if not (_LLOYD_FUSED_KERNEL and _PQ_FUSED_KERNEL):
+        from concurrent.futures import ThreadPoolExecutor
+
+        hashed = sample.select(
+            F.xxhash64(F.col("vec_id")).alias("vec_id"), "embedding"
+        )
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_coarse = pool.submit(kmeans_fit, spark, hashed, k_cells, 2)
+            f_pq = pool.submit(_pq_train_scaled, spark, sample, k_pq)
+            cents, _ = f_coarse.result()
+            cents1 = f_pq.result()
+        return cents, cents1
+
+    top = (
+        sample.select(
+            F.xxhash64(F.col("vec_id")).alias("h"), "vec_id", "embedding"
+        )
+        .orderBy("h", "vec_id")
+        .limit(max(k_cells, k_pq))
+        .collect()
     )
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        f_coarse = pool.submit(kmeans_fit, spark, hashed, k_cells, 2)
-        f_pq = pool.submit(_pq_train_scaled, spark, sample, k_pq)
-        cents, _ = f_coarse.result()
-        cents1 = f_pq.result()
+    cents = np.array(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in top[:k_cells]],
+        dtype=np.float64,
+    )
+    pq_seed = np.array(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in top[:k_pq]]
+    )
+    k_eff = len(pq_seed)  # tiny corpora may have fewer rows than k_pq
+    cents1 = pq_seed.reshape(k_eff, _PQ_M, _PQ_DSUB).transpose(1, 0, 2).copy()
+
+    spread = _spread_vectors(sample)
+    cents, cents1 = _fused_train_round(spark, spread, cents, cents1)
+    cents = _lloyd_round(spark, spread, cents)  # coarse round 2
     return cents, cents1
 
 
