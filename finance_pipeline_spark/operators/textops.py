@@ -3375,11 +3375,24 @@ def text_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
-    c1 = c2.groupBy("w1").agg(
-        F.sum("n").alias("ctx"), F.count(F.lit(1)).alias("kf")
+    # r17: c1, n1p and the type total t shared one grouping-sets pass
+    # over the c2 checkpoint instead of three independent jobs (same
+    # exact integer counts — see the trigram form for the recipe).
+    a2 = (
+        c2.groupingSets([["w1"], ["w2"], []], "w1", "w2")
+        .agg(
+            F.sum("n").alias("s"),
+            F.count(F.lit(1)).alias("c"),
+            F.grouping_id().alias("gid"),
+        )
+        .localCheckpoint(eager=False)
     )
-    n1p = c2.groupBy("w2").agg(F.count(F.lit(1)).alias("kp"))
-    t = float(c2.count())
+    c1 = a2.filter("gid = 1").select(
+        "w1", F.col("s").alias("ctx"), F.col("c").alias("kf")
+    )
+    n1p = a2.filter("gid = 2").select("w2", F.col("c").alias("kp"))
+    t_row = a2.filter("gid = 3").select("c").first()
+    t = float(t_row["c"]) if t_row is not None else 0.0
     p = (
         (F.col("n").cast("double") - F.lit(_KN_D)) / F.col("ctx").cast("double")
     ) + (
@@ -3542,15 +3555,46 @@ def text_kn3_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
-    ctx12 = c3.groupBy("w1", "w2").agg(
-        F.sum("n").alias("ctx"), F.count(F.lit(1)).alias("kf")
+    # r17: the four type tables + the continuation total used to be
+    # five independent aggregation jobs, each re-shuffling from the c3
+    # checkpoint (mid2/uni/u re-deriving cont23 inside their own jobs).
+    # Two grouping-sets passes now share the work: pass A computes
+    # ctx12 AND cont23 rows in one shuffle over c3; pass B computes
+    # mid2, uni AND the grand total u in one shuffle over cont23. The
+    # counts are the same exact integers (sum/count over identical
+    # groups), so every probability double is unchanged.
+    ab = (
+        c3.groupingSets([["w1", "w2"], ["w2", "w3"]], "w1", "w2", "w3")
+        .agg(
+            F.sum("n").alias("s"),
+            F.count(F.lit(1)).alias("c"),
+            F.grouping_id().alias("gid"),
+        )
+        .localCheckpoint(eager=False)
     )
-    cont23 = c3.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("kc"))
-    mid2 = cont23.groupBy("w2").agg(
-        F.sum("kc").alias("m2"), F.count(F.lit(1)).alias("kf2")
+    ctx12 = ab.filter("gid = 1").select(
+        "w1", "w2", F.col("s").alias("ctx"), F.col("c").alias("kf")
     )
-    uni = cont23.groupBy("w3").agg(F.count(F.lit(1)).alias("ku"))
-    u = float(cont23.count())
+    cont23 = ab.filter("gid = 4").select(
+        "w2", "w3", F.col("c").alias("kc")
+    )
+    b2 = (
+        cont23.groupingSets([["w2"], ["w3"], []], "w2", "w3")
+        .agg(
+            F.sum("kc").alias("s"),
+            F.count(F.lit(1)).alias("c"),
+            F.grouping_id().alias("gid"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    mid2 = b2.filter("gid = 1").select(
+        "w2", F.col("s").alias("m2"), F.col("c").alias("kf2")
+    )
+    uni = b2.filter("gid = 2").select("w3", F.col("c").alias("ku"))
+    # grand-total grouping set = cont23.count(); empty corpus yields no
+    # rows at all (Expand over nothing), matching the old count() = 0.
+    u_row = b2.filter("gid = 3").select("c").first()
+    u = float(u_row["c"]) if u_row is not None else 0.0
     p1 = F.col("ku").cast("double") / F.lit(u)
     p2 = (
         (F.col("kc").cast("double") - F.lit(_KN_D)) / F.col("m2").cast("double")
