@@ -2031,52 +2031,73 @@ def _min_label_components(pairs: DataFrame) -> DataFrame:
     """Min-label propagation over an undirected pair list → one
     (vec_id, component_id) row per edge-bearing vertex.
 
-    r16 constant cut, fixpoint-identical: labels initialize directly
-    to ``min(u, min(neighbors))`` — which IS round 1's output from the
-    identity labeling — so the loop starts one full propagation round
-    ahead (one barrier fewer at any scale; same fixpoint, every
-    subsequent round unchanged). A pre-partition of the edge list by
-    the per-round join key was tried and REJECTED: ``localCheckpoint``
-    drops the hash-partitioning metadata (the round join plans an
-    Exchange on both sides regardless), so it only added an exchange
-    and widened every tiny loop stage to the full shuffle width."""
+    r17 round shape, fixpoint-identical (r16 initialized labels to
+    ``min(u, min(neighbors))`` = round 1's output; this keeps that and
+    goes further):
+
+    - SELF-LOOPS ``(u, u)`` ride the checkpointed edge list, so each
+      round is ONE join + ONE aggregate — ``min`` over the
+      neighborhood-plus-self IS ``least(own, neighbor-min)``, which
+      drops the per-round ``labels`` left-join (one join and one
+      Exchange fewer per round at any scale).
+    - Labels initialize to the TWO-HOP min — round 2's output from the
+      identity labeling — by propagating the (lazy, computed inside
+      the same init job) one-hop min ``l0`` over the edge list once
+      before the loop: one full probed round fewer at any scale. This
+      is the propagation form of the 2-hop init, bounded by |E| rows
+      regardless of degree skew — the ``edges ⋈ edges`` form (degree²
+      fan-out on hot vertices) was considered and REJECTED; measured
+      sf0.1 pair graph for the record: 99 verts, max degree 4,
+      Σdeg² = 260.
+    - Convergence probes by comparing the rounds' label SUMS (exact
+      decimal(38,0) — no i64 overflow at any corpus size): every
+      vertex's label is nonincreasing (the self-loop carries its own
+      previous label into the min), so the sum is strictly decreasing
+      unless NO label changed; equal sums ⟺ fixpoint. The probe is a
+      scalar aggregate over the round's checkpoint — the old per-row
+      changed-flag needed the labels join this shape removes.
+
+    A pre-partition of the edge list by the per-round join key was
+    tried (r16) and REJECTED: ``localCheckpoint`` drops the
+    hash-partitioning metadata (the round join plans an Exchange on
+    both sides regardless), so it only added an exchange and widened
+    every tiny loop stage to the full shuffle width."""
+    sym = pairs.union(
+        pairs.select(F.col("vec_b").alias("vec_a"), F.col("vec_a").alias("vec_b"))
+    ).toDF("u", "w")
     edges = (
-        pairs.union(
-            pairs.select(F.col("vec_b").alias("vec_a"), F.col("vec_a").alias("vec_b"))
-        )
-        .toDF("u", "w")
+        sym.union(sym.select("u").distinct().select("u", F.col("u").alias("w")))
         .localCheckpoint(eager=True)  # materialize once; tiny (edge list)
     )
+    l0 = edges.groupBy("u").agg(F.min("w").alias("c0"))  # min(u, N(u))
     labels = (
-        edges.groupBy("u")
-        .agg(F.min("w").alias("mw"))
-        .select("u", F.least(F.col("mw"), F.col("u")).alias("comp"))
+        edges.join(
+            l0.withColumnRenamed("u", "w"), "w"
+        )
+        .groupBy("u")
+        .agg(F.min("c0").alias("comp"))
         .localCheckpoint(eager=True)
     )
+
+    def _label_sum(frame: DataFrame):
+        return frame.agg(
+            F.sum(F.col("comp").cast("decimal(38,0)"))
+        ).first()[0]
+
+    s_prev = _label_sum(labels)
     converged = False
     for _ in range(60):  # diameter cap — per-round cost is flat now
-        neighbor_min = (
+        labels = (
             edges.join(labels.withColumnRenamed("u", "w"), "w")
             .groupBy("u")
-            .agg(F.min("comp").alias("n_comp"))
-        )
-        # The changed flag rides the label update itself, so the
-        # convergence probe is a filter over the round's checkpoint —
-        # no second join/shuffle per round (was ~40% of round cost).
-        new_comp = F.least(F.col("comp"), F.coalesce(F.col("n_comp"), F.col("comp")))
-        with_flag = (
-            labels.join(neighbor_min, "u", "left")
-            .select(
-                "u",
-                new_comp.alias("new_comp"),
-                (new_comp != F.col("comp")).alias("chg"),
-            )
+            .agg(F.min("comp").alias("comp"))
             .localCheckpoint(eager=True)
         )
-        labels = with_flag.select("u", F.col("new_comp").alias("comp"))
-        if with_flag.filter("chg").limit(1).isEmpty():
+        s = _label_sum(labels)
+        if s == s_prev:
             converged = True
             break
+        s_prev = s
     if not converged:
         # Silently returning partial labels would diverge from the
         # oracle's exact fixpoint — fail loudly instead.
