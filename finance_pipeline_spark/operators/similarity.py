@@ -23,7 +23,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from finance_pipeline_spark.registry import load, query
+from finance_pipeline_spark.registry import load, parquet_row_count, query
 
 _DIM = 64
 _TOPK = 10
@@ -2564,7 +2564,7 @@ def ivfpq_scaled_topk(
     serving scans ~nprobe/k_cells of the corpus codes per query and
     fetches 5k raw vectors per query for the refine."""
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    n = e.count()
+    n = parquet_row_count(f"{sf_dir}/embeddings.parquet")  # footer, memoized
     p = scaled_ann_params(n, train_cap=train_cap)
     if nprobe is None:
         nprobe = p["nprobe"]
@@ -2961,7 +2961,7 @@ def ann_scaled_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell per query, the thing shipping nprobe exists to avoid); run it
     on a query sample, never as the serving config."""
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    n = e.count()
+    n = parquet_row_count(f"{sf_dir}/embeddings.parquet")  # footer, memoized
     p = scaled_ann_params(n)
     ann = ivfpq_scaled_topk(
         spark, sf_dir, nprobe=p["k_cells"], pool=n

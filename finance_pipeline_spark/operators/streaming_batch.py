@@ -64,9 +64,9 @@ def _stream_shuffle_width(sf_dir: str) -> str:
     target you'd size on a real cluster."""
     import os
 
-    import pyarrow.dataset as pads
+    from finance_pipeline_spark.registry import parquet_row_count
 
-    rows = pads.dataset(f"{sf_dir}/events.parquet").count_rows()
+    rows = parquet_row_count(f"{sf_dir}/events.parquet")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     return str(max(4, min(cpus, rows // 250_000)))
 

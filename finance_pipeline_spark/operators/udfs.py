@@ -221,7 +221,9 @@ def grouped_user_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
-    n_rows = load(spark, sf_dir, "events").count()  # parquet metadata count
+    from finance_pipeline_spark.registry import parquet_row_count
+
+    n_rows = parquet_row_count(f"{sf_dir}/events.parquet")  # footer, memoized
     n_part = max(8, min(cpus, n_rows // 200_000 or 1))
     e = (
         load(spark, sf_dir, "events")
