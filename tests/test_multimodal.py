@@ -1007,3 +1007,125 @@ def test_phash_hamming_pairs_matches_bruteforce_property(spark):
                 if d <= mh:
                     want.add((a, b, d))
             assert got == want, (trial, mh, got ^ want)
+
+
+def test_encoder_batched_matches_reference_walk():
+    """r17 entropy-coder pin: the vectorized whole-scan coder
+    (``_entropy_encode``) must produce BYTE-IDENTICAL streams to the
+    per-coefficient ``_BitWriter``/``_encode_block`` reference walk.
+    The reference below is the pre-r17 ``encode_jpeg`` body verbatim,
+    built from the same (unchanged) helpers — only the entropy stage
+    differs, so byte equality pins exactly the r17 change."""
+    import struct
+
+    import numpy as np
+
+    from finance_pipeline_spark.operators.jpeg import (
+        _AC_CHROMA_BITS, _AC_CHROMA_VALS, _AC_LUMA_BITS, _AC_LUMA_VALS,
+        _BitWriter, _DC_CHROMA_BITS, _DC_CHROMA_VALS, _DC_LUMA_BITS,
+        _DC_LUMA_VALS, _component_blocks, _encode_block, _pad_to,
+        _rgb_to_ycbcr, build_huffman, encode_jpeg, quality_tables, ZIGZAG,
+    )
+
+    def reference_encode(arr, quality=90, subsample=False, restart_interval=0):
+        arr = np.asarray(arr, dtype=np.uint8)
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        h, w, nch = arr.shape
+        ql, qc = quality_tables(quality)
+        if nch == 1:
+            planes = [arr[:, :, 0].astype(np.float64)]
+            comps = [(1, 1, 1, 0)]
+        else:
+            ycc = _rgb_to_ycbcr(arr)
+            y, cb, cr = ycc[..., 0], ycc[..., 1], ycc[..., 2]
+            if subsample:
+                def down(p):
+                    ph = _pad_to(p, -(-p.shape[0] // 2) * 2,
+                                 -(-p.shape[1] // 2) * 2)
+                    return (ph[0::2, 0::2] + ph[1::2, 0::2]
+                            + ph[0::2, 1::2] + ph[1::2, 1::2]) / 4.0
+                planes = [y, down(cb), down(cr)]
+                comps = [(1, 2, 2, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+            else:
+                planes = [y, cb, cr]
+                comps = [(1, 1, 1, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        mcux = -(-w // (8 * hmax))
+        mcuy = -(-h // (8 * vmax))
+        qtabs = [ql, qc] if nch == 3 else [ql]
+        dc_encs = [build_huffman(_DC_LUMA_BITS, _DC_LUMA_VALS)[0],
+                   build_huffman(_DC_CHROMA_BITS, _DC_CHROMA_VALS)[0]]
+        ac_encs = [build_huffman(_AC_LUMA_BITS, _AC_LUMA_VALS)[0],
+                   build_huffman(_AC_CHROMA_BITS, _AC_CHROMA_VALS)[0]]
+        all_blocks = []
+        for (cid, hi, vi, qidx), plane in zip(comps, planes):
+            cw = -(-w * hi // hmax)
+            chh = -(-h * vi // vmax)
+            plane = _pad_to(plane[:chh, :cw], mcuy * 8 * vi, mcux * 8 * hi)
+            all_blocks.append(_component_blocks(plane - 128.0, qtabs[qidx]))
+        wtr = _BitWriter()
+        preds = [0] * len(comps)
+        mcu_count, rst_idx = 0, 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if (restart_interval and mcu_count
+                        and mcu_count % restart_interval == 0):
+                    wtr.restart(rst_idx)
+                    rst_idx += 1
+                    preds = [0] * len(comps)
+                mcu_count += 1
+                for ci, (cid, hi, vi, qidx) in enumerate(comps):
+                    tsel = 0 if ci == 0 else 1
+                    for v in range(vi):
+                        for hh in range(hi):
+                            zz = all_blocks[ci][my * vi + v, mx * hi + hh]
+                            preds[ci] = _encode_block(
+                                wtr, zz, preds[ci],
+                                dc_encs[tsel], ac_encs[tsel])
+        entropy = wtr.flush()
+        out = bytearray(b"\xff\xd8")
+        jfif = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+        out += b"\xff\xe0" + struct.pack(">H", len(jfif) + 2) + jfif
+        for i, q in enumerate(qtabs):
+            body = bytes([i]) + bytes(int(x) for x in q[ZIGZAG])
+            out += b"\xff\xdb" + struct.pack(">H", len(body) + 2) + body
+        sof = struct.pack(">BHHB", 8, h, w, len(comps))
+        for ci, (cid, hi, vi, qidx) in enumerate(comps):
+            sof += bytes([cid, (hi << 4) | vi, qidx])
+        out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+        tables = [(0x00, _DC_LUMA_BITS, _DC_LUMA_VALS),
+                  (0x10, _AC_LUMA_BITS, _AC_LUMA_VALS)]
+        if nch == 3:
+            tables += [(0x01, _DC_CHROMA_BITS, _DC_CHROMA_VALS),
+                       (0x11, _AC_CHROMA_BITS, _AC_CHROMA_VALS)]
+        for tc_th, bits, vals in tables:
+            body = bytes([tc_th]) + bytes(bits) + bytes(vals)
+            out += b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+        if restart_interval:
+            out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+        sos = bytes([len(comps)])
+        for ci, (cid, hi, vi, qidx) in enumerate(comps):
+            tsel = 0 if ci == 0 else 1
+            sos += bytes([cid, (tsel << 4) | tsel])
+        sos += bytes([0, 63, 0])
+        out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+        out += entropy
+        out += b"\xff\xd9"
+        return bytes(out)
+
+    rng = np.random.default_rng(1707)
+    cases = [
+        (np.zeros((8, 8), dtype=np.uint8), dict()),
+        (rng.integers(0, 256, (8, 8), dtype=np.uint8), dict(quality=35)),
+        (rng.integers(0, 256, (24, 16, 3), dtype=np.uint8), dict()),
+        (rng.integers(0, 256, (33, 17, 3), dtype=np.uint8),
+         dict(subsample=True, restart_interval=2)),
+        (np.tile(np.arange(48, dtype=np.uint8) * 5, (48, 1)),
+         dict(quality=95, restart_interval=3)),
+        (rng.integers(0, 256, (40, 40, 3), dtype=np.uint8),
+         dict(quality=50, subsample=True)),
+    ]
+    for img, kw in cases:
+        assert encode_jpeg(img, **kw) == reference_encode(img, **kw), kw

@@ -199,3 +199,23 @@ def test_oracle_constants_stay_in_sync_with_spark_path(monkeypatch):
     # a lambda/builder, i.e. callable here.
     n_callable = sum(1 for s in registry.QUERIES.values() if callable(s.oracle))
     assert n_callable >= 25
+
+
+def test_parquet_row_count_memo_keys_on_file_identity(tmp_path):
+    """r17 footer-count memo: same file → one footer read (memoized);
+    a REWRITTEN file (new size/mtime) re-counts — the memo must never
+    serve a stale count, because sizing helpers derive shuffle widths
+    from it."""
+    import pandas as pd
+
+    from finance_pipeline_spark.registry import _ROW_COUNT_MEMO, parquet_row_count
+
+    p = tmp_path / "t.parquet"
+    pd.DataFrame({"a": range(10)}).to_parquet(p)
+    assert parquet_row_count(str(p)) == 10
+    key_count = sum(1 for k in _ROW_COUNT_MEMO if k[0] == str(p.resolve()))
+    assert key_count == 1
+    assert parquet_row_count(str(p)) == 10  # served from the memo
+
+    pd.DataFrame({"a": range(25)}).to_parquet(p)  # rewrite in place
+    assert parquet_row_count(str(p)) == 25  # new identity, re-counted

@@ -780,3 +780,36 @@ def test_pq_fused_matches_row_path(spark, monkeypatch, tmp_path):
     monkeypatch.setattr(S, "_PQ_FUSED_KERNEL", True)
     new_codes = sorted(map(tuple, S._pq_assign_codes(spark, e, cents).collect()))
     assert ref_codes == new_codes and len(ref_codes) == n
+
+
+def test_train_scaled_quantizers_fused_matches_sequential(spark):
+    """r17 trainer-collapse pin: the fused `_train_scaled_quantizers`
+    (one seed collect + one fused coarse/PQ kernel pass + coarse round
+    2) must be BIT-IDENTICAL to the sequential composition it replaced
+    — `kmeans_fit(hashed_ids, k_cells, rounds=2)` for the coarse side
+    and `_pq_train_scaled` for the PQ side, both still living in the
+    module (ann_pq_topk uses the latter). Any drift in the shared seed
+    order, the fused partials, or the decimal mean recipe trips this."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from finance_pipeline_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(97)
+    mat = rng.standard_normal((300, _DIM)).astype(np.float32)
+    rows = [(int(i + 1), [float(x) for x in mat[i]]) for i in range(len(mat))]
+    sample = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>"
+    ).localCheckpoint(eager=True)
+
+    for k_cells, k_pq in ((8, 8), (6, 10)):
+        cents, cents1 = sim._train_scaled_quantizers(
+            spark, sample, k_cells, k_pq
+        )
+        hashed = sample.select(
+            F.xxhash64(F.col("vec_id")).alias("vec_id"), "embedding"
+        )
+        cents_seq, _ = sim.kmeans_fit(spark, hashed, k_cells, 2)
+        cents1_seq = sim._pq_train_scaled(spark, sample, k_pq)
+        assert np.array_equal(cents, cents_seq), (k_cells, k_pq)
+        assert np.array_equal(cents1, cents1_seq), (k_cells, k_pq)
